@@ -1,13 +1,292 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{GraphFixtures, Tables}
+import graft.operators.{ConnectedComponents, Multimodal, SummaryAggregations, Triangles}
+import graft.functions.{Dedup, Similarity, TextStats}
+
+/** Driver contract (SURVEY §2.9): every `queries` entry that also has an
+  * `oracleSql` entry is hash-matched against DuckDB on the same parquet
+  * tables; entries without SQL get a rows-only check (order-sensitive or
+  * hash-family-dependent operators per SURVEY §2.9's exclusion list).
+  *
+  * Conventions shared by both sides: window ids are epoch seconds of the
+  * tumbling-window start (epoch-aligned); money-ish double sums are
+  * pre-rounded (2dp for price sums, 6dp elsewhere) so both engines hash
+  * identically under the driver's 6dp canonicalization; every aggregate
+  * column is aliased identically in the Spark plan and the SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: revenue-per-nation joins (broadcast dims) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    revenuePerNation(spark, "/root/testdata/sf0.001")
+
+  private def E(s: SparkSession, dir: String) = GraphStream(GraphFixtures.edgeStream(s, dir))
+
+  private def revenuePerNation(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val cst = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val nat = Tables.nation(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(cst, o("o_custkey") === cst("c_custkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+        sup("s_nationkey") === cst("c_nationkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .withColumnRenamed("n_name", "nation")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- core graph-stream operators (O2–O15) over E ----
+    "q01_vertices" -> ((s, dir) => E(s, dir).getVertices),
+    "q02_counts" -> ((s, dir) =>
+      E(s, dir).numberOfVertices.crossJoin(E(s, dir).numberOfEdges)),
+    "q03_degrees" -> ((s, dir) => E(s, dir).getDegrees),
+    "q04_inout_degrees" -> ((s, dir) => {
+      val gs = E(s, dir)
+      gs.getOutDegrees.join(gs.getInDegrees, Seq("id"), "full_outer")
+        .na.fill(0, Seq("out_degree", "in_degree"))
+    }),
+    "q05_map_edges" -> ((s, dir) =>
+      E(s, dir).mapEdges(col("value") * (lit(1) - col("discount")))
+        .edges.groupBy("src").agg(round(sum("value"), 6).as("total"))),
+    "q06_filter_edges" -> ((s, dir) =>
+      E(s, dir).filterEdges(col("value") > 25)
+        .edges.agg(count("*").as("n_edges"), round(sum("value"), 6).as("sum_value"))),
+    "q07_filter_vertices" -> ((s, dir) =>
+      E(s, dir).filterVertices(id => id % 10 =!= 0).numberOfEdges),
+    "q08_distinct" -> ((s, dir) => E(s, dir).distinct.numberOfEdges),
+    "q09_undirected_degrees" -> ((s, dir) => E(s, dir).undirected.getDegrees),
+    "q10_union_degrees" -> ((s, dir) => {
+      val split = lit("1998-07-01").cast("timestamp")
+      val e = GraphFixtures.edgeStream(s, dir)
+      GraphStream(e.filter(col("ts") < split))
+        .union(GraphStream(e.filter(col("ts") >= split)))
+        .getDegrees
+    }),
+    // ---- windows (O17/O18) ----
+    "q11_window_max" -> ((s, dir) =>
+      E(s, dir).slice("30 days", EdgeDirection.Out)
+        .reduceOnEdges(max(col("value")).as("max_value"))
+        .withColumnRenamed("vid", "src")),
+    "q12_window_fold" -> ((s, dir) =>
+      E(s, dir).slice("30 days", EdgeDirection.Out)
+        .foldNeighbors(count("*").as("cnt"), sum(col("value")).as("sum_value"))
+        .withColumnRenamed("vid", "src")),
+    // ---- summary aggregations (O19–O22) ----
+    "q13a_cc_e" -> ((s, dir) =>
+      SummaryAggregations.connectedComponents(GraphFixtures.edgeStream(s, dir))),
+    "q13b_cc_c10" -> ((s, dir) =>
+      SummaryAggregations.connectedComponents(GraphFixtures.coPurchase10(s, dir))),
+    "q17_bipartite" -> ((s, dir) => {
+      val bC = SummaryAggregations.bipartiteness(GraphFixtures.coPurchase(s, dir))
+        .withColumn("graph", lit("C"))
+      val bE = SummaryAggregations.bipartiteness(GraphFixtures.edgeStream(s, dir))
+        .withColumn("graph", lit("E"))
+      bC.unionByName(bE).select("graph", "bipartite")
+    }),
+    // ---- triangles (O24/O25) ----
+    "q14_triangles" -> ((s, dir) =>
+      Triangles.globalCount(GraphFixtures.coPurchase(s, dir))),
+    "q15_triangles_per_vertex" -> ((s, dir) =>
+      Triangles.perVertexCounts(GraphFixtures.coPurchase(s, dir))),
+    "q16_window_triangles" -> ((s, dir) =>
+      Triangles.countPerWindow(GraphFixtures.coPurchaseWindowed(s, dir, 5184000L))),
+    // ---- global aggregate (O15) ----
+    "q18_histogram" -> ((s, dir) =>
+      E(s, dir).edges
+        .groupBy((floor(col("value") / 5) * 5).cast("long").as("bin"))
+        .agg(count("*").as("cnt"))),
+    // ---- LLM-pipeline extensions ----
+    "q19_similarity_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") <= 9), 5)
+    }),
+    "q20_dedup_exact" -> ((s, dir) =>
+      Dedup.exactCountsByLang(Tables.documents(s, dir))),
+    "q21_text_tokens" -> ((s, dir) =>
+      TextStats.topTokens(Tables.documents(s, dir), 10)),
+    "q22_events_windows" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (expr("ts_ns div 3600000000000") * 3600).cast("long").as("win"))
+        .agg(count("*").as("cnt"), round(sum(col("value")), 6).as("sum_value"),
+          max(get_json_object(col("props"), "$.k").cast("long")).as("max_k"))),
+    "q23_tpch_q1" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count("*").as("cnt"))),
+    "q24_revenue_nation" -> ((s, dir) => revenuePerNation(s, dir)),
+    "q25_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), 2, 0.5)),
+    "q26_embedding_neardup" -> ((s, dir) =>
+      Similarity.cosinePairs(Tables.embeddings(s, dir), 0.3)),
+    "q27_text_quality" -> ((s, dir) =>
+      TextStats.qualityStats(Tables.documents(s, dir))),
+    // ---- scalable CC path, same oracle as q13b ----
+    "q28_cc_iterative" -> ((s, dir) =>
+      ConnectedComponents.iterative(GraphFixtures.coPurchase10(s, dir))),
+    // ---- rows-only checks (order-/hash-family-sensitive per SURVEY §2.9) ----
+    "q29_fingerprints" -> ((s, dir) =>
+      TextStats.fingerprints(Tables.documents(s, dir))),
+    "q30_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables.documents(s, dir), 2, 0.5)),
+    "q31_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), 3)),
+    "q32_langid" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextStats.LangId.predict(docs, TextStats.LangId.fit(docs))
+    }),
+    "q33_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.where(col("vec_id") <= 9), 5)
+    }),
+    "q34_multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.syntheticMedia(Tables.documents(s, dir)))
+        .toDF().select(col("id"), col("kind"), col("n_bytes"))),
+    "q35_spanner" -> ((s, dir) =>
+      SummaryAggregations.spanner(GraphFixtures.coPurchase10(s, dir), 3)),
+  )
+
+  /** DuckDB oracle SQL — identical aliases/semantics as the Spark plans. */
+  def oracleSql: Map[String, String] = {
+    val eVerts =
+      "SELECT l_partkey AS id FROM lineitem UNION SELECT l_suppkey + 1000000000 FROM lineitem"
+    val eEnds =
+      "SELECT l_partkey AS id FROM lineitem UNION ALL SELECT l_suppkey + 1000000000 AS id FROM lineitem"
+    val copurchase =
+      "SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+    val copurchase10 =
+      "SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey WHERE a.l_orderkey % 10 = 0"
+    def ccOracle(edgeSql: String): String =
+      s"WITH RECURSIVE c AS ($edgeSql), " +
+        "sym AS (SELECT x AS a, y AS b FROM c UNION SELECT y, x FROM c), " +
+        "lbl(v, l) AS (SELECT DISTINCT a, a FROM sym UNION SELECT s.b, lbl.l FROM sym s JOIN lbl ON lbl.v = s.a) " +
+        "SELECT v AS id, MIN(l) AS component FROM lbl GROUP BY v"
+    val triangleJoin =
+      "FROM c e1 JOIN c e2 ON e2.x = e1.y JOIN c e3 ON e3.x = e1.x AND e3.y = e2.y"
+
+    Map(
+      "q01_vertices" -> eVerts,
+      "q02_counts" ->
+        (s"SELECT (SELECT COUNT(*) FROM ($eVerts)) AS n_vertices, " +
+          "(SELECT COUNT(*) FROM lineitem) AS n_edges"),
+      "q03_degrees" ->
+        s"SELECT id, COUNT(*) AS degree FROM ($eEnds) GROUP BY id",
+      "q04_inout_degrees" ->
+        ("SELECT id, CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS out_degree, " +
+          "CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS in_degree " +
+          "FROM (SELECT l_partkey AS id, 1 AS d FROM lineitem " +
+          "UNION ALL SELECT l_suppkey + 1000000000, 2 FROM lineitem) GROUP BY id"),
+      "q05_map_edges" ->
+        "SELECT l_partkey AS src, ROUND(SUM(l_quantity * (1 - l_discount)), 6) AS total FROM lineitem GROUP BY 1",
+      "q06_filter_edges" ->
+        "SELECT COUNT(*) AS n_edges, ROUND(SUM(l_quantity), 6) AS sum_value FROM lineitem WHERE l_quantity > 25",
+      "q07_filter_vertices" ->
+        "SELECT COUNT(*) AS n_edges FROM lineitem WHERE l_partkey % 10 != 0 AND (l_suppkey + 1000000000) % 10 != 0",
+      "q08_distinct" ->
+        "SELECT COUNT(*) AS n_edges FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)",
+      "q09_undirected_degrees" ->
+        (s"SELECT id, COUNT(*) AS degree FROM ($eEnds UNION ALL $eEnds) GROUP BY id"),
+      "q10_union_degrees" ->
+        s"SELECT id, COUNT(*) AS degree FROM ($eEnds) GROUP BY id",
+      "q11_window_max" ->
+        ("SELECT CAST(FLOOR(epoch(l_shipdate) / 2592000) * 2592000 AS BIGINT) AS win, " +
+          "l_partkey AS src, MAX(l_quantity) AS max_value FROM lineitem GROUP BY 1, 2"),
+      "q12_window_fold" ->
+        ("SELECT CAST(FLOOR(epoch(l_shipdate) / 2592000) * 2592000 AS BIGINT) AS win, " +
+          "l_partkey AS src, COUNT(*) AS cnt, SUM(l_quantity) AS sum_value FROM lineitem GROUP BY 1, 2"),
+      "q13a_cc_e" -> ccOracle(
+        "SELECT DISTINCT l_partkey AS x, l_suppkey + 1000000000 AS y FROM lineitem"),
+      "q13b_cc_c10" -> ccOracle(copurchase10),
+      "q14_triangles" ->
+        s"WITH c AS ($copurchase) SELECT COUNT(*) AS triangles $triangleJoin",
+      "q15_triangles_per_vertex" ->
+        (s"WITH c AS ($copurchase), t AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c3 $triangleJoin) " +
+          "SELECT id, COUNT(*) AS triangles FROM (SELECT a AS id FROM t " +
+          "UNION ALL SELECT b FROM t UNION ALL SELECT c3 FROM t) GROUP BY id"),
+      "q16_window_triangles" ->
+        ("WITH cw AS (SELECT DISTINCT CAST(FLOOR(epoch(o.o_orderdate) / 5184000) * 5184000 AS BIGINT) AS win, " +
+          "a.l_partkey AS x, b.l_partkey AS y FROM lineitem a " +
+          "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+          "JOIN orders o ON o.o_orderkey = a.l_orderkey) " +
+          "SELECT e1.win AS win, COUNT(*) AS triangles FROM cw e1 " +
+          "JOIN cw e2 ON e2.win = e1.win AND e2.x = e1.y " +
+          "JOIN cw e3 ON e3.win = e1.win AND e3.x = e1.x AND e3.y = e2.y GROUP BY 1"),
+      "q17_bipartite" ->
+        ("WITH RECURSIVE esym AS (SELECT l_partkey AS a, l_suppkey + 1000000000 AS b FROM lineitem " +
+          "UNION SELECT l_suppkey + 1000000000, l_partkey FROM lineitem), " +
+          "ecolor(v, p) AS (SELECT (SELECT MIN(a) FROM esym), 0 " +
+          "UNION SELECT s.b, 1 - ecolor.p FROM esym s JOIN ecolor ON ecolor.v = s.a), " +
+          s"c AS ($copurchase) " +
+          s"SELECT 'C' AS graph, NOT EXISTS (SELECT 1 $triangleJoin) AS bipartite " +
+          "UNION ALL SELECT 'E', NOT EXISTS (SELECT 1 FROM ecolor GROUP BY v HAVING COUNT(DISTINCT p) > 1)"),
+      "q18_histogram" ->
+        "SELECT CAST(FLOOR(l_quantity / 5) * 5 AS BIGINT) AS bin, COUNT(*) AS cnt FROM lineitem GROUP BY 1",
+      "q19_similarity_topk" ->
+        ("WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id <= 9), " +
+          "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, " +
+          "ROUND(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6) AS sim " +
+          "FROM q, embeddings e WHERE e.vec_id <> q.query_id), " +
+          "r AS (SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER " +
+          "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s) " +
+          "SELECT query_id, CAST(rn AS BIGINT) AS \"rank\", neighbor_id, sim FROM r WHERE rn <= 5"),
+      "q20_dedup_exact" ->
+        "SELECT lang, COUNT(DISTINCT lower(trim(text))) AS n_unique FROM documents GROUP BY lang",
+      "q21_text_tokens" ->
+        ("SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS token " +
+          "FROM documents) t WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 10"),
+      "q22_events_windows" ->
+        ("SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS win, " +
+          "COUNT(*) AS cnt, ROUND(SUM(value), 6) AS sum_value, " +
+          "MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k FROM events GROUP BY 1, 2"),
+      "q23_tpch_q1" ->
+        ("SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, " +
+          "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, " +
+          "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+          "ROUND(AVG(l_discount), 6) AS avg_disc, COUNT(*) AS cnt " +
+          "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+      "q24_revenue_nation" ->
+        ("SELECT n_name AS nation, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey " +
+          "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name"),
+      "q25_ngram_jaccard" ->
+        ("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+          "sh AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, " +
+          "unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS shingle " +
+          "FROM tk WHERE len(t) >= 2) u), " +
+          "cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id), " +
+          "pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter " +
+          "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+          "SELECT doc_a, doc_b, ROUND(inter * 1.0 / (ca.n_sh + cb.n_sh - inter), 6) AS jac " +
+          "FROM pr JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b " +
+          "WHERE ROUND(inter * 1.0 / (ca.n_sh + cb.n_sh - inter), 6) >= 0.5"),
+      "q26_embedding_neardup" ->
+        ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+          "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim " +
+          "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+          "WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3"),
+      "q27_text_quality" ->
+        ("WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) " +
+          "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+          "CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct, " +
+          "ROUND((length(text) - len(toks) + 1) * 1.0 / len(toks), 6) AS avg_token_len, " +
+          "ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio FROM t"),
+      "q28_cc_iterative" -> ccOracle(copurchase10),
+    )
+  }
 }

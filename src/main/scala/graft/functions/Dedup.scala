@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Four tiers, all deterministic (seeded hash families, no runtime
+  * randomness) and built from codegen'd expressions:
+  *
+  *  - exact: normalize → hash → keep min doc_id per group. One shuffle
+  *    on a 64-bit hash, never on the full text.
+  *  - n-gram Jaccard: exact shingle-overlap join via an inverted index
+  *    (shingle → docs); pair candidates are generated only for docs
+  *    sharing ≥1 shingle, then filtered by true Jaccard.
+  *  - MinHash + LSH banding: near-dup candidates from banded minhash
+  *    signatures (shuffle on band keys, O(docs × bands) rows), verified
+  *    with exact Jaccard — the scale path: no all-pairs join anywhere.
+  *  - SimHash: 64-bit weighted-bit fingerprint; Hamming-≤r pairs found
+  *    via the pigeonhole band trick (r+1 chunks, equal-chunk join).
+  */
+object Dedup {
+
+  def normText(text: Column): Column = lower(trim(text))
+
+  /** Exact dedup: surviving row = min id per normalized text. */
+  def exactSurvivors(docs: DataFrame): DataFrame =
+    docs.groupBy(normText(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+
+  /** Per-language count of unique normalized texts. */
+  def exactCountsByLang(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(countDistinct(normText(col("text"))).as("n_unique"))
+
+  /** Distinct n-gram token shingles per doc: (doc_id, shingle). */
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs
+      .where(size(toks) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact pairwise n-gram Jaccard via inverted-index join.
+    * Output: (doc_a, doc_b, jac) for pairs with jac ≥ threshold.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, n)
+    val counts = sh.groupBy(col("doc_id")).agg(count("*").as("n_sh"))
+    val inter = sh.toDF("doc_a", "shingle")
+      .join(sh.toDF("doc_b", "shingle"), Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count("*").as("inter"))
+    inter
+      .join(counts.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(counts.toDF("doc_b", "nb"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  /** MinHash signature element s: min over shingles of a seeded 64-bit
+    * hash. Deterministic: hash_s(x) = xxhash64(s, x).
+    */
+  private def minhash(s: Int): Column = min(xxhash64(lit(s), col("shingle")))
+
+  /** Near-duplicate pairs via MinHash LSH banding, verified with exact
+    * Jaccard. `bands × rowsPerBand` hash functions; candidate pairs share
+    * all rows of ≥1 band.
+    */
+  def minhashPairs(docs: DataFrame, n: Int, threshold: Double,
+                   bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val sh = shingles(docs, n)
+    val nHashes = bands * rowsPerBand
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(minhash(0).as("mh0"), (1 until nHashes).map(s => minhash(s).as(s"mh$s")): _*)
+    // band key = hash of the band's minhash rows
+    val banded = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      sig.select(col("doc_id"), lit(b).as("band"), xxhash64(rows: _*).as("key"))
+    }.reduce(_ unionByName _)
+    val cands = banded.toDF("doc_a", "band", "key")
+      .join(banded.toDF("doc_b", "band", "key"), Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // verify candidates with exact Jaccard (candidate set is small)
+    val counts = sh.groupBy(col("doc_id")).agg(count("*").as("n_sh"))
+    val inter = cands
+      .join(sh.toDF("doc_a", "shingle"), Seq("doc_a"))
+      .join(sh.toDF("doc_b", "shingle2"), Seq("doc_b"))
+      .where(col("shingle") === col("shingle2"))
+      .groupBy("doc_a", "doc_b").agg(count("*").as("inter"))
+    inter
+      .join(counts.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(counts.toDF("doc_b", "nb"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  /** 64-bit SimHash over tokens: bit b is the sign of Σ_tokens ±1 where
+    * the token's hash decides the sign at bit b.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+      .select(col("doc_id"), xxhash64(col("token")).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Pairs with SimHash Hamming distance ≤ maxDist, via pigeonhole
+    * banding over (maxDist+1) 16-bit chunks (maxDist ≤ 3).
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "pigeonhole banding uses 4 chunks of 16 bits")
+    val sh = simhash(docs)
+    val chunks = (0 until 4).map { ch =>
+      sh.select(col("doc_id"), col("simhash"), lit(ch).as("chunk"),
+        shiftright(col("simhash"), ch * 16).bitwiseAND(0xFFFF).as("key"))
+    }.reduce(_ unionByName _)
+    val cands = chunks.toDF("doc_a", "sha", "chunk", "key")
+      .join(chunks.toDF("doc_b", "shb", "chunk", "key"), Seq("chunk", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sha", "shb").distinct()
+    cands
+      .withColumn("dist", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .where(col("dist") <= maxDist)
+      .select("doc_a", "doc_b", "dist")
+  }
+}

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * All kernels are built from codegen'd higher-order functions
+  * (`zip_with` + `aggregate`) — no Scala UDFs in the hot path, so the
+  * whole pipeline stays inside WholeStageCodegen. Arrays are cast to
+  * double before any arithmetic so results are engine-portable bit-for-bit
+  * at 6-decimal rounding.
+  *
+  *  - [[bruteForceTopK]]: exact top-k; the query side is broadcast, the
+  *    corpus streams through — one pass over the corpus per batch of
+  *    queries, no shuffle of the corpus itself (the scale baseline).
+  *  - [[lshTopK]]: random-hyperplane LSH — hash corpus and queries to
+  *    signature buckets (deterministic, seeded), then brute-force only
+  *    within matching buckets. Trades recall for a corpus-partitioned
+  *    candidate join; the 100 TB path where the corpus no longer fits a
+  *    single scan per query batch.
+  */
+object Similarity {
+
+  /** Sequential-order dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, rank, neighbor_id, sim) with sim rounded to 6dp
+    * and ties broken by lower neighbor id (deterministic).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    val e = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("ne"))
+    val sims = e.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qe"), col("ne")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** All corpus pairs (a < b) with cosine ≥ threshold (embedding
+    * near-duplicate detection). Exact; the LSH variant prunes candidates.
+    */
+  def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("vec_a"), asDouble(col("embedding")).as("ea"))
+    val b = corpus.select(col("vec_id").as("vec_b"), asDouble(col("embedding")).as("eb"))
+    a.crossJoin(b)
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), round(cosine(col("ea"), col("eb")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  /** Deterministic random hyperplanes: seeded at plan build time (no
+    * runtime randomness), shipped as a broadcast literal.
+    */
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Random-hyperplane signature (one bit per plane) as a LongType. */
+  def signature(vec: Column, nPlanes: Int, dim: Int, seed: Long): Column = {
+    val ps = planes(nPlanes, dim, seed)
+    ps.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
+      val planeCol = array(p.map(lit): _*)
+      acc + when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+  }
+
+  /** Approximate top-k: candidates share an LSH bucket with the query
+    * (multi-probe over `nTables` independent signatures), then exact
+    * cosine within candidates. Recall measured against
+    * [[bruteForceTopK]] in tests.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nPlanes: Int = 12, nTables: Int = 4, dim: Int = 64): DataFrame = {
+    def signed(df: DataFrame, idCol: String): DataFrame = {
+      val vecs = df.select(col("vec_id").as(idCol), asDouble(col("embedding")).as(s"e_$idCol"))
+      val tables = (0 until nTables).map { t =>
+        vecs.select(col(idCol), col(s"e_$idCol"),
+          lit(t).as("tbl"), signature(col(s"e_$idCol"), nPlanes, dim, seed = 42L + t).as("sig"))
+      }
+      tables.reduce(_ unionByName _)
+    }
+    val c = signed(corpus, "neighbor_id")
+    val q = signed(queries, "query_id")
+    val cands = c.join(broadcast(q), Seq("tbl", "sig"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("e_query_id"), col("e_neighbor_id")), 6).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+}

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: tokenization, frequency,
+  * quality scoring, document fingerprinting, language ID. Everything is
+  * codegen'd Catalyst expressions over the `documents` table schema
+  * (doc_id, text, lang, source, n_chars) — no UDFs, no collect.
+  */
+object TextStats {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword segmentation: letter runs, digit runs, single
+    * punctuation — the usual pre-tokenizer regex.
+    */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Global token frequency table, deterministically ordered. */
+  def topTokens(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count("*").as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+
+  /** Per-document stats: token count, distinct tokens, average token
+    * length (exact integer arithmetic: text is single-space separated),
+    * type-token ratio.
+    */
+  def qualityStats(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct"),
+      round((length(col("text")) - size(t) + 1).cast("double") / size(t), 6).as("avg_token_len"),
+      round(size(array_distinct(t)).cast("double") / size(t), 6).as("type_token_ratio"))
+  }
+
+  /** Heuristic quality score in [0,1]: balanced token length + lexical
+    * diversity + reasonable document length. Deterministic, spec-tested.
+    */
+  def qualityScore(docs: DataFrame): DataFrame =
+    qualityStats(docs).select(
+      col("doc_id"),
+      round(
+        least(col("n_tokens"), lit(100)).cast("double") / 100 * 0.4 +
+          col("type_token_ratio") * 0.4 +
+          when(col("avg_token_len").between(3, 10), 0.2).otherwise(0.0), 6)
+        .as("quality"))
+
+  /** Deterministic 63-bit document fingerprint: polynomial rolling hash
+    * over the token stream (token hashes via xxhash64), mod p. Evaluated
+    * with the `aggregate` higher-order function — sequential in token
+    * order, fully codegen'd.
+    */
+  def fingerprint(text: Column): Column = {
+    val p = lit(1000000007L)
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => (acc * 31L + pmod(xxhash64(t), p)) % p)
+  }
+
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** N-gram/token language-ID: self-trained token log-odds profiles.
+    * `fit` learns per-language token frequencies from labeled docs (one
+    * aggregation, result broadcast by Catalyst via the join); `predict`
+    * scores each doc by Σ log P(token|lang) with add-one smoothing and
+    * picks the argmax. A heuristic — accuracy depends on the corpus
+    * carrying real per-language signal.
+    */
+  object LangId {
+    /** (lang, token, logp) profile table. */
+    def fit(docs: DataFrame): DataFrame = {
+      val tok = docs.select(col("lang"), explode(tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+      val counts = tok.groupBy("lang", "token").agg(count("*").as("c"))
+      val totals = tok.groupBy("lang").agg(count("*").as("tot"))
+      counts.join(totals, Seq("lang"))
+        .select(col("lang"), col("token"),
+          log((col("c") + 1).cast("double") / (col("tot") + 1000)).as("logp"))
+    }
+
+    /** (doc_id, predicted lang). Ties broken by lang name. */
+    def predict(docs: DataFrame, profile: DataFrame): DataFrame = {
+      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+      val scored = tok.join(broadcast(profile), Seq("token"))
+        .groupBy(col("doc_id"), col("lang")).agg(sum(col("logp")).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("lang").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("lang").as("predicted"))
+    }
+  }
+}

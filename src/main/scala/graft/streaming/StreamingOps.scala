@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.GraphStream
+import graft.summaries.DisjointSet
+
+/** Structured-Streaming forms of the graph operators.
+  *
+  * The batch operators in [[graft.GraphStream]] are already pure Catalyst
+  * rewrites, so most of them run unchanged on a streaming DataFrame:
+  * degrees/counts in update mode, slice()/neighborhood folds in append
+  * mode under a watermark (the reference assumes ascending event time —
+  * watermark "0 seconds" reproduces that contract,
+  * GS/SimpleEdgeStream.java:~75).
+  *
+  * What needs explicit state is the reference's `transientState=false`
+  * mode (GS/GraphAggregation.java:~30: carry the summary across windows
+  * forever). That is `flatMapGroupsWithState`: per-trigger partial
+  * summaries merge into keyed state — below, the running connected
+  * components. Keying by a constant reproduces the reference's
+  * parallelism-1 merger (GS/WindowGraphAggregation.java:~45); the
+  * per-partition partial fold stays distributed.
+  */
+object StreamingOps {
+
+  private implicit val dsEnc: Encoder[DisjointSet] = Encoders.javaSerialization[DisjointSet]
+
+  /** Continuously-refined connected components over a (possibly
+    * streaming) edge DataFrame. Emits the full (vertex, component)
+    * assignment each trigger (update mode downstream).
+    */
+  def runningConnectedComponents(edges: DataFrame): Dataset[(Long, Long)] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[(Long, Long)], state: GroupState[DisjointSet]) =>
+          val summary = state.getOption.getOrElse(new DisjointSet)
+          it.foreach { case (s, d) => summary.union(s, d) }
+          state.update(summary)
+          summary.components.iterator
+      }
+  }
+
+  /** Running degree table (update mode): identical plan to the batch
+    * `getDegrees` — Structured Streaming keeps the per-key counts in the
+    * state store and emits changed rows per trigger.
+    */
+  def runningDegrees(gs: GraphStream): DataFrame = gs.getDegrees
+
+  /** Per-window neighborhood aggregation with watermark-driven append
+    * emission; `delay = "0 seconds"` matches the reference's
+    * ascending-timestamp assumption.
+    */
+  def windowedDegrees(gs: GraphStream, size: String, delay: String = "0 seconds"): DataFrame =
+    gs.withWatermark(delay)
+      .slice(size, graft.EdgeDirection.All)
+      .foldNeighbors(count("*").as("degree"))
+}
