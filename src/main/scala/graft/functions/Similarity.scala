@@ -84,9 +84,17 @@ object Similarity {
     * (multi-probe over `nTables` independent signatures), then exact
     * cosine within candidates. Recall measured against
     * [[bruteForceTopK]] in tests.
+    *
+    * Tuning: recall for a neighbor at angle θ is
+    * 1 - (1 - (1-θ/π)^nPlanes)^nTables; more planes → smaller buckets →
+    * fewer candidates but lower recall. The defaults favor recall on
+    * weakly-clustered corpora (top-neighbor cosine ~0.3–0.5); raise
+    * nPlanes toward log2(corpus/bucket_target) when near-duplicates
+    * (cosine ≥0.9) are the target — their collision probability stays
+    * high even with 16+ planes.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nPlanes: Int = 12, nTables: Int = 4, dim: Int = 64): DataFrame = {
+              nPlanes: Int = 4, nTables: Int = 8, dim: Int = 64): DataFrame = {
     def signed(df: DataFrame, idCol: String): DataFrame = {
       val vecs = df.select(col("vec_id").as(idCol), asDouble(col("embedding")).as(s"e_$idCol"))
       val tables = (0 until nTables).map { t =>

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Similarity, TextStats}
+import graft.model.Tables
+
+/** Dedup / similarity / text-stat operators: determinism, recall against
+  * exact baselines, and sanity on the sf0.001 tables.
+  */
+class FunctionsSpec extends SparkTestBase {
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+  private lazy val emb = Tables.embeddings(spark, sf).cache()
+
+  test("exact dedup keeps one survivor per normalized text") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Hello World", "en"), (2L, "  hello world  ", "en"),
+      (3L, "HELLO WORLD", "en"), (4L, "other", "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(Dedup.exactSurvivors(d).collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    val counts = Dedup.exactCountsByLang(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 2L))
+  }
+
+  test("minhash LSH finds all high-jaccard pairs found exactly (recall=1 at 0.5)") {
+    val exact = collectPairs(Dedup.ngramJaccardPairs(docs, 2, 0.5).select("doc_a", "doc_b"))
+    val mh = collectPairs(Dedup.minhashPairs(docs, 2, 0.5).select("doc_a", "doc_b"))
+    // minhash verifies candidates with exact jaccard ⇒ subset; banding with
+    // 8x4 at j≥0.5 has >99% hit prob per pair — require full recall here
+    assert(mh == exact, s"missed=${exact -- mh} extra=${mh -- exact}")
+  }
+
+  test("simhash: identical docs are distance 0; unrelated docs don't pair") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "completely different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(d, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(0))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("brute-force topK is deterministic and self-consistent") {
+    val r1 = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") <= 4), 3).collect()
+    val r2 = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") <= 4), 3).collect()
+    assert(r1.toSeq == r2.toSeq)
+    assert(r1.length == 15) // 5 queries × 3
+    // per-query ranks are 1..3 with non-increasing sim
+    r1.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+      assert(sorted.map(_.getDouble(3)).toSeq.reverse.sorted.reverse == sorted.map(_.getDouble(3)).toSeq)
+    }
+  }
+
+  test("LSH topK recall vs brute force ≥ 0.5 on sf0.001 queries") {
+    val queries = emb.where(col("vec_id") <= 9)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
+  test("cosinePairs matches a hand-computed example") {
+    import spark.implicits._
+    val vs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(1f, 1f, 0f)), (2L, Array(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairs(vs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet == Set((0L, 1L)))
+    assert(math.abs(pairs((0L, 1L)) - 0.707107) < 1e-6)
+  }
+
+  test("fingerprints are stable and distinct texts get distinct prints") {
+    val fp1 = TextStats.fingerprints(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fp2 = TextStats.fingerprints(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp1 == fp2)
+    assert(fp1.values.toSet.size > 490) // 500 distinct texts, few collisions tolerated
+  }
+
+  test("qualityStats / qualityScore sane ranges") {
+    val qs = TextStats.qualityScore(docs).collect().map(_.getDouble(1))
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+    val st = TextStats.qualityStats(docs).collect()
+    st.foreach { r =>
+      assert(r.getLong(1) > 0)               // n_tokens
+      assert(r.getLong(2) <= r.getLong(1))   // n_distinct ≤ n_tokens
+      assert(r.getDouble(3) > 0)             // avg_token_len
+    }
+  }
+
+  test("langid predicts a label for every doc from the known set") {
+    val profile = TextStats.LangId.fit(docs)
+    val pred = TextStats.LangId.predict(docs, profile)
+    assert(pred.count() == docs.count())
+    val langs = pred.select("predicted").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "fr", "es", "zh", "de")))
+  }
+}

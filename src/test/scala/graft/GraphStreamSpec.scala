@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** t1 smoke — per-operator unit tests on hand-coded graphs, mirroring the
+  * reference's test style (SURVEY §5: TestMapEdges/TestFilterEdges/…).
+  */
+class GraphStreamSpec extends SparkTestBase {
+
+  // 1→2, 1→3, 2→3, 3→4, 4→1, plus duplicate 1→2
+  private lazy val g = GraphStream(edgeDf(Seq(
+    (1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 2L))))
+
+  test("getVertices returns distinct endpoints") {
+    val vs = g.getVertices.collect().map(_.getLong(0)).toSet
+    assert(vs == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("numberOfVertices / numberOfEdges") {
+    assert(g.numberOfVertices.head.getLong(0) == 4L)
+    assert(g.numberOfEdges.head.getLong(0) == 6L)
+  }
+
+  test("getDegrees counts both directions, bag semantics") {
+    val d = g.getDegrees.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 4L, 2L -> 3L, 3L -> 3L, 4L -> 2L))
+  }
+
+  test("in/out degrees") {
+    val outD = g.getOutDegrees.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inD = g.getInDegrees.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(outD == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(inD == Map(2L -> 2L, 3L -> 2L, 4L -> 1L, 1L -> 1L))
+  }
+
+  test("mapEdges rewrites value column") {
+    val m = g.mapEdges(col("value") * 10)
+    assert(m.edges.agg(sum("value")).head.getDouble(0) == 60.0)
+  }
+
+  test("filterEdges / filterVertices") {
+    assert(g.filterEdges(col("src") === 1).numberOfEdges.head.getLong(0) == 3L)
+    // drop vertex 1: only edges among {2,3,4} survive
+    val fv = g.filterVertices(id => id =!= 1)
+    assert(collectPairs(fv.edges.select("src", "dst")) == Set((2L, 3L), (3L, 4L)))
+  }
+
+  test("distinct dedups (src,dst)") {
+    assert(g.distinct.numberOfEdges.head.getLong(0) == 5L)
+  }
+
+  test("reverse flips, undirected doubles, reverse∘reverse = id") {
+    assert(collectPairs(g.reverse.edges.select("src", "dst")) ==
+      Set((2L, 1L), (3L, 1L), (3L, 2L), (4L, 3L), (1L, 4L)))
+    assert(g.undirected.numberOfEdges.head.getLong(0) == 12L)
+    assert(collectPairs(g.reverse.reverse.edges.select("src", "dst")) ==
+      collectPairs(g.edges.select("src", "dst")))
+  }
+
+  test("undirected degrees are 2x directed degrees") {
+    val d = g.getDegrees.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val u = g.undirected.getDegrees.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(u == d.map { case (k, v) => k -> v * 2 })
+  }
+
+  test("union has bag semantics like the reference") {
+    val u = g.union(g)
+    assert(u.numberOfEdges.head.getLong(0) == 12L)
+    assert(u.numberOfVertices.head.getLong(0) == 4L)
+  }
+
+  test("globalAggregate folds over all edges") {
+    val r = g.globalAggregate(count("*").as("n"), sum("value").as("s")).head
+    assert(r.getLong(0) == 6L && r.getDouble(1) == 6.0)
+  }
+
+  test("slice Out: per-vertex per-window reduce") {
+    // 60s-spaced edges, 2-minute tumbling windows → edges 0,1 | 2,3 | 4,5
+    val r = g.slice("2 minutes", EdgeDirection.Out)
+      .foldNeighbors(count("*").as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(r((0L, 1L)) == 2L)   // window 0: edges 1→2, 1→3
+    assert(r((240L, 4L)) == 1L) // window 2: 4→1
+    assert(r((240L, 1L)) == 1L) // window 2: dup 1→2
+  }
+
+  test("slice All duplicates edges into both neighborhoods") {
+    val r = GraphStream(edgeDf(Seq((1L, 2L))))
+      .slice("1 hour", EdgeDirection.All)
+      .foldNeighbors(count("*").as("cnt"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L))
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.SummaryAggregations
+import graft.streaming.StreamingOps
+
+/** Streaming parity (SURVEY §5.4): batch queries replayed through a
+  * MemoryStream in ascending-ts order with watermark 0 must converge to
+  * the batch answer — the reference's ascending-time contract.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private val sampleEdges = Seq(
+    (1L, 2L, 1.0, 0L), (1L, 3L, 2.0, 60L), (2L, 3L, 3.0, 120L),
+    (3L, 4L, 4.0, 180L), (4L, 1L, 5.0, 240L), (5L, 6L, 6.0, 300L))
+
+  private def edgesFrom(ms: MemoryStream[(Long, Long, Double, Long)]): DataFrame =
+    ms.toDF().toDF("src", "dst", "value", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs"))).drop("secs")
+
+  private def batchEdges: DataFrame = {
+    import spark.implicits._
+    sampleEdges.toDF("src", "dst", "value", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs"))).drop("secs")
+  }
+
+  test("running degrees over a stream equal batch degrees") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Double, Long)]
+    val q = StreamingOps.runningDegrees(GraphStream(edgesFrom(ms)))
+      .writeStream.outputMode("complete").format("memory").queryName("deg").start()
+    try {
+      val (h, t) = sampleEdges.splitAt(3)
+      ms.addData(h); q.processAllAvailable()
+      ms.addData(t); q.processAllAvailable()
+      val streamed = spark.table("deg").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = GraphStream(batchEdges).getDegrees.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("running connected components converge to batch CC") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Double, Long)]
+    val ckpt = Files.createTempDirectory("cc-ckpt").toString
+    val q = StreamingOps.runningConnectedComponents(edgesFrom(ms))
+      .toDF("id", "component")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("cc").start()
+    try {
+      val (h, t) = sampleEdges.splitAt(2)
+      ms.addData(h); q.processAllAvailable()
+      ms.addData(t); q.processAllAvailable()
+      // labels merge downward over time: latest assignment = min per id
+      val streamed = spark.table("cc").groupBy("id")
+        .agg(min("component").as("component"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = SummaryAggregations.connectedComponents(batchEdges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("windowed neighborhood fold under watermark 0 emits batch-equal closed windows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Double, Long)]
+    val ckpt = Files.createTempDirectory("win-ckpt").toString
+    val q = GraphStream(edgesFrom(ms)).withWatermark("0 seconds")
+      .slice("2 minutes", EdgeDirection.Out)
+      .foldNeighbors(count("*").as("cnt"), sum("value").as("sum_value"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("winfold").start()
+    try {
+      ms.addData(sampleEdges)
+      q.processAllAvailable()
+      // sentinel far in the future closes all sample windows
+      ms.addData(Seq((99L, 99L, 0.0, 100000L)))
+      q.processAllAvailable()
+      val streamed = spark.table("winfold")
+        .where(col("vid") =!= 99L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = GraphStream(batchEdges)
+        .slice("2 minutes", EdgeDirection.Out)
+        .foldNeighbors(count("*").as("cnt"), sum("value").as("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming distinct + vertex derivation run on a stream") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Double, Long)]
+    val gs = GraphStream(edgesFrom(ms)).withWatermark("0 seconds")
+    val q = gs.distinct.edges
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup").start()
+    try {
+      ms.addData(sampleEdges ++ Seq((1L, 2L, 9.9, 500L))) // dup (1,2)
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == sampleEdges.size)
+    } finally q.stop()
+  }
+}

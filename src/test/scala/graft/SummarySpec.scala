@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.{ConnectedComponents, SummaryAggregations}
+import graft.summaries.{DisjointSet, ParityDisjointSet}
+
+/** Merge-law property tests for the graph summaries (SURVEY §5.3) plus
+  * end-to-end checks of the summary aggregations on known graphs.
+  * Properties run over seeded random edge lists (deterministic).
+  */
+class SummarySpec extends SparkTestBase {
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val ds = new DisjointSet
+    edges.foreach { case (a, b) => ds.union(a, b) }
+    ds.components
+  }
+
+  private def randomEdges(rnd: scala.util.Random, n: Int): List[(Long, Long)] =
+    List.fill(n) {
+      val a = rnd.nextInt(30).toLong
+      var b = rnd.nextInt(30).toLong
+      if (a == b) b = (a + 1) % 30
+      (a, b)
+    }
+
+  test("union-find result is invariant under edge order (100 seeded trials)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 100) {
+      val edges = randomEdges(rnd, rnd.nextInt(40))
+      val shuffled = rnd.shuffle(edges)
+      assert(ccOf(edges) == ccOf(shuffled))
+    }
+  }
+
+  test("disjoint-set merge is commutative and matches sequential fold") {
+    val rnd = new scala.util.Random(13)
+    def build(es: Seq[(Long, Long)]) = {
+      val d = new DisjointSet; es.foreach { case (a, b) => d.union(a, b) }; d
+    }
+    for (_ <- 1 to 100) {
+      val e1 = randomEdges(rnd, rnd.nextInt(30))
+      val e2 = randomEdges(rnd, rnd.nextInt(30))
+      val seq = build(e1 ++ e2).components
+      assert(build(e1).mergeFrom(build(e2)).components == seq)
+      assert(build(e2).mergeFrom(build(e1)).components == seq)
+    }
+  }
+
+  test("parity union-find: odd cycle detected regardless of merge split") {
+    val odd = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val even = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    def biOf(edges: Seq[(Long, Long)]): Boolean = {
+      val p = new ParityDisjointSet
+      edges.foreach { case (a, b) => p.addEdge(a, b) }
+      p.isBipartite
+    }
+    assert(!biOf(odd) && biOf(even))
+    for (i <- odd.indices) {
+      val (l, r) = odd.splitAt(i)
+      val pl = new ParityDisjointSet; l.foreach { case (a, b) => pl.addEdge(a, b) }
+      val pr = new ParityDisjointSet; r.foreach { case (a, b) => pr.addEdge(a, b) }
+      assert(!pl.mergeFrom(pr).isBipartite, s"split at $i")
+    }
+  }
+
+  test("bipartiteness merge matches sequential on random graphs") {
+    val rnd = new scala.util.Random(29)
+    def build(es: Seq[(Long, Long)]) = {
+      val p = new ParityDisjointSet; es.foreach { case (a, b) => p.addEdge(a, b) }; p
+    }
+    for (_ <- 1 to 100) {
+      val e1 = randomEdges(rnd, rnd.nextInt(25))
+      val e2 = randomEdges(rnd, rnd.nextInt(25))
+      val seq = build(e1 ++ e2).isBipartite
+      assert(build(e1).mergeFrom(build(e2)).isBipartite == seq)
+      assert(build(e2).mergeFrom(build(e1)).isBipartite == seq)
+    }
+  }
+
+  test("connectedComponents aggregation on a two-component graph") {
+    val edges = edgeDf(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    val cc = SummaryAggregations.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("bipartiteness aggregation over Spark partitions") {
+    assert(SummaryAggregations.bipartiteness(
+      edgeDf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))).head.getBoolean(0))
+    assert(!SummaryAggregations.bipartiteness(
+      edgeDf(Seq((1L, 2L), (2L, 3L), (3L, 1L)))).head.getBoolean(0))
+  }
+
+  test("iterative CC equals single-pass CC") {
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (6L, 4L),
+      (7L, 8L), (8L, 9L), (9L, 10L), (10L, 7L), (3L, 1L))
+    val df = edgeDf(edges)
+    val a = SummaryAggregations.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = ConnectedComponents.iterative(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("spanner: subgraph with bounded stretch") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L), (2L, 4L), (1L, 5L))
+    val k = 3
+    val spanner = collectPairs(SummaryAggregations.spanner(edgeDf(edges), k))
+    val orig = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(spanner.subsetOf(orig), "spanner must be a subgraph")
+    def dist(adj: Map[Long, Set[Long]], s: Long, t: Long): Int = {
+      var frontier = Set(s); var seen = Set(s); var d = 0
+      while (!frontier.contains(t) && frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty[Long])) -- seen
+        seen ++= frontier; d += 1
+      }
+      if (frontier.contains(t)) d else Int.MaxValue
+    }
+    val adj = spanner.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).toSet }
+    for ((a, b) <- orig)
+      assert(dist(adj, a, b) <= k, s"stretch violated for ($a,$b)")
+  }
+}

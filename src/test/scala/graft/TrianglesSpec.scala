@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Triangles
+
+class TrianglesSpec extends SparkTestBase {
+
+  private def canon(pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("src", "dst")
+  }
+
+  /** Naive reference count for cross-checking. */
+  private def naive(pairs: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
+    val es = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val vs = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    (for {
+      a <- vs; b <- vs if a < b && es((a, b))
+      c <- vs if b < c && es((b, c)) && es((a, c))
+    } yield (a, b, c)).toSet
+  }
+
+  test("K4 has 4 triangles; per-vertex counts are 3 each") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val c = canon(k4)
+    assert(Triangles.globalCount(c).head.getLong(0) == 4L)
+    val pv = Triangles.perVertexCounts(c)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pv == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangle-free graph counts zero") {
+    val c = canon(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(Triangles.globalCount(c).head.getLong(0) == 0L)
+    assert(Triangles.perVertexCounts(c).count() == 0L)
+  }
+
+  test("degree-oriented enumeration matches naive on seeded random graphs") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 5) {
+      val pairs = List.fill(60) {
+        val a = rnd.nextInt(15).toLong; var b = rnd.nextInt(15).toLong
+        if (a == b) b = (a + 1) % 15
+        (a, b)
+      }.filter { case (a, b) => a != b }
+      val c = canon(pairs)
+      val expected = naive(pairs)
+      val got = Triangles.enumerate(c).collect()
+        .map { r =>
+          val s = Seq(r.getLong(0), r.getLong(1), r.getLong(2)).sorted
+          (s(0), s(1), s(2))
+        }.toSet
+      assert(got == expected)
+      assert(Triangles.globalCount(c).head.getLong(0) == expected.size.toLong)
+    }
+  }
+
+  test("windowed count: triangles only form within a window") {
+    import spark.implicits._
+    // window 0: full triangle; window 1: only a wedge
+    val cw = Seq(
+      (0L, 1L, 2L), (0L, 2L, 3L), (0L, 1L, 3L),
+      (100L, 1L, 2L), (100L, 2L, 3L)).toDF("win", "src", "dst")
+    val r = Triangles.countPerWindow(cw)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r == Map(0L -> 1L))
+  }
+}
