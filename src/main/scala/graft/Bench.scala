@@ -10,15 +10,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // local[32] with 8-48g heap: a ~20MB edge list is cheaper to
+      // broadcast than to shuffle 40M wedge rows against (AQE decides
+      // from runtime stats; clusters with small executors should lower it)
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       // events.parquet carries INT64 TIMESTAMP(NANOS) — read as long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // warm the session (codegen, parquet reader, shuffle infra) so the
+    // first timed query doesn't absorb JVM startup
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

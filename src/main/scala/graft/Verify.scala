@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // local[32] with 8-48g heap: a ~20MB edge list is cheaper to
+      // broadcast than to shuffle 40M wedge rows against (AQE decides
+      // from runtime stats; clusters with small executors should lower it)
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       // events.parquet carries INT64 TIMESTAMP(NANOS) — read as long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

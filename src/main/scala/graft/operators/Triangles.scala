@@ -26,10 +26,14 @@ object Triangles {
     * corners (center first), NOT id-sorted.
     */
   def enumerate(c: DataFrame): DataFrame = {
-    val deg = c.select(explode(array(col("src"), col("dst"))).as("v"))
+    // The edge set feeds the plan tree 7 times (degree agg, orientation,
+    // both wedge sides, closing semi join); materialize it once instead
+    // of re-running its upstream (e.g. the co-purchase self-join) per use.
+    val cc = c.localCheckpoint(true)
+    val deg = cc.select(explode(array(col("src"), col("dst"))).as("v"))
       .groupBy("v").agg(count("*").as("d"))
 
-    val withDeg = c
+    val withDeg = cc
       .join(deg.toDF("src", "sd"), Seq("src"))
       .join(deg.toDF("dst", "dd"), Seq("dst"))
 
@@ -40,13 +44,14 @@ object Triangles {
         struct(col("src").as("lo"), col("dst").as("hi")))
         .otherwise(struct(col("dst").as("lo"), col("src").as("hi"))).as("e"))
       .select(col("e.lo").as("ctr"), col("e.hi").as("out"))
+      .localCheckpoint(true)
 
     val wedges = oriented.toDF("ctr", "x")
       .join(oriented.toDF("ctr", "y"), Seq("ctr"))
       .where(col("x") < col("y"))
 
     // close the wedge with the canonical edge (x, y): x < y already
-    wedges.join(c.toDF("x", "y"), Seq("x", "y"), "left_semi")
+    wedges.join(cc.toDF("x", "y"), Seq("x", "y"), "left_semi")
       .select(col("ctr").as("ta"), col("x").as("tb"), col("y").as("tc"))
   }
 
