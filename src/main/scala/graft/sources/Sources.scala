@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types._
+
+/** Edge-stream sources and sinks (reference: text-file edge lists,
+  * socket streams and collections in the GS example mains, each at
+  * `:~30`; print and CSV sinks — SURVEY O27/O28). Our equivalents are the standard
+  * Spark connectors, emitting the canonical edge schema
+  * `(src BIGINT, dst BIGINT, value DOUBLE, ts TIMESTAMP)`.
+  */
+object Sources {
+
+  val edgeSchema: StructType = StructType(Seq(
+    StructField("src", LongType, nullable = false),
+    StructField("dst", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = true),
+    StructField("ts", TimestampType, nullable = true)))
+
+  /** Parquet edge source — vectorized scan, pushdown-capable. */
+  def parquetEdges(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** CSV/TSV edge lists, the reference's `readTextFile` + split shape:
+    * `src<sep>dst[<sep>value[<sep>epochSeconds]]`.
+    */
+  def csvEdges(spark: SparkSession, path: String, sep: String = ","): DataFrame =
+    spark.read
+      .option("sep", sep)
+      .schema(StructType(Seq(
+        StructField("src", LongType), StructField("dst", LongType),
+        StructField("value", DoubleType), StructField("epoch", LongType))))
+      .csv(path)
+      .withColumn("value", coalesce(col("value"), lit(1.0)))
+      .withColumn("ts", timestamp_seconds(coalesce(col("epoch"), lit(0L))))
+      .drop("epoch")
+
+  /** Streaming file source over a directory of edge CSVs (append-only
+    * directory = unbounded edge stream).
+    */
+  def csvEdgeStream(spark: SparkSession, dir: String, sep: String = ","): DataFrame =
+    spark.readStream
+      .option("sep", sep)
+      .schema(StructType(Seq(
+        StructField("src", LongType), StructField("dst", LongType),
+        StructField("value", DoubleType), StructField("epoch", LongType))))
+      .csv(dir)
+      .withColumn("value", coalesce(col("value"), lit(1.0)))
+      .withColumn("ts", timestamp_seconds(coalesce(col("epoch"), lit(0L))))
+      .drop("epoch")
+
+  /** Synthetic unbounded edge stream from the rate source (examples /
+    * load tests): deterministic edge per tick over `nVertices`.
+    */
+  def rateEdgeStream(spark: SparkSession, rowsPerSecond: Int, nVertices: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .select(
+        pmod(xxhash64(col("value")), lit(nVertices)).cast("long").as("src"),
+        pmod(xxhash64(col("value") + 1), lit(nVertices)).cast("long").as("dst"),
+        lit(1.0).as("value"),
+        col("timestamp").as("ts"))
+
+  /** Socket text source (`host:port`, lines `src,dst[,value]`) — the
+    * reference's socket example.
+    */
+  def socketEdgeStream(spark: SparkSession, host: String, port: Int): DataFrame = {
+    val raw = spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+    val parts = split(col("value"), ",")
+    raw.select(
+      parts.getItem(0).cast("long").as("src"),
+      parts.getItem(1).cast("long").as("dst"),
+      coalesce(parts.getItem(2).cast("double"), lit(1.0)).as("value"),
+      current_timestamp().as("ts"))
+  }
+
+  /** Batch sinks. */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Streaming sink through foreachBatch — each micro-batch lands as a
+    * batch DataFrame for arbitrary handling (upserts, multi-sink fanout).
+    */
+  def foreachBatchSink(df: DataFrame)(handler: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch(handler)
+}

@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Sources
+
+class SourcesSpec extends SparkTestBase {
+
+  test("csv edge round-trip preserves the canonical schema") {
+    val dir = Files.createTempDirectory("edges-csv").toString
+    val edges = edgeDf(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    import org.apache.spark.sql.functions._
+    edges.select(col("src"), col("dst"), col("value"),
+      unix_timestamp(col("ts")).as("epoch"))
+      .write.mode("overwrite").csv(dir)
+    val back = Sources.csvEdges(spark, dir)
+    assert(back.columns.toSeq == Seq("src", "dst", "value", "ts"))
+    assert(back.count() == 3)
+    assert(GraphStream(back).getDegrees.count() == 3)
+    val parq = Files.createTempDirectory("edges-parq").toString
+    Sources.writeParquet(back, parq)
+    assert(Sources.parquetEdges(spark, parq).count() == 3)
+  }
+
+  test("streaming csv source drives GraphStream operators") {
+    val dir = Files.createTempDirectory("edges-stream").toString
+    import org.apache.spark.sql.functions._
+    edgeDf(Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+      .select(col("src"), col("dst"), col("value"), unix_timestamp(col("ts")).as("epoch"))
+      .write.mode("overwrite").csv(dir)
+    val stream = Sources.csvEdgeStream(spark, dir)
+    assert(stream.isStreaming)
+    val q = GraphStream(stream).getDegrees
+      .writeStream.outputMode("complete").format("memory").queryName("srcdeg").start()
+    try {
+      q.processAllAvailable()
+      val d = spark.table("srcdeg").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(d == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    } finally q.stop()
+  }
+
+  test("rate source emits canonical edges") {
+    val stream = Sources.rateEdgeStream(spark, rowsPerSecond = 100, nVertices = 10)
+    assert(stream.isStreaming)
+    assert(stream.columns.toSeq == Seq("src", "dst", "value", "ts"))
+  }
+}
