@@ -158,6 +158,10 @@ object SparkEntry {
         .toDF().select(col("id"), col("kind"), col("n_bytes"))),
     "q35_spanner" -> ((s, dir) =>
       SummaryAggregations.spanner(GraphFixtures.coPurchase10(s, dir), 3)),
+    "q36_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.functions.IVF.annTopK(emb, emb.where(col("vec_id") <= 9), 5)
+    }),
   )
 
   /** DuckDB oracle SQL — identical aliases/semantics as the Spark plans. */

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Similarity.{dot, norm}
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale
+  * path next to [[Similarity.lshTopK]]: partition the corpus into
+  * Voronoi cells of k spherical-k-means centroids; a query probes only
+  * its `nprobe` closest cells and brute-forces within them. The corpus
+  * is scanned once at index time and shuffled once by cell id; per-query
+  * work drops from O(N) to O(N·nprobe/k).
+  *
+  * Training is Lloyd's iterations expressed as DataFrame jobs; only the
+  * k×dim centroid matrix (a few KB) ever reaches the driver — that is
+  * model state, not data. Initialization is deterministic (vectors with
+  * the k smallest xxhash64(vec_id) values), so the whole index is
+  * reproducible run to run.
+  */
+object IVF {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Normalized embedding column (unit L2) — spherical k-means space. */
+  private def unit(c: Column): Column =
+    transform(c, x => x / norm(c))
+
+  /** Column of cosine scores against each centroid: array<struct<s,i>>. */
+  private def scores(vec: Column, cents: Array[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (ct, i) =>
+      struct(dot(vec, array(ct.map(lit): _*)).as("s"), lit(i).as("i"))
+    }: _*)
+
+  /** Nearest-centroid id (centroids are unit vectors; vec need not be). */
+  private def nearest(vec: Column, cents: Array[Array[Double]]): Column =
+    array_max(scores(vec, cents)).getField("i")
+
+  /** Train spherical k-means with deterministic init. */
+  def fit(corpus: DataFrame, k: Int, iters: Int = 5): Model = {
+    val vecs = corpus.select(col("vec_id"), unit(asDouble(col("embedding"))).as("e"))
+    var cents: Array[Array[Double]] = vecs
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(k)
+      .select("e").collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = vecs.withColumn("cid", nearest(col("e"), cents))
+      val means = assigned
+        .select(col("cid"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("mv"))
+        .select(col("cid"), transform(col("mv"), s => s.getField("m")).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      cents = cents.indices.map { i =>
+        means.get(i).map { m =>
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n == 0) cents(i) else m.map(_ / n)
+        }.getOrElse(cents(i)) // empty cell keeps its centroid
+      }.toArray
+    }
+    Model(cents)
+  }
+
+  /** Index the corpus: one shuffle-free projection adding the cell id. */
+  def index(corpus: DataFrame, model: Model): DataFrame =
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("cid", nearest(col("e"), model.centroids))
+      .withColumn("nn", norm(col("e")))
+
+  /** Approximate top-k: probe the `nprobe` best cells per query, exact
+    * cosine within them. Output matches [[Similarity.bruteForceTopK]].
+    */
+  def topK(indexed: DataFrame, queries: DataFrame, model: Model,
+           k: Int, nprobe: Int = 2): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+      .withColumn("qn", norm(col("qe")))
+      .withColumn("probe",
+        slice(reverse(array_sort(scores(col("qe"), model.centroids))), 1, nprobe))
+      .select(col("query_id"), col("qe"), col("qn"),
+        explode(col("probe").getField("i")).as("cid"))
+    val cands = indexed.join(broadcast(q), Seq("cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qe"), col("e")) / (col("qn") * col("nn")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Convenience end-to-end search. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val model = fit(corpus, nCells)
+    topK(index(corpus, model), queries, model, k, nprobe)
+  }
+}

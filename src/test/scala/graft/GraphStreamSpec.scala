@@ -91,4 +91,25 @@ class GraphStreamSpec extends SparkTestBase {
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(r == Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("applyOnNeighbors (O18c): arbitrary fn over materialized neighbor lists") {
+    import spark.implicits._
+    // emit (vid, nbr) for the max-valued neighbor per vertex per window
+    val out = g.slice("1 hour", EdgeDirection.Out)
+      .applyOnNeighbors[(Long, Long, Double)] { (win, vid, nbrs) =>
+        val (n, v) = nbrs.maxBy { case (n, v) => (v, n) }
+        Iterator((vid, n, v))
+      }.collect().map(t => t._1 -> t._2).toMap
+    // all edges in one window; per src the max neighbor (value all 1.0 → max nbr id)
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 4L, 4L -> 1L))
+  }
+
+  test("set ops: intersect/except on edge sets") {
+    val a = edgeDf(Seq((1L, 2L), (2L, 3L), (3L, 4L))).select("src", "dst")
+    val b = edgeDf(Seq((2L, 3L), (3L, 4L), (4L, 5L))).select("src", "dst")
+    assert(collectPairs(a.intersect(b)) == Set((2L, 3L), (3L, 4L)))
+    assert(collectPairs(a.except(b)) == Set((1L, 2L)))
+    assert(collectPairs(a.union(b).distinct()) ==
+      Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+  }
 }
