@@ -25,6 +25,16 @@ class FunctionsSpec extends SparkTestBase {
     assert(counts == Map("en" -> 2L))
   }
 
+  test("prefix-filtered jaccard equals the inverted-index join") {
+    for (t <- Seq(0.2, 0.5)) {
+      val filtered = Dedup.ngramJaccardPairsPrefix(docs, 2, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val naive = Dedup.ngramJaccardPairs(docs, 2, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(filtered == naive, s"threshold $t")
+    }
+  }
+
   test("minhash LSH finds all high-jaccard pairs found exactly (recall=1 at 0.5)") {
     val exact = collectPairs(Dedup.ngramJaccardPairs(docs, 2, 0.5).select("doc_a", "doc_b"))
     val mh = collectPairs(Dedup.minhashPairs(docs, 2, 0.5).select("doc_a", "doc_b"))
