@@ -9,55 +9,64 @@ import org.apache.spark.sql.functions._
   * edge; GS/example/WindowTriangles.java:~40–150 emits wedges per window
   * and matches closing edges).
   *
-  * We use the degree-oriented node-iterator join (the distributed
-  * formulation of neighborhood intersection): orient each edge from its
-  * lower-(degree, id) endpoint to the higher one, build wedges from each
-  * vertex's out-neighbor pairs, and close them against the canonical edge
-  * set with a semi join. Orienting by degree bounds every out-degree by
-  * O(√m), so the wedge relation is O(m^1.5) worst-case instead of
-  * Σ deg² — the difference between "survives hub vertices at 100 TB" and
-  * "explodes". All joins are equi-joins on vertex ids (shuffle-partitioned
-  * by key; AQE may broadcast the degree side when small).
+  * Algorithm: degree-oriented edge-iterator. Orient each edge from its
+  * lower-(degree, id) endpoint (bounding out-degrees by O(√m) — hub
+  * safety), build each vertex's out-neighbor list once, then for every
+  * oriented edge (u,v) the triangles through it are
+  * `N⁺(u) ∩ N⁺(v)` — a codegen'd `array_intersect`, NOT a join. In the
+  * oriented DAG every triangle a→b, a→c, b→c is found exactly once, at
+  * edge (a,b).
+  *
+  * Physical shape: one shuffle to build adjacency lists (|V| rows),
+  * then two equi-joins of the edge list against them (broadcast when
+  * the adjacency table fits, AQE decides; shuffle otherwise) with the
+  * intersection evaluated map-side. The wedge relation — O(m^1.5) rows
+  * that a join-based plan must materialize and shuffle — never exists.
   */
 object Triangles {
 
-  /** Enumerate triangles of a canonical (src < dst) edge set.
-    * Returns one row per triangle: (ta, tb, tc) — the degree-ordered
-    * corners (center first), NOT id-sorted.
-    */
-  def enumerate(c: DataFrame): DataFrame = {
-    // The edge set feeds the plan tree 7 times (degree agg, orientation,
-    // both wedge sides, closing semi join); materialize it once instead
-    // of re-running its upstream (e.g. the co-purchase self-join) per use.
+  /** Oriented edges (ctr → out) plus both endpoints' out-neighbor lists. */
+  private def withAdjacency(c: DataFrame): DataFrame = {
+    // The edge set feeds degree agg, orientation and adjacency: compute
+    // its upstream (e.g. the co-purchase self-join) once.
     val cc = c.localCheckpoint(true)
     val deg = cc.select(explode(array(col("src"), col("dst"))).as("v"))
       .groupBy("v").agg(count("*").as("d"))
 
-    val withDeg = cc
+    val oriented = cc
       .join(deg.toDF("src", "sd"), Seq("src"))
       .join(deg.toDF("dst", "dd"), Seq("dst"))
-
-    // orient from lower (deg, id) to higher; c is canonical so ties on
-    // degree fall back to src < dst
-    val oriented = withDeg.select(
-      when(col("sd") < col("dd") || (col("sd") === col("dd")),
-        struct(col("src").as("lo"), col("dst").as("hi")))
-        .otherwise(struct(col("dst").as("lo"), col("src").as("hi"))).as("e"))
-      .select(col("e.lo").as("ctr"), col("e.hi").as("out"))
+      .select(
+        when(col("sd") < col("dd") || (col("sd") === col("dd")),
+          struct(col("src").as("lo"), col("dst").as("hi")))
+          .otherwise(struct(col("dst").as("lo"), col("src").as("hi"))).as("e"))
+      .select(col("e.lo").as("u"), col("e.hi").as("v"))
       .localCheckpoint(true)
 
-    val wedges = oriented.toDF("ctr", "x")
-      .join(oriented.toDF("ctr", "y"), Seq("ctr"))
-      .where(col("x") < col("y"))
+    val adj = oriented.groupBy(col("u").as("w"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
 
-    // close the wedge with the canonical edge (x, y): x < y already
-    wedges.join(cc.toDF("x", "y"), Seq("x", "y"), "left_semi")
-      .select(col("ctr").as("ta"), col("x").as("tb"), col("y").as("tc"))
+    oriented
+      .join(adj.toDF("u", "au"), Seq("u"))
+      .join(adj.toDF("v", "av"), Seq("v"))
   }
 
-  /** Global triangle count (reference ExactTriangleCount global counter). */
+  /** Enumerate triangles of a canonical (src < dst) edge set. One row per
+    * triangle: (ta, tb, tc) = (apex, mid, third) in degree order, NOT
+    * id-sorted.
+    */
+  def enumerate(c: DataFrame): DataFrame =
+    withAdjacency(c).select(
+      col("u").as("ta"), col("v").as("tb"),
+      explode(array_intersect(col("au"), col("av"))).as("tc"))
+
+  /** Global triangle count (reference ExactTriangleCount global counter).
+    * Sums intersection sizes directly — no per-triangle row ever exists.
+    */
   def globalCount(c: DataFrame): DataFrame =
-    enumerate(c).agg(count("*").as("triangles"))
+    withAdjacency(c)
+      .agg(coalesce(sum(size(array_intersect(col("au"), col("av")))), lit(0L))
+        .as("triangles"))
 
   /** Per-vertex triangle counts, vertices with ≥1 triangle. */
   def perVertexCounts(c: DataFrame): DataFrame =
@@ -66,15 +75,19 @@ object Triangles {
       .groupBy("id").agg(count("*").as("triangles"))
 
   /** Triangle count per tumbling window over a windowed canonical edge
-    * set (win, src, dst) — the reference's WindowTriangles. Uses the
-    * canonical-id orientation (windows are small slices; per-window
-    * degree computation would cost an extra shuffle per window set).
+    * set (win, src, dst) — the reference's WindowTriangles. Canonical
+    * id-orientation (a<b<c found at edge (a,b)); per-window adjacency
+    * lists keyed by (win, vertex).
     */
   def countPerWindow(cw: DataFrame): DataFrame = {
-    val wedges = cw.toDF("win", "a", "b")
-      .join(cw.toDF("win", "a", "c"), Seq("win", "a"))
-      .where(col("b") < col("c"))
-    wedges.join(cw.toDF("win", "b", "c"), Seq("win", "b", "c"), "left_semi")
-      .groupBy("win").agg(count("*").as("triangles"))
+    val cc = cw.localCheckpoint(true)
+    val adj = cc.groupBy(col("win"), col("src").as("w"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    cc.toDF("win", "a", "b")
+      .join(adj.toDF("win", "a", "au"), Seq("win", "a"))
+      .join(adj.toDF("win", "b", "av"), Seq("win", "b"))
+      .groupBy("win")
+      .agg(sum(size(array_intersect(col("au"), col("av")))).as("triangles"))
+      .where(col("triangles") > 0)
   }
 }
