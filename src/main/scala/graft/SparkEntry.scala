@@ -162,6 +162,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       graft.functions.IVF.annTopK(emb, emb.where(col("vec_id") <= 9), 5)
     }),
+    // O20 transientState=true: per-window summary aggregation
+    "q37_window_cc" -> ((s, dir) =>
+      SummaryAggregations.connectedComponentsPerWindow(
+        GraphFixtures.coPurchaseWindowed(s, dir, 7776000L, orderMod = 10L))),
   )
 
   /** DuckDB oracle SQL — identical aliases/semantics as the Spark plans. */
@@ -291,6 +295,15 @@ object SparkEntry {
           "ROUND((length(text) - len(toks) + 1) * 1.0 / len(toks), 6) AS avg_token_len, " +
           "ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio FROM t"),
       "q28_cc_iterative" -> ccOracle(copurchase10),
+      "q37_window_cc" ->
+        ("WITH RECURSIVE cw AS (SELECT DISTINCT CAST(FLOOR(epoch(o.o_orderdate) / 7776000) * 7776000 AS BIGINT) AS win, " +
+          "a.l_partkey AS x, b.l_partkey AS y FROM lineitem a " +
+          "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+          "JOIN orders o ON o.o_orderkey = a.l_orderkey WHERE a.l_orderkey % 10 = 0), " +
+          "sym AS (SELECT win, x AS a, y AS b FROM cw UNION SELECT win, y, x FROM cw), " +
+          "lbl(win, v, l) AS (SELECT DISTINCT win, a, a FROM sym " +
+          "UNION SELECT s.win, s.b, lbl.l FROM sym s JOIN lbl ON lbl.win = s.win AND lbl.v = s.a) " +
+          "SELECT win, v AS id, MIN(l) AS component FROM lbl GROUP BY win, v"),
     )
   }
 }

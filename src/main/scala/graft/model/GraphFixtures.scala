@@ -61,8 +61,11 @@ object GraphFixtures {
     * Distinct per (win, src, dst): an edge exists in a window iff some
     * order in that window contains both parts.
     */
-  def coPurchaseWindowed(spark: SparkSession, dir: String, sizeSec: Long): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey").as("ok"), col("l_partkey"))
+  def coPurchaseWindowed(spark: SparkSession, dir: String, sizeSec: Long,
+                         orderMod: Long = 1L): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_orderkey") % orderMod === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
     val ord = Tables.orders(spark, dir).select(
       col("o_orderkey").as("ok"),
       (unix_timestamp(col("o_orderdate")).divide(sizeSec)).cast("long"))

@@ -100,6 +100,23 @@ object SummaryAggregations {
       .select(explode(col("summary")))
       .toDF("id", "component")
 
+  /** O20 with `transientState=true`: an independent summary per tumbling
+    * window, reset between windows (GS/WindowGraphAggregation.java:~45).
+    * Input must carry a `win` column (e.g. from
+    * [[graft.model.GraphFixtures.coPurchaseWindowed]] or a `window()`
+    * projection); works identically on streaming inputs under a
+    * watermark. Output: (win, id, component).
+    */
+  def connectedComponentsPerWindow(windowedEdges: DataFrame): DataFrame = {
+    val ccUdaf = udaf(new ConnectedComponentsAgg,
+      ExpressionEncoder[(Long, Long)]())
+    windowedEdges
+      .groupBy(col("win"))
+      .agg(ccUdaf(col("src"), col("dst")).as("m"))
+      .select(col("win"), explode(col("m")))
+      .toDF("win", "id", "component")
+  }
+
   /** Bipartiteness as a single boolean row. */
   def bipartiteness(edges: DataFrame): DataFrame =
     run(edges, new BipartitenessAgg).toDF("bipartite")

@@ -61,4 +61,23 @@ object StreamingOps {
     gs.withWatermark(delay)
       .slice(size, graft.EdgeDirection.All)
       .foldNeighbors(count("*").as("degree"))
+
+  /** O20 with `transientState=true` on a stream: an independent
+    * connected-components summary per tumbling event-time window,
+    * emitted on window close (append mode). The same call works on a
+    * batch DataFrame (the watermark is a no-op there).
+    * Output: (win, id, component) with `win` = epoch second of window
+    * start.
+    */
+  def windowedConnectedComponents(edges: DataFrame, size: String,
+                                  delay: String = "0 seconds"): DataFrame = {
+    val ccUdaf = org.apache.spark.sql.functions.udaf(
+      new graft.operators.ConnectedComponentsAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+    edges.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), size).as("w"))
+      .agg(ccUdaf(col("src"), col("dst")).as("m"))
+      .select(unix_timestamp(col("w.start")).as("win"), explode(col("m")))
+      .toDF("win", "id", "component")
+  }
 }

@@ -99,6 +99,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("per-window CC (transientState=true) on a stream equals batch per-window CC") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Double, Long)]
+    val ckpt = Files.createTempDirectory("wincc-ckpt").toString
+    val q = StreamingOps.windowedConnectedComponents(edgesFrom(ms), "2 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("wincc").start()
+    try {
+      ms.addData(sampleEdges)
+      q.processAllAvailable()
+      ms.addData(Seq((99L, 98L, 0.0, 100000L))) // sentinel closes sample windows
+      q.processAllAvailable()
+      val streamed = spark.table("wincc")
+        .where(col("id") < 90L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = StreamingOps.windowedConnectedComponents(batchEdges, "2 minutes")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+      // sanity: windows are independent summaries (edges 0-60s in window 0)
+      assert(batch((0L, 1L)) == 1L)
+    } finally q.stop()
+  }
+
   test("streaming distinct + vertex derivation run on a stream") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
