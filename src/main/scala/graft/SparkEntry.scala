@@ -166,6 +166,34 @@ object SparkEntry {
     "q37_window_cc" -> ((s, dir) =>
       SummaryAggregations.connectedComponentsPerWindow(
         GraphFixtures.coPurchaseWindowed(s, dir, 7776000L, orderMod = 10L))),
+    // gap-based sessionization over the event stream (30-min idle gap)
+    "q38_sessions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_ns")
+      Tables.events(s, dir)
+        .withColumn("prev", lag(col("ts_ns"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("ts_ns") - col("prev") > 1800000000000L, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("user_id")
+        .agg(countDistinct("sid").as("n_sessions"), count("*").as("n_events"))
+    }),
+    // top-3 longest docs per language (rank-per-group)
+    "q39_top_docs_per_lang" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_tokens").desc, col("doc_id").asc)
+      docs.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select("lang", "rnk", "doc_id", "n_tokens")
+    }),
+    // snapshot PageRank via the GraphX bridge (rows-only)
+    "q40_pagerank" -> ((s, dir) =>
+      graft.operators.Snapshots.pageRank(GraphFixtures.coPurchase10(s, dir))
+        .select(col("id"), round(col("rank"), 6).as("rank"))),
   )
 
   /** DuckDB oracle SQL — identical aliases/semantics as the Spark plans. */
@@ -304,6 +332,19 @@ object SparkEntry {
           "lbl(win, v, l) AS (SELECT DISTINCT win, a, a FROM sym " +
           "UNION SELECT s.win, s.b, lbl.l FROM sym s JOIN lbl ON lbl.win = s.win AND lbl.v = s.a) " +
           "SELECT win, v AS id, MIN(l) AS component FROM lbl GROUP BY win, v"),
+      "q38_sessions" ->
+        ("WITH m AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL " +
+          "OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s " +
+          "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+          "s AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts " +
+          "ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+          "SELECT user_id, CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_sessions, " +
+          "COUNT(*) AS n_events FROM s GROUP BY user_id"),
+      "q39_top_docs_per_lang" ->
+        ("WITH d AS (SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+          "r AS (SELECT lang, doc_id, n_tokens, ROW_NUMBER() OVER " +
+          "(PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS rnk FROM d) " +
+          "SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_tokens FROM r WHERE rnk <= 3"),
     )
   }
 }
