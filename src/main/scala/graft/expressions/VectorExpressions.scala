@@ -49,6 +49,42 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Popcount of the bitwise AND of two `array<long>` bitmaps — set
+  * intersection size when sets are encoded as fixed-width bitsets.
+  * Generated code is a fused AND+POPCNT loop; the Jaccard all-pairs
+  * dense path does one of these per candidate pair instead of a
+  * co-occurrence join row per shared element.
+  */
+case class BitAndCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0
+    var i = 0
+    while (i < n) { s += java.lang.Long.bitCount(x.getLong(i) & y.getLong(i)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int cnt = 0;
+         |for (int i = 0; i < n; i++) {
+         |  cnt += java.lang.Long.bitCount($x.getLong(i) & $y.getLong(i));
+         |}
+         |${ev.value} = cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column API for the codegen'd dot product; inputs must already be
     * `array<double>` (cast upstream — casting inside would break codegen
@@ -56,5 +92,10 @@ object VectorExpressions {
     */
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Intersection size of two bitset-encoded sets (`array<long>`). */
+  def bitAndCount(a: Column, b: Column): Column =
+    ColumnBridge.column(BitAndCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

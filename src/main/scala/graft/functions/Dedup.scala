@@ -86,8 +86,24 @@ object Dedup {
     * map-side partial counts per pair. Output: (doc_a, doc_b, jac) for
     * pairs with jac ≥ threshold.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(docs, n)
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame =
+    invertedIndexPairs(shingles(docs, n), threshold)
+
+  /** Bitset-encoded all-pairs variant for small shingle dictionaries
+    * (≤64k distinct shingles): one fused AND+POPCNT per pair instead of a
+    * co-occurrence join row per shared shingle. Measured at sf0.1 it ties
+    * the inverted-index join (12–18 s vs ~14 s) — the interpreted
+    * higher-order bitmap construction offsets the codegen'd pair kernel —
+    * so it ships as an explicit choice, not the default.
+    */
+  def ngramJaccardPairsBitset(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, n).localCheckpoint(true)
+    val nDistinct = sh.select("shingle").distinct().count()
+    require(nDistinct <= 65536, s"bitset variant needs a small dictionary, got $nDistinct shingles")
+    bitsetPairs(sh, nDistinct.toInt, threshold)
+  }
+
+  private def invertedIndexPairs(sh: DataFrame, threshold: Double): DataFrame = {
     val counts = sh.groupBy(col("doc_id")).agg(count("*").as("n_sh"))
     val inter = sh.toDF("doc_a", "shingle")
       .join(sh.toDF("doc_b", "shingle"), Seq("shingle"))
@@ -96,6 +112,33 @@ object Dedup {
     inter
       .join(counts.toDF("doc_a", "na"), Seq("doc_a"))
       .join(counts.toDF("doc_b", "nb"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  private def bitsetPairs(sh: DataFrame, nDistinct: Int, threshold: Double): DataFrame = {
+    import graft.expressions.VectorExpressions.bitAndCount
+    val nWords = (nDistinct + 63) / 64
+    // dictionary is ≤64k entries by precondition — the global window is fine
+    val dict = sh.select("shingle").distinct()
+      .withColumn("sid", row_number().over(Window.orderBy("shingle")) - 1)
+    val pow2 = array((0 until 64).map(b => lit(1L << b)): _*)
+    val bm = sh.join(dict, Seq("shingle"))
+      .groupBy("doc_id").agg(collect_list(col("sid")).as("ids"))
+      .select(col("doc_id"), size(col("ids")).as("n_sh"),
+        aggregate(col("ids"), array_repeat(lit(0L), nWords), (acc, id) => {
+          val w = floor(id / 64).cast("int")
+          val bit = element_at(pow2, pmod(id, lit(64)).cast("int") + 1)
+          transform(acc, (x, i) => when(i === w, x.bitwiseOR(bit)).otherwise(x))
+        }).as("bm"))
+      .localCheckpoint(true)
+    val a = bm.toDF("doc_a", "na", "ba")
+    val b = bm.toDF("doc_b", "nb", "bb")
+    a.crossJoin(broadcast(b))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("inter", bitAndCount(col("ba"), col("bb")))
+      .where(col("inter") > 0)
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jac"))
       .where(col("jac") >= threshold)

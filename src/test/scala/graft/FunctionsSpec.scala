@@ -25,13 +25,16 @@ class FunctionsSpec extends SparkTestBase {
     assert(counts == Map("en" -> 2L))
   }
 
-  test("prefix-filtered jaccard equals the inverted-index join") {
+  test("prefix-filtered and bitset jaccard equal the inverted-index join") {
     for (t <- Seq(0.2, 0.5)) {
+      val base = Dedup.ngramJaccardPairs(docs, 2, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
       val filtered = Dedup.ngramJaccardPairsPrefix(docs, 2, t).collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-      val naive = Dedup.ngramJaccardPairs(docs, 2, t).collect()
+      val bitset = Dedup.ngramJaccardPairsBitset(docs, 2, t).collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-      assert(filtered == naive, s"threshold $t")
+      assert(filtered == base, s"prefix, threshold $t")
+      assert(bitset == base, s"bitset, threshold $t")
     }
   }
 
