@@ -1,0 +1,69 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+
+import graft.{EdgeDirection, GraphStream, GraftSession}
+import graft.model.GraphFixtures
+import graft.operators.{SummaryAggregations, Triangles}
+import graft.sources.Sources
+import graft.streaming.StreamingOps
+
+/** Runnable example mains mirroring the reference's example programs
+  * (ConnectedComponentsExample, WindowTrianglesExample, degree examples —
+  * the GS example package). Each reads the driver test data (or a
+  * user-provided edge file) and prints a result sample.
+  *
+  * Run: `sbt "runMain graft.examples.ConnectedComponentsExample [sfDir]"`
+  */
+object ConnectedComponentsExample {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.local()
+    val cc = SummaryAggregations.connectedComponents(
+      GraphFixtures.coPurchase10(spark, dir))
+    println(s"components: ${cc.select("component").distinct().count()}")
+    cc.orderBy("id").show(10, truncate = false)
+    spark.stop()
+  }
+}
+
+object WindowTrianglesExample {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.local()
+    Triangles.countPerWindow(
+      GraphFixtures.coPurchaseWindowed(spark, dir, sizeSec = 5184000L))
+      .orderBy("win").show(20, truncate = false)
+    spark.stop()
+  }
+}
+
+object DegreesExample {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.local()
+    val gs = GraphStream(GraphFixtures.edgeStream(spark, dir))
+    gs.getDegrees.orderBy(desc("degree")).show(10)
+    gs.slice("30 days", EdgeDirection.Out)
+      .foldNeighbors(count("*").as("cnt"), max("value").as("max_value"))
+      .orderBy(desc("cnt")).show(10)
+    spark.stop()
+  }
+}
+
+/** Streaming: running degree table over a synthetic rate-source edge
+  * stream, printed to the console for a few trigger cycles.
+  */
+object StreamingDegreesExample {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    val edges = Sources.rateEdgeStream(spark, rowsPerSecond = 500, nVertices = 100)
+    val q = StreamingOps.runningDegrees(GraphStream(edges))
+      .writeStream.outputMode("complete")
+      .format("console").option("numRows", 10)
+      .start()
+    q.awaitTermination(15000)
+    q.stop()
+    spark.stop()
+  }
+}
