@@ -33,6 +33,8 @@ object EdgeDirection {
   * parallelism-1 merge bottleneck: the final agg is distributed by key).
   */
 class GraphStream(val edges: DataFrame) {
+  require(Set("src", "dst").subsetOf(edges.columns.toSet),
+    s"edge stream needs src/dst columns, got [${edges.columns.mkString(", ")}]")
 
   /** O1 — raw edge stream (GS/SimpleEdgeStream.java:~90). */
   def getEdges: DataFrame = edges

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.GraphStream
-import graft.summaries.DisjointSet
+import graft.summaries.{DisjointSet, ParityDisjointSet}
 
 /** Structured-Streaming forms of the graph operators.
   *
@@ -44,6 +44,29 @@ object StreamingOps {
           it.foreach { case (s, d) => summary.union(s, d) }
           state.update(summary)
           summary.components.iterator
+      }
+  }
+
+  private implicit val pdsEnc: Encoder[ParityDisjointSet] =
+    Encoders.javaSerialization[ParityDisjointSet]
+
+  /** Continuously-refined bipartiteness over a (possibly streaming) edge
+    * stream — the reference's BipartitenessCheck with its absorbing
+    * not-bipartite state (GS/library/BipartitenessCheck.java:~40).
+    * Emits the current verdict each trigger.
+    */
+  def runningBipartiteness(edges: DataFrame): Dataset[Boolean] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[(Long, Long)], state: GroupState[ParityDisjointSet]) =>
+          val summary = state.getOption.getOrElse(new ParityDisjointSet)
+          it.foreach { case (s, d) => summary.addEdge(s, d) }
+          state.update(summary)
+          Iterator.single(summary.isBipartite)
       }
   }
 

@@ -124,6 +124,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("running bipartiteness flips to false when the odd cycle closes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Double, Long)]
+    val ckpt = Files.createTempDirectory("bi-ckpt").toString
+    val q = StreamingOps.runningBipartiteness(edgesFrom(ms))
+      .toDF("bipartite")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("bi").start()
+    try {
+      ms.addData(Seq((1L, 2L, 1.0, 0L), (2L, 3L, 1.0, 60L))) // path: still bipartite
+      q.processAllAvailable()
+      val afterPath = spark.table("bi").collect().map(_.getBoolean(0))
+      // verdict is absorbing-monotone: no false emission before the cycle
+      assert(afterPath.nonEmpty && afterPath.forall(identity))
+      ms.addData(Seq((3L, 1L, 1.0, 120L))) // closes odd cycle
+      q.processAllAvailable()
+      val all = spark.table("bi").collect().map(_.getBoolean(0))
+      assert(all.contains(false))
+    } finally q.stop()
+  }
+
   test("streaming distinct + vertex derivation run on a stream") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
