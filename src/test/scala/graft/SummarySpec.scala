@@ -91,6 +91,22 @@ class SummarySpec extends SparkTestBase {
       edgeDf(Seq((1L, 2L), (2L, 3L), (3L, 1L)))).head.getBoolean(0))
   }
 
+  test("iterative bipartiteness equals single-pass on seeded graphs and fixtures") {
+    val rnd = new scala.util.Random(101)
+    for (trial <- 1 to 15) {
+      val edges = randomEdges(rnd, 3 + rnd.nextInt(25))
+      val df = edgeDf(edges)
+      val sp = graft.operators.Bipartiteness.singlePass(df).head.getBoolean(0)
+      val it = graft.operators.Bipartiteness.iterative(df).head.getBoolean(0)
+      assert(sp == it, s"trial $trial edges=$edges")
+    }
+    // fixtures: E bipartite by construction, C has triangles
+    val e = graft.model.GraphFixtures.edgeStream(spark, sf)
+    assert(graft.operators.Bipartiteness.iterative(e).head.getBoolean(0))
+    val c = graft.model.GraphFixtures.coPurchase(spark, sf)
+    assert(!graft.operators.Bipartiteness.iterative(c).head.getBoolean(0))
+  }
+
   test("iterative CC equals single-pass CC") {
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (6L, 4L),
       (7L, 8L), (8L, 9L), (9L, 10L), (10L, 7L), (3L, 1L))
