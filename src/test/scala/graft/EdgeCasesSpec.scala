@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bipartiteness, ConnectedComponents, SummaryAggregations, Triangles}
+
+/** Degenerate inputs: empty edge sets, self-contained single edges,
+  * self-loop-free invariants — operators must return empty/identity
+  * results, not throw.
+  */
+class EdgeCasesSpec extends SparkTestBase {
+
+  private lazy val empty = edgeDf(Seq.empty)
+
+  test("empty edge stream: counts, degrees, vertices") {
+    val gs = GraphStream(empty)
+    assert(gs.numberOfEdges.head.getLong(0) == 0L)
+    assert(gs.numberOfVertices.head.getLong(0) == 0L)
+    assert(gs.getDegrees.count() == 0L)
+    assert(gs.getVertices.count() == 0L)
+    assert(gs.distinct.numberOfEdges.head.getLong(0) == 0L)
+  }
+
+  test("empty edge stream: triangles and summaries") {
+    assert(Triangles.globalCount(empty.select("src", "dst")).head.getLong(0) == 0L)
+    assert(Triangles.perVertexCounts(empty.select("src", "dst")).count() == 0L)
+    assert(SummaryAggregations.connectedComponents(empty).count() == 0L)
+    // empty graph is vacuously bipartite
+    assert(SummaryAggregations.bipartiteness(empty).head.getBoolean(0))
+    assert(Bipartiteness.iterative(empty).head.getBoolean(0))
+  }
+
+  test("single edge graph") {
+    val one = edgeDf(Seq((5L, 9L)))
+    assert(GraphStream(one).getDegrees.count() == 2L)
+    assert(Triangles.globalCount(one.select("src", "dst")).head.getLong(0) == 0L)
+    val cc = SummaryAggregations.connectedComponents(one)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(5L -> 5L, 9L -> 5L))
+    val it = ConnectedComponents.iterative(one)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(it == cc)
+  }
+
+  test("missing src/dst columns is rejected with a clear message") {
+    import spark.implicits._
+    val bad = Seq((1L, 2L)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException](GraphStream(bad))
+    assert(ex.getMessage.contains("src/dst"))
+  }
+}
