@@ -33,9 +33,11 @@ object IVF {
 
   /** Column of cosine scores against each centroid: array<struct<s,i>>. */
   private def scores(vec: Column, cents: Array[Array[Double]]): Column =
-    array(cents.zipWithIndex.map { case (ct, i) =>
-      struct(dot(vec, array(ct.map(lit): _*)).as("s"), lit(i).as("i"))
-    }: _*)
+    array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      cents.zipWithIndex.map { case (ct, i) =>
+        struct(dot(vec, array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          ct.map(lit)): _*)).as("s"), lit(i).as("i"))
+      }): _*)
 
   /** Nearest-centroid id (centroids are unit vectors; vec need not be). */
   private def nearest(vec: Column, cents: Array[Array[Double]]): Column =

@@ -85,7 +85,7 @@ object Similarity {
   def signature(vec: Column, nPlanes: Int, dim: Int, seed: Long): Column = {
     val ps = planes(nPlanes, dim, seed)
     ps.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
-      val planeCol = array(p.map(lit): _*)
+      val planeCol = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(p.map(lit)): _*)
       acc + when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
   }

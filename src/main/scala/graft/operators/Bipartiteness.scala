@@ -57,7 +57,7 @@ object Bipartiteness {
         verdict = Some(false)
       } else {
         val row = state.agg(
-          coalesce(sum("e"), lit(0L)), coalesce(sum("o"), lit(0L)), count("o")).head
+          coalesce(sum("e"), lit(0L)), coalesce(sum("o"), lit(0L)), count("o")).head()
         val fp = (row.getLong(0), row.getLong(1), row.getLong(2))
         if (fp == fingerprint) verdict = Some(true)
         fingerprint = fp

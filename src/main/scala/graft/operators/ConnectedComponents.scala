@@ -39,7 +39,7 @@ object ConnectedComponents {
 
     var converged = false
     var iter = 0
-    var prevSum = labels.agg(sum("l")).head.getLong(0)
+    var prevSum = labels.agg(sum("l")).head().getLong(0)
     while (!converged && iter < maxIter) {
       // min label among neighbors
       val nbrMin = sym.join(labels, sym("v") === labels("id"))
@@ -52,7 +52,7 @@ object ConnectedComponents {
       val jumped = lhs.join(rhs, lhs("l") === rhs("id2"), "left")
         .select(col("id"), coalesce(col("l2"), col("l")).as("l"))
         .localCheckpoint(true)
-      val newSum = jumped.agg(sum("l")).head.getLong(0)
+      val newSum = jumped.agg(sum("l")).head().getLong(0)
       converged = newSum == prevSum
       prevSum = newSum
       labels = jumped
