@@ -147,6 +147,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("events windowed aggregation: stream equals batch (q22 semantics)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // real events rows (ns timestamps), replayed in ascending order
+    val rows = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts_ns"), col("value"))
+      .orderBy("ts_ns")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val ms = MemoryStream[(String, Long, Double)]
+    val ckpt = Files.createTempDirectory("ev-ckpt").toString
+    val streamed = ms.toDF().toDF("event_type", "ts_ns", "value")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count("*").as("cnt"), round(sum("value"), 6).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("win"), col("event_type"), col("cnt"), col("sum_value"))
+    val q = streamed.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("evwin").start()
+    try {
+      val (h, t) = rows.splitAt(rows.length / 2)
+      ms.addData(h); q.processAllAvailable()
+      ms.addData(t); q.processAllAvailable()
+      ms.addData(Seq(("sentinel", rows.last._2 + 86400L * 1000000000L, 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("evwin").where(col("event_type") =!= "sentinel")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      val batch = graft.model.Tables.events(spark, sf)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count("*").as("cnt"), round(sum("value"), 6).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("win"), col("event_type"), col("cnt"), col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming distinct + vertex derivation run on a stream") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
