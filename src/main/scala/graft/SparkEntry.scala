@@ -194,6 +194,35 @@ object SparkEntry {
     "q40_pagerank" -> ((s, dir) =>
       graft.operators.Snapshots.pageRank(GraphFixtures.coPurchase10(s, dir))
         .select(col("id"), round(col("rank"), 6).as("rank"))),
+    // rollup with ALL markers instead of NULLs (engine-portable hashing)
+    "q41_rollup_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count("*").as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("revenue"), col("cnt"))),
+    // TPC-H Q3-style: top-10 open orders by revenue at a cutoff date
+    "q42_tpch_q3" -> ((s, dir) => {
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val o = Tables.orders(s, dir).where(col("o_orderdate") < cutoff)
+      val li = Tables.lineitem(s, dir).where(col("l_shipdate") >= cutoff)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("l_orderkey").as("orderkey"),
+          unix_timestamp(col("o_orderdate")).as("orderdate"), col("revenue"))
+        .orderBy(col("revenue").desc, col("orderkey").asc)
+        .limit(10)
+    }),
+    // per-source corpus stats (source dimension of documents)
+    "q43_source_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count("*").as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))),
   )
 
   /** DuckDB oracle SQL — identical aliases/semantics as the Spark plans. */
@@ -345,6 +374,21 @@ object SparkEntry {
           "r AS (SELECT lang, doc_id, n_tokens, ROW_NUMBER() OVER " +
           "(PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS rnk FROM d) " +
           "SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_tokens FROM r WHERE rnk <= 3"),
+      "q41_rollup_revenue" ->
+        ("SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, " +
+          "COALESCE(l_linestatus, 'ALL') AS linestatus, " +
+          "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, COUNT(*) AS cnt " +
+          "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+      "q42_tpch_q3" ->
+        ("SELECT l_orderkey AS orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS orderdate, " +
+          "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "WHERE o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate >= TIMESTAMP '1998-01-01' " +
+          "GROUP BY l_orderkey, o_orderdate " +
+          "ORDER BY revenue DESC, orderkey LIMIT 10"),
+      "q43_source_stats" ->
+        ("SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs, " +
+          "ROUND(AVG(n_chars), 6) AS avg_chars FROM documents GROUP BY source"),
     )
   }
 }
