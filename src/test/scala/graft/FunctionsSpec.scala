@@ -100,6 +100,14 @@ class FunctionsSpec extends SparkTestBase {
     assert(fp1.values.toSet.size > 490) // 500 distinct texts, few collisions tolerated
   }
 
+  test("regexTokens segments letter runs, digit runs and punctuation") {
+    import spark.implicits._
+    val r = Seq((1L, "abc12 de-f 3")).toDF("doc_id", "text")
+      .select(TextStats.regexTokens(col("text")).as("t"))
+      .head.getSeq[String](0)
+    assert(r == Seq("abc", "12", "de", "-", "f", "3"))
+  }
+
   test("qualityStats / qualityScore sane ranges") {
     val qs = TextStats.qualityScore(docs).collect().map(_.getDouble(1))
     assert(qs.forall(q => q >= 0.0 && q <= 1.0))

@@ -104,6 +104,15 @@ class GraphStreamSpec extends SparkTestBase {
     assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 4L, 4L -> 1L))
   }
 
+  test("anti join: source vertices (no incoming edges)") {
+    // g has cycle 1→2,1→3,2→3,3→4,4→1 — every vertex has an in-edge;
+    // drop 4→1 and vertex 1 becomes the only source
+    val acyclic = GraphStream(g.edges.where(!(col("src") === 4 && col("dst") === 1)))
+    val sources = acyclic.getOutDegrees
+      .join(acyclic.getInDegrees, Seq("id"), "left_anti")
+    assert(sources.collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("set ops: intersect/except on edge sets") {
     val a = edgeDf(Seq((1L, 2L), (2L, 3L), (3L, 4L))).select("src", "dst")
     val b = edgeDf(Seq((2L, 3L), (3L, 4L), (4L, 5L))).select("src", "dst")
