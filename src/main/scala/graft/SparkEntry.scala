@@ -223,6 +223,12 @@ object SparkEntry {
         .agg(count("*").as("n_docs"),
           countDistinct(col("lang")).as("n_langs"),
           round(avg(col("n_chars")), 6).as("avg_chars"))),
+    // BPE-ish pre-tokenizer counts per language
+    "q44_regex_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(sum(size(TextStats.regexTokens(col("text")))).as("n_subwords"),
+          sum(size(split(col("text"), " "))).as("n_words"))),
   )
 
   /** DuckDB oracle SQL — identical aliases/semantics as the Spark plans. */
@@ -389,6 +395,11 @@ object SparkEntry {
       "q43_source_stats" ->
         ("SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs, " +
           "ROUND(AVG(n_chars), 6) AS avg_chars FROM documents GROUP BY source"),
+      "q44_regex_tokens" ->
+        ("SELECT lang, " +
+          "CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS n_subwords, " +
+          "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words " +
+          "FROM documents GROUP BY lang"),
     )
   }
 }
