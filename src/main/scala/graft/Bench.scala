@@ -4,6 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev knobs: SPARK_GRAFT_ONLY=q36,q33 runs a subset;
+    // SPARK_GRAFT_STRICT_CODEGEN=1 forbids the silent interpreted-eval
+    // fallback so a Janino compile failure fails the query loudly.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val strict = sys.env.get("SPARK_GRAFT_STRICT_CODEGEN").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,20 +22,31 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       // events.parquet carries INT64 TIMESTAMP(NANOS) — read as long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.fallback", (!strict).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen, parquet reader, shuffle infra) so the
     // first timed query doesn't absorb JVM startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(f => f.exists(n.startsWith)) }
+    var failed = List.empty[String]
+    val results = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop-sink write: every column of every row is materialized, so
+      // projection-heavy queries can't be flattered by count()'s pruning
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        failed ::= name
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fj = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

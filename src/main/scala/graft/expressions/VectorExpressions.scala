@@ -2,11 +2,11 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst dot product over two `array<double>` columns.
   *
@@ -26,7 +26,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"dot_product: dimension mismatch ($n vs ${y.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -35,13 +38,23 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // fresh locals: this expression can appear many times inside one
+      // generated method — fixed names collide ("Redefinition of local
+      // variable"), which silently drops the stage to interpreted eval
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += $x.getDouble(i) * $y.getDouble(i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: dimension mismatch (" + $n + " vs " + $y.numElements() + ")");
          |}
-         |${ev.value} = acc;
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $x.getDouble($i) * $y.getDouble($i);
+         |}
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -62,7 +75,10 @@ case class BitAndCount(left: Expression, right: Expression) extends BinaryExpres
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"bit_and_count: width mismatch ($n vs ${y.numElements()})")
     var s = 0
     var i = 0
     while (i < n) { s += java.lang.Long.bitCount(x.getLong(i) & y.getLong(i)); i += 1 }
@@ -71,18 +87,136 @@ case class BitAndCount(left: Expression, right: Expression) extends BinaryExpres
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |int cnt = 0;
-         |for (int i = 0; i < n; i++) {
-         |  cnt += java.lang.Long.bitCount($x.getLong(i) & $y.getLong(i));
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "bit_and_count: width mismatch (" + $n + " vs " + $y.numElements() + ")");
          |}
-         |${ev.value} = cnt;
+         |int $cnt = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $cnt += java.lang.Long.bitCount($x.getLong($i) & $y.getLong($i));
+         |}
+         |${ev.value} = $cnt;
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Argmax-dot-product cell assignment against a constant centroid matrix
+  * (`array<double>` input → centroid index). The matrix rides along as ONE
+  * plan reference object — not k×dim scalar literals, which blow the
+  * generated method past Janino limits and silently knock the whole stage
+  * back to interpreted eval. Ties resolve to the highest index (the same
+  * verdict as `array_max` over `struct<s,i>` scores, kept for
+  * reproducibility of earlier results).
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var best = -1
+    var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val ct = centroids(c)
+      if (ct.length != v.numElements())
+        throw new IllegalArgumentException(
+          s"nearest_centroid: dimension mismatch (${ct.length} vs ${v.numElements()})")
+      var s = 0.0
+      var i = 0
+      while (i < ct.length) { s += ct(i) * v.getDouble(i); i += 1 }
+      if (s >= bestS) { bestS = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val best = ctx.freshName("best")
+      val bestS = ctx.freshName("bestS")
+      val c = ctx.freshName("c")
+      val ct = ctx.freshName("ct")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $best = -1;
+         |double $bestS = Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $cents.length; $c++) {
+         |  double[] $ct = $cents[$c];
+         |  if ($ct.length != $v.numElements()) {
+         |    throw new IllegalArgumentException(
+         |      "nearest_centroid: dimension mismatch (" + $ct.length + " vs " + $v.numElements() + ")");
+         |  }
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $ct.length; $i++) $s += $ct[$i] * $v.getDouble($i);
+         |  if ($s >= $bestS) { $bestS = $s; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** L2-normalize an `array<double>` in one pass: norm computed once per
+  * vector (the HOF formulation `transform(c, x => x / norm(c))`
+  * re-evaluates the full norm per element — O(dim²)). All-zero vectors
+  * pass through unchanged instead of turning into NaNs.
+  */
+case class UnitVector(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); s += x * x; i += 1 }
+    val nrm = math.sqrt(s)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = if (nrm == 0.0) v.getDouble(i) else v.getDouble(i) / nrm; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val ss = ctx.freshName("ss")
+      val nrm = ctx.freshName("nrm")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $v.numElements();
+         |double $ss = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { double $x = $v.getDouble($i); $ss += $x * $x; }
+         |double $nrm = java.lang.Math.sqrt($ss);
+         |double[] $out = new double[$n];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  $out[$j] = $nrm == 0.0 ? $v.getDouble($j) : $v.getDouble($j) / $nrm;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 object VectorExpressions {
@@ -98,4 +232,14 @@ object VectorExpressions {
   def bitAndCount(a: Column, b: Column): Column =
     ColumnBridge.column(BitAndCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Index of the max-dot-product centroid for an `array<double>` column;
+    * the centroid matrix is a single plan constant, not k×dim literals.
+    */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), centroids))
+
+  /** One-pass L2 normalization with a zero-vector guard. */
+  def unitVector(vec: Column): Column =
+    ColumnBridge.column(UnitVector(ColumnBridge.expression(vec)))
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.VectorExpressions
 import graft.functions.Similarity.{dot, norm}
 
 /** IVF (inverted-file) approximate nearest neighbor — the second scale
@@ -27,21 +28,29 @@ object IVF {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Normalized embedding column (unit L2) — spherical k-means space. */
-  private def unit(c: Column): Column =
-    transform(c, x => x / norm(c))
+  /** Normalized embedding column (unit L2) — spherical k-means space.
+    * One fused codegen pass: norm computed once per vector (not per
+    * element), zero vectors pass through rather than becoming NaNs.
+    */
+  private def unit(c: Column): Column = VectorExpressions.unitVector(c)
 
-  /** Column of cosine scores against each centroid: array<struct<s,i>>. */
-  private def scores(vec: Column, cents: Array[Array[Double]]): Column =
-    array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
-      cents.zipWithIndex.map { case (ct, i) =>
-        struct(dot(vec, array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
-          ct.map(lit)): _*)).as("s"), lit(i).as("i"))
-      }): _*)
+  /** Column of cosine scores against each centroid: array<struct<s,i>>.
+    * The centroid matrix binds as ONE array-of-arrays literal — k×dim
+    * scalar literals (16×64 = 1,024 nested expressions) blow the
+    * generated method past Janino limits and silently drop the stage to
+    * interpreted eval. Used only on the query side (rows = #queries);
+    * the corpus-side hot path is the codegen'd [[NearestCentroid]].
+    */
+  private def scores(vec: Column, cents: Array[Array[Double]]): Column = {
+    val m = typedlit(cents.map(_.toSeq).toSeq)
+    transform(m, (ct, i) => struct(dot(vec, ct).as("s"), i.cast("int").as("i")))
+  }
 
-  /** Nearest-centroid id (centroids are unit vectors; vec need not be). */
+  /** Nearest-centroid id (centroids are unit vectors; vec need not be):
+    * fused argmax-dot loop over a constant matrix, fully codegen'd.
+    */
   private def nearest(vec: Column, cents: Array[Array[Double]]): Column =
-    array_max(scores(vec, cents)).getField("i")
+    VectorExpressions.nearestCentroid(vec, cents)
 
   /** Train spherical k-means with deterministic init. */
   def fit(corpus: DataFrame, k: Int, iters: Int = 5): Model = {

@@ -104,12 +104,16 @@ object Similarity {
     * high even with 16+ planes.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nPlanes: Int = 4, nTables: Int = 8, dim: Int = 64): DataFrame = {
+              nPlanes: Int = 4, nTables: Int = 8, dim: Int = -1): DataFrame = {
+    // plane dimension comes from the data (dim <= 0, the default) — a
+    // hard-coded mismatch would truncate dots silently before DotProduct
+    // grew its strict length check; now it would throw mid-query instead
+    val d = if (dim > 0) dim else corpus.select(size(col("embedding"))).head().getInt(0)
     def signed(df: DataFrame, idCol: String): DataFrame = {
       val vecs = df.select(col("vec_id").as(idCol), asDouble(col("embedding")).as(s"e_$idCol"))
       val tables = (0 until nTables).map { t =>
         vecs.select(col(idCol), col(s"e_$idCol"),
-          lit(t).as("tbl"), signature(col(s"e_$idCol"), nPlanes, dim, seed = 42L + t).as("sig"))
+          lit(t).as("tbl"), signature(col(s"e_$idCol"), nPlanes, d, seed = 42L + t).as("sig"))
       }
       tables.reduce(_ unionByName _)
     }
