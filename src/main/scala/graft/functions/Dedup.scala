@@ -173,10 +173,14 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, n: Int, threshold: Double,
                    bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val sh = shingles(docs, n)
+    val sh = shingles(docs, n).localCheckpoint(true)
     val nHashes = bands * rowsPerBand
+    // materialize the signature aggregation once: the banding below takes
+    // `bands` column slices of it and the self-join doubles each — without
+    // the checkpoint every band branch re-runs the full minhash agg
     val sig = sh.groupBy(col("doc_id"))
       .agg(minhash(0).as("mh0"), (1 until nHashes).map(s => minhash(s).as(s"mh$s")): _*)
+      .localCheckpoint(true)
     // band key = hash of the band's minhash rows
     val banded = (0 until bands).map { b =>
       val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
@@ -212,7 +216,9 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "pigeonhole banding uses 4 chunks of 16 bits")
-    val sh = simhash(docs)
+    // materialized once — 4 chunk branches × both join sides would
+    // otherwise re-run the 64-bit-sum aggregation 8 times
+    val sh = simhash(docs).localCheckpoint(true)
     val chunks = (0 until 4).map { ch =>
       sh.select(col("doc_id"), col("simhash"), lit(ch).as("chunk"),
         shiftright(col("simhash"), ch * 16).bitwiseAND(0xFFFF).as("key"))

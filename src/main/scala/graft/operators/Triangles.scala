@@ -25,6 +25,39 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
+  /** Oriented edges (ctr → out) plus both endpoints' out-neighbor lists,
+    * computed independently per `win` group: degrees, orientation and
+    * adjacency are all windowed, so a hub in one window keeps its
+    * O(√m_win) out-degree bound there. Kept separate from the batch
+    * [[withAdjacency]] on purpose — threading a constant win column
+    * through the batch path measurably regressed q14 (the wider
+    * adjacency rows flip AQE's broadcast decision at sf0.1).
+    */
+  private def withAdjacencyKeyed(cw: DataFrame): DataFrame = {
+    // The edge set feeds degree agg, orientation and adjacency: compute
+    // its upstream (e.g. the co-purchase self-join) once.
+    val cc = cw.localCheckpoint(true)
+    val deg = cc.select(col("win"), explode(array(col("src"), col("dst"))).as("v"))
+      .groupBy("win", "v").agg(count("*").as("d"))
+
+    val oriented = cc
+      .join(deg.toDF("win", "src", "sd"), Seq("win", "src"))
+      .join(deg.toDF("win", "dst", "dd"), Seq("win", "dst"))
+      .select(col("win"),
+        when(col("sd") < col("dd") || (col("sd") === col("dd")),
+          struct(col("src").as("lo"), col("dst").as("hi")))
+          .otherwise(struct(col("dst").as("lo"), col("src").as("hi"))).as("e"))
+      .select(col("win"), col("e.lo").as("u"), col("e.hi").as("v"))
+      .localCheckpoint(true)
+
+    val adj = oriented.groupBy(col("win"), col("u").as("w"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+
+    oriented
+      .join(adj.toDF("win", "u", "au"), Seq("win", "u"))
+      .join(adj.toDF("win", "v", "av"), Seq("win", "v"))
+  }
+
   /** Oriented edges (ctr → out) plus both endpoints' out-neighbor lists. */
   private def withAdjacency(c: DataFrame): DataFrame = {
     // The edge set feeds degree agg, orientation and adjacency: compute
@@ -75,19 +108,14 @@ object Triangles {
       .groupBy("id").agg(count("*").as("triangles"))
 
   /** Triangle count per tumbling window over a windowed canonical edge
-    * set (win, src, dst) — the reference's WindowTriangles. Canonical
-    * id-orientation (a<b<c found at edge (a,b)); per-window adjacency
-    * lists keyed by (win, vertex).
+    * set (win, src, dst) — the reference's WindowTriangles. Same
+    * degree-oriented edge-iterator as the global path, with degrees and
+    * adjacency computed within each window — a per-window hub would blow
+    * up id-canonical orientation exactly the way the global path avoids.
     */
-  def countPerWindow(cw: DataFrame): DataFrame = {
-    val cc = cw.localCheckpoint(true)
-    val adj = cc.groupBy(col("win"), col("src").as("w"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    cc.toDF("win", "a", "b")
-      .join(adj.toDF("win", "a", "au"), Seq("win", "a"))
-      .join(adj.toDF("win", "b", "av"), Seq("win", "b"))
+  def countPerWindow(cw: DataFrame): DataFrame =
+    withAdjacencyKeyed(cw)
       .groupBy("win")
       .agg(sum(size(array_intersect(col("au"), col("av")))).as("triangles"))
       .where(col("triangles") > 0)
-  }
 }
