@@ -52,15 +52,17 @@ object TextStats {
           when(col("avg_token_len").between(3, 10), 0.2).otherwise(0.0), 6)
         .as("quality"))
 
-  /** Deterministic 63-bit document fingerprint: polynomial rolling hash
-    * over the token stream (token hashes via xxhash64), mod p. Evaluated
-    * with the `aggregate` higher-order function — sequential in token
-    * order, fully codegen'd.
+  /** Deterministic document fingerprint: polynomial rolling hash over the
+    * character stream, mod p — engine-portable (plain integer arithmetic
+    * over code points, no engine-specific hash family), so DuckDB can
+    * replay it bit-for-bit as `list_reduce` over `string_split(text, '')`
+    * and the driver hash-checks q29. Sequential in character order via
+    * the `aggregate` higher-order function.
     */
   def fingerprint(text: Column): Column = {
     val p = lit(1000000007L)
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => (acc * 31L + pmod(xxhash64(t), p)) % p)
+    aggregate(split(text, ""), lit(0L),
+      (acc, c) => (acc * 31L + ascii(c)) % p)
   }
 
   def fingerprints(docs: DataFrame): DataFrame =
@@ -74,7 +76,12 @@ object TextStats {
     * carrying real per-language signal.
     */
   object LangId {
-    /** (lang, token, logp) profile table. */
+    /** (lang, token, logp) profile table. Log-odds are fixed-point
+      * micro-units (`floor(ln(...) * 1e6)` as BIGINT): per-doc scores
+      * become exact integer sums, so the argmax is independent of
+      * float-summation order and an SQL oracle replays it bit-for-bit
+      * (double sums are order-sensitive; integer sums aren't).
+      */
     def fit(docs: DataFrame): DataFrame = {
       val tok = docs.select(col("lang"), explode(tokens(col("text"))).as("token"))
         .where(col("token") =!= "")
@@ -82,7 +89,8 @@ object TextStats {
       val totals = tok.groupBy("lang").agg(count("*").as("tot"))
       counts.join(totals, Seq("lang"))
         .select(col("lang"), col("token"),
-          log((col("c") + 1).cast("double") / (col("tot") + 1000)).as("logp"))
+          floor(log((col("c") + 1).cast("double") / (col("tot") + 1000)) * 1e6)
+            .cast("long").as("logp"))
     }
 
     /** (doc_id, predicted lang). Ties broken by lang name. */
