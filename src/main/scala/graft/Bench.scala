@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // dev knobs: SPARK_GRAFT_ONLY=q36,q33 runs a subset;
     // SPARK_GRAFT_STRICT_CODEGEN=1 forbids the silent interpreted-eval
     // fallback so a Janino compile failure fails the query loudly.

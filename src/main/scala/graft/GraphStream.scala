@@ -78,11 +78,38 @@ class GraphStream(val edges: DataFrame) {
   def mapEdges(value: Column): GraphStream =
     new GraphStream(edges.withColumn("value", value))
 
+  /** O8 lambda form — the reference's arbitrary `MapFunction`
+    * (GS/SimpleEdgeStream.java:~210): any Scala over the canonical typed
+    * edge. Distributed like any Dataset.map, but it deserializes rows and
+    * drops extra attribute columns — prefer the Column form (codegen'd,
+    * keeps extras) whenever the transform is expressible.
+    */
+  def mapEdges(f: graft.model.Edge => graft.model.Edge): GraphStream = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    new GraphStream(canonical.as[graft.model.Edge].map(f).toDF())
+  }
+
   /** O9 — predicate on edges (GS/SimpleEdgeStream.java:~240). A Catalyst
     * predicate: pushes down to the parquet scan when possible.
     */
   def filterEdges(p: Column): GraphStream =
     new GraphStream(edges.filter(p))
+
+  /** O9 lambda form — arbitrary `FilterFunction`
+    * (GS/SimpleEdgeStream.java:~240) over the canonical typed edge. Same
+    * trade as the mapEdges lambda form: no predicate pushdown, extras
+    * dropped — for predicates Catalyst can't express.
+    */
+  def filterEdges(f: graft.model.Edge => Boolean): GraphStream = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    new GraphStream(canonical.as[graft.model.Edge].filter(f).toDF())
+  }
+
+  private def canonical: DataFrame =
+    edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+      col("value").cast("double").as("value"), col("ts").cast("timestamp").as("ts"))
 
   /** O10 — keep edges whose BOTH endpoints satisfy a vertex predicate
     * (GS/SimpleEdgeStream.java:~255).

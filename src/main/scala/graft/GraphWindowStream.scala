@@ -81,4 +81,25 @@ class GraphWindowStream(
   def neighborhoods: DataFrame =
     grouped.agg(collect_list(struct(col("nbr"), col("value"))).as("neighbors"))
       .select(winStart, col("vid"), col("neighbors"))
+
+  /** Materialize ONE window of the stream as a batch [[GraphStream]] —
+    * the "snapshot" convenience the reference's slice() users reach for
+    * (feed it to the batch operators: triangles, CC, PageRank via
+    * [[graft.operators.Snapshots]]). `winStartEpochSec` is the epoch
+    * second of the tumbling-window start, as emitted in the `win` column
+    * of every windowed result. A pure filter — the window predicate
+    * prunes at the scan when `ts` is a partition/sort column.
+    */
+  def snapshot(winStartEpochSec: Long): GraphStream = {
+    val filtered = edges
+      .withColumn("__w", window(col("ts"), size))
+      .where(unix_timestamp(col("__w.start")) === winStartEpochSec)
+      .drop("__w")
+    GraphStream(filtered)
+  }
+
+  /** Distinct window starts present in the stream (epoch seconds). */
+  def windowStarts: DataFrame =
+    edges.select(unix_timestamp(window(col("ts"), size).getField("start")).as("win"))
+      .distinct()
 }

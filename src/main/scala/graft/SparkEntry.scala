@@ -239,6 +239,35 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("orderkey").asc)
         .limit(10)
     }),
+    // O20 transientState=false: the running summary replayed over a real
+    // stream must converge to the one-shot batch answer (q13a's oracle)
+    "q45_streaming_cc" -> ((s, dir) =>
+      graft.streaming.StreamingOps.replayConnectedComponents(
+        GraphFixtures.edgeStream(s, dir))),
+    // O18c applyOnNeighbors: arbitrary Scala over a materialized windowed
+    // neighborhood (here: distinct-neighbor count, chosen because the
+    // oracle can replay it in SQL while the Spark side genuinely runs the
+    // buffered-neighborhood code path)
+    "q47_apply_neighbors" -> ((s, dir) => {
+      import s.implicits._
+      E(s, dir).slice("30 days", EdgeDirection.Out)
+        .applyOnNeighbors[(Long, Long, Long)]((win, vid, nbrs) =>
+          Iterator.single((win, vid, nbrs.map(_._1).distinct.size.toLong)))
+        .toDF("win", "src", "n_distinct_nbrs")
+    }),
+    // string-keyed ingest: dictionary-encode, run a Long-keyed operator,
+    // decode back — output is in key space, so it oracle-checks directly
+    "q46_string_keys" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val strEdges = li.select(
+        concat(lit("P"), col("l_partkey")).as("src"),
+        concat(lit("S"), col("l_suppkey")).as("dst"),
+        col("l_quantity").as("value"),
+        col("l_shipdate").as("ts"))
+      val (enc, dict) = graft.sources.Sources.dictionaryEncode(strEdges)
+      graft.sources.Sources.decodeKeys(GraphStream(enc).getDegrees, dict, "id", "key")
+        .select("key", "degree")
+    }),
     // per-source corpus stats (source dimension of documents)
     "q43_source_stats" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -327,6 +356,9 @@ object SparkEntry {
         ("SELECT CAST(FLOOR(epoch(l_shipdate) / 2592000) * 2592000 AS BIGINT) AS win, " +
           "l_partkey AS src, COUNT(*) AS cnt, SUM(l_quantity) AS sum_value FROM lineitem GROUP BY 1, 2"),
       "q13a_cc_e" -> ccOracle(
+        "SELECT DISTINCT l_partkey AS x, l_suppkey + 1000000000 AS y FROM lineitem"),
+      // the running-summary stream must converge to the same assignment
+      "q45_streaming_cc" -> ccOracle(
         "SELECT DISTINCT l_partkey AS x, l_suppkey + 1000000000 AS y FROM lineitem"),
       "q13b_cc_c10" -> ccOracle(copurchase10),
       "q14_triangles" ->
@@ -473,6 +505,13 @@ object SparkEntry {
           "WHERE o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate >= TIMESTAMP '1998-01-01' " +
           "GROUP BY l_orderkey, o_orderdate " +
           "ORDER BY revenue DESC, orderkey LIMIT 10"),
+      "q47_apply_neighbors" ->
+        ("SELECT CAST(FLOOR(epoch(l_shipdate) / 2592000) * 2592000 AS BIGINT) AS win, " +
+          "l_partkey AS src, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_distinct_nbrs " +
+          "FROM lineitem GROUP BY 1, 2"),
+      "q46_string_keys" ->
+        ("SELECT key, COUNT(*) AS degree FROM (SELECT 'P' || l_partkey AS key FROM lineitem " +
+          "UNION ALL SELECT 'S' || l_suppkey FROM lineitem) GROUP BY key"),
       "q43_source_stats" ->
         ("SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs, " +
           "ROUND(AVG(n_chars), 6) AS avg_chars FROM documents GROUP BY source"),

@@ -85,9 +85,26 @@ object Dedup {
     * join: shingle → docs, pair rows only for docs sharing ≥1 shingle,
     * map-side partial counts per pair. Output: (doc_a, doc_b, jac) for
     * pairs with jac ≥ threshold.
+    *
+    * The co-occurrence join materializes Σ_shingle df² rows — quadratic
+    * when the shingle space is dense. The fence computes that mass first
+    * (one cheap agg over the already-checkpointed shingle table — O(|sh|),
+    * vs the O(Σdf²) join it guards) and refuses past `maxCooccurrence`:
+    * this operator is the exact AUDIT tool; [[minhashPairs]] is the scale
+    * path and [[ngramJaccardPairsPrefix]] the exact sparse-regime one.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame =
-    invertedIndexPairs(shingles(docs, n), threshold)
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                        maxCooccurrence: Long = 1000000000L): DataFrame = {
+    val sh = shingles(docs, n).localCheckpoint(true)
+    val mass = sh.groupBy("shingle").agg(count("*").as("df"))
+      .agg(sum(col("df") * col("df"))).head().getLong(0)
+    require(mass <= maxCooccurrence,
+      s"ngramJaccardPairs would expand $mass co-occurrence rows (cap $maxCooccurrence): " +
+        "dense shingle space — use Dedup.minhashPairs (bucketed, approximate+verified) " +
+        "or ngramJaccardPairsPrefix (exact, wins on sparse spaces), or raise " +
+        "maxCooccurrence explicitly to audit at this density.")
+    invertedIndexPairs(sh, threshold)
+  }
 
   /** Bitset-encoded all-pairs variant for small shingle dictionaries
     * (≤64k distinct shingles): one fused AND+POPCNT per pair instead of a

@@ -59,9 +59,21 @@ object Similarity {
   }
 
   /** All corpus pairs (a < b) with cosine ≥ threshold (embedding
-    * near-duplicate detection). Exact; the LSH variant prunes candidates.
+    * near-duplicate detection). Exact — and deliberately quadratic: this
+    * is the AUDIT baseline the approximate paths are verified against
+    * ([[lshTopK]] buckets, [[Dedup.minhashPairs]] bands), not a shipped
+    * scale path. The fence below refuses corpora where n²/2 pair rows
+    * would no longer be a deliberate choice; raise `maxRows` explicitly
+    * to audit a bigger sample, or use the bucketed operators for the
+    * full corpus.
     */
-  def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
+  def cosinePairs(corpus: DataFrame, threshold: Double,
+                  maxRows: Long = 100000L): DataFrame = {
+    val n = corpus.count() // parquet sources answer from footer metadata
+    require(n <= maxRows,
+      s"cosinePairs is an exact all-pairs audit over ${n} rows (~${n * n / 2} pairs); " +
+        s"cap is $maxRows. Use Similarity.lshTopK / Dedup.minhashPairs for the full " +
+        "corpus, or pass maxRows explicitly to audit a sample this big.")
     val a = corpus.select(col("vec_id").as("vec_a"), asDouble(col("embedding")).as("ea"))
       .withColumn("na", norm(col("ea")))
     val b = corpus.select(col("vec_id").as("vec_b"), asDouble(col("embedding")).as("eb"))

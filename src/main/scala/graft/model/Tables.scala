@@ -3,6 +3,14 @@ package graft.model
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** The canonical typed edge — the reference's `Edge<K, EV>` plus event
+  * time (GS/Edge.java, GS/SimpleEdgeStream.java:~60) at the v0 key/value
+  * types (K=Long, EV=Double). Used by the lambda forms of
+  * mapEdges/filterEdges; the Column forms operate on the full row and
+  * keep extra attribute columns.
+  */
+case class Edge(src: Long, dst: Long, value: Double, ts: java.sql.Timestamp)
+
 /** Loaders for the driver-generated parquet tables (see TESTDATA.md /
   * FIXTURES.md). All reads are plain vectorized parquet scans — column
   * pruning and predicate pushdown happen in callers via Catalyst.

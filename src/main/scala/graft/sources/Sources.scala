@@ -77,6 +77,45 @@ object Sources {
       current_timestamp().as("ts"))
   }
 
+  /** String-keyed edge ingest — the reference's generic vertex key `K`
+    * (GS/SimpleEdgeStream.java:~60) for the common case a real user hits
+    * first: ids that aren't integers. Dictionary-encodes every distinct
+    * endpoint key to a unique Long (so all Long-keyed operators run
+    * unchanged) and returns the dictionary to decode results back.
+    *
+    * Ids come from `monotonically_increasing_id` over the DISTINCT key
+    * set: unique by construction, assigned partition-locally (no global
+    * row_number sort funneling the dictionary through one task). The
+    * dictionary is eagerly materialized so ids are frozen — on a real
+    * cluster swap `localCheckpoint` for `checkpoint` (same one-line note
+    * as the iterative operators). Ids are NOT stable across sessions;
+    * results are decoded back to keys, which are.
+    */
+  def dictionaryEncode(edges: DataFrame): (DataFrame, DataFrame) = {
+    val dict = edges.select(col("src").cast("string").as("key"))
+      .unionByName(edges.select(col("dst").cast("string").as("key")))
+      .distinct()
+      .withColumn("id", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val others = edges.columns.filterNot(Set("src", "dst")).map(col)
+    val enc = edges
+      .join(dict.select(col("key").as("__sk"), col("id").as("__sid")),
+        col("src").cast("string") === col("__sk"))
+      .join(dict.select(col("key").as("__dk"), col("id").as("__did")),
+        col("dst").cast("string") === col("__dk"))
+      .select((Seq(col("__sid").as("src"), col("__did").as("dst")) ++ others): _*)
+    (enc, dict)
+  }
+
+  /** Decode an encoded id column back to its original string key (joined
+    * against the dictionary from [[dictionaryEncode]]; AQE broadcasts the
+    * dictionary when it fits). The id column is replaced by `keyCol`.
+    */
+  def decodeKeys(df: DataFrame, dict: DataFrame,
+                 idCol: String, keyCol: String = "key"): DataFrame =
+    df.join(dict.select(col("id").as(idCol), col("key").as(keyCol)), Seq(idCol))
+      .drop(idCol)
+
   /** Batch sinks. */
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)

@@ -70,6 +70,66 @@ object StreamingOps {
       }
   }
 
+  /** Correctness-gate harness for the running summary (the reference's
+    * signature `transientState=false` behavior): replay a BATCH edge
+    * table through a MemoryStream in ascending-ts order across
+    * `nBatches` triggers of [[runningConnectedComponents]], and return
+    * the converged (id, component) assignment — which must equal the
+    * one-shot batch answer (same oracle as q13a).
+    *
+    * The driver-side collect is the replay harness, not the operator:
+    * MemoryStream is inherently a driver-fed test source (production
+    * streams arrive via file/socket/Kafka sources and never pass through
+    * the driver). Component labels only merge downward as edges arrive,
+    * so the converged assignment is `min(component)` per id over the
+    * update-mode emissions — no "last trigger" bookkeeping needed.
+    */
+  def replayConnectedComponents(edges: DataFrame, nBatches: Int = 4): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // ascending-ts replay order: sort driver-side — a full shuffle sort
+    // just to feed the driver harness is wasted cluster work
+    val rows = edges
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        unix_micros(col("ts").cast("timestamp")))
+      .as[(Long, Long, Long)].collect()
+    rows.sortInPlaceBy(_._3)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val name = "graft_replay_cc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-replay-cc").toString
+    // the merger is keyed by a constant (the reference's parallelism-1
+    // merge), so >1 state partition only adds empty state-store commits
+    // per trigger; shuffle-partition count is pinned at stream start
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    val q =
+      try runningConnectedComponents(ms.toDF().toDF("src", "dst"))
+        .toDF("id", "component")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try {
+      val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      rows.grouped(chunk).foreach { g =>
+        ms.addData(g.map { case (s, d, _) => (s, d) }.toSeq)
+        q.processAllAvailable()
+      }
+      // labels only merge downward, so min(component) per id over the
+      // update-mode emissions is the converged assignment; it is tiny
+      // (one row per vertex) — materialize via the driver rather than
+      // spinning up checkpoint machinery on the ephemeral memory table
+      val converged = spark.table(name)
+        .groupBy("id").agg(min("component").as("component"))
+        .as[(Long, Long)].collect()
+      spark.createDataset(converged.toIndexedSeq).toDF("id", "component")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   /** Running degree table (update mode): identical plan to the batch
     * `getDegrees` — Structured Streaming keeps the per-key counts in the
     * state store and emits changed rows per trigger.

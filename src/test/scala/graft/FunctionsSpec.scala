@@ -93,6 +93,21 @@ class FunctionsSpec extends SparkTestBase {
     assert(math.abs(pairs((0L, 1L)) - 0.707107) < 1e-6)
   }
 
+  test("all-pairs fences refuse past their caps and point at the scale path") {
+    // cosinePairs: corpus bigger than maxRows refuses before any join
+    val eCos = intercept[IllegalArgumentException] {
+      Similarity.cosinePairs(emb, 0.3, maxRows = 10L)
+    }
+    assert(eCos.getMessage.contains("lshTopK"))
+    // ngramJaccardPairs: dense corpus exceeding the df² mass cap refuses
+    val eJac = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, 2, 0.5, maxCooccurrence = 100L)
+    }
+    assert(eJac.getMessage.contains("minhashPairs"))
+    // within the caps both still run (defaults cover the test scale)
+    assert(Similarity.cosinePairs(emb, 0.9).count() >= 0)
+  }
+
   test("fingerprints are stable and distinct texts get distinct prints") {
     val fp1 = TextStats.fingerprints(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val fp2 = TextStats.fingerprints(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

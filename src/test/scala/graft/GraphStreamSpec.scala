@@ -45,6 +45,30 @@ class GraphStreamSpec extends SparkTestBase {
     assert(collectPairs(fv.edges.select("src", "dst")) == Set((2L, 3L), (3L, 4L)))
   }
 
+  test("lambda mapEdges / filterEdges match the Column forms") {
+    import graft.model.Edge
+    val mapped = g.mapEdges((e: Edge) => e.copy(value = e.value * 10))
+    assert(mapped.edges.agg(sum("value")).head.getDouble(0) == 60.0)
+    val filtered = g.filterEdges((e: Edge) => e.src == 1L)
+    assert(filtered.numberOfEdges.head.getLong(0) == 3L)
+    // arbitrary logic a Column couldn't express stays distributed
+    val parity = g.filterEdges((e: Edge) => (e.src + e.dst) % 2 == 1)
+    assert(parity.numberOfEdges.head.getLong(0) ==
+      g.filterEdges((col("src") + col("dst")) % 2 === 1).numberOfEdges.head.getLong(0))
+  }
+
+  test("snapshot materializes one window as a batch GraphStream") {
+    // edges at ts = 0,60,...,300s; 2-minute tumbling windows
+    val sliced = g.slice("2 minutes", EdgeDirection.Out)
+    val wins = sliced.windowStarts.collect().map(_.getLong(0)).toSet
+    assert(wins == Set(0L, 120L, 240L))
+    // window [0,120s): edges at ts 0s and 60s → (1,2) and (1,3)
+    val snap = sliced.snapshot(0L)
+    assert(collectPairs(snap.edges.select("src", "dst")) == Set((1L, 2L), (1L, 3L)))
+    // a snapshot is a full GraphStream: batch operators run on it
+    assert(snap.getDegrees.count() == 3)
+  }
+
   test("distinct dedups (src,dst)") {
     assert(g.distinct.numberOfEdges.head.getLong(0) == 5L)
   }

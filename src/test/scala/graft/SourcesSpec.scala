@@ -39,6 +39,26 @@ class SourcesSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("string-keyed ingest round-trips through degrees and CC") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+      .withColumn("value", lit(1.0))
+      .withColumn("ts", timestamp_seconds(lit(0)))
+    val (enc, dict) = Sources.dictionaryEncode(e)
+    assert(enc.schema("src").dataType == org.apache.spark.sql.types.LongType)
+    assert(dict.count() == 5) // distinct keys get distinct ids
+    assert(dict.select("id").distinct().count() == 5)
+    val deg = Sources.decodeKeys(GraphStream(enc).getDegrees, dict, "id", "key")
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Long]("degree")).toMap
+    assert(deg == Map("a" -> 1L, "b" -> 2L, "c" -> 1L, "x" -> 1L, "y" -> 1L))
+    val cc = graft.operators.SummaryAggregations.connectedComponents(enc)
+    val groups = Sources.decodeKeys(cc, dict, "id", "key")
+      .collect().groupBy(_.getAs[Long]("component"))
+      .values.map(_.map(_.getAs[String]("key")).toSet).toSet
+    assert(groups == Set(Set("a", "b", "c"), Set("x", "y")))
+  }
+
   test("rate source emits canonical edges") {
     val stream = Sources.rateEdgeStream(spark, rowsPerSecond = 100, nVertices = 10)
     assert(stream.isStreaming)

@@ -71,6 +71,15 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("replay harness converges to the one-shot batch CC (q45 semantics)") {
+    val e = graft.model.GraphFixtures.edgeStream(spark, sf)
+    val got = StreamingOps.replayConnectedComponents(e, nBatches = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = SummaryAggregations.connectedComponents(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == batch)
+  }
+
   test("windowed neighborhood fold under watermark 0 emits batch-equal closed windows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
