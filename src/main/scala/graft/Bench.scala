@@ -40,7 +40,16 @@ object Bench {
         failed ::= name
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // queries are standalone: drop blocks pinned by localCheckpoint /
+      // cache between queries — accumulated blocks from earlier queries
+      // otherwise GC-thrash later ones (measured 3× inflation at sf0.1)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+      // ContextCleaner reaps dead shuffles/broadcasts only after a GC;
+      // with a large heap none happens naturally between queries
+      System.gc()
+      name -> t
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -171,6 +171,58 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Pack an `array<int>` of bit indices into a fixed-width `array<long>`
+  * bitset. The higher-order-function formulation
+  * (`aggregate(ids, zeros, (acc, id) => transform(acc, set-bit-if))`)
+  * interprets O(ids × words) lambda steps per row; this is one fused
+  * loop and stays inside whole-stage codegen. Out-of-range indices
+  * throw — a silent drop would make set intersections plausibly wrong.
+  */
+case class IntsToBitset(child: Expression, nWords: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val ids = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](nWords)
+    var i = 0
+    val n = ids.numElements()
+    while (i < n) {
+      val id = ids.getInt(i)
+      if (id < 0 || id >= nWords * 64)
+        throw new IllegalArgumentException(
+          s"ints_to_bitset: index $id out of range for $nWords words")
+      out(id >>> 6) |= 1L << (id & 63)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, ids => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val id = ctx.freshName("id")
+      s"""
+         |long[] $out = new long[$nWords];
+         |int $n = $ids.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  int $id = $ids.getInt($i);
+         |  if ($id < 0 || $id >= ${nWords * 64}) {
+         |    throw new IllegalArgumentException(
+         |      "ints_to_bitset: index " + $id + " out of range for $nWords words");
+         |  }
+         |  $out[$id >>> 6] |= 1L << ($id & 63);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** L2-normalize an `array<double>` in one pass: norm computed once per
   * vector (the HOF formulation `transform(c, x => x / norm(c))`
   * re-evaluates the full norm per element — O(dim²)). All-zero vectors
@@ -242,4 +294,10 @@ object VectorExpressions {
   /** One-pass L2 normalization with a zero-vector guard. */
   def unitVector(vec: Column): Column =
     ColumnBridge.column(UnitVector(ColumnBridge.expression(vec)))
+
+  /** Pack bit indices (`array<int>`) into an `array<long>` bitset of
+    * `nWords` words; out-of-range indices throw.
+    */
+  def intsToBitset(ids: Column, nWords: Int): Column =
+    ColumnBridge.column(IntsToBitset(ColumnBridge.expression(ids), nWords))
 }

@@ -38,7 +38,7 @@ object Dedup {
   /** Distinct n-gram token shingles per doc: (doc_id, shingle). */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
     val toks = split(col("text"), " ")
-    docs
+    Spread(docs)
       .where(size(toks) >= n)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(toks) - (n - 1)),
@@ -81,37 +81,55 @@ object Dedup {
     jaccardOfPairs(cands, sh, counts, threshold)
   }
 
-  /** Exact pairwise n-gram Jaccard via the inverted-index co-occurrence
-    * join: shingle → docs, pair rows only for docs sharing ≥1 shingle,
-    * map-side partial counts per pair. Output: (doc_a, doc_b, jac) for
-    * pairs with jac ≥ threshold.
+  /** Exact pairwise n-gram Jaccard. Two physical plans, chosen by the
+    * measured shape of the shingle space (one cheap O(|sh|) stats pass
+    * over the already-checkpointed shingle table):
     *
-    * The co-occurrence join materializes Σ_shingle df² rows — quadratic
-    * when the shingle space is dense. The fence computes that mass first
-    * (one cheap agg over the already-checkpointed shingle table — O(|sh|),
-    * vs the O(Σdf²) join it guards) and refuses past `maxCooccurrence`:
-    * this operator is the exact AUDIT tool; [[minhashPairs]] is the scale
-    * path and [[ngramJaccardPairsPrefix]] the exact sparse-regime one.
+    *  - inverted-index co-occurrence join (shingle → docs, pair rows only
+    *    for docs sharing ≥1 shingle, map-side partial counts). Cost =
+    *    Σ_shingle df² shuffled rows — quadratic when the space is dense.
+    *  - bitset kernel (dictionary-encode shingles, pack each doc's set
+    *    into an `array<long>`, one fused AND+POPCNT per doc pair). Cost =
+    *    |docs|²/2 × words — wins exactly when density makes the join
+    *    blow up, and is only feasible for dictionaries ≤64k.
+    *
+    * The crossover compares join rows (shuffled+aggregated, ~32× the cost
+    * of a popcnt word-op) against pair word-ops. Both estimates are
+    * fenced by `maxCooccurrence` (join rows, or the word-op equivalent):
+    * past the fence this exact AUDIT tool refuses and points at
+    * [[minhashPairs]] (the bucketed scale path) or
+    * [[ngramJaccardPairsPrefix]] (exact, wins on sparse spaces).
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxCooccurrence: Long = 1000000000L): DataFrame = {
     val sh = shingles(docs, n).localCheckpoint(true)
-    val mass = sh.groupBy("shingle").agg(count("*").as("df"))
-      .agg(sum(col("df") * col("df"))).head().getLong(0)
-    require(mass <= maxCooccurrence,
-      s"ngramJaccardPairs would expand $mass co-occurrence rows (cap $maxCooccurrence): " +
-        "dense shingle space — use Dedup.minhashPairs (bucketed, approximate+verified) " +
-        "or ngramJaccardPairsPrefix (exact, wins on sparse spaces), or raise " +
-        "maxCooccurrence explicitly to audit at this density.")
-    invertedIndexPairs(sh, threshold)
+    val stats = sh.groupBy("shingle").agg(count("*").as("df"))
+      .agg(sum(col("df") * col("df")).as("mass"), count("*").as("dict")).head()
+    val (mass, dict) = (stats.getLong(0), stats.getLong(1))
+    val nDocs = sh.agg(countDistinct(col("doc_id"))).head().getLong(0)
+    val nWords = ((dict + 63) / 64).toInt
+    val bitsetWordOps = nDocs * nDocs / 2 * math.max(nWords, 1)
+    val joinRowCost = 32L // one shuffled co-occurrence row ≈ 32 popcnt word-ops
+    if (dict <= 65536 && bitsetWordOps < mass * joinRowCost) {
+      require(bitsetWordOps <= maxCooccurrence * joinRowCost,
+        s"ngramJaccardPairs (bitset path) would run $bitsetWordOps word-ops " +
+          s"(cap ${maxCooccurrence * joinRowCost}): use Dedup.minhashPairs (bucketed, " +
+          "approximate+verified) at this scale, or raise maxCooccurrence to audit.")
+      bitsetPairs(sh, dict.toInt, threshold)
+    } else {
+      require(mass <= maxCooccurrence,
+        s"ngramJaccardPairs would expand $mass co-occurrence rows (cap $maxCooccurrence): " +
+          "dense shingle space — use Dedup.minhashPairs (bucketed, approximate+verified) " +
+          "or ngramJaccardPairsPrefix (exact, wins on sparse spaces), or raise " +
+          "maxCooccurrence explicitly to audit at this density.")
+      invertedIndexPairs(sh, threshold)
+    }
   }
 
   /** Bitset-encoded all-pairs variant for small shingle dictionaries
-    * (≤64k distinct shingles): one fused AND+POPCNT per pair instead of a
-    * co-occurrence join row per shared shingle. Measured at sf0.1 it ties
-    * the inverted-index join (12–18 s vs ~14 s) — the interpreted
-    * higher-order bitmap construction offsets the codegen'd pair kernel —
-    * so it ships as an explicit choice, not the default.
+    * (≤64k distinct shingles), forced explicitly — [[ngramJaccardPairs]]
+    * already picks this plan automatically when the density estimate says
+    * it wins.
     */
   def ngramJaccardPairsBitset(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val sh = shingles(docs, n).localCheckpoint(true)
@@ -135,29 +153,38 @@ object Dedup {
   }
 
   private def bitsetPairs(sh: DataFrame, nDistinct: Int, threshold: Double): DataFrame = {
-    import graft.expressions.VectorExpressions.bitAndCount
+    import graft.expressions.{BitsetCorpus, BitsetJaccard}
+    import graft.expressions.VectorExpressions.intsToBitset
+    val spark = sh.sparkSession
     val nWords = (nDistinct + 63) / 64
     // dictionary is ≤64k entries by precondition — the global window is fine
     val dict = sh.select("shingle").distinct()
       .withColumn("sid", row_number().over(Window.orderBy("shingle")) - 1)
-    val pow2 = array((0 until 64).map(b => lit(1L << b)): _*)
     val bm = sh.join(dict, Seq("shingle"))
-      .groupBy("doc_id").agg(collect_list(col("sid")).as("ids"))
+      .groupBy("doc_id").agg(collect_list(col("sid").cast("int")).as("ids"))
       .select(col("doc_id"), size(col("ids")).as("n_sh"),
-        aggregate(col("ids"), array_repeat(lit(0L), nWords), (acc, id) => {
-          val w = floor(id / 64).cast("int")
-          val bit = element_at(pow2, pmod(id, lit(64)).cast("int") + 1)
-          transform(acc, (x, i) => when(i === w, x.bitwiseOR(bit)).otherwise(x))
-        }).as("bm"))
+        intsToBitset(col("ids"), nWords).as("bm"))
       .localCheckpoint(true)
-    val a = bm.toDF("doc_a", "na", "ba")
-    val b = bm.toDF("doc_b", "nb", "bb")
-    a.crossJoin(broadcast(b))
-      .where(col("doc_a") < col("doc_b"))
-      .withColumn("inter", bitAndCount(col("ba"), col("bb")))
-      .where(col("inter") > 0)
-      .select(col("doc_a"), col("doc_b"),
-        round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jac"))
+    // the pair loop runs against the corpus as ONE broadcast primitive
+    // matrix: a crossJoin would materialize a joined row per PAIR (the
+    // dominant cost — ~500ns each), where the kernel only materializes
+    // matches. Collect is fenced by the caller's cost cap (≤ ~65k docs
+    // at defaults → single-digit MBs, same class as IVF centroids).
+    val rows = bm.select("doc_id", "n_sh", "bm").collect()
+      .sortBy(_.getLong(0))
+    val bms = new Array[Long](rows.length * nWords)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val arr = r.getSeq[Long](2)
+      var w = 0
+      while (w < nWords) { bms(i * nWords + w) = arr(w); w += 1 }
+    }
+    val corpus = spark.sparkContext.broadcast(BitsetCorpus(
+      rows.map(_.getLong(0)), rows.map(_.getInt(1)), bms, nWords))
+    bm.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
+        explode(BitsetJaccard.matches(col("bm"), col("doc_id"), col("n_sh"),
+          corpus, threshold)).as("m"))
+      .select(col("doc_a"), col("m.doc_b").as("doc_b"),
+        round(col("m.inter") / (col("na") + col("m.nb") - col("m.inter")), 6).as("jac"))
       .where(col("jac") >= threshold)
   }
 
@@ -216,7 +243,7 @@ object Dedup {
     * the token's hash decides the sign at bit b.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tok = Spread(docs).select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .where(col("token") =!= "")
       .select(col("doc_id"), xxhash64(col("token")).as("h"))
     val bitSums = (0 until 64).map { b =>

@@ -20,7 +20,7 @@ object TextStats {
 
   /** Global token frequency table, deterministically ordered. */
   def topTokens(docs: DataFrame, k: Int): DataFrame =
-    docs.select(explode(tokens(col("text"))).as("token"))
+    Spread(docs).select(explode(tokens(col("text"))).as("token"))
       .where(col("token") =!= "")
       .groupBy("token").agg(count("*").as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
@@ -32,7 +32,7 @@ object TextStats {
     */
   def qualityStats(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
-    docs.select(
+    Spread(docs).select(
       col("doc_id"),
       size(t).cast("long").as("n_tokens"),
       size(array_distinct(t)).cast("long").as("n_distinct"),
@@ -66,7 +66,7 @@ object TextStats {
   }
 
   def fingerprints(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    Spread(docs).select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
   /** N-gram/token language-ID: self-trained token log-odds profiles.
     * `fit` learns per-language token frequencies from labeled docs (one
@@ -83,7 +83,7 @@ object TextStats {
       * (double sums are order-sensitive; integer sums aren't).
       */
     def fit(docs: DataFrame): DataFrame = {
-      val tok = docs.select(col("lang"), explode(tokens(col("text"))).as("token"))
+      val tok = Spread(docs).select(col("lang"), explode(tokens(col("text"))).as("token"))
         .where(col("token") =!= "")
       val counts = tok.groupBy("lang", "token").agg(count("*").as("c"))
       val totals = tok.groupBy("lang").agg(count("*").as("tot"))
@@ -95,7 +95,7 @@ object TextStats {
 
     /** (doc_id, predicted lang). Ties broken by lang name. */
     def predict(docs: DataFrame, profile: DataFrame): DataFrame = {
-      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val tok = Spread(docs).select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .where(col("token") =!= "")
       val scored = tok.join(broadcast(profile), Seq("token"))
         .groupBy(col("doc_id"), col("lang")).agg(sum(col("logp")).as("score"))
