@@ -64,6 +64,16 @@ object Dedup {
   def ngramJaccardPairsPrefix(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val sh = shingles(docs, n)
     val counts = sh.groupBy(col("doc_id")).agg(count("*").as("n_sh"))
+    val cands = prefixCandidates(sh, counts, threshold)
+    jaccardOfPairs(cands, sh, counts, threshold)
+  }
+
+  /** Candidate pairs surviving the lossless prefix filter — exposed for
+    * the sparse-regime audit (the spec compares this count against the
+    * full co-occurrence candidate count on a sparse corpus).
+    */
+  private[graft] def prefixCandidates(sh: DataFrame, counts: DataFrame,
+                                      threshold: Double): DataFrame = {
     // rarity order (df asc, shingle) needs no global rank — the per-doc
     // window orders by the key directly, so nothing ever single-partitions
     val df = sh.groupBy("shingle").agg(count("*").as("df"))
@@ -74,11 +84,10 @@ object Dedup {
       .join(counts, Seq("doc_id"))
       .where(col("pos") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
       .select("doc_id", "shingle")
-    val cands = prefix.toDF("doc_a", "shingle")
+    prefix.toDF("doc_a", "shingle")
       .join(prefix.toDF("doc_b", "shingle"), Seq("shingle"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    jaccardOfPairs(cands, sh, counts, threshold)
   }
 
   /** Exact pairwise n-gram Jaccard. Two physical plans, chosen by the

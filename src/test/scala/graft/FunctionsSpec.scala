@@ -38,6 +38,48 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("sparse corpus: prefix filter prunes most candidates; all variants agree") {
+    import spark.implicits._
+    // sparse regime for the prefix filter: shingles collide occasionally
+    // (so there IS a candidate set to prune) but df stays low relative to
+    // doc count — vocab 40 over 24-token docs gives ~13k co-occurring
+    // pairs of 45k possible. Deterministic LCG: identical on every run.
+    var state = 12345L
+    def nextInt(bound: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (math.abs(state >>> 33) % bound).toInt
+    }
+    val vocabSize = 40
+    val base = (1 to 300).map { id =>
+      (id.toLong, (1 to 24).map(_ => s"w${nextInt(vocabSize)}").mkString(" "))
+    }
+    // a handful of true near-dups: copy a doc and perturb one token
+    val dups = (1 to 10).map { i =>
+      val (srcId, text) = base(i * 7)
+      val toks = text.split(" "); toks(0) = "perturbed"
+      (1000L + srcId, toks.mkString(" "))
+    }
+    val corpus = (base ++ dups).toDF("doc_id", "text")
+    val sh = Dedup.shingles(corpus, 2).localCheckpoint(true)
+    val counts = sh.groupBy(col("doc_id")).agg(count("*").as("n_sh"))
+    val cooc = sh.toDF("doc_a", "shingle")
+      .join(sh.toDF("doc_b", "shingle"), Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct().count()
+    val pref = Dedup.prefixCandidates(sh, counts, 0.8).count()
+    // the win regime is structural, not a timing accident: the prefix
+    // filter must eliminate the vast majority of co-occurrence candidates
+    info(s"prefix kept $pref of $cooc co-occurrence candidates")
+    assert(pref * 10 <= cooc, s"prefix kept $pref of $cooc candidates — not a sparse regime?")
+    val exact = Dedup.ngramJaccardPairs(corpus, 2, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val prefixed = Dedup.ngramJaccardPairsPrefix(corpus, 2, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty && prefixed == exact)
+    // every planted near-dup must surface
+    assert((1 to 10).forall { i => exact.keys.exists(_._2 == 1000L + base(i * 7)._1.toInt) })
+  }
+
   test("minhash LSH finds all high-jaccard pairs found exactly (recall=1 at 0.5)") {
     val exact = collectPairs(Dedup.ngramJaccardPairs(docs, 2, 0.5).select("doc_a", "doc_b"))
     val mh = collectPairs(Dedup.minhashPairs(docs, 2, 0.5).select("doc_a", "doc_b"))
