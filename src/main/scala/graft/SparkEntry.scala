@@ -244,6 +244,12 @@ object SparkEntry {
     "q45_streaming_cc" -> ((s, dir) =>
       graft.streaming.StreamingOps.replayConnectedComponents(
         GraphFixtures.edgeStream(s, dir))),
+    // O24 streaming form: incremental exact triangles over a replayed
+    // edge stream — every prefix total is exact; the final one must equal
+    // the one-shot batch count on the same graph
+    "q48_streaming_triangles" -> ((s, dir) =>
+      graft.streaming.StreamingOps.replayTriangleCount(
+        GraphFixtures.coPurchase10(s, dir))),
     // O18c applyOnNeighbors: arbitrary Scala over a materialized windowed
     // neighborhood (here: distinct-neighbor count, chosen because the
     // oracle can replay it in SQL while the Spark side genuinely runs the
@@ -360,6 +366,9 @@ object SparkEntry {
       // the running-summary stream must converge to the same assignment
       "q45_streaming_cc" -> ccOracle(
         "SELECT DISTINCT l_partkey AS x, l_suppkey + 1000000000 AS y FROM lineitem"),
+      // incremental stream total == one-shot batch triangle count on C10
+      "q48_streaming_triangles" ->
+        s"WITH c AS ($copurchase10) SELECT COUNT(*) AS triangles $triangleJoin",
       "q13b_cc_c10" -> ccOracle(copurchase10),
       "q14_triangles" ->
         s"WITH c AS ($copurchase) SELECT COUNT(*) AS triangles $triangleJoin",

@@ -130,6 +130,90 @@ object StreamingOps {
     }
   }
 
+  /** One step of incremental exact triangle counting: given the
+    * accumulated canonical (src<dst) edge set `acc` and a new batch,
+    * return the deduped new edges and the number of triangles CLOSED by
+    * this batch. Each triangle is counted exactly once, split by how many
+    * of its edges are new:
+    *
+    *  - 1 new edge (u,v): old common neighbors — |N_acc(u) ∩ N_acc(v)|,
+    *    the same intersect-on-arrival the reference does per edge
+    *    (GS/example/ExactTriangleCount.java:~50–200)
+    *  - 2 new edges: a wedge (x;y,z) inside the batch whose closing edge
+    *    (y,z) is OLD — such a triangle has exactly one batch wedge
+    *  - 3 new edges: the same wedge join with a NEW closing edge counts
+    *    each all-new triangle exactly 3 times (once per wedge), so that
+    *    tally divides by 3
+    *
+    * Both wedge terms come from ONE join of the batch's wedges against
+    * the old/new-tagged edge set. Nothing ever self-joins the
+    * accumulated set — a trigger costs O(|B| × degree), not O(|A|²).
+    */
+  private[graft] def incrementalTriangleStep(acc: DataFrame, batch: DataFrame): (DataFrame, Long) = {
+    val b = batch.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") < col("dst")).distinct()
+      .join(acc, Seq("src", "dst"), "left_anti")
+      .localCheckpoint(true)
+    // undirected adjacency of the accumulated graph, built per trigger —
+    // a long-running deployment would hold this in keyed state; the join
+    // shape (batch × adjacency) is the same either way
+    val adjA = acc.select(col("src").as("x"), col("dst").as("n"))
+      .unionAll(acc.select(col("dst").as("x"), col("src").as("n")))
+      .groupBy("x").agg(collect_list(col("n")).as("nbrs"))
+    val t1 = b
+      .join(adjA.toDF("src", "an"), Seq("src"))
+      .join(adjA.toDF("dst", "bn"), Seq("dst"))
+      .agg(coalesce(sum(size(array_intersect(col("an"), col("bn")))), lit(0L)))
+      .head().getLong(0)
+    val bu = b.select(col("src").as("x"), col("dst").as("n"))
+      .unionAll(b.select(col("dst").as("x"), col("src").as("n")))
+    val closing = acc.toDF("y", "z").select(col("y"), col("z"), lit(true).as("old"))
+      .unionAll(b.toDF("y", "z").select(col("y"), col("z"), lit(false).as("old")))
+    val wedgeTallies = bu.toDF("x", "y").join(bu.toDF("x", "z"), Seq("x"))
+      .where(col("y") < col("z"))
+      .join(closing, Seq("y", "z"))
+      .groupBy("old").count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val t2 = wedgeTallies.getOrElse(true, 0L)
+    val t3 = wedgeTallies.getOrElse(false, 0L) / 3
+    (b, t1 + t2 + t3)
+  }
+
+  /** Correctness-gate harness for incremental triangle counting — the
+    * reference's flagship streaming example (ExactTriangleCount): replay
+    * a BATCH canonical edge set through a MemoryStream in `nBatches`
+    * foreachBatch triggers of [[incrementalTriangleStep]]; the running
+    * total after the last trigger must equal the one-shot batch count
+    * (q14's oracle). Exact at every prefix, not just at convergence.
+    */
+  def replayTriangleCount(edges: DataFrame, nBatches: Int = 4): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    rows.sortInPlaceBy(identity)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-replay-tri").toString
+    var acc = spark.createDataset(Seq.empty[(Long, Long)]).toDF("src", "dst")
+    var total = 0L
+    val q = ms.toDF().toDF("src", "dst")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (b, delta) = incrementalTriangleStep(acc, batch)
+        total += delta
+        val grown = acc.unionAll(b).localCheckpoint(true)
+        acc.unpersist(false)
+        acc = grown
+      }.start()
+    try {
+      val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+      spark.createDataset(Seq(total)).toDF("triangles")
+    } finally q.stop()
+  }
+
   /** Running degree table (update mode): identical plan to the batch
     * `getDegrees` — Structured Streaming keeps the per-key counts in the
     * state store and emits changed rows per trigger.

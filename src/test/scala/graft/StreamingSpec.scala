@@ -192,6 +192,22 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("incremental triangle replay equals the batch count for any batch split") {
+    import spark.implicits._
+    // K5 plus a pendant and an isolated edge: 10 triangles, mixed shapes —
+    // splits exercise all three incremental terms (1/2/3 new edges)
+    val edges = (for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)) ++
+      Seq((5L, 6L), (8L, 9L))
+    val df = edges.toDF("src", "dst")
+    val batchCount = graft.operators.Triangles.globalCount(df).head().getLong(0)
+    assert(batchCount == 10L)
+    for (nb <- Seq(1, 3, 5)) {
+      val streamed = graft.streaming.StreamingOps.replayTriangleCount(df, nb)
+        .head().getLong(0)
+      assert(streamed == batchCount, s"nBatches=$nb")
+    }
+  }
+
   test("streaming distinct + vertex derivation run on a stream") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
