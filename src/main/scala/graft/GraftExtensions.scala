@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.DotProduct
+import graft.expressions.{BitAndCount, DotProduct, IntsToBitset, UnitVector}
 
 /** SQL surface for the engine's native expressions.
   *
@@ -15,28 +15,50 @@ import graft.expressions.DotProduct
   *  - [[GraftExtensions.register]] on an existing session (temp
   *    functions) — the embedded/test route.
   *
-  * After either, `SELECT dot_product(a, b)` runs the codegen'd
-  * [[graft.expressions.DotProduct]] in plain SQL.
+  * After either, `SELECT dot_product(a, b)`, `bit_and_count(a, b)`,
+  * `unit_vector(v)` and `ints_to_bitset(ids, nWords)` run the codegen'd
+  * expressions in plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.dotProductDescription)
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      e.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
 }
 
 object GraftExtensions {
-  private def dotProductBuilder(exprs: Seq[Expression]): Expression = {
-    require(exprs.length == 2, "dot_product(a, b) takes exactly two array<double> arguments")
-    DotProduct(exprs.head, exprs(1))
+  private def binary(name: String, mk: (Expression, Expression) => Expression)
+      (exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, s"$name takes exactly two arguments")
+    mk(exprs.head, exprs(1))
   }
 
-  private[graft] val dotProductDescription = (
-    new FunctionIdentifier("dot_product"),
-    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-    (exprs: Seq[Expression]) => dotProductBuilder(exprs))
+  private def intsToBitsetBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "ints_to_bitset(ids, nWords) takes exactly two arguments")
+    val nWords = exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"ints_to_bitset: nWords must be an integer literal, got $other")
+    }
+    IntsToBitset(exprs.head, nWords)
+  }
+
+  private[graft] val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dot_product" -> binary("dot_product(a, b)", DotProduct.apply) _,
+    "bit_and_count" -> binary("bit_and_count(a, b)", BitAndCount.apply) _,
+    "unit_vector" -> ((exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "unit_vector(v) takes exactly one argument")
+      UnitVector(exprs.head)
+    }),
+    "ints_to_bitset" -> (intsToBitsetBuilder _))
 
   /** Register the engine's SQL functions on an existing session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", dotProductBuilder, "scala_udf")
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
 }

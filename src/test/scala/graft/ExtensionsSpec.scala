@@ -18,6 +18,26 @@ class ExtensionsSpec extends SparkTestBase {
     assert(row.getDouble(1) > 0)
   }
 
+  test("bit_and_count, unit_vector and ints_to_bitset are callable from SQL") {
+    GraftExtensions.register(spark)
+    // {0,1,64} ∩ {1,64,65} = {1,64}
+    assert(spark.sql(
+      """SELECT bit_and_count(ints_to_bitset(array(0, 1, 64), 2),
+                              ints_to_bitset(array(1, 64, 65), 2)) AS c""")
+      .head.getInt(0) == 2)
+    val u = spark.sql("SELECT unit_vector(array(3.0d, 4.0d)) AS u")
+      .head.getSeq[Double](0)
+    assert(u == Seq(0.6, 0.8))
+    // zero vector passes through unchanged, no NaNs
+    assert(spark.sql("SELECT unit_vector(array(0.0d, 0.0d)) AS u")
+      .head.getSeq[Double](0) == Seq(0.0, 0.0))
+    // non-literal nWords is rejected, not silently miscompiled
+    val e = intercept[Exception] {
+      spark.sql("SELECT ints_to_bitset(array(1), cast(rand() * 2 AS int))").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("session built withExtensions resolves dot_product") {
     val s2 = spark.newSession()
     // newSession shares the registry state? ensure explicit registration path works
