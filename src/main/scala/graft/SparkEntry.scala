@@ -245,11 +245,15 @@ object SparkEntry {
       graft.streaming.StreamingOps.replayConnectedComponents(
         GraphFixtures.edgeStream(s, dir))),
     // O24 streaming form: incremental exact triangles over a replayed
-    // edge stream — every prefix total is exact; the final one must equal
-    // the one-shot batch count on the same graph
+    // edge stream — per-vertex running counts are exact at every prefix
+    // and must end equal to the one-shot batch answer on the same graph
     "q48_streaming_triangles" -> ((s, dir) =>
-      graft.streaming.StreamingOps.replayTriangleCount(
+      graft.streaming.StreamingOps.replayTriangleCounts(
         GraphFixtures.coPurchase10(s, dir))),
+    // the end-to-end near-dup pipeline: MinHash candidates → exact verify
+    // → CC over the pair graph → per-doc cluster label
+    "q50_dedup_pipeline" -> ((s, dir) =>
+      Dedup.nearDupClusters(Tables.documents(s, dir), 2, 0.5)),
     // O18c applyOnNeighbors: arbitrary Scala over a materialized windowed
     // neighborhood (here: distinct-neighbor count, chosen because the
     // oracle can replay it in SQL while the Spark side genuinely runs the
@@ -314,17 +318,32 @@ object SparkEntry {
     // pair in this corpus has j ≥ 0.9, where a 4-row × 8-band miss has
     // probability < 1e-4 — and candidates are verified with exact
     // Jaccard, so the SAME oracle hash-checks both (recall gate).
-    val jaccardSql =
-      ("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+    // split so the dedup-pipeline oracle (q50) can reuse the CTEs inside
+    // its own recursive WITH
+    val jaccardCtes =
+      ("tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, " +
         "unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS shingle " +
         "FROM tk WHERE len(t) >= 2) u), " +
         "cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id), " +
         "pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter " +
-        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-        "SELECT doc_a, doc_b, ROUND(inter * 1.0 / (ca.n_sh + cb.n_sh - inter), 6) AS jac " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)")
+    val jaccardSelect =
+      ("SELECT doc_a, doc_b, ROUND(inter * 1.0 / (ca.n_sh + cb.n_sh - inter), 6) AS jac " +
         "FROM pr JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b " +
         "WHERE ROUND(inter * 1.0 / (ca.n_sh + cb.n_sh - inter), 6) >= 0.5")
+    val jaccardSql = s"WITH $jaccardCtes $jaccardSelect"
+    // the full near-dup pipeline: exact-verified pairs → 2-coloring-free
+    // label propagation (same pattern as ccOracle) → every doc labeled by
+    // its cluster's min doc_id (singletons label themselves)
+    val dedupPipelineSql =
+      (s"WITH RECURSIVE $jaccardCtes, pairs AS ($jaccardSelect), " +
+        "sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
+        "lbl(v, l) AS (SELECT DISTINCT a, a FROM sym " +
+        "UNION SELECT s.b, lbl.l FROM sym s JOIN lbl ON lbl.v = s.a AND lbl.l < s.b), " +
+        "comp AS (SELECT v AS id, MIN(l) AS c FROM lbl GROUP BY v) " +
+        "SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS cluster " +
+        "FROM documents d LEFT JOIN comp ON comp.id = d.doc_id")
     // ANN recall-gate oracle: one deterministic row (see recallGate)
     val annGateSql =
       ("SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries, " +
@@ -366,9 +385,12 @@ object SparkEntry {
       // the running-summary stream must converge to the same assignment
       "q45_streaming_cc" -> ccOracle(
         "SELECT DISTINCT l_partkey AS x, l_suppkey + 1000000000 AS y FROM lineitem"),
-      // incremental stream total == one-shot batch triangle count on C10
+      // incremental per-vertex stream counts == one-shot batch on C10
       "q48_streaming_triangles" ->
-        s"WITH c AS ($copurchase10) SELECT COUNT(*) AS triangles $triangleJoin",
+        (s"WITH c AS ($copurchase10), t AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c3 $triangleJoin) " +
+          "SELECT id, COUNT(*) AS triangles FROM (SELECT a AS id FROM t " +
+          "UNION ALL SELECT b FROM t UNION ALL SELECT c3 FROM t) GROUP BY id"),
+      "q50_dedup_pipeline" -> dedupPipelineSql,
       "q13b_cc_c10" -> ccOracle(copurchase10),
       "q14_triangles" ->
         s"WITH c AS ($copurchase) SELECT COUNT(*) AS triangles $triangleJoin",

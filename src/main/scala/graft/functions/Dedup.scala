@@ -248,6 +248,34 @@ object Dedup {
     jaccardOfPairs(cands, sh, counts, threshold)
   }
 
+  /** The full near-duplicate pipeline a training-data run actually
+    * executes: bucketed MinHash candidates → exact-Jaccard verification →
+    * connected components over the (tiny) duplicate-pair graph → every
+    * document labeled with its cluster's min doc_id; singletons label
+    * themselves. Keep one doc per cluster downstream via
+    * [[nearDupSurvivors]].
+    *
+    * Scale shape: the pair graph is proportional to TRUE duplicates (the
+    * banding never materializes all-pairs), so the single-pass union-find
+    * summary holds it comfortably; everything else is the scan-shaped
+    * work of [[minhashPairs]].
+    */
+  def nearDupClusters(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val pairs = minhashPairs(docs, n, threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comps = graft.operators.SummaryAggregations.connectedComponents(pairs)
+      .toDF("doc_id", "cluster")
+    docs.select("doc_id").join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+  }
+
+  /** One surviving doc_id (the cluster minimum) per near-dup cluster. */
+  def nearDupSurvivors(docs: DataFrame, n: Int, threshold: Double): DataFrame =
+    nearDupClusters(docs, n, threshold)
+      .groupBy("cluster").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+
   /** 64-bit SimHash over tokens: bit b is the sign of Σ_tokens ±1 where
     * the token's hash decides the sign at bit b.
     */

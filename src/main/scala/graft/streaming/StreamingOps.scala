@@ -149,7 +149,7 @@ object StreamingOps {
     * the old/new-tagged edge set. Nothing ever self-joins the
     * accumulated set — a trigger costs O(|B| × degree), not O(|A|²).
     */
-  private[graft] def incrementalTriangleStep(acc: DataFrame, batch: DataFrame): (DataFrame, Long) = {
+  private[graft] def incrementalTriangleStep(acc: DataFrame, batch: DataFrame): (DataFrame, DataFrame) = {
     val b = batch.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src") < col("dst")).distinct()
       .join(acc, Seq("src", "dst"), "left_anti")
@@ -160,33 +160,37 @@ object StreamingOps {
     val adjA = acc.select(col("src").as("x"), col("dst").as("n"))
       .unionAll(acc.select(col("dst").as("x"), col("src").as("n")))
       .groupBy("x").agg(collect_list(col("n")).as("nbrs"))
+    // per-vertex deltas in thirds (w3): a 1-new-edge or old-closing-wedge
+    // triangle appears once → each corner gets 3; an all-new triangle
+    // appears as 3 wedge rows → each corner gets 1 three times. Every
+    // triangle deposits exactly 9 units, 3 per corner.
     val t1 = b
       .join(adjA.toDF("src", "an"), Seq("src"))
       .join(adjA.toDF("dst", "bn"), Seq("dst"))
-      .agg(coalesce(sum(size(array_intersect(col("an"), col("bn")))), lit(0L)))
-      .head().getLong(0)
+      .select(col("src").as("x"), col("dst").as("y"),
+        explode(array_intersect(col("an"), col("bn"))).as("z"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"), lit(3L).as("w3"))
     val bu = b.select(col("src").as("x"), col("dst").as("n"))
       .unionAll(b.select(col("dst").as("x"), col("src").as("n")))
-    val closing = acc.toDF("y", "z").select(col("y"), col("z"), lit(true).as("old"))
-      .unionAll(b.toDF("y", "z").select(col("y"), col("z"), lit(false).as("old")))
-    val wedgeTallies = bu.toDF("x", "y").join(bu.toDF("x", "z"), Seq("x"))
+    val closing = acc.toDF("y", "z").select(col("y"), col("z"), lit(3L).as("w"))
+      .unionAll(b.toDF("y", "z").select(col("y"), col("z"), lit(1L).as("w")))
+    val wedges = bu.toDF("x", "y").join(bu.toDF("x", "z"), Seq("x"))
       .where(col("y") < col("z"))
       .join(closing, Seq("y", "z"))
-      .groupBy("old").count()
-      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-    val t2 = wedgeTallies.getOrElse(true, 0L)
-    val t3 = wedgeTallies.getOrElse(false, 0L) / 3
-    (b, t1 + t2 + t3)
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"), col("w").as("w3"))
+    (b, t1.unionAll(wedges).groupBy("v").agg(sum(col("w3")).as("w3")))
   }
 
   /** Correctness-gate harness for incremental triangle counting — the
-    * reference's flagship streaming example (ExactTriangleCount): replay
-    * a BATCH canonical edge set through a MemoryStream in `nBatches`
-    * foreachBatch triggers of [[incrementalTriangleStep]]; the running
-    * total after the last trigger must equal the one-shot batch count
-    * (q14's oracle). Exact at every prefix, not just at convergence.
+    * reference's flagship streaming example (ExactTriangleCount emits
+    * global AND per-vertex counts): replay a BATCH canonical edge set
+    * through a MemoryStream in `nBatches` foreachBatch triggers of
+    * [[incrementalTriangleStep]], maintaining running per-vertex counts.
+    * After the last trigger the counts must equal the one-shot batch
+    * per-vertex answer (q15-shaped oracle); the global count is their
+    * sum / 3. Exact at every prefix, not just at convergence.
     */
-  def replayTriangleCount(edges: DataFrame, nBatches: Int = 4): DataFrame = {
+  def replayTriangleCounts(edges: DataFrame, nBatches: Int = 4): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -196,13 +200,16 @@ object StreamingOps {
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
     val ckpt = java.nio.file.Files.createTempDirectory("graft-replay-tri").toString
     var acc = spark.createDataset(Seq.empty[(Long, Long)]).toDF("src", "dst")
-    var total = 0L
+    var cnt = spark.createDataset(Seq.empty[(Long, Long)]).toDF("v", "w3")
     val q = ms.toDF().toDF("src", "dst")
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (b, delta) = incrementalTriangleStep(acc, batch)
-        total += delta
+        val (b, deltas) = incrementalTriangleStep(acc, batch)
+        val grownCnt = cnt.unionAll(deltas)
+          .groupBy("v").agg(sum(col("w3")).as("w3")).localCheckpoint(true)
+        cnt.unpersist(false)
+        cnt = grownCnt
         val grown = acc.unionAll(b).localCheckpoint(true)
         acc.unpersist(false)
         acc = grown
@@ -210,7 +217,8 @@ object StreamingOps {
     try {
       val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
       rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
-      spark.createDataset(Seq(total)).toDF("triangles")
+      cnt.where(col("w3") > 0)
+        .select(col("v").as("id"), (col("w3") / 3).cast("long").as("triangles"))
     } finally q.stop()
   }
 

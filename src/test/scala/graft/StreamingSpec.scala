@@ -199,12 +199,13 @@ class StreamingSpec extends SparkTestBase {
     val edges = (for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)) ++
       Seq((5L, 6L), (8L, 9L))
     val df = edges.toDF("src", "dst")
-    val batchCount = graft.operators.Triangles.globalCount(df).head().getLong(0)
-    assert(batchCount == 10L)
+    val batchPerVertex = graft.operators.Triangles.perVertexCounts(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batchPerVertex.values.sum == 30L) // 10 triangles x 3 corners
     for (nb <- Seq(1, 3, 5)) {
-      val streamed = graft.streaming.StreamingOps.replayTriangleCount(df, nb)
-        .head().getLong(0)
-      assert(streamed == batchCount, s"nBatches=$nb")
+      val streamed = graft.streaming.StreamingOps.replayTriangleCounts(df, nb).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batchPerVertex, s"nBatches=$nb")
     }
   }
 
