@@ -254,6 +254,19 @@ object SparkEntry {
     // → CC over the pair graph → per-doc cluster label
     "q50_dedup_pipeline" -> ((s, dir) =>
       Dedup.nearDupClusters(Tables.documents(s, dir), 2, 0.5)),
+    // as-of join: each click gets the user's latest purchase value at or
+    // before it (null when none) — one windowed pass, no range explosion
+    "q51_asof_join" -> ((s, dir) => {
+      // micro-second timestamps on BOTH sides: DuckDB TIMESTAMP is µs, so
+      // an ns-precision comparison could order a boundary pair differently
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(max_by(col("value"), col("event_id")).as("p_value"))
+      graft.operators.AsOfJoin(clicks, purchases, "user_id", "ts_us", Seq("p_value"))
+    }),
     // O18c applyOnNeighbors: arbitrary Scala over a materialized windowed
     // neighborhood (here: distinct-neighbor count, chosen because the
     // oracle can replay it in SQL while the Spark side genuinely runs the
@@ -391,6 +404,13 @@ object SparkEntry {
           "SELECT id, COUNT(*) AS triangles FROM (SELECT a AS id FROM t " +
           "UNION ALL SELECT b FROM t UNION ALL SELECT c3 FROM t) GROUP BY id"),
       "q50_dedup_pipeline" -> dedupPipelineSql,
+      "q51_asof_join" ->
+        ("WITH clicks AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
+          "WHERE event_type = 'click'), " +
+          "p AS (SELECT user_id, epoch_us(ts) AS ts_us, arg_max(value, event_id) AS p_value " +
+          "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) " +
+          "SELECT c.event_id, c.user_id, c.ts_us, p.p_value " +
+          "FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts_us <= c.ts_us"),
       "q13b_cc_c10" -> ccOracle(copurchase10),
       "q14_triangles" ->
         s"WITH c AS ($copurchase) SELECT COUNT(*) AS triangles $triangleJoin",
