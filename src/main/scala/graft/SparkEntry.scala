@@ -218,6 +218,25 @@ object SparkEntry {
       graft.operators.Snapshots.pageRank(GraphFixtures.coPurchase10(s, dir))
         .select(col("id"), round(col("rank"), 6).as("rank"))),
     // rollup with ALL markers instead of NULLs (engine-portable hashing)
+    // CUBE: all grouping-set combinations (completes the §2.2 grouping row)
+    "q52_cube_quantity" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count("*").as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("cnt"))),
+    // set operations over derived vertex sets: parts seen early INTERSECT
+    // parts seen late, and early EXCEPT late (completes the §2.2 set-ops row)
+    "q53_set_ops" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val early = li.where(col("l_shipdate") < lit("1998-07-01").cast("timestamp"))
+        .select(col("l_partkey").as("id"))
+      val late = li.where(col("l_shipdate") >= lit("1998-07-01").cast("timestamp"))
+        .select(col("l_partkey").as("id"))
+      early.intersect(late).withColumn("op", lit("both"))
+        .unionByName(early.except(late).withColumn("op", lit("early_only")))
+    }),
     "q41_rollup_revenue" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -544,6 +563,16 @@ object SparkEntry {
           "r AS (SELECT lang, doc_id, n_tokens, ROW_NUMBER() OVER " +
           "(PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS rnk FROM d) " +
           "SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_tokens FROM r WHERE rnk <= 3"),
+      "q52_cube_quantity" ->
+        ("SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, " +
+          "COALESCE(l_linestatus, 'ALL') AS linestatus, " +
+          "ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS cnt " +
+          "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"),
+      "q53_set_ops" ->
+        ("WITH early AS (SELECT l_partkey AS id FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-07-01'), " +
+          "late AS (SELECT l_partkey AS id FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-07-01') " +
+          "SELECT id, 'both' AS op FROM (SELECT id FROM early INTERSECT SELECT id FROM late) " +
+          "UNION ALL SELECT id, 'early_only' FROM (SELECT id FROM early EXCEPT SELECT id FROM late)"),
       "q41_rollup_revenue" ->
         ("SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, " +
           "COALESCE(l_linestatus, 'ALL') AS linestatus, " +
