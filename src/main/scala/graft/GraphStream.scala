@@ -171,6 +171,16 @@ class GraphStream(val edges: DataFrame) {
     */
   def slice(size: String, direction: EdgeDirection = EdgeDirection.Out): GraphWindowStream =
     new GraphWindowStream(edges, size, direction)
+
+  /** Sliding variant of [[slice]]: windows of `size` every `slide`
+    * (epoch-aligned, like the tumbling form). Each edge lands in
+    * size/slide neighborhoods — Catalyst's window generator expands it
+    * in one pass, no self-join. The reference ships tumbling windows
+    * only (SURVEY §1.1); sliding is the natural generalization users of
+    * `slice` ask for first.
+    */
+  def slice(size: String, slide: String, direction: EdgeDirection): GraphWindowStream =
+    new GraphWindowStream(edges, size, direction, Some(slide))
 }
 
 object GraphStream {

@@ -21,7 +21,16 @@ import org.apache.spark.sql.functions._
 class GraphWindowStream(
     private val edges: DataFrame,
     val size: String,
-    val direction: EdgeDirection) {
+    val direction: EdgeDirection,
+    val slide: Option[String] = None) {
+
+  // tumbling when no slide given; sliding windows assign each edge to
+  // size/slide windows (Catalyst expands the window generator — no
+  // self-join, one pass)
+  private def win(c: Column): Column = slide match {
+    case Some(sl) => window(c, size, sl)
+    case None     => window(c, size)
+  }
 
   /** Edge rows keyed by the vertex owning the neighborhood.
     * `All` duplicates each edge into both endpoints' neighborhoods, like
@@ -43,7 +52,7 @@ class GraphWindowStream(
     }
   }
 
-  private def grouped = keyed.groupBy(window(col("ts"), size).as("w"), col("vid"))
+  private def grouped = keyed.groupBy(win(col("ts")).as("w"), col("vid"))
 
   private def winStart: Column = unix_timestamp(col("w.start")).as("win")
 
@@ -92,7 +101,7 @@ class GraphWindowStream(
     */
   def snapshot(winStartEpochSec: Long): GraphStream = {
     val filtered = edges
-      .withColumn("__w", window(col("ts"), size))
+      .withColumn("__w", win(col("ts")))
       .where(unix_timestamp(col("__w.start")) === winStartEpochSec)
       .drop("__w")
     GraphStream(filtered)
@@ -100,6 +109,6 @@ class GraphWindowStream(
 
   /** Distinct window starts present in the stream (epoch seconds). */
   def windowStarts: DataFrame =
-    edges.select(unix_timestamp(window(col("ts"), size).getField("start")).as("win"))
+    edges.select(unix_timestamp(win(col("ts")).getField("start")).as("win"))
       .distinct()
 }

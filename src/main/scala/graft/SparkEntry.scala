@@ -217,6 +217,21 @@ object SparkEntry {
     "q40_pagerank" -> ((s, dir) =>
       graft.operators.Snapshots.pageRank(GraphFixtures.coPurchase10(s, dir))
         .select(col("id"), round(col("rank"), 6).as("rank"))),
+    // deterministic integer fixed-point PageRank (oracle-checkable, unlike
+    // q40's float ranks): 10 rounds on symmetrized C10
+    "q54_pagerank_fixed" -> ((s, dir) => {
+      val c = GraphFixtures.coPurchase10(s, dir)
+      val sym = c.unionByName(c.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.PageRank.fixedPoint(sym, 10)
+    }),
+    // sliding-window neighborhoods: 60-day windows every 30 days — each
+    // edge lands in exactly two windows via the window generator (no
+    // self-join); completes the slice() surface beyond the reference's
+    // tumbling-only windows
+    "q55_sliding_windows" -> ((s, dir) =>
+      E(s, dir).slice("60 days", "30 days", EdgeDirection.Out)
+        .foldNeighbors(count("*").as("cnt"), max(col("value")).as("max_value"))
+        .withColumnRenamed("vid", "src")),
     // rollup with ALL markers instead of NULLs (engine-portable hashing)
     // CUBE: all grouping-set combinations (completes the §2.2 grouping row)
     "q52_cube_quantity" -> ((s, dir) =>
@@ -376,6 +391,25 @@ object SparkEntry {
         "comp AS (SELECT v AS id, MIN(l) AS c FROM lbl GROUP BY v) " +
         "SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS cluster " +
         "FROM documents d LEFT JOIN comp ON comp.id = d.doc_id")
+    // fixed-point PageRank: iterations unrolled as sequential CTEs (DuckDB
+    // forbids aggregation inside a recursive term). Integer micro-units +
+    // integer division at every step make the result bit-identical to the
+    // Spark loop regardless of summation order; `//` (DuckDB) and `div`
+    // (Spark) agree on non-negative operands.
+    val pagerankSql = {
+      val base = s"WITH c AS ($copurchase10), " +
+        "sym AS (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
+        "deg AS (SELECT u, COUNT(*) AS outdeg FROM sym GROUP BY u), " +
+        "verts AS (SELECT u AS id FROM deg), " +
+        "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS \"rank\" FROM verts), "
+      val iters = (1 to 10).map { k =>
+        s"r$k AS (SELECT verts.id, CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS \"rank\" " +
+          "FROM verts LEFT JOIN (SELECT e.v AS id, SUM(r.\"rank\" // d.outdeg) AS c " +
+          s"FROM sym e JOIN r${k - 1} r ON r.id = e.u JOIN deg d ON d.u = e.u GROUP BY e.v) s " +
+          "ON s.id = verts.id)"
+      }.mkString(", ")
+      base + iters + " SELECT id, \"rank\" FROM r10"
+    }
     // ANN recall-gate oracle: one deterministic row (see recallGate)
     val annGateSql =
       ("SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries, " +
@@ -585,6 +619,15 @@ object SparkEntry {
           "WHERE o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate >= TIMESTAMP '1998-01-01' " +
           "GROUP BY l_orderkey, o_orderdate " +
           "ORDER BY revenue DESC, orderkey LIMIT 10"),
+      "q54_pagerank_fixed" -> pagerankSql,
+      // sliding windows: size = 2×slide ⇒ every edge is in exactly the two
+      // epoch-aligned 30-day buckets (bkt, bkt-1) — expand and aggregate
+      "q55_sliding_windows" ->
+        ("WITH b AS (SELECT CAST(FLOOR(epoch(l_shipdate) / 2592000) AS BIGINT) AS bkt, " +
+          "l_partkey AS src, l_quantity AS v FROM lineitem), " +
+          "ex AS (SELECT CAST((bkt - k) * 2592000 AS BIGINT) AS win, src, v " +
+          "FROM b CROSS JOIN (SELECT unnest([0, 1]) AS k) ks) " +
+          "SELECT win, src, COUNT(*) AS cnt, MAX(v) AS max_value FROM ex GROUP BY 1, 2"),
       "q47_apply_neighbors" ->
         ("SELECT CAST(FLOOR(epoch(l_shipdate) / 2592000) * 2592000 AS BIGINT) AS win, " +
           "l_partkey AS src, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_distinct_nbrs " +

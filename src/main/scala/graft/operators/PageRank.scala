@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixed-point PageRank over a directed edge list.
+  *
+  * The GraphX bridge ([[Snapshots.pageRank]]) computes float ranks whose
+  * last ulps depend on summation order, so it can only ever be
+  * rows-checked. This variant keeps ranks in integer micro-units
+  * (SCALE = 1e6) and uses integer division at every step, so the result
+  * is bit-identical under any partitioning / parallelism / merge order —
+  * an exact, oracle-checkable contract, at the cost of sub-micro-unit
+  * precision (immaterial after the driver's 6-dp rounding anyway).
+  *
+  * Semantics (the simple non-redistributing form of the PageRank paper —
+  * dangling mass is dropped, keeping every term integer):
+  *
+  *   r_0(v)    = SCALE
+  *   r_{k+1}(v) = (15 * SCALE) div 100
+  *              + (85 * Σ_{u→v} (r_k(u) div outdeg(u))) div 100
+  *
+  * Distributed shape — identical to float power iteration and the right
+  * one at 100 TB: per round, one join of ranks against the (static,
+  * pre-partitioned) edge list on `u` and one aggregation shuffle on `v`.
+  * The edge list is hash-partitioned on `u` once and localCheckpointed,
+  * so each round shuffles only the (|V|-sized) rank table; lineage is
+  * truncated per round. Rounds are fixed (no convergence probe ⇒ no
+  * per-round driver action).
+  */
+object PageRank {
+
+  val Scale = 1000000L
+
+  /** `edges`: (src, dst, …) directed; returns (id BIGINT, rank BIGINT)
+    * with rank in micro-units after `iters` rounds.
+    */
+  def fixedPoint(edges: DataFrame, iters: Int = 10): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+    val deg = e.groupBy("u").agg(count(lit(1)).as("outdeg"))
+    // static per-round join input, partitioned once on the join key
+    val eDeg = e.join(deg, "u").repartition(col("u")).localCheckpoint(true)
+    val verts = e.select(col("u").as("id")).union(e.select(col("v")))
+      .distinct().localCheckpoint(true)
+
+    var ranks = verts.withColumn("rank", lit(Scale))
+    for (_ <- 1 to iters) {
+      val contrib = eDeg
+        .join(ranks, eDeg("u") === ranks("id"))
+        .select(col("v").as("id"), expr("rank div outdeg").as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+      ranks = verts
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(15L * Scale / 100) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PageRank
+
+/** Fixed-point PageRank: determinism, conservation bounds, and agreement
+  * with hand-derived fixed points.
+  */
+class PageRankSpec extends SparkTestBase {
+
+  test("2-cycle is a fixed point: both ranks stay exactly SCALE") {
+    // r = 150000 + (85 * (r div 1)) div 100; r = SCALE solves it exactly
+    val edges = edgeDf(Seq((1L, 2L), (2L, 1L)))
+    val r = PageRank.fixedPoint(edges, 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> PageRank.Scale, 2L -> PageRank.Scale))
+  }
+
+  test("star center outranks leaves; ranks match the hand-computed fixed point") {
+    // undirected star 0–{1,2,3}: leaves send r/1 to center, center splits by 3
+    val pairs = Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L), (0L, 3L), (3L, 0L))
+    val r = PageRank.fixedPoint(edgeDf(pairs), 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) > r(1L))
+    assert(r(1L) == r(2L) && r(2L) == r(3L))
+    // replay the recurrence exactly in Scala
+    var center = PageRank.Scale
+    var leaf = PageRank.Scale
+    for (_ <- 1 to 10) {
+      val nc = 150000L + (85L * (leaf / 1L) * 3L) / 100L
+      val nl = 150000L + (85L * (center / 3L)) / 100L
+      center = nc; leaf = nl
+    }
+    assert(r(0L) == center && r(1L) == leaf)
+  }
+
+  test("result is identical under different partition counts (integer determinism)") {
+    val c = graft.model.GraphFixtures.coPurchase10(spark, sf)
+    val sym = c.unionByName(c.select(col("dst").as("src"), col("src").as("dst")))
+    val a = PageRank.fixedPoint(sym, 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val b = PageRank.fixedPoint(sym.repartition(13), 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("rank mass never exceeds the initial total (dropped dangling mass)") {
+    val edges = edgeDf(Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)))
+    val r = PageRank.fixedPoint(edges, 10)
+    val n = r.count()
+    val total = r.agg(sum("rank")).head().getLong(0)
+    assert(total <= n * PageRank.Scale)
+    assert(r.collect().forall(_.getLong(1) >= 150000L))
+  }
+}
