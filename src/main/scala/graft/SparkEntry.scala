@@ -232,6 +232,16 @@ object SparkEntry {
       E(s, dir).slice("60 days", "30 days", EdgeDirection.Out)
         .foldNeighbors(count("*").as("cnt"), max(col("value")).as("max_value"))
         .withColumnRenamed("vid", "src")),
+    // count-min-sketch heavy hitters, gated against exact counts (the
+    // sketch-as-mergeable-summary pattern; order-independent counters)
+    "q56_cms_heavy_hitters" -> ((s, dir) =>
+      graft.functions.Sketches.cmsHeavyHitters(Tables.documents(s, dir))),
+    // HLL++ distinct-count gate per language
+    "q57_hll_distinct" -> ((s, dir) =>
+      graft.functions.Sketches.hllDistinctGate(Tables.documents(s, dir))),
+    // local clustering coefficient = triangles ∘ degrees composition
+    "q58_clustering_coeff" -> ((s, dir) =>
+      Triangles.clusteringCoefficients(GraphFixtures.coPurchase10(s, dir))),
     // rollup with ALL markers instead of NULLs (engine-portable hashing)
     // CUBE: all grouping-set combinations (completes the §2.2 grouping row)
     "q52_cube_quantity" -> ((s, dir) =>
@@ -620,6 +630,29 @@ object SparkEntry {
           "GROUP BY l_orderkey, o_orderdate " +
           "ORDER BY revenue DESC, orderkey LIMIT 10"),
       "q54_pagerank_fixed" -> pagerankSql,
+      // sketch gates: the oracle recomputes the exact side and expects the
+      // (deterministic, fixed-seed) sketch guarantee to hold
+      "q56_cms_heavy_hitters" ->
+        ("WITH tc AS (SELECT token, COUNT(*) AS cnt FROM " +
+          "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) t " +
+          "WHERE token <> '' GROUP BY token) " +
+          "SELECT token, cnt AS exact_cnt, true AS within_bound FROM tc " +
+          "ORDER BY cnt DESC, token LIMIT 10"),
+      "q57_hll_distinct" ->
+        ("WITH lt AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents) " +
+          "SELECT lang, COUNT(DISTINCT token) AS n_exact, true AS within_tol " +
+          "FROM lt WHERE token <> '' GROUP BY lang"),
+      "q58_clustering_coeff" ->
+        (s"WITH c AS ($copurchase10), " +
+          "deg AS (SELECT id, COUNT(*) AS degree FROM " +
+          "(SELECT x AS id FROM c UNION ALL SELECT y FROM c) GROUP BY id), " +
+          "t AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c3 $TRIJOIN), " +
+          "tv AS (SELECT id, COUNT(*) AS tri FROM (SELECT a AS id FROM t " +
+          "UNION ALL SELECT b FROM t UNION ALL SELECT c3 FROM t) GROUP BY id) " +
+          "SELECT deg.id, deg.degree, COALESCE(tv.tri, 0) AS triangles, " +
+          "ROUND(2.0 * COALESCE(tv.tri, 0) / (deg.degree * (deg.degree - 1)), 6) AS coeff " +
+          "FROM deg LEFT JOIN tv ON tv.id = deg.id WHERE deg.degree >= 2")
+          .replace("$TRIJOIN", triangleJoin),
       // sliding windows: size = 2×slide ⇒ every edge is in exactly the two
       // epoch-aligned 30-day buckets (bkt, bkt-1) — expand and aggregate
       "q55_sliding_windows" ->

@@ -45,7 +45,7 @@ object PageRank {
       .distinct().localCheckpoint(true)
 
     var ranks = verts.withColumn("rank", lit(Scale))
-    for (_ <- 1 to iters) {
+    for (k <- 1 to iters) {
       val contrib = eDeg
         .join(ranks, eDeg("u") === ranks("id"))
         .select(col("v").as("id"), expr("rank div outdeg").as("c"))
@@ -54,7 +54,10 @@ object PageRank {
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(15L * Scale / 100) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
-        .localCheckpoint(true)
+      // no convergence probe ⇒ no need to materialize every round; cut
+      // lineage every few rounds to bound plan depth without paying a
+      // synchronous job barrier per iteration
+      if (k % 3 == 0 || k == iters) ranks = ranks.localCheckpoint(true)
     }
     ranks
   }

@@ -118,4 +118,23 @@ object Triangles {
       .groupBy("win")
       .agg(sum(size(array_intersect(col("au"), col("av")))).as("triangles"))
       .where(col("triangles") > 0)
+
+  /** Local clustering coefficient per vertex with degree ≥ 2:
+    * 2·tri(v) / (deg(v)·(deg(v)−1)). Composes the degree-oriented
+    * triangle counts with the degree table — no plan shape beyond what
+    * those two already do (the canonical edge set is distinct, so the
+    * endpoint count IS the distinct-neighbor count).
+    */
+  def clusteringCoefficients(c: DataFrame): DataFrame = {
+    val cc = c.localCheckpoint(true)
+    val deg = cc.select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy("id").agg(count("*").as("degree"))
+    val tri = perVertexCounts(cc)
+    deg.where(col("degree") >= 2)
+      .join(tri, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+          (col("degree") * (col("degree") - 1)), 6).as("coeff"))
+  }
 }
