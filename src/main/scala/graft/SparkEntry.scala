@@ -242,6 +242,26 @@ object SparkEntry {
     // local clustering coefficient = triangles ∘ degrees composition
     "q58_clustering_coeff" -> ((s, dir) =>
       Triangles.clusteringCoefficients(GraphFixtures.coPurchase10(s, dir))),
+    // single-source BFS distances from C10's min vertex id (frontier
+    // expansion, one join per round — the distributed-BFS cost model)
+    "q59_bfs" -> ((s, dir) => {
+      val c = GraphFixtures.coPurchase10(s, dir)
+      val source = c.agg(min(col("src"))).head().getLong(0)
+      graft.operators.Traversals.bfsDepths(c, source)
+    }),
+    // k-core decomposition (k=6): iterative peel to fixpoint
+    "q60_kcore" -> ((s, dir) =>
+      graft.operators.Traversals.kcore(GraphFixtures.coPurchase10(s, dir), 6)),
+    // link prediction: common-neighbor + fixed-point Adamic–Adar scores
+    // for distance-2 pairs (wedge-join shape, never all-pairs)
+    "q61_adamic_adar" -> ((s, dir) =>
+      graft.operators.LinkPrediction.adamicAdar(GraphFixtures.coPurchase10(s, dir), 3)),
+    // global transitivity: 3·triangles / wedges from exact integer moments
+    "q62_transitivity" -> ((s, dir) =>
+      Triangles.transitivity(GraphFixtures.coPurchase10(s, dir))),
+    // Newman degree assortativity from exact integer moments
+    "q63_assortativity" -> ((s, dir) =>
+      graft.operators.DegreeMetrics.assortativity(GraphFixtures.coPurchase10(s, dir))),
     // rollup with ALL markers instead of NULLs (engine-portable hashing)
     // CUBE: all grouping-set combinations (completes the §2.2 grouping row)
     "q52_cube_quantity" -> ((s, dir) =>
@@ -420,6 +440,63 @@ object SparkEntry {
       }.mkString(", ")
       base + iters + " SELECT id, \"rank\" FROM r10"
     }
+    // BFS from C10's min vertex: recursive frontier expansion with a
+    // depth cap (measured eccentricity is 5 at sf0.01, 4 at sf0.001;
+    // cap 20 = 4× margin), then MIN(d) per vertex = the true distance.
+    // UNION (not UNION ALL) dedups (id, d) states so cycles terminate.
+    val bfsSql =
+      (s"WITH RECURSIVE c AS ($copurchase10), " +
+        "sym AS (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
+        "bfs(id, d) AS (SELECT MIN(x), 0 FROM c " +
+        "UNION SELECT sym.v, bfs.d + 1 FROM sym JOIN bfs ON bfs.id = sym.u WHERE bfs.d < 20) " +
+        "SELECT id, CAST(MIN(d) AS BIGINT) AS dist FROM bfs GROUP BY id")
+    // k-core peel unrolled as sequential CTEs (the q54 pattern — DuckDB
+    // forbids aggregation in a recursive term). Fixpoint takes 4 rounds
+    // at sf0.01 (2 at sf0.001); 12 unrolled rounds = 3× margin, and
+    // extra rounds are no-ops once the core is stable.
+    // MATERIALIZED is load-bearing: each round references the previous
+    // round's edge set three times, and DuckDB inlines plain CTEs —
+    // 12 rounds would otherwise expand into 3^12 scans of lineitem.
+    val kcoreSql = {
+      val base = s"WITH c AS MATERIALIZED ($copurchase10), " +
+        "e0 AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), "
+      val rounds = (1 to 12).map { r =>
+        s"k$r AS MATERIALIZED (SELECT u FROM e${r - 1} GROUP BY u HAVING COUNT(*) >= 6), " +
+          s"e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e " +
+          s"JOIN k$r a ON a.u = e.u JOIN k$r b ON b.u = e.v)"
+      }.mkString(", ")
+      base + rounds + " SELECT u AS id, COUNT(*) AS core_degree FROM e12 GROUP BY u"
+    }
+    // Adamic–Adar: wedge join over centers with degree >= 2; each
+    // center's 1/ln(deg) weight is rounded to integer micro-units FIRST
+    // so the per-pair sum is order-independent (the q32/q54 pattern)
+    val adamicAdarSql =
+      (s"WITH c AS ($copurchase10), " +
+        "sym AS (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
+        "deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u), " +
+        "w AS (SELECT s.u AS c0, s.v AS n, CAST(ROUND(1000000.0 / LN(deg.d)) AS BIGINT) AS w " +
+        "FROM sym s JOIN deg ON deg.u = s.u WHERE deg.d >= 2), " +
+        "p AS (SELECT l.n AS a, r.n AS b, COUNT(*) AS cn, CAST(SUM(l.w) AS BIGINT) AS aa_micro " +
+        "FROM w l JOIN w r ON l.c0 = r.c0 AND l.n < r.n GROUP BY 1, 2 HAVING COUNT(*) >= 3) " +
+        "SELECT a, b, cn, aa_micro FROM p " +
+        "WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.x = p.a AND c.y = p.b)")
+    // transitivity & assortativity: exact integer moments, one final division
+    val transitivitySql =
+      (s"WITH c AS ($copurchase10), " +
+        s"t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles $triangleJoin), " +
+        "wd AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM " +
+        "(SELECT v, COUNT(*) AS d FROM (SELECT x AS v FROM c UNION ALL SELECT y FROM c) GROUP BY v)) " +
+        "SELECT n_triangles, n_wedges, ROUND(3.0 * n_triangles / n_wedges, 6) AS transitivity FROM t, wd")
+    val assortativitySql =
+      (s"WITH c AS ($copurchase10), " +
+        "sym AS (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
+        "deg AS (SELECT u AS id, COUNT(*) AS d FROM sym GROUP BY u), " +
+        "mo AS (SELECT COUNT(*) AS m, CAST(SUM(j.d * k.d) AS BIGINT) AS s_jk, " +
+        "CAST(SUM(j.d) AS BIGINT) AS s_j, CAST(SUM(j.d * j.d) AS BIGINT) AS s_j2 " +
+        "FROM sym JOIN deg j ON j.id = sym.u JOIN deg k ON k.id = sym.v) " +
+        "SELECT m, s_jk, s_j, s_j2, " +
+        "ROUND(CAST(m * s_jk - s_j * s_j AS DOUBLE) / CAST(m * s_j2 - s_j * s_j AS DOUBLE), 6) " +
+        "AS assortativity FROM mo")
     // ANN recall-gate oracle: one deterministic row (see recallGate)
     val annGateSql =
       ("SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries, " +
@@ -467,6 +544,11 @@ object SparkEntry {
           "SELECT id, COUNT(*) AS triangles FROM (SELECT a AS id FROM t " +
           "UNION ALL SELECT b FROM t UNION ALL SELECT c3 FROM t) GROUP BY id"),
       "q50_dedup_pipeline" -> dedupPipelineSql,
+      "q59_bfs" -> bfsSql,
+      "q60_kcore" -> kcoreSql,
+      "q61_adamic_adar" -> adamicAdarSql,
+      "q62_transitivity" -> transitivitySql,
+      "q63_assortativity" -> assortativitySql,
       "q51_asof_join" ->
         ("WITH clicks AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
           "WHERE event_type = 'click'), " +

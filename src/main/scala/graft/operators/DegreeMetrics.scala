@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Degree-structure metrics over the undirected view of `(src, dst)`
+  * edges. Beyond-reference analytics (the reference's degree surface
+  * stops at the running degree streams, GS/SimpleEdgeStream.java:~170).
+  *
+  * Determinism discipline: every aggregate is an exact integer sum
+  * (degrees are integers), so the distributed aggregation order cannot
+  * perturb the result; the one floating-point division happens once on
+  * the final scalars — any engine computing the same formula from the
+  * same integer sums produces the identical double.
+  */
+object DegreeMetrics {
+
+  /** Newman degree assortativity of the undirected graph — the Pearson
+    * correlation of endpoint degrees over directed edge occurrences:
+    * `r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²)` with j = deg(u),
+    * k = deg(v) over the M = 2|E| symmetrized edges (Σj = Σk by
+    * symmetry). One row `(m, s_jk, s_j, s_j2, assortativity)` — the
+    * integer moments ride along so a verifier can re-derive r.
+    *
+    * Plan: degree agg (one shuffle) + two joins of the edge list
+    * against the degree table (broadcast when it fits) + one global
+    * integer agg. Nothing driver-side.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val sym = edges
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .union(edges.select(col("dst").cast("long"), col("src").cast("long")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("u").as("id")).agg(count("*").as("d"))
+    val moments = sym
+      .join(deg.toDF("u", "j"), Seq("u"))
+      .join(deg.toDF("v", "k"), Seq("v"))
+      .agg(count("*").as("m"),
+        sum(col("j") * col("k")).as("s_jk"),
+        sum(col("j")).as("s_j"),
+        sum(col("j") * col("j")).as("s_j2"))
+    moments.select(col("m"), col("s_jk"), col("s_j"), col("s_j2"),
+      round((col("m") * col("s_jk") - col("s_j") * col("s_j")).cast("double") /
+        (col("m") * col("s_j2") - col("s_j") * col("s_j")).cast("double"), 6)
+        .as("assortativity"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph traversals over the `(src, dst, …)` edge model —
+  * frontier-based BFS and iterative k-core peeling. Both follow the
+  * plan discipline of [[ConnectedComponents.iterative]] (the 100 TB
+  * path): every round is a bounded number of shuffles keyed by vertex
+  * id, state lives in partitioned DataFrames (never on the driver), and
+  * lineage is cut per round with `localCheckpoint` so plans stay flat.
+  * The only driver-side values are scalar loop-control counts.
+  *
+  * Reference scope note: vasia/gelly-streaming ships no traversal
+  * library (its BFS lives inside the Spanner summary's bounded
+  * distance check, GS/summaries/AdjacencyListGraph.java:~50); these are
+  * beyond-reference capabilities a batch/snapshot analytics user
+  * expects from a graph engine.
+  */
+object Traversals {
+
+  private def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .union(edges.select(col("dst").cast("long"), col("src").cast("long")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+
+  /** Unweighted single-source BFS over the undirected view of `edges`.
+    * Returns `(id BIGINT, dist BIGINT)` for every vertex reachable from
+    * `source` (the source itself at dist 0).
+    *
+    * Per round: one join frontier⋈edges (frontier is the small side —
+    * AQE broadcasts it when it fits) + one anti-join against settled
+    * vertices. The settled table is partitioned by id and only ever
+    * grows by the frontier; nothing is collected. Rounds = eccentricity
+    * of the source, each a constant number of shuffles — the standard
+    * distributed-BFS cost model.
+    */
+  def bfsDepths(edges: DataFrame, source: Long, maxIter: Int = 100): DataFrame = {
+    val sym = symmetrize(edges).localCheckpoint(true)
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    var settled = Seq((source, 0L)).toDF("id", "dist").localCheckpoint(true)
+    var frontier = settled
+    var depth = 0L
+    while (depth < maxIter && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.join(sym, frontier("id") === sym("u"))
+        .select(col("v").as("id"))
+        .distinct()
+        .join(settled.select(col("id").as("sid")), col("id") === col("sid"), "left_anti")
+        .withColumn("dist", lit(depth))
+        .localCheckpoint(true)
+      if (!next.isEmpty) settled = settled.union(next).localCheckpoint(true)
+      frontier = next
+    }
+    settled
+  }
+
+  /** k-core: the maximal subgraph in which every vertex has degree ≥ k
+    * (undirected view). Returns `(id BIGINT, core_degree BIGINT)` — the
+    * surviving vertices with their degree inside the core.
+    *
+    * Iterative peel: drop vertices with degree < k, recompute degrees
+    * on the induced subgraph, repeat to fixpoint. Each round is one
+    * degree aggregation + two semi-joins (both endpoints must survive),
+    * all keyed by vertex id; convergence is detected from the edge
+    * count, a scalar. Rounds are bounded by the longest peel chain —
+    * the degeneracy ordering depth — typically tens even on huge
+    * graphs.
+    */
+  def kcore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
+    var sym = symmetrize(edges).localCheckpoint(true)
+    var m = sym.count()
+    var changed = m > 0
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val keep = sym.groupBy(col("u")).agg(count("*").as("d"))
+        .where(col("d") >= k)
+        .select(col("u").as("kid"))
+      val pruned = sym
+        .join(keep, sym("u") === keep("kid"), "left_semi")
+        .join(keep, sym("v") === keep("kid"), "left_semi")
+        .localCheckpoint(true)
+      val m2 = pruned.count()
+      changed = m2 != m
+      m = m2
+      sym = pruned
+      iter += 1
+    }
+    sym.groupBy(col("u").as("id")).agg(count("*").as("core_degree"))
+  }
+}

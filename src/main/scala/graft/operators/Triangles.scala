@@ -119,6 +119,24 @@ object Triangles {
       .agg(sum(size(array_intersect(col("au"), col("av")))).as("triangles"))
       .where(col("triangles") > 0)
 
+  /** Global transitivity (global clustering coefficient):
+    * 3·triangles / wedges, wedges = Σ_v deg(v)·(deg(v)−1)/2. One row
+    * `(n_triangles, n_wedges, transitivity)`. Both inputs are exact
+    * integers aggregated distributed; the single final division happens
+    * on the two scalars, so any engine computing the same formula
+    * produces the identical double.
+    */
+  def transitivity(c: DataFrame): DataFrame = {
+    val cc = c.localCheckpoint(true)
+    val wedges = cc.select(explode(array(col("src"), col("dst"))).as("v"))
+      .groupBy("v").agg(count("*").as("d"))
+      .agg(sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+    globalCount(cc).withColumnRenamed("triangles", "n_triangles")
+      .crossJoin(wedges)
+      .select(col("n_triangles"), col("n_wedges"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("transitivity"))
+  }
+
   /** Local clustering coefficient per vertex with degree ≥ 2:
     * 2·tri(v) / (deg(v)·(deg(v)−1)). Composes the degree-oriented
     * triangle counts with the degree table — no plan shape beyond what
