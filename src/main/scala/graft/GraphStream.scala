@@ -181,6 +181,27 @@ class GraphStream(val edges: DataFrame) {
     */
   def slice(size: String, slide: String, direction: EdgeDirection): GraphWindowStream =
     new GraphWindowStream(edges, size, direction, Some(slide))
+
+  /** Materialize ONE tumbling window of the stream as a batch
+    * [[GraphStream]] — the "snapshot" companion to [[slice]]: where
+    * slice keeps all windows flowing, snapshot pins the window whose
+    * epoch-aligned start contains `atEpochSec` so the full batch
+    * operator surface (triangles, CC, spanner, …) can run on it. The
+    * time predicate is a pushed-down range filter on `ts` — at scale it
+    * prunes partitions/row groups before any operator sees a row.
+    */
+  def snapshot(size: String, atEpochSec: Long): GraphStream = {
+    val sizeSec = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(size))
+    require(sizeSec.months == 0, s"snapshot: calendar-month windows are not epoch-alignable: $size")
+    val secs = sizeSec.days * 86400L + sizeSec.microseconds / 1000000L
+    val start = math.floorDiv(atEpochSec, secs) * secs
+    // plain range predicate on the ts column (not on a function of it),
+    // so parquet row-group pruning / PushedFilters apply
+    new GraphStream(edges.where(
+      col("ts") >= timestamp_seconds(lit(start)) &&
+        col("ts") < timestamp_seconds(lit(start + secs))))
+  }
 }
 
 object GraphStream {

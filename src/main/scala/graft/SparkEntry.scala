@@ -262,6 +262,13 @@ object SparkEntry {
     // Newman degree assortativity from exact integer moments
     "q63_assortativity" -> ((s, dir) =>
       graft.operators.DegreeMetrics.assortativity(GraphFixtures.coPurchase10(s, dir))),
+    // weighted SSSP (Bellman–Ford) on E from its min part vertex,
+    // weight = l_quantity as integer (exact, engine-deterministic)
+    "q64_sssp" -> ((s, dir) => {
+      val e = GraphFixtures.edgeStream(s, dir)
+      val source = e.agg(min(col("src"))).head().getLong(0)
+      graft.operators.Traversals.sssp(e, source)
+    }),
     // rollup with ALL markers instead of NULLs (engine-portable hashing)
     // CUBE: all grouping-set combinations (completes the §2.2 grouping row)
     "q52_cube_quantity" -> ((s, dir) =>
@@ -480,6 +487,24 @@ object SparkEntry {
         "FROM w l JOIN w r ON l.c0 = r.c0 AND l.n < r.n GROUP BY 1, 2 HAVING COUNT(*) >= 3) " +
         "SELECT a, b, cn, aa_micro FROM p " +
         "WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.x = p.a AND c.y = p.b)")
+    // Bellman–Ford unrolled (the kcore pattern): fixpoint takes 9 rounds
+    // at sf0.01 (5 at sf0.001); 18 rounds = 2× margin, extra rounds are
+    // no-ops. MATERIALIZED for the same reason as kcore (each round
+    // references the previous one twice).
+    val ssspSql = {
+      val base = ("WITH e AS MATERIALIZED (SELECT u, v, MIN(w) AS w FROM (" +
+        "SELECT l_partkey AS u, l_suppkey + 1000000000 AS v, CAST(l_quantity AS BIGINT) AS w FROM lineitem " +
+        "UNION ALL " +
+        "SELECT l_suppkey + 1000000000, l_partkey, CAST(l_quantity AS BIGINT) FROM lineitem" +
+        ") GROUP BY u, v), " +
+        "d0 AS MATERIALIZED (SELECT MIN(l_partkey) AS id, CAST(0 AS BIGINT) AS dist FROM lineitem), ")
+      val rounds = (1 to 18).map { r =>
+        s"d$r AS MATERIALIZED (SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM (" +
+          s"SELECT id, dist FROM d${r - 1} UNION ALL " +
+          s"SELECT e.v, d.dist + e.w FROM e JOIN d${r - 1} d ON d.id = e.u) GROUP BY id)"
+      }.mkString(", ")
+      base + rounds + " SELECT id, dist FROM d18"
+    }
     // transitivity & assortativity: exact integer moments, one final division
     val transitivitySql =
       (s"WITH c AS ($copurchase10), " +
@@ -549,6 +574,7 @@ object SparkEntry {
       "q61_adamic_adar" -> adamicAdarSql,
       "q62_transitivity" -> transitivitySql,
       "q63_assortativity" -> assortativitySql,
+      "q64_sssp" -> ssspSql,
       "q51_asof_join" ->
         ("WITH clicks AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
           "WHERE event_type = 'click'), " +

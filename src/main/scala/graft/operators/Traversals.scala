@@ -58,6 +58,52 @@ object Traversals {
     settled
   }
 
+  /** Weighted single-source shortest paths (Bellman–Ford relaxation)
+    * over the undirected view of `edges`, weight = the edge `value`
+    * cast to BIGINT (integer weights keep every path sum exact, so the
+    * distances are engine-deterministic regardless of relaxation
+    * order). Parallel edges collapse to their minimum weight first.
+    * Returns `(id BIGINT, dist BIGINT)` for reachable vertices.
+    *
+    * Per round: one join dist⋈edges + one min-aggregation, both keyed
+    * by vertex id — the textbook distributed Bellman–Ford cost model.
+    * Convergence is detected from a single `(count, sum)` aggregate:
+    * the reachable set only grows and distances only decrease, so a
+    * stable integer fingerprint IS the fixpoint (one driver action per
+    * round, scalars only).
+    */
+  def sssp(edges: DataFrame, source: Long, maxIter: Int = 60): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val half = edges.select(col("src").cast("long").as("u"),
+      col("dst").cast("long").as("v"), col("value").cast("long").as("w"))
+    val sym = half.union(half.select(col("v"), col("u"), col("w")))
+      .where(col("u") =!= col("v"))
+      .groupBy("u", "v").agg(min("w").as("w"))
+      .localCheckpoint(true)
+
+    var dist = Seq((source, 0L)).toDF("id", "dist").localCheckpoint(true)
+    var prev = (0L, 0L)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val relaxed = sym.join(dist, sym("u") === dist("id"))
+        .select(col("v").as("id"), (col("dist") + col("w")).as("nd"))
+        .groupBy("id").agg(min("nd").as("nd"))
+      val merged = dist.join(relaxed, Seq("id"), "full")
+        .select(col("id"),
+          least(coalesce(col("dist"), col("nd")), coalesce(col("nd"), col("dist"))).as("dist"))
+        .localCheckpoint(true)
+      val fp = merged.agg(count("*"), sum("dist")).head()
+      val now = (fp.getLong(0), fp.getLong(1))
+      converged = now == prev
+      prev = now
+      dist = merged
+      iter += 1
+    }
+    dist
+  }
+
   /** k-core: the maximal subgraph in which every vertex has degree ≥ k
     * (undirected view). Returns `(id BIGINT, core_degree BIGINT)` — the
     * surviving vertices with their degree inside the core.

@@ -79,6 +79,32 @@ class TraversalsSpec extends SparkTestBase {
     assert(math.abs(r2 + 1.0) < 1e-9)
   }
 
+  test("sssp: weighted distances relax past greedy hop counts") {
+    import org.apache.spark.sql.functions._
+    // 1→2 costs 10 direct, but 1→3→4→2 costs 3; parallel edge keeps min
+    val weighted = edgeDf(Seq((1L, 2L), (1L, 2L), (1L, 3L), (3L, 4L), (4L, 2L), (5L, 6L)))
+      .withColumn("value",
+        when(col("src") === 1 && col("dst") === 2, 10.0).otherwise(1.0))
+    val out = Traversals.sssp(weighted, 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 3L -> 1L, 4L -> 2L, 2L -> 3L))
+    // undirected: distances from the "far" end agree by symmetry
+    val back = Traversals.sssp(weighted, 2L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(back(1L) == 3L && back(4L) == 1L)
+  }
+
+  test("snapshot: one window of the stream as a batch GraphStream, range-pruned") {
+    // edgeDf assigns ts = minute * index; a 120s window pins 2 edges
+    val gs = GraphStream(edgeDf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))))
+    val snap = gs.snapshot("2 minutes", atEpochSec = 0L)
+    assert(collectPairs(snap.edges.select("src", "dst")) == Set((1L, 2L), (2L, 3L)))
+    val snap2 = gs.snapshot("2 minutes", atEpochSec = 130L)
+    assert(collectPairs(snap2.edges.select("src", "dst")) == Set((3L, 4L), (4L, 5L)))
+    // the batch operator surface composes on the snapshot
+    assert(snap.getDegrees.count() == 3)
+  }
+
   test("bfs/kcore on sf0.001 C10 match independently computed answers") {
     val c = graft.model.GraphFixtures.coPurchase10(spark, sf)
     // measured via DuckDB + python BFS/peel (see oracle design notes):
