@@ -1,5 +1,10 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump `explain("formatted")` for driver queries (args =
+  * query names, default the historically audited pair) plus the
+  * snapshot-pushdown evidence (a fixture, not a driver query).
+  */
 object Plans {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -12,9 +17,18 @@ object Plans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    for (q <- Seq("q51_asof_join", "q25_ngram_jaccard")) {
-      println(s"=== PLAN $q ===")
-      graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
+    val qs = if (args.nonEmpty) args.toSeq
+      else Seq("q51_asof_join", "q25_ngram_jaccard")
+    for (q <- qs) {
+      if (q == "snapshot") {
+        println("=== PLAN snapshot (ts range pushdown) ===")
+        graft.GraphStream(graft.model.GraphFixtures.edgeStream(spark, dir))
+          .snapshot("30 days", atEpochSec = 867715200L)
+          .getDegrees.explain("formatted")
+      } else {
+        println(s"=== PLAN $q ===")
+        graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
+      }
     }
     spark.stop()
   }
