@@ -269,6 +269,42 @@ object SparkEntry {
       val source = e.agg(min(col("src"))).head().getLong(0)
       graft.operators.Traversals.sssp(e, source)
     }),
+    // exact per-group quantiles (sort-based percentile, linear interp)
+    "q65_quantiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("returnflag"))
+        .agg(round(percentile(col("l_quantity"), lit(0.25)), 6).as("p25"),
+          round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("l_quantity"), lit(0.75)), 6).as("p75"))),
+    // explicit GROUPING SETS (beyond rollup/cube: an arbitrary set list)
+    "q66_grouping_sets" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count("*").as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("cnt"))),
+    // distribution window functions: quartile bucket + exact rank stats
+    // per nation (total order => engine-deterministic)
+    "q67_window_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_nationkey").as("nationkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(cume_dist().over(w), 6).as("cd"),
+          round(percent_rank().over(w), 6).as("pr"))
+    }),
+    // personalized PageRank (random walk with restart) from C10's min
+    // vertex — same integer fixed-point contract as q54
+    "q68_ppr" -> ((s, dir) => {
+      val c = GraphFixtures.coPurchase10(s, dir)
+      val sym = c.unionByName(c.select(col("dst").as("src"), col("src").as("dst")))
+      val source = c.agg(min(col("src"))).head().getLong(0)
+      graft.operators.PageRank.personalized(sym, Seq(source), 10)
+    }),
     // rollup with ALL markers instead of NULLs (engine-portable hashing)
     // CUBE: all grouping-set combinations (completes the §2.2 grouping row)
     "q52_cube_quantity" -> ((s, dir) =>
@@ -522,6 +558,24 @@ object SparkEntry {
         "SELECT m, s_jk, s_j, s_j2, " +
         "ROUND(CAST(m * s_jk - s_j * s_j AS DOUBLE) / CAST(m * s_j2 - s_j * s_j AS DOUBLE), 6) " +
         "AS assortativity FROM mo")
+    // personalized PageRank: q54's unrolled pattern with the teleport
+    // term masked to the single source vertex
+    val pprSql = {
+      val base = s"WITH c AS ($copurchase10), " +
+        "sym AS (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
+        "deg AS (SELECT u, COUNT(*) AS outdeg FROM sym GROUP BY u), " +
+        "verts AS (SELECT u AS id FROM deg), " +
+        "src AS (SELECT MIN(x) AS s FROM c), " +
+        "r0 AS (SELECT id, CAST(CASE WHEN id = (SELECT s FROM src) THEN 1000000 ELSE 0 END AS BIGINT) AS \"rank\" FROM verts), "
+      val iters = (1 to 10).map { k =>
+        s"r$k AS (SELECT verts.id, CAST(CASE WHEN verts.id = (SELECT s FROM src) THEN 150000 ELSE 0 END " +
+          "+ (85 * COALESCE(s2.c, 0)) // 100 AS BIGINT) AS \"rank\" " +
+          "FROM verts LEFT JOIN (SELECT e.v AS id, SUM(r.\"rank\" // d.outdeg) AS c " +
+          s"FROM sym e JOIN r${k - 1} r ON r.id = e.u JOIN deg d ON d.u = e.u GROUP BY e.v) s2 " +
+          "ON s2.id = verts.id)"
+      }.mkString(", ")
+      base + iters + " SELECT id, \"rank\" FROM r10"
+    }
     // ANN recall-gate oracle: one deterministic row (see recallGate)
     val annGateSql =
       ("SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries, " +
@@ -575,6 +629,24 @@ object SparkEntry {
       "q62_transitivity" -> transitivitySql,
       "q63_assortativity" -> assortativitySql,
       "q64_sssp" -> ssspSql,
+      "q65_quantiles" ->
+        ("SELECT l_returnflag AS returnflag, " +
+          "ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25, " +
+          "ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50, " +
+          "ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75 " +
+          "FROM lineitem GROUP BY l_returnflag"),
+      "q66_grouping_sets" ->
+        ("SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, " +
+          "COALESCE(l_linestatus, 'ALL') AS linestatus, " +
+          "ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS cnt " +
+          "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"),
+      "q67_window_rank" ->
+        ("SELECT c_custkey AS custkey, c_nationkey AS nationkey, " +
+          "CAST(ntile(4) OVER w AS BIGINT) AS quartile, " +
+          "ROUND(cume_dist() OVER w, 6) AS cd, " +
+          "ROUND(percent_rank() OVER w, 6) AS pr " +
+          "FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)"),
+      "q68_ppr" -> pprSql,
       "q51_asof_join" ->
         ("WITH clicks AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
           "WHERE event_type = 'click'), " +

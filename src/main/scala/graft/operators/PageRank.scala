@@ -61,4 +61,42 @@ object PageRank {
     }
     ranks
   }
+
+  /** Personalized PageRank: the teleport term lands only on `sources`
+    * instead of uniformly — the standard random-walk-with-restart
+    * scoring used for seed-set expansion / related-item retrieval. Same
+    * integer micro-unit contract and identical distributed shape as
+    * [[fixedPoint]] (the teleport mask is one extra broadcast-joined
+    * column on the static vertex table):
+    *
+    *   r_0(v)     = SCALE·[v ∈ S]
+    *   r_{k+1}(v) = (15·SCALE div 100)·[v ∈ S]
+    *              + (85 · Σ_{u→v} (r_k(u) div outdeg(u))) div 100
+    */
+  def personalized(edges: DataFrame, sources: Seq[Long], iters: Int = 10): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+    val deg = e.groupBy("u").agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(deg, "u").repartition(col("u")).localCheckpoint(true)
+    val verts = e.select(col("u").as("id")).union(e.select(col("v")))
+      .distinct()
+      .withColumn("is_src", col("id").isInCollection(sources))
+      .localCheckpoint(true)
+
+    var ranks = verts.withColumn("rank",
+      when(col("is_src"), lit(Scale)).otherwise(lit(0L)))
+    for (k <- 1 to iters) {
+      val contrib = eDeg
+        .join(ranks, eDeg("u") === ranks("id"))
+        .select(col("v").as("id"), expr("rank div outdeg").as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+      ranks = verts
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"), col("is_src"),
+          (when(col("is_src"), lit(15L * Scale / 100)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+      if (k % 3 == 0 || k == iters) ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("id"), col("rank"))
+  }
 }

@@ -44,6 +44,27 @@ class PageRankSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("personalized: mass concentrates at the source and decays with distance") {
+    // triangle 0-1-2 with pendant 3 off 1 (odd cycle => aperiodic walk;
+    // a bipartite fixture like a path oscillates between parities and
+    // makes rank comparisons at a fixed iteration meaningless), restart
+    // at 0: the source dominates, the pendant (fed only by 1's split)
+    // ranks below 1, and an unreachable component gets rank 0
+    val pairs = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (0L, 2L), (2L, 0L),
+      (1L, 3L), (3L, 1L), (8L, 9L), (9L, 8L))
+    val r = PageRank.personalized(edgeDf(pairs), Seq(0L), 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) > r(1L) && r(0L) > r(2L) && r(0L) > r(3L))
+    assert(r(3L) < r(1L))
+    assert(r(8L) == 0L && r(9L) == 0L)
+    // uniform teleport over ALL vertices = fixedPoint (sanity link):
+    // a 2-cycle personalized at both vertices reproduces the fixed point
+    val cyc = edgeDf(Seq((1L, 2L), (2L, 1L)))
+    val p = PageRank.personalized(cyc, Seq(1L, 2L), 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(p == Map(1L -> PageRank.Scale, 2L -> PageRank.Scale))
+  }
+
   test("rank mass never exceeds the initial total (dropped dangling mass)") {
     val edges = edgeDf(Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)))
     val r = PageRank.fixedPoint(edges, 10)
