@@ -297,6 +297,20 @@ object SparkEntry {
           round(cume_dist().over(w), 6).as("cd"),
           round(percent_rank().over(w), 6).as("pr"))
     }),
+    // Gopher-style repetition metrics (boilerplate / degenerate-text
+    // detection): pure projection pass, no shuffle
+    "q69_repetition" -> ((s, dir) =>
+      graft.functions.Corpus.repetitionStats(Tables.documents(s, dir))),
+    // composite C4/Gopher quality gate per language
+    "q70_quality_gate" -> ((s, dir) =>
+      graft.functions.Corpus.qualityGate(Tables.documents(s, dir))),
+    // deterministic mixture sampling: per-source keep quotas via id mod
+    "q71_source_sampling" -> ((s, dir) =>
+      graft.functions.Corpus.sampleBySource(Tables.documents(s, dir),
+        (0 until 32).map(k => s"src$k" -> (100 + (k % 7) * 100)).toMap)),
+    // sequence packing: running-sum binning into 256-token bins per shard
+    "q72_packing" -> ((s, dir) =>
+      graft.functions.Corpus.packSequences(Tables.documents(s, dir), 256)),
     // personalized PageRank (random walk with restart) from C10's min
     // vertex — same integer fixed-point contract as q54
     "q68_ppr" -> ((s, dir) => {
@@ -647,6 +661,35 @@ object SparkEntry {
           "ROUND(percent_rank() OVER w, 6) AS pr " +
           "FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)"),
       "q68_ppr" -> pprSql,
+      "q69_repetition" ->
+        ("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+          "bg AS (SELECT doc_id, t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS b FROM tk) " +
+          "SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, " +
+          "CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct, " +
+          "ROUND(1.0 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 6) AS dup_token_frac, " +
+          "CASE WHEN len(t) >= 2 THEN ROUND(1.0 - len(list_distinct(b)) / CAST(len(t) - 1 AS DOUBLE), 6) " +
+          "ELSE 0.0 END AS dup_bigram_frac FROM bg"),
+      "q70_quality_gate" ->
+        ("WITH d AS (SELECT lang, len(string_split(text, ' ')) AS n, " +
+          "len(list_distinct(string_split(text, ' '))) AS nd, " +
+          "CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) " +
+          "/ len(string_split(text, ' ')) AS ml FROM documents) " +
+          "SELECT lang, COUNT(*) AS n_docs, " +
+          "CAST(SUM(CASE WHEN n >= 10 AND n <= 100000 AND nd / CAST(n AS DOUBLE) >= 0.2 " +
+          "AND ml >= 2.0 AND ml <= 12.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass " +
+          "FROM d GROUP BY lang"),
+      "q71_source_sampling" ->
+        ("SELECT source, COUNT(*) AS n_total, " +
+          "CAST(SUM(CASE WHEN doc_id % 1000 < 100 + (CAST(substr(source, 4) AS INT) % 7) * 100 " +
+          "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM documents GROUP BY source"),
+      "q72_packing" ->
+        ("WITH d AS (SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+          "c AS (SELECT source, doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER " +
+          "(PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf FROM d) " +
+          "SELECT source, CAST(bf // 256 AS BIGINT) AS bin, COUNT(*) AS n_docs, " +
+          "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, " +
+          "ROUND(SUM(n_tokens) / CAST(256 AS DOUBLE), 6) AS fill_frac " +
+          "FROM c GROUP BY source, bf // 256"),
       "q51_asof_join" ->
         ("WITH clicks AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
           "WHERE event_type = 'click'), " +

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for LLM training-data pipelines:
+  * repetition statistics, composite quality gates, deterministic
+  * mixture sampling, and sequence packing. All are single-pass,
+  * codegen-friendly column expressions or one-shuffle aggregations —
+  * no UDFs, no driver-side loops — and every output is either an exact
+  * integer or a ratio of exact integers (engine-deterministic).
+  */
+object Corpus {
+
+  private def toks(c: org.apache.spark.sql.Column) = split(c, " ")
+
+  /** Gopher-style repetition metrics per document: token and word-2-gram
+    * duplication fractions. High duplication marks boilerplate /
+    * degenerate generations; corpus curation drops the tail.
+    * Output: (doc_id, n_tokens, n_distinct, dup_token_frac,
+    * dup_bigram_frac) — fractions are ratios of exact integers.
+    * One projection pass over the scan; no shuffle at all.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val n = size(t)
+    val bigrams = expr(
+      "transform(sequence(1, size(split(text, ' ')) - 1), " +
+        "i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))")
+    docs.select(
+      col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct"),
+      round(lit(1.0) - size(array_distinct(t)) / n.cast("double"), 6)
+        .as("dup_token_frac"),
+      when(n >= 2,
+        round(lit(1.0) - size(array_distinct(bigrams)) / (n - 1).cast("double"), 6))
+        .otherwise(lit(0.0)).as("dup_bigram_frac"))
+  }
+
+  /** Composite C4/Gopher-style quality gate, aggregated per language:
+    * a document passes when its token count is in [minTokens, maxTokens],
+    * its distinct-token fraction is ≥ minDistinctFrac, and its mean
+    * token length is in [2, 12] characters. Output per lang:
+    * (lang, n_docs, n_pass) — exact integer counts, one agg shuffle.
+    */
+  def qualityGate(docs: DataFrame, minTokens: Int = 10, maxTokens: Int = 100000,
+                  minDistinctFrac: Double = 0.2): DataFrame = {
+    val t = toks(col("text"))
+    val n = size(t)
+    // mean token length from integer totals: (chars - separators) / tokens
+    val meanLen = (length(col("text")) - (n - 1)).cast("double") / n.cast("double")
+    val pass = n.geq(minTokens) && n.leq(maxTokens) &&
+      (size(array_distinct(t)).cast("double") / n.cast("double")).geq(minDistinctFrac) &&
+      meanLen.geq(2.0) && meanLen.leq(12.0)
+    docs.groupBy(col("lang"))
+      .agg(count("*").as("n_docs"),
+        sum(when(pass, 1L).otherwise(0L)).as("n_pass"))
+  }
+
+  /** Deterministic mixture sampling: keep a per-source fraction
+    * quota/mod of documents, selected by `doc_id % mod` — exactly
+    * reproducible on any engine and any partitioning, which is what a
+    * training-data pipeline needs for auditable mixtures. Real
+    * deployments with non-uniform ids hash the id first (xxhash64) —
+    * same plan shape, engine-specific hash. Output per source:
+    * (source, n_total, n_kept) — one agg shuffle.
+    */
+  def sampleBySource(docs: DataFrame, quotas: Map[String, Int],
+                     mod: Int = 1000): DataFrame = {
+    val quota = quotas.foldLeft(lit(0)) { case (acc, (src, q)) =>
+      when(col("source") === src, lit(q)).otherwise(acc)
+    }
+    docs.groupBy(col("source"))
+      .agg(count("*").as("n_total"),
+        sum(when(pmod(col("doc_id"), lit(mod)) < quota, 1L).otherwise(0L))
+          .as("n_kept"))
+  }
+
+  /** Sequence packing: assign documents (in doc_id order, within each
+    * source shard) to fixed-capacity token bins by running-sum binning —
+    * bin = floor(tokens_before / capacity). This is the deterministic,
+    * shuffle-parallel form of greedy context-window packing: each shard
+    * packs independently (PARTITION BY source), so the sort is bounded
+    * per shard and the whole operator is one window pass + one agg.
+    * Output: (source, bin, n_docs, n_tokens, fill_frac).
+    */
+  def packSequences(docs: DataFrame, capacity: Int = 2048): DataFrame = {
+    val n = size(toks(col("text"))).cast("long")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("source"), col("doc_id"), n.as("n_tokens"))
+      .withColumn("before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"before div ${capacity}"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count("*").as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        round(sum(col("n_tokens")).cast("double") / capacity, 6).as("fill_frac"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Corpus
+
+/** Known-value checks for the corpus-curation operators. */
+class CorpusSpec extends SparkTestBase {
+
+  private def docs(rows: (Long, String, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  test("repetitionStats: exact duplication fractions") {
+    val d = docs(
+      (1L, "a b a b", "en", "s0"),      // 4 tokens, 2 distinct; bigrams: a b, b a, a b -> 2 distinct of 3
+      (2L, "x y z", "en", "s0"),        // no repetition
+      (3L, "w w w w", "en", "s0"))      // total repetition
+    val r = Corpus.repetitionStats(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 4 && r(1L).getLong(2) == 2)
+    assert(r(1L).getDouble(3) == 0.5)
+    assert(math.abs(r(1L).getDouble(4) - (1.0 - 2.0 / 3)) < 1e-6)
+    assert(r(2L).getDouble(3) == 0.0 && r(2L).getDouble(4) == 0.0)
+    // 3 bigrams "w w", 1 distinct => 1 - 1/3
+    assert(r(3L).getDouble(3) == 0.75)
+    assert(math.abs(r(3L).getDouble(4) - (1.0 - 1.0 / 3)) < 1e-6)
+  }
+
+  test("qualityGate: each filter dimension rejects independently") {
+    val ok = (1 to 20).map(i => f"tok$i%02d").mkString(" ")  // 20 distinct 5-char tokens
+    val short = "one two three"                              // < 10 tokens
+    val repeat = ("rep " * 20).trim                          // distinct frac 1/20 < 0.2
+    val longTok = (1 to 12).map(i => "x" * 28 + f"$i%02d").mkString(" ") // distinct, mean len 30 > 12
+    val d = docs(
+      (1L, ok, "en", "s"), (2L, short, "en", "s"),
+      (3L, repeat, "en", "s"), (4L, longTok, "en", "s"),
+      (5L, ok, "de", "s"))
+    val r = Corpus.qualityGate(d).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("en") == (4L, 1L))   // only doc 1 passes
+    assert(r("de") == (1L, 1L))
+  }
+
+  test("sampleBySource: id-mod selection matches the quota exactly") {
+    val d = docs((0 until 100).map(i =>
+      (i.toLong, "t o k e n s", "en", if (i % 2 == 0) "sA" else "sB")): _*)
+    // mod 10: sA keeps ids with id%10 < 4 (ids are even: 0,2 -> 2 of every 10)
+    val r = Corpus.sampleBySource(d, Map("sA" -> 4, "sB" -> 0), mod = 10)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("sA") == (50L, 20L))  // ids 0,2 mod 10 in each decade of evens
+    assert(r("sB") == (50L, 0L))
+  }
+
+  test("packSequences: running-sum bins respect capacity and shard isolation") {
+    // 5-token docs, capacity 12: bins of 2 docs (10 before-tokens < 12,
+    // 3rd doc starts at 10 div 12 = 0... before=10 -> bin 0; before=15 -> bin 1)
+    val d = docs((1 to 6).map(i =>
+      (i.toLong, "a b c d e", "en", if (i <= 3) "sA" else "sB")): _*)
+    val r = Corpus.packSequences(d, capacity = 12).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> (x.getLong(2), x.getLong(3))).toMap
+    // per shard: doc1 before=0 bin0, doc2 before=5 bin0, doc3 before=10 bin0
+    // (10 div 12 = 0), so one bin of 3 docs / 15 tokens per shard
+    assert(r == Map(("sA", 0L) -> (3L, 15L), ("sB", 0L) -> (3L, 15L)))
+    val r2 = Corpus.packSequences(d, capacity = 6).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    // capacity 6: before=0 bin0, before=5 bin0, before=10 bin1
+    assert(r2 == Map(("sA", 0L) -> 2L, ("sA", 1L) -> 1L,
+      ("sB", 0L) -> 2L, ("sB", 1L) -> 1L))
+  }
+}
