@@ -297,6 +297,10 @@ object SparkEntry {
           round(cume_dist().over(w), 6).as("cd"),
           round(percent_rank().over(w), 6).as("pr"))
     }),
+    // streaming exact dedup: first-seen-wins keyed state over a replayed
+    // document stream — per-lang survivor counts converge to q20's answer
+    "q73_streaming_dedup" -> ((s, dir) =>
+      graft.streaming.StreamingOps.replayExactDedup(Tables.documents(s, dir))),
     // Gopher-style repetition metrics (boilerplate / degenerate-text
     // detection): pure projection pass, no shuffle
     "q69_repetition" -> ((s, dir) =>
@@ -749,6 +753,9 @@ object SparkEntry {
           "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s) " +
           "SELECT query_id, CAST(rn AS BIGINT) AS \"rank\", neighbor_id, sim FROM r WHERE rn <= 5"),
       "q20_dedup_exact" ->
+        "SELECT lang, COUNT(DISTINCT lower(trim(text))) AS n_unique FROM documents GROUP BY lang",
+      // streaming replay must converge to the same per-lang counts
+      "q73_streaming_dedup" ->
         "SELECT lang, COUNT(DISTINCT lower(trim(text))) AS n_unique FROM documents GROUP BY lang",
       "q21_text_tokens" ->
         ("SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS token " +

@@ -67,3 +67,43 @@ object StreamingDegreesExample {
     spark.stop()
   }
 }
+
+/** End-to-end training-data curation pass over the documents table:
+  * near-dup clustering → per-cluster survivor → repetition + quality
+  * gates → deterministic mixture sampling → sequence packing. Prints
+  * the funnel counts at each stage — the shape of a real corpus build,
+  * on the same operators the driver queries gate individually.
+  */
+object TrainingDataPipelineExample {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.local()
+    val docs = graft.model.Tables.documents(spark, dir)
+    val n0 = docs.count()
+
+    // 1. near-dup clusters (MinHash candidates, exact verify, CC labels);
+    //    keep each cluster's min doc_id
+    val clustered = graft.functions.Dedup.nearDupClusters(docs, 2, 0.5)
+    val survivors = docs.join(
+      clustered.where(col("doc_id") === col("cluster")).select("doc_id"), "doc_id")
+    val n1 = survivors.count()
+
+    // 2. repetition + quality gates
+    val rep = graft.functions.Corpus.repetitionStats(survivors)
+      .where(col("dup_bigram_frac") < 0.9).select("doc_id")
+    val gated = survivors.join(rep, "doc_id")
+    val n2 = gated.count()
+
+    // 3. deterministic mixture sampling (keep 80% of every source)
+    val sampled = gated.where(pmod(col("doc_id"), lit(10)) < 8)
+    val n3 = sampled.count()
+
+    // 4. pack into 256-token bins per source shard
+    val packed = graft.functions.Corpus.packSequences(sampled, 256)
+    val nBins = packed.count()
+
+    println(s"docs: $n0 -> dedup: $n1 -> quality: $n2 -> sampled: $n3 -> bins: $nBins")
+    packed.orderBy("source", "bin").show(10, truncate = false)
+    spark.stop()
+  }
+}

@@ -30,7 +30,7 @@ object Dedup {
     * the difference between shuffling 16 GB and 100 TB at scale.
     * Collision risk at n docs ≈ n²/2¹²⁹: ~10⁻¹⁸ even at 10¹⁰ docs.
     */
-  private def contentKey(text: Column): Seq[Column] = {
+  private[graft] def contentKey(text: Column): Seq[Column] = {
     val norm = normText(text)
     Seq(xxhash64(norm), xxhash64(lit(0x9e3779b9L), norm))
   }

@@ -222,6 +222,58 @@ object StreamingOps {
     } finally q.stop()
   }
 
+  /** Streaming exact dedup: first-seen-wins on the 128-bit normalized
+    * content key via `dropDuplicates` keyed state — the streaming-ingest
+    * form of [[graft.functions.Dedup.exactSurvivors]]. State is keyed by
+    * (lang, h1, h2), 24 B per unique document regardless of text size —
+    * the same shuffle-hashes-not-text design as the batch path. A
+    * production deployment bounds state with
+    * `withWatermark + dropDuplicatesWithinWatermark` (dedup horizon);
+    * unbounded here to match the batch contract exactly.
+    */
+  def streamingExactDedup(docs: DataFrame): DataFrame = {
+    val Seq(h1, h2) = graft.functions.Dedup.contentKey(col("text"))
+    docs.select(col("doc_id"), col("lang"), h1.as("h1"), h2.as("h2"))
+      .dropDuplicates("lang", "h1", "h2")
+  }
+
+  /** Correctness-gate harness: replay the documents table through a
+    * MemoryStream in doc_id order across `nBatches` triggers of
+    * [[streamingExactDedup]]; the per-language survivor counts must
+    * equal the one-shot batch answer (q20's oracle). Duplicate copies
+    * split across triggers exercise the cross-batch state path.
+    */
+  def replayExactDedup(docs: DataFrame, nBatches: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // hashes computed distributed; only (id, lang, 2 longs) cross the driver
+    val Seq(h1, h2) = graft.functions.Dedup.contentKey(col("text"))
+    val rows = docs.select(col("doc_id").cast("long"), col("lang"),
+        h1.as("h1"), h2.as("h2"))
+      .as[(Long, String, Long, Long)].collect()
+    rows.sortInPlaceBy(_._1)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long, Long)]
+    val name = "graft_replay_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-replay-dedup").toString
+    val q = ms.toDF().toDF("doc_id", "lang", "h1", "h2")
+      .dropDuplicates("lang", "h1", "h2")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(name).start()
+    try {
+      val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+      val counts = spark.table(name)
+        .groupBy("lang").agg(count("*").as("n_unique"))
+        .as[(String, Long)].collect()
+      spark.createDataset(counts.toIndexedSeq).toDF("lang", "n_unique")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   /** Running degree table (update mode): identical plan to the batch
     * `getDegrees` — Structured Streaming keeps the per-key counts in the
     * state store and emits changed rows per trigger.
