@@ -269,6 +269,22 @@ object SparkEntry {
       val source = e.agg(min(col("src"))).head().getLong(0)
       graft.operators.Traversals.sssp(e, source)
     }),
+    // double-sweep diameter estimation: two composed BFS runs, exact
+    // eccentricity of the start + the classic diameter lower bound
+    "q74_diameter" -> ((s, dir) => {
+      val c = GraphFixtures.coPurchase10(s, dir)
+      val source = c.agg(min(col("src"))).head().getLong(0)
+      graft.operators.Traversals.doubleSweepDiameter(c, source)
+    }),
+    // multimodal frame sampling: every 4th 64-byte frame of each video
+    // payload through the iterator pipeline; per-id sampled counts/bytes
+    "q75_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.syntheticMedia(Tables.documents(s, dir)), 4)
+        .toDF()
+        .groupBy(col("id"))
+        .agg(count("*").as("n_sampled"),
+          sum(length(col("frame"))).as("sampled_bytes"))),
     // exact per-group quantiles (sort-based percentile, linear interp)
     "q65_quantiles" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -528,6 +544,32 @@ object SparkEntry {
       }.mkString(", ")
       base + rounds + " SELECT u AS id, COUNT(*) AS core_degree FROM e12 GROUP BY u"
     }
+    // double-sweep diameter: two chained depth-capped recursive BFS CTEs
+    // (the q59 pattern); the far vertex is the deterministic
+    // (dist DESC, id ASC) argmax of sweep 1
+    val diameterSql =
+      (s"WITH RECURSIVE c AS MATERIALIZED ($copurchase10), " +
+        "sym AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
+        "b1(id, d) AS (SELECT MIN(x), 0 FROM c " +
+        "UNION SELECT sym.v, b1.d + 1 FROM sym JOIN b1 ON b1.id = sym.u WHERE b1.d < 20), " +
+        "m1 AS MATERIALIZED (SELECT id, MIN(d) AS dist FROM b1 GROUP BY id), " +
+        "far AS MATERIALIZED (SELECT id FROM m1 ORDER BY dist DESC, id ASC LIMIT 1), " +
+        "b2(id, d) AS (SELECT id, 0 FROM far " +
+        "UNION SELECT sym.v, b2.d + 1 FROM sym JOIN b2 ON b2.id = sym.u WHERE b2.d < 20), " +
+        "m2 AS (SELECT id, MIN(d) AS dist FROM b2 GROUP BY id) " +
+        "SELECT (SELECT MIN(x) FROM c) AS source, " +
+        "CAST((SELECT MAX(dist) FROM m1) AS BIGINT) AS ecc_source, " +
+        "(SELECT id FROM far) AS far_vertex, " +
+        "CAST((SELECT MAX(dist) FROM m2) AS BIGINT) AS diameter_lb")
+    // frame sampling arithmetic replayed from payload byte lengths:
+    // nf = max(bytes div 64, 1) frames, every 4th sampled; all sampled
+    // frames are full 64 B except the single short frame of a <64 B doc
+    val frameSampleSql =
+      ("SELECT doc_id AS id, " +
+        "CAST((GREATEST(octet_length(encode(text)) // 64, 1) + 3) // 4 AS BIGINT) AS n_sampled, " +
+        "CAST(CASE WHEN octet_length(encode(text)) < 64 THEN octet_length(encode(text)) " +
+        "ELSE ((GREATEST(octet_length(encode(text)) // 64, 1) + 3) // 4) * 64 END AS BIGINT) AS sampled_bytes " +
+        "FROM documents WHERE doc_id % 3 = 2")
     // Adamic–Adar: wedge join over centers with degree >= 2; each
     // center's 1/ln(deg) weight is rounded to integer micro-units FIRST
     // so the per-pair sum is order-independent (the q32/q54 pattern)
@@ -647,6 +689,8 @@ object SparkEntry {
       "q62_transitivity" -> transitivitySql,
       "q63_assortativity" -> assortativitySql,
       "q64_sssp" -> ssspSql,
+      "q74_diameter" -> diameterSql,
+      "q75_frame_sample" -> frameSampleSql,
       "q65_quantiles" ->
         ("SELECT l_returnflag AS returnflag, " +
           "ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25, " +

@@ -58,6 +58,25 @@ object Traversals {
     settled
   }
 
+  /** Double-sweep diameter estimation: BFS from `start`, then BFS again
+    * from the farthest vertex found (ties broken by min id — fully
+    * deterministic). The second sweep's maximum distance is the classic
+    * high-quality diameter lower bound (exact on trees); the cost is
+    * exactly two BFS runs. Output: one row
+    * `(source, ecc_source, far_vertex, diameter_lb)`.
+    */
+  def doubleSweepDiameter(edges: DataFrame, start: Long, maxIter: Int = 100): DataFrame = {
+    val d1 = bfsDepths(edges, start, maxIter)
+    val farRow = d1.orderBy(col("dist").desc, col("id").asc).limit(1).head()
+    val far = farRow.getLong(0)
+    val d2 = bfsDepths(edges, far, maxIter)
+    d2.agg(max(col("dist")).as("diameter_lb"))
+      .select(lit(start).as("source"),
+        lit(farRow.getLong(1)).as("ecc_source"),
+        lit(far).as("far_vertex"),
+        col("diameter_lb"))
+  }
+
   /** Weighted single-source shortest paths (Bellman–Ford relaxation)
     * over the undirected view of `edges`, weight = the edge `value`
     * cast to BIGINT (integer weights keep every path sum exact, so the

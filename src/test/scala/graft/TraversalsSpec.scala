@@ -79,6 +79,17 @@ class TraversalsSpec extends SparkTestBase {
     assert(math.abs(r2 + 1.0) < 1e-9)
   }
 
+  test("doubleSweepDiameter: exact on trees, deterministic far vertex") {
+    // path 1-2-3-4-5 starting mid-path: ecc(3)=2, far vertex = 1 (tie
+    // with 5 broken by min id), second sweep finds the true diameter 4
+    val path = edgeDf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    val r = Traversals.doubleSweepDiameter(path, 3L).head()
+    assert(r.getAs[Long]("source") == 3L)
+    assert(r.getAs[Long]("ecc_source") == 2L)
+    assert(r.getAs[Long]("far_vertex") == 1L)
+    assert(r.getAs[Long]("diameter_lb") == 4L)
+  }
+
   test("sssp: weighted distances relax past greedy hop counts") {
     import org.apache.spark.sql.functions._
     // 1→2 costs 10 direct, but 1→3→4→2 costs 3; parallel edge keeps min
