@@ -48,4 +48,24 @@ class EdgeCasesSpec extends SparkTestBase {
     val ex = intercept[IllegalArgumentException](GraphStream(bad))
     assert(ex.getMessage.contains("src/dst"))
   }
+
+  test("traversals on degenerate graphs: empty/isolated inputs") {
+    import graft.operators.{LinkPrediction, Traversals}
+    // BFS on an empty edge set: just the source at distance 0
+    val bfs = Traversals.bfsDepths(empty, 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bfs == Map(1L -> 0L))
+    // k-core and link prediction on empty inputs: empty, no throw
+    assert(Traversals.kcore(empty, 2).isEmpty)
+    assert(LinkPrediction.adamicAdar(empty, 1).isEmpty)
+    // SSSP from a vertex absent from a non-empty graph: source only
+    val one = edgeDf(Seq((5L, 9L)))
+    val d = Traversals.sssp(one, 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L))
+    // self-loops are ignored by the undirected view
+    val loop = edgeDf(Seq((7L, 7L), (7L, 8L)))
+    assert(Traversals.kcore(loop, 1).count() == 2L)
+    assert(Traversals.bfsDepths(loop, 7L).count() == 2L)
+  }
 }
