@@ -41,21 +41,26 @@ object Traversals {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    var settled = Seq((source, 0L)).toDF("id", "dist").localCheckpoint(true)
-    var frontier = settled
+    // each frontier is materialized exactly ONCE; the settled set for the
+    // anti-join is a lazy union over those cached levels, so the total
+    // data written is O(|V|), not O(|V| · eccentricity) as a per-round
+    // settled rewrite would be
+    var frontiers = List(Seq((source, 0L)).toDF("id", "dist").localCheckpoint(true))
     var depth = 0L
-    while (depth < maxIter && !frontier.isEmpty) {
+    var done = false
+    while (depth < maxIter && !done) {
       depth += 1
-      val next = frontier.join(sym, frontier("id") === sym("u"))
+      val settledIds = frontiers.map(_.select(col("id").as("sid")))
+        .reduce(_ union _)
+      val next = frontiers.head.join(sym, frontiers.head("id") === sym("u"))
         .select(col("v").as("id"))
         .distinct()
-        .join(settled.select(col("id").as("sid")), col("id") === col("sid"), "left_anti")
+        .join(settledIds, col("id") === col("sid"), "left_anti")
         .withColumn("dist", lit(depth))
         .localCheckpoint(true)
-      if (!next.isEmpty) settled = settled.union(next).localCheckpoint(true)
-      frontier = next
+      if (next.isEmpty) done = true else frontiers ::= next
     }
-    settled
+    frontiers.map(_.select(col("id"), col("dist"))).reduce(_ union _)
   }
 
   /** Double-sweep diameter estimation: BFS from `start`, then BFS again
