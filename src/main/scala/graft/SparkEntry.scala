@@ -259,6 +259,10 @@ object SparkEntry {
     // global transitivity: 3·triangles / wedges from exact integer moments
     "q62_transitivity" -> ((s, dir) =>
       Triangles.transitivity(GraphFixtures.coPurchase10(s, dir))),
+    // DOULION sparsified triangle estimate: deterministic hash-threshold
+    // edge sampling at p=0.5, gated against the exact count (±20%)
+    "q76_triangle_estimate" -> ((s, dir) =>
+      Triangles.sparsifiedEstimateGate(GraphFixtures.coPurchase(s, dir))),
     // Newman degree assortativity from exact integer moments
     "q63_assortativity" -> ((s, dir) =>
       graft.operators.DegreeMetrics.assortativity(GraphFixtures.coPurchase10(s, dir))),
@@ -690,6 +694,12 @@ object SparkEntry {
       "q63_assortativity" -> assortativitySql,
       "q64_sssp" -> ssspSql,
       "q74_diameter" -> diameterSql,
+      // the estimate itself is hash-sampling-dependent; the gate row is
+      // deterministic: exact count + the tolerance verdict
+      "q76_triangle_estimate" ->
+        (s"WITH c AS ($copurchase), " +
+          s"t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact $triangleJoin) " +
+          "SELECT n_exact, true AS rel_err_ok FROM t"),
       "q75_frame_sample" -> frameSampleSql,
       "q65_quantiles" ->
         ("SELECT l_returnflag AS returnflag, " +

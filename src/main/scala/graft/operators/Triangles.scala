@@ -119,6 +119,34 @@ object Triangles {
       .agg(sum(size(array_intersect(col("au"), col("av")))).as("triangles"))
       .where(col("triangles") > 0)
 
+  /** DOULION-style sparsified triangle estimate: keep each edge iff
+    * `xxhash64(src, dst, seed) mod 1e6 < p·1e6` — a deterministic,
+    * order-independent, mergeable "coin flip" (the same edge always
+    * gets the same verdict on any executor), then count triangles on
+    * the sparsified graph and scale by 1/p³. Sparsification cuts the
+    * adjacency build and wedge work by ~p² before any list exists —
+    * the cheap first pass for 100 TB graphs where even degree-oriented
+    * exact counting is too expensive.
+    *
+    * Output is a driver-checkable gate row (the q33/q36 recall-gate
+    * pattern): `(n_exact, rel_err_ok)` where the estimate is computed
+    * in-query and compared to the exact count at a fixed tolerance —
+    * deterministic because the hash sampling is.
+    */
+  def sparsifiedEstimateGate(c: DataFrame, p: Double = 0.5, seed: Long = 42L,
+                             tol: Double = 0.2): DataFrame = {
+    val cc = c.localCheckpoint(true)
+    val kept = cc.where(
+      pmod(xxhash64(col("src"), col("dst"), lit(seed)), lit(1000000L)) <
+        lit((p * 1e6).toLong))
+    val est = globalCount(kept)
+      .select((col("triangles") / lit(p * p * p)).as("est"))
+    globalCount(cc).withColumnRenamed("triangles", "n_exact")
+      .crossJoin(est)
+      .select(col("n_exact"),
+        (abs(col("est") - col("n_exact")) / col("n_exact") <= tol).as("rel_err_ok"))
+  }
+
   /** Global transitivity (global clustering coefficient):
     * 3·triangles / wedges, wedges = Σ_v deg(v)·(deg(v)−1)/2. One row
     * `(n_triangles, n_wedges, transitivity)`. Both inputs are exact

@@ -67,4 +67,18 @@ class TrianglesSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(r == Map(0L -> 1L))
   }
+
+  test("sparsified estimate: deterministic and within a tighter bound than the gate") {
+    import org.apache.spark.sql.functions._
+    val c = graft.model.GraphFixtures.coPurchase(spark, sf)
+    // the gate the driver checks (tol 0.2) must hold with margin: assert
+    // the same sampling at tol 0.15, so a borderline drift would surface
+    // here before it ever reached the oracle
+    val strict = Triangles.sparsifiedEstimateGate(c, tol = 0.15).head()
+    assert(strict.getBoolean(1), s"rel err above 0.15 (exact=${strict.getLong(0)})")
+    // determinism: same seed => identical verdict under repartitioning
+    val again = Triangles.sparsifiedEstimateGate(c.repartition(7), tol = 0.15).head()
+    assert(again.getBoolean(1) == strict.getBoolean(1) &&
+      again.getLong(0) == strict.getLong(0))
+  }
 }
