@@ -259,6 +259,9 @@ object SparkEntry {
     // global transitivity: 3·triangles / wedges from exact integer moments
     "q62_transitivity" -> ((s, dir) =>
       Triangles.transitivity(GraphFixtures.coPurchase10(s, dir))),
+    // top-3 TF-IDF terms per doc (fixed-point idf => order-independent)
+    "q77_tfidf" -> ((s, dir) =>
+      TextStats.tfidfTopK(Tables.documents(s, dir))),
     // DOULION sparsified triangle estimate: deterministic hash-threshold
     // edge sampling at p=0.5, gated against the exact count (±20%)
     "q76_triangle_estimate" -> ((s, dir) =>
@@ -700,6 +703,17 @@ object SparkEntry {
         (s"WITH c AS ($copurchase), " +
           s"t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact $triangleJoin) " +
           "SELECT n_exact, true AS rel_err_ok FROM t"),
+      "q77_tfidf" ->
+        ("WITH tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM " +
+          "(SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) u " +
+          "WHERE token <> '' GROUP BY doc_id, token), " +
+          "idf AS (SELECT token, CAST(ROUND(1000000.0 * LN((SELECT COUNT(*) FROM documents) * 1.0 / COUNT(*))) AS BIGINT) AS idf_micro " +
+          "FROM tf GROUP BY token), " +
+          "s AS (SELECT tf.doc_id, tf.token, tf.tf * idf.idf_micro AS score_micro, " +
+          "ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf * idf.idf_micro DESC, tf.token ASC) AS rnk " +
+          "FROM tf JOIN idf ON idf.token = tf.token) " +
+          "SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, CAST(score_micro AS BIGINT) AS score_micro " +
+          "FROM s WHERE rnk <= 3"),
       "q75_frame_sample" -> frameSampleSql,
       "q65_quantiles" ->
         ("SELECT l_returnflag AS returnflag, " +

@@ -75,6 +75,35 @@ object TextStats {
     * picks the argmax. A heuristic — accuracy depends on the corpus
     * carrying real per-language signal.
     */
+  /** Top-`k` TF-IDF terms per document — the classic retrieval /
+    * keyword-extraction scoring, engine-deterministic by the fixed-point
+    * rule: `score_micro = tf · round(1e6 · ln(N / df))` (tf and df are
+    * exact integers, the idf factor is rounded to micro-units BEFORE the
+    * multiply, ties break lexicographically).
+    *
+    * Plan shape: one shuffle for per-(doc, token) tf, one for df; the
+    * df table is vocabulary-sized and broadcast when it fits (AQE).
+    * Top-k per doc is a bounded window sort per document.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val n = docs.count()
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count("*").as("tf"))
+      .localCheckpoint(true)
+    val df = tf.groupBy("token").agg(count("*").as("df"))
+      .withColumn("idf_micro",
+        round(lit(1e6) * log(lit(n.toDouble) / col("df"))).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("token").asc)
+    tf.join(df, "token")
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("doc_id", "rnk", "token", "score_micro")
+  }
+
   object LangId {
     /** (lang, token, logp) profile table. Log-odds are fixed-point
       * micro-units (`floor(ln(...) * 1e6)` as BIGINT): per-doc scores

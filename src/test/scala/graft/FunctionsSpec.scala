@@ -183,4 +183,22 @@ class FunctionsSpec extends SparkTestBase {
     val langs = pred.select("predicted").distinct().collect().map(_.getString(0)).toSet
     assert(langs.subsetOf(Set("en", "fr", "es", "zh", "de")))
   }
+
+  test("tfidf: rare terms outrank common ones; scores match the fixed-point formula") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // "common" appears in all 4 docs (idf=ln(1)=0), "rare" in one
+    val docs = Seq(
+      (1L, "common rare rare"), (2L, "common mid"),
+      (3L, "common mid"), (4L, "common")).toDF("doc_id", "text")
+    val out = TextStats.tfidfTopK(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+    val rareScore = 2L * math.round(1e6 * math.log(4.0 / 1))
+    val midScore = 1L * math.round(1e6 * math.log(4.0 / 2))
+    assert(out((1L, 1L)) == ("rare", rareScore))
+    assert(out((1L, 2L)) == ("common", 0L))
+    assert(out((2L, 1L)) == ("mid", midScore))
+    // doc 4 has only the zero-idf token; it still ranks (score 0)
+    assert(out((4L, 1L)) == ("common", 0L))
+  }
 }
