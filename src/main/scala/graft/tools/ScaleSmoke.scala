@@ -49,6 +49,25 @@ object ScaleSmoke {
     t("fingerprints")(
       graft.functions.TextStats.fingerprints(docs)
         .write.format("noop").mode("overwrite").save())
+
+    // traversal smoke: same deterministic 10M-edge / 1M-vertex graph as
+    // the r1 core smoke (xxhash64 endpoints => connected, ~20 avg degree)
+    val nEdges = 10000000L
+    val nVerts = 1000000L
+    val g = spark.range(nEdges).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(nVerts)).as("src"),
+      pmod(xxhash64(col("id"), lit(2)), lit(nVerts)).as("dst"),
+      (pmod(xxhash64(col("id"), lit(3)), lit(50)) + 1).cast("double").as("value"))
+      .localCheckpoint(true)
+    println(s"[smoke] graph: ${g.count()} edges / ~$nVerts vertices")
+    t("bfsDepths (10M edges)")(
+      graft.operators.Traversals.bfsDepths(g, 0L).count())
+    t("sssp Bellman-Ford (10M edges)")(
+      graft.operators.Traversals.sssp(g, 0L).count())
+    t("kcore k=25 (10M edges)")(
+      graft.operators.Traversals.kcore(g, 25).count())
+    t("pagerank fixed-point 5 rounds (10M)")(
+      graft.operators.PageRank.fixedPoint(g, 5).count())
     spark.stop()
   }
 }
