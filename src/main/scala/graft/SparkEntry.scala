@@ -259,6 +259,17 @@ object SparkEntry {
     // global transitivity: 3·triangles / wedges from exact integer moments
     "q62_transitivity" -> ((s, dir) =>
       Triangles.transitivity(GraphFixtures.coPurchase10(s, dir))),
+    // sessionization via the NATIVE session_window operator (vs q38's
+    // manual lag/cumsum form — different plan, same capability; note
+    // session_window starts a new session at gap >= 30min, half-open)
+    "q78_session_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("t", timestamp_micros(expr("ts_ns div 1000")))
+      ev.groupBy(col("user_id"), session_window(col("t"), "30 minutes").as("sw"))
+        .agg(count("*").as("cnt"))
+        .groupBy("user_id")
+        .agg(count("*").as("n_sessions"), sum("cnt").as("n_events"))
+    }),
     // top-3 TF-IDF terms per doc (fixed-point idf => order-independent)
     "q77_tfidf" -> ((s, dir) =>
       TextStats.tfidfTopK(Tables.documents(s, dir))),
@@ -898,6 +909,17 @@ object SparkEntry {
           "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
           "s AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts " +
           "ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+          "SELECT user_id, CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_sessions, " +
+          "COUNT(*) AS n_events FROM s GROUP BY user_id"),
+      // session_window semantics: NEW session at gap >= 30min (half-open
+      // windows), µs precision on both sides (the q51 ts_us convention)
+      "q78_session_window" ->
+        ("WITH m AS (SELECT user_id, epoch_us(ts) AS tu FROM events), " +
+          "x AS (SELECT user_id, tu, CASE WHEN LAG(tu) OVER w IS NULL " +
+          "OR tu - LAG(tu) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s " +
+          "FROM m WINDOW w AS (PARTITION BY user_id ORDER BY tu)), " +
+          "s AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tu " +
+          "ROWS UNBOUNDED PRECEDING) AS sid FROM x) " +
           "SELECT user_id, CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_sessions, " +
           "COUNT(*) AS n_events FROM s GROUP BY user_id"),
       "q39_top_docs_per_lang" ->

@@ -223,4 +223,40 @@ class StreamingSpec extends SparkTestBase {
       assert(spark.table("dedup").count() == sampleEdges.size)
     } finally q.stop()
   }
+
+  test("stream-stream interval join equals the batch join") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // clicks join purchases by user within [-10 min, 0] event time —
+    // both sides watermarked, state bounded by the interval
+    val clicks = Seq((1L, 100L, 60L), (1L, 101L, 600L), (2L, 102L, 120L))
+    val purchases = Seq((1L, 55L), (1L, 580L), (2L, 400L))
+    val msC = MemoryStream[(Long, Long, Long)]
+    val msP = MemoryStream[(Long, Long)]
+    val cDf = msC.toDF().toDF("c_user", "click_id", "c_secs")
+      .withColumn("c_ts", timestamp_seconds(col("c_secs")))
+      .withWatermark("c_ts", "0 seconds")
+    val pDf = msP.toDF().toDF("p_user", "p_secs")
+      .withColumn("p_ts", timestamp_seconds(col("p_secs")))
+      .withWatermark("p_ts", "0 seconds")
+    val joined = cDf.join(pDf,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - org.apache.spark.sql.functions.expr("interval 10 minutes") &&
+        col("p_ts") <= col("c_ts"))
+    val q = joined.select("click_id", "p_secs")
+      .writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    try {
+      msC.addData(clicks); msP.addData(purchases)
+      q.processAllAvailable()
+      val streamed = spark.table("ssj").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch truth: purchase within 10 min before each click, same user
+      val expected = (for {
+        (u, cid, cs) <- clicks
+        (pu, ps) <- purchases
+        if pu == u && ps <= cs && ps >= cs - 600
+      } yield (cid, ps)).toSet
+      assert(streamed == expected && expected.nonEmpty)
+    } finally q.stop()
+  }
 }
