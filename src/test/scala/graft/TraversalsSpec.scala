@@ -79,6 +79,31 @@ class TraversalsSpec extends SparkTestBase {
     assert(math.abs(r2 + 1.0) < 1e-9)
   }
 
+  test("maximalIndependentSet: independent, maximal, deterministic") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 20 + rnd.nextInt(20)
+      val pairs = (1 to 60).map { _ =>
+        val a = rnd.nextInt(n).toLong; var b = rnd.nextInt(n).toLong
+        if (a == b) b = (a + 1) % n
+        (math.min(a, b), math.max(a, b))
+      }.distinct
+      val g2 = edgeDf(pairs)
+      val mis = Traversals.maximalIndependentSet(g2).collect().map(_.getLong(0)).toSet
+      val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val verts = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+      // independence: no edge inside the MIS
+      assert(mis.forall(v => adj(v).intersect(mis).isEmpty), s"trial $trial not independent")
+      // maximality: every excluded vertex has a MIS neighbor
+      assert((verts -- mis).forall(v => adj(v).exists(mis.contains)), s"trial $trial not maximal")
+      // determinism under repartitioning
+      val again = Traversals.maximalIndependentSet(g2.repartition(7))
+        .collect().map(_.getLong(0)).toSet
+      assert(again == mis)
+    }
+  }
+
   test("doubleSweepDiameter: exact on trees, deterministic far vertex") {
     // path 1-2-3-4-5 starting mid-path: ecc(3)=2, far vertex = 1 (tie
     // with 5 broken by min id), second sweep finds the true diameter 4
