@@ -36,9 +36,15 @@ object Traversals {
     * of the source, each a constant number of shuffles — the standard
     * distributed-BFS cost model.
     */
-  def bfsDepths(edges: DataFrame, source: Long, maxIter: Int = 100): DataFrame = {
-    val sym = symmetrize(edges).localCheckpoint(true)
-    val spark = edges.sparkSession
+  def bfsDepths(edges: DataFrame, source: Long, maxIter: Int = 100): DataFrame =
+    bfsFromSym(symmetrize(edges).localCheckpoint(true), source, maxIter)
+
+  /** BFS over an already-symmetrized, already-checkpointed `(u, v)` edge
+    * set — lets multi-sweep compositions (diameter) pay the symmetrize
+    * shuffle once.
+    */
+  private def bfsFromSym(sym: DataFrame, source: Long, maxIter: Int): DataFrame = {
+    val spark = sym.sparkSession
     import spark.implicits._
 
     // each frontier is materialized exactly ONCE; the settled set for the
@@ -71,10 +77,11 @@ object Traversals {
     * `(source, ecc_source, far_vertex, diameter_lb)`.
     */
   def doubleSweepDiameter(edges: DataFrame, start: Long, maxIter: Int = 100): DataFrame = {
-    val d1 = bfsDepths(edges, start, maxIter)
+    val sym = symmetrize(edges).localCheckpoint(true)
+    val d1 = bfsFromSym(sym, start, maxIter)
     val farRow = d1.orderBy(col("dist").desc, col("id").asc).limit(1).head()
     val far = farRow.getLong(0)
-    val d2 = bfsDepths(edges, far, maxIter)
+    val d2 = bfsFromSym(sym, far, maxIter)
     d2.agg(max(col("dist")).as("diameter_lb"))
       .select(lit(start).as("source"),
         lit(farRow.getLong(1)).as("ecc_source"),
