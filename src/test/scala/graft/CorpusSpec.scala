@@ -53,6 +53,22 @@ class CorpusSpec extends SparkTestBase {
     assert(r("sB") == (50L, 0L))
   }
 
+  test("packing invariants on the sf corpus: totals preserved, bins near capacity") {
+    import spark.implicits._
+    val d = graft.model.Tables.documents(spark, sf)
+    val packed = Corpus.packSequences(d, 256)
+    // conservation: every doc and every token lands in exactly one bin
+    val Seq(nd, nt) = packed.agg(sum("n_docs"), sum("n_tokens")).head()
+      .toSeq.map(_.asInstanceOf[Long])
+    assert(nd == d.count())
+    val totalTokens = d.select(sum(size(split(col("text"), " ")))).head().getLong(0)
+    assert(nt == totalTokens)
+    // every non-final bin of a shard holds < capacity + max single doc
+    val maxDoc = d.select(max(size(split(col("text"), " ")))).head().getInt(0)
+    val over = packed.where(col("n_tokens") >= 256 + maxDoc).count()
+    assert(over == 0, s"a bin exceeded capacity+maxdoc ($over bins)")
+  }
+
   test("packSequences: running-sum bins respect capacity and shard isolation") {
     // 5-token docs, capacity 12: bins of 2 docs (10 before-tokens < 12,
     // 3rd doc starts at 10 div 12 = 0... before=10 -> bin 0; before=15 -> bin 1)
