@@ -119,6 +119,21 @@ object Sources {
   /** Batch sinks. */
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Hive-style partitioned layout + in-file ordering — the 100 TB
+    * data-layout tool: an equality filter on a partition column prunes
+    * whole directories before any IO (PartitionFilters in the scan),
+    * and sorting within partitions by `orderCols` tightens parquet
+    * min/max row-group stats so range filters skip pages too.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
+                       orderCols: Seq[String] = Nil): Unit = {
+    // co-locate each hive partition in one task, then order rows inside
+    // it so every output file carries tight min/max column stats
+    val laid = df.repartition(col(partitionCol))
+      .sortWithinPartitions((partitionCol +: orderCols).map(col): _*)
+    laid.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+  }
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 

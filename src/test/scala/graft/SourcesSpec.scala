@@ -64,4 +64,24 @@ class SourcesSpec extends SparkTestBase {
     assert(stream.isStreaming)
     assert(stream.columns.toSeq == Seq("src", "dst", "value", "ts"))
   }
+
+  test("partitioned layout: equality filter prunes partition directories") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.Tables.documents(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    Sources.writePartitioned(docs, path, "lang", orderCols = Seq("doc_id"))
+    // hive layout on disk: one directory per lang
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("lang=")).toSet
+    assert(dirs.size >= 3)
+    val back = spark.read.parquet(path).where(col("lang") === "en")
+    // results correct...
+    assert(back.count() == docs.where(col("lang") === "en").count())
+    // ...and the physical plan prunes to the one matching directory
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    val scanned = back.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(scanned.contains("lang=en") || plan.contains("isnotnull(lang"), scanned.take(300))
+  }
 }
