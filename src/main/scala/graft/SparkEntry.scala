@@ -273,6 +273,11 @@ object SparkEntry {
     // top-3 TF-IDF terms per doc (fixed-point idf => order-independent)
     "q77_tfidf" -> ((s, dir) =>
       TextStats.tfidfTopK(Tables.documents(s, dir))),
+    // O15 streaming form: the continuous globalAggregate (value
+    // histogram) replayed over a stream converges to q18's batch answer
+    "q80_streaming_histogram" -> ((s, dir) =>
+      graft.streaming.StreamingOps.replayHistogram(
+        GraphFixtures.edgeStream(s, dir))),
     // Luby-style maximal independent set with fixed hash priorities
     "q79_mis" -> ((s, dir) =>
       graft.operators.Traversals.maximalIndependentSet(
@@ -850,6 +855,9 @@ object SparkEntry {
           "UNION ALL SELECT 'E', NOT EXISTS " +
           "(SELECT 1 FROM epar GROUP BY v HAVING COUNT(DISTINCT p) > 1)"),
       "q18_histogram" ->
+        "SELECT CAST(FLOOR(l_quantity / 5) * 5 AS BIGINT) AS bin, COUNT(*) AS cnt FROM lineitem GROUP BY 1",
+      // streaming replay must converge to the same histogram
+      "q80_streaming_histogram" ->
         "SELECT CAST(FLOOR(l_quantity / 5) * 5 AS BIGINT) AS bin, COUNT(*) AS cnt FROM lineitem GROUP BY 1",
       "q19_similarity_topk" ->
         ("WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id <= 9), " +

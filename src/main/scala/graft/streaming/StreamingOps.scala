@@ -274,6 +274,39 @@ object StreamingOps {
     }
   }
 
+  /** Correctness-gate harness for the continuous globalAggregate (O15):
+    * replay the edge VALUES through a MemoryStream across `nBatches`
+    * complete-mode triggers of the running histogram; the final table
+    * must equal the one-shot batch answer (q18's oracle). Only the
+    * (value) doubles cross the driver — the replay feed, not the
+    * operator.
+    */
+  def replayHistogram(edges: DataFrame, nBatches: Int = 4): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = edges.select(col("value").cast("double")).as[Double].collect()
+    java.util.Arrays.sort(rows)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Double]
+    val name = "graft_replay_hist_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-replay-hist").toString
+    val q = ms.toDF().toDF("value")
+      .groupBy((floor(col("value") / 5) * 5).cast("long").as("bin"))
+      .agg(count("*").as("cnt"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(name).start()
+    try {
+      val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+      val fin = spark.table(name).as[(Long, Long)].collect()
+      spark.createDataset(fin.toIndexedSeq).toDF("bin", "cnt")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   /** Running degree table (update mode): identical plan to the batch
     * `getDegrees` — Structured Streaming keeps the per-key counts in the
     * state store and emits changed rows per trigger.
