@@ -194,7 +194,10 @@ class GraphStream(val edges: DataFrame) {
     val sizeSec = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(size))
     require(sizeSec.months == 0, s"snapshot: calendar-month windows are not epoch-alignable: $size")
+    require(sizeSec.microseconds % 1000000L == 0,
+      s"snapshot: window size must be a whole number of seconds: $size")
     val secs = sizeSec.days * 86400L + sizeSec.microseconds / 1000000L
+    require(secs > 0, s"snapshot: window size must be positive: $size")
     val start = math.floorDiv(atEpochSec, secs) * secs
     // plain range predicate on the ts column (not on a function of it),
     // so parquet row-group pruning / PushedFilters apply

@@ -751,7 +751,7 @@ object SparkEntry {
         ("WITH tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM " +
           "(SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) u " +
           "WHERE token <> '' GROUP BY doc_id, token), " +
-          "idf AS (SELECT token, CAST(ROUND(1000000.0 * LN((SELECT COUNT(*) FROM documents) * 1.0 / COUNT(*))) AS BIGINT) AS idf_micro " +
+          "idf AS (SELECT token, CAST(ROUND(1000000.0 * LN((SELECT COUNT(DISTINCT doc_id) FROM tf) * 1.0 / COUNT(*))) AS BIGINT) AS idf_micro " +
           "FROM tf GROUP BY token), " +
           "s AS (SELECT tf.doc_id, tf.token, tf.tf * idf.idf_micro AS score_micro, " +
           "ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf * idf.idf_micro DESC, tf.token ASC) AS rnk " +

@@ -88,9 +88,13 @@ object TrainingDataPipelineExample {
       clustered.where(col("doc_id") === col("cluster")).select("doc_id"), "doc_id")
     val n1 = survivors.count()
 
-    // 2. repetition + quality gates
+    // 2. repetition + quality gates: drop boilerplate-heavy docs AND
+    //    docs failing the length/diversity bounds
     val rep = graft.functions.Corpus.repetitionStats(survivors)
-      .where(col("dup_bigram_frac") < 0.9).select("doc_id")
+      .where(col("dup_bigram_frac") < 0.9 &&
+        col("n_tokens") >= 10 &&
+        col("n_distinct").cast("double") / col("n_tokens") >= 0.2)
+      .select("doc_id")
     val gated = survivors.join(rep, "doc_id")
     val n2 = gated.count()
 

@@ -68,29 +68,24 @@ object TextStats {
   def fingerprints(docs: DataFrame): DataFrame =
     Spread(docs).select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
-  /** N-gram/token language-ID: self-trained token log-odds profiles.
-    * `fit` learns per-language token frequencies from labeled docs (one
-    * aggregation, result broadcast by Catalyst via the join); `predict`
-    * scores each doc by Σ log P(token|lang) with add-one smoothing and
-    * picks the argmax. A heuristic — accuracy depends on the corpus
-    * carrying real per-language signal.
-    */
   /** Top-`k` TF-IDF terms per document — the classic retrieval /
     * keyword-extraction scoring, engine-deterministic by the fixed-point
     * rule: `score_micro = tf · round(1e6 · ln(N / df))` (tf and df are
     * exact integers, the idf factor is rounded to micro-units BEFORE the
-    * multiply, ties break lexicographically).
+    * multiply, ties break lexicographically). N = documents with at
+    * least one token, derived from the checkpointed tf table so the
+    * corpus is scanned exactly once.
     *
     * Plan shape: one shuffle for per-(doc, token) tf, one for df; the
     * df table is vocabulary-sized and broadcast when it fits (AQE).
     * Top-k per doc is a bounded window sort per document.
     */
   def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
-    val n = docs.count()
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .where(col("token") =!= "")
       .groupBy("doc_id", "token").agg(count("*").as("tf"))
       .localCheckpoint(true)
+    val n = tf.select(countDistinct("doc_id")).head().getLong(0)
     val df = tf.groupBy("token").agg(count("*").as("df"))
       .withColumn("idf_micro",
         round(lit(1e6) * log(lit(n.toDouble) / col("df"))).cast("long"))
@@ -104,6 +99,13 @@ object TextStats {
       .select("doc_id", "rnk", "token", "score_micro")
   }
 
+  /** N-gram/token language-ID: self-trained token log-odds profiles.
+    * `fit` learns per-language token frequencies from labeled docs (one
+    * aggregation, result broadcast by Catalyst via the join); `predict`
+    * scores each doc by Σ log P(token|lang) with add-one smoothing and
+    * picks the argmax. A heuristic — accuracy depends on the corpus
+    * carrying real per-language signal.
+    */
   object LangId {
     /** (lang, token, logp) profile table. Log-odds are fixed-point
       * micro-units (`floor(ln(...) * 1e6)` as BIGINT): per-doc scores

@@ -27,12 +27,7 @@ object DegreeMetrics {
     * integer agg. Nothing driver-side.
     */
   def assortativity(edges: DataFrame): DataFrame = {
-    val sym = edges
-      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
-      .union(edges.select(col("dst").cast("long"), col("src").cast("long")))
-      .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+    val sym = Traversals.symmetrize(edges).localCheckpoint(true)
     val deg = sym.groupBy(col("u").as("id")).agg(count("*").as("d"))
     val moments = sym
       .join(deg.toDF("u", "j"), Seq("u"))

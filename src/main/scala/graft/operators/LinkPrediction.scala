@@ -24,19 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object LinkPrediction {
 
-  private def symmetrize(edges: DataFrame): DataFrame =
-    edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
-      .union(edges.select(col("dst").cast("long"), col("src").cast("long")))
-      .where(col("u") =!= col("v"))
-      .distinct()
-
   /** Pairs `(a < b)` at distance 2 with `cn` ≥ `minCommon` common
     * neighbors and no existing edge, with Adamic–Adar in micro-units:
     * `aa_micro = Σ_c round(1e6 / ln(deg c))`.
     * Output: `(a BIGINT, b BIGINT, cn BIGINT, aa_micro BIGINT)`.
     */
   def adamicAdar(edges: DataFrame, minCommon: Int = 2): DataFrame = {
-    val sym = symmetrize(edges).localCheckpoint(true)
+    val sym = Traversals.symmetrize(edges).localCheckpoint(true)
     val deg = sym.groupBy(col("u").as("c")).agg(count("*").as("d"))
     // per-neighbor contribution of each center c, as an exact integer.
     // d >= 2: a degree-1 center can never close a wedge, and ln(1) = 0

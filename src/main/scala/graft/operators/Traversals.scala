@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object Traversals {
 
-  private def symmetrize(edges: DataFrame): DataFrame =
+  /** Undirected view shared by the vertex-keyed iterative operators:
+    * both directions, self-loops dropped, exact-duplicate arcs merged.
+    */
+  private[operators] def symmetrize(edges: DataFrame): DataFrame =
     edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
       .union(edges.select(col("dst").cast("long"), col("src").cast("long")))
       .where(col("u") =!= col("v"))

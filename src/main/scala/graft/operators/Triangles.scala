@@ -144,7 +144,11 @@ object Triangles {
     globalCount(cc).withColumnRenamed("triangles", "n_exact")
       .crossJoin(est)
       .select(col("n_exact"),
-        (abs(col("est") - col("n_exact")) / col("n_exact") <= tol).as("rel_err_ok"))
+        // triangle-free graph: 0/0 would be NULL; an exact-zero estimate
+        // is trivially within tolerance
+        when(col("n_exact") === 0, col("est") === 0.0)
+          .otherwise(abs(col("est") - col("n_exact")) / col("n_exact") <= tol)
+          .as("rel_err_ok"))
   }
 
   /** Global transitivity (global clustering coefficient):

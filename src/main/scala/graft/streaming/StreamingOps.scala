@@ -247,17 +247,16 @@ object StreamingOps {
     val spark = docs.sparkSession
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    // hashes computed distributed; only (id, lang, 2 longs) cross the driver
-    val Seq(h1, h2) = graft.functions.Dedup.contentKey(col("text"))
-    val rows = docs.select(col("doc_id").cast("long"), col("lang"),
-        h1.as("h1"), h2.as("h2"))
-      .as[(Long, String, Long, Long)].collect()
+    // the replay feed carries the raw rows so the gate exercises the real
+    // operator (hashing inside the stream) — MemoryStream is a
+    // driver-fed test source, as in the other replay harnesses
+    val rows = docs.select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect()
     rows.sortInPlaceBy(_._1)
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long, Long)]
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
     val name = "graft_replay_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-replay-dedup").toString
-    val q = ms.toDF().toDF("doc_id", "lang", "h1", "h2")
-      .dropDuplicates("lang", "h1", "h2")
+    val q = streamingExactDedup(ms.toDF().toDF("doc_id", "lang", "text"))
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .format("memory").queryName(name).start()
