@@ -53,6 +53,21 @@ class CorpusSpec extends SparkTestBase {
     assert(r("sB") == (50L, 0L))
   }
 
+  test("degenerate docs: empty and single-token texts don't break the metrics") {
+    // ANSI-mode regression guard: slice/element access on 0/1-token
+    // arrays must not throw, fractions must not be NULL/NaN
+    val d = docs((1L, "", "en", "s"), (2L, "solo", "en", "s"), (3L, "a b", "en", "s"))
+    val rep = Corpus.repetitionStats(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rep(1L).getDouble(4) == 0.0 && rep(2L).getDouble(4) == 0.0)
+    assert(rep(3L).getLong(1) == 2)
+    assert(!rep.values.exists(r => r.isNullAt(3) || r.isNullAt(4)))
+    val gate = Corpus.qualityGate(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gate("en") == (3L, 0L)) // all too short; none pass, none crash
+    assert(Corpus.packSequences(d, 16).agg(sum("n_docs")).head().getLong(0) == 3L)
+  }
+
   test("packing invariants on the sf corpus: totals preserved, bins near capacity") {
     import spark.implicits._
     val d = graft.model.Tables.documents(spark, sf)
