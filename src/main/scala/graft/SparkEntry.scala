@@ -278,6 +278,9 @@ object SparkEntry {
     "q80_streaming_histogram" -> ((s, dir) =>
       graft.streaming.StreamingOps.replayHistogram(
         GraphFixtures.edgeStream(s, dir))),
+    // k-truss (k=5): edges in >= 3 triangles after iterative peel
+    "q81_ktruss" -> ((s, dir) =>
+      Triangles.ktruss(GraphFixtures.coPurchase10(s, dir), 5)),
     // Luby-style maximal independent set with fixed hash priorities
     "q79_mis" -> ((s, dir) =>
       graft.operators.Traversals.maximalIndependentSet(
@@ -620,6 +623,23 @@ object SparkEntry {
       base + rounds + " " +
         (1 to 10).map(r => s"SELECT id FROM s$r").mkString(" UNION ")
     }
+    // k-truss peel unrolled (the kcore/MIS pattern): the canonical
+    // a<b<c triangle join yields the 3 edge roles directly canonical;
+    // fixpoint takes 4 rounds at sf0.001 / 2 at sf0.01, 10 = margin
+    val ktrussSql = {
+      val base = s"WITH e0 AS MATERIALIZED ($copurchase10), "
+      val rounds = (1 to 10).map { r =>
+        s"t$r AS MATERIALIZED (SELECT e1.x AS a, e1.y AS b, e2.y AS c3 " +
+          s"FROM e${r - 1} e1 JOIN e${r - 1} e2 ON e2.x = e1.y " +
+          s"JOIN e${r - 1} e3 ON e3.x = e1.x AND e3.y = e2.y), " +
+          s"s$r AS MATERIALIZED (SELECT x, y, COUNT(*) AS sup FROM (" +
+          s"SELECT a AS x, b AS y FROM t$r UNION ALL " +
+          s"SELECT a, c3 FROM t$r UNION ALL SELECT b, c3 FROM t$r) u GROUP BY x, y), " +
+          s"e$r AS MATERIALIZED (SELECT e.x, e.y FROM e${r - 1} e " +
+          s"LEFT JOIN s$r s ON s.x = e.x AND s.y = e.y WHERE COALESCE(s.sup, 0) >= 3)"
+      }.mkString(", ")
+      base + rounds + " SELECT x AS src, y AS dst FROM e10"
+    }
     // Adamic–Adar: wedge join over centers with degree >= 2; each
     // center's 1/ln(deg) weight is rounded to integer micro-units FIRST
     // so the per-pair sum is order-independent (the q32/q54 pattern)
@@ -741,6 +761,7 @@ object SparkEntry {
       "q64_sssp" -> ssspSql,
       "q74_diameter" -> diameterSql,
       "q79_mis" -> misSql,
+      "q81_ktruss" -> ktrussSql,
       // the estimate itself is hash-sampling-dependent; the gate row is
       // deterministic: exact count + the tolerance verdict
       "q76_triangle_estimate" ->

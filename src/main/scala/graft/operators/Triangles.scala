@@ -119,6 +119,44 @@ object Triangles {
       .agg(sum(size(array_intersect(col("au"), col("av")))).as("triangles"))
       .where(col("triangles") > 0)
 
+  /** k-truss: the maximal subgraph whose every edge participates in at
+    * least k−2 triangles — the edge-analog of k-core and the standard
+    * cohesive-subgraph miner. Iterative peel: count per-edge triangle
+    * support with the degree-oriented enumerator, drop light edges,
+    * repeat to fixpoint. Per round: one triangle enumeration (the q14
+    * plan) + one support aggregation + one join; convergence from the
+    * scalar edge count. Returns the canonical `(src, dst)` truss edges.
+    */
+  def ktruss(c: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    require(k >= 3, s"ktruss: k must be >= 3, got $k")
+    var edges = c.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") < col("dst")).distinct()
+      .localCheckpoint(true)
+    var m = edges.count()
+    var changed = m > 0
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val tri = enumerate(edges)
+      val sup = tri.select(explode(array(
+          struct(least(col("ta"), col("tb")).as("s"), greatest(col("ta"), col("tb")).as("d")),
+          struct(least(col("ta"), col("tc")).as("s"), greatest(col("ta"), col("tc")).as("d")),
+          struct(least(col("tb"), col("tc")).as("s"), greatest(col("tb"), col("tc")).as("d"))))
+          .as("e"))
+        .groupBy(col("e.s").as("src"), col("e.d").as("dst"))
+        .agg(count("*").as("sup"))
+      val kept = edges.join(sup, Seq("src", "dst"), "left")
+        .where(coalesce(col("sup"), lit(0L)) >= k - 2)
+        .select("src", "dst")
+        .localCheckpoint(true)
+      val m2 = kept.count()
+      changed = m2 != m
+      m = m2
+      edges = kept
+      iter += 1
+    }
+    edges
+  }
+
   /** DOULION-style sparsified triangle estimate: keep each edge iff
     * `xxhash64(src, dst, seed) mod 1e6 < p·1e6` — a deterministic,
     * order-independent, mergeable "coin flip" (the same edge always

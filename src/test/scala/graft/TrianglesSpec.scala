@@ -68,6 +68,25 @@ class TrianglesSpec extends SparkTestBase {
     assert(r == Map(0L -> 1L))
   }
 
+  test("ktruss: peels to the maximal subgraph with per-edge support k-2") {
+    import org.apache.spark.sql.functions._
+    // K4 + pendant triangle 4-5-6 sharing vertex 4: in K4 every edge has
+    // support 2 (4-truss); the 4-5/4-6/5-6 edges have support 1 and peel
+    val g = canon(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)))
+    val t4 = graft.operators.Triangles.ktruss(g, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t4 == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    // k=3 keeps every triangle edge; k=5 kills everything (K4 maxes at 4)
+    assert(graft.operators.Triangles.ktruss(g, 3).count() == 9)
+    assert(graft.operators.Triangles.ktruss(g, 5).isEmpty)
+    // cascading peel: removing the pendant triangle can orphan nothing
+    // here, but a triangle chain does cascade — 3 triangles in a row,
+    // k=4 peels them all (each edge has support <= 1 after neighbors go)
+    val chain = canon(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L), (4L, 5L), (3L, 5L)))
+    assert(graft.operators.Triangles.ktruss(chain, 4).isEmpty)
+  }
+
   test("sparsified estimate: deterministic and within a tighter bound than the gate") {
     import org.apache.spark.sql.functions._
     val c = graft.model.GraphFixtures.coPurchase(spark, sf)
