@@ -278,6 +278,17 @@ object SparkEntry {
     "q80_streaming_histogram" -> ((s, dir) =>
       graft.streaming.StreamingOps.replayHistogram(
         GraphFixtures.edgeStream(s, dir))),
+    // weighted PageRank on E (quantity-weighted transitions; integer
+    // shares => deterministic). E is directed part->supplier; the
+    // min-weight symmetrized view gives a strongly-connected-ish chain
+    "q82_weighted_pagerank" -> ((s, dir) => {
+      val e = GraphFixtures.edgeStream(s, dir)
+        .select(col("src"), col("dst"), col("value"))
+      val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst"), col("value")))
+        .groupBy("src", "dst").agg(min(col("value")).as("value"))
+      graft.operators.PageRank.weightedFixedPoint(sym, 10)
+    }),
     // k-truss (k=5): edges in >= 3 triangles after iterative peel
     "q81_ktruss" -> ((s, dir) =>
       Triangles.ktruss(GraphFixtures.coPurchase10(s, dir), 5)),
@@ -706,6 +717,24 @@ object SparkEntry {
       }.mkString(", ")
       base + iters + " SELECT id, \"rank\" FROM r10"
     }
+    // weighted PageRank: q54's unrolled pattern with weight-proportional
+    // shares — per-edge (rank·w) // totw is an independent exact integer
+    val weightedPagerankSql = {
+      val base = ("WITH sym AS MATERIALIZED (SELECT u, v, MIN(w) AS w FROM (" +
+        "SELECT l_partkey AS u, l_suppkey + 1000000000 AS v, CAST(l_quantity AS BIGINT) AS w FROM lineitem " +
+        "UNION ALL SELECT l_suppkey + 1000000000, l_partkey, CAST(l_quantity AS BIGINT) FROM lineitem" +
+        ") GROUP BY u, v), " +
+        "tot AS MATERIALIZED (SELECT u, CAST(SUM(w) AS BIGINT) AS totw FROM sym GROUP BY u), " +
+        "verts AS (SELECT u AS id FROM tot), " +
+        "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS \"rank\" FROM verts), ")
+      val iters = (1 to 10).map { k =>
+        s"r$k AS (SELECT verts.id, CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS \"rank\" " +
+          "FROM verts LEFT JOIN (SELECT e.v AS id, SUM((r.\"rank\" * e.w) // t.totw) AS c " +
+          s"FROM sym e JOIN r${k - 1} r ON r.id = e.u JOIN tot t ON t.u = e.u GROUP BY e.v) s " +
+          "ON s.id = verts.id)"
+      }.mkString(", ")
+      base + iters + " SELECT id, \"rank\" FROM r10"
+    }
     // ANN recall-gate oracle: one deterministic row (see recallGate)
     val annGateSql =
       ("SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries, " +
@@ -762,6 +791,7 @@ object SparkEntry {
       "q74_diameter" -> diameterSql,
       "q79_mis" -> misSql,
       "q81_ktruss" -> ktrussSql,
+      "q82_weighted_pagerank" -> weightedPagerankSql,
       // the estimate itself is hash-sampling-dependent; the gate row is
       // deterministic: exact count + the tolerance verdict
       "q76_triangle_estimate" ->

@@ -62,6 +62,37 @@ object PageRank {
     ranks
   }
 
+  /** Weighted PageRank: each out-edge carries mass proportional to its
+    * integer weight (`value` cast to BIGINT) instead of 1/outdeg. Same
+    * micro-unit determinism contract — the per-edge share
+    * `(rank·w) div totw(u)` is an independent exact integer, so the
+    * inbound sum is order-free. Same per-round plan as [[fixedPoint]];
+    * the static edge list just carries (w, totw) columns.
+    */
+  def weightedFixedPoint(edges: DataFrame, iters: Int = 10): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("u"),
+      col("dst").cast("long").as("v"), col("value").cast("long").as("w"))
+    val tot = e.groupBy("u").agg(sum("w").as("totw"))
+    val eW = e.join(tot, "u").where(col("totw") > 0)
+      .repartition(col("u")).localCheckpoint(true)
+    val verts = e.select(col("u").as("id")).union(e.select(col("v")))
+      .distinct().localCheckpoint(true)
+
+    var ranks = verts.withColumn("rank", lit(Scale))
+    for (k <- 1 to iters) {
+      val contrib = eW
+        .join(ranks, eW("u") === ranks("id"))
+        .select(col("v").as("id"), expr("(rank * w) div totw").as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+      ranks = verts
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(15L * Scale / 100) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+      if (k % 3 == 0 || k == iters) ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Personalized PageRank: the teleport term lands only on `sources`
     * instead of uniformly — the standard random-walk-with-restart
     * scoring used for seed-set expansion / related-item retrieval. Same

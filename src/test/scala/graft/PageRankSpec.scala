@@ -44,6 +44,24 @@ class PageRankSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("weighted: mass splits proportionally to edge weight; exact replay") {
+    import spark.implicits._
+    // center 0 sends 9/10 of its mass to 1 and 1/10 to 2; leaves return all
+    val e = Seq((0L, 1L, 9.0), (0L, 2L, 1.0), (1L, 0L, 1.0), (2L, 0L, 1.0))
+      .toDF("src", "dst", "value")
+    val r = PageRank.weightedFixedPoint(e, 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    var (r0, r1, r2) = (PageRank.Scale, PageRank.Scale, PageRank.Scale)
+    for (_ <- 1 to 10) {
+      val (c0, c1, c2) = (r1 + r2, (r0 * 9) / 10, r0 / 10)
+      r0 = 150000 + 85 * c0 / 100
+      r1 = 150000 + 85 * c1 / 100
+      r2 = 150000 + 85 * c2 / 100
+    }
+    assert(r == Map(0L -> r0, 1L -> r1, 2L -> r2))
+    assert(r(1L) > r(2L))
+  }
+
   test("personalized: mass concentrates at the source and decays with distance") {
     // triangle 0-1-2 with pendant 3 off 1 (odd cycle => aperiodic walk;
     // a bipartite fixture like a path oscillates between parities and
