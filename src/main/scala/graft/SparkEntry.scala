@@ -278,6 +278,14 @@ object SparkEntry {
     "q80_streaming_histogram" -> ((s, dir) =>
       graft.streaming.StreamingOps.replayHistogram(
         GraphFixtures.edgeStream(s, dir))),
+    // benchmark decontamination: train docs sharing a 5-gram with the
+    // held-out benchmark slice (doc_id % 10 == 7) are flagged
+    "q83_decontamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.Corpus.contaminationHits(
+        docs.where(col("doc_id") % 10 =!= 7),
+        docs.where(col("doc_id") % 10 === 7))
+    }),
     // weighted PageRank on E (quantity-weighted transitions; integer
     // shares => deterministic). E is directed part->supplier; the
     // min-weight symmetrized view gives a strongly-connected-ish chain
@@ -792,6 +800,15 @@ object SparkEntry {
       "q79_mis" -> misSql,
       "q81_ktruss" -> ktrussSql,
       "q82_weighted_pagerank" -> weightedPagerankSql,
+      "q83_decontamination" ->
+        ("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+          "sh AS (SELECT DISTINCT doc_id, sg FROM (SELECT doc_id, " +
+          "unnest(list_transform(range(1, len(t) - 3), " +
+          "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS sg " +
+          "FROM tk WHERE len(t) >= 5) u), " +
+          "bench AS (SELECT DISTINCT sg FROM sh WHERE doc_id % 10 = 7) " +
+          "SELECT s.doc_id, COUNT(DISTINCT s.sg) AS n_hits FROM sh s " +
+          "JOIN bench b ON b.sg = s.sg WHERE s.doc_id % 10 <> 7 GROUP BY s.doc_id"),
       // the estimate itself is hash-sampling-dependent; the gate row is
       // deterministic: exact count + the tolerance verdict
       "q76_triangle_estimate" ->

@@ -84,6 +84,27 @@ object Corpus {
           .as("n_kept"))
   }
 
+  /** Benchmark decontamination: flag training documents sharing at
+    * least one word n-gram with any benchmark document — the standard
+    * eval-leakage check a training corpus must pass. Output:
+    * `(doc_id, n_hits)` = contaminated train docs with their count of
+    * distinct shared shingles.
+    *
+    * Plan: the benchmark shingle set is deduped and (being the small
+    * side) broadcast by AQE; the join key is the 64-bit shingle hash,
+    * so at scale the shuffle/broadcast carries 8 B per shingle, never
+    * the text (the q20 shuffle-hashes-not-text rule; a 64-bit collision
+    * is ~n²/2⁶⁴ — negligible against corpus-scale shingle counts).
+    */
+  def contaminationHits(train: DataFrame, benchmark: DataFrame, n: Int = 5): DataFrame = {
+    val trainSh = graft.functions.Dedup.shingles(train, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val benchSh = graft.functions.Dedup.shingles(benchmark, n)
+      .select(xxhash64(col("shingle")).as("h")).distinct()
+    trainSh.join(benchSh, "h")
+      .groupBy("doc_id").agg(count("*").as("n_hits"))
+  }
+
   /** Sequence packing: assign documents (in doc_id order, within each
     * source shard) to fixed-capacity token bins by running-sum binning —
     * bin = floor(tokens_before / capacity). This is the deterministic,

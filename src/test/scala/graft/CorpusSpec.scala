@@ -53,6 +53,18 @@ class CorpusSpec extends SparkTestBase {
     assert(r("sB") == (50L, 0L))
   }
 
+  test("contaminationHits: planted leak is flagged with exact shingle counts") {
+    // doc 1 copies benchmark doc 100's opening 6 tokens => two shared
+    // 5-grams; doc 2 shares nothing; benchmark docs are never flagged
+    val bench = docs((100L, "alpha beta gamma delta epsilon zeta other words", "en", "s"))
+    val train = docs(
+      (1L, "alpha beta gamma delta epsilon zeta different tail", "en", "s"),
+      (2L, "totally unrelated content with many plain tokens", "en", "s"))
+    val hits = graft.functions.Corpus.contaminationHits(train, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 2L))
+  }
+
   test("degenerate docs: empty and single-token texts don't break the metrics") {
     // ANSI-mode regression guard: slice/element access on 0/1-token
     // arrays must not throw, fractions must not be NULL/NaN
