@@ -278,6 +278,11 @@ object SparkEntry {
     "q80_streaming_histogram" -> ((s, dir) =>
       graft.streaming.StreamingOps.replayHistogram(
         GraphFixtures.edgeStream(s, dir))),
+    // stream-stream interval join gate: clicks x purchases within
+    // [-10 min, 0] event time over two watermarked streams, converging
+    // to the batch join (cent-exact integer sums)
+    "q84_stream_join" -> ((s, dir) =>
+      graft.streaming.StreamingOps.replayIntervalJoin(Tables.events(s, dir))),
     // benchmark decontamination: train docs sharing a 5-gram with the
     // held-out benchmark slice (doc_id % 10 == 7) are flagged
     "q83_decontamination" -> ((s, dir) => {
@@ -800,6 +805,14 @@ object SparkEntry {
       "q79_mis" -> misSql,
       "q81_ktruss" -> ktrussSql,
       "q82_weighted_pagerank" -> weightedPagerankSql,
+      "q84_stream_join" ->
+        ("WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tu, " +
+          "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), " +
+          "c AS (SELECT event_id, user_id, tu FROM ev WHERE event_type = 'click'), " +
+          "p AS (SELECT user_id, tu, cents FROM ev WHERE event_type = 'purchase') " +
+          "SELECT c.event_id, COUNT(*) AS n_purchases, CAST(SUM(p.cents) AS BIGINT) AS sum_cents " +
+          "FROM c JOIN p ON p.user_id = c.user_id AND p.tu <= c.tu AND p.tu >= c.tu - 600000000 " +
+          "GROUP BY c.event_id"),
       "q83_decontamination" ->
         ("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
           "sh AS (SELECT DISTINCT doc_id, sg FROM (SELECT doc_id, " +

@@ -306,6 +306,73 @@ object StreamingOps {
     }
   }
 
+  /** Correctness-gate harness for stream-stream interval joins: replay
+    * clicks and purchases (from the events table, µs timestamps) through
+    * TWO MemoryStreams in time-aligned chunks, join them on user within
+    * a [-10 min, 0] event-time interval under watermark 0, and return
+    * per-click purchase counts and cent-exact sums — which must equal
+    * the one-shot batch join. Chunks share global time boundaries so
+    * neither side's watermark can drop the other side's in-flight rows.
+    * Purchase values are rounded to integer cents BEFORE the sum, so
+    * the aggregate is order-independent (the fixed-point rule).
+    */
+  def replayIntervalJoin(events: DataFrame, nBatches: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = events.select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("event_type"), expr("ts_ns div 1000").as("tu"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("tu"))
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("tu"), col("cents"))
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    // global time boundaries shared by both feeds
+    val allTs = (clicks.map(_._3) ++ purchases.map(_._2)).sorted
+    val cuts = (1 until nBatches).map(i => allTs(i * allTs.length / nBatches))
+
+    val msC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val msP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val cDf = msC.toDF().toDF("event_id", "c_user", "c_tu")
+      .withColumn("c_ts", timestamp_micros(col("c_tu")))
+      .withWatermark("c_ts", "0 seconds")
+    val pDf = msP.toDF().toDF("p_user", "p_tu", "cents")
+      .withColumn("p_ts", timestamp_micros(col("p_tu")))
+      .withWatermark("p_ts", "0 seconds")
+    val joined = cDf.join(pDf,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr("interval 10 minutes") &&
+        col("p_ts") <= col("c_ts"))
+    val name = "graft_replay_ij_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-replay-ij").toString
+    val q = joined.select(col("event_id"), col("cents"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(name).start()
+    try {
+      val bounds = cuts :+ Long.MaxValue
+      var (loC, loP) = (0, 0)
+      bounds.foreach { hi =>
+        val hiC = clicks.indexWhere(_._3 >= hi, loC) match { case -1 => clicks.length; case i => i }
+        val hiP = purchases.indexWhere(_._2 >= hi, loP) match { case -1 => purchases.length; case i => i }
+        msC.addData(clicks.slice(loC, hiC).toSeq)
+        msP.addData(purchases.slice(loP, hiP).toSeq)
+        loC = hiC; loP = hiP
+        q.processAllAvailable()
+      }
+      val out = spark.table(name)
+        .groupBy("event_id")
+        .agg(count("*").as("n_purchases"), sum("cents").as("sum_cents"))
+        .as[(Long, Long, Long)].collect()
+      spark.createDataset(out.toIndexedSeq).toDF("event_id", "n_purchases", "sum_cents")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   /** Running degree table (update mode): identical plan to the batch
     * `getDegrees` — Structured Streaming keeps the per-key counts in the
     * state store and emits changed rows per trigger.
