@@ -434,6 +434,27 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("orderkey").asc)
         .limit(10)
     }),
+    // TPC-H Q5 proper: local-supplier revenue per nation, region-filtered
+    // and date-windowed (dims broadcast; the date filter pushes to the
+    // orders scan)
+    "q85_tpch_q5" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = Tables.lineitem(s, dir)
+      val cst = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir).where(col("r_name") === "ASIA")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(cst, o("o_custkey") === cst("c_custkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+          cst("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
     // O20 transientState=false: the running summary replayed over a real
     // stream must converge to the one-shot batch answer (q13a's oracle)
     "q45_streaming_cc" -> ((s, dir) =>
@@ -805,6 +826,13 @@ object SparkEntry {
       "q79_mis" -> misSql,
       "q81_ktruss" -> ktrussSql,
       "q82_weighted_pagerank" -> weightedPagerankSql,
+      "q85_tpch_q5" ->
+        ("SELECT n_name AS nation, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+          "FROM customer, orders, lineitem, supplier, nation, region " +
+          "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey " +
+          "AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
+          "AND r_name = 'ASIA' AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01' " +
+          "GROUP BY n_name"),
       "q84_stream_join" ->
         ("WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tu, " +
           "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), " +
