@@ -434,6 +434,14 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("orderkey").asc)
         .limit(10)
     }),
+    // TPC-H Q6: forecast revenue change — every predicate pushes to the
+    // scan, one partial+final agg, zero joins
+    "q86_tpch_q6" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))),
     // TPC-H Q5 proper: local-supplier revenue per nation, region-filtered
     // and date-windowed (dims broadcast; the date filter pushes to the
     // orders scan)
@@ -826,6 +834,10 @@ object SparkEntry {
       "q79_mis" -> misSql,
       "q81_ktruss" -> ktrussSql,
       "q82_weighted_pagerank" -> weightedPagerankSql,
+      "q86_tpch_q6" ->
+        ("SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue FROM lineitem " +
+          "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01' " +
+          "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
       "q85_tpch_q5" ->
         ("SELECT n_name AS nation, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
           "FROM customer, orders, lineitem, supplier, nation, region " +
