@@ -434,6 +434,13 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("orderkey").asc)
         .limit(10)
     }),
+    // multimodal resize plumbing: image payloads truncate to the byte
+    // budget (stub for pixel resampling), others pass through untouched
+    "q87_resize" -> ((s, dir) =>
+      Multimodal.resizeImages(
+        Multimodal.syntheticMedia(Tables.documents(s, dir)), budget = 256)
+        .toDF()
+        .select(col("id"), col("kind"), length(col("content")).cast("long").as("n_bytes"))),
     // TPC-H Q6: forecast revenue change — every predicate pushes to the
     // scan, one partial+final agg, zero joins
     "q86_tpch_q6" -> ((s, dir) =>
@@ -834,6 +841,12 @@ object SparkEntry {
       "q79_mis" -> misSql,
       "q81_ktruss" -> ktrussSql,
       "q82_weighted_pagerank" -> weightedPagerankSql,
+      // kind mapping mirrors syntheticMedia; only image payloads clamp
+      "q87_resize" ->
+        ("SELECT doc_id AS id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
+          "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
+          "CAST(CASE WHEN doc_id % 3 = 0 THEN LEAST(octet_length(encode(text)), 256) " +
+          "ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes FROM documents"),
       "q86_tpch_q6" ->
         ("SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue FROM lineitem " +
           "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01' " +
