@@ -129,7 +129,11 @@ object Triangles {
     */
   def ktruss(c: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
     require(k >= 3, s"ktruss: k must be >= 3, got $k")
-    var edges = c.select(col("src").cast("long"), col("dst").cast("long"))
+    // canonicalize rather than filter: reversed/directed inputs fold
+    // into (min, max) instead of being silently dropped
+    var edges = c.select(
+        least(col("src"), col("dst")).cast("long").as("src"),
+        greatest(col("src"), col("dst")).cast("long").as("dst"))
       .where(col("src") < col("dst")).distinct()
       .localCheckpoint(true)
     var m = edges.count()

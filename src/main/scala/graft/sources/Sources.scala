@@ -128,9 +128,12 @@ object Sources {
     */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String,
                        orderCols: Seq[String] = Nil): Unit = {
-    // co-locate each hive partition in one task, then order rows inside
-    // it so every output file carries tight min/max column stats
-    val laid = df.repartition(col(partitionCol))
+    // range-partition on (partition, order) keys: rows of one hive
+    // partition cluster together for tight per-file min/max stats, but a
+    // LARGE partition value still splits across many tasks — hashing on
+    // the partition column alone would funnel e.g. all of lang=en
+    // through one task at corpus scale
+    val laid = df.repartitionByRange((partitionCol +: orderCols).map(col): _*)
       .sortWithinPartitions((partitionCol +: orderCols).map(col): _*)
     laid.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
   }

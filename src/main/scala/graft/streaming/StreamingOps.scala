@@ -329,9 +329,12 @@ object StreamingOps {
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("user_id"), col("tu"), col("cents"))
       .as[(Long, Long, Long)].collect().sortBy(_._2)
-    // global time boundaries shared by both feeds
+    // global time boundaries shared by both feeds (empty input => no
+    // cuts, a single empty trigger, empty result)
     val allTs = (clicks.map(_._3) ++ purchases.map(_._2)).sorted
-    val cuts = (1 until nBatches).map(i => allTs(i * allTs.length / nBatches))
+    val cuts =
+      if (allTs.isEmpty) Seq.empty[Long]
+      else (1 until nBatches).map(i => allTs(i * allTs.length / nBatches))
 
     val msC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
     val msP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]

@@ -73,7 +73,8 @@ class CorpusSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r).toMap
     assert(rep(1L).getDouble(4) == 0.0 && rep(2L).getDouble(4) == 0.0)
     assert(rep(3L).getLong(1) == 2)
-    assert(!rep.values.exists(r => r.isNullAt(3) || r.isNullAt(4)))
+    assert(!rep.values.exists(r => r.isNullAt(3) || r.isNullAt(4) ||
+      r.getDouble(3).isNaN || r.getDouble(4).isNaN))
     val gate = Corpus.qualityGate(d).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(gate("en") == (3L, 0L)) // all too short; none pass, none crash
