@@ -43,8 +43,12 @@ object Bench {
       val t = (System.nanoTime() - t0) / 1e9
       // queries are standalone: drop blocks pinned by localCheckpoint /
       // cache between queries — accumulated blocks from earlier queries
-      // otherwise GC-thrash later ones (measured 3× inflation at sf0.1)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // otherwise GC-thrash later ones (measured 3× inflation at sf0.1).
+      // Cross-query memos (SparkEntry.pinnedRddIds) are kept: they are
+      // locally-checkpointed and unrecomputable once unpersisted.
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!SparkEntry.pinnedRddIds.contains(Int.box(id))) rdd.unpersist(false)
+      }
       spark.catalog.clearCache()
       // ContextCleaner reaps dead shuffles/broadcasts only after a GC;
       // with a large heap none happens naturally between queries

@@ -34,8 +34,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries are standalone: drop blocks pinned by localCheckpoint /
-      // cache so they can't accumulate heap pressure across the run
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // cache so they can't accumulate heap pressure across the run —
+      // EXCEPT cross-query memos (unrecomputable once unpersisted)
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!SparkEntry.pinnedRddIds.contains(Int.box(id))) rdd.unpersist(false)
+      }
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -72,10 +72,16 @@ object Corpus {
     * deployments with non-uniform ids hash the id first (xxhash64) —
     * same plan shape, engine-specific hash. Output per source:
     * (source, n_total, n_kept) — one agg shuffle.
+    *
+    * Sources absent from `quotas` get `defaultQuota` (default 0 = drop
+    * entirely). The drop is visible, not silent: every source still
+    * appears in the output with its true `n_total`, so a mixture audit
+    * immediately shows `n_kept = 0` rows for unlisted sources. Pass
+    * `defaultQuota = mod` to keep unlisted sources whole.
     */
   def sampleBySource(docs: DataFrame, quotas: Map[String, Int],
-                     mod: Int = 1000): DataFrame = {
-    val quota = quotas.foldLeft(lit(0)) { case (acc, (src, q)) =>
+                     mod: Int = 1000, defaultQuota: Int = 0): DataFrame = {
+    val quota = quotas.foldLeft(lit(defaultQuota)) { case (acc, (src, q)) =>
       when(col("source") === src, lit(q)).otherwise(acc)
     }
     docs.groupBy(col("source"))

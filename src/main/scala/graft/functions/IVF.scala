@@ -52,9 +52,27 @@ object IVF {
   private def nearest(vec: Column, cents: Array[Array[Double]]): Column =
     VectorExpressions.nearestCentroid(vec, cents)
 
-  /** Train spherical k-means with deterministic init. */
-  def fit(corpus: DataFrame, k: Int, iters: Int = 5): Model = {
-    val vecs = corpus.select(col("vec_id"), unit(asDouble(col("embedding"))).as("e"))
+  /** Train spherical k-means with deterministic init.
+    *
+    * Lloyd's runs on a deterministic xxhash64-thresholded sample of at
+    * most ~`maxTrainVectors` vectors (the full corpus trains only when it
+    * is already that small): centroid quality needs a representative
+    * sample, not every row, and at 100 TB nobody Lloyd-iterates the whole
+    * corpus — the full data is scanned exactly once afterwards, by
+    * [[index]]. The sample is hash-selected (no sort, no sampleBy RNG —
+    * same rows on any engine/partitioning) and cached once, so each of
+    * the `iters` iterations scans |sample|, not |corpus|, rows.
+    */
+  def fit(corpus: DataFrame, k: Int, iters: Int = 5,
+          maxTrainVectors: Int = 65536): Model = {
+    val all = corpus.select(col("vec_id"), unit(asDouble(col("embedding"))).as("e"))
+    val n = all.count() // loop-control scalar
+    val vecs = (if (n <= maxTrainVectors) all
+      else {
+        // hash-threshold keep-fraction; expected sample size ≈ maxTrainVectors
+        val keepPpm = math.max(1L, (maxTrainVectors.toDouble / n * 1e6).toLong)
+        all.where(pmod(xxhash64(col("vec_id"), lit(7)), lit(1000000L)) < lit(keepPpm))
+      }).localCheckpoint(true)
     var cents: Array[Array[Double]] = vecs
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(k)

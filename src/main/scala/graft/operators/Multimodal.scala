@@ -5,10 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing for training-data pipelines.
   *
-  * Media payloads are opaque `binary` columns with typed metadata — the
-  * schema, partitioning and batch shape are real and tested; only the
-  * codec itself is STUBBED (this container ships no image/audio libs), as
-  * a deterministic fake clearly marked below. Swapping in a real decoder
+  * Media payloads are opaque `binary` columns with typed metadata. The
+  * `image` kind is REAL end-to-end: PNG payloads are decoded to pixels
+  * with the JDK's `javax.imageio` ([[decodeGray]]), resized by true
+  * nearest-neighbor resampling ([[resizeDecoded]]) and re-encoded — the
+  * correctness gate recomputes the decoded pixel sums independently, so
+  * the codec round-trip itself is oracle-verified. Only the audio/video
+  * codecs are STUBBED (this container ships no media libs), as
+  * deterministic fakes clearly marked below; swapping in a real decoder
   * changes one function body, not the pipeline.
   *
   * Decode runs per-partition over iterator batches (the Scala analogue of
@@ -36,11 +40,13 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("content"),
       map(lit("source"), col("source"), lit("lang"), col("lang")).as("meta"))
 
-  /** ======== STUB ========
+  /** ======== STUB (audio/video ONLY) ========
     * Deterministic fake decoder: a 16-bin byte histogram normalized to
-    * unit L1 mass. A real implementation would decode the codec (JPEG /
-    * WAV / MP4) and emit model-ready features; everything around this
+    * unit L1 mass. A real implementation would decode the codec (WAV /
+    * MP4) and emit model-ready features; everything around this
     * function — schema, batching, partitioning — is production-shaped.
+    * Images do NOT go through this path when their payload is a real
+    * encoded image — see [[decodeGray]].
     */
   private def stubDecode(content: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
@@ -50,13 +56,133 @@ object Multimodal {
     hist.map(_ / n)
   }
 
-  /** Decode/feature-extract: per-partition iterator processing. */
+  case class DecodedImage(width: Int, height: Int, gray: Array[Int])
+
+  /** REAL image decode via the JDK's `javax.imageio` (no external libs):
+    * any format the JRE ships a reader for (PNG, JPEG, BMP, GIF…) decodes
+    * to its raster; band 0 is the luminance for grayscale images. Returns
+    * None for payloads no reader recognizes — callers fall back rather
+    * than fail, so mixed/corrupt corpora survive the pass (the standard
+    * pipeline posture: route undecodable rows to a quarantine filter).
+    */
+  def decodeGray(content: Array[Byte]): Option[DecodedImage] = {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in executors
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        val raster = img.getRaster
+        val gray = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { gray(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        DecodedImage(w, h, gray)
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** PNG-encode a grayscale raster (JDK encoder; decode-exact: PNG is
+    * lossless, so `decodeGray(encodeGrayPng(i)) == i` always).
+    */
+  def encodeGrayPng(img: DecodedImage): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = bi.getRaster
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) { raster.setSample(x, y, 0, img.gray(y * img.width + x)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode/feature-extract: per-partition iterator processing. Images
+    * with a decodable payload get REAL pixel-histogram features (16-bin
+    * luminance, unit L1); undecodable images and the stubbed audio/video
+    * kinds keep the byte-histogram fake.
+    */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
-        MediaFeatures(r.id, r.kind, r.content.length.toLong, stubDecode(r.content))
+        val feats =
+          (if (r.kind == "image") decodeGray(r.content) else None) match {
+            case Some(img) =>
+              val hist = new Array[Float](16)
+              img.gray.foreach { g => hist(g / 16) += 1f }
+              hist.map(_ / math.max(1, img.gray.length))
+            case None => stubDecode(r.content)
+          }
+        MediaFeatures(r.id, r.kind, r.content.length.toLong, feats)
+      }
+    }
+  }
+
+  /** Deterministic REAL image corpus: one 16×16 grayscale PNG per
+    * document, pixel(x, y) = (doc_id·31 + y·16 + x) mod 256 — a formula
+    * any engine can recompute, so the PNG encode→decode round-trip is
+    * hash-verifiable (q88/q89), not just shape-checked.
+    */
+  def syntheticImages(docs: DataFrame, side: Int = 16): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val gray = Array.tabulate(side * side)(i => (((id * 31 + i) % 256) + 256).toInt % 256)
+        MediaRow(id, "image", encodeGrayPng(DecodedImage(side, side, gray)),
+          Map("w" -> side.toString, "h" -> side.toString))
+      }
+    }
+  }
+
+  /** Exact integer pixel stats through the REAL decoder — the decode
+    * correctness gate: (id, width, height, n_px, sum_lum, n_dark) with
+    * sum/dark over band-0 luminance. Rows whose payload doesn't decode
+    * are dropped (visible as a row-count mismatch, never silent).
+    */
+  def imageStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      decodeGray(r.content).map { img =>
+        (r.id, img.width.toLong, img.height.toLong, img.gray.length.toLong,
+          img.gray.foldLeft(0L)(_ + _), img.gray.count(_ < 128).toLong)
+      }
+    }.toDF("id", "width", "height", "n_px", "sum_lum", "n_dark")
+  }
+
+  /** REAL image resize: decode → nearest-neighbor resample (source pixel
+    * (x·w/w', y·h/h'), integer floor — deterministic on any JRE, unlike
+    * interpolating Graphics2D filters) → lossless PNG re-encode.
+    * Non-image or undecodable rows pass through untouched.
+    */
+  def resizeDecoded(media: DataFrame, newW: Int, newH: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].map { r =>
+      (if (r.kind == "image") decodeGray(r.content) else None) match {
+        case Some(img) =>
+          val out = new Array[Int](newW * newH)
+          var y = 0
+          while (y < newH) {
+            val sy = y * img.height / newH
+            var x = 0
+            while (x < newW) {
+              out(y * newW + x) = img.gray(sy * img.width + x * img.width / newW)
+              x += 1
+            }
+            y += 1
+          }
+          r.copy(content = encodeGrayPng(DecodedImage(newW, newH, out)),
+            meta = r.meta + ("resized" -> s"${newW}x$newH"))
+        case None => r
       }
     }
   }
@@ -79,8 +205,10 @@ object Multimodal {
     }
   }
 
-  /** Resize stub for images: truncate/pad payload to a fixed byte budget
-    * (stands in for pixel resampling), preserving metadata.
+  /** Byte-budget clamp for OPAQUE payloads (truncate to a fixed budget,
+    * preserving metadata) — the cheap pre-filter when payloads are not
+    * decodable media. For real pixel resampling of decodable images use
+    * [[resizeDecoded]].
     */
   def resizeImages(media: DataFrame, budget: Int = 256): Dataset[MediaRow] = {
     val spark = media.sparkSession

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
-import graft.summaries.{AdjacencyGraph, DisjointSet, ParityDisjointSet}
+import graft.summaries.{AdjacencyGraph, DisjointSet, ParityDisjointSet, SummaryCodecs}
 
 /** O19 — the reference's summary-aggregation contract
   * (GS/GraphAggregation.java:~30–90): initial value, per-edge update fold,
@@ -33,6 +33,13 @@ abstract class GraphAggregation[B <: AnyRef, OUT](implicit ct: ClassTag[B])
   final override def reduce(b: B, e: (Long, Long)): B = updateFun(b, e._1, e._2)
   final override def merge(a: B, b: B): B = combineFun(a, b)
   final override def finish(b: B): OUT = transform(b)
+
+  /** Fallback for user-defined summaries. The shipped summaries override
+    * this with compact array-product codecs ([[SummaryCodecs]]) — at
+    * billions of vertices the partial-merge wire format dominates the
+    * aggregation cost, and packed long arrays beat Java serialization by
+    * an order of magnitude in bytes and CPU.
+    */
   override def bufferEncoder: Encoder[B] = Encoders.javaSerialization[B]
 }
 
@@ -47,6 +54,7 @@ class ConnectedComponentsAgg extends GraphAggregation[DisjointSet, Map[Long, Lon
   def combineFun(a: DisjointSet, b: DisjointSet): DisjointSet =
     if (a.parent.size >= b.parent.size) a.mergeFrom(b) else b.mergeFrom(a)
   def transform(b: DisjointSet): Map[Long, Long] = b.components
+  override def bufferEncoder: Encoder[DisjointSet] = SummaryCodecs.disjointSetEncoder
   override def outputEncoder: Encoder[Map[Long, Long]] = ExpressionEncoder()
 }
 
@@ -62,6 +70,7 @@ class BipartitenessAgg extends GraphAggregation[ParityDisjointSet, Boolean] {
   def combineFun(a: ParityDisjointSet, b: ParityDisjointSet): ParityDisjointSet =
     if (a.parent.size >= b.parent.size) a.mergeFrom(b) else b.mergeFrom(a)
   def transform(b: ParityDisjointSet): Boolean = b.isBipartite
+  override def bufferEncoder: Encoder[ParityDisjointSet] = SummaryCodecs.parityDisjointSetEncoder
   override def outputEncoder: Encoder[Boolean] = Encoders.scalaBoolean
 }
 
@@ -78,6 +87,7 @@ class SpannerAgg(k: Int) extends GraphAggregation[AdjacencyGraph, Seq[(Long, Lon
   def combineFun(a: AdjacencyGraph, b: AdjacencyGraph): AdjacencyGraph =
     if (a.adj.size >= b.adj.size) a.mergeFrom(b) else b.mergeFrom(a)
   def transform(b: AdjacencyGraph): Seq[(Long, Long)] = b.edgeList
+  override def bufferEncoder: Encoder[AdjacencyGraph] = SummaryCodecs.adjacencyGraphEncoder
   override def outputEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
 }
 

@@ -142,7 +142,11 @@ object Traversals {
   }
 
   /** Maximal independent set — Luby-style parallel greedy with FIXED
-    * deterministic priorities: `p(v) = (v·2654435761) mod 2³¹`, ties
+    * deterministic priorities: `p(v) = ((v mod 2³¹)·2654435761) mod 2³¹`
+    * (the id is reduced mod 2³¹ BEFORE the Knuth multiply so the product
+    * stays < 2⁶³ for any Long id — an unreduced multiply would wrap
+    * silently in Spark yet raise in ANSI engines, breaking the
+    * engine-determinism contract on large id spaces), ties
     * broken by id (a strict total order, so no two neighbors can block
     * each other). Each round, every active vertex whose (p, id) beats
     * all active neighbors joins the MIS; selected vertices and their
@@ -156,7 +160,8 @@ object Traversals {
     */
   def maximalIndependentSet(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     def prio(c: org.apache.spark.sql.Column) =
-      struct(pmod(c * lit(2654435761L), lit(2147483648L)).as("p"), c.as("i"))
+      struct(pmod(pmod(c, lit(2147483648L)) * lit(2654435761L), lit(2147483648L)).as("p"),
+        c.as("i"))
     var sym = symmetrize(edges).localCheckpoint(true)
     var activeV = sym.select(col("u").as("id")).distinct().localCheckpoint(true)
     var selections: List[DataFrame] = Nil

@@ -58,6 +58,14 @@ object Triangles {
       .join(adj.toDF("win", "v", "av"), Seq("win", "v"))
   }
 
+  /** Public handle on the oriented+adjacency relation so callers running
+    * several triangle statistics over the SAME edge set (e.g. global and
+    * per-vertex counts in one bench session) can pay the degree/orient/
+    * adjacency build once: `val a = adjacency(c).localCheckpoint(true)`
+    * then [[globalCountFrom]] / [[perVertexCountsFrom]].
+    */
+  def adjacency(c: DataFrame): DataFrame = withAdjacency(c)
+
   /** Oriented edges (ctr → out) plus both endpoints' out-neighbor lists. */
   private def withAdjacency(c: DataFrame): DataFrame = {
     // The edge set feeds degree agg, orientation and adjacency: compute
@@ -96,14 +104,22 @@ object Triangles {
   /** Global triangle count (reference ExactTriangleCount global counter).
     * Sums intersection sizes directly — no per-triangle row ever exists.
     */
-  def globalCount(c: DataFrame): DataFrame =
-    withAdjacency(c)
-      .agg(coalesce(sum(size(array_intersect(col("au"), col("av")))), lit(0L))
-        .as("triangles"))
+  def globalCount(c: DataFrame): DataFrame = globalCountFrom(withAdjacency(c))
+
+  /** [[globalCount]] over a pre-built [[adjacency]] relation. */
+  def globalCountFrom(withAdj: DataFrame): DataFrame =
+    withAdj.agg(coalesce(sum(size(array_intersect(col("au"), col("av")))), lit(0L))
+      .as("triangles"))
 
   /** Per-vertex triangle counts, vertices with ≥1 triangle. */
   def perVertexCounts(c: DataFrame): DataFrame =
-    enumerate(c)
+    perVertexCountsFrom(withAdjacency(c))
+
+  /** [[perVertexCounts]] over a pre-built [[adjacency]] relation. */
+  def perVertexCountsFrom(withAdj: DataFrame): DataFrame =
+    withAdj.select(
+        col("u").as("ta"), col("v").as("tb"),
+        explode(array_intersect(col("au"), col("av"))).as("tc"))
       .select(explode(array(col("ta"), col("tb"), col("tc"))).as("id"))
       .groupBy("id").agg(count("*").as("triangles"))
 
@@ -131,34 +147,67 @@ object Triangles {
     require(k >= 3, s"ktruss: k must be >= 3, got $k")
     // canonicalize rather than filter: reversed/directed inputs fold
     // into (min, max) instead of being silently dropped
-    var edges = c.select(
+    val edges = c.select(
         least(col("src"), col("dst")).cast("long").as("src"),
         greatest(col("src"), col("dst")).cast("long").as("dst"))
       .where(col("src") < col("dst")).distinct()
       .localCheckpoint(true)
-    var m = edges.count()
-    var changed = m > 0
+
+    // Full triangle enumeration happens ONCE (the q14 degree-oriented
+    // plan); after that, support is MAINTAINED: a round only recounts
+    // triangles that contain an edge removed in that round, so per-round
+    // cost ∝ the removed edges' neighborhoods (shrinking every round),
+    // not |E|. Identical fixpoint to full recount — the new support of a
+    // surviving edge is its old support minus the triangles it lost.
+    val sup0 = enumerate(edges).select(explode(array(
+        struct(least(col("ta"), col("tb")).as("s"), greatest(col("ta"), col("tb")).as("d")),
+        struct(least(col("ta"), col("tc")).as("s"), greatest(col("ta"), col("tc")).as("d")),
+        struct(least(col("tb"), col("tc")).as("s"), greatest(col("tb"), col("tc")).as("d"))))
+        .as("e"))
+      .groupBy(col("e.s").as("src"), col("e.d").as("dst"))
+      .agg(count("*").as("sup"))
+    var support = edges.join(sup0, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), coalesce(col("sup"), lit(0L)).as("sup"))
+      .localCheckpoint(true)
+
+    var below = support.where(col("sup") < k - 2).count()
     var iter = 0
-    while (changed && iter < maxIter) {
-      val tri = enumerate(edges)
-      val sup = tri.select(explode(array(
-          struct(least(col("ta"), col("tb")).as("s"), greatest(col("ta"), col("tb")).as("d")),
-          struct(least(col("ta"), col("tc")).as("s"), greatest(col("ta"), col("tc")).as("d")),
-          struct(least(col("tb"), col("tc")).as("s"), greatest(col("tb"), col("tc")).as("d"))))
-          .as("e"))
-        .groupBy(col("e.s").as("src"), col("e.d").as("dst"))
-        .agg(count("*").as("sup"))
-      val kept = edges.join(sup, Seq("src", "dst"), "left")
-        .where(coalesce(col("sup"), lit(0L)) >= k - 2)
-        .select("src", "dst")
+    while (below > 0 && iter < maxIter) {
+      val removed = support.where(col("sup") < k - 2).select("src", "dst")
+      val kept = support.where(col("sup") >= k - 2)
+      val old = support.select("src", "dst")
+
+      // adjacency (in the pre-removal graph) for ONLY the vertices
+      // touching a removed edge — a filter scan + bounded groupBy, the
+      // incremental part
+      val affected = removed.select(explode(array(col("src"), col("dst"))).as("av")).distinct()
+      val sym = old.select(col("src").as("u"), col("dst").as("v"))
+        .union(old.select(col("dst").as("u"), col("src").as("v")))
+      val adjA = sym.join(affected, sym("u") === affected("av"), "left_semi")
+        .groupBy("u").agg(collect_set(col("v")).as("nbrs"))
+
+      // distinct triangles of the old graph containing >=1 removed edge
+      val tri = removed
+        .join(adjA.select(col("u").as("src"), col("nbrs").as("an")), Seq("src"))
+        .join(adjA.select(col("u").as("dst"), col("nbrs").as("bn")), Seq("dst"))
+        .select(col("src"), col("dst"), explode(array_intersect(col("an"), col("bn"))).as("w"))
+      val t3 = tri.select(array_sort(array(col("src"), col("dst"), col("w"))).as("t")).distinct()
+
+      // each lost triangle decrements each of its SURVIVING edges once
+      val deltas = t3.select(explode(array(
+          struct(col("t")(0).as("src"), col("t")(1).as("dst")),
+          struct(col("t")(0).as("src"), col("t")(2).as("dst")),
+          struct(col("t")(1).as("src"), col("t")(2).as("dst")))).as("e"))
+        .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
+        .agg(count("*").as("dec"))
+      support = kept.join(deltas, Seq("src", "dst"), "left")
+        .select(col("src"), col("dst"),
+          (col("sup") - coalesce(col("dec"), lit(0L))).as("sup"))
         .localCheckpoint(true)
-      val m2 = kept.count()
-      changed = m2 != m
-      m = m2
-      edges = kept
+      below = support.where(col("sup") < k - 2).count()
       iter += 1
     }
-    edges
+    support.select("src", "dst")
   }
 
   /** DOULION-style sparsified triangle estimate: keep each edge iff
@@ -202,9 +251,12 @@ object Triangles {
     */
   def transitivity(c: DataFrame): DataFrame = {
     val cc = c.localCheckpoint(true)
+    // d*(d-1) is always even, so `div` keeps the whole sum in exact Long
+    // arithmetic — `/` would promote to double and lose exactness (and
+    // cross-engine determinism) past 2^53 wedges.
     val wedges = cc.select(explode(array(col("src"), col("dst"))).as("v"))
       .groupBy("v").agg(count("*").as("d"))
-      .agg(sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+      .agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
     globalCount(cc).withColumnRenamed("triangles", "n_triangles")
       .crossJoin(wedges)
       .select(col("n_triangles"), col("n_wedges"),

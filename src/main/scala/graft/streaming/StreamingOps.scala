@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.GraphStream
-import graft.summaries.{DisjointSet, ParityDisjointSet}
+import graft.summaries.{DisjointSet, ParityDisjointSet, SummaryCodecs}
 
 /** Structured-Streaming forms of the graph operators.
   *
@@ -26,7 +26,9 @@ import graft.summaries.{DisjointSet, ParityDisjointSet}
   */
 object StreamingOps {
 
-  private implicit val dsEnc: Encoder[DisjointSet] = Encoders.javaSerialization[DisjointSet]
+  // Keyed-state wire format: compact array-product codec, not Java
+  // serialization — the state store round-trips the summary every trigger.
+  private implicit val dsEnc: Encoder[DisjointSet] = SummaryCodecs.disjointSetEncoder
 
   /** Continuously-refined connected components over a (possibly
     * streaming) edge DataFrame. Emits the full (vertex, component)
@@ -48,7 +50,7 @@ object StreamingOps {
   }
 
   private implicit val pdsEnc: Encoder[ParityDisjointSet] =
-    Encoders.javaSerialization[ParityDisjointSet]
+    SummaryCodecs.parityDisjointSetEncoder
 
   /** Continuously-refined bipartiteness over a (possibly streaming) edge
     * stream — the reference's BipartitenessCheck with its absorbing
@@ -235,6 +237,21 @@ object StreamingOps {
     val Seq(h1, h2) = graft.functions.Dedup.contentKey(col("text"))
     docs.select(col("doc_id"), col("lang"), h1.as("h1"), h2.as("h2"))
       .dropDuplicates("lang", "h1", "h2")
+  }
+
+  /** The production bounded-state form: dedup within a `horizon` of event
+    * time. A key's state is evicted once the watermark passes its event
+    * time + horizon, so state is bounded by the unique keys per horizon,
+    * not per stream lifetime — a duplicate arriving after eviction is
+    * re-emitted BY CONTRACT (the horizon IS the dedup guarantee). Input
+    * must carry an event-time `ts` column. Eviction + within-horizon
+    * suppression are spec-verified (StreamingSpec).
+    */
+  def streamingDedupWithinWatermark(docs: DataFrame, horizon: String): DataFrame = {
+    val Seq(h1, h2) = graft.functions.Dedup.contentKey(col("text"))
+    docs.select(col("doc_id"), col("ts"), col("lang"), h1.as("h1"), h2.as("h2"))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("lang", "h1", "h2")
   }
 
   /** Correctness-gate harness: replay the documents table through a

@@ -40,6 +40,11 @@ final class AdjacencyGraph(val k: Int) extends Serializable {
   def addEdgeIfFar(a: Long, b: Long): Unit =
     if (!withinK(a, b)) { nbrs(a)(b) = (); nbrs(b)(a) = () }
 
+  /** Unconditional insert — codec decode only (exact structural rebuild,
+    * no distance check).
+    */
+  private[summaries] def addEdgeRaw(a: Long, b: Long): Unit = { nbrs(a)(b) = (); nbrs(b)(a) = () }
+
   def mergeFrom(other: AdjacencyGraph): AdjacencyGraph = {
     for ((v, ns) <- other.adj; u <- ns.keysIterator; if v < u)
       addEdgeIfFar(v, u)

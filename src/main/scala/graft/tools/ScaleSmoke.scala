@@ -11,6 +11,8 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(100000)
+    // "all" | "docs" | "graph" | "summary" — section selector for quick reruns
+    val mode = args.lift(1).getOrElse("all")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -24,6 +26,7 @@ object ScaleSmoke {
     }
     // 30 tokens/doc from a 10k vocab, seeded per (id, pos); every 20th doc
     // gets a near-dup twin (first token perturbed) in the upper id range
+    if (mode == "all" || mode == "docs") {
     val tokenCols = (0 until 30).map(p =>
       concat(lit("w"), pmod(xxhash64(col("id"), lit(p)), lit(10000))))
     val base = spark.range(nDocs).select(col("id").as("doc_id"),
@@ -49,6 +52,7 @@ object ScaleSmoke {
     t("fingerprints")(
       graft.functions.TextStats.fingerprints(docs)
         .write.format("noop").mode("overwrite").save())
+    }
 
     // traversal smoke: same deterministic 10M-edge / 1M-vertex graph as
     // the r1 core smoke (xxhash64 endpoints => connected, ~20 avg degree)
@@ -60,14 +64,82 @@ object ScaleSmoke {
       (pmod(xxhash64(col("id"), lit(3)), lit(50)) + 1).cast("double").as("value"))
       .localCheckpoint(true)
     println(s"[smoke] graph: ${g.count()} edges / ~$nVerts vertices")
-    t("bfsDepths (10M edges)")(
-      graft.operators.Traversals.bfsDepths(g, 0L).count())
-    t("sssp Bellman-Ford (10M edges)")(
-      graft.operators.Traversals.sssp(g, 0L).count())
-    t("kcore k=25 (10M edges)")(
-      graft.operators.Traversals.kcore(g, 25).count())
-    t("pagerank fixed-point 5 rounds (10M)")(
-      graft.operators.PageRank.fixedPoint(g, 5).count())
+    // summary-agg wire-format A/B: identical union-find aggregation, one
+    // with the r2 Java-serialized buffer, one with the compact array-
+    // product codec (SummaryCodecs). The partial-merge exchange moves one
+    // ~|V|-entry summary per input partition, so the buffer format IS the
+    // cost here. The explode-and-count action consumes the summary —
+    // a bare count() lets ColumnPruning elide the aggregation entirely.
+    def ccCount(edges: org.apache.spark.sql.DataFrame,
+                agg: graft.operators.ConnectedComponentsAgg): Long =
+      graft.operators.SummaryAggregations.run(edges, agg)
+        .select(explode(col("summary"))).count()
+    def javaSerAgg = new graft.operators.ConnectedComponentsAgg {
+      override def bufferEncoder = org.apache.spark.sql.Encoders
+        .javaSerialization[graft.summaries.DisjointSet]
+    }
+    // the codec path completes at the full 10M/1M scale; the javaSer
+    // variant OOMs an 8g heap here (32 concurrent ~60 MB Java-serialized
+    // partials) — measured 2026-08-13, hence the head-to-head below runs
+    // at 3M edges where BOTH formats fit
+    val nFull = t("CC summary agg, array codec (10M/1M)")(
+      ccCount(g, new graft.operators.ConnectedComponentsAgg))
+    println(s"[smoke] CC summary vertices (10M): $nFull")
+    val gAB = g.limit(3000000).localCheckpoint(true)
+    val nJ = t("CC summary agg, javaSer buffer (3M)")(ccCount(gAB, javaSerAgg))
+    val nA = t("CC summary agg, array codec (3M)")(
+      ccCount(gAB, new graft.operators.ConnectedComponentsAgg))
+    println(s"[smoke] CC summary rows (3M): javaSer=$nJ arrayCodec=$nA (must match)")
+    locally {
+      val ds = new graft.summaries.DisjointSet
+      var i = 0L
+      while (i < 100000L) { ds.union(i, (i * 2654435761L) % 100000L); i += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos); oos.writeObject(ds); oos.close()
+      val rows = new graft.summaries.SummaryCodecs.DisjointSetCodec().encode(ds)
+      val packed = (rows.ids.length + rows.parent.length + rows.size.length) * 8
+      println(f"[smoke] 100k-vertex summary wire bytes: javaSer=${bos.size()}%,d  arrayCodec=$packed%,d (${bos.size().toDouble / packed}%.1fx)")
+    }
+
+    if (mode == "all" || mode == "salt") {
+      // power-law smoke: 10M edges, src Zipf-ish (log-uniform rank ⇒ the
+      // head vertex owns ~7% of all edges), dst uniform — the hub-reducer
+      // stress shape. Deterministic via xxhash64.
+      val u = pmod(xxhash64(col("id"), lit(11)), lit(1000000L)).cast("double") / 1e6
+      val zipf = spark.range(nEdges).select(
+        (exp(u * math.log(nVerts.toDouble))).cast("long").as("src"),
+        pmod(xxhash64(col("id"), lit(12)), lit(nVerts)).as("dst"))
+        .localCheckpoint(true)
+      val hub = zipf.groupBy("src").count().orderBy(col("count").desc).limit(1).collect()(0)
+      println(s"[smoke] zipf graph: hub vertex ${hub.getLong(0)} has ${hub.getLong(1)} edges")
+      def consume(df: org.apache.spark.sql.DataFrame): Long =
+        df.select(sum(size(col("nbrs")))).collect()(0).getLong(0)
+      val nP = t("adjacency build, plain groupBy (zipf)")(
+        consume(graft.operators.Salting.plainAdjacency(zipf)))
+      val nS = t("adjacency build, salted 2-phase (zipf)")(
+        consume(graft.operators.Salting.saltedAdjacency(zipf)))
+      println(s"[smoke] adjacency entries: plain=$nP salted=$nS (must match)")
+      // count-like agg for contrast: partial aggregation already absorbs
+      // the hub, so salting is parity-not-speedup here (see Salting doc)
+      val dP = t("degrees, plain groupBy (zipf)")(
+        graft.GraphStream(zipf.withColumn("value", lit(1.0)))
+          .getDegrees.select(sum("degree")).collect()(0).getLong(0))
+      val dS = t("degrees, salted 2-phase (zipf)")(
+        graft.operators.Salting.saltedDegrees(zipf)
+          .select(sum("degree")).collect()(0).getLong(0))
+      println(s"[smoke] degree mass: plain=$dP salted=$dS (must match)")
+    }
+
+    if (mode == "all" || mode == "graph") {
+      t("bfsDepths (10M edges)")(
+        graft.operators.Traversals.bfsDepths(g, 0L).count())
+      t("sssp Bellman-Ford (10M edges)")(
+        graft.operators.Traversals.sssp(g, 0L).count())
+      t("kcore k=25 (10M edges)")(
+        graft.operators.Traversals.kcore(g, 25).count())
+      t("pagerank fixed-point 5 rounds (10M)")(
+        graft.operators.PageRank.fixedPoint(g, 5).count())
+    }
     spark.stop()
   }
 }

@@ -49,4 +49,41 @@ class MultimodalSpec extends SparkTestBase {
     // non-images untouched
     assert(resized.filter(_.kind != "image").forall(!_.meta.contains("resized")))
   }
+
+  test("real PNG round-trip: encode → javax.imageio decode recovers the exact pixels") {
+    val gray = Array.tabulate(16 * 16)(i => (i * 7) % 256)
+    val png = Multimodal.encodeGrayPng(Multimodal.DecodedImage(16, 16, gray))
+    // a real PNG, not a fake payload
+    assert(png.take(4).map(_ & 0xFF).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+    val back = Multimodal.decodeGray(png).get
+    assert(back.width == 16 && back.height == 16)
+    assert(back.gray.toSeq == gray.toSeq) // lossless
+    // undecodable payloads are None, not an exception
+    assert(Multimodal.decodeGray("not an image".getBytes).isEmpty)
+  }
+
+  test("imageStats through the real decoder matches the pixel formula") {
+    import spark.implicits._
+    val docs = Seq(0L, 1L, 5L).toDF("doc_id")
+    val stats = Multimodal.imageStats(Multimodal.syntheticImages(docs).toDF())
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    for (id <- Seq(0L, 1L, 5L)) {
+      val px = (0 until 256).map(i => (id * 31 + i) % 256)
+      assert(stats(id) == ((16L, 16L, 256L, px.sum, px.count(_ < 128).toLong)))
+    }
+  }
+
+  test("resizeDecoded is true nearest-neighbor resampling, verified post-round-trip") {
+    import spark.implicits._
+    val docs = Seq(3L).toDF("doc_id")
+    val resized = Multimodal.resizeDecoded(
+      Multimodal.syntheticImages(docs).toDF(), 8, 8).collect().head
+    val img = Multimodal.decodeGray(resized.content).get
+    assert(img.width == 8 && img.height == 8)
+    val expected = for (y <- 0 until 8; x <- 0 until 8)
+      yield ((3L * 31 + (2 * y) * 16 + 2 * x) % 256).toInt
+    assert(img.gray.toSeq == expected)
+    assert(resized.meta("resized") == "8x8")
+  }
 }

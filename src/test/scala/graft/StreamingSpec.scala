@@ -259,4 +259,38 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed == expected && expected.nonEmpty)
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark dedups within the horizon and evicts state after it") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, String, String)] // (doc_id, secs, lang, text)
+    val docs = ms.toDF().toDF("doc_id", "secs", "lang", "text")
+      .withColumn("ts", timestamp_seconds(col("secs"))).drop("secs")
+    val ckpt = Files.createTempDirectory("dedup-wm-ckpt").toString
+    val q = StreamingOps.streamingDedupWithinWatermark(docs, "30 seconds")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("dedupwm").start()
+    try {
+      def emitted: Set[Long] =
+        spark.table("dedupwm").select("doc_id").as[Long].collect().toSet
+      // t=1000: first copy of "alpha"; t=1010: unrelated doc (times sit
+      // above the initial epoch-0 watermark, which drops ts <= wm as late)
+      ms.addData(Seq((1L, 1000L, "en", "alpha"), (2L, 1010L, "en", "beta")))
+      q.processAllAvailable()
+      // duplicate at t=1020, watermark still below alpha's horizon → suppressed
+      ms.addData(Seq((3L, 1020L, "en", "alpha")))
+      q.processAllAvailable()
+      assert(emitted == Set(1L, 2L))
+      // t=1100 advances the watermark to 1070s — past alpha's t=1000 + 30s
+      // horizon, so its key state is EVICTED (the bounded-state knob)
+      ms.addData(Seq((4L, 1100L, "en", "gamma")))
+      q.processAllAvailable()
+      // same content after eviction is re-admitted BY CONTRACT: the
+      // horizon is the dedup guarantee, and state stayed bounded by it
+      ms.addData(Seq((5L, 1110L, "en", "alpha")))
+      q.processAllAvailable()
+      assert(emitted == Set(1L, 2L, 4L, 5L))
+    } finally q.stop()
+  }
 }
