@@ -112,6 +112,18 @@ object SparkEntry {
     // the skew-safe two-phase variant must be value-identical to q03
     "q91_salted_degrees" -> ((s, dir) =>
       graft.operators.Salting.saltedDegrees(GraphFixtures.edgeStream(s, dir))),
+    // generic-K ingest with COMPOSITE keys: line ids (orderkey,
+    // linenumber) ↔ part-supplier pairs (partkey, suppkey) dictionary-
+    // encoded to dense Longs, degrees computed on the encoded graph,
+    // decoded back to the raw keys — the full ingest→operate→decode loop
+    "q92_composite_key" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      val (enc, dict) = graft.sources.Sources.dictionaryEncodeComposite(
+        li, Seq("l_orderkey", "l_linenumber"), Seq("l_partkey", "l_suppkey"))
+      graft.sources.Sources.decodeKeys(GraphStream(enc).getDegrees, dict, "id")
+        .select(col("key.k0").as("k0"), col("key.k1").as("k1"), col("degree"))
+    }),
     "q04_inout_degrees" -> ((s, dir) => {
       val gs = E(s, dir)
       gs.getOutDegrees.join(gs.getInDegrees, Seq("id"), "full_outer")
@@ -210,6 +222,10 @@ object SparkEntry {
       Similarity.cosinePairs(Tables.embeddings(s, dir), 0.3)),
     "q27_text_quality" -> ((s, dir) =>
       TextStats.qualityStats(Tables.documents(s, dir))),
+    // C4-style cleaning audit: digit-mask + whitespace-collapse + trim,
+    // raw/clean lengths and cleaned token count per doc
+    "q96_text_clean" -> ((s, dir) =>
+      TextStats.cleaningStats(Tables.documents(s, dir))),
     // ---- scalable CC path, same oracle as q13b ----
     "q28_cc_iterative" -> ((s, dir) =>
       ConnectedComponents.iterative(GraphFixtures.coPurchase10(s, dir))),
@@ -512,6 +528,43 @@ object SparkEntry {
         Multimodal.syntheticMedia(Tables.documents(s, dir)), budget = 256)
         .toDF()
         .select(col("id"), col("kind"), length(col("content")).cast("long").as("n_bytes"))),
+    // TPC-H Q4 shape: EXISTS → left-semi join (no dedup relation ever
+    // materializes); both filters push to their scans
+    "q93_tpch_q4" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      val li = Tables.lineitem(s, dir).where(col("l_returnflag") === "R")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+    }),
+    // TPC-H Q14: promo revenue share — one broadcast dim join, one
+    // conditional agg; the ratio divides two already-reduced scalars
+    "q94_tpch_q14" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+      li.join(broadcast(Tables.part(s, dir)), li("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("promo_revenue"))
+    }),
+    // TPC-H Q18: large-volume customers — agg-then-join (the HAVING
+    // reduces lineitem to qualifying orders BEFORE any join), customer
+    // dim broadcast; quantities are integral so the sums are exact
+    "q95_tpch_q18" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+        .where(col("q") > 150)
+      big.join(Tables.orders(s, dir), big("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey").as("orderkey"),
+          unix_timestamp(col("o_orderdate")).as("orderdate"),
+          col("o_totalprice").as("totalprice"),
+          col("q").cast("long").as("sum_qty"))
+    }),
     // TPC-H Q6: forecast revenue change — every predicate pushes to the
     // scan, one partial+final agg, zero joins
     "q86_tpch_q6" -> ((s, dir) =>
@@ -921,6 +974,11 @@ object SparkEntry {
         s"SELECT id, COUNT(*) AS degree FROM ($eEnds) GROUP BY id",
       "q91_salted_degrees" ->
         s"SELECT id, COUNT(*) AS degree FROM ($eEnds) GROUP BY id",
+      "q92_composite_key" ->
+        ("WITH ends AS (SELECT CAST(l_orderkey AS VARCHAR) AS k0, " +
+          "CAST(l_linenumber AS VARCHAR) AS k1 FROM lineitem " +
+          "UNION ALL SELECT CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR) FROM lineitem) " +
+          "SELECT k0, k1, COUNT(*) AS degree FROM ends GROUP BY k0, k1"),
       "q04_inout_degrees" ->
         ("SELECT id, CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS out_degree, " +
           "CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS in_degree " +
@@ -994,6 +1052,24 @@ object SparkEntry {
         ("SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue FROM lineitem " +
           "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01' " +
           "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+      "q93_tpch_q4" ->
+        ("SELECT o_orderpriority, COUNT(*) AS order_count FROM orders " +
+          "WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01' " +
+          "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+          "AND l_returnflag = 'R') GROUP BY o_orderpriority"),
+      "q94_tpch_q14" ->
+        ("SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO' " +
+          "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) / " +
+          "SUM(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue " +
+          "FROM lineitem, part WHERE l_partkey = p_partkey " +
+          "AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'"),
+      "q95_tpch_q18" ->
+        ("SELECT c_name, o_orderkey AS orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS orderdate, " +
+          "o_totalprice AS totalprice, CAST(big.q AS BIGINT) AS sum_qty " +
+          "FROM (SELECT l_orderkey, SUM(l_quantity) AS q FROM lineitem " +
+          "GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) big " +
+          "JOIN orders ON o_orderkey = big.l_orderkey " +
+          "JOIN customer ON c_custkey = o_custkey"),
       "q85_tpch_q5" ->
         ("SELECT n_name AS nation, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
           "FROM customer, orders, lineitem, supplier, nation, region " +
@@ -1183,6 +1259,15 @@ object SparkEntry {
           "CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct, " +
           "ROUND((length(text) - len(toks) + 1) * 1.0 / len(toks), 6) AS avg_token_len, " +
           "ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio FROM t"),
+      // DuckDB regexp_replace needs the 'g' flag to match Spark's
+      // replace-all default; character-class patterns keep RE2 and Java
+      // regex semantics identical
+      "q96_text_clean" ->
+        ("WITH c AS (SELECT doc_id, text, TRIM(regexp_replace(" +
+          "regexp_replace(text, '[0-9]+', '#', 'g'), ' +', ' ', 'g')) AS ct FROM documents) " +
+          "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS raw_len, " +
+          "CAST(LENGTH(ct) AS BIGINT) AS clean_len, " +
+          "CAST(len(string_split(ct, ' ')) AS BIGINT) AS n_tokens FROM c"),
       "q28_cc_iterative" -> ccOracle(copurchase10),
       "q37_window_cc" ->
         ("WITH RECURSIVE cw AS (SELECT DISTINCT CAST(FLOOR(epoch(o.o_orderdate) / 7776000) * 7776000 AS BIGINT) AS win, " +

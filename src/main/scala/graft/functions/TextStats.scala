@@ -40,6 +40,27 @@ object TextStats {
       round(size(array_distinct(t)).cast("double") / size(t), 6).as("type_token_ratio"))
   }
 
+  /** C4-style text normalization: digit runs masked to `#`, whitespace
+    * runs collapsed to one space, edges trimmed — the standard cheap
+    * cleaning pass before tokenization/dedup. Pure codegen'd
+    * `regexp_replace` chain (character-class patterns only, so RE2 /
+    * Java regex agree and the result is engine-deterministic — q96
+    * hash-checks it against DuckDB).
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "[0-9]+", "#"), " +", " "))
+
+  /** Per-document cleaning audit: raw vs cleaned length and cleaned
+    * token count — the before/after a curation pipeline reports.
+    */
+  def cleaningStats(docs: DataFrame): DataFrame = {
+    val ct = cleanText(col("text"))
+    Spread(docs).select(col("doc_id"),
+      length(col("text")).cast("long").as("raw_len"),
+      length(ct).cast("long").as("clean_len"),
+      size(split(ct, " ")).cast("long").as("n_tokens"))
+  }
+
   /** Heuristic quality score in [0,1]: balanced token length + lexical
     * diversity + reasonable document length. Deterministic, spec-tested.
     */

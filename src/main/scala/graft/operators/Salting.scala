@@ -14,15 +14,20 @@ import org.apache.spark.sql.functions._
   * ≤`salts` sub-aggregates per key — bounding any reducer's share of a
   * hub at ~1/salts.
   *
-  * When to use which (measured in ScaleSmoke's `salt` mode, SCALE.md):
+  * When to use which (measured in ScaleSmoke's `salt` mode; numbers in
+  * SCALE.md, 10M-edge Zipf graph whose head vertex owns 5% of all edges):
   *  - count/sum-like aggs: Spark's map-side partial aggregation already
   *    compresses a hub to ≤#partitions partial rows — [[saltedDegrees]]
-  *    exists as the parity-checked template (q91 = q03's oracle), not a
-  *    speedup at local scale.
+  *    is the parity-checked template (q91 = q03's oracle), measured pure
+  *    overhead (1.9 s → 3.4 s), never a win.
   *  - holistic aggs (collect_list/collect_set) whose partials are as
-  *    large as their inputs: partial aggregation cannot compress them,
-  *    the hub's whole neighbor list lands in one task buffer — THE salted
-  *    case, [[saltedAdjacency]].
+  *    large as their inputs: partial aggregation cannot compress them and
+  *    the hub's whole neighbor list lands in one task buffer. Salting
+  *    costs ~one extra full-data shuffle (measured 5.1 s → 9.9 s while
+  *    the 500k-entry hub still fits a task), so [[saltedAdjacency]] is
+  *    the FALLBACK for hubs whose lists exceed task memory (degree in
+  *    the tens of millions), not a default — value-identical output
+  *    makes it a safe one-line switch exactly there.
   */
 object Salting {
 

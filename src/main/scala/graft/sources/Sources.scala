@@ -107,6 +107,41 @@ object Sources {
     (enc, dict)
   }
 
+  /** Composite-keyed edge ingest — the reference's generic vertex key
+    * `K` (GS/SimpleEdgeStream.java:~60) for multi-column keys: an
+    * endpoint identified by SEVERAL columns (e.g. (orderkey, linenumber)
+    * line ids vs (partkey, suppkey) part-supplier pairs). Each
+    * endpoint's columns are normalized positionally to a
+    * `struct<k0 string, k1 string, …>` key, the distinct key set is
+    * dictionary-encoded to dense Longs exactly like [[dictionaryEncode]]
+    * (partition-local id assignment — no global sort), and every
+    * Long-keyed operator runs unchanged. Decode with [[decodeKeys]]
+    * (the returned dictionary's `key` column is the struct).
+    *
+    * `srcCols`/`dstCols` must have equal arity — both endpoints live in
+    * one key space, as the reference's single `K` requires.
+    */
+  def dictionaryEncodeComposite(edges: DataFrame, srcCols: Seq[String],
+                                dstCols: Seq[String]): (DataFrame, DataFrame) = {
+    require(srcCols.nonEmpty && srcCols.length == dstCols.length,
+      s"composite key arity mismatch: $srcCols vs $dstCols")
+    def key(cols: Seq[String]) =
+      struct(cols.zipWithIndex.map { case (c, i) => col(c).cast("string").as(s"k$i") }: _*)
+    val dict = edges.select(key(srcCols).as("key"))
+      .unionByName(edges.select(key(dstCols).as("key")))
+      .distinct()
+      .withColumn("id", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val others = edges.columns.filterNot((srcCols ++ dstCols).toSet).map(col)
+    val enc = edges
+      .join(dict.select(col("key").as("__sk"), col("id").as("__sid")),
+        key(srcCols) === col("__sk"))
+      .join(dict.select(col("key").as("__dk"), col("id").as("__did")),
+        key(dstCols) === col("__dk"))
+      .select((Seq(col("__sid").as("src"), col("__did").as("dst")) ++ others): _*)
+    (enc, dict)
+  }
+
   /** Decode an encoded id column back to its original string key (joined
     * against the dictionary from [[dictionaryEncode]]; AQE broadcasts the
     * dictionary when it fits). The id column is replaced by `keyCol`.

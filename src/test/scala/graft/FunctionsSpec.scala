@@ -13,6 +13,16 @@ class FunctionsSpec extends SparkTestBase {
   private lazy val docs = Tables.documents(spark, sf).cache()
   private lazy val emb = Tables.embeddings(spark, sf).cache()
 
+  test("cleanText masks digit runs, collapses whitespace, trims") {
+    import spark.implicits._
+    import graft.functions.TextStats
+    val out = Seq((1L, "  a1b 22  c  "), (2L, "no digits"), (3L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextStats.cleanText(col("text")).as("ct"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a#b # c", 2L -> "no digits", 3L -> ""))
+  }
+
   test("exact dedup keeps one survivor per normalized text") {
     import spark.implicits._
     val d = Seq(

@@ -59,6 +59,23 @@ class SourcesSpec extends SparkTestBase {
     assert(groups == Set(Set("a", "b", "c"), Set("x", "y")))
   }
 
+  test("composite-keyed ingest round-trips through degrees") {
+    import spark.implicits._
+    // line ids (o, ln) ↔ part-supplier pairs (p, s): 4 edges, one shared
+    // part-supplier endpoint
+    val e = Seq((1L, 1, 10L, 100L), (1L, 2, 11L, 100L),
+        (2L, 1, 10L, 100L), (2L, 2, 12L, 101L))
+      .toDF("o", "ln", "p", "s")
+    val (enc, dict) = Sources.dictionaryEncodeComposite(e, Seq("o", "ln"), Seq("p", "s"))
+    assert(enc.schema("src").dataType == org.apache.spark.sql.types.LongType)
+    assert(dict.count() == 7) // 4 line ids + 3 part-supplier pairs
+    val deg = Sources.decodeKeys(GraphStream(enc).getDegrees, dict, "id", "key")
+      .select("key.k0", "key.k1", "degree").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(deg == Map(("1", "1") -> 1L, ("1", "2") -> 1L, ("2", "1") -> 1L,
+      ("2", "2") -> 1L, ("10", "100") -> 2L, ("11", "100") -> 1L, ("12", "101") -> 1L))
+  }
+
   test("rate source emits canonical edges") {
     val stream = Sources.rateEdgeStream(spark, rowsPerSecond = 100, nVertices = 10)
     assert(stream.isStreaming)
