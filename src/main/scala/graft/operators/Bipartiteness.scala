@@ -53,12 +53,15 @@ object Bipartiteness {
           least(col("o"), col("ne")).as("o"))
         .localCheckpoint(true)
       state = next
-      if (state.where(col("e") === col("o")).limit(1).count() > 0) {
+      // ONE driver action per round: odd-cycle conflict count and the
+      // convergence fingerprint come from the same aggregate
+      val row = state.agg(
+        coalesce(sum(when(col("e") === col("o"), 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum("e"), lit(0L)), coalesce(sum("o"), lit(0L)), count("o")).head()
+      if (row.getLong(0) > 0) {
         verdict = Some(false)
       } else {
-        val row = state.agg(
-          coalesce(sum("e"), lit(0L)), coalesce(sum("o"), lit(0L)), count("o")).head()
-        val fp = (row.getLong(0), row.getLong(1), row.getLong(2))
+        val fp = (row.getLong(1), row.getLong(2), row.getLong(3))
         if (fp == fingerprint) verdict = Some(true)
         fingerprint = fp
       }

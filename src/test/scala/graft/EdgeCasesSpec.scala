@@ -68,4 +68,26 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(Traversals.kcore(loop, 1).count() == 2L)
     assert(Traversals.bfsDepths(loop, 7L).count() == 2L)
   }
+
+  test("r3 operators on degenerate inputs: empty, no throw") {
+    import spark.implicits._
+    // salted aggregations
+    assert(graft.operators.Salting.saltedDegrees(empty).isEmpty)
+    assert(graft.operators.Salting.saltedAdjacency(empty).isEmpty)
+    // incremental k-truss: triangle-free graph peels everything round 1
+    assert(Triangles.ktruss(edgeDf(Seq((1L, 2L), (2L, 3L))).select("src", "dst"), 3).isEmpty)
+    assert(Triangles.ktruss(empty.select("src", "dst"), 3).isEmpty)
+    // composite-key ingest of an empty relation: empty graph + empty dict
+    val e = Seq.empty[(Long, Int, Long, Long)].toDF("o", "ln", "p", "s")
+    val (enc, dict) = graft.sources.Sources.dictionaryEncodeComposite(
+      e, Seq("o", "ln"), Seq("p", "s"))
+    assert(enc.isEmpty && dict.isEmpty)
+    // image stats over undecodable payloads: dropped rows, not errors
+    val junk = Seq((1L, "image", "nope".getBytes, Map.empty[String, String]))
+      .toDF("id", "kind", "content", "meta")
+    assert(graft.operators.Multimodal.imageStats(junk).isEmpty)
+    // cleaning stats on empty docs relation
+    assert(graft.functions.TextStats.cleaningStats(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).isEmpty)
+  }
 }
