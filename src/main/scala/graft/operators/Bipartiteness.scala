@@ -69,4 +69,72 @@ object Bipartiteness {
     }
     Seq(verdict.getOrElse(true)).toDF("bipartite")
   }
+
+  /** [[iterative]] over SEVERAL graphs at once: input carries a group
+    * column `g`; every join/agg is keyed by (g, id), so one round
+    * advances every graph and total rounds = the MAX diameter instead of
+    * the sum (q90 certifies two fixture graphs — running them fused
+    * halves the per-round scheduler overhead). Groups retire
+    * individually: a conflicted or converged graph is dropped from the
+    * working set while the others keep iterating. Returns
+    * `(g, bipartite)` — verdict scalars, built driver-side.
+    */
+  def iterativeByGroup(edges: DataFrame, maxIter: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val sym = edges.select(col("g").cast("string").as("g"),
+        col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .union(edges.select(col("g").cast("string"),
+        col("dst").cast("long"), col("src").cast("long")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var state = sym.select(col("g"), col("u").as("id")).distinct()
+      .select(col("g"), col("id"), col("id").as("e"), lit(null).cast("long").as("o"))
+      .localCheckpoint(true)
+
+    val verdict = scala.collection.mutable.Map.empty[String, Boolean]
+    var prints = Map.empty[String, (Long, Long, Long)]
+    var active = sym.select("g").distinct().as[String].collect().toSet
+    var iter = 0
+    while (active.nonEmpty && iter < maxIter) {
+      val symA = sym.where(col("g").isin(active.toSeq: _*))
+      val nbr = symA.as("s").join(state.as("t"),
+          col("s.g") === col("t.g") && col("s.v") === col("t.id"))
+        .groupBy(col("s.g"), col("s.u"))
+        .agg(min(col("t.e")).as("ne"), min(col("t.o")).as("no"))
+        .toDF("g", "u", "ne", "no")
+      val next = state.as("t2").join(nbr,
+          col("t2.g") === nbr("g") && col("t2.id") === nbr("u"), "left")
+        .select(col("t2.g").as("g"), col("t2.id").as("id"),
+          least(col("t2.e"), nbr("no")).as("e"),
+          least(col("t2.o"), nbr("ne")).as("o"))
+        .localCheckpoint(true)
+      state = next
+      // one driver action per round for ALL graphs
+      val rows = state.groupBy("g").agg(
+        coalesce(sum(when(col("e") === col("o"), 1L).otherwise(0L)), lit(0L)).as("c"),
+        coalesce(sum("e"), lit(0L)).as("se"),
+        coalesce(sum("o"), lit(0L)).as("so"), count("o").as("co")).collect()
+      for (r <- rows; gx = r.getString(0); if active.contains(gx)) {
+        if (r.getLong(1) > 0) verdict(gx) = false
+        else {
+          val fp = (r.getLong(2), r.getLong(3), r.getLong(4))
+          if (prints.get(gx).contains(fp)) verdict(gx) = true
+          prints += gx -> fp
+        }
+      }
+      val settled = verdict.keySet.toSet
+      if (settled.nonEmpty) {
+        active = active -- settled
+        if (active.nonEmpty) state = state.where(col("g").isin(active.toSeq: _*))
+      }
+      iter += 1
+    }
+    // never-converged groups (maxIter hit) default true like [[iterative]]
+    val all = prints.keySet ++ verdict.keySet
+    all.toSeq.sorted.map(gx => (gx, verdict.getOrElse(gx, true)))
+      .toDF("g", "bipartite")
+  }
 }

@@ -43,4 +43,23 @@ class IVFSpec extends SparkTestBase {
     assert(r2 >= 0.3, s"nprobe=2 recall too low: $r2")
     assert(r8 >= r2)
   }
+
+  test("sampled training (maxTrainVectors < corpus) still yields a usable index") {
+    val n = emb.count()
+    val cap = (n / 4).toInt.max(8)
+    assert(cap < n) // the sample branch actually engages
+    val model = IVF.fit(emb, k = 8, iters = 3, maxTrainVectors = cap)
+    // deterministic: the hash-threshold sample is fixed, so re-fitting agrees
+    val model2 = IVF.fit(emb, k = 8, iters = 3, maxTrainVectors = cap)
+    assert(model.centroids.map(_.toSeq).toSeq == model2.centroids.map(_.toSeq).toSeq)
+    // the FULL corpus is still indexed, and full-probe search stays exact
+    val indexed = IVF.index(emb, model)
+    assert(indexed.count() == n)
+    val queries = emb.where(col("vec_id") <= 9)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = IVF.topK(indexed, queries, model, 5, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == brute, "full probe over a sample-trained index must remain exact")
+  }
 }

@@ -107,6 +107,20 @@ class SummarySpec extends SparkTestBase {
     assert(!graft.operators.Bipartiteness.iterative(c).head.getBoolean(0))
   }
 
+  test("fused multi-graph iterative bipartiteness retires each graph on its own verdict") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // odd: 5-cycle (triangle-free but NOT bipartite); even: 6-path;
+    // tri: immediate triangle conflict (settles rounds before the others)
+    val odd = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L)).map(x => ("odd", x._1, x._2))
+    val even = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).map(x => ("even", x._1, x._2))
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).map(x => ("tri", x._1, x._2))
+    val tagged = (odd ++ even ++ tri).toDF("g", "src", "dst")
+    val out = graft.operators.Bipartiteness.iterativeByGroup(tagged)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out == Map("odd" -> false, "even" -> true, "tri" -> false))
+  }
+
   test("iterative CC equals single-pass CC") {
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (6L, 4L),
       (7L, 8L), (8L, 9L), (9L, 10L), (10L, 7L), (3L, 1L))
