@@ -111,3 +111,27 @@ object TrainingDataPipelineExample {
     spark.stop()
   }
 }
+
+/** The REAL image path end-to-end (r3): deterministic PNGs decoded via
+  * `javax.imageio`, nearest-neighbor resized, stats re-extracted from the
+  * re-encoded payloads — the decode→transform→re-encode loop a multimodal
+  * curation job runs, verifiable because the pixels follow a formula.
+  *
+  * Run: `sbt "runMain graft.examples.ImagePipelineExample [sfDir]"`
+  */
+object ImagePipelineExample {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.local()
+    val docs = graft.model.Tables.documents(spark, dir)
+    val media = graft.operators.Multimodal.syntheticImages(docs).toDF()
+    val before = graft.operators.Multimodal.imageStats(media)
+    val resized = graft.operators.Multimodal.resizeDecoded(media, 8, 8).toDF()
+    val after = graft.operators.Multimodal.imageStats(resized)
+    println("decoded 16x16 stats:")
+    before.orderBy("id").show(5, truncate = false)
+    println("after real 8x8 nearest-neighbor resize + PNG re-encode:")
+    after.orderBy("id").show(5, truncate = false)
+    spark.stop()
+  }
+}

@@ -63,6 +63,31 @@ object Sources {
         lit(1.0).as("value"),
         col("timestamp").as("ts"))
 
+  /** Log-bus (Kafka-shaped) ingest — deployment note. This container is
+    * offline (no kafka-clients jar, no broker), so the connector cannot
+    * be exercised here; the mapping is one reader swap because every
+    * operator consumes the canonical edge schema, not the source:
+    *
+    * {{{
+    * spark.readStream.format("kafka")
+    *   .option("kafka.bootstrap.servers", brokers)
+    *   .option("subscribe", topic)
+    *   .option("startingOffsets", "earliest")
+    *   .load()                                  // key, value, timestamp…
+    *   .select(from_csv(col("value").cast("string"),
+    *       Sources.edgeSchema.toDDL, Map.empty[String, String]).as("e"),
+    *     col("timestamp"))
+    *   .select(col("e.src"), col("e.dst"),
+    *     coalesce(col("e.value"), lit(1.0)).as("value"),
+    *     coalesce(col("e.ts"), col("timestamp")).as("ts"))
+    * }}}
+    *
+    * Partitioning: one Spark input partition per topic partition;
+    * watermark on `ts` exactly as with the file/socket sources. Nothing
+    * downstream changes — [[csvEdgeStream]] is the offline stand-in with
+    * identical semantics (append-only unbounded source).
+    */
+
   /** Socket text source (`host:port`, lines `src,dst[,value]`) — the
     * reference's socket example.
     */
