@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{BitAndCount, DotProduct, IntsToBitset, UnitVector}
+import graft.expressions.{BitAndCount, DotProduct, IntsToBitset, SortedIntersectCount, UnitVector}
 
 /** SQL surface for the engine's native expressions.
   *
@@ -49,6 +49,8 @@ object GraftExtensions {
   private[graft] val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_product" -> binary("dot_product(a, b)", DotProduct.apply) _,
     "bit_and_count" -> binary("bit_and_count(a, b)", BitAndCount.apply) _,
+    "sorted_intersect_count" ->
+      binary("sorted_intersect_count(a, b)", SortedIntersectCount.apply) _,
     "unit_vector" -> ((exprs: Seq[Expression]) => {
       require(exprs.length == 1, "unit_vector(v) takes exactly one argument")
       UnitVector(exprs.head)

@@ -108,6 +108,66 @@ case class BitAndCount(left: Expression, right: Expression) extends BinaryExpres
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection COUNT of two sorted `array<bigint>` sets via merge-scan.
+  *
+  * The built-in `size(array_intersect(a, b))` builds a hash set and
+  * materializes the intersection array per invocation just to take its
+  * length; the triangle edge-iterator calls this once per oriented edge,
+  * so the allocation is the hot path. This expression merge-counts the
+  * two sorted lists in O(|a|+|b|) with zero allocation and stays inside
+  * whole-stage codegen. Inputs MUST be ascending-sorted and duplicate-
+  * free (the adjacency build's `sort_array(collect_list)` over distinct
+  * oriented edges guarantees it); unsorted input silently undercounts,
+  * so callers own the invariant — parity with `array_intersect` is
+  * spec-checked on the triangle fixtures.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n1 = x.numElements()
+    val n2 = y.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n1 && j < n2) {
+      val av = x.getLong(i); val bv = y.getLong(j)
+      if (av < bv) i += 1
+      else if (av > bv) j += 1
+      else { c += 1L; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n1 = ctx.freshName("n1")
+      val n2 = ctx.freshName("n2")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val av = ctx.freshName("av")
+      val bv = ctx.freshName("bv")
+      s"""
+         |int $n1 = $x.numElements();
+         |int $n2 = $y.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $n1 && $j < $n2) {
+         |  long $av = $x.getLong($i);
+         |  long $bv = $y.getLong($j);
+         |  if ($av < $bv) { $i++; }
+         |  else if ($av > $bv) { $j++; }
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Argmax-dot-product cell assignment against a constant centroid matrix
   * (`array<double>` input → centroid index). The matrix rides along as ONE
   * plan reference object — not k×dim scalar literals, which blow the
@@ -283,6 +343,13 @@ object VectorExpressions {
   /** Intersection size of two bitset-encoded sets (`array<long>`). */
   def bitAndCount(a: Column, b: Column): Column =
     ColumnBridge.column(BitAndCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Allocation-free intersection count of two SORTED `array<bigint>`
+    * sets (caller owns the sorted/distinct invariant).
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Index of the max-dot-product centroid for an `array<double>` column;

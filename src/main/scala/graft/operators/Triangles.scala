@@ -106,10 +106,15 @@ object Triangles {
     */
   def globalCount(c: DataFrame): DataFrame = globalCountFrom(withAdjacency(c))
 
-  /** [[globalCount]] over a pre-built [[adjacency]] relation. */
+  /** [[globalCount]] over a pre-built [[adjacency]] relation. The
+    * adjacency lists are sorted+distinct by construction, so the count
+    * uses the allocation-free merge-scan expression instead of
+    * materializing every intersection just to size it.
+    */
   def globalCountFrom(withAdj: DataFrame): DataFrame =
-    withAdj.agg(coalesce(sum(size(array_intersect(col("au"), col("av")))), lit(0L))
-      .as("triangles"))
+    withAdj.agg(coalesce(sum(
+      graft.expressions.VectorExpressions.sortedIntersectCount(col("au"), col("av"))),
+      lit(0L)).as("triangles"))
 
   /** Per-vertex triangle counts, vertices with ≥1 triangle. */
   def perVertexCounts(c: DataFrame): DataFrame =
@@ -132,7 +137,8 @@ object Triangles {
   def countPerWindow(cw: DataFrame): DataFrame =
     withAdjacencyKeyed(cw)
       .groupBy("win")
-      .agg(sum(size(array_intersect(col("au"), col("av")))).as("triangles"))
+      .agg(sum(graft.expressions.VectorExpressions.sortedIntersectCount(
+        col("au"), col("av"))).as("triangles"))
       .where(col("triangles") > 0)
 
   /** k-truss: the maximal subgraph whose every edge participates in at

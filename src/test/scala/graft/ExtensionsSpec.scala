@@ -38,6 +38,28 @@ class ExtensionsSpec extends SparkTestBase {
     assert(e.getMessage.contains("literal"))
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct sets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(77)
+    val rows = (1 to 200).map { i =>
+      def set() = Seq.fill(rnd.nextInt(30))(rnd.nextInt(50).toLong).distinct.sorted
+      (i.toLong, set(), set())
+    }
+    val df = rows.toDF("i", "a", "b")
+    val out = df.select(col("i"),
+        graft.expressions.VectorExpressions.sortedIntersectCount(col("a"), col("b")).as("m"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .where(col("m") =!= col("ref"))
+    assert(out.isEmpty, s"mismatches: ${out.count()}")
+    // SQL surface + empty-set edge
+    assert(spark.sql(
+      "SELECT sorted_intersect_count(array(1L,3L,5L), array(3L,4L,5L))").head.getLong(0) == 2L)
+    assert(spark.sql(
+      "SELECT sorted_intersect_count(array(), array(1L))").head.getLong(0) == 0L)
+  }
+
   test("session built withExtensions resolves dot_product") {
     val s2 = spark.newSession()
     // newSession shares the registry state? ensure explicit registration path works
