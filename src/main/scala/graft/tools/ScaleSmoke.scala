@@ -70,6 +70,7 @@ object ScaleSmoke {
     // ~|V|-entry summary per input partition, so the buffer format IS the
     // cost here. The explode-and-count action consumes the summary —
     // a bare count() lets ColumnPruning elide the aggregation entirely.
+    if (mode == "all" || mode == "summary") {
     def ccCount(edges: org.apache.spark.sql.DataFrame,
                 agg: graft.operators.ConnectedComponentsAgg): Long =
       graft.operators.SummaryAggregations.run(edges, agg)
@@ -99,6 +100,27 @@ object ScaleSmoke {
       val rows = new graft.summaries.SummaryCodecs.DisjointSetCodec().encode(ds)
       val packed = (rows.ids.length + rows.parent.length + rows.size.length) * 8
       println(f"[smoke] 100k-vertex summary wire bytes: javaSer=${bos.size()}%,d  arrayCodec=$packed%,d (${bos.size().toDouble / packed}%.1fx)")
+    }
+    }
+
+    if (mode == "truss") {
+      // incremental vs full-recount k-truss A/B on the sf0.1 co-purchase
+      // subsample (the q81 input)
+      val c10 = graft.model.GraphFixtures.coPurchase10(
+        spark, "/root/testdata/sf0.1").localCheckpoint(true)
+      println(s"[smoke] c10 sf0.1: ${c10.count()} edges")
+      // warm the triangle codepath once so the first timed variant isn't
+      // charged JVM/codegen warmup
+      graft.operators.Triangles.globalCount(c10).count()
+      for (k <- Seq(5, 7)) {
+        val nR = t(s"ktruss k=$k always-recount (sf0.1 c10)")(
+          graft.operators.Triangles.ktrussRecompute(c10, k).count())
+        val nD = t(s"ktruss k=$k always-delta (sf0.1 c10)")(
+          graft.operators.Triangles.ktruss(c10, k, deltaFraction = 1.0).count())
+        val nH = t(s"ktruss k=$k hybrid (sf0.1 c10)")(
+          graft.operators.Triangles.ktruss(c10, k).count())
+        println(s"[smoke] truss k=$k edges: hybrid=$nH delta=$nD recount=$nR (must match)")
+      }
     }
 
     if (mode == "all" || mode == "salt") {
