@@ -248,6 +248,16 @@ object SparkEntry {
     // raw/clean lengths and cleaned token count per doc
     "q96_text_clean" -> ((s, dir) =>
       TextStats.cleaningStats(Tables.documents(s, dir))),
+    // exact-k stratified sample under the engine-portable priority hash
+    "q97_stratified_sample" -> ((s, dir) =>
+      graft.functions.Corpus.stratifiedSample(Tables.documents(s, dir), 5)),
+    // embedding-level decontamination: bench side = vec_id <= 9 (the q19
+    // query convention), threshold at the q26 near-dup cut
+    "q98_embedding_decontam" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.functions.Corpus.embeddingContamination(
+        emb.where(col("vec_id") > 9), emb.where(col("vec_id") <= 9), 0.3)
+    }),
     // ---- scalable CC path, same oracle as q13b ----
     "q28_cc_iterative" -> ((s, dir) =>
       ConnectedComponents.iterative(GraphFixtures.coPurchase10(s, dir))),
@@ -1290,6 +1300,17 @@ object SparkEntry {
           "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS raw_len, " +
           "CAST(LENGTH(ct) AS BIGINT) AS clean_len, " +
           "CAST(len(string_split(ct, ' ')) AS BIGINT) AS n_tokens FROM c"),
+      "q97_stratified_sample" ->
+        ("WITH r AS (SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source " +
+          "ORDER BY ((doc_id % 2147483648) * 2654435761) % 2147483648, doc_id) AS rn " +
+          "FROM documents) SELECT source, doc_id FROM r WHERE rn <= 5"),
+      "q98_embedding_decontam" ->
+        ("WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id > 9), " +
+          "b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id <= 9), " +
+          "s AS (SELECT t.vec_id, ROUND(list_cosine_similarity(t.e, b.e), 6) AS sim " +
+          "FROM t, b WHERE t.vec_id <> b.bid) " +
+          "SELECT vec_id, COUNT(*) AS n_hits, MAX(sim) AS max_sim FROM s " +
+          "WHERE sim >= 0.3 GROUP BY vec_id"),
       "q28_cc_iterative" -> ccOracle(copurchase10),
       "q37_window_cc" ->
         ("WITH RECURSIVE cw AS (SELECT DISTINCT CAST(FLOOR(epoch(o.o_orderdate) / 7776000) * 7776000 AS BIGINT) AS win, " +

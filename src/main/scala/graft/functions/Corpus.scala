@@ -111,6 +111,59 @@ object Corpus {
       .groupBy("doc_id").agg(count("*").as("n_hits"))
   }
 
+  /** Deterministic exact-k per-source sample — the stratified counterpart
+    * of [[sampleBySource]]'s fractional quotas: each source keeps its k
+    * lowest-priority docs under the engine-portable multiplicative hash
+    * `((doc_id mod 2³¹)·2654435761) mod 2³¹` (the MIS priority — exact
+    * 64-bit integer arithmetic in any engine, ties broken by doc_id).
+    * Output `(source, doc_id)`.
+    *
+    * Plan: one shuffle on source + a per-source top-k window. A
+    * pathologically hot source funnels through one window task — at
+    * corpus scale pre-filter with an approximate per-source priority
+    * threshold (rank statistics from a sample) before the exact window,
+    * or use [[sampleBySource]]'s shuffle-free modulo quota when a
+    * fraction (not an exact count) is acceptable.
+    */
+  def stratifiedSample(docs: DataFrame, k: Int): DataFrame = {
+    val pri = pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
+      lit(2147483648L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(pri.asc, col("doc_id").asc)
+    docs.select(col("source"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("source", "doc_id")
+  }
+
+  /** Embedding-level benchmark decontamination — the semantic sibling of
+    * [[contaminationHits]]'s n-gram check: flag training vectors whose
+    * cosine against ANY benchmark vector reaches `threshold`. Output
+    * `(vec_id, n_hits, max_sim)` (sim rounded 6dp, engine-portable).
+    *
+    * Plan: benchmark side broadcast (eval sets are small by nature), the
+    * training corpus streams through once — no corpus shuffle, the
+    * brute-force-topK shape with a threshold instead of a rank cut. At
+    * 100 TB with a LARGE benchmark side, route through the IVF/LSH
+    * bucketed paths instead.
+    */
+  def embeddingContamination(train: DataFrame, benchmark: DataFrame,
+                             threshold: Double): DataFrame = {
+    import graft.functions.Similarity.{dot, norm}
+    def prep(df: DataFrame, id: String, e: String, n: String) =
+      df.select(col("vec_id").as(id), col("embedding").cast("array<double>").as(e))
+        .withColumn(n, norm(col(e)))
+    val t = prep(train, "vec_id", "te", "tn")
+    val b = prep(benchmark, "bid", "be", "bn")
+    t.crossJoin(broadcast(b))
+      .where(col("vec_id") =!= col("bid"))
+      .select(col("vec_id"),
+        round(dot(col("te"), col("be")) / (col("tn") * col("bn")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"), max(col("sim")).as("max_sim"))
+  }
+
   /** Sequence packing: assign documents (in doc_id order, within each
     * source shard) to fixed-capacity token bins by running-sum binning —
     * bin = floor(tokens_before / capacity). This is the deterministic,

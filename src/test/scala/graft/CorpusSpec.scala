@@ -53,6 +53,33 @@ class CorpusSpec extends SparkTestBase {
     assert(r("sB") == (50L, 0L))
   }
 
+  test("stratifiedSample: exact k per source, deterministic, priority-ordered") {
+    val d = docs((0 until 100).map(i =>
+      (i.toLong, "x", "en", if (i % 2 == 0) "sA" else "sB")): _*)
+    val r1 = Corpus.stratifiedSample(d, 3).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSet
+    val r2 = Corpus.stratifiedSample(d, 3).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSet
+    assert(r1 == r2 && r1.count(_._1 == "sA") == 3 && r1.count(_._1 == "sB") == 3)
+    // matches the sequential definition of the portable priority
+    def pri(id: Long) = ((id % 2147483648L) * 2654435761L) % 2147483648L
+    val expectA = (0 until 100 by 2).map(_.toLong).sortBy(id => (pri(id), id)).take(3).toSet
+    assert(r1.filter(_._1 == "sA").map(_._2) == expectA)
+  }
+
+  test("embeddingContamination: planted near-dup vector is flagged") {
+    import spark.implicits._
+    val bench = Seq((1L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (10L, Array(0.99f, 0.1f, 0.0f)),   // near-dup of bench 1
+      (11L, Array(0.0f, 1.0f, 0.0f)),    // orthogonal
+      (12L, Array(-1.0f, 0.0f, 0.0f)))   // opposite
+      .toDF("vec_id", "embedding")
+    val hits = Corpus.embeddingContamination(train, bench, 0.9).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(10L -> 1L))
+  }
+
   test("contaminationHits: planted leak is flagged with exact shingle counts") {
     // doc 1 copies benchmark doc 100's opening 6 tokens => two shared
     // 5-grams; doc 2 shares nothing; benchmark docs are never flagged

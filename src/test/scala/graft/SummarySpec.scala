@@ -107,6 +107,32 @@ class SummarySpec extends SparkTestBase {
     assert(!graft.operators.Bipartiteness.iterative(c).head.getBoolean(0))
   }
 
+  test("summary codecs round-trip arbitrary summary states exactly") {
+    import graft.summaries._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 20) {
+      val ds = new DisjointSet
+      (1 to 60).foreach(_ => ds.union(rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      val c1 = new SummaryCodecs.DisjointSetCodec
+      val dsBack = c1.decode(c1.encode(ds))
+      assert(dsBack.components == ds.components, s"trial $trial union-find")
+
+      val p = new ParityDisjointSet
+      (1 to 40).foreach(_ => p.addEdge(rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      val c2 = new SummaryCodecs.ParityDisjointSetCodec
+      val pBack = c2.decode(c2.encode(p))
+      assert(pBack.isBipartite == p.isBipartite, s"trial $trial parity verdict")
+      // structural equality: same root and same relative parity per vertex
+      p.parent.foreachKey { v => assert(pBack.find(v) == p.find(v), s"trial $trial v=$v") }
+
+      val g = new AdjacencyGraph(3)
+      (1 to 30).foreach(_ => g.addEdgeIfFar(rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      val c3 = new SummaryCodecs.AdjacencyGraphCodec
+      val gBack = c3.decode(c3.encode(g))
+      assert(gBack.edgeList == g.edgeList && gBack.k == g.k, s"trial $trial spanner")
+    }
+  }
+
   test("fused multi-graph iterative bipartiteness retires each graph on its own verdict") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
