@@ -454,6 +454,33 @@ object SparkEntry {
         .agg(round(percentile(col("l_quantity"), lit(0.25)), 6).as("p25"),
           round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50"),
           round(percentile(col("l_quantity"), lit(0.75)), 6).as("p75"))),
+    // approx-percentile accuracy gate: the sketch answer must land within
+    // the exact p25/p75 bracket and within 10% relative error of the
+    // exact median — the q33/q36 gate pattern for a sketch whose raw
+    // output is algorithm-specific (Spark GK vs any other engine)
+    "q99_approx_quantile_gate" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.25)).as("e25"),
+          percentile(col("l_quantity"), lit(0.5)).as("e50"),
+          percentile(col("l_quantity"), lit(0.75)).as("e75"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("a50"))
+        .select(col("returnflag"),
+          (col("a50") >= col("e25") && col("a50") <= col("e75") &&
+            abs(col("a50") - col("e50")) <= col("e50") * 0.1).as("approx_ok"))),
+    // TPC-H Q1 in EXACT decimal money arithmetic: sums carried as
+    // DECIMAL(12,2)/(14,4) — order-independent exactness the double
+    // variant (q23) only gets from pre-rounding
+    "q100_tpch_q1_decimal" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+            .cast("decimal(16,4)")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("cnt"))),
     // explicit GROUPING SETS (beyond rollup/cube: an arbitrary set list)
     "q66_grouping_sets" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -1150,6 +1177,17 @@ object SparkEntry {
           "ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50, " +
           "ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75 " +
           "FROM lineitem GROUP BY l_returnflag"),
+      // gate: the oracle asserts the accuracy contract holds; a sketch
+      // collapse flips Spark's boolean and the hash goes red
+      "q99_approx_quantile_gate" ->
+        "SELECT l_returnflag AS returnflag, true AS approx_ok FROM lineitem GROUP BY l_returnflag",
+      "q100_tpch_q1_decimal" ->
+        ("SELECT l_returnflag, l_linestatus, " +
+          "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+          "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price, " +
+          "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+          "(CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(16,4))) AS DOUBLE) AS sum_disc_price, " +
+          "COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus"),
       "q66_grouping_sets" ->
         ("SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, " +
           "COALESCE(l_linestatus, 'ALL') AS linestatus, " +
