@@ -267,6 +267,10 @@ object SparkEntry {
     // rows-only (simhash values, insertion-order spanner, float pagerank)
     "q29_fingerprints" -> ((s, dir) =>
       TextStats.fingerprints(Tables.documents(s, dir))),
+    // winnowing (MOSS) fingerprint digest — portable polynomial k-gram
+    // hashes, window-min selection, order-free integer digest
+    "q101_winnowing" -> ((s, dir) =>
+      TextStats.winnowStats(Tables.documents(s, dir))),
     "q30_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Tables.documents(s, dir), 2, 0.5)),
     "q31_simhash_pairs" -> ((s, dir) =>
@@ -1297,6 +1301,21 @@ object SparkEntry {
           "list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))), " +
           "(a, x) -> (a * 31 + x) % 1000000007) AS fp FROM documents"),
       "q30_dedup_minhash" -> jaccardSql,
+      "q101_winnowing" ->
+        ("WITH c AS (SELECT doc_id, list_transform(string_split(text, ''), " +
+          "ch -> CAST(unicode(ch) AS BIGINT)) AS codes FROM documents), " +
+          "kk AS (SELECT doc_id, CASE WHEN len(codes) >= 5 THEN " +
+          "list_transform(range(0, len(codes) - 4), i -> " +
+          "list_reduce(list_prepend(CAST(0 AS BIGINT), codes[i+1:i+5]), " +
+          "(a, x) -> (a * 31 + x) % 1000000007)) " +
+          "ELSE CAST([] AS BIGINT[]) END AS kg FROM c), " +
+          "s AS (SELECT doc_id, kg, CASE WHEN len(kg) = 0 THEN CAST([] AS BIGINT[]) " +
+          "WHEN len(kg) < 4 THEN [list_min(kg)] " +
+          "ELSE list_distinct(list_transform(range(0, len(kg) - 3), j -> " +
+          "list_min(kg[j+1:j+4]))) END AS sel FROM kk) " +
+          "SELECT doc_id, CAST(len(kg) AS BIGINT) AS n_kgrams, " +
+          "CAST(len(sel) AS BIGINT) AS n_selected, " +
+          "CAST(COALESCE(list_sum(sel), 0) AS BIGINT) AS fp_sum FROM s"),
       "q32_langid" ->
         ("WITH lt AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents), " +
           "ltf AS (SELECT lang, token FROM lt WHERE token <> ''), " +

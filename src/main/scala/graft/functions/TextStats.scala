@@ -89,6 +89,47 @@ object TextStats {
   def fingerprints(docs: DataFrame): DataFrame =
     Spread(docs).select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** Winnowing (Schleimer–Wilkerson–Aiken, the MOSS fingerprint
+    * standard): hash every character k-gram with the engine-portable
+    * polynomial hash, slide a w-hash window, keep each window's minimum.
+    * Guarantee: any shared substring of length ≥ w+k−1 between two
+    * documents shares at least one selected fingerprint; expected
+    * density 2/(w+1) of the k-gram stream. Documents shorter than k
+    * select nothing; with fewer than w k-grams the global minimum is
+    * selected (every non-trivial doc gets ≥1 fingerprint).
+    *
+    * Returns (doc_id, selected ARRAY<BIGINT>) — distinct selected
+    * hashes. Shuffle-free map stage; the O(n·k) hashing is the cost
+    * (k is small; a two-pass rolling form trades it for O(n) at the
+    * price of a modular inverse — not worth it below k≈20).
+    */
+  def winnowSelected(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    val p = lit(1000000007L)
+    val codes = transform(split(col("text"), ""), c => ascii(c).cast("long"))
+    val kgOf = when(size(codes) >= k,
+        transform(sequence(lit(0), size(codes) - k), i =>
+          aggregate(slice(codes, i + 1, lit(k)), lit(0L), (acc, x) => (acc * 31L + x) % p)))
+      .otherwise(array().cast("array<bigint>"))
+    Spread(docs).select(col("doc_id"), kgOf.as("kg"))
+      .select(col("doc_id"), col("kg"),
+        when(size(col("kg")) === 0, array().cast("array<bigint>"))
+          .when(size(col("kg")) < w, array(array_min(col("kg"))))
+          .otherwise(array_distinct(
+            transform(sequence(lit(0), size(col("kg")) - w), j =>
+              array_min(slice(col("kg"), j + 1, lit(w))))))
+          .as("selected"))
+  }
+
+  /** Hash-checkable winnowing digest: (doc_id, n_kgrams, n_selected,
+    * fp_sum) with fp_sum the exact integer sum of the selected set —
+    * order-independent, so the oracle replays it with list arithmetic.
+    */
+  def winnowStats(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
+    winnowSelected(docs, k, w).select(col("doc_id"),
+      size(col("kg")).cast("long").as("n_kgrams"),
+      size(col("selected")).cast("long").as("n_selected"),
+      coalesce(aggregate(col("selected"), lit(0L), (a, x) => a + x), lit(0L)).as("fp_sum"))
+
   /** Top-`k` TF-IDF terms per document — the classic retrieval /
     * keyword-extraction scoring, engine-deterministic by the fixed-point
     * rule: `score_micro = tf · round(1e6 · ln(N / df))` (tf and df are

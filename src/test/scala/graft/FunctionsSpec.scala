@@ -23,6 +23,34 @@ class FunctionsSpec extends SparkTestBase {
     assert(out == Map(1L -> "a#b # c", 2L -> "no digits", 3L -> ""))
   }
 
+  test("winnowing guarantee: shared substrings of length >= w+k-1 share a fingerprint") {
+    import spark.implicits._
+    import graft.functions.TextStats
+    val common = "thequickbrownfoxjumps" // 21 chars >= w+k-1 = 8
+    val d = Seq(
+      (1L, "aaaa" + common + "zzzz"),
+      (2L, "bbbbbbb" + common + "qq"),
+      (3L, "совершенно другой текст")).toDF("doc_id", "text")
+    val sel = TextStats.winnowSelected(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
+    assert((sel(1L) & sel(2L)).nonEmpty, "winnowing guarantee violated")
+    assert((sel(1L) & sel(3L)).isEmpty)
+    // fewer than w k-grams: exactly the global minimum is selected
+    val s9 = TextStats.winnowSelected(Seq((9L, "abcdef")).toDF("doc_id", "text"))
+      .collect().head.getSeq[Long](2)
+    assert(s9.size == 1)
+    // shorter than k: nothing selected
+    val s8 = TextStats.winnowSelected(Seq((8L, "abc")).toDF("doc_id", "text"))
+      .collect().head.getSeq[Long](2)
+    assert(s8.isEmpty)
+    // density: expected ~2/(w+1) of the k-gram stream, generously bounded
+    val stats = TextStats.winnowStats(docs).collect()
+    stats.filter(_.getLong(1) >= 20).foreach { r =>
+      val frac = r.getLong(2).toDouble / r.getLong(1)
+      assert(frac > 0.05 && frac < 0.95, s"doc ${r.getLong(0)} density $frac")
+    }
+  }
+
   test("exact dedup keeps one survivor per normalized text") {
     import spark.implicits._
     val d = Seq(
