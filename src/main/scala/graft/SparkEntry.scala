@@ -271,6 +271,10 @@ object SparkEntry {
     // hashes, window-min selection, order-free integer digest
     "q101_winnowing" -> ((s, dir) =>
       TextStats.winnowStats(Tables.documents(s, dir))),
+    // winnow-set Jaccard pairs over df-capped (stop-fingerprint-free)
+    // selected sets — winnowing's dedup payoff, deterministic end to end
+    "q102_winnow_pairs" -> ((s, dir) =>
+      TextStats.winnowJaccardPairs(Tables.documents(s, dir), 0.5, dfCap = 10)),
     "q30_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Tables.documents(s, dir), 2, 0.5)),
     "q31_simhash_pairs" -> ((s, dir) =>
@@ -1301,6 +1305,28 @@ object SparkEntry {
           "list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))), " +
           "(a, x) -> (a * 31 + x) % 1000000007) AS fp FROM documents"),
       "q30_dedup_minhash" -> jaccardSql,
+      "q102_winnow_pairs" ->
+        ("WITH c AS (SELECT doc_id, list_transform(string_split(text, ''), " +
+          "ch -> CAST(unicode(ch) AS BIGINT)) AS codes FROM documents), " +
+          "kk AS (SELECT doc_id, CASE WHEN len(codes) >= 5 THEN " +
+          "list_transform(range(0, len(codes) - 4), i -> " +
+          "list_reduce(list_prepend(CAST(0 AS BIGINT), codes[i+1:i+5]), " +
+          "(a, x) -> (a * 31 + x) % 1000000007)) " +
+          "ELSE CAST([] AS BIGINT[]) END AS kg FROM c), " +
+          "s AS (SELECT doc_id, CASE WHEN len(kg) = 0 THEN CAST([] AS BIGINT[]) " +
+          "WHEN len(kg) < 4 THEN [list_min(kg)] " +
+          "ELSE list_distinct(list_transform(range(0, len(kg) - 3), j -> " +
+          "list_min(kg[j+1:j+4]))) END AS sel FROM kk), " +
+          "e0 AS (SELECT doc_id, unnest(sel) AS h FROM s), " +
+          "keep AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM e0 GROUP BY h) WHERE df <= 10), " +
+          "e AS (SELECT e0.doc_id, e0.h FROM e0 JOIN keep USING (h)), " +
+          "ns AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id), " +
+          "p AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared " +
+          "FROM e x JOIN e y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+          "SELECT p.a, p.b, p.n_shared, " +
+          "ROUND(p.n_shared * 1.0 / (na.n + nb.n - p.n_shared), 6) AS jaccard " +
+          "FROM p JOIN ns na ON na.doc_id = p.a JOIN ns nb ON nb.doc_id = p.b " +
+          "WHERE ROUND(p.n_shared * 1.0 / (na.n + nb.n - p.n_shared), 6) >= 0.5"),
       "q101_winnowing" ->
         ("WITH c AS (SELECT doc_id, list_transform(string_split(text, ''), " +
           "ch -> CAST(unicode(ch) AS BIGINT)) AS codes FROM documents), " +

@@ -105,12 +105,22 @@ object TextStats {
     */
   def winnowSelected(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
     val p = lit(1000000007L)
-    val codes = transform(split(col("text"), ""), c => ascii(c).cast("long"))
-    val kgOf = when(size(codes) >= k,
-        transform(sequence(lit(0), size(codes) - k), i =>
-          aggregate(slice(codes, i + 1, lit(k)), lit(0L), (acc, x) => (acc * 31L + x) % p)))
-      .otherwise(array().cast("array<bigint>"))
-    Spread(docs).select(col("doc_id"), kgOf.as("kg"))
+    // `codes` and `kg` are materialized as COLUMNS in separate
+    // projections, never inlined expression trees: a HOF lambda
+    // re-evaluates any inlined subtree once PER ELEMENT, which turns the
+    // per-position slice into an O(n²) re-split of the text (measured:
+    // a 500-doc corpus ran minutes instead of seconds). CollapseProject
+    // keeps the split projections because both aliases are non-cheap and
+    // multiply referenced.
+    Spread(docs)
+      .select(col("doc_id"),
+        transform(split(col("text"), ""), c => ascii(c).cast("long")).as("codes"))
+      .select(col("doc_id"),
+        when(size(col("codes")) >= k,
+          transform(sequence(lit(0), size(col("codes")) - k), i =>
+            aggregate(slice(col("codes"), i + 1, lit(k)), lit(0L),
+              (acc, x) => (acc * 31L + x) % p)))
+          .otherwise(array().cast("array<bigint>")).as("kg"))
       .select(col("doc_id"), col("kg"),
         when(size(col("kg")) === 0, array().cast("array<bigint>"))
           .when(size(col("kg")) < w, array(array_min(col("kg"))))
@@ -129,6 +139,50 @@ object TextStats {
       size(col("kg")).cast("long").as("n_kgrams"),
       size(col("selected")).cast("long").as("n_selected"),
       coalesce(aggregate(col("selected"), lit(0L), (a, x) => a + x), lit(0L)).as("fp_sum"))
+
+  /** Winnow-set similarity pairs: Jaccard over the documents' selected
+    * fingerprint sets, computed AFTER dropping "stop fingerprints" whose
+    * document frequency exceeds `dfCap` — exactly the IR stopword-removal
+    * move: a fingerprint shared by many docs carries no pair evidence
+    * AND would cost df² join rows (measured: the uncapped self-join on a
+    * 5k-doc shared-vocabulary corpus is 678M rows; capped at 10 it is
+    * ~1e3). Output `(a, b, n_shared, jaccard)` for pairs at or above
+    * `threshold`, a < b.
+    *
+    * Semantics note: this detects overlap in RARE fingerprints. On a
+    * corpus with genuine near-duplicates the winnowing guarantee makes
+    * twins share their (rare) cross-boundary fingerprints — the planted-
+    * overlap spec demonstrates it; the synthetic bench corpus contains
+    * no true near-dups, so its output is the (deterministic,
+    * hash-checked) rare-overlap background.
+    */
+  def winnowJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
+                         dfCap: Int = 10, k: Int = 5, w: Int = 4): DataFrame = {
+    // checkpoint BEFORE the explode: InferFiltersFromGenerate synthesizes
+    // a `size(selected) > 0` predicate from the explode, and pushdown
+    // substitutes the whole alias chain into it — without the barrier the
+    // filter re-evaluates the full winnowing expression tree (with the
+    // codes projection INLINED, i.e. the O(n²) shape) once more per row.
+    // Measured: minutes vs seconds on 500 docs. The barrier makes the
+    // inferred filter a cheap size() probe on materialized arrays.
+    val sel = winnowSelected(docs, k, w).select("doc_id", "selected")
+      .localCheckpoint(true)
+    val e0 = sel.select(col("doc_id"), explode(col("selected")).as("h"))
+    val keep = e0.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap).select("h")
+    val e = e0.join(keep, "h").localCheckpoint(true)
+    val ns = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = e.toDF("h", "a").join(e.toDF("h2", "b"),
+        col("h") === col("h2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(ns.toDF("a", "na"), Seq("a"))
+      .join(ns.toDF("b", "nb"), Seq("b"))
+      .select(col("a"), col("b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
 
   /** Top-`k` TF-IDF terms per document — the classic retrieval /
     * keyword-extraction scoring, engine-deterministic by the fixed-point

@@ -49,6 +49,17 @@ class FunctionsSpec extends SparkTestBase {
       val frac = r.getLong(2).toDouble / r.getLong(1)
       assert(frac > 0.05 && frac < 0.95, s"doc ${r.getLong(0)} density $frac")
     }
+    // pair detection: near-dup twins (long shared body, short unique
+    // edges) reach jaccard >= 0.5; the unrelated doc pairs with nobody
+    val body = "thequickbrownfoxjumpsoverthelazydog" * 6
+    val twins = Seq(
+      (1L, "aaaa" + body + "zz"),
+      (2L, "bbbbbbb" + body),
+      (3L, "a completely different document about graphs and sparks")
+    ).toDF("doc_id", "text")
+    val pairs = TextStats.winnowJaccardPairs(twins, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
   test("exact dedup keeps one survivor per normalized text") {
