@@ -103,15 +103,24 @@ object TextStats {
     * (k is small; a two-pass rolling form trades it for O(n) at the
     * price of a modular inverse — not worth it below k≈20).
     */
-  def winnowSelected(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+  def winnowSelected(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
+    Spread(docs).select(col("doc_id"),
+      greatest(length(col("text")) - (k - 1), lit(0)).cast("long").as("n_kgrams"),
+      graft.expressions.WinnowSelect(col("text"), k, w).as("selected"))
+
+  /** The declarative HOF formulation of [[winnowSelected]]'s selection —
+    * kept as the executable SPEC the native expression is property-
+    * checked against (and the shape the DuckDB oracle mirrors). Two
+    * hard-won plan notes if you ever resurrect it for production:
+    * `codes`/`kg` must be materialized as COLUMNS in separate
+    * projections (a HOF lambda re-evaluates any inlined subtree once PER
+    * ELEMENT — the per-position slice becomes an O(n²) re-split of the
+    * text; measured minutes instead of seconds on 500 docs), and any
+    * downstream explode needs a checkpoint barrier (see
+    * [[winnowJaccardPairs]]).
+    */
+  private[graft] def winnowSelectedHof(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
     val p = lit(1000000007L)
-    // `codes` and `kg` are materialized as COLUMNS in separate
-    // projections, never inlined expression trees: a HOF lambda
-    // re-evaluates any inlined subtree once PER ELEMENT, which turns the
-    // per-position slice into an O(n²) re-split of the text (measured:
-    // a 500-doc corpus ran minutes instead of seconds). CollapseProject
-    // keeps the split projections because both aliases are non-cheap and
-    // multiply referenced.
     Spread(docs)
       .select(col("doc_id"),
         transform(split(col("text"), ""), c => ascii(c).cast("long")).as("codes"))
@@ -121,7 +130,7 @@ object TextStats {
             aggregate(slice(col("codes"), i + 1, lit(k)), lit(0L),
               (acc, x) => (acc * 31L + x) % p)))
           .otherwise(array().cast("array<bigint>")).as("kg"))
-      .select(col("doc_id"), col("kg"),
+      .select(col("doc_id"), size(col("kg")).cast("long").as("n_kgrams"),
         when(size(col("kg")) === 0, array().cast("array<bigint>"))
           .when(size(col("kg")) < w, array(array_min(col("kg"))))
           .otherwise(array_distinct(
@@ -135,8 +144,7 @@ object TextStats {
     * order-independent, so the oracle replays it with list arithmetic.
     */
   def winnowStats(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
-    winnowSelected(docs, k, w).select(col("doc_id"),
-      size(col("kg")).cast("long").as("n_kgrams"),
+    winnowSelected(docs, k, w).select(col("doc_id"), col("n_kgrams"),
       size(col("selected")).cast("long").as("n_selected"),
       coalesce(aggregate(col("selected"), lit(0L), (a, x) => a + x), lit(0L)).as("fp_sum"))
 

@@ -23,6 +23,22 @@ class FunctionsSpec extends SparkTestBase {
     assert(out == Map(1L -> "a#b # c", 2L -> "no digits", 3L -> ""))
   }
 
+  test("native WinnowSelect matches the HOF winnowing spec exactly") {
+    import spark.implicits._
+    import graft.functions.TextStats
+    val rnd = new scala.util.Random(31)
+    // small alphabet forces duplicate k-grams and window ties — the
+    // hard cases for selection parity; lengths straddle k and w edges
+    val rows = (1L to 60L).map { i =>
+      (i, (0 until rnd.nextInt(120)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    }
+    val d = rows.toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(run(TextStats.winnowSelected(d)) == run(TextStats.winnowSelectedHof(d)))
+    assert(run(TextStats.winnowSelected(docs)) == run(TextStats.winnowSelectedHof(docs)))
+  }
+
   test("winnowing guarantee: shared substrings of length >= w+k-1 share a fingerprint") {
     import spark.implicits._
     import graft.functions.TextStats
