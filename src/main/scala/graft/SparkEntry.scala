@@ -319,6 +319,25 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(countDistinct("sid").as("n_sessions"), count("*").as("n_events"))
     }),
+    // ordered conversion funnel signup → click → purchase: stage k
+    // requires an event strictly after the user's stage-(k−1) time.
+    // Three user-keyed aggs — one shuffle partitioning reused throughout
+    "q103_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts_ns"))
+      val s1 = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_ns").as("t1"))
+      val s2 = ev.where(col("event_type") === "click").join(s1, "user_id")
+        .where(col("ts_ns") > col("t1"))
+        .groupBy("user_id").agg(min("ts_ns").as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase").join(s2, "user_id")
+        .where(col("ts_ns") > col("t2"))
+        .groupBy("user_id").agg(min("ts_ns").as("t3"))
+      s1.join(s2.select(col("user_id"), lit(1).as("h2")), Seq("user_id"), "left")
+        .join(s3.select(col("user_id"), lit(1).as("h3")), Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1) + coalesce(col("h2"), lit(0)) + coalesce(col("h3"), lit(0)))
+            .cast("long").as("stage"))
+    }),
     // top-3 longest docs per language (rank-per-group)
     "q39_top_docs_per_lang" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -1404,6 +1423,17 @@ object SparkEntry {
           "lbl(win, v, l) AS (SELECT DISTINCT win, a, a FROM sym " +
           "UNION SELECT s.win, s.b, lbl.l FROM sym s JOIN lbl ON lbl.win = s.win AND lbl.v = s.a) " +
           "SELECT win, v AS id, MIN(l) AS component FROM lbl GROUP BY win, v"),
+      "q103_funnel" ->
+        ("WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events " +
+          "WHERE event_type = 'signup' GROUP BY 1), " +
+          "s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id) " +
+          "WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1), " +
+          "s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id) " +
+          "WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1) " +
+          "SELECT s1.user_id, CAST(1 + (s2.user_id IS NOT NULL)::INT + " +
+          "(s3.user_id IS NOT NULL)::INT AS BIGINT) AS stage " +
+          "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id " +
+          "LEFT JOIN s3 ON s1.user_id = s3.user_id"),
       "q38_sessions" ->
         ("WITH m AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL " +
           "OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s " +
