@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.{GraphFixtures, Tables}
-import graft.operators.{ConnectedComponents, Multimodal, SummaryAggregations, Triangles}
+import graft.operators.{ConnectedComponents, Multimodal, SummaryAggregations, Traversals, Triangles}
 import graft.functions.{Dedup, Similarity, TextStats}
 
 /** Driver contract (SURVEY §2.9): every `queries` entry that also has an
@@ -318,6 +318,26 @@ object SparkEntry {
           w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
         .groupBy("user_id")
         .agg(countDistinct("sid").as("n_sessions"), count("*").as("n_events"))
+    }),
+    // deterministic hash walks (node2vec-style sampling, engine-
+    // reproducible): 3 hops from every part vertex divisible by 100
+    "q105_hash_walks" -> ((s, dir) => {
+      val e = GraphFixtures.edgeStream(s, dir)
+      val starts = e.select(col("src").as("id")).where(col("id") % 100 === 0).distinct()
+      Traversals.hashWalks(e, starts, 3)
+    }),
+    // temporal snapshot diff: per-vertex degree before/after a split
+    // time, in ONE scan + ONE agg shuffle (conditional sums — no
+    // per-window scan, no join of the two snapshots)
+    "q104_snapshot_diff" -> ((s, dir) => {
+      val split = lit("1997-01-01").cast("timestamp")
+      GraphFixtures.edgeStream(s, dir)
+        .select(col("ts"), explode(array(col("src"), col("dst"))).as("id"))
+        .groupBy("id").agg(
+          sum(when(col("ts") < split, 1L).otherwise(0L)).as("deg_before"),
+          sum(when(col("ts") >= split, 1L).otherwise(0L)).as("deg_after"))
+        .select(col("id"), col("deg_before"), col("deg_after"),
+          (col("deg_after") - col("deg_before")).as("delta"))
     }),
     // ordered conversion funnel signup → click → purchase: stage k
     // requires an event strictly after the user's stage-(k−1) time.
@@ -1423,6 +1443,29 @@ object SparkEntry {
           "lbl(win, v, l) AS (SELECT DISTINCT win, a, a FROM sym " +
           "UNION SELECT s.win, s.b, lbl.l FROM sym s JOIN lbl ON lbl.win = s.win AND lbl.v = s.a) " +
           "SELECT win, v AS id, MIN(l) AS component FROM lbl GROUP BY win, v"),
+      "q105_hash_walks" -> {
+        def pr(step: Int) =
+          s"{'p': ((v * 31 + $step) % 2147483648) * 2654435761 % 2147483648, 'i': v}"
+        def hop(s: Int) =
+          s"n$s AS (SELECT u, MIN(${pr(s)}) AS m FROM sym GROUP BY u), " +
+            s"w$s AS (SELECT w${s - 1}.start, COALESCE(struct_extract(n$s.m, 'i'), w${s - 1}.cur) AS cur " +
+            s"FROM w${s - 1} LEFT JOIN n$s ON n$s.u = w${s - 1}.cur)"
+        "WITH sym AS (SELECT l_partkey AS u, l_suppkey + 1000000000 AS v FROM lineitem " +
+          "UNION SELECT l_suppkey + 1000000000, l_partkey FROM lineitem), " +
+          "w0 AS (SELECT DISTINCT l_partkey AS start, l_partkey AS cur FROM lineitem " +
+          "WHERE l_partkey % 100 = 0), " +
+          Seq(1, 2, 3).map(hop).mkString(", ") +
+          " SELECT start, cur AS \"end\" FROM w3"
+      },
+      "q104_snapshot_diff" ->
+        ("WITH e AS (SELECT l_shipdate AS ts, l_partkey AS id FROM lineitem " +
+          "UNION ALL SELECT l_shipdate, l_suppkey + 1000000000 FROM lineitem) " +
+          "SELECT id, " +
+          "CAST(SUM(CASE WHEN ts < DATE '1997-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS deg_before, " +
+          "CAST(SUM(CASE WHEN ts >= DATE '1997-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS deg_after, " +
+          "CAST(SUM(CASE WHEN ts >= DATE '1997-01-01' THEN 1 ELSE 0 END) - " +
+          "SUM(CASE WHEN ts < DATE '1997-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS delta " +
+          "FROM e GROUP BY id"),
       "q103_funnel" ->
         ("WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events " +
           "WHERE event_type = 'signup' GROUP BY 1), " +

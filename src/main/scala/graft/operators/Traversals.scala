@@ -225,4 +225,39 @@ object Traversals {
     }
     sym.groupBy(col("u").as("id")).agg(count("*").as("core_degree"))
   }
+
+  /** Deterministic hash walks — the graph-embedding / neighborhood-
+    * sampling primitive (node2vec-style walks) made engine-reproducible:
+    * at step t the walk at vertex u moves to the neighbor minimizing the
+    * portable priority `(((v·31 + t) mod 2³¹)·2654435761) mod 2³¹`
+    * (ties broken by neighbor id — the MIS (p, id) struct order), so any
+    * engine replaying the arithmetic produces the identical walks. A
+    * vertex with no neighbors ends its walk in place.
+    *
+    * Output: `(start, end)` after `steps` hops. Per step: one
+    * frontier-restricted next-hop aggregation (semi-join on the current
+    * positions, so work ∝ frontier neighborhoods, not |E|) + one keyed
+    * join; positions checkpointed per step (the BFS lineage discipline).
+    */
+  def hashWalks(edges: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
+    val sym = symmetrize(edges).localCheckpoint(true)
+    var walk = starts.select(col("id").cast("long").as("start"))
+      .withColumn("cur", col("start"))
+      .localCheckpoint(true)
+    for (step <- 1 to steps) {
+      val pri = struct(
+        pmod(pmod(col("v") * 31 + lit(step), lit(2147483648L)) * lit(2654435761L),
+          lit(2147483648L)).as("p"),
+        col("v").as("i"))
+      val frontier = walk.select(col("cur")).distinct()
+      val next = sym.join(frontier, sym("u") === frontier("cur"), "left_semi")
+        .select(col("u"), pri.as("pr"))
+        .groupBy("u").agg(min(col("pr")).as("m"))
+        .select(col("u").as("cur"), col("m.i").as("nxt"))
+      walk = walk.join(next, Seq("cur"), "left")
+        .select(col("start"), coalesce(col("nxt"), col("cur")).as("cur"))
+        .localCheckpoint(true)
+    }
+    walk.select(col("start"), col("cur").as("end"))
+  }
 }

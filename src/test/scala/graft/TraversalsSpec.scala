@@ -150,4 +150,24 @@ class TraversalsSpec extends SparkTestBase {
     assert(bfs.agg(org.apache.spark.sql.functions.max("dist")).head().getLong(0) == 4L)
     assert(Traversals.kcore(c, 6).count() == 157)
   }
+
+  test("hash walks: deterministic, stay in the graph, dead ends hold position") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // path 1-2-3-4 plus isolated start 9 (no edges touch it)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val starts = Seq(1L, 3L, 9L).toDF("id")
+    def run() = Traversals.hashWalks(edges, starts, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w1 = run()
+    assert(w1 == run()) // deterministic
+    assert(w1(9L) == 9L) // no neighbors: the walk holds position
+    assert(Set(1L, 2L, 3L, 4L).contains(w1(1L)) && Set(1L, 2L, 3L, 4L).contains(w1(3L)))
+    // replay the sequential definition for start 1
+    def pri(v: Long, step: Int) = (((v * 31 + step) % 2147483648L) * 2654435761L % 2147483648L, v)
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L, 4L), 4L -> Seq(3L))
+    var cur = 1L
+    for (s <- 1 to 3) cur = adj(cur).minBy(v => pri(v, s))
+    assert(w1(1L) == cur)
+  }
 }
