@@ -319,6 +319,12 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(countDistinct("sid").as("n_sessions"), count("*").as("n_events"))
     }),
+    // 2-hop ego-network sizes for the sampled starts
+    "q106_ego_sizes" -> ((s, dir) => {
+      val e = GraphFixtures.edgeStream(s, dir)
+      val starts = e.select(col("src").as("id")).where(col("id") % 100 === 0).distinct()
+      Traversals.egoSizes(e, starts, 2)
+    }),
     // deterministic hash walks (node2vec-style sampling, engine-
     // reproducible): 3 hops from every part vertex divisible by 100
     "q105_hash_walks" -> ((s, dir) => {
@@ -1443,6 +1449,14 @@ object SparkEntry {
           "lbl(win, v, l) AS (SELECT DISTINCT win, a, a FROM sym " +
           "UNION SELECT s.win, s.b, lbl.l FROM sym s JOIN lbl ON lbl.win = s.win AND lbl.v = s.a) " +
           "SELECT win, v AS id, MIN(l) AS component FROM lbl GROUP BY win, v"),
+      "q106_ego_sizes" ->
+        ("WITH sym AS (SELECT l_partkey AS u, l_suppkey + 1000000000 AS v FROM lineitem " +
+          "UNION SELECT l_suppkey + 1000000000, l_partkey FROM lineitem), " +
+          "st AS (SELECT DISTINCT l_partkey AS s FROM lineitem WHERE l_partkey % 100 = 0), " +
+          "h1 AS (SELECT st.s, sym.v FROM st JOIN sym ON sym.u = st.s), " +
+          "h2 AS (SELECT h1.s, sym.v FROM h1 JOIN sym ON sym.u = h1.v), " +
+          "r AS (SELECT s, s AS v FROM st UNION SELECT s, v FROM h1 UNION SELECT s, v FROM h2) " +
+          "SELECT s AS id, COUNT(*) AS ego_size FROM r GROUP BY s"),
       "q105_hash_walks" -> {
         def pr(step: Int) =
           s"{'p': ((v * 31 + $step) % 2147483648) * 2654435761 % 2147483648, 'i': v}"

@@ -260,4 +260,27 @@ object Traversals {
     }
     walk.select(col("start"), col("cur").as("end"))
   }
+
+  /** Ego-network sizes: |vertices within `radius` hops| per start vertex
+    * (start included) — the neighborhood-cardinality feature graph ML
+    * pipelines attach to sampled nodes. Multi-source expansion carries a
+    * source tag, so one pass serves every start; per hop one join +
+    * dedup, both keyed. Work ∝ Σ |ego(s)| edge visits, not |starts|·|E|.
+    */
+  def egoSizes(edges: DataFrame, starts: DataFrame, radius: Int = 2): DataFrame = {
+    val sym = symmetrize(edges).localCheckpoint(true)
+    var reached = starts.select(col("id").cast("long").as("s"))
+      .withColumn("v", col("s"))
+      .localCheckpoint(true)
+    var frontier = reached
+    for (_ <- 1 to radius) {
+      val nxt = frontier.toDF("s", "m")
+        .join(sym, col("m") === sym("u"))
+        .select(col("s"), col("v"))
+        .distinct()
+      reached = reached.unionByName(nxt).distinct().localCheckpoint(true)
+      frontier = nxt // revisits are deduped by `reached`; radius is small
+    }
+    reached.groupBy(col("s").as("id")).agg(count(lit(1)).as("ego_size"))
+  }
 }

@@ -170,4 +170,16 @@ class TraversalsSpec extends SparkTestBase {
     for (s <- 1 to 3) cur = adj(cur).minBy(v => pri(v, s))
     assert(w1(1L) == cur)
   }
+
+  test("ego sizes count the closed r-hop neighborhood exactly") {
+    import spark.implicits._
+    // star center 1 with leaves 2..5, plus chain 5-6-7
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (5L, 6L), (6L, 7L))
+      .toDF("src", "dst")
+    val starts = Seq(1L, 7L, 9L).toDF("id")
+    val sizes = Traversals.egoSizes(edges, starts, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ego(1, 2) = {1,2,3,4,5,6}; ego(7, 2) = {7,6,5}; isolated 9 = {9}
+    assert(sizes == Map(1L -> 6L, 7L -> 3L, 9L -> 1L))
+  }
 }
