@@ -248,6 +248,10 @@ object SparkEntry {
     // raw/clean lengths and cleaned token count per doc
     "q96_text_clean" -> ((s, dir) =>
       TextStats.cleaningStats(Tables.documents(s, dir))),
+    // temperature mixture (T=2): per-source keep quotas ∝ sqrt, the
+    // largest source at 80%, smaller sources upsampled toward flat
+    "q107_temperature_mix" -> ((s, dir) =>
+      graft.functions.Corpus.temperatureMix(Tables.documents(s, dir), maxKeep = 0.8)),
     // exact-k stratified sample under the engine-portable priority hash
     "q97_stratified_sample" -> ((s, dir) =>
       graft.functions.Corpus.stratifiedSample(Tables.documents(s, dir), 5)),
@@ -1428,6 +1432,15 @@ object SparkEntry {
           "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS raw_len, " +
           "CAST(LENGTH(ct) AS BIGINT) AS clean_len, " +
           "CAST(len(string_split(ct, ' ')) AS BIGINT) AS n_tokens FROM c"),
+      "q107_temperature_mix" ->
+        ("WITH c AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source), " +
+          "m AS (SELECT MAX(n_total) AS mx FROM c), " +
+          "q AS (SELECT source, n_total, LEAST(CAST(FLOOR(SQRT(m.mx * 1.0 / n_total) * 800000) AS BIGINT), " +
+          "1000000) AS quota_ppm FROM c, m) " +
+          "SELECT q.source, q.n_total, q.quota_ppm, " +
+          "CAST(SUM(CASE WHEN d.doc_id % 1000000 < q.quota_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+          "FROM documents d JOIN q ON d.source = q.source " +
+          "GROUP BY q.source, q.n_total, q.quota_ppm"),
       "q97_stratified_sample" ->
         ("WITH r AS (SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source " +
           "ORDER BY ((doc_id % 2147483648) * 2654435761) % 2147483648, doc_id) AS rn " +

@@ -136,6 +136,36 @@ object Corpus {
       .select("source", "doc_id")
   }
 
+  /** Temperature-rebalanced mixture sampling at T = 2 (α = 0.5) — the
+    * standard multi-source rebalancing (multilingual corpora, source
+    * mixing): source s keeps fraction ∝ n_s^(α−1) = √(n_max/n_s),
+    * normalized so the LARGEST source keeps `maxKeep` of its docs and
+    * small sources are upsampled toward flat (capped at keep-all).
+    * Selection is the deterministic doc_id-mod rule of
+    * [[sampleBySource]]; quotas are floored to exact ppm integers BEFORE
+    * selection. α is pinned to 0.5 on purpose: `sqrt` is
+    * correctly-rounded by IEEE 754 in every engine, so the ppm cut is
+    * bit-identical everywhere — a general-α `pow` is only ~1-ulp
+    * reproducible and could flip a floor at the boundary. Output:
+    * (source, n_total, quota_ppm, n_kept).
+    */
+  def temperatureMix(docs: DataFrame, maxKeep: Double = 1.0): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+      .localCheckpoint(true)
+    val ref = counts.agg(max("n_total")).head().getLong(0)
+    val quota = floor(
+      sqrt(lit(ref.toDouble) / col("n_total").cast("double")) *
+        lit(maxKeep * 1e6)).cast("long")
+    val q = counts.select(col("source"), col("n_total"),
+      least(quota, lit(1000000L)).as("quota_ppm"))
+    docs.select(col("source"), col("doc_id"))
+      .join(broadcast(q), Seq("source"))
+      .groupBy(col("source"))
+      .agg(first(col("n_total")).as("n_total"), first(col("quota_ppm")).as("quota_ppm"),
+        sum(when(pmod(col("doc_id"), lit(1000000L)) < col("quota_ppm"), 1L)
+          .otherwise(0L)).as("n_kept"))
+  }
+
   /** Embedding-level benchmark decontamination — the semantic sibling of
     * [[contaminationHits]]'s n-gram check: flag training vectors whose
     * cosine against ANY benchmark vector reaches `threshold`. Output

@@ -67,6 +67,16 @@ class CorpusSpec extends SparkTestBase {
     assert(r1.filter(_._1 == "sA").map(_._2) == expectA)
   }
 
+  test("temperatureMix: sqrt quotas upsample small sources, cap at keep-all") {
+    val d = docs(((0 until 160).map(i => (i.toLong, "x", "en", "big")) ++
+      (160 until 170).map(i => (i.toLong, "x", "en", "small"))): _*)
+    val r = Corpus.temperatureMix(d, maxKeep = 0.5).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("big") == ((160L, 500000L))) // largest source keeps maxKeep
+    // sqrt(160/10)*0.5 = 2.0 -> capped at keep-all
+    assert(r("small") == ((10L, 1000000L)))
+  }
+
   test("embeddingContamination: planted near-dup vector is flagged") {
     import spark.implicits._
     val bench = Seq((1L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
