@@ -259,8 +259,10 @@ object SparkEntry {
     // query convention), threshold at the q26 near-dup cut
     "q98_embedding_decontam" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // one id space sliced in two → self-pairs must not count as hits
       graft.functions.Corpus.embeddingContamination(
-        emb.where(col("vec_id") > 9), emb.where(col("vec_id") <= 9), 0.3)
+        emb.where(col("vec_id") > 9), emb.where(col("vec_id") <= 9), 0.3,
+        excludeSameId = true)
     }),
     // ---- scalable CC path, same oracle as q13b ----
     "q28_cc_iterative" -> ((s, dir) =>
@@ -1428,7 +1430,7 @@ object SparkEntry {
       // regex semantics identical
       "q96_text_clean" ->
         ("WITH c AS (SELECT doc_id, text, TRIM(regexp_replace(" +
-          "regexp_replace(text, '[0-9]+', '#', 'g'), ' +', ' ', 'g')) AS ct FROM documents) " +
+          "regexp_replace(text, '[0-9]+', '#', 'g'), '[ \\t\\n\\r\\f]+', ' ', 'g')) AS ct FROM documents) " +
           "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS raw_len, " +
           "CAST(LENGTH(ct) AS BIGINT) AS clean_len, " +
           "CAST(len(string_split(ct, ' ')) AS BIGINT) AS n_tokens FROM c"),
@@ -1471,8 +1473,9 @@ object SparkEntry {
           "r AS (SELECT s, s AS v FROM st UNION SELECT s, v FROM h1 UNION SELECT s, v FROM h2) " +
           "SELECT s AS id, COUNT(*) AS ego_size FROM r GROUP BY s"),
       "q105_hash_walks" -> {
+        // mirrors graft.Portable.prio31(v, step): reduce mod 2^31 FIRST
         def pr(step: Int) =
-          s"{'p': ((v * 31 + $step) % 2147483648) * 2654435761 % 2147483648, 'i': v}"
+          s"{'p': ((((v % 2147483648) * 31 + $step) % 2147483648) * 2654435761) % 2147483648, 'i': v}"
         def hop(s: Int) =
           s"n$s AS (SELECT u, MIN(${pr(s)}) AS m FROM sym GROUP BY u), " +
             s"w$s AS (SELECT w${s - 1}.start, COALESCE(struct_extract(n$s.m, 'i'), w${s - 1}.cur) AS cur " +

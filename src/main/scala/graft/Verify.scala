@@ -25,7 +25,10 @@ object Verify {
     // dev knob (same as Bench): SPARK_GRAFT_ONLY=q54,q55 dumps a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries
+    // sorted like Bench: q14/q15 must run adjacently so their shared
+    // pinned memo is released right after its second consumer — Map
+    // iteration order would leave it resident across arbitrary queries
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(f => f.exists(n.startsWith)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -126,8 +126,7 @@ object Corpus {
     * fraction (not an exact count) is acceptable.
     */
   def stratifiedSample(docs: DataFrame, k: Int): DataFrame = {
-    val pri = pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
-      lit(2147483648L))
+    val pri = graft.Portable.prio31(col("doc_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(pri.asc, col("doc_id").asc)
     docs.select(col("source"), col("doc_id"))
@@ -152,7 +151,11 @@ object Corpus {
   def temperatureMix(docs: DataFrame, maxKeep: Double = 1.0): DataFrame = {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
       .localCheckpoint(true)
-    val ref = counts.agg(max("n_total")).head().getLong(0)
+    val refRow = counts.agg(max("n_total")).head()
+    if (refRow.isNullAt(0)) // empty corpus: empty result, not an NPE
+      return counts.select(col("source"), col("n_total"),
+        lit(0L).as("quota_ppm"), lit(0L).as("n_kept"))
+    val ref = refRow.getLong(0)
     val quota = floor(
       sqrt(lit(ref.toDouble) / col("n_total").cast("double")) *
         lit(maxKeep * 1e6)).cast("long")
@@ -176,9 +179,15 @@ object Corpus {
     * brute-force-topK shape with a threshold instead of a rank cut. At
     * 100 TB with a LARGE benchmark side, route through the IVF/LSH
     * bucketed paths instead.
+    *
+    * `excludeSameId` applies ONLY when both inputs slice one id space
+    * (the q98 shape — a self-comparison must not count as a hit). Leave
+    * it false for independent datasets: train vec 5 matching bench vec 5
+    * is a REAL contamination, not a self-pair.
     */
   def embeddingContamination(train: DataFrame, benchmark: DataFrame,
-                             threshold: Double): DataFrame = {
+                             threshold: Double,
+                             excludeSameId: Boolean = false): DataFrame = {
     import graft.functions.Similarity.{dot, norm}
     def prep(df: DataFrame, id: String, e: String, n: String) =
       df.select(col("vec_id").as(id), col("embedding").cast("array<double>").as(e))
@@ -186,7 +195,7 @@ object Corpus {
     val t = prep(train, "vec_id", "te", "tn")
     val b = prep(benchmark, "bid", "be", "bn")
     t.crossJoin(broadcast(b))
-      .where(col("vec_id") =!= col("bid"))
+      .where(if (excludeSameId) col("vec_id") =!= col("bid") else lit(true))
       .select(col("vec_id"),
         round(dot(col("te"), col("be")) / (col("tn") * col("bn")), 6).as("sim"))
       .where(col("sim") >= threshold)

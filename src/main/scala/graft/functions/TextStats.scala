@@ -43,12 +43,13 @@ object TextStats {
   /** C4-style text normalization: digit runs masked to `#`, whitespace
     * runs collapsed to one space, edges trimmed — the standard cheap
     * cleaning pass before tokenization/dedup. Pure codegen'd
-    * `regexp_replace` chain (character-class patterns only, so RE2 /
-    * Java regex agree and the result is engine-deterministic — q96
-    * hash-checks it against DuckDB).
+    * `regexp_replace` chain. The whitespace class is spelled explicitly
+    * ([ \t\n\r\f]) rather than `\s`: Java's \s includes \x0B where RE2's
+    * does not, and an explicit class keeps both engines (and q96's
+    * oracle) bit-identical while still collapsing real multi-line text.
     */
   def cleanText(text: Column): Column =
-    trim(regexp_replace(regexp_replace(text, "[0-9]+", "#"), " +", " "))
+    trim(regexp_replace(regexp_replace(text, "[0-9]+", "#"), "[ \\t\\n\\r\\f]+", " "))
 
   /** Per-document cleaning audit: raw vs cleaned length and cleaned
     * token count — the before/after a curation pipeline reports.

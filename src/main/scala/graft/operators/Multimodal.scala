@@ -80,7 +80,11 @@ object Multimodal {
         }
         DecodedImage(w, h, gray)
       }
-    } catch { case _: java.io.IOException => None }
+      // NonFatal, not just IOException: ImageIO readers throw runtime
+      // exceptions (IllegalArgument/IndexOutOfBounds/NegativeArraySize)
+      // on malformed headers — a hostile byte blob must quarantine, not
+      // kill the task
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** PNG-encode a grayscale raster (JDK encoder; decode-exact: PNG is
@@ -94,7 +98,12 @@ object Multimodal {
     var y = 0
     while (y < img.height) {
       var x = 0
-      while (x < img.width) { raster.setSample(x, y, 0, img.gray(y * img.width + x)); x += 1 }
+      while (x < img.width) {
+        // clamp into the 8-bit raster: a >8-bit source (16-bit grayscale)
+        // would otherwise silently wrap to its low byte
+        raster.setSample(x, y, 0, math.max(0, math.min(img.gray(y * img.width + x), 255)))
+        x += 1
+      }
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
@@ -116,7 +125,9 @@ object Multimodal {
           (if (r.kind == "image") decodeGray(r.content) else None) match {
             case Some(img) =>
               val hist = new Array[Float](16)
-              img.gray.foreach { g => hist(g / 16) += 1f }
+              // clamp: band-0 samples exceed 255 for >8-bit rasters
+              // (16-bit grayscale PNG) — bin them at the top, don't AIOOBE
+              img.gray.foreach { g => hist(math.min(g / 16, 15)) += 1f }
               hist.map(_ / math.max(1, img.gray.length))
             case None => stubDecode(r.content)
           }

@@ -160,8 +160,7 @@ object Traversals {
     */
   def maximalIndependentSet(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     def prio(c: org.apache.spark.sql.Column) =
-      struct(pmod(pmod(c, lit(2147483648L)) * lit(2654435761L), lit(2147483648L)).as("p"),
-        c.as("i"))
+      struct(graft.Portable.prio31(c).as("p"), c.as("i"))
     var sym = symmetrize(edges).localCheckpoint(true)
     var activeV = sym.select(col("u").as("id")).distinct().localCheckpoint(true)
     var selections: List[DataFrame] = Nil
@@ -229,10 +228,12 @@ object Traversals {
   /** Deterministic hash walks — the graph-embedding / neighborhood-
     * sampling primitive (node2vec-style walks) made engine-reproducible:
     * at step t the walk at vertex u moves to the neighbor minimizing the
-    * portable priority `(((v·31 + t) mod 2³¹)·2654435761) mod 2³¹`
-    * (ties broken by neighbor id — the MIS (p, id) struct order), so any
-    * engine replaying the arithmetic produces the identical walks. A
-    * vertex with no neighbors ends its walk in place.
+    * step-salted portable priority ([[graft.Portable.prio31]] — id
+    * reduced mod 2³¹ BEFORE any multiply, so full-range 64-bit ids
+    * cannot overflow on any engine; ties broken by neighbor id, the MIS
+    * (p, id) struct order), so any engine replaying the arithmetic
+    * produces the identical walks. A vertex with no neighbors ends its
+    * walk in place.
     *
     * Output: `(start, end)` after `steps` hops. Per step: one
     * frontier-restricted next-hop aggregation (semi-join on the current
@@ -245,10 +246,7 @@ object Traversals {
       .withColumn("cur", col("start"))
       .localCheckpoint(true)
     for (step <- 1 to steps) {
-      val pri = struct(
-        pmod(pmod(col("v") * 31 + lit(step), lit(2147483648L)) * lit(2654435761L),
-          lit(2147483648L)).as("p"),
-        col("v").as("i"))
+      val pri = struct(graft.Portable.prio31(col("v"), step).as("p"), col("v").as("i"))
       val frontier = walk.select(col("cur")).distinct()
       val next = sym.join(frontier, sym("u") === frontier("cur"), "left_semi")
         .select(col("u"), pri.as("pr"))

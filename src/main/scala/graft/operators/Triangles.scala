@@ -92,9 +92,13 @@ object Triangles {
       .join(adj.toDF("v", "av"), Seq("v"))
   }
 
-  /** Enumerate triangles of a canonical (src < dst) edge set. One row per
-    * triangle: (ta, tb, tc) = (apex, mid, third) in degree order, NOT
-    * id-sorted.
+  /** Enumerate triangles of a canonical (src < dst, DISTINCT) edge set —
+    * duplicate edge rows are the caller's bug: they inflate degrees and
+    * adjacency lists, and the merge-scan counting path pairs duplicates
+    * multiplicatively (`ktruss` canonicalizes+distincts for you; the
+    * count/enumerate entry points trust their input, like the fixtures).
+    * One row per triangle: (ta, tb, tc) = (apex, mid, third) in degree
+    * order, NOT id-sorted.
     */
   def enumerate(c: DataFrame): DataFrame =
     withAdjacency(c).select(

@@ -89,5 +89,14 @@ class EdgeCasesSpec extends SparkTestBase {
     // cleaning stats on empty docs relation
     assert(graft.functions.TextStats.cleaningStats(
       Seq.empty[(Long, String)].toDF("doc_id", "text")).isEmpty)
+    // temperature mix on an empty corpus: empty result, not an NPE
+    assert(graft.functions.Corpus.temperatureMix(
+      Seq.empty[(Long, String, String, String)]
+        .toDF("doc_id", "text", "lang", "source")).isEmpty)
+    // hash walks / ego sizes with empty graphs or starts
+    assert(graft.operators.Traversals.hashWalks(
+      empty, Seq.empty[Long].toDF("id"), 3).isEmpty)
+    assert(graft.operators.Traversals.egoSizes(empty, Seq(1L).toDF("id"), 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 1L))
   }
 }

@@ -16,11 +16,13 @@ class FunctionsSpec extends SparkTestBase {
   test("cleanText masks digit runs, collapses whitespace, trims") {
     import spark.implicits._
     import graft.functions.TextStats
-    val out = Seq((1L, "  a1b 22  c  "), (2L, "no digits"), (3L, ""))
+    val out = Seq((1L, "  a1b 22  c  "), (2L, "no digits"), (3L, ""),
+        (4L, "a\n\nb\tc\r\n d"))
       .toDF("doc_id", "text")
       .select(col("doc_id"), TextStats.cleanText(col("text")).as("ct"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(out == Map(1L -> "a#b # c", 2L -> "no digits", 3L -> ""))
+    assert(out == Map(1L -> "a#b # c", 2L -> "no digits", 3L -> "",
+      4L -> "a b c d"))
   }
 
   test("native WinnowSelect matches the HOF winnowing spec exactly") {

@@ -164,7 +164,8 @@ class TraversalsSpec extends SparkTestBase {
     assert(w1(9L) == 9L) // no neighbors: the walk holds position
     assert(Set(1L, 2L, 3L, 4L).contains(w1(1L)) && Set(1L, 2L, 3L, 4L).contains(w1(3L)))
     // replay the sequential definition for start 1
-    def pri(v: Long, step: Int) = (((v * 31 + step) % 2147483648L) * 2654435761L % 2147483648L, v)
+    def pri(v: Long, step: Int) =
+      (((((v % 2147483648L) * 31 + step) % 2147483648L) * 2654435761L) % 2147483648L, v)
     val adj = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L, 4L), 4L -> Seq(3L))
     var cur = 1L
     for (s <- 1 to 3) cur = adj(cur).minBy(v => pri(v, s))
