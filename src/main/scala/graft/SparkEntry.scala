@@ -351,6 +351,28 @@ object SparkEntry {
         .select(col("id"), col("deg_before"), col("deg_after"),
           (col("deg_after") - col("deg_before")).as("delta"))
     }),
+    // 7-day moving revenue window (RANGE frame over event time) — exact
+    // integer cents so the frame sums are order-free in any engine
+    "q108_moving_window" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("day_cents"),
+          count(lit(1)).as("n"))
+        .withColumn("day_s", unix_timestamp(col("day")))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day_s")).rangeBetween(-6L * 86400L, 0L)
+      daily.select(col("day_s").as("day"), col("day_cents"),
+        sum(col("day_cents")).over(w).as("ma7_cents"),
+        sum(col("n")).over(w).as("ma7_orders"))
+    }),
+    // JSON property extraction over the event stream (the dynamic-schema
+    // path: props stays a JSON string until the query pulls a field)
+    "q109_json_props" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))),
     // ordered conversion funnel signup → click → purchase: stage k
     // requires an event strictly after the user's stage-(k−1) time.
     // Three user-keyed aggs — one shuffle partitioning reused throughout
@@ -1496,6 +1518,19 @@ object SparkEntry {
           "CAST(SUM(CASE WHEN ts >= DATE '1997-01-01' THEN 1 ELSE 0 END) - " +
           "SUM(CASE WHEN ts < DATE '1997-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS delta " +
           "FROM e GROUP BY id"),
+      "q108_moving_window" ->
+        ("WITH d AS (SELECT o_orderdate AS day, " +
+          "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents, " +
+          "COUNT(*) AS n FROM orders GROUP BY 1) " +
+          "SELECT CAST(epoch(day) AS BIGINT) AS day, day_cents, " +
+          "CAST(SUM(day_cents) OVER w AS BIGINT) AS ma7_cents, " +
+          "CAST(SUM(n) OVER w AS BIGINT) AS ma7_orders FROM d " +
+          "WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)"),
+      "q109_json_props" ->
+        ("SELECT event_type, COUNT(*) AS n, " +
+          "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+          "CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k " +
+          "FROM events GROUP BY event_type"),
       "q103_funnel" ->
         ("WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events " +
           "WHERE event_type = 'signup' GROUP BY 1), " +
