@@ -351,6 +351,11 @@ object SparkEntry {
         .select(col("id"), col("deg_before"), col("deg_after"),
           (col("deg_after") - col("deg_before")).as("delta"))
     }),
+    // deterministic synchronous label-propagation communities (3 rounds,
+    // smallest-label tie-break) on the C10 co-purchase graph
+    "q110_label_propagation" -> ((s, dir) =>
+      graft.operators.Communities.labelPropagation(
+        GraphFixtures.coPurchase10(s, dir), 3)),
     // 7-day moving revenue window (RANGE frame over event time) — exact
     // integer cents so the frame sums are order-free in any engine
     "q108_moving_window" -> ((s, dir) => {
@@ -1518,6 +1523,21 @@ object SparkEntry {
           "CAST(SUM(CASE WHEN ts >= DATE '1997-01-01' THEN 1 ELSE 0 END) - " +
           "SUM(CASE WHEN ts < DATE '1997-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS delta " +
           "FROM e GROUP BY id"),
+      "q110_label_propagation" -> {
+        // 3 unrolled sync LPA rounds, mode-with-min-label tie-break
+        val base = s"WITH c AS MATERIALIZED ($copurchase10), " +
+          "sym AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
+          "l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM sym), "
+        val rounds = (1 to 3).map { r =>
+          s"c$r AS MATERIALIZED (SELECT s.u, l.label AS nl, COUNT(*) AS cnt " +
+            s"FROM sym s JOIN l${r - 1} l ON l.id = s.v GROUP BY 1, 2), " +
+            s"t$r AS MATERIALIZED (SELECT u, nl FROM (SELECT u, nl, ROW_NUMBER() OVER " +
+            s"(PARTITION BY u ORDER BY cnt DESC, nl) AS rn FROM c$r) WHERE rn = 1), " +
+            s"l$r AS MATERIALIZED (SELECT l.id, COALESCE(t$r.nl, l.label) AS label " +
+            s"FROM l${r - 1} l LEFT JOIN t$r ON t$r.u = l.id)"
+        }.mkString(", ")
+        base + rounds + " SELECT id, label FROM l3"
+      },
       "q108_moving_window" ->
         ("WITH d AS (SELECT o_orderdate AS day, " +
           "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents, " +

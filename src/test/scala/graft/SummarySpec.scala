@@ -107,6 +107,25 @@ class SummarySpec extends SparkTestBase {
     assert(!graft.operators.Bipartiteness.iterative(c).head.getBoolean(0))
   }
 
+  test("sync label propagation finds the two planted cliques") {
+    import spark.implicits._
+    // two 4-cliques bridged by one edge: LPA should settle on one label
+    // per clique (the clique's min id) within 3 rounds
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((4L, 10L))).toDF("src", "dst")
+    val out = graft.operators.Communities.labelPropagation(edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c1 = Seq(1L, 2L, 3L, 4L).map(out)
+    val c2 = Seq(10L, 11L, 12L, 13L).map(out)
+    assert(c1.toSet.size == 1 && c2.toSet.size == 1, s"labels: $out")
+    assert(c1.head != c2.head)
+    // deterministic across runs
+    val again = graft.operators.Communities.labelPropagation(edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
+
   test("summary codecs round-trip arbitrary summary states exactly") {
     import graft.summaries._
     val rnd = new scala.util.Random(7)
