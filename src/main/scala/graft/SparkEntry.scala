@@ -356,6 +356,12 @@ object SparkEntry {
     "q110_label_propagation" -> ((s, dir) =>
       graft.operators.Communities.labelPropagation(
         GraphFixtures.coPurchase10(s, dir), 3)),
+    // exact modularity ingredients per q110 community
+    "q111_community_stats" -> ((s, dir) => {
+      val c10 = GraphFixtures.coPurchase10(s, dir)
+      graft.operators.Communities.communityStats(c10,
+        graft.operators.Communities.labelPropagation(c10, 3))
+    }),
     // 7-day moving revenue window (RANGE frame over event time) — exact
     // integer cents so the frame sums are order-free in any engine
     "q108_moving_window" -> ((s, dir) => {
@@ -1086,6 +1092,22 @@ object SparkEntry {
       ("SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries, " +
         "CAST(COUNT(DISTINCT vec_id) * 5 AS BIGINT) AS n_exact, " +
         "true AS recall_ok FROM embeddings WHERE vec_id <= 9")
+    // 3 unrolled sync-LPA rounds (mode with min-label tie-break) — the
+    // shared prefix of q110 (labels) and q111 (community stats)
+    val lpaPrefix = {
+      val base = s"WITH c AS MATERIALIZED ($copurchase10), " +
+        "sym AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM sym), "
+      val rounds = (1 to 3).map { r =>
+        s"c$r AS MATERIALIZED (SELECT s.u, l.label AS nl, COUNT(*) AS cnt " +
+          s"FROM sym s JOIN l${r - 1} l ON l.id = s.v GROUP BY 1, 2), " +
+          s"t$r AS MATERIALIZED (SELECT u, nl FROM (SELECT u, nl, ROW_NUMBER() OVER " +
+          s"(PARTITION BY u ORDER BY cnt DESC, nl) AS rn FROM c$r) WHERE rn = 1), " +
+          s"l$r AS MATERIALIZED (SELECT l.id, COALESCE(t$r.nl, l.label) AS label " +
+          s"FROM l${r - 1} l LEFT JOIN t$r ON t$r.u = l.id)"
+      }.mkString(", ")
+      base + rounds
+    }
     // Sound 2-colorability oracle for BOTH graphs (q17 + q90): label
     // components (min-id root per component), then BFS parity from each
     // root; a graph is bipartite iff no vertex acquires both parities.
@@ -1523,21 +1545,21 @@ object SparkEntry {
           "CAST(SUM(CASE WHEN ts >= DATE '1997-01-01' THEN 1 ELSE 0 END) - " +
           "SUM(CASE WHEN ts < DATE '1997-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS delta " +
           "FROM e GROUP BY id"),
-      "q110_label_propagation" -> {
-        // 3 unrolled sync LPA rounds, mode-with-min-label tie-break
-        val base = s"WITH c AS MATERIALIZED ($copurchase10), " +
-          "sym AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
-          "l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM sym), "
-        val rounds = (1 to 3).map { r =>
-          s"c$r AS MATERIALIZED (SELECT s.u, l.label AS nl, COUNT(*) AS cnt " +
-            s"FROM sym s JOIN l${r - 1} l ON l.id = s.v GROUP BY 1, 2), " +
-            s"t$r AS MATERIALIZED (SELECT u, nl FROM (SELECT u, nl, ROW_NUMBER() OVER " +
-            s"(PARTITION BY u ORDER BY cnt DESC, nl) AS rn FROM c$r) WHERE rn = 1), " +
-            s"l$r AS MATERIALIZED (SELECT l.id, COALESCE(t$r.nl, l.label) AS label " +
-            s"FROM l${r - 1} l LEFT JOIN t$r ON t$r.u = l.id)"
-        }.mkString(", ")
-        base + rounds + " SELECT id, label FROM l3"
-      },
+      "q110_label_propagation" -> (lpaPrefix + " SELECT id, label FROM l3"),
+      // exact modularity ingredients over the SAME 3-round labeling
+      "q111_community_stats" -> (lpaPrefix + ", " +
+        "lab AS MATERIALIZED (SELECT id, label FROM l3), " +
+        "int_e AS (SELECT la.label, COUNT(*) AS internal_edges FROM c " +
+        "JOIN lab la ON la.id = c.x JOIN lab lb ON lb.id = c.y " +
+        "WHERE la.label = lb.label GROUP BY 1), " +
+        "deg AS (SELECT la.label, COUNT(*) AS total_degree FROM sym s " +
+        "JOIN lab la ON la.id = s.u GROUP BY 1), " +
+        "nv AS (SELECT label, COUNT(*) AS n_vertices FROM lab GROUP BY label) " +
+        "SELECT nv.label, nv.n_vertices, " +
+        "COALESCE(int_e.internal_edges, 0) AS internal_edges, " +
+        "COALESCE(deg.total_degree, 0) AS total_degree " +
+        "FROM nv LEFT JOIN int_e ON int_e.label = nv.label " +
+        "LEFT JOIN deg ON deg.label = nv.label"),
       "q108_moving_window" ->
         ("WITH d AS (SELECT o_orderdate AS day, " +
           "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents, " +

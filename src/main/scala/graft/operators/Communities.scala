@@ -49,4 +49,30 @@ object Communities {
     }
     labels
   }
+
+  /** Exact-integer community quality table for a (canonical src<dst)
+    * edge set and a labeling: per community its vertex count, internal
+    * edge count and total (undirected) degree — precisely the integers
+    * modularity is made of (Q = Σ_c [in_c/m − (d_c/2m)²]); keeping them
+    * unreduced keeps the output engine-exact, the caller divides.
+    * One labels broadcast-or-shuffle join per side + three keyed aggs.
+    */
+  def communityStats(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val c = edges.select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
+    val lab = labels.select(col("id"), col("label")).localCheckpoint(true)
+    val internal = c
+      .join(lab.toDF("x", "lx"), Seq("x"))
+      .join(lab.toDF("y", "ly"), Seq("y"))
+      .where(col("lx") === col("ly"))
+      .groupBy(col("lx").as("label")).agg(count(lit(1)).as("internal_edges"))
+    val deg = c.select(explode(array(col("x"), col("y"))).as("id"))
+      .join(lab, Seq("id"))
+      .groupBy("label").agg(count(lit(1)).as("total_degree"))
+    val nv = lab.groupBy("label").agg(count(lit(1)).as("n_vertices"))
+    nv.join(internal, Seq("label"), "left")
+      .join(deg, Seq("label"), "left")
+      .select(col("label"), col("n_vertices"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        coalesce(col("total_degree"), lit(0L)).as("total_degree"))
+  }
 }
