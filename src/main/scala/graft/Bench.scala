@@ -47,7 +47,7 @@ object Bench {
       // Cross-query memos (SparkEntry.pinnedRddIds) are kept: they are
       // locally-checkpointed and unrecomputable once unpersisted.
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!SparkEntry.pinnedRddIds.contains(Int.box(id))) rdd.unpersist(false)
+        if (!SparkEntry.pinnedRddIds(spark).contains(Int.box(id))) rdd.unpersist(false)
       }
       spark.catalog.clearCache()
       // ContextCleaner reaps dead shuffles/broadcasts only after a GC;

@@ -43,29 +43,46 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, Int)]()
   private val adjUses =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), Integer]()
-  private val pinned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  // pins are keyed by (session identity, rdd id): RDD ids restart per
+  // SparkContext, so a stale id from a stopped session must never shield
+  // an unrelated RDD in a later one (ADVICE r3)
+  private val pinned = java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Int)]()
 
-  /** RDD ids whose blocks back cross-query memos — harness mains must
-    * not unpersist these between queries.
+  /** RDD ids whose blocks back THIS session's cross-query memos —
+    * harness mains must not unpersist these between queries.
     */
-  def pinnedRddIds: java.util.Set[Integer] = {
+  def pinnedRddIds(s: SparkSession): java.util.Set[Integer] = {
+    val sid = System.identityHashCode(s)
     val out = new java.util.HashSet[Integer]()
-    pinned.forEach(i => out.add(i))
+    pinned.forEach(t => if (t._1 == sid) out.add(t._2))
     out
   }
 
   private def c10Adjacency(s: SparkSession, dir: String): DataFrame = {
-    val key = (System.identityHashCode(s), dir)
+    val sid = System.identityHashCode(s)
+    val key = (sid, dir)
     val (df, cpId) = adjCache.computeIfAbsent(key, _ => {
       val before = s.sparkContext.getPersistentRDDs.keySet
       val cp = Triangles.adjacency(GraphFixtures.coPurchase(s, dir)).localCheckpoint(true)
-      val fresh = s.sparkContext.getPersistentRDDs.keySet -- before
-      // RDD ids are monotone: the eager checkpoint just above registered
-      // last — pin it, release the build's internal checkpoints now
-      val id = fresh.max
-      pinned.add(id)
-      (fresh - id).foreach(i =>
+      // pin the checkpoint's OWN rdd, read off its LogicalRDD plan — no
+      // diff-the-global-set heuristic that concurrent persists could
+      // misdirect at an unrecomputable block (ADVICE r3)
+      val id = org.apache.spark.sql.graftbridge.PlanBridge.checkpointRddId(cp)
+        .getOrElse(sys.error("eager localCheckpoint did not produce a LogicalRDD plan"))
+      pinned.add((sid, id))
+      // release the build's internal checkpoints (all recomputable —
+      // worst case under concurrent persists is a redundant unpersist of
+      // a recomputable block, not a lost checkpoint)
+      (s.sparkContext.getPersistentRDDs.keySet -- before - id).foreach(i =>
         s.sparkContext.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
+      // a memo orphaned by an unpaired run (e.g. SPARK_GRAFT_ONLY=q14
+      // alone) is dropped when its context stops, releasing the pin
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          adjCache.remove(key); adjUses.remove(key); pinned.remove((sid, id))
+        }
+      })
       (cp, id)
     })
     // exactly two queries consume this memo (q14 + q15): once the second
@@ -77,7 +94,7 @@ object SparkEntry {
         (a: Integer, b: Integer) => Int.box(a.intValue + b.intValue)).intValue >= 2) {
       adjCache.remove(key)
       adjUses.remove(key)
-      pinned.remove(cpId)
+      pinned.remove((sid, cpId))
     }
     df
   }
@@ -131,14 +148,19 @@ object SparkEntry {
     // generic-K ingest with COMPOSITE keys: line ids (orderkey,
     // linenumber) ↔ part-supplier pairs (partkey, suppkey) dictionary-
     // encoded to dense Longs, degrees computed on the encoded graph,
-    // decoded back to the raw keys — the full ingest→operate→decode loop
+    // decoded back to the raw keys — the full ingest→operate→decode
+    // loop. The two endpoint sets are DIFFERENT entity spaces, so they
+    // carry distinct domain tags: (orderkey=1, linenumber=1) and
+    // (partkey=1, suppkey=1) must stay two vertices (ADVICE r3)
     "q92_composite_key" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
       val (enc, dict) = graft.sources.Sources.dictionaryEncodeComposite(
-        li, Seq("l_orderkey", "l_linenumber"), Seq("l_partkey", "l_suppkey"))
+        li, Seq("l_orderkey", "l_linenumber"), Seq("l_partkey", "l_suppkey"),
+        domains = Some(("line", "ps")))
       graft.sources.Sources.decodeKeys(GraphStream(enc).getDegrees, dict, "id")
-        .select(col("key.k0").as("k0"), col("key.k1").as("k1"), col("degree"))
+        .select(col("key.dom").as("dom"), col("key.k0").as("k0"),
+          col("key.k1").as("k1"), col("degree"))
     }),
     "q04_inout_degrees" -> ((s, dir) => {
       val gs = E(s, dir)
@@ -1142,10 +1164,10 @@ object SparkEntry {
       "q91_salted_degrees" ->
         s"SELECT id, COUNT(*) AS degree FROM ($eEnds) GROUP BY id",
       "q92_composite_key" ->
-        ("WITH ends AS (SELECT CAST(l_orderkey AS VARCHAR) AS k0, " +
+        ("WITH ends AS (SELECT 'line' AS dom, CAST(l_orderkey AS VARCHAR) AS k0, " +
           "CAST(l_linenumber AS VARCHAR) AS k1 FROM lineitem " +
-          "UNION ALL SELECT CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR) FROM lineitem) " +
-          "SELECT k0, k1, COUNT(*) AS degree FROM ends GROUP BY k0, k1"),
+          "UNION ALL SELECT 'ps', CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR) FROM lineitem) " +
+          "SELECT dom, k0, k1, COUNT(*) AS degree FROM ends GROUP BY dom, k0, k1"),
       "q04_inout_degrees" ->
         ("SELECT id, CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS out_degree, " +
           "CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS in_degree " +

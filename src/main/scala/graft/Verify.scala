@@ -40,7 +40,7 @@ object Verify {
       // cache so they can't accumulate heap pressure across the run —
       // EXCEPT cross-query memos (unrecomputable once unpersisted)
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!SparkEntry.pinnedRddIds.contains(Int.box(id))) rdd.unpersist(false)
+        if (!SparkEntry.pinnedRddIds(spark).contains(Int.box(id))) rdd.unpersist(false)
       }
       spark.catalog.clearCache()
     }

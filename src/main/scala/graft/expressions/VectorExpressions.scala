@@ -2,11 +2,11 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst dot product over two `array<double>` columns.
   *
@@ -19,9 +19,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * element order — bit-for-bit the same result as the HOF version and as
   * DuckDB's list arithmetic, so oracle hash parity is preserved.
   */
-case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // accessors read via ArrayData.getDouble: anything but array<double>
+  // (e.g. raw array<float> embeddings) would silently read garbage —
+  // reject it at analysis time instead
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -68,9 +74,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   * dense path does one of these per candidate pair instead of a
   * co-occurrence join row per shared element.
   */
-case class BitAndCount(left: Expression, right: Expression) extends BinaryExpression {
+case class BitAndCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -121,9 +130,14 @@ case class BitAndCount(left: Expression, right: Expression) extends BinaryExpres
   * so callers own the invariant — parity with `array_intersect` is
   * spec-checked on the triangle fixtures.
   */
-case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullIntolerant: Boolean = true
+  // getLong accessors: binding array<int> adjacency lists would silently
+  // miscount — fail analysis instead (ADVICE r3)
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -177,9 +191,10 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
   * reproducibility of earlier results).
   */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -238,9 +253,11 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   * loop and stays inside whole-stage codegen. Out-of-range indices
   * throw — a silent drop would make set intersections plausibly wrong.
   */
-case class IntsToBitset(child: Expression, nWords: Int) extends UnaryExpression {
+case class IntsToBitset(child: Expression, nWords: Int)
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(IntegerType))
 
   override def nullSafeEval(input: Any): Any = {
     val ids = input.asInstanceOf[ArrayData]
@@ -288,9 +305,10 @@ case class IntsToBitset(child: Expression, nWords: Int) extends UnaryExpression 
   * re-evaluates the full norm per element — O(dim²)). All-zero vectors
   * pass through unchanged instead of turning into NaNs.
   */
-case class UnitVector(child: Expression) extends UnaryExpression {
+case class UnitVector(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]

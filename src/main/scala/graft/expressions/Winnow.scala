@@ -18,9 +18,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * `array_min`, `array_distinct`) — property-checked against it — but
   * evaluated as one fused char loop: the HOF path interprets a lambda
   * tree per element (measured ~5 s for 500 docs in one task), this runs
-  * the same arithmetic in generated Java. Character values are UTF-16
-  * code units, matching `ascii()` (and DuckDB `unicode()`) for all BMP
-  * text.
+  * the same arithmetic in generated Java. Character values are Unicode
+  * CODE POINTS (not UTF-16 code units), matching the HOF spec's
+  * `split("") + ascii()` view and DuckDB `unicode()` on all text,
+  * including supplementary-plane characters (emoji, rare CJK) — and
+  * matching Spark `length()`'s code-point count that sizes `n_kgrams`.
   */
 case class WinnowSelect(child: Expression, k: Int, w: Int) extends UnaryExpression {
   require(k >= 1 && w >= 1, s"winnow_select: k and w must be >= 1, got k=$k w=$w")
@@ -53,7 +55,11 @@ object WinnowSelect {
     * dedup. O(n·k + n·w) time, O(n) scratch; no per-element boxing.
     */
   def select(s: String, k: Int, w: Int): Array[Long] = {
-    val n = s.length
+    // decode to code points first: charAt would hash UTF-16 surrogate
+    // halves, diverging from the code-point view of the HOF spec /
+    // DuckDB unicode() on non-BMP text (ADVICE r3)
+    val cps = s.codePoints().toArray
+    val n = cps.length
     if (n < k) return Array.emptyLongArray
     val m = n - k + 1
     val kg = new Array[Long](m)
@@ -61,7 +67,7 @@ object WinnowSelect {
     while (i < m) {
       var h = 0L
       var j = 0
-      while (j < k) { h = (h * 31L + s.charAt(i + j).toLong) % P; j += 1 }
+      while (j < k) { h = (h * 31L + cps(i + j).toLong) % P; j += 1 }
       kg(i) = h
       i += 1
     }

@@ -143,26 +143,36 @@ object Sources {
     * Long-keyed operator runs unchanged. Decode with [[decodeKeys]]
     * (the returned dictionary's `key` column is the struct).
     *
-    * `srcCols`/`dstCols` must have equal arity — both endpoints live in
-    * one key space, as the reference's single `K` requires.
+    * `srcCols`/`dstCols` must have equal arity — with the default
+    * `domains = None` both endpoints share ONE key space, as the
+    * reference's single `K` requires: (orderkey=1, linenumber=1) and
+    * (partkey=1, suppkey=1) would merge into one vertex. When the two
+    * endpoint sets are DIFFERENT entity spaces, pass distinct domain
+    * tags — the tag becomes a leading `dom` field of the key struct, so
+    * identically-stringified tuples from the two spaces can never
+    * collide (ADVICE r3).
     */
   def dictionaryEncodeComposite(edges: DataFrame, srcCols: Seq[String],
-                                dstCols: Seq[String]): (DataFrame, DataFrame) = {
+                                dstCols: Seq[String],
+                                domains: Option[(String, String)] = None): (DataFrame, DataFrame) = {
     require(srcCols.nonEmpty && srcCols.length == dstCols.length,
       s"composite key arity mismatch: $srcCols vs $dstCols")
-    def key(cols: Seq[String]) =
-      struct(cols.zipWithIndex.map { case (c, i) => col(c).cast("string").as(s"k$i") }: _*)
-    val dict = edges.select(key(srcCols).as("key"))
-      .unionByName(edges.select(key(dstCols).as("key")))
+    def key(cols: Seq[String], dom: String) = {
+      val parts = cols.zipWithIndex.map { case (c, i) => col(c).cast("string").as(s"k$i") }
+      struct((if (domains.isDefined) Seq(lit(dom).as("dom")) else Nil) ++ parts: _*)
+    }
+    val (sDom, dDom) = domains.getOrElse(("", ""))
+    val dict = edges.select(key(srcCols, sDom).as("key"))
+      .unionByName(edges.select(key(dstCols, dDom).as("key")))
       .distinct()
       .withColumn("id", monotonically_increasing_id())
       .localCheckpoint(true)
     val others = edges.columns.filterNot((srcCols ++ dstCols).toSet).map(col)
     val enc = edges
       .join(dict.select(col("key").as("__sk"), col("id").as("__sid")),
-        key(srcCols) === col("__sk"))
+        key(srcCols, sDom) === col("__sk"))
       .join(dict.select(col("key").as("__dk"), col("id").as("__did")),
-        key(dstCols) === col("__dk"))
+        key(dstCols, dDom) === col("__dk"))
       .select((Seq(col("__sid").as("src"), col("__did").as("dst")) ++ others): _*)
     (enc, dict)
   }

@@ -34,7 +34,13 @@ class FunctionsSpec extends SparkTestBase {
     val rows = (1L to 60L).map { i =>
       (i, (0 until rnd.nextInt(120)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
     }
-    val d = rows.toDF("doc_id", "text")
+    // non-BMP coverage: supplementary-plane chars must hash as CODE
+    // POINTS on both paths (ascii()/split("") are code-point-aware;
+    // the native loop decodes via codePoints() — ADVICE r3)
+    val emoji = rows ++ Seq(
+      (101L, "ab😀cd😀ef😁gh"),
+      (102L, "😀😁😂😃😄😅😀😁"))
+    val d = emoji.toDF("doc_id", "text")
     def run(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
     assert(run(TextStats.winnowSelected(d)) == run(TextStats.winnowSelectedHof(d)))

@@ -76,6 +76,23 @@ class SourcesSpec extends SparkTestBase {
       ("2", "2") -> 1L, ("10", "100") -> 2L, ("11", "100") -> 1L, ("12", "101") -> 1L))
   }
 
+  test("composite-key domain tags keep identically-stringified tuples from two entity spaces apart") {
+    import spark.implicits._
+    // (o=1, ln=1) and (p=1, s=1) stringify identically — without domain
+    // tags they'd merge into ONE vertex (degree 2); with tags they stay
+    // two vertices of degree 1 each (ADVICE r3)
+    val e = Seq((1L, 1, 1L, 1L)).toDF("o", "ln", "p", "s")
+    val merged = Sources.dictionaryEncodeComposite(e, Seq("o", "ln"), Seq("p", "s"))._2
+    assert(merged.count() == 1) // documented single-key-space behavior
+    val (enc, dict) = Sources.dictionaryEncodeComposite(
+      e, Seq("o", "ln"), Seq("p", "s"), domains = Some(("line", "ps")))
+    assert(dict.count() == 2)
+    val deg = Sources.decodeKeys(GraphStream(enc).getDegrees, dict, "id", "key")
+      .select("key.dom", "degree").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(deg == Map("line" -> 1L, "ps" -> 1L))
+  }
+
   test("rate source emits canonical edges") {
     val stream = Sources.rateEdgeStream(spark, rowsPerSecond = 100, nVertices = 10)
     assert(stream.isStreaming)
