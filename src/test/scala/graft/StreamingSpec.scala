@@ -202,11 +202,83 @@ class StreamingSpec extends SparkTestBase {
     val batchPerVertex = graft.operators.Triangles.perVertexCounts(df).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(batchPerVertex.values.sum == 30L) // 10 triangles x 3 corners
-    for (nb <- Seq(1, 3, 5)) {
+    for (nb <- Seq(1, 3, 6)) {
       val streamed = graft.streaming.StreamingOps.replayTriangleCounts(df, nb).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(streamed == batchPerVertex, s"nBatches=$nb")
     }
+    // the state-store-free foreachBatch alternative stays exact too
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val (half1, half2) = edges.splitAt(edges.length / 2)
+    val (acc1, d1) = graft.streaming.StreamingOps.incrementalTriangleStep(
+      empty, half1.toDF("src", "dst"))
+    val (_, d2) = graft.streaming.StreamingOps.incrementalTriangleStep(
+      acc1, half2.toDF("src", "dst"))
+    val merged = d1.unionAll(d2).groupBy("v").agg(sum("w3").as("w3"))
+      .where(col("w3") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1) / 3).toMap
+    assert(merged == batchPerVertex)
+  }
+
+  test("keyed-state triangles: per-trigger state writes stay batch-bounded while total state grows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // deterministic random graph with plenty of triangles; 8 equal
+    // batches — the per-trigger flatness evidence the old per-trigger
+    // adjacency REBUILD could not give: state rows WRITTEN per trigger
+    // are bounded by the batch's touched vertices (≤ 2 edges/batch ends),
+    // never by the accumulated graph, while total state rows keep growing
+    // the raw feed keeps BOTH orientations and duplicates — the keyed
+    // state dedups them; the batch oracle gets the canonical set (its
+    // documented contract)
+    val rnd = new scala.util.Random(7)
+    val raw = (1 to 400).map { _ =>
+      val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong; (a, b)
+    }.filter(e => e._1 != e._2)
+    val edges = raw
+    val canonical = raw.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val nb = 8
+    val chunk = math.max(1, (edges.length + nb - 1) / nb)
+    val ms = MemoryStream[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tri-state").toString
+    val counts = new scala.collection.mutable.HashMap[Long, Long]()
+    val q = graft.streaming.StreamingOps.streamingTriangleEmissions(
+        ms.toDF().toDF("src", "dst"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (em: org.apache.spark.sql.DataFrame, _: Long) =>
+        em.persist() // one stateful execution per trigger (see operator)
+        try graft.streaming.StreamingOps.triangleDeltas(em).collect().foreach { r =>
+          counts(r.getLong(0)) = counts.getOrElse(r.getLong(0), 0L) + r.getLong(1)
+        } finally em.unpersist()
+      }.start()
+    try {
+      edges.grouped(chunk).foreach { g => ms.addData(g); q.processAllAvailable() }
+      val progress = q.recentProgress.toSeq
+        .filter(p => p.numInputRows > 0 && p.stateOperators.nonEmpty)
+      assert(progress.size >= 6, s"expected >=6 data triggers, got ${progress.size}")
+      val updated = progress.map(_.stateOperators.head.numRowsUpdated)
+      val totals = progress.map(_.stateOperators.head.numRowsTotal)
+      // per-trigger writes bounded by THAT trigger's input (2 routed
+      // endpoints per edge), flat in the accumulated graph — including
+      // the LAST triggers, when the accumulated graph is many times the
+      // batch. Compared against the trigger's own numInputRows because
+      // a trigger may absorb more than one added chunk.
+      progress.zipWithIndex.foreach { case (p, i) =>
+        val u = p.stateOperators.head.numRowsUpdated
+        assert(u <= 2L * p.numInputRows,
+          s"trigger $i wrote $u state rows > 2×input=${2 * p.numInputRows}")
+      }
+      // ...while total keyed state keeps growing to one row per vertex
+      assert(totals.last == edges.flatMap(e => Seq(e._1, e._2)).distinct.size)
+      assert(totals.zip(totals.tail).forall { case (a, b) => b >= a })
+      // and the merged deltas equal the one-shot batch answer
+      val batch = graft.operators.Triangles.perVertexCounts(canonical.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val streamed = counts.iterator.filter(_._2 > 0)
+        .map { case (v, w6) => v -> w6 / 6 }.toMap
+      assert(streamed == batch)
+    } finally q.stop()
   }
 
   test("streaming distinct + vertex derivation run on a stream") {
