@@ -71,6 +71,82 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("restart recovery: CC summary state restores from the checkpoint across stop/start") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // path 1-2-3-4 split so the cross-half merge (2,3) arrives ONLY
+    // after the restart: with recovered union-find state the final
+    // labels collapse to component 1; with lost state the second run
+    // could only ever see {2,3} and the assert fails — the discriminator
+    // for real state-store recovery, not accidental re-emission
+    val firstHalf = Seq((1L, 2L, 1.0, 0L), (3L, 4L, 1.0, 60L))
+    val secondHalf = Seq((2L, 3L, 1.0, 120L))
+    val ms = MemoryStream[(Long, Long, Double, Long)]
+    val ckpt = Files.createTempDirectory("cc-restart-ckpt").toString
+    // foreachBatch is the recoverable sink (the memory sink refuses an
+    // existing checkpoint); each run collects its own emissions
+    def start(sink: scala.collection.mutable.ListBuffer[(Long, Long)]) =
+      StreamingOps.runningConnectedComponents(edgesFrom(ms))
+        .toDF("id", "component")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          sink.synchronized {
+            sink ++= b.collect().map(r => (r.getLong(0), r.getLong(1)))
+          }; ()
+        }.start()
+    val run1 = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    val run2 = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    val q1 = start(run1)
+    try {
+      ms.addData(firstHalf); q1.processAllAvailable()
+    } finally q1.stop()
+    // kill-and-restart: a NEW query object, same checkpoint dir, same
+    // source — resumes from the committed offset with restored state
+    val q2 = start(run2)
+    try {
+      ms.addData(secondHalf); q2.processAllAvailable()
+      // the post-restart emission alone carries the fully-merged labels
+      val streamed = run2.groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).min }
+      assert(streamed == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    } finally q2.stop()
+  }
+
+  test("restart recovery: dedup keyed state survives stop/start — no re-emission, no loss") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // duplicates STRADDLE the restart: doc 11/21 re-arrive (same text)
+    // after the stop — only recovered dropDuplicates state can suppress
+    // them; doc 31 is genuinely new after restart and must survive
+    val before = Seq((11L, "en", "alpha text"), (12L, "en", "beta text"),
+      (21L, "de", "gamma text"))
+    val after = Seq((13L, "en", "alpha text"), (22L, "de", "gamma text"),
+      (31L, "fr", "delta text"))
+    val ms = MemoryStream[(Long, String, String)]
+    val ckpt = Files.createTempDirectory("dedup-restart-ckpt").toString
+    def start(sink: scala.collection.mutable.ListBuffer[Long]) =
+      StreamingOps.streamingExactDedup(ms.toDF().toDF("doc_id", "lang", "text"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          sink.synchronized { sink ++= b.select("doc_id").collect().map(_.getLong(0)) }; ()
+        }.start()
+    val run1 = scala.collection.mutable.ListBuffer.empty[Long]
+    val run2 = scala.collection.mutable.ListBuffer.empty[Long]
+    val q1 = start(run1)
+    try {
+      ms.addData(before); q1.processAllAvailable()
+      assert(run1.toSet == Set(11L, 12L, 21L))
+    } finally q1.stop()
+    val q2 = start(run2)
+    try {
+      ms.addData(after); q2.processAllAvailable()
+      // run 2's emissions are ONLY what the restored state lets through
+      assert(run2.toSet == Set(31L),
+        s"restored state should suppress straddling dups, got ${run2.toSet}")
+    } finally q2.stop()
+  }
+
   test("replay harness converges to the one-shot batch CC (q45 semantics)") {
     val e = graft.model.GraphFixtures.edgeStream(spark, sf)
     val got = StreamingOps.replayConnectedComponents(e, nBatches = 3)
