@@ -174,11 +174,24 @@ object Corpus {
     * cosine against ANY benchmark vector reaches `threshold`. Output
     * `(vec_id, n_hits, max_sim)` (sim rounded 6dp, engine-portable).
     *
-    * Plan: benchmark side broadcast (eval sets are small by nature), the
-    * training corpus streams through once — no corpus shuffle, the
-    * brute-force-topK shape with a threshold instead of a rank cut. At
-    * 100 TB with a LARGE benchmark side, route through the IVF/LSH
-    * bucketed paths instead.
+    * Plan dispatch on the benchmark side's size (counted from parquet
+    * footers — cheap):
+    *
+    *  - ≤ `maxBroadcastRows` (eval sets are small by nature): benchmark
+    *    broadcast, training corpus streams through once — no corpus
+    *    shuffle, the brute-force-topK shape with a threshold instead of
+    *    a rank cut. EXACT.
+    *  - above the budget: the brute compute is |train|×|bench| dot
+    *    products — a silent disaster at 10M "benchmark" rows — so the
+    *    pair generation routes through the seeded random-hyperplane LSH
+    *    buckets ([[Similarity.signature]], multi-table): candidates
+    *    share a (table, signature) bucket, exact cosine only within
+    *    candidates. Deterministic (seeded planes), APPROXIMATE-RECALL:
+    *    a pair at cosine c collides per table with probability
+    *    (1−θ/π)^nPlanes, θ=arccos(c) — near-duplicates (the
+    *    contamination regime, c ≥ 0.9) are found with prob
+    *    ≥ 1−(1−0.66)^nTables ≈ 1−2e-4 at the defaults; spec-checked
+    *    equal to brute on the planted fixture.
     *
     * `excludeSameId` applies ONLY when both inputs slice one id space
     * (the q98 shape — a self-comparison must not count as a hit). Leave
@@ -187,15 +200,61 @@ object Corpus {
     */
   def embeddingContamination(train: DataFrame, benchmark: DataFrame,
                              threshold: Double,
-                             excludeSameId: Boolean = false): DataFrame = {
-    import graft.functions.Similarity.{dot, norm}
-    def prep(df: DataFrame, id: String, e: String, n: String) =
-      df.select(col("vec_id").as(id), col("embedding").cast("array<double>").as(e))
-        .withColumn(n, norm(col(e)))
-    val t = prep(train, "vec_id", "te", "tn")
-    val b = prep(benchmark, "bid", "be", "bn")
+                             excludeSameId: Boolean = false,
+                             maxBroadcastRows: Long = 1000000L,
+                             nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
+    if (benchmark.count() <= maxBroadcastRows)
+      embeddingContaminationBrute(train, benchmark, threshold, excludeSameId)
+    else
+      embeddingContaminationBucketed(train, benchmark, threshold, excludeSameId,
+        nPlanes, nTables)
+  }
+
+  private def prepVecs(df: DataFrame, id: String, e: String, n: String) = {
+    import graft.functions.Similarity.norm
+    df.select(col("vec_id").as(id), col("embedding").cast("array<double>").as(e))
+      .withColumn(n, norm(col(e)))
+  }
+
+  /** The exact broadcast path (see [[embeddingContamination]]). */
+  private[graft] def embeddingContaminationBrute(train: DataFrame, benchmark: DataFrame,
+                                                 threshold: Double,
+                                                 excludeSameId: Boolean): DataFrame = {
+    import graft.functions.Similarity.dot
+    val t = prepVecs(train, "vec_id", "te", "tn")
+    val b = prepVecs(benchmark, "bid", "be", "bn")
     t.crossJoin(broadcast(b))
       .where(if (excludeSameId) col("vec_id") =!= col("bid") else lit(true))
+      .select(col("vec_id"),
+        round(dot(col("te"), col("be")) / (col("tn") * col("bn")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"), max(col("sim")).as("max_sim"))
+  }
+
+  /** The LSH-bucketed scale path (see [[embeddingContamination]]): pairs
+    * come from a (table, signature) equi-join — a keyed shuffle whose
+    * candidate count tracks true near-pairs, never |train|×|bench|.
+    */
+  private[graft] def embeddingContaminationBucketed(train: DataFrame, benchmark: DataFrame,
+                                                    threshold: Double,
+                                                    excludeSameId: Boolean,
+                                                    nPlanes: Int = 4,
+                                                    nTables: Int = 8): DataFrame = {
+    import graft.functions.Similarity.{dot, signature}
+    val dim = benchmark.select(size(col("embedding"))).head().getInt(0)
+    def signed(df: DataFrame, id: String, e: String, n: String) = {
+      val vecs = prepVecs(df, id, e, n)
+      (0 until nTables).map { tb =>
+        vecs.select(col(id), col(e), col(n), lit(tb).as("tbl"),
+          signature(col(e), nPlanes, dim, seed = 42L + tb).as("sig"))
+      }.reduce(_ unionByName _)
+    }
+    signed(train, "vec_id", "te", "tn")
+      .join(signed(benchmark, "bid", "be", "bn"), Seq("tbl", "sig"))
+      .where(if (excludeSameId) col("vec_id") =!= col("bid") else lit(true))
+      // a pair colliding in several tables must count once
+      .dropDuplicates("vec_id", "bid")
       .select(col("vec_id"),
         round(dot(col("te"), col("be")) / (col("tn") * col("bn")), 6).as("sim"))
       .where(col("sim") >= threshold)

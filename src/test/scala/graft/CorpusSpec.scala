@@ -90,6 +90,33 @@ class CorpusSpec extends SparkTestBase {
     assert(hits == Map(10L -> 1L))
   }
 
+  test("embeddingContamination: bucketed scale path equals the brute path on planted near-dups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, concat}
+    // embeddings fixture + planted near-identical twins of 3 benchmark
+    // vectors: the contamination regime (cosine >= 0.9), where the seeded
+    // multi-table LSH finds every pair deterministically
+    val emb = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val bench = emb.where(col("vec_id") < 3)
+    val jiggle = org.apache.spark.sql.functions.transform(
+      col("embedding"), x => x * lit(1.0f) + lit(0.001f))
+    val train = emb.where(col("vec_id") >= 3)
+      .unionByName(bench.select((col("vec_id") + 1000).as("vec_id"),
+        jiggle.as("embedding")))
+    def got(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val brute = got(Corpus.embeddingContaminationBrute(train, bench, 0.9, excludeSameId = false))
+    val bucketed = got(Corpus.embeddingContaminationBucketed(train, bench, 0.9, excludeSameId = false))
+    assert(brute.keySet.exists(_ >= 1000L), "fixture must plant near-dups")
+    assert(bucketed == brute)
+    // dispatch: a tiny benchmark takes the exact broadcast path; shrink
+    // the budget and the same call routes through the buckets
+    assert(got(Corpus.embeddingContamination(train, bench, 0.9)) == brute)
+    assert(got(Corpus.embeddingContamination(train, bench, 0.9,
+      maxBroadcastRows = 1)) == brute)
+  }
+
   test("contaminationHits: planted leak is flagged with exact shingle counts") {
     // doc 1 copies benchmark doc 100's opening 6 tokens => two shared
     // 5-grams; doc 2 shares nothing; benchmark docs are never flagged
