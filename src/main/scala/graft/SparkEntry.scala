@@ -384,6 +384,15 @@ object SparkEntry {
       graft.operators.Communities.communityStats(c10,
         graft.operators.Communities.labelPropagation(c10, 3))
     }),
+    // Louvain level-1: one synchronous greedy modularity-gain pass over
+    // the q110 LPA labeling, exact-integer monotonicity gate — emitted
+    // as the refined communities' modularity ingredients (q111's shape)
+    "q112_louvain_refine" -> ((s, dir) => {
+      val c10 = GraphFixtures.coPurchase10(s, dir)
+      graft.operators.Communities.communityStats(c10,
+        graft.operators.Communities.modularityRefine(c10,
+          graft.operators.Communities.labelPropagation(c10, 3)))
+    }),
     // 7-day moving revenue window (RANGE frame over event time) — exact
     // integer cents so the frame sums are order-free in any engine
     "q108_moving_window" -> ((s, dir) => {
@@ -1582,6 +1591,53 @@ object SparkEntry {
         "COALESCE(deg.total_degree, 0) AS total_degree " +
         "FROM nv LEFT JOIN int_e ON int_e.label = nv.label " +
         "LEFT JOIN deg ON deg.label = nv.label"),
+      // Louvain level-1 move pass over the l3 LPA labeling: integer
+      // gain 2m(kC−kD) − k(ΣtotC−ΣtotD+k), best positive move per
+      // vertex (ties → smallest label), kept only if the exact integer
+      // modularity 4mΣin − Σd² does not decrease — then q111's stats
+      "q112_louvain_refine" -> (lpaPrefix + ", " +
+        "deg AS MATERIALIZED (SELECT u AS id, COUNT(*) AS k FROM sym GROUP BY 1), " +
+        "mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM c), " +
+        "stot AS MATERIALIZED (SELECT l.label, SUM(d.k) AS stot FROM l3 l " +
+        "JOIN deg d ON d.id = l.id GROUP BY 1), " +
+        "kic AS MATERIALIZED (SELECT s.u, l.label AS lv, COUNT(*) AS kc " +
+        "FROM sym s JOIN l3 l ON l.id = s.v GROUP BY 1, 2), " +
+        "cur AS MATERIALIZED (SELECT l.id AS u, l.label AS lu, d.k, " +
+        "st.stot AS stotd, COALESCE(kd.kc, 0) AS kd FROM l3 l " +
+        "JOIN deg d ON d.id = l.id JOIN stot st ON st.label = l.label " +
+        "LEFT JOIN kic kd ON kd.u = l.id AND kd.lv = l.label), " +
+        "best AS MATERIALIZED (SELECT u, lv FROM (SELECT cur.u, kic.lv, " +
+        "ROW_NUMBER() OVER (PARTITION BY cur.u ORDER BY " +
+        "2 * (SELECT m FROM mm) * (kic.kc - cur.kd) " +
+        "- cur.k * (st.stot - cur.stotd + cur.k) DESC, kic.lv) AS rn " +
+        "FROM cur JOIN kic ON kic.u = cur.u AND kic.lv <> cur.lu " +
+        "JOIN stot st ON st.label = kic.lv " +
+        "WHERE 2 * (SELECT m FROM mm) * (kic.kc - cur.kd) " +
+        "- cur.k * (st.stot - cur.stotd + cur.k) > 0) WHERE rn = 1), " +
+        "l4 AS MATERIALIZED (SELECT l.id, COALESCE(b.lv, l.label) AS label " +
+        "FROM l3 l LEFT JOIN best b ON b.u = l.id), " +
+        "stot4 AS MATERIALIZED (SELECT l.label, SUM(d.k) AS stot FROM l4 l " +
+        "JOIN deg d ON d.id = l.id GROUP BY 1), " +
+        "q0 AS (SELECT 4 * (SELECT m FROM mm) * (SELECT COUNT(*) FROM c " +
+        "JOIN l3 a ON a.id = c.x JOIN l3 b ON b.id = c.y WHERE a.label = b.label) " +
+        "- (SELECT SUM(stot * stot) FROM stot) AS q), " +
+        "q1 AS (SELECT 4 * (SELECT m FROM mm) * (SELECT COUNT(*) FROM c " +
+        "JOIN l4 a ON a.id = c.x JOIN l4 b ON b.id = c.y WHERE a.label = b.label) " +
+        "- (SELECT SUM(stot * stot) FROM stot4) AS q), " +
+        "lab AS MATERIALIZED (SELECT l4.id, CASE WHEN (SELECT q FROM q1) >= " +
+        "(SELECT q FROM q0) THEN l4.label ELSE l3.label END AS label " +
+        "FROM l4 JOIN l3 ON l3.id = l4.id), " +
+        "int_e AS (SELECT la.label, COUNT(*) AS internal_edges FROM c " +
+        "JOIN lab la ON la.id = c.x JOIN lab lb ON lb.id = c.y " +
+        "WHERE la.label = lb.label GROUP BY 1), " +
+        "degc AS (SELECT la.label, COUNT(*) AS total_degree FROM sym s " +
+        "JOIN lab la ON la.id = s.u GROUP BY 1), " +
+        "nv AS (SELECT label, COUNT(*) AS n_vertices FROM lab GROUP BY label) " +
+        "SELECT nv.label, nv.n_vertices, " +
+        "COALESCE(int_e.internal_edges, 0) AS internal_edges, " +
+        "COALESCE(degc.total_degree, 0) AS total_degree " +
+        "FROM nv LEFT JOIN int_e ON int_e.label = nv.label " +
+        "LEFT JOIN degc ON degc.label = nv.label"),
       "q108_moving_window" ->
         ("WITH d AS (SELECT o_orderdate AS day, " +
           "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents, " +

@@ -50,6 +50,85 @@ object Communities {
     labels
   }
 
+  /** One synchronous greedy modularity-gain pass — the Louvain level-1
+    * MOVE step, made deterministic and hash-checkable: every vertex
+    * simultaneously evaluates moving to each neighboring community of
+    * the CURRENT labeling, using the exact-integer gain
+    *
+    *   gain·2m² = 2m·(k_i,C − k_i,D∖i) − k_i·(Σtot_C − Σtot_D + k_i)
+    *
+    * (k_i,C = edges from i into C, Σtot_C = C's degree mass, D = i's
+    * community) and adopts the best strictly-positive move, ties broken
+    * by the SMALLEST target label. Because simultaneous moves can in
+    * principle fight each other, the pass carries Louvain's monotonicity
+    * contract explicitly: the refined labeling is kept only if the exact
+    * integer modularity ([[integerModularity]]) did not decrease,
+    * otherwise the input labeling is returned unchanged — so callers get
+    * Q(refine(L)) ≥ Q(L) unconditionally, on any engine, with no
+    * floating point anywhere.
+    *
+    * Plan: the per-round shape of [[labelPropagation]] (|V|-join +
+    * bounded top-1 window) plus two |C|-sized aggregates for the gate —
+    * nothing touches more than one |E| join per term.
+    */
+  def modularityRefine(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val c = edges.select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
+      .localCheckpoint(true)
+    val m = c.count()
+    val sym = c.select(col("x").as("u"), col("y").as("v"))
+      .union(c.select(col("y"), col("x")))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("k"))
+    val l0 = labels.select(col("id"), col("label")).localCheckpoint(true)
+    val stot = l0.join(deg, Seq("id")).groupBy("label").agg(sum("k").as("stot"))
+    val kic = sym.join(l0.toDF("v", "lv"), Seq("v"))
+      .groupBy(col("u"), col("lv")).agg(count(lit(1)).as("kc"))
+    val cur = l0.select(col("id").as("u"), col("label").as("lu"))
+      .join(deg.toDF("u", "k"), Seq("u"))
+      .join(stot.toDF("lu", "stotd"), Seq("lu"))
+      .join(kic.toDF("u", "lu", "kd"), Seq("u", "lu"), "left")
+      .select(col("u"), col("lu"), col("k"), col("stotd"),
+        coalesce(col("kd"), lit(0L)).as("kd"))
+    val best = cur.join(kic, Seq("u"))
+      .where(col("lv") =!= col("lu"))
+      .join(stot.toDF("lv", "stotc"), Seq("lv"))
+      .select(col("u"), col("lv"),
+        (lit(2L * m) * (col("kc") - col("kd"))
+          - col("k") * (col("stotc") - col("stotd") + col("k"))).as("gain"))
+      .where(col("gain") > 0)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("u").orderBy(col("gain").desc, col("lv").asc)))
+      .where(col("rn") === 1)
+      .select(col("u").as("id"), col("lv").as("new_label"))
+    val l1 = l0.join(best, Seq("id"), "left")
+      .select(col("id"), coalesce(col("new_label"), col("label")).as("label"))
+      .localCheckpoint(true)
+    // the monotonicity gate: two exact-integer scalars
+    val cd = c.toDF("src", "dst")
+    if (integerModularity(cd, l1, m) >= integerModularity(cd, l0, m)) l1 else l0
+  }
+
+  /** Exact integer modularity 4m²·Q = 4m·Σ_c in_c − Σ_c d_c² for a
+    * canonical (src<dst, distinct) edge set — comparable across
+    * labelings of the SAME graph; monotone in Q (4m² > 0), zero float.
+    */
+  def integerModularity(edges: DataFrame, labels: DataFrame, mOpt: Long = -1L): Long = {
+    val c = edges.select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
+    val m = if (mOpt >= 0) mOpt else c.count()
+    val lab = labels.select(col("id"), col("label"))
+    val internal = c.join(lab.toDF("x", "lx"), Seq("x"))
+      .join(lab.toDF("y", "ly"), Seq("y"))
+      .where(col("lx") === col("ly")).count()
+    val sumD2 = c.select(explode(array(col("x"), col("y"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("k"))
+      .join(lab, Seq("id"))
+      .groupBy("label").agg(sum("k").as("stot"))
+      .agg(coalesce(sum(col("stot") * col("stot")), lit(0L)))
+      .head().getLong(0)
+    4L * m * internal - sumD2
+  }
+
   /** Exact-integer community quality table for a (canonical src<dst)
     * edge set and a labeling: per community its vertex count, internal
     * edge count and total (undirected) degree — precisely the integers

@@ -126,6 +126,37 @@ class SummarySpec extends SparkTestBase {
     assert(again == out)
   }
 
+  test("Louvain refine pass never decreases modularity and strictly improves a bad labeling") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Communities
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((4L, 10L))).toDF("src", "dst")
+    // the monotonicity contract vs the LPA labeling (the q112 shape)
+    val lpa = Communities.labelPropagation(edges, 3)
+    val refined = Communities.modularityRefine(edges, lpa)
+    assert(Communities.integerModularity(edges, refined) >=
+      Communities.integerModularity(edges, lpa))
+    // a singleton start is a BAD labeling (Q ingredients all zero
+    // internal): one greedy pass must strictly improve it
+    val singletons = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst"))).distinct()
+      .withColumn("label", col("id"))
+    val fromSingles = Communities.modularityRefine(edges, singletons)
+    assert(Communities.integerModularity(edges, fromSingles) >
+      Communities.integerModularity(edges, singletons))
+    // deterministic across runs
+    val again = Communities.modularityRefine(edges, Communities.labelPropagation(edges, 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == refined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // and on the sf fixture graph, refining the real q110 labeling
+    val c10 = graft.model.GraphFixtures.coPurchase10(spark, sf)
+    val l = Communities.labelPropagation(c10, 3)
+    assert(Communities.integerModularity(c10, Communities.modularityRefine(c10, l)) >=
+      Communities.integerModularity(c10, l))
+  }
+
   test("summary codecs round-trip arbitrary summary states exactly") {
     import graft.summaries._
     val rnd = new scala.util.Random(7)
