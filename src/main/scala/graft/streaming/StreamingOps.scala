@@ -445,6 +445,13 @@ object StreamingOps {
       if (allTs.isEmpty) Seq.empty[Long]
       else (1 until nBatches).map(i => allTs(i * allTs.length / nBatches))
 
+    // a trigger commits every state-store partition of every stateful
+    // operator (two watermarks + both join sides): 32 shuffle partitions
+    // × 3 triggers is pure commit overhead at replay scale — pin to 8
+    // (production raises it with the data); pinned at stream start
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
     val msC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
     val msP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
     val cDf = msC.toDF().toDF("event_id", "c_user", "c_tu")
@@ -459,10 +466,12 @@ object StreamingOps {
         col("p_ts") <= col("c_ts"))
     val name = "graft_replay_ij_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-replay-ij").toString
-    val q = joined.select(col("event_id"), col("cents"))
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .format("memory").queryName(name).start()
+    val q =
+      try joined.select(col("event_id"), col("cents"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
       val bounds = cuts :+ Long.MaxValue
       var (loC, loP) = (0, 0)

@@ -183,4 +183,30 @@ class TraversalsSpec extends SparkTestBase {
     // ego(1, 2) = {1,2,3,4,5,6}; ego(7, 2) = {7,6,5}; isolated 9 = {9}
     assert(sizes == Map(1L -> 6L, 7L -> 3L, 9L -> 1L))
   }
+
+  test("ego frontier anti-join: radius 4 stays exact and the frontier shrinks to empty on saturation") {
+    import spark.implicits._
+    // 6-cycle: from one start the ego saturates at hop 3 — the fresh
+    // frontier must DROP TO ZERO at hop 4 (the old form bounced settled
+    // vertices forever), and per-hop sizes trace the BFS rings exactly
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L))
+      .toDF("src", "dst")
+    val trace = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sizes = Traversals.egoSizes(cycle, Seq(1L).toDF("id"), 4, Some(trace))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(1L -> 6L))
+    // rings from 1 on a 6-cycle: {2,6}, {3,5}, {4}, then nothing new
+    assert(trace.toSeq == Seq(2L, 2L, 1L, 0L), s"frontier trace: $trace")
+    // radius-4 parity against per-source BFS distances on the star+chain
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (5L, 6L), (6L, 7L))
+      .toDF("src", "dst")
+    val sizes4 = Traversals.egoSizes(edges, Seq(1L, 7L).toDF("id"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Seq(1L, 7L).map { s =>
+      val d = Traversals.bfsDepths(edges, s).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      s -> d.values.count(_ <= 4).toLong
+    }.toMap
+    assert(sizes4 == expected)
+  }
 }
