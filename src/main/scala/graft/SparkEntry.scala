@@ -591,6 +591,61 @@ object SparkEntry {
         .select(col("returnflag"),
           (col("a50") >= col("e25") && col("a50") <= col("e75") &&
             abs(col("a50") - col("e50")) <= col("e50") * 0.1).as("approx_ok"))),
+    // TPC-H Q10 shape: top-20 returned-item customers by revenue over a
+    // quarter — 3-table join (broadcast nation), cent-exact integer
+    // revenue so the top-k ordering is engine-exact, ties by custkey
+    "q113_tpch_q10" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("cents"))
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val cst = Tables.customer(s, dir)
+      val nat = Tables.nation(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cst, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation"))
+        .agg(sum(col("cents")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+    // TPC-H Q19 shape: disjunctive brand/size/quantity predicate over
+    // the part⋈lineitem join — the OR-of-ANDs plan Catalyst must split
+    // into a pushable common filter + residual join condition
+    "q114_tpch_q19" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 35)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 50)))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+    }),
+    // TPC-H Q16 shape adapted to the schema: distinct suppliers per
+    // (brand, type-prefix) observed in lineitem — distinct-agg over a
+    // broadcast dim join, excluding one brand like Q16's NOT clauses
+    "q115_brand_suppliers" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+      val p = Tables.part(s, dir)
+        .where(col("p_brand") =!= "Brand#5")
+        .select(col("p_partkey"), col("p_brand"),
+          substring(col("p_type"), 1, 6).as("type_prefix"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "type_prefix")
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+    }),
     // TPC-H Q1 in EXACT decimal money arithmetic: sums carried as
     // DECIMAL(12,2)/(14,4) — order-independent exactness the double
     // variant (q23) only gets from pre-rounding
@@ -1327,6 +1382,26 @@ object SparkEntry {
           "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
           "(CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(16,4))) AS DOUBLE) AS sum_disc_price, " +
           "COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+      "q113_tpch_q10" ->
+        ("SELECT c_custkey, c_name, n_name AS nation, CAST(SUM(cents) AS BIGINT) AS revenue_cents " +
+          "FROM (SELECT l_orderkey, CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents " +
+          "FROM lineitem WHERE l_returnflag = 'R') li " +
+          "JOIN orders ON l_orderkey = o_orderkey " +
+          "AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01' " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "JOIN nation ON c_nationkey = n_nationkey " +
+          "GROUP BY 1, 2, 3 ORDER BY revenue_cents DESC, c_custkey LIMIT 20"),
+      "q114_tpch_q19" ->
+        ("SELECT COUNT(*) AS n_lines, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+          "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE " +
+          "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) OR " +
+          "(p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35) OR " +
+          "(p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)"),
+      "q115_brand_suppliers" ->
+        ("SELECT p_brand, SUBSTRING(p_type, 1, 6) AS type_prefix, " +
+          "COUNT(DISTINCT l_suppkey) AS n_suppliers, COUNT(DISTINCT l_partkey) AS n_parts " +
+          "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+          "WHERE p_brand <> 'Brand#5' GROUP BY 1, 2"),
       "q66_grouping_sets" ->
         ("SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, " +
           "COALESCE(l_linestatus, 'ALL') AS linestatus, " +
