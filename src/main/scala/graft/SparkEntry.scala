@@ -758,6 +758,19 @@ object SparkEntry {
       Multimodal.imageStats(
         Multimodal.resizeDecoded(
           Multimodal.syntheticImages(Tables.documents(s, dir)).toDF(), 8, 8).toDF())),
+    // perceptual image hash (aHash) through the REAL decoder: 8×8 NN
+    // resample + integer mean threshold, packed as two u32 halves the
+    // formula oracle recomputes bit-for-bit
+    "q116_image_phash" -> ((s, dir) =>
+      Multimodal.perceptualHashes(
+        Multimodal.syntheticImages(Tables.documents(s, dir)).toDF())),
+    // image near-dup pairs by exact Hamming distance over the aHashes —
+    // the corpus plants true twins (ids 256 apart render identical
+    // pixels), which must surface at hamming 0
+    "q117_phash_pairs" -> ((s, dir) =>
+      Multimodal.phashPairs(
+        Multimodal.perceptualHashes(
+          Multimodal.syntheticImages(Tables.documents(s, dir)).toDF()), 4)),
     // multimodal resize plumbing: image payloads truncate to the byte
     // budget (stub for pixel resampling), others pass through untouched
     "q87_resize" -> ((s, dir) =>
@@ -1287,6 +1300,32 @@ object SparkEntry {
           "CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(g) AS BIGINT) AS sum_lum, " +
           "CAST(SUM(CASE WHEN g < 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_dark " +
           "FROM px GROUP BY doc_id"),
+      "q116_image_phash" ->
+        ("WITH px AS (SELECT d.doc_id, p.i, " +
+          "CAST((d.doc_id * 31 + (2 * (p.i // 8)) * 16 + 2 * (p.i % 8)) % 256 AS BIGINT) AS g " +
+          "FROM documents d, range(64) p(i)), " +
+          "s AS (SELECT doc_id, SUM(g) AS sm FROM px GROUP BY doc_id), " +
+          "bits AS (SELECT px.doc_id, px.i, CASE WHEN 64 * px.g >= s.sm THEN 1 ELSE 0 END AS b " +
+          "FROM px JOIN s ON s.doc_id = px.doc_id) " +
+          "SELECT doc_id AS id, " +
+          "CAST(SUM(CASE WHEN i < 32 THEN b * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS h_lo, " +
+          "CAST(SUM(CASE WHEN i >= 32 THEN b * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS h_hi " +
+          "FROM bits GROUP BY doc_id"),
+      "q117_phash_pairs" ->
+        ("WITH px AS (SELECT d.doc_id, p.i, " +
+          "CAST((d.doc_id * 31 + (2 * (p.i // 8)) * 16 + 2 * (p.i % 8)) % 256 AS BIGINT) AS g " +
+          "FROM documents d, range(64) p(i)), " +
+          "s AS (SELECT doc_id, SUM(g) AS sm FROM px GROUP BY doc_id), " +
+          "bits AS (SELECT px.doc_id, px.i, CASE WHEN 64 * px.g >= s.sm THEN 1 ELSE 0 END AS b " +
+          "FROM px JOIN s ON s.doc_id = px.doc_id), " +
+          "h AS (SELECT doc_id, " +
+          "CAST(SUM(CASE WHEN i < 32 THEN b * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS lo, " +
+          "CAST(SUM(CASE WHEN i >= 32 THEN b * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS hi " +
+          "FROM bits GROUP BY doc_id) " +
+          "SELECT x.doc_id AS a, y.doc_id AS b, " +
+          "CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming " +
+          "FROM h x JOIN h y ON x.doc_id < y.doc_id " +
+          "WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 4"),
       "q89_image_resize" ->
         ("WITH px AS (SELECT d.doc_id, " +
           "CAST((d.doc_id * 31 + (2 * (p.i // 8)) * 16 + 2 * (p.i % 8)) % 256 AS BIGINT) AS g " +

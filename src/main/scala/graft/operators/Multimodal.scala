@@ -198,6 +198,67 @@ object Multimodal {
     }
   }
 
+  /** 64-bit average-hash (aHash) through the REAL decoder: 8×8
+    * nearest-neighbor resample of the decoded raster, then
+    * bit k = [64·sample_k ≥ Σ samples] — the mean threshold done as an
+    * integer cross-multiply, so no division and no float anywhere and
+    * any engine replaying the pixel formula lands on the identical
+    * bits. Packed row-major into two unsigned 32-bit halves
+    * `(h_lo, h_hi)` (two BIGINTs instead of one so the top bit never
+    * touches the sign — SQL engines disagree about 1<<63). Rows whose
+    * payload doesn't decode are dropped, like [[imageStats]].
+    */
+  def perceptualHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      decodeGray(r.content).map { img =>
+        val s = new Array[Long](64)
+        var y = 0
+        while (y < 8) {
+          val sy = y * img.height / 8
+          var x = 0
+          while (x < 8) {
+            s(y * 8 + x) = img.gray(sy * img.width + x * img.width / 8).toLong
+            x += 1
+          }
+          y += 1
+        }
+        val sum = s.sum
+        var lo = 0L; var hi = 0L; var k = 0
+        while (k < 64) {
+          if (64L * s(k) >= sum) {
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        (r.id, lo, hi)
+      }
+    }.toDF("id", "h_lo", "h_hi")
+  }
+
+  /** Exact Hamming near-dup pairs over [[perceptualHashes]] output:
+    * all pairs a < b with popcount(xor) ≤ `maxHamming` — the image
+    * sibling of the cosine/Jaccard audit pairs, deliberately quadratic
+    * and fenced the same way. The bucketed scale path is the SimHash
+    * pigeonhole banding ([[graft.functions.Dedup.simhashPairs]]'s
+    * shape) applied to these same halves.
+    */
+  def phashPairs(hashes: DataFrame, maxHamming: Int,
+                 maxRows: Long = 100000L): DataFrame = {
+    val n = hashes.count()
+    require(n <= maxRows,
+      s"phashPairs is an exact all-pairs audit over $n rows (~${n * n / 2} pairs); " +
+        s"cap is $maxRows. Band the halves (Dedup.simhashPairs shape) for bigger corpora.")
+    val a = hashes.select(col("id").as("a"), col("h_lo").as("alo"), col("h_hi").as("ahi"))
+    val b = hashes.select(col("id").as("b"), col("h_lo").as("blo"), col("h_hi").as("bhi"))
+    a.crossJoin(b).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (bit_count(col("alo").bitwiseXOR(col("blo"))) +
+          bit_count(col("ahi").bitwiseXOR(col("bhi")))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Frame sampling for `video` payloads: every `stride`-th 64-byte slice
     * of the payload stands in for a decoded frame (STUB — a real impl
     * would pull I-frames). Emits (id, frame_no, frame) rows.

@@ -74,6 +74,37 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("perceptual aHash matches the formula, finds the planted twins, and is shift-tolerant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // ids 256 apart render IDENTICAL pixels ((id*31) mod 256 collides) —
+    // true planted image twins
+    val docs = Seq(0L, 1L, 7L, 256L, 257L).toDF("doc_id")
+    val hashes = Multimodal.perceptualHashes(
+      Multimodal.syntheticImages(docs).toDF())
+    val h = hashes.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // formula parity: recompute id 7's hash from the pixel formula
+    val samples = (0 until 64).map(i => (7L * 31 + (2 * (i / 8)) * 16 + 2 * (i % 8)) % 256)
+    val sum = samples.sum
+    var lo = 0L; var hi = 0L
+    for (k <- 0 until 64 if 64L * samples(k) >= sum)
+      if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+    assert(h(7L) == ((lo, hi)))
+    // halves stay in u32 (never touch the BIGINT sign)
+    h.values.foreach { case (l, hh) =>
+      assert(l >= 0 && l <= 0xFFFFFFFFL && hh >= 0 && hh <= 0xFFFFFFFFL)
+    }
+    assert(h(0L) == h(256L) && h(1L) == h(257L))
+    val pairs = Multimodal.phashPairs(hashes, 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((0L, 256L)) && pairs.contains((1L, 257L)))
+    assert(pairs((0L, 256L)) == 0L)
+    // the fence refuses unbounded all-pairs
+    intercept[IllegalArgumentException] {
+      Multimodal.phashPairs(hashes, 4, maxRows = 2).collect()
+    }
+  }
+
   test("resizeDecoded is true nearest-neighbor resampling, verified post-round-trip") {
     import spark.implicits._
     val docs = Seq(3L).toDF("doc_id")
