@@ -480,6 +480,15 @@ object SparkEntry {
       val source = c.agg(min(col("src"))).head().getLong(0)
       graft.operators.Traversals.bfsDepths(c, source)
     }),
+    // sampled stress centrality: exact integer shortest-path counting
+    // through each vertex (forward σ DP + backward DAG path counts) from
+    // the 3 smallest vertex ids
+    "q118_stress_centrality" -> ((s, dir) => {
+      val c10 = GraphFixtures.coPurchase10(s, dir)
+      val srcs = c10.select(explode(array(col("src"), col("dst"))).as("id"))
+        .distinct().orderBy("id").limit(3).collect().map(_.getLong(0)).toSeq
+      graft.operators.Centrality.stressCentrality(c10, srcs)
+    }),
     // k-core decomposition (k=6): iterative peel to fixpoint
     "q60_kcore" -> ((s, dir) =>
       graft.operators.Traversals.kcore(GraphFixtures.coPurchase10(s, dir), 6)),
@@ -996,6 +1005,40 @@ object SparkEntry {
         "SELECT id, CAST(MIN(d) AS BIGINT) AS dist FROM bfs GROUP BY id " +
         "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) WHERE EXISTS " +
         "(SELECT 1 FROM (SELECT id, MIN(d) AS md FROM bfs GROUP BY id) WHERE md >= 20)")
+    // Stress centrality unrolled: forward layered-BFS σ sums (aggregation
+    // is forbidden in recursive terms, so layers are sequential
+    // MATERIALIZED CTEs with an anti-join against the settled set), then
+    // a backward sweep p(v) = Σ_{w in next layer, w~v} (1 + p(w)), and
+    // stress(v) = Σ_s σ·p. 10 unrolled layers vs the measured
+    // eccentricity 5 (layers past the true depth are empty no-ops); a
+    // non-empty layer 10 emits the (-1,-1) sentinel — fail loudly.
+    val stressSql = {
+      val d = 10
+      val base = s"WITH c AS MATERIALIZED ($copurchase10), " +
+        "sym AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
+        "srcs AS MATERIALIZED (SELECT DISTINCT u AS s FROM sym ORDER BY u LIMIT 3), " +
+        "f0 AS MATERIALIZED (SELECT s, s AS v, CAST(1 AS BIGINT) AS sig FROM srcs), " +
+        "st0 AS MATERIALIZED (SELECT s, v FROM f0), "
+      val fwd = (1 to d).map { r =>
+        s"f$r AS MATERIALIZED (SELECT t.s, t.v, SUM(t.sig) AS sig FROM " +
+          s"(SELECT f.s, sym.v AS v, f.sig FROM f${r - 1} f JOIN sym ON sym.u = f.v) t " +
+          s"LEFT JOIN st${r - 1} st ON st.s = t.s AND st.v = t.v " +
+          "WHERE st.v IS NULL GROUP BY 1, 2), " +
+          s"st$r AS MATERIALIZED (SELECT s, v FROM st${r - 1} UNION ALL SELECT s, v FROM f$r)"
+      }.mkString(", ")
+      val pTop = s"p$d AS MATERIALIZED (SELECT s, v, sig, CAST(0 AS BIGINT) AS p FROM f$d)"
+      val bwd = (d - 1 to 0 by -1).map { r =>
+        s"p$r AS MATERIALIZED (SELECT f.s, f.v, f.sig, COALESCE(q.p0, 0) AS p FROM f$r f " +
+          s"LEFT JOIN (SELECT pw.s, sym.u AS v, SUM(1 + pw.p) AS p0 FROM p${r + 1} pw " +
+          "JOIN sym ON sym.v = pw.v GROUP BY 1, 2) q ON q.s = f.s AND q.v = f.v)"
+      }.mkString(", ")
+      val all = (0 to d).map(r => s"SELECT s, v, sig, p FROM p$r").mkString(" UNION ALL ")
+      base + fwd + ", " + pTop + ", " + bwd +
+        " SELECT v AS id, CAST(SUM(sig * p) AS BIGINT) AS stress " +
+        s"FROM ($all) WHERE v <> s GROUP BY v HAVING SUM(sig * p) > 0 " +
+        "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) WHERE EXISTS " +
+        s"(SELECT 1 FROM f$d)"
+    }
     // k-core peel unrolled as sequential CTEs (the q54 pattern — DuckDB
     // forbids aggregation in a recursive term). Fixpoint takes 4 rounds
     // at sf0.01 (2 at sf0.001); 12 unrolled rounds = 3× margin, and
@@ -1280,6 +1323,7 @@ object SparkEntry {
           "UNION ALL SELECT b FROM t UNION ALL SELECT c3 FROM t) GROUP BY id"),
       "q50_dedup_pipeline" -> dedupPipelineSql,
       "q59_bfs" -> bfsSql,
+      "q118_stress_centrality" -> stressSql,
       "q60_kcore" -> kcoreSql,
       "q61_adamic_adar" -> adamicAdarSql,
       "q62_transitivity" -> transitivitySql,

@@ -152,6 +152,54 @@ object ScaleSmoke {
       println(s"[smoke] degree mass: plain=$dP salted=$dS (must match)")
     }
 
+    if (mode == "tier2") {
+      // one tier up (VERDICT r3 item 8): 100M edges / 10M vertices,
+      // recording wall + total shuffle write + max task peak memory per
+      // operator. Run with SPARK_DRIVER_MEM=96g. Riskiest (the bounded-
+      // summary CC, whose partials are ~|V|-sized) runs LAST so an OOM
+      // can't take earlier results with it.
+      val shuffleW = new java.util.concurrent.atomic.AtomicLong()
+      val peakMem = new java.util.concurrent.atomic.AtomicLong()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          shuffleW.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          peakMem.getAndAccumulate(sc.stageInfo.taskMetrics.peakExecutionMemory, Math.max)
+        }
+      })
+      def tm[A](label: String)(f: => A): A = {
+        val s0 = shuffleW.get(); peakMem.set(0L)
+        val t0 = System.nanoTime(); val r = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[smoke] $label%-40s $dt%8.1f s  shuffleW=${(shuffleW.get() - s0) / 1e9}%.2f GB  peakTask=${peakMem.get() / 1e6}%.0f MB")
+        r
+      }
+      val n2E = 100000000L
+      val n2V = 10000000L
+      val g2 = spark.range(n2E).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(n2V)).as("src"),
+        pmod(xxhash64(col("id"), lit(2)), lit(n2V)).as("dst"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(50)) + 1).cast("double").as("value"))
+        .localCheckpoint(true)
+      println(s"[smoke] tier2 graph: ${g2.count()} edges / ~$n2V vertices")
+      tm("CC iterative pointer-jump (100M/10M)")(
+        graft.operators.ConnectedComponents.iterative(g2).count())
+      // canonical a<b distinct for the triangle family
+      val c2 = g2.select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
+        .where(col("src") < col("dst")).distinct().localCheckpoint(true)
+      println(s"[smoke] tier2 canonical edges: ${c2.count()}")
+      tm("triangles globalCount (100M/10M)")(
+        println("[smoke] triangles: " +
+          graft.operators.Triangles.globalCount(c2).head().getLong(0)))
+      tm("ktruss k=5 hybrid (100M/10M)")(
+        println("[smoke] truss edges: " + graft.operators.Triangles.ktruss(c2, 5).count()))
+      tm("CC summary agg, array codec (100M/10M)")(
+        println("[smoke] summary vertices: " + graft.operators.SummaryAggregations
+          .run(g2, new graft.operators.ConnectedComponentsAgg)
+          .select(explode(col("summary"))).count()))
+    }
+
     if (mode == "all" || mode == "graph") {
       t("bfsDepths (10M edges)")(
         graft.operators.Traversals.bfsDepths(g, 0L).count())

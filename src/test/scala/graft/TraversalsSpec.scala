@@ -184,6 +184,37 @@ class TraversalsSpec extends SparkTestBase {
     assert(sizes == Map(1L -> 6L, 7L -> 3L, 9L -> 1L))
   }
 
+  test("stress centrality: exact integer path counts on hand-computed graphs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Centrality
+    def run(edges: Seq[(Long, Long)], srcs: Seq[Long]) =
+      Centrality.stressCentrality(edges.toDF("src", "dst"), srcs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // path 1-2-3-4 from 1: through-2 paths {1→3,1→4}, through-3 {1→4}
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 4L)), Seq(1L)) == Map(2L -> 2L, 3L -> 1L))
+    // diamond 1-2-4, 1-3-4: one through-path each for 2 and 3; vertex 4
+    // is an endpoint (σ=2) but never a through-vertex
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    assert(run(diamond, Seq(1L)) == Map(2L -> 1L, 3L -> 1L))
+    // both endpoints as sources: contributions sum
+    assert(run(diamond, Seq(1L, 4L)) == Map(2L -> 2L, 3L -> 2L))
+    // isolated source: no rows, no crash
+    assert(run(Seq((1L, 2L)), Seq(9L)).isEmpty)
+    // fixture graph: deterministic, and the integer products stay far
+    // from Long overflow (the documented caveat probed in anger)
+    val c10 = graft.model.GraphFixtures.coPurchase10(spark, sf)
+    val srcs = c10.select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array(col("src"), col("dst"))).as("id"))
+      .distinct().orderBy("id").limit(3).collect().map(_.getLong(0)).toSeq
+    val a = Centrality.stressCentrality(c10, srcs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.nonEmpty && a.values.forall(v => v > 0 && v < (1L << 50)))
+    val b = Centrality.stressCentrality(c10, srcs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("ego frontier anti-join: radius 4 stays exact and the frontier shrinks to empty on saturation") {
     import spark.implicits._
     // 6-cycle: from one start the ego saturates at hop 3 — the fresh
