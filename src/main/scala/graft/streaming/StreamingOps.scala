@@ -26,6 +26,23 @@ import graft.summaries.{DisjointSet, ParityDisjointSet, SummaryCodecs}
   */
 object StreamingOps {
 
+  /** Ephemeral checkpoint dir for the REPLAY HARNESSES (correctness
+    * gates over MemoryStreams — the checkpoint never outlives the
+    * call). Prefers tmpfs (/dev/shm): the state store fsyncs delta +
+    * snapshot + offset/commit-log files per partition per trigger, and
+    * on shared-storage machines a few-ms fsync turns a 3 s gate into a
+    * 60 s one (measured: the same replay trio swung 46→74 s with disk
+    * fsync at 0.6→5.2 ms; tmpfs makes the gate IO-weather-proof).
+    * Production queries pass their own durable checkpointLocation —
+    * this helper is harness-only by construction.
+    */
+  private def replayCkpt(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite)
+      java.nio.file.Files.createTempDirectory(shm.toPath, prefix).toString
+    else java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+
   // Keyed-state wire format: compact array-product codec, not Java
   // serialization — the state store round-trips the summary every trigger.
   private implicit val dsEnc: Encoder[DisjointSet] = SummaryCodecs.disjointSetEncoder
@@ -99,7 +116,7 @@ object StreamingOps {
     rows.sortInPlaceBy(_._3)
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
     val name = "graft_replay_cc_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-replay-cc").toString
+    val ckpt = replayCkpt("graft-replay-cc")
     // the merger is keyed by a constant (the reference's parallelism-1
     // merge), so >1 state partition only adds empty state-store commits
     // per trigger; shuffle-partition count is pinned at stream start
@@ -285,7 +302,7 @@ object StreamingOps {
       .as[(Long, Long)].collect()
     rows.sortInPlaceBy(identity)
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-replay-tri").toString
+    val ckpt = replayCkpt("graft-replay-tri")
     val counts = new scala.collection.mutable.HashMap[Long, Long]()
     // vertex-keyed state: a handful of state partitions keeps per-trigger
     // state-store commit overhead proportional to real work at replay
@@ -364,7 +381,7 @@ object StreamingOps {
     rows.sortInPlaceBy(_._1)
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
     val name = "graft_replay_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-replay-dedup").toString
+    val ckpt = replayCkpt("graft-replay-dedup")
     val q = streamingExactDedup(ms.toDF().toDF("doc_id", "lang", "text"))
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
@@ -397,7 +414,7 @@ object StreamingOps {
     java.util.Arrays.sort(rows)
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Double]
     val name = "graft_replay_hist_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-replay-hist").toString
+    val ckpt = replayCkpt("graft-replay-hist")
     val q = ms.toDF().toDF("value")
       .groupBy((floor(col("value") / 5) * 5).cast("long").as("bin"))
       .agg(count("*").as("cnt"))
@@ -465,7 +482,7 @@ object StreamingOps {
         col("p_ts") >= col("c_ts") - expr("interval 10 minutes") &&
         col("p_ts") <= col("c_ts"))
     val name = "graft_replay_ij_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-replay-ij").toString
+    val ckpt = replayCkpt("graft-replay-ij")
     val q =
       try joined.select(col("event_id"), col("cents"))
         .writeStream.outputMode("append")

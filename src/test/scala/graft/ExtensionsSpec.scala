@@ -56,8 +56,15 @@ class ExtensionsSpec extends SparkTestBase {
     // SQL surface + empty-set edge
     assert(spark.sql(
       "SELECT sorted_intersect_count(array(1L,3L,5L), array(3L,4L,5L))").head.getLong(0) == 2L)
+    // an untyped empty literal is ARRAY<VOID>: the r4 ExpectsInputTypes
+    // hardening rejects it at analysis (the silent-miscount guard), so
+    // the empty-set edge now requires an explicit element type
     assert(spark.sql(
-      "SELECT sorted_intersect_count(array(), array(1L))").head.getLong(0) == 0L)
+      "SELECT sorted_intersect_count(CAST(array() AS ARRAY<BIGINT>), array(1L))")
+      .head.getLong(0) == 0L)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sorted_intersect_count(array(1), array(2))").collect()
+    }
   }
 
   test("session built withExtensions resolves dot_product") {
