@@ -210,6 +210,49 @@ object Sources {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Z-order (Morton-curve) layout writer — multi-dimensional file
+    * skipping for the 100 TB regime. [[writePartitioned]]'s range layout
+    * clusters ONE sort prefix: a filter on the second column alone
+    * touches every file. Z-ordering interleaves the bits of each
+    * column's bucket index, so files cover hypercubes of the value
+    * space and parquet min/max row-group stats prune on ANY filtered
+    * subset of the z-columns (the layout Delta/Iceberg OPTIMIZE ZORDER
+    * applies; effectiveness per dimension degrades ~geometrically with
+    * the number of z-columns — 2–4 is the useful range).
+    *
+    * Buckets are UNIFORM over each column's (min, max) — one tiny
+    * driver agg, no global sort, fully shuffle-parallel
+    * (`repartitionByRange` on the z-value + in-partition sort). Skewed
+    * columns get skewed buckets; pre-transform (log, rank) upstream if
+    * that matters. Numeric columns only.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    bits: Int = 8, nFiles: Int = 32): Unit = {
+    require(zCols.size >= 2, s"z-ordering needs >= 2 columns, got $zCols")
+    require(zCols.size * bits <= 62, s"${zCols.size} cols x $bits bits exceeds a Long")
+    val mmExprs = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val stats = df.agg(mmExprs.head, mmExprs.tail: _*).head()
+    val nBuckets = 1 << bits
+    val z = zCols.zipWithIndex.map { case (c, ci) =>
+      val lo = stats.getDouble(2 * ci)
+      val hi = stats.getDouble(2 * ci + 1)
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      val bucket = least(greatest(
+        floor((col(c).cast("double") - lit(lo)) / lit(span) * nBuckets).cast("long"),
+        lit(0L)), lit((nBuckets - 1).toLong))
+      // spread bucket's bits to positions ci, ci + nCols, ci + 2*nCols…
+      (0 until bits).map { b =>
+        shiftleft(shiftright(bucket, b).bitwiseAND(lit(1L)), b * zCols.size + ci)
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Streaming sink through foreachBatch — each micro-batch lands as a
     * batch DataFrame for arbitrary handling (upserts, multi-sink fanout).
     */

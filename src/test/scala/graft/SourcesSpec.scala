@@ -133,6 +133,45 @@ class SourcesSpec extends SparkTestBase {
     assert((run1 ++ run2).size == batch1.size + batch2.size)
   }
 
+  test("z-ordered layout prunes on BOTH dimensions where a linear sort covers one") {
+    import org.apache.spark.sql.functions._
+    val li = graft.model.Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey", "l_quantity")
+    val zPath = java.nio.file.Files.createTempDirectory("graft-z").toString
+    val linPath = java.nio.file.Files.createTempDirectory("graft-lin").toString
+    val nFiles = 16
+    Sources.writeZOrdered(li, zPath, Seq("l_partkey", "l_suppkey"), nFiles = nFiles)
+    // the comparison layout: range-sorted by partkey only
+    li.repartitionByRange(nFiles, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(linPath)
+    // per-file min/max — exactly the stats parquet row groups expose
+    def fileRanges(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_partkey").as("plo"), max("l_partkey").as("phi"),
+        min("l_suppkey").as("slo"), max("l_suppkey").as("shi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val zr = fileRanges(zPath)
+    val lr = fileRanges(linPath)
+    assert(zr.length == nFiles && lr.length == nFiles)
+    // row counts preserved
+    assert(spark.read.parquet(zPath).count() == li.count())
+    // a filter on the SECOND dimension only: suppkey in a 1/8 band
+    val (sLo, sHi) = {
+      val mm = li.agg(min("l_suppkey"), max("l_suppkey")).head()
+      val lo = mm.getLong(0); val hi = mm.getLong(1)
+      (lo, lo + (hi - lo) / 8)
+    }
+    def touched(rs: Array[(Long, Long, Long, Long)]) =
+      rs.count { case (_, _, slo, shi) => shi >= sLo && slo <= sHi }
+    val zTouched = touched(zr)
+    val linTouched = touched(lr)
+    // partkey-sorted files know nothing about suppkey: every file spans
+    // the suppkey range; z-ordered files cover suppkey sub-bands
+    assert(linTouched == nFiles, s"expected no pruning on linear layout, got $linTouched")
+    assert(zTouched <= nFiles / 2,
+      s"z-layout should skip at least half the files on a 1/8 second-dim band, touched $zTouched/$nFiles")
+  }
+
   test("rate source emits canonical edges") {
     val stream = Sources.rateEdgeStream(spark, rowsPerSecond = 100, nVertices = 10)
     assert(stream.isStreaming)
