@@ -334,6 +334,20 @@ object SparkEntry {
       SummaryAggregations.connectedComponentsPerWindow(
         GraphFixtures.coPurchaseWindowed(s, dir, 7776000L, orderMod = 10L))),
     // gap-based sessionization over the event stream (30-min idle gap)
+    // retention cohorts: users grouped by signup week, counted in every
+    // later week they were active — integer epoch-weeks (µs div week)
+    // so both engines bucket identically, no calendar semantics
+    "q119_retention_cohorts" -> ((s, dir) => {
+      val wk = expr("ts_ns div 1000 div 604800000000").as("wk")
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), wk)
+      val cohort = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      ev.join(cohort, Seq("user_id"))
+        .where(col("wk") >= col("cohort_wk"))
+        .groupBy(col("cohort_wk"), col("wk").as("activity_wk"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
     "q38_sessions" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts_ns")
@@ -1820,6 +1834,14 @@ object SparkEntry {
           "(s3.user_id IS NOT NULL)::INT AS BIGINT) AS stage " +
           "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id " +
           "LEFT JOIN s3 ON s1.user_id = s3.user_id"),
+      "q119_retention_cohorts" ->
+        ("WITH ev AS (SELECT user_id, event_type, epoch_us(ts) // 604800000000 AS wk FROM events), " +
+          "cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev " +
+          "WHERE event_type = 'signup' GROUP BY user_id) " +
+          "SELECT c.cohort_wk, e.wk AS activity_wk, " +
+          "CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users " +
+          "FROM ev e JOIN cohort c ON c.user_id = e.user_id " +
+          "WHERE e.wk >= c.cohort_wk GROUP BY 1, 2"),
       "q38_sessions" ->
         ("WITH m AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL " +
           "OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s " +
