@@ -361,6 +361,21 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(countDistinct("sid").as("n_sessions"), count("*").as("n_events"))
     }),
+    // sequence analytics over sessions: per (from, to) event-type
+    // transition counts between CONSECUTIVE events inside one session
+    // (q38's 30-minute gap contract) — the Markov-bigram table path
+    // analysis starts from; (ts, event_id) ordering keeps ties exact
+    "q120_event_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_ns", "event_id")
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts_ns"), 1).over(w))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_ts").isNotNull &&
+          col("ts_ns") - col("prev_ts") <= 1800000000000L)
+        .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
     // 2-hop ego-network sizes for the sampled starts
     "q106_ego_sizes" -> ((s, dir) => {
       val e = GraphFixtures.edgeStream(s, dir)
@@ -1834,6 +1849,13 @@ object SparkEntry {
           "(s3.user_id IS NOT NULL)::INT AS BIGINT) AS stage " +
           "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id " +
           "LEFT JOIN s3 ON s1.user_id = s3.user_id"),
+      "q120_event_transitions" ->
+        ("WITH m AS (SELECT event_type, epoch_ns(ts) AS tn, " +
+          "LAG(event_type) OVER w AS prev_type, LAG(epoch_ns(ts)) OVER w AS prev_tn " +
+          "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+          "SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n " +
+          "FROM m WHERE prev_tn IS NOT NULL AND tn - prev_tn <= 1800000000000 " +
+          "GROUP BY 1, 2"),
       "q119_retention_cohorts" ->
         ("WITH ev AS (SELECT user_id, event_type, epoch_us(ts) // 604800000000 AS wk FROM events), " +
           "cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev " +
