@@ -361,6 +361,25 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(countDistinct("sid").as("n_sessions"), count("*").as("n_events"))
     }),
+    // temporal wedges: ordered pairs of edge EVENTS at one supplier
+    // within a 7-day horizon (0 < Δt ≤ 7d) — the temporal-motif
+    // primitive. The time predicate is a RANGE join, executed scalably
+    // as a bucketed equi-join: the earlier edge explodes into its own
+    // and the next horizon bucket, partners join on (vertex, bucket),
+    // the exact window filters after — pair volume tracks per-bucket
+    // co-activity (Σ deg_bucket²), never global Σ deg² (SCALE.md row)
+    "q121_temporal_wedges" -> ((s, dir) => {
+      val h = 7L * 86400
+      val e = GraphFixtures.edgeStream(s, dir)
+        .select(col("dst").as("v"), unix_timestamp(col("ts")).as("t"))
+      val e1 = e.select(col("v"), col("t").as("t1"),
+        explode(array(expr(s"t div $h"), expr(s"t div $h + 1"))).as("bk"))
+      val e2 = e.select(col("v"), col("t").as("t2"), expr(s"t div $h").as("bk"))
+      e1.join(e2, Seq("v", "bk"))
+        .where(col("t2") > col("t1") && col("t2") - col("t1") <= h)
+        .groupBy(col("v").as("supplier"))
+        .agg(count(lit(1)).as("n_wedges"))
+    }),
     // sequence analytics over sessions: per (from, to) event-type
     // transition counts between CONSECUTIVE events inside one session
     // (q38's 30-minute gap contract) — the Markov-bigram table path
@@ -1849,6 +1868,10 @@ object SparkEntry {
           "(s3.user_id IS NOT NULL)::INT AS BIGINT) AS stage " +
           "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id " +
           "LEFT JOIN s3 ON s1.user_id = s3.user_id"),
+      "q121_temporal_wedges" ->
+        ("WITH e AS (SELECT l_suppkey + 1000000000 AS v, epoch(l_shipdate) AS t FROM lineitem) " +
+          "SELECT a.v AS supplier, COUNT(*) AS n_wedges FROM e a JOIN e b " +
+          "ON b.v = a.v AND b.t > a.t AND b.t - a.t <= 604800 GROUP BY 1"),
       "q120_event_transitions" ->
         ("WITH m AS (SELECT event_type, epoch_ns(ts) AS tn, " +
           "LAG(event_type) OVER w AS prev_type, LAG(epoch_ns(ts)) OVER w AS prev_tn " +
