@@ -191,13 +191,7 @@ class GraphStream(val edges: DataFrame) {
     * prunes partitions/row groups before any operator sees a row.
     */
   def snapshot(size: String, atEpochSec: Long): GraphStream = {
-    val sizeSec = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(size))
-    require(sizeSec.months == 0, s"snapshot: calendar-month windows are not epoch-alignable: $size")
-    require(sizeSec.microseconds % 1000000L == 0,
-      s"snapshot: window size must be a whole number of seconds: $size")
-    val secs = sizeSec.days * 86400L + sizeSec.microseconds / 1000000L
-    require(secs > 0, s"snapshot: window size must be positive: $size")
+    val secs = GraphStream.windowSizeSeconds(size)
     val start = math.floorDiv(atEpochSec, secs) * secs
     // plain range predicate on the ts column (not on a function of it),
     // so parquet row-group pruning / PushedFilters apply
@@ -209,4 +203,18 @@ class GraphStream(val edges: DataFrame) {
 
 object GraphStream {
   def apply(edges: DataFrame): GraphStream = new GraphStream(edges)
+
+  /** Parse a window-size interval string to whole seconds, rejecting
+    * calendar-month and sub-second sizes (neither is epoch-alignable).
+    */
+  private[graft] def windowSizeSeconds(size: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(size))
+    require(iv.months == 0, s"snapshot: calendar-month windows are not epoch-alignable: $size")
+    require(iv.microseconds % 1000000L == 0,
+      s"snapshot: window size must be a whole number of seconds: $size")
+    val secs = iv.days * 86400L + iv.microseconds / 1000000L
+    require(secs > 0, s"snapshot: window size must be positive: $size")
+    secs
+  }
 }

@@ -96,15 +96,18 @@ class GraphWindowStream(
     * (feed it to the batch operators: triangles, CC, PageRank via
     * [[graft.operators.Snapshots]]). `winStartEpochSec` is the epoch
     * second of the tumbling-window start, as emitted in the `win` column
-    * of every windowed result. A pure filter — the window predicate
-    * prunes at the scan when `ts` is a partition/sort column.
+    * of every windowed result. The window [start, start+size) contains
+    * exactly the edges with `ts ∈ [start, start+size)` — tumbling or
+    * sliding alike — so the filter is a plain range predicate on `ts`
+    * (NOT on a computed window column): it reaches parquet
+    * PushedFilters and prunes row groups before any operator sees a
+    * row.
     */
   def snapshot(winStartEpochSec: Long): GraphStream = {
-    val filtered = edges
-      .withColumn("__w", win(col("ts")))
-      .where(unix_timestamp(col("__w.start")) === winStartEpochSec)
-      .drop("__w")
-    GraphStream(filtered)
+    val secs = GraphStream.windowSizeSeconds(size)
+    GraphStream(edges.where(
+      col("ts") >= timestamp_seconds(lit(winStartEpochSec)) &&
+        col("ts") < timestamp_seconds(lit(winStartEpochSec + secs))))
   }
 
   /** Distinct window starts present in the stream (epoch seconds). */

@@ -70,11 +70,18 @@ object SparkEntry {
       val id = org.apache.spark.sql.graftbridge.PlanBridge.checkpointRddId(cp)
         .getOrElse(sys.error("eager localCheckpoint did not produce a LogicalRDD plan"))
       pinned.add((sid, id))
-      // release the build's internal checkpoints (all recomputable —
-      // worst case under concurrent persists is a redundant unpersist of
-      // a recomputable block, not a lost checkpoint)
-      (s.sparkContext.getPersistentRDDs.keySet -- before - id).foreach(i =>
-        s.sparkContext.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
+      // release the build's internal checkpoints. The sweep set is
+      // snapshot-diffed, so under concurrency it can contain OTHER
+      // threads' blocks — filter it against the global pin set (all
+      // sessions'), because a concurrent thread's eager localCheckpoint
+      // is unrecomputable and must never be swept; what remains is
+      // recomputable and a redundant unpersist is harmless
+      val pinnedNow = new java.util.HashSet[Int]()
+      pinned.forEach(t => pinnedNow.add(t._2))
+      (s.sparkContext.getPersistentRDDs.keySet -- before - id)
+        .filterNot(pinnedNow.contains)
+        .foreach(i =>
+          s.sparkContext.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
       // a memo orphaned by an unpaired run (e.g. SPARK_GRAFT_ONLY=q14
       // alone) is dropped when its context stops, releasing the pin
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -821,11 +828,14 @@ object SparkEntry {
     "q116_image_phash" -> ((s, dir) =>
       Multimodal.perceptualHashes(
         Multimodal.syntheticImages(Tables.documents(s, dir)).toDF())),
-    // image near-dup pairs by exact Hamming distance over the aHashes —
+    // image near-dup pairs by Hamming distance over the aHashes, via
+    // pigeonhole banding (5 chunks for hamming ≤ 4: any qualifying pair
+    // agrees exactly on ≥1 chunk) + exact-popcount verify — bit-identical
+    // to the all-pairs audit but with candidate work ∝ true near-dups;
     // the corpus plants true twins (ids 256 apart render identical
     // pixels), which must surface at hamming 0
     "q117_phash_pairs" -> ((s, dir) =>
-      Multimodal.phashPairs(
+      Multimodal.phashPairsBanded(
         Multimodal.perceptualHashes(
           Multimodal.syntheticImages(Tables.documents(s, dir)).toDF()), 4)),
     // multimodal resize plumbing: image payloads truncate to the byte

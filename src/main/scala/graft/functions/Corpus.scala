@@ -174,8 +174,11 @@ object Corpus {
     * cosine against ANY benchmark vector reaches `threshold`. Output
     * `(vec_id, n_hits, max_sim)` (sim rounded 6dp, engine-portable).
     *
-    * Plan dispatch on the benchmark side's size (counted from parquet
-    * footers — cheap):
+    * Plan dispatch on the benchmark side's size. The count EXECUTES the
+    * benchmark's plan (for a filtered/derived frame that is real work,
+    * not a footer read), so the frame is materialized once via eager
+    * `localCheckpoint` and both the count and the chosen path read the
+    * checkpoint — the plan never runs twice:
     *
     *  - ≤ `maxBroadcastRows` (eval sets are small by nature): benchmark
     *    broadcast, training corpus streams through once — no corpus
@@ -203,10 +206,11 @@ object Corpus {
                              excludeSameId: Boolean = false,
                              maxBroadcastRows: Long = 1000000L,
                              nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
-    if (benchmark.count() <= maxBroadcastRows)
-      embeddingContaminationBrute(train, benchmark, threshold, excludeSameId)
+    val bench = benchmark.localCheckpoint(true)
+    if (bench.count() <= maxBroadcastRows)
+      embeddingContaminationBrute(train, bench, threshold, excludeSameId)
     else
-      embeddingContaminationBucketed(train, benchmark, threshold, excludeSameId,
+      embeddingContaminationBucketed(train, bench, threshold, excludeSameId,
         nPlanes, nTables)
   }
 

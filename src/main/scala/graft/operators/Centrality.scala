@@ -62,6 +62,13 @@ object Centrality {
         d += 1
       }
     }
+    // fail loud, like the SQL unroll's (-1,-1) sentinel: a still-live
+    // frontier at maxDepth means deeper shortest paths exist and every
+    // stress value would be silently undercounted
+    require(frontierSize == 0,
+      s"stressCentrality: BFS frontier still non-empty at maxDepth=$maxDepth " +
+        s"($frontierSize (source, vertex) pairs unreached) — raise maxDepth; " +
+        "results would undercount stress on deeper graphs")
 
     // backward: p = 0 on the deepest layer; one reverse join per layer.
     // layers is deepest-first after the loop.

@@ -238,11 +238,10 @@ object Multimodal {
   }
 
   /** Exact Hamming near-dup pairs over [[perceptualHashes]] output:
-    * all pairs a < b with popcount(xor) ≤ `maxHamming` — the image
-    * sibling of the cosine/Jaccard audit pairs, deliberately quadratic
-    * and fenced the same way. The bucketed scale path is the SimHash
-    * pigeonhole banding ([[graft.functions.Dedup.simhashPairs]]'s
-    * shape) applied to these same halves.
+    * all pairs a < b with popcount(xor) ≤ `maxHamming` — the quadratic
+    * AUDIT baseline, fenced, kept only as the parity reference for
+    * [[phashPairsBanded]] (the shipped, scale-safe path that produces
+    * the identical result set via pigeonhole banding).
     */
   def phashPairs(hashes: DataFrame, maxHamming: Int,
                  maxRows: Long = 100000L): DataFrame = {
@@ -253,6 +252,60 @@ object Multimodal {
     val a = hashes.select(col("id").as("a"), col("h_lo").as("alo"), col("h_hi").as("ahi"))
     val b = hashes.select(col("id").as("b"), col("h_lo").as("blo"), col("h_hi").as("bhi"))
     a.crossJoin(b).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (bit_count(col("alo").bitwiseXOR(col("blo"))) +
+          bit_count(col("ahi").bitwiseXOR(col("bhi")))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Pigeonhole-banded Hamming near-dup pairs — the SCALE path, and
+    * exact-equivalent to [[phashPairs]]: split the 64 hash bits into
+    * `maxHamming + 1` contiguous chunks; any pair within Hamming
+    * distance `maxHamming` has fewer differing bits than chunks, so by
+    * pigeonhole it agrees EXACTLY on at least one chunk. Candidates are
+    * generated by an equi-join on (chunk index, chunk value) — work
+    * proportional to true near-dups plus chunk collisions, never
+    * |rows|² — then verified by exact popcount, so the result set is
+    * bit-identical to the all-pairs audit (same rows, same hashes) with
+    * no fence needed. Shuffle key is (band, chunk value); a hot chunk
+    * value (e.g. all-zero bits from flat images) is the skew to watch —
+    * AQE skew-join handles it, or raise `maxHamming` granularity.
+    */
+  def phashPairsBanded(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64); got $maxHamming")
+    val bands = maxHamming + 1
+    // chunk boundaries over the 64 bits: first (64 % bands) chunks get
+    // the extra bit
+    val base = 64 / bands
+    val rem = 64 % bands
+    val starts = (0 until bands).scanLeft(0)((s, i) =>
+      s + base + (if (i < rem) 1 else 0))
+    // reassemble the two u32 halves into one 64-bit key (sign bit only
+    // ever participates in xor/popcount/shift — never compared as a
+    // magnitude), so chunk extraction is one unsigned shift + mask
+    val full = col("h_lo").bitwiseOR(shiftleft(col("h_hi"), 32))
+    val chunks = (0 until bands).map { i =>
+      val start = starts(i)
+      val width = starts(i + 1) - start
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("band"),
+        shiftrightunsigned(full, start).bitwiseAND(lit(mask)).as("chunk"))
+    }
+    val banded = hashes.select(col("id"), col("h_lo"), col("h_hi"),
+      explode(array(chunks: _*)).as("bk"))
+      .select(col("id"), col("h_lo"), col("h_hi"),
+        col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    val a = banded.select(col("band"), col("chunk"), col("id").as("a"),
+      col("h_lo").as("alo"), col("h_hi").as("ahi"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("b"),
+      col("h_lo").as("blo"), col("h_hi").as("bhi"))
+    a.join(b, Seq("band", "chunk"))
+      .where(col("a") < col("b"))
+      // a pair can match on several chunks — dedup BEFORE the verify so
+      // each candidate is popcounted once
+      .select(col("a"), col("b"), col("alo"), col("ahi"), col("blo"), col("bhi"))
+      .distinct()
       .select(col("a"), col("b"),
         (bit_count(col("alo").bitwiseXOR(col("blo"))) +
           bit_count(col("ahi").bitwiseXOR(col("bhi")))).cast("long").as("hamming"))

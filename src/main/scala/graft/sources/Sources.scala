@@ -230,9 +230,25 @@ object Sources {
                     bits: Int = 8, nFiles: Int = 32): Unit = {
     require(zCols.size >= 2, s"z-ordering needs >= 2 columns, got $zCols")
     require(zCols.size * bits <= 62, s"${zCols.size} cols x $bits bits exceeds a Long")
+    // enforce the numeric-only precondition up front — a string column
+    // would otherwise surface as a confusing cast error mid-write
+    zCols.foreach { c =>
+      val f = df.schema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"z-column '$c' not in schema ${df.schema.fieldNames.mkString("[", ", ", "]")}"))
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-column '$c' must be numeric, got ${f.dataType.simpleString}")
+    }
     val mmExprs = zCols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val stats = df.agg(mmExprs.head, mmExprs.tail: _*).head()
+    // empty input or an all-null z-column yields null min/max — fail
+    // loud rather than NPE inside getDouble
+    zCols.zipWithIndex.foreach { case (c, ci) =>
+      require(!stats.isNullAt(2 * ci) && !stats.isNullAt(2 * ci + 1),
+        s"writeZOrdered: min/max of z-column '$c' is null " +
+          "(empty input or all-null column) — nothing to layout")
+    }
     val nBuckets = 1 << bits
     val z = zCols.zipWithIndex.map { case (c, ci) =>
       val lo = stats.getDouble(2 * ci)

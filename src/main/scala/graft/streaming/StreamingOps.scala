@@ -26,6 +26,25 @@ import graft.summaries.{DisjointSet, ParityDisjointSet, SummaryCodecs}
   */
 object StreamingOps {
 
+  /** A cloned session with `spark.sql.shuffle.partitions` pinned to `n`:
+    * shares the SparkContext, copies the parent's modifiable runtime conf
+    * (timezone, nanos-as-long, AQE, …), then applies the pin. The replay
+    * harnesses size their state-store partitioning through this instead
+    * of mutate-and-restore on the shared session, which a concurrent
+    * query starting on the same session would briefly observe (ADVICE
+    * r4). Streams built from this clone's MemoryStream pick up the
+    * pinned value at `.start()`; the parent's conf is never touched.
+    */
+  private def pinnedShuffleSession(parent: org.apache.spark.sql.SparkSession,
+                                   n: Int): org.apache.spark.sql.SparkSession = {
+    val s = parent.newSession()
+    parent.conf.getAll.foreach { case (k, v) =>
+      if (s.conf.isModifiable(k)) s.conf.set(k, v)
+    }
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    s
+  }
+
   /** Ephemeral checkpoint dir for the REPLAY HARNESSES (correctness
     * gates over MemoryStreams — the checkpoint never outlives the
     * call). Prefers tmpfs (/dev/shm): the state store fsyncs delta +
@@ -106,7 +125,6 @@ object StreamingOps {
   def replayConnectedComponents(edges: DataFrame, nBatches: Int = 4): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // ascending-ts replay order: sort driver-side — a full shuffle sort
     // just to feed the driver harness is wasted cluster work
     val rows = edges
@@ -114,21 +132,19 @@ object StreamingOps {
         unix_micros(col("ts").cast("timestamp")))
       .as[(Long, Long, Long)].collect()
     rows.sortInPlaceBy(_._3)
+    // the merger is keyed by a constant (the reference's parallelism-1
+    // merge), so >1 state partition only adds empty state-store commits
+    // per trigger; the pin lives on a cloned session, not the caller's
+    val stream = pinnedShuffleSession(spark, 1)
+    implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
     val name = "graft_replay_cc_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = replayCkpt("graft-replay-cc")
-    // the merger is keyed by a constant (the reference's parallelism-1
-    // merge), so >1 state partition only adds empty state-store commits
-    // per trigger; shuffle-partition count is pinned at stream start
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
-    val q =
-      try runningConnectedComponents(ms.toDF().toDF("src", "dst"))
-        .toDF("id", "component")
-        .writeStream.outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .format("memory").queryName(name).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val q = runningConnectedComponents(ms.toDF().toDF("src", "dst"))
+      .toDF("id", "component")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(name).start()
     try {
       val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
       rows.grouped(chunk).foreach { g =>
@@ -139,13 +155,13 @@ object StreamingOps {
       // update-mode emissions is the converged assignment; it is tiny
       // (one row per vertex) — materialize via the driver rather than
       // spinning up checkpoint machinery on the ephemeral memory table
-      val converged = spark.table(name)
+      val converged = stream.table(name)
         .groupBy("id").agg(min("component").as("component"))
         .as[(Long, Long)].collect()
       spark.createDataset(converged.toIndexedSeq).toDF("id", "component")
     } finally {
       q.stop()
-      spark.catalog.dropTempView(name)
+      stream.catalog.dropTempView(name)
     }
   }
 
@@ -297,33 +313,31 @@ object StreamingOps {
   def replayTriangleCounts(edges: DataFrame, nBatches: Int = 4): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].collect()
     rows.sortInPlaceBy(identity)
+    // vertex-keyed state: a handful of state partitions keeps per-trigger
+    // state-store commit overhead proportional to real work at replay
+    // scale (a cluster deployment raises it with the data); the pin
+    // lives on a cloned session, not the caller's
+    val stream = pinnedShuffleSession(spark, 8)
+    implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
     val ckpt = replayCkpt("graft-replay-tri")
     val counts = new scala.collection.mutable.HashMap[Long, Long]()
-    // vertex-keyed state: a handful of state partitions keeps per-trigger
-    // state-store commit overhead proportional to real work at replay
-    // scale (a cluster deployment raises it with the data)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try streamingTriangleEmissions(ms.toDF().toDF("src", "dst"))
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (em: DataFrame, _: Long) =>
-          // persist: triangleDeltas branches the batch twice (side 0 ⋈
-          // side 1) — unpersisted, each branch would re-execute the
-          // whole micro-batch including the stateful operator
-          em.persist()
-          try triangleDeltas(em).collect().foreach { r =>
-            val v = r.getLong(0)
-            counts(v) = counts.getOrElse(v, 0L) + r.getLong(1)
-          } finally em.unpersist()
-        }.start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val q = streamingTriangleEmissions(ms.toDF().toDF("src", "dst"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (em: DataFrame, _: Long) =>
+        // persist: triangleDeltas branches the batch twice (side 0 ⋈
+        // side 1) — unpersisted, each branch would re-execute the
+        // whole micro-batch including the stateful operator
+        em.persist()
+        try triangleDeltas(em).collect().foreach { r =>
+          val v = r.getLong(0)
+          counts(v) = counts.getOrElse(v, 0L) + r.getLong(1)
+        } finally em.unpersist()
+      }.start()
     try {
       val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
       rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
@@ -445,7 +459,6 @@ object StreamingOps {
   def replayIntervalJoin(events: DataFrame, nBatches: Int = 3): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ev = events.select(col("event_id").cast("long"), col("user_id").cast("long"),
         col("event_type"), expr("ts_ns div 1000").as("tu"),
         round(col("value") * 100).cast("long").as("cents"))
@@ -465,10 +478,10 @@ object StreamingOps {
     // a trigger commits every state-store partition of every stateful
     // operator (two watermarks + both join sides): 32 shuffle partitions
     // × 3 triggers is pure commit overhead at replay scale — pin to 8
-    // (production raises it with the data); pinned at stream start
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-
+    // (production raises it with the data) on a cloned session, leaving
+    // the caller's conf untouched
+    val stream = pinnedShuffleSession(spark, 8)
+    implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
     val msC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
     val msP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
     val cDf = msC.toDF().toDF("event_id", "c_user", "c_tu")
@@ -483,12 +496,10 @@ object StreamingOps {
         col("p_ts") <= col("c_ts"))
     val name = "graft_replay_ij_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = replayCkpt("graft-replay-ij")
-    val q =
-      try joined.select(col("event_id"), col("cents"))
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .format("memory").queryName(name).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val q = joined.select(col("event_id"), col("cents"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(name).start()
     try {
       val bounds = cuts :+ Long.MaxValue
       var (loC, loP) = (0, 0)
@@ -500,14 +511,14 @@ object StreamingOps {
         loC = hiC; loP = hiP
         q.processAllAvailable()
       }
-      val out = spark.table(name)
+      val out = stream.table(name)
         .groupBy("event_id")
         .agg(count("*").as("n_purchases"), sum("cents").as("sum_cents"))
         .as[(Long, Long, Long)].collect()
       spark.createDataset(out.toIndexedSeq).toDF("event_id", "n_purchases", "sum_cents")
     } finally {
       q.stop()
-      spark.catalog.dropTempView(name)
+      stream.catalog.dropTempView(name)
     }
   }
 

@@ -69,6 +69,26 @@ class GraphStreamSpec extends SparkTestBase {
     assert(snap.getDegrees.count() == 3)
   }
 
+  test("windowed snapshot pushes a ts range filter to the parquet scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_pushdown").toString
+    (0 until 600).map(i => (i.toLong, i.toLong + 1, 1.0,
+        new java.sql.Timestamp(i * 1000L)))
+      .toDF("src", "dst", "value", "ts")
+      .write.mode("overwrite").parquet(dir)
+    val gs = GraphStream(spark.read.parquet(dir))
+    val snap = gs.slice("2 minutes", EdgeDirection.Out).snapshot(120L)
+    // the filter is a plain ts range (not a computed window column), so
+    // it must reach the scan as PushedFilters — row groups prune at scale
+    val plan = snap.edges.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(ts") && pushed.contains("LessThan(ts"), pushed)
+    // and the rows are exactly window [120, 240)
+    assert(snap.edges.count() == 120L)
+    assert(snap.edges.agg(min("src"), max("src")).as[(Long, Long)].head() == ((120L, 239L)))
+  }
+
   test("distinct dedups (src,dst)") {
     assert(g.distinct.numberOfEdges.head.getLong(0) == 5L)
   }

@@ -105,6 +105,28 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("banded Hamming pairs are bit-identical to the all-pairs audit") {
+    import spark.implicits._
+    // 200 docs incl. planted twins (id, id+256 collide mod 256) — enough
+    // hash diversity that several pairs land at each distance 0..8
+    val docs = ((0L until 150L) ++ (256L until 306L)).toDF("doc_id")
+    val hashes = Multimodal.perceptualHashes(
+      Multimodal.syntheticImages(docs).toDF()).cache()
+    try {
+      for (k <- Seq(0, 3, 4, 8)) {
+        val audit = Multimodal.phashPairs(hashes, k).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val banded = Multimodal.phashPairsBanded(hashes, k).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(banded == audit, s"banded != audit at maxHamming=$k")
+      }
+      // the planted twins surface at hamming 0 through the banded path
+      val zero = Multimodal.phashPairsBanded(hashes, 0).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(zero.contains((0L, 256L)) && zero.contains((49L, 305L)))
+    } finally hashes.unpersist()
+  }
+
   test("resizeDecoded is true nearest-neighbor resampling, verified post-round-trip") {
     import spark.implicits._
     val docs = Seq(3L).toDF("doc_id")

@@ -201,6 +201,13 @@ class TraversalsSpec extends SparkTestBase {
     assert(run(diamond, Seq(1L, 4L)) == Map(2L -> 2L, 3L -> 2L))
     // isolated source: no rows, no crash
     assert(run(Seq((1L, 2L)), Seq(9L)).isEmpty)
+    // fail-loud: a frontier still live at maxDepth throws (mirrors the
+    // SQL unroll's (-1,-1) sentinel) instead of silently undercounting
+    intercept[IllegalArgumentException] {
+      Centrality.stressCentrality(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst"),
+        Seq(1L), maxDepth = 2).collect()
+    }
     // fixture graph: deterministic, and the integer products stay far
     // from Long overflow (the documented caveat probed in anger)
     val c10 = graft.model.GraphFixtures.coPurchase10(spark, sf)
