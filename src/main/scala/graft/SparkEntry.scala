@@ -122,6 +122,26 @@ object SparkEntry {
           .as("recall_ok"))
   }
 
+  /** Recall/precision gate for bucketed PAIR operators (near-dup): the
+    * approx path's verify step applies the exact formula, so its pairs
+    * must be a subset of the exact audit's (n_false_pos is 0 BY
+    * CONSTRUCTION and the oracle hard-codes it); a recall collapse
+    * (broken signatures, broken banding) flips `recall_ok` and the
+    * driver hash goes red. Empty exact set → trivially ok.
+    */
+  private def pairRecallGate(exact: DataFrame, approx: DataFrame,
+                             keys: Seq[String], bound: Double): DataFrame = {
+    val e = exact.select(keys.map(col): _*).withColumn("ex", lit(1))
+    val a = approx.select(keys.map(col): _*).withColumn("ap", lit(1))
+    e.join(a, keys, "full_outer")
+      .agg(sum(coalesce(col("ex"), lit(0))).cast("long").as("n_exact"),
+        sum(when(col("ex").isNull, 1).otherwise(0)).cast("long").as("n_false_pos"),
+        coalesce(
+          sum(when(col("ex").isNotNull && col("ap").isNotNull, 1).otherwise(0))
+            .cast("double") / sum(coalesce(col("ex"), lit(0))) >= bound,
+          lit(true)).as("recall_ok"))
+  }
+
   private def revenuePerNation(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val o = Tables.orders(s, dir)
@@ -271,6 +291,17 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), 2, 0.5)),
     "q26_embedding_neardup" -> ((s, dir) =>
       Similarity.cosinePairs(Tables.embeddings(s, dir), 0.3)),
+    // the 100 TB sibling of q26: LSH-bucketed candidates + exact-cosine
+    // verify, gated in-query against the exact all-pairs audit (the
+    // q33/q36 recall-gate pattern) — the scale-safe plan is the
+    // oracle-checked one, the crossJoin audit is its in-query referee
+    "q122_neardup_bucketed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      pairRecallGate(
+        Similarity.cosinePairs(emb, 0.3),
+        Similarity.cosinePairsBucketed(emb, 0.3),
+        Seq("vec_a", "vec_b"), 0.4)
+    }),
     "q27_text_quality" -> ((s, dir) =>
       TextStats.qualityStats(Tables.documents(s, dir))),
     // C4-style cleaning audit: digit-mask + whitespace-collapse + trim,
@@ -1713,6 +1744,14 @@ object SparkEntry {
       "q26_embedding_neardup" ->
         ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
           "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim " +
+          "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+          "WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3"),
+      // bucketed near-dup gate: the verify step applies the exact
+      // formula, so false positives are structurally impossible and the
+      // oracle predicts the full row from the exact audit alone
+      "q122_neardup_bucketed" ->
+        ("SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, " +
+          "CAST(0 AS BIGINT) AS n_false_pos, true AS recall_ok " +
           "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
           "WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3"),
       "q27_text_quality" ->

@@ -85,6 +85,48 @@ object Similarity {
       .where(col("sim") >= threshold)
   }
 
+  /** Bucketed embedding near-duplicate pairs — the 100 TB form of
+    * [[cosinePairs]]: random-hyperplane LSH candidates (a pair is a
+    * candidate iff it shares a full signature in ≥1 of `nTables`
+    * tables) verified with exact cosine at the same 6-dp rounding.
+    * Found pairs are therefore always a SUBSET of the exact audit
+    * (precision 1 by construction — the verify step applies the
+    * identical formula); recall is 1-(1-p^nPlanes)^nTables for a pair
+    * whose collision probability per plane is p = 1-θ/π. The defaults
+    * target the ~0.3-cosine near-dup cut (p ≈ 0.6 → recall ≈ 0.69);
+    * raise nPlanes toward log2(corpus/bucket_target) for ≥0.9 near-dup
+    * corpora, where p ≈ 0.86 keeps recall high with far smaller
+    * buckets.
+    *
+    * Plan shape: signatures are one narrow projection per table over a
+    * checkpointed (id, vec, norm) table; candidates come from a
+    * self-equi-join on (table, signature) — work tracks bucket
+    * co-occupancy, never |corpus|²; the verify join fetches the two
+    * embeddings for candidate ids only.
+    */
+  def cosinePairsBucketed(corpus: DataFrame, threshold: Double,
+                          nPlanes: Int = 4, nTables: Int = 8,
+                          dim: Int = -1): DataFrame = {
+    val vecs = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .localCheckpoint(true) // nTables signature branches + 2 verify sides
+    val d = if (dim > 0) dim else vecs.select(size(col("e"))).head().getInt(0)
+    val sigs = (0 until nTables).map { t =>
+      vecs.select(col("vec_id"), lit(t).as("tbl"),
+        signature(col("e"), nPlanes, d, seed = 42L + t).as("sig"))
+    }.reduce(_ unionByName _)
+    val cands = sigs.toDF("vec_a", "tbl", "sig")
+      .join(sigs.toDF("vec_b", "tbl", "sig"), Seq("tbl", "sig"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    cands
+      .join(vecs.toDF("vec_a", "ea", "na"), Seq("vec_a"))
+      .join(vecs.toDF("vec_b", "eb", "nb"), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
   /** Deterministic random hyperplanes: seeded at plan build time (no
     * runtime randomness), shipped as a broadcast literal.
     */

@@ -208,6 +208,20 @@ class FunctionsSpec extends SparkTestBase {
     assert(math.abs(pairs((0L, 1L)) - 0.707107) < 1e-6)
   }
 
+  test("bucketed cosine pairs ⊆ exact audit with recall ≥ 0.4 (q122 gate)") {
+    val exact = Similarity.cosinePairs(emb, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bucketed = Similarity.cosinePairsBucketed(emb, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision 1 by construction: every bucketed pair is in the exact
+    // set with the identical 6-dp similarity
+    bucketed.foreach { case (k, sim) =>
+      assert(exact.get(k).contains(sim), s"false positive or sim drift at $k")
+    }
+    val recall = bucketed.size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall (${bucketed.size}/${exact.size})")
+  }
+
   test("all-pairs fences refuse past their caps and point at the scale path") {
     // cosinePairs: corpus bigger than maxRows refuses before any join
     val eCos = intercept[IllegalArgumentException] {
