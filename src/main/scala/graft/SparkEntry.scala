@@ -418,6 +418,12 @@ object SparkEntry {
         .groupBy(col("v").as("supplier"))
         .agg(count(lit(1)).as("n_wedges"))
     }),
+    // δ-constrained 3-edge temporal triangle motifs over the temporal
+    // co-purchase events (δ = 90 days): two bucketed range joins — the
+    // q121 wedge primitive chained to closure, never Σ deg² globally
+    "q123_temporal_triangles" -> ((s, dir) =>
+      Triangles.temporalTriangles(
+        GraphFixtures.coPurchaseTemporal(s, dir), 7776000L)),
     // sequence analytics over sessions: per (from, to) event-type
     // transition counts between CONSECUTIVE events inside one session
     // (q38's 30-minute gap contract) — the Markov-bigram table path
@@ -1917,6 +1923,19 @@ object SparkEntry {
           "(s3.user_id IS NOT NULL)::INT AS BIGINT) AS stage " +
           "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id " +
           "LEFT JOIN s3 ON s1.user_id = s3.user_id"),
+      "q123_temporal_triangles" ->
+        ("WITH ct AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y, " +
+          "epoch(o.o_orderdate) AS t FROM lineitem a " +
+          "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+          "JOIN orders o ON o.o_orderkey = a.l_orderkey WHERE a.l_orderkey % 2 = 0), " +
+          "sym AS (SELECT x AS p, y AS o, t FROM ct UNION ALL SELECT y, x, t FROM ct), " +
+          "w AS (SELECT e1.p AS center, LEAST(e1.o, e2.o) AS u3, " +
+          "GREATEST(e1.o, e2.o) AS v3, e1.t AS t1, e2.t AS t2 " +
+          "FROM sym e1 JOIN sym e2 ON e2.p = e1.p AND e2.t > e1.t " +
+          "AND e2.t <= e1.t + 7776000 AND e2.o <> e1.o) " +
+          "SELECT center, COUNT(*) AS n_triangles FROM w " +
+          "JOIN ct e3 ON e3.x = w.u3 AND e3.y = w.v3 AND e3.t > w.t2 " +
+          "AND e3.t <= w.t1 + 7776000 GROUP BY center"),
       "q121_temporal_wedges" ->
         ("WITH e AS (SELECT l_suppkey + 1000000000 AS v, epoch(l_shipdate) AS t FROM lineitem) " +
           "SELECT a.v AS supplier, COUNT(*) AS n_wedges FROM e a JOIN e b " +

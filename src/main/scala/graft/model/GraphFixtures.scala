@@ -56,6 +56,26 @@ object GraphFixtures {
       .distinct()
   }
 
+  /** CT — temporal co-purchase edge EVENTS: distinct (src<dst part
+    * pair, t = epoch of the order's o_orderdate) for orders with
+    * o_orderkey % orderMod == 0. The same pair purchased under several
+    * orders yields several events — the temporal-motif operators count
+    * edge events, not static edges.
+    */
+  def coPurchaseTemporal(spark: SparkSession, dir: String,
+                         orderMod: Long = 2L): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_orderkey") % orderMod === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey").as("ok"),
+      unix_timestamp(col("o_orderdate")).as("t"))
+    li.toDF("ok", "src").join(li.toDF("ok", "dst"), Seq("ok"))
+      .where(col("src") < col("dst"))
+      .join(ord, Seq("ok"))
+      .select("src", "dst", "t")
+      .distinct()
+  }
+
   /** CW — co-purchase edges tagged with the tumbling event-time window
     * (epoch-aligned, `sizeSec` seconds) of their order's o_orderdate.
     * Distinct per (win, src, dst): an edge exists in a window iff some

@@ -145,6 +145,54 @@ object Triangles {
         col("au"), col("av"))).as("triangles"))
       .where(col("triangles") > 0)
 
+  /** δ-constrained temporal triangle motifs (Paranjape-style, the
+    * 3-edge cyclic motif): triples of edge EVENTS e1={a,b,t1},
+    * e2={b,c,t2}, e3={a,c,t3} on three distinct vertices with strictly
+    * increasing times t1 < t2 < t3 ≤ t1 + δ. Counted once per
+    * time-ordered triple — e1 and e2 share exactly one vertex (the
+    * motif's `center`), so the (e1, e2) wedge construction is
+    * injective; equal-timestamp edge pairs are excluded by the strict
+    * order (the deterministic contract; event-time ties carry no
+    * order).
+    *
+    * Input: temporal edge events (src, dst, t) with src < dst, t in
+    * epoch seconds; multi-edges at distinct times are distinct events.
+    *
+    * Plan: TWO bucketed range joins (q121's trick, never Σ deg²
+    * globally): wedge formation buckets the earlier edge into its own
+    * and the next δ-bucket and equi-joins on (center, bucket); closure
+    * equi-joins the wedge's outer pair against the event table on
+    * (pair, bucket) — both joins' volume tracks per-bucket co-activity,
+    * and the exact time window filters after the equi-join. Output:
+    * (center, n_triangles).
+    */
+  def temporalTriangles(events: DataFrame, deltaSec: Long): DataFrame = {
+    val e = events.select(col("src").cast("long").as("x"),
+        col("dst").cast("long").as("y"), col("t").cast("long").as("t"))
+      .localCheckpoint(true) // two sym branches + the closure side
+    val sym = e.select(col("x").as("p"), col("y").as("o"), col("t"))
+      .unionByName(e.select(col("y").as("p"), col("x").as("o"), col("t")))
+    val s1 = sym.select(col("p"), col("o").as("a"), col("t").as("t1"),
+      explode(array(expr(s"t div $deltaSec"), expr(s"t div $deltaSec + 1"))).as("bk"))
+    val s2 = sym.select(col("p"), col("o").as("c"), col("t").as("t2"),
+      expr(s"t div $deltaSec").as("bk"))
+    val wedges = s1.join(s2, Seq("p", "bk"))
+      .where(col("t2") > col("t1") && col("t2") - col("t1") <= deltaSec &&
+        col("a") =!= col("c"))
+      .select(col("p").as("center"),
+        least(col("a"), col("c")).as("u3"), greatest(col("a"), col("c")).as("v3"),
+        col("t1"), col("t2"))
+    // t1 < t3 ≤ t1 + δ pins t3's bucket to t1's or the next one
+    val w2 = wedges.select(col("center"), col("u3"), col("v3"), col("t1"), col("t2"),
+      explode(array(expr(s"t1 div $deltaSec"), expr(s"t1 div $deltaSec + 1"))).as("bk"))
+    val e3 = e.select(col("x").as("u3"), col("y").as("v3"), col("t").as("t3"),
+      expr(s"t div $deltaSec").as("bk"))
+    w2.join(e3, Seq("u3", "v3", "bk"))
+      .where(col("t3") > col("t2") && col("t3") <= col("t1") + deltaSec)
+      .groupBy(col("center"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** k-truss: the maximal subgraph whose every edge participates in at
     * least k−2 triangles — the edge-analog of k-core and the standard
     * cohesive-subgraph miner. Iterative peel: count per-edge triangle

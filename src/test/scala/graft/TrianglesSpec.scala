@@ -31,6 +31,33 @@ class TrianglesSpec extends SparkTestBase {
     assert(pv == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("temporal triangles: strict δ-ordered triples, counted per center") {
+    import spark.implicits._
+    def run(evs: Seq[(Long, Long, Long)], delta: Long) =
+      Triangles.temporalTriangles(evs.toDF("src", "dst", "t"), delta)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one triangle: e1={1,2}@0, e2={2,3}@10, e3={1,3}@20 → center 2
+    assert(run(Seq((1L, 2L, 0L), (2L, 3L, 10L), (1L, 3L, 20L)), 100L) ==
+      Map(2L -> 1L))
+    // closure outside δ → nothing
+    assert(run(Seq((1L, 2L, 0L), (2L, 3L, 10L), (1L, 3L, 200L)), 100L).isEmpty)
+    // equal timestamps carry no order → excluded by the strict contract
+    assert(run(Seq((1L, 2L, 0L), (2L, 3L, 0L), (1L, 3L, 20L)), 100L).isEmpty)
+    // multi-edge events: two distinct closures → two triangles at center 2
+    assert(run(Seq((1L, 2L, 0L), (2L, 3L, 10L), (1L, 3L, 20L), (1L, 3L, 30L)), 100L) ==
+      Map(2L -> 2L))
+    // δ-bucket boundary: t1=95, t2=100, t3=190 spans three buckets of
+    // div 100 — the explode-into-next-bucket trick must still find it
+    assert(run(Seq((1L, 2L, 95L), (2L, 3L, 100L), (1L, 3L, 190L)), 100L) ==
+      Map(2L -> 1L))
+    // all six time-orderings of a static triangle count once each: with
+    // distinct times, exactly one (e1,e2,e3) ordering exists per triple
+    val m = run(Seq((1L, 2L, 0L), (2L, 3L, 1L), (1L, 3L, 2L),
+      (1L, 2L, 3L), (2L, 3L, 4L), (1L, 3L, 5L)), 100L)
+    // 2×2×2 event combos, each a valid strict ordering exactly once
+    assert(m.values.sum == 8L, s"got $m")
+  }
+
   test("triangle-free graph counts zero") {
     val c = canon(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
     assert(Triangles.globalCount(c).head.getLong(0) == 0L)
