@@ -485,6 +485,16 @@ object SparkEntry {
         graft.operators.Communities.modularityRefine(c10,
           graft.operators.Communities.labelPropagation(c10, 3)))
     }),
+    // FULL multi-level Louvain (2 levels × 2 parity-alternating gated
+    // move passes + coarsening), emitted as the final communities'
+    // exact-integer modularity ingredients — the oracle replays every
+    // pass and the coarsening step for step
+    "q124_louvain_multilevel" -> ((s, dir) => {
+      val c10 = GraphFixtures.coPurchase10(s, dir)
+      graft.operators.Communities.communityStats(c10,
+        graft.operators.Communities.louvain(c10, 2, 2)
+          .toDF("id", "label"))
+    }),
     // 7-day moving revenue window (RANGE frame over event time) — exact
     // integer cents so the frame sums are order-free in any engine
     "q108_moving_window" -> ((s, dir) => {
@@ -1345,6 +1355,82 @@ object SparkEntry {
       }.mkString(", ")
       base + rounds
     }
+    // multi-level Louvain oracle: replay 2 levels × 2 parity-gated
+    // weighted move passes + coarsening STEP FOR STEP (the PageRank
+    // unroll pattern, generated). Weighted graph tables g{lvl}(u,v,w)
+    // carry coarse self-loops; degrees count self-loops twice; the gate
+    // recomputes exact-integer modularity before and after every pass.
+    val louvainMLSql = {
+      val L = 2; val P = 2
+      def pass(t: String, g: String, inL: String, outL: String, parity: Int): String =
+        s"sym$t AS MATERIALIZED (SELECT u AS p, v AS o, w FROM $g WHERE u <> v " +
+          s"UNION ALL SELECT v, u, w FROM $g WHERE u <> v), " +
+          s"deg$t AS MATERIALIZED (SELECT id, CAST(SUM(w) AS BIGINT) AS k FROM " +
+          s"(SELECT u AS id, w FROM $g WHERE u <> v UNION ALL SELECT v, w FROM $g WHERE u <> v " +
+          s"UNION ALL SELECT u, 2 * w FROM $g WHERE u = v) sub GROUP BY 1), " +
+          s"stot$t AS MATERIALIZED (SELECT l.label, CAST(SUM(d.k) AS BIGINT) AS stot " +
+          s"FROM $inL l JOIN deg$t d ON d.id = l.id GROUP BY 1), " +
+          s"kic$t AS MATERIALIZED (SELECT s.p AS u, l.label AS lv, " +
+          s"CAST(SUM(s.w) AS BIGINT) AS kc FROM sym$t s JOIN $inL l ON l.id = s.o GROUP BY 1, 2), " +
+          s"cur$t AS MATERIALIZED (SELECT l.id AS u, l.label AS lu, d.k, st.stot AS stotd, " +
+          s"COALESCE(kd.kc, 0) AS kd FROM $inL l JOIN deg$t d ON d.id = l.id " +
+          s"JOIN stot$t st ON st.label = l.label " +
+          s"LEFT JOIN kic$t kd ON kd.u = l.id AND kd.lv = l.label), " +
+          s"best$t AS MATERIALIZED (SELECT u, lv FROM (SELECT cur$t.u, kic$t.lv, " +
+          s"ROW_NUMBER() OVER (PARTITION BY cur$t.u ORDER BY " +
+          s"2 * (SELECT m FROM mm) * (kic$t.kc - cur$t.kd) " +
+          s"- cur$t.k * (st.stot - cur$t.stotd + cur$t.k) DESC, kic$t.lv) AS rn " +
+          s"FROM cur$t JOIN kic$t ON kic$t.u = cur$t.u AND kic$t.lv <> cur$t.lu " +
+          s"JOIN stot$t st ON st.label = kic$t.lv " +
+          s"WHERE cur$t.u % 2 = $parity AND 2 * (SELECT m FROM mm) * (kic$t.kc - cur$t.kd) " +
+          s"- cur$t.k * (st.stot - cur$t.stotd + cur$t.k) > 0) sub WHERE rn = 1), " +
+          s"cand$t AS MATERIALIZED (SELECT l.id, COALESCE(b.lv, l.label) AS label " +
+          s"FROM $inL l LEFT JOIN best$t b ON b.u = l.id), " +
+          s"stc$t AS MATERIALIZED (SELECT l.label, CAST(SUM(d.k) AS BIGINT) AS stot " +
+          s"FROM cand$t l JOIN deg$t d ON d.id = l.id GROUP BY 1), " +
+          s"qi$t AS (SELECT 4 * (SELECT m FROM mm) * (SELECT COALESCE(SUM(g.w), 0) FROM $g g " +
+          s"JOIN $inL a ON a.id = g.u JOIN $inL b ON b.id = g.v WHERE a.label = b.label) " +
+          s"- (SELECT SUM(stot * stot) FROM stot$t) AS q), " +
+          s"qc$t AS (SELECT 4 * (SELECT m FROM mm) * (SELECT COALESCE(SUM(g.w), 0) FROM $g g " +
+          s"JOIN cand$t a ON a.id = g.u JOIN cand$t b ON b.id = g.v WHERE a.label = b.label) " +
+          s"- (SELECT SUM(stot * stot) FROM stc$t) AS q), " +
+          s"$outL AS MATERIALIZED (SELECT cd.id, CASE WHEN (SELECT q FROM qc$t) >= " +
+          s"(SELECT q FROM qi$t) THEN cd.label ELSE l.label END AS label " +
+          s"FROM cand$t cd JOIN $inL l ON l.id = cd.id), "
+      val sb = new StringBuilder
+      sb ++= s"WITH c AS MATERIALIZED ($copurchase10), "
+      sb ++= "g1 AS MATERIALIZED (SELECT x AS u, y AS v, CAST(1 AS BIGINT) AS w FROM c), "
+      sb ++= "mm AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS m FROM g1), "
+      sb ++= ("l1_0 AS MATERIALIZED (SELECT u AS id, u AS label FROM " +
+        "(SELECT DISTINCT u FROM (SELECT u FROM g1 UNION ALL SELECT v AS u FROM g1) s1) s2), ")
+      sb ++= "map1 AS MATERIALIZED (SELECT id, id AS cur FROM l1_0), "
+      for (lvl <- 1 to L) {
+        for (p <- 1 to P)
+          sb ++= pass(s"_$lvl$p", s"g$lvl", s"l${lvl}_${p - 1}", s"l${lvl}_$p", p % 2)
+        sb ++= (s"map${lvl + 1} AS MATERIALIZED (SELECT mp.id, lb.label AS cur " +
+          s"FROM map$lvl mp JOIN l${lvl}_$P lb ON lb.id = mp.cur), ")
+        if (lvl < L) {
+          sb ++= (s"g${lvl + 1} AS MATERIALIZED (SELECT LEAST(a.label, b.label) AS u, " +
+            s"GREATEST(a.label, b.label) AS v, CAST(SUM(g.w) AS BIGINT) AS w FROM g$lvl g " +
+            s"JOIN l${lvl}_$P a ON a.id = g.u JOIN l${lvl}_$P b ON b.id = g.v GROUP BY 1, 2), ")
+          sb ++= s"l${lvl + 1}_0 AS MATERIALIZED (SELECT DISTINCT label AS id, label FROM l${lvl}_$P), "
+        }
+      }
+      sb ++= s"lab AS MATERIALIZED (SELECT id, cur AS label FROM map${L + 1}), "
+      sb ++= ("int_e AS (SELECT la.label, COUNT(*) AS internal_edges FROM c " +
+        "JOIN lab la ON la.id = c.x JOIN lab lb ON lb.id = c.y " +
+        "WHERE la.label = lb.label GROUP BY 1), " +
+        "degc AS (SELECT la.label, COUNT(*) AS total_degree FROM " +
+        "(SELECT x AS id FROM c UNION ALL SELECT y AS id FROM c) s " +
+        "JOIN lab la ON la.id = s.id GROUP BY 1), " +
+        "nv AS (SELECT label, COUNT(*) AS n_vertices FROM lab GROUP BY label) " +
+        "SELECT nv.label, nv.n_vertices, " +
+        "COALESCE(int_e.internal_edges, 0) AS internal_edges, " +
+        "COALESCE(degc.total_degree, 0) AS total_degree " +
+        "FROM nv LEFT JOIN int_e ON int_e.label = nv.label " +
+        "LEFT JOIN degc ON degc.label = nv.label")
+      sb.toString
+    }
     // Sound 2-colorability oracle for BOTH graphs (q17 + q90): label
     // components (min-id root per component), then BFS parity from each
     // root; a graph is bipartite iff no vertex acquires both parities.
@@ -1856,6 +1942,7 @@ object SparkEntry {
       // gain 2m(kC−kD) − k(ΣtotC−ΣtotD+k), best positive move per
       // vertex (ties → smallest label), kept only if the exact integer
       // modularity 4mΣin − Σd² does not decrease — then q111's stats
+      "q124_louvain_multilevel" -> louvainMLSql,
       "q112_louvain_refine" -> (lpaPrefix + ", " +
         "deg AS MATERIALIZED (SELECT u AS id, COUNT(*) AS k FROM sym GROUP BY 1), " +
         "mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM c), " +

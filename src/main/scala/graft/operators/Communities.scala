@@ -109,6 +109,153 @@ object Communities {
     if (integerModularity(cd, l1, m) >= integerModularity(cd, l0, m)) l1 else l0
   }
 
+  /** FULL multi-level Louvain: `movesPerLevel` synchronous greedy move
+    * passes (the [[modularityRefine]] contract generalized to WEIGHTED
+    * graphs with self-loops), then graph coarsening — communities
+    * collapse to single vertices, parallel edges sum their integer
+    * weights, internal edges become self-loops — and the next level
+    * repeats on the coarse graph. All arithmetic stays exact-integer:
+    * coarse-graph weighted modularity with self-loop degrees counted
+    * twice equals original-graph modularity for the induced labeling
+    * (the classic Louvain invariant), so the per-pass monotonicity gate
+    * and the per-pass history are globally comparable. The unroll is
+    * FIXED (no data-dependent early exit): a pass from a stable
+    * labeling is a no-op in any engine, which keeps the replayed SQL
+    * oracle step-for-step identical.
+    *
+    * Labels live in the ORIGINAL vertex-id space throughout (a
+    * community is named by one of its member ids, tie-broken smallest),
+    * so the returned (id, community) needs no decode join.
+    *
+    * Plan per pass: one |E| join + two |V|-sized aggs + a bounded
+    * per-vertex top-1 window + the two-scalar gate — the
+    * [[modularityRefine]] shape; coarsening is one |E| relabel join +
+    * keyed sum. Levels shrink geometrically, so level-2+ cost is noise.
+    */
+  def louvain(edges: DataFrame, levels: Int = 2, movesPerLevel: Int = 2): DataFrame =
+    louvainDetail(edges, levels, movesPerLevel)._1
+
+  /** [[louvain]] plus the per-pass exact-integer modularity history
+    * (4m²·Q per accepted pass, in pass order) — the spec's monotonicity
+    * probe.
+    */
+  private[graft] def louvainDetail(edges: DataFrame, levels: Int,
+                                   movesPerLevel: Int): (DataFrame, Seq[Long]) = {
+    var g = edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .select(col("u"), col("v"), lit(1L).as("w"))
+      .localCheckpoint(true)
+    val m = g.agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
+    var mapping = g.select(explode(array(col("u"), col("v"))).as("id")).distinct()
+      .select(col("id"), col("id").as("cur"))
+      .localCheckpoint(true)
+    val hist = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (lvl <- 1 to levels) {
+      var labels = g.select(explode(array(col("u"), col("v"))).as("id")).distinct()
+        .select(col("id"), col("id").as("label"))
+        .localCheckpoint(true)
+      // coarsening preserves Q exactly, so the singleton labeling on a
+      // coarse graph scores what the previous level ended at — one
+      // evaluation at the very start covers every level boundary
+      var curQ =
+        if (lvl == 1) weightedModularity(g, labels, m) else hist.last
+      for (p <- 1 to movesPerLevel) {
+        val cand = weightedMovePass(g, labels, m, p % 2)
+        val candQ = weightedModularity(g, cand, m)
+        if (candQ >= curQ) { labels = cand; curQ = candQ }
+        hist += curQ
+      }
+      mapping = mapping.join(labels.toDF("cur", "nl"), Seq("cur"))
+        .select(col("id"), col("nl").as("cur"))
+        .localCheckpoint(true)
+      g = g.join(labels.toDF("u", "la"), Seq("u"))
+        .join(labels.toDF("v", "lb"), Seq("v"))
+        .select(least(col("la"), col("lb")).as("u"),
+          greatest(col("la"), col("lb")).as("v"), col("w"))
+        .groupBy("u", "v").agg(sum("w").as("w"))
+        .localCheckpoint(true)
+    }
+    (mapping.toDF("id", "community"), hist.toSeq)
+  }
+
+  /** Weighted degrees over a canonical weighted graph (u ≤ v, integer
+    * w, self-loops allowed): k_i = Σ_{j≠i} w(i,j) + 2·w(i,i) — the
+    * self-loop counts both endpoints, preserving Σk = 2m.
+    */
+  private def weightedDegrees(g: DataFrame): DataFrame = {
+    val e = g.where(col("u") =!= col("v"))
+    val sym = e.select(col("u").as("id"), col("w"))
+      .unionByName(e.select(col("v").as("id"), col("w")))
+      .unionByName(g.where(col("u") === col("v"))
+        .select(col("u").as("id"), (col("w") * 2).as("w")))
+    sym.groupBy("id").agg(sum("w").as("k"))
+  }
+
+  /** One gated synchronous move pass on a weighted graph — the
+    * [[modularityRefine]] move step with weighted k_i,C / Σtot and the
+    * same exact-integer gain and gate. Only vertices with
+    * `id % 2 == parity` are eligible to move: simultaneous moves of two
+    * adjacent vertices into each other's communities SWAP labels
+    * instead of merging (sync Louvain's classic oscillation), and
+    * alternating a deterministic 2-coloring between passes breaks the
+    * symmetry the way distributed Louvain implementations do with
+    * vertex coloring — while keeping the pass a pure function of the
+    * input labeling. Returns the CANDIDATE labeling; the caller gates
+    * it against exact-integer modularity (one evaluation per pass —
+    * the pre-pass score is the previous accepted score, memoized).
+    */
+  private def weightedMovePass(g: DataFrame, l0: DataFrame, m: Long,
+                               parity: Int): DataFrame = {
+    val e = g.where(col("u") =!= col("v"))
+    val sym = e.select(col("u").as("p"), col("v").as("o"), col("w"))
+      .unionByName(e.select(col("v").as("p"), col("u").as("o"), col("w")))
+    val deg = weightedDegrees(g)
+    val stot = l0.join(deg, Seq("id")).groupBy("label").agg(sum("k").as("stot"))
+    val kic = sym.join(l0.toDF("o", "lv"), Seq("o"))
+      .groupBy(col("p").as("u"), col("lv")).agg(sum("w").as("kc"))
+    val cur = l0.select(col("id").as("u"), col("label").as("lu"))
+      .join(deg.toDF("u", "k"), Seq("u"))
+      .join(stot.toDF("lu", "stotd"), Seq("lu"))
+      .join(kic.toDF("u", "lu", "kd"), Seq("u", "lu"), "left")
+      .select(col("u"), col("lu"), col("k"), col("stotd"),
+        coalesce(col("kd"), lit(0L)).as("kd"))
+    val best = cur.join(kic, Seq("u"))
+      .where(col("lv") =!= col("lu") && pmod(col("u"), lit(2L)) === parity)
+      .join(stot.toDF("lv", "stotc"), Seq("lv"))
+      .select(col("u"), col("lv"),
+        (lit(2L * m) * (col("kc") - col("kd"))
+          - col("k") * (col("stotc") - col("stotd") + col("k"))).as("gain"))
+      .where(col("gain") > 0)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("u").orderBy(col("gain").desc, col("lv").asc)))
+      .where(col("rn") === 1)
+      .select(col("u").as("id"), col("lv").as("new_label"))
+    l0.join(best, Seq("id"), "left")
+      .select(col("id"), coalesce(col("new_label"), col("label")).as("label"))
+      .localCheckpoint(true)
+  }
+
+  /** Exact integer modularity 4m²·Q = 4m·Σ_c in_c − Σ_c (Σtot_c)² on a
+    * weighted canonical graph — in_c sums internal edge weight
+    * (self-loops are internal by construction). Long-exact while
+    * 4m·in fits 63 bits, i.e. total weight < ~1.5e9 — same envelope as
+    * [[integerModularity]].
+    */
+  private[graft] def weightedModularity(g: DataFrame, labels: DataFrame, m: Long): Long = {
+    val internal = g
+      .join(labels.toDF("u", "la"), Seq("u"))
+      .join(labels.toDF("v", "lb"), Seq("v"))
+      .where(col("la") === col("lb"))
+      .agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
+    val sumD2 = labels.join(weightedDegrees(g), Seq("id"))
+      .groupBy("label").agg(sum("k").as("stot"))
+      .agg(coalesce(sum(col("stot") * col("stot")), lit(0L)))
+      .head().getLong(0)
+    4L * m * internal - sumD2
+  }
+
   /** Exact integer modularity 4m²·Q = 4m·Σ_c in_c − Σ_c d_c² for a
     * canonical (src<dst, distinct) edge set — comparable across
     * labelings of the SAME graph; monotone in Q (4m² > 0), zero float.

@@ -157,6 +157,40 @@ class SummarySpec extends SparkTestBase {
       Communities.integerModularity(c10, l))
   }
 
+  test("multi-level Louvain: per-pass modularity never decreases, merges the planted communities") {
+    import spark.implicits._
+    import graft.operators.Communities
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    // two triangles joined by a bridge: the parity-alternating passes
+    // must merge each triangle (sync moves without the parity gate swap
+    // labels here instead) and keep them apart across the bridge
+    val tri = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(4L, 5L, 6L)) ++
+      Seq((3L, 4L))).toDF("src", "dst")
+    val (lab, hist) = Communities.louvainDetail(tri, 2, 2)
+    assert(hist == hist.sorted, s"modularity history decreased: $hist")
+    val m = lab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L) && m(2L) == m(3L), s"labels: $m")
+    assert(m(4L) == m(5L) && m(5L) == m(6L), s"labels: $m")
+    assert(m(1L) != m(4L), s"labels: $m")
+    // two 4-cliques: coarsening must not merge across the bridge either
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((4L, 10L))).toDF("src", "dst")
+    val (lab2, hist2) = Communities.louvainDetail(edges, 2, 2)
+    assert(hist2 == hist2.sorted, s"modularity history decreased: $hist2")
+    val m2 = lab2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(m2).toSet.size == 1, s"labels: $m2")
+    assert(Seq(10L, 11L, 12L, 13L).map(m2).toSet.size == 1, s"labels: $m2")
+    assert(m2(1L) != m2(10L), s"labels: $m2")
+    // determinism across runs + history on the sf fixture graph
+    val c10 = graft.model.GraphFixtures.coPurchase10(spark, sf)
+    val (labA, histA) = Communities.louvainDetail(c10, 2, 2)
+    assert(histA == histA.sorted, s"modularity history decreased: $histA")
+    val a = labA.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Communities.louvain(c10, 2, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("summary codecs round-trip arbitrary summary states exactly") {
     import graft.summaries._
     val rnd = new scala.util.Random(7)
