@@ -591,6 +591,15 @@ object SparkEntry {
         .distinct().orderBy("id").limit(3).collect().map(_.getLong(0)).toSeq
       graft.operators.Centrality.stressCentrality(c10, srcs)
     }),
+    // sampled Brandes betweenness: same sources and forward σ layers as
+    // q118, fractional dependency split carried in truncated micro-units
+    // so the backward pass replays bit-exact in any engine
+    "q125_betweenness" -> ((s, dir) => {
+      val c10 = GraphFixtures.coPurchase10(s, dir)
+      val srcs = c10.select(explode(array(col("src"), col("dst"))).as("id"))
+        .distinct().orderBy("id").limit(3).collect().map(_.getLong(0)).toSeq
+      graft.operators.Centrality.betweennessCentrality(c10, srcs)
+    }),
     // k-core decomposition (k=6): iterative peel to fixpoint
     "q60_kcore" -> ((s, dir) =>
       graft.operators.Traversals.kcore(GraphFixtures.coPurchase10(s, dir), 6)),
@@ -1117,8 +1126,12 @@ object SparkEntry {
     // stress(v) = Σ_s σ·p. 10 unrolled layers vs the measured
     // eccentricity 5 (layers past the true depth are empty no-ops); a
     // non-empty layer 10 emits the (-1,-1) sentinel — fail loudly.
-    val stressSql = {
-      val d = 10
+    // shared forward-σ unroll for the sampled-centrality oracles (q118
+    // stress, q125 betweenness): 3 smallest vertices as sources, 10 BFS
+    // layers, (-1,-1) sentinel if the frontier outlives the unroll
+    val centralityDepth = 10
+    val centralityFwdSql = {
+      val d = centralityDepth
       val base = s"WITH c AS MATERIALIZED ($copurchase10), " +
         "sym AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
         "srcs AS MATERIALIZED (SELECT DISTINCT u AS s FROM sym ORDER BY u LIMIT 3), " +
@@ -1131,6 +1144,10 @@ object SparkEntry {
           "WHERE st.v IS NULL GROUP BY 1, 2), " +
           s"st$r AS MATERIALIZED (SELECT s, v FROM st${r - 1} UNION ALL SELECT s, v FROM f$r)"
       }.mkString(", ")
+      base + fwd
+    }
+    val stressSql = {
+      val d = centralityDepth
       val pTop = s"p$d AS MATERIALIZED (SELECT s, v, sig, CAST(0 AS BIGINT) AS p FROM f$d)"
       val bwd = (d - 1 to 0 by -1).map { r =>
         s"p$r AS MATERIALIZED (SELECT f.s, f.v, f.sig, COALESCE(q.p0, 0) AS p FROM f$r f " +
@@ -1138,9 +1155,30 @@ object SparkEntry {
           "JOIN sym ON sym.v = pw.v GROUP BY 1, 2) q ON q.s = f.s AND q.v = f.v)"
       }.mkString(", ")
       val all = (0 to d).map(r => s"SELECT s, v, sig, p FROM p$r").mkString(" UNION ALL ")
-      base + fwd + ", " + pTop + ", " + bwd +
+      centralityFwdSql + ", " + pTop + ", " + bwd +
         " SELECT v AS id, CAST(SUM(sig * p) AS BIGINT) AS stress " +
         s"FROM ($all) WHERE v <> s GROUP BY v HAVING SUM(sig * p) > 0 " +
+        "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) WHERE EXISTS " +
+        s"(SELECT 1 FROM f$d)"
+    }
+    // Brandes backward pass in micro-units: per-successor truncated
+    // integer term (σv·(1e6 + δµ(w))) // σw — `//` and Spark's `div`
+    // agree on the non-negative operands, so the replay is bit-exact
+    val btwSql = {
+      val d = centralityDepth
+      val pTop = s"p$d AS MATERIALIZED (SELECT s, v, sig, CAST(0 AS BIGINT) AS del FROM f$d)"
+      val bwd = (d - 1 to 0 by -1).map { r =>
+        s"p$r AS MATERIALIZED (SELECT f.s, f.v, f.sig, COALESCE(q.d0, 0) AS del FROM f$r f " +
+          "LEFT JOIN (SELECT pw.s, sym.u AS v, " +
+          "CAST(SUM((fu.sig * (1000000 + pw.del)) // pw.sig) AS BIGINT) AS d0 " +
+          s"FROM p${r + 1} pw JOIN sym ON sym.v = pw.v " +
+          s"JOIN f$r fu ON fu.s = pw.s AND fu.v = sym.u GROUP BY 1, 2) q " +
+          "ON q.s = f.s AND q.v = f.v)"
+      }.mkString(", ")
+      val all = (0 to d).map(r => s"SELECT s, v, del FROM p$r").mkString(" UNION ALL ")
+      centralityFwdSql + ", " + pTop + ", " + bwd +
+        " SELECT v AS id, CAST(SUM(del) AS BIGINT) AS btw_mu " +
+        s"FROM ($all) WHERE v <> s GROUP BY v HAVING SUM(del) > 0 " +
         "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) WHERE EXISTS " +
         s"(SELECT 1 FROM f$d)"
     }
@@ -1505,6 +1543,7 @@ object SparkEntry {
       "q50_dedup_pipeline" -> dedupPipelineSql,
       "q59_bfs" -> bfsSql,
       "q118_stress_centrality" -> stressSql,
+      "q125_betweenness" -> btwSql,
       "q60_kcore" -> kcoreSql,
       "q61_adamic_adar" -> adamicAdarSql,
       "q62_transitivity" -> transitivitySql,

@@ -34,16 +34,17 @@ object Centrality {
       .where(col("u") =!= col("v"))
       .distinct()
 
-  /** (id, stress) for vertices with positive sampled stress. */
-  def stressCentrality(edges: DataFrame, sources: Seq[Long],
-                       maxDepth: Int = 20): DataFrame = {
-    require(sources.nonEmpty, "stressCentrality: need at least one source")
-    val spark = edges.sparkSession
+  /** Forward BFS DAG layers shared by the centrality operators:
+    * layers(d) = (s, v, sig) with σ summed over the predecessor layer,
+    * first-reached discipline via anti-join against everything settled
+    * so far. Returns the layer list DEEPEST-FIRST. Fails loud (like the
+    * SQL unrolls' (-1,-1) sentinel) if the frontier outlives maxDepth —
+    * every centrality value would otherwise be silently undercounted.
+    */
+  private def forwardLayers(sym: DataFrame, sources: Seq[Long],
+                            maxDepth: Int, opName: String): List[DataFrame] = {
+    val spark = sym.sparkSession
     import spark.implicits._
-    val sym = symmetrize(edges).localCheckpoint(true)
-
-    // forward: layers(d) = (s, v, sig), first-reached discipline via
-    // anti-join against everything settled so far
     var layers = List(sources.toDF("s").select(col("s"), col("s").as("v"), lit(1L).as("sig"))
       .localCheckpoint(true))
     var settled = layers.head.select("s", "v").localCheckpoint(true)
@@ -62,13 +63,19 @@ object Centrality {
         d += 1
       }
     }
-    // fail loud, like the SQL unroll's (-1,-1) sentinel: a still-live
-    // frontier at maxDepth means deeper shortest paths exist and every
-    // stress value would be silently undercounted
     require(frontierSize == 0,
-      s"stressCentrality: BFS frontier still non-empty at maxDepth=$maxDepth " +
+      s"$opName: BFS frontier still non-empty at maxDepth=$maxDepth " +
         s"($frontierSize (source, vertex) pairs unreached) — raise maxDepth; " +
-        "results would undercount stress on deeper graphs")
+        "results would undercount on deeper graphs")
+    layers
+  }
+
+  /** (id, stress) for vertices with positive sampled stress. */
+  def stressCentrality(edges: DataFrame, sources: Seq[Long],
+                       maxDepth: Int = 20): DataFrame = {
+    require(sources.nonEmpty, "stressCentrality: need at least one source")
+    val sym = symmetrize(edges).localCheckpoint(true)
+    val layers = forwardLayers(sym, sources, maxDepth, "stressCentrality")
 
     // backward: p = 0 on the deepest layer; one reverse join per layer.
     // layers is deepest-first after the loop.
@@ -98,5 +105,59 @@ object Centrality {
       .select(col("v"), (col("sig") * col("p")).as("g"))
       .groupBy(col("v").as("id")).agg(sum(col("g")).as("stress"))
       .where(col("stress") > 0)
+  }
+
+  /** Sampled BRANDES betweenness centrality in fixed-point micro-units
+    * — the fractional dependency split made deterministic: the backward
+    * accumulation δ(v) = Σ_{w ∈ succ(v)} (σ_v/σ_w)·(1 + δ(w)) runs
+    * entirely in integers by carrying δ in micro-units (×`scale`) and
+    * truncating each term once,
+    *
+    *   δµ(v) = Σ_w (σ_v · (scale + δµ(w))) div σ_w,
+    *
+    * so any engine replaying the same layer order and integer division
+    * produces bit-identical values (operands are non-negative, so Spark
+    * `div` and DuckDB `//` agree). Truncation error is bounded by the
+    * successor count per term — micro-unit resolution, not correctness,
+    * and the contract IS the formula above.
+    *
+    * Output: (id, btw_mu) = Σ_sources δµ, vertices with positive
+    * dependency only. Same plan shape and lineage discipline as
+    * [[stressCentrality]]: shared forward σ layers, one reverse join +
+    * keyed agg per layer backward. Overflow caveat: σ_v·(scale + δµ)
+    * must fit a Long — spec-probed on the fixture graphs like the
+    * stress products.
+    */
+  def betweennessCentrality(edges: DataFrame, sources: Seq[Long],
+                            maxDepth: Int = 20, scale: Long = 1000000L): DataFrame = {
+    require(sources.nonEmpty, "betweennessCentrality: need at least one source")
+    val sym = symmetrize(edges).localCheckpoint(true)
+    val layers = forwardLayers(sym, sources, maxDepth, "betweennessCentrality")
+
+    // backward: δµ = 0 on the deepest layer; each upper layer's vertices
+    // collect the truncated per-successor terms. `lower` holds ONLY the
+    // layer one deeper, so a same-layer or shallower neighbor simply has
+    // no row in the joined frame — the successor restriction is
+    // structural, as in the stress backward pass.
+    var lower = layers.head.select(col("s"), col("v"), col("sig"), lit(0L).as("del"))
+    var acc = lower
+    for (upper <- layers.tail) {
+      val contrib = lower.toDF("s", "w", "sigw", "delw")
+        .join(sym.toDF("v", "w"), Seq("w"))
+        .join(upper.select(col("s"), col("v"), col("sig").as("sigv")), Seq("s", "v"))
+        .select(col("s"), col("v"),
+          expr(s"(sigv * ($scale + delw)) div sigw").as("term"))
+        .groupBy("s", "v").agg(sum(col("term")).as("d0"))
+      val up = upper.select(col("s"), col("v"), col("sig"))
+        .join(contrib, Seq("s", "v"), "left")
+        .select(col("s"), col("v"), col("sig"),
+          coalesce(col("d0"), lit(0L)).as("del"))
+        .localCheckpoint(true)
+      acc = acc.unionByName(up)
+      lower = up
+    }
+    acc.where(col("v") =!= col("s"))
+      .groupBy(col("v").as("id")).agg(sum(col("del")).as("btw_mu"))
+      .where(col("btw_mu") > 0)
   }
 }

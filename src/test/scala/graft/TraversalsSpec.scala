@@ -222,6 +222,43 @@ class TraversalsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("Brandes betweenness in micro-units matches hand-computed dependencies") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Centrality
+    def run(pairs: Seq[(Long, Long)], srcs: Seq[Long]) =
+      Centrality.betweennessCentrality(pairs.toDF("src", "dst"), srcs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // path 1-2-3 from source 1: δ(2) = (σ2·(1e6+0)) div σ3 = 1e6
+    assert(run(Seq((1L, 2L), (2L, 3L)), Seq(1L)) == Map(2L -> 1000000L))
+    // diamond 1-2-4, 1-3-4: δ(2) = δ(3) = (1·1e6) div 2 = 500000 — the
+    // fractional split stress centrality cannot express
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    assert(run(diamond, Seq(1L)) == Map(2L -> 500000L, 3L -> 500000L))
+    // both endpoints as sources: dependencies sum
+    assert(run(diamond, Seq(1L, 4L)) == Map(2L -> 1000000L, 3L -> 1000000L))
+    // path 1-2-3-4: δ(3|s=1) = 1e6; δ(2|s=1) = (1·(1e6+1e6)) div 1 = 2e6
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 4L)), Seq(1L)) ==
+      Map(2L -> 2000000L, 3L -> 1000000L))
+    // fail-loud at maxDepth, like stress
+    intercept[IllegalArgumentException] {
+      Centrality.betweennessCentrality(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst"),
+        Seq(1L), maxDepth = 2).collect()
+    }
+    // fixture graph: deterministic, products far from Long overflow
+    val c10 = graft.model.GraphFixtures.coPurchase10(spark, sf)
+    val srcs = c10.select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array(col("src"), col("dst"))).as("id"))
+      .distinct().orderBy("id").limit(3).collect().map(_.getLong(0)).toSeq
+    val a = Centrality.betweennessCentrality(c10, srcs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.nonEmpty && a.values.forall(v => v > 0 && v < (1L << 50)))
+    val b = Centrality.betweennessCentrality(c10, srcs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("ego frontier anti-join: radius 4 stays exact and the frontier shrinks to empty on saturation") {
     import spark.implicits._
     // 6-cycle: from one start the ego saturates at hop 3 — the fresh
