@@ -17,7 +17,7 @@ object Verify {
       // broadcast than to shuffle 40M wedge rows against (AQE decides
       // from runtime stats; clusters with small executors should lower it)
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-      // events.parquet carries INT64 TIMESTAMP(NANOS) — read as long nanos
+      // older testdata generations carry INT64 TIMESTAMP(NANOS) — read as long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -29,15 +29,24 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark only reads
-    * as LongType under `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-    * our sessions). We keep the raw nanos as `ts_ns` (exact) and expose a
-    * proper TimestampType `ts` truncated to micros via integer division —
-    * no double round-trip, so no precision loss.
+  /** `events.ts` has shipped as two different physical types across
+    * driver testdata generations: INT64 TIMESTAMP(NANOS) (readable only
+    * as LongType under `spark.sql.legacy.parquet.nanosAsLong=true`, set
+    * in our sessions) and TIMESTAMP(MICROS) with isAdjustedToUTC=false
+    * (read as TIMESTAMP_NTZ). Normalize both to the same surface: a
+    * session-zone-free TimestampType `ts` (sessions pin UTC) plus the
+    * exact integer nanos as `ts_ns` — integer arithmetic only, no double
+    * round-trip, so no precision loss either way.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    t(spark, dir, "events")
-      .withColumn("ts_ns", col("ts").cast("long"))
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long generation
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // TIMESTAMP(_NTZ) micros generation
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
 }
