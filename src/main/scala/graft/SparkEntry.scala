@@ -804,6 +804,11 @@ object SparkEntry {
     // document stream — per-lang survivor counts converge to q20's answer
     "q73_streaming_dedup" -> ((s, dir) =>
       graft.streaming.StreamingOps.replayExactDedup(Tables.documents(s, dir))),
+    // streaming near-dup parity: keyed-state LSH bucket candidates over a
+    // replayed document stream, batch-verified with exact Jaccard — must
+    // equal the one-shot minhashPairs answer (q30's oracle)
+    "q126_streaming_minhash" -> ((s, dir) =>
+      graft.streaming.StreamingOps.replayMinhashPairs(Tables.documents(s, dir))),
     // Gopher-style repetition metrics (boilerplate / degenerate-text
     // detection): pure projection pass, no shuffle
     "q69_repetition" -> ((s, dir) =>
@@ -1814,6 +1819,8 @@ object SparkEntry {
           "list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))), " +
           "(a, x) -> (a * 31 + x) % 1000000007) AS fp FROM documents"),
       "q30_dedup_minhash" -> jaccardSql,
+      // streaming replay must converge to the same exact-Jaccard pairs
+      "q126_streaming_minhash" -> jaccardSql,
       "q102_winnow_pairs" ->
         ("WITH c AS (SELECT doc_id, list_transform(string_split(text, ''), " +
           "ch -> CAST(unicode(ch) AS BIGINT)) AS codes FROM documents), " +

@@ -216,7 +216,7 @@ object Dedup {
     * shingles, then an equi-join on (doc_b, shingle) keeps intersection
     * rows only — never the |sh_a|×|sh_b| cross product.
     */
-  private def jaccardOfPairs(cands: DataFrame, sh: DataFrame,
+  private[graft] def jaccardOfPairs(cands: DataFrame, sh: DataFrame,
                              counts: DataFrame, threshold: Double): DataFrame = {
     val inter = cands
       .join(sh.toDF("doc_a", "shingle"), Seq("doc_a"))

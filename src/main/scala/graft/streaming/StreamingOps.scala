@@ -413,6 +413,127 @@ object StreamingOps {
     }
   }
 
+  /** Stateless per-document MinHash banding projection — the SAME hash
+    * family and band keys as [[graft.functions.Dedup.minhashPairs]]
+    * (shingle = n-gram of whitespace tokens; mh_s = min over shingles of
+    * xxhash64(s, shingle); band key = xxhash64 of the band's signature
+    * rows), but computed per ROW with higher-order functions instead of
+    * explode + groupBy. That makes it a pure projection — it runs in
+    * append mode on an unbounded stream with no shuffle and no state,
+    * and a document's band keys are bit-identical to the batch path's.
+    * Output: one row per (band, key, doc_id).
+    */
+  private[graft] def minhashBandRows(docs: DataFrame, n: Int,
+                                     bands: Int, rowsPerBand: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nHashes = bands * rowsPerBand
+    val shingleArr = transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    val sig = (0 until nHashes).map(s =>
+      array_min(transform(col("__sh"), x => xxhash64(lit(s), x))).as(s"mh$s"))
+    val withSig = docs
+      .where(size(toks) >= n)
+      .withColumn("__sh", shingleArr)
+      .select(col("doc_id").cast("long").as("doc_id") +: sig: _*)
+    (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      withSig.select(lit(b).as("band"), xxhash64(rows: _*).as("key"), col("doc_id"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** THE streaming near-dup candidate operator: LSH bucket membership
+    * held in `flatMapGroupsWithState` KEYED STATE, keyed by (band, band
+    * key). Each trigger adds its batch-new doc_ids to the bucket and
+    * emits exactly the candidate pairs those new docs close — against
+    * the bucket's accumulated members and among themselves. After ANY
+    * prefix of the stream, the union of emitted pairs equals the batch
+    * banding candidate set of the documents seen so far (pairs sharing
+    * ≥1 band bucket), so a downstream exact-Jaccard verify yields the
+    * batch [[graft.functions.Dedup.minhashPairs]] answer exactly.
+    *
+    * Per-trigger cost is O(touched buckets + emitted pairs) —
+    * independent of stream length; bucket state is doc_ids only (8 B
+    * per member), never text. Duplicate doc_ids re-arriving are
+    * dropped (set semantics), so emissions never repeat a pair from
+    * the same bucket; cross-band repeats are deduped by the verify.
+    */
+  def streamingMinhashCandidates(docs: DataFrame, n: Int = 2,
+                                 bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    minhashBandRows(docs, n, bands, rowsPerBand)
+      .select(col("band"), col("key"), col("doc_id"))
+      .as[(Int, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), it: Iterator[(Int, Long, Long)], state: GroupState[Array[Long]]) =>
+          val old = state.getOption.getOrElse(Array.emptyLongArray)
+          val oldSet = old.toSet
+          val fresh = it.map(_._3).filter(d => !oldSet.contains(d)).toSet.toArray.sorted
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            state.update((old ++ fresh).sorted)
+            val out = Array.newBuilder[(Long, Long)]
+            var i = 0
+            while (i < fresh.length) {
+              val d = fresh(i)
+              old.foreach(o => out += ((math.min(o, d), math.max(o, d))))
+              var j = i + 1
+              while (j < fresh.length) { out += ((d, fresh(j))); j += 1 }
+              i += 1
+            }
+            out.result().iterator
+          }
+      }.toDF("doc_a", "doc_b")
+  }
+
+  /** Correctness-gate harness for streaming near-dup — the highest-value
+    * pipeline operator's streaming story: replay the documents in doc_id
+    * order across `nBatches` triggers of [[streamingMinhashCandidates]]
+    * (duplicate groups split across triggers exercise the cross-batch
+    * bucket state), then batch-verify the accumulated candidates with
+    * exact Jaccard. The result must equal the one-shot batch
+    * [[graft.functions.Dedup.minhashPairs]] answer — and therefore
+    * hash-check against q30's exact-Jaccard DuckDB oracle. Only the
+    * (tiny) candidate set crosses the driver between the streaming and
+    * batch halves.
+    */
+  def replayMinhashPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.5,
+                         nBatches: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+    rows.sortInPlaceBy(_._1)
+    // bucket-keyed state: a handful of state partitions keeps per-trigger
+    // commit overhead proportional to real work at replay scale
+    val stream = pinnedShuffleSession(spark, 8)
+    implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val name = "graft_replay_minhash_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = replayCkpt("graft-replay-minhash")
+    val q = streamingMinhashCandidates(ms.toDF().toDF("doc_id", "text"), n)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(name).start()
+    try {
+      val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+      val cands = stream.table(name)
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .as[(Long, Long)].collect()
+      // verify on the CALLER's session (the memory sink lives on the
+      // pinned clone); candidates ∝ true near-dups, tiny by design
+      val candsDF = spark.createDataset(cands.toIndexedSeq).toDF("doc_a", "doc_b")
+      val sh = graft.functions.Dedup.shingles(docs, n).localCheckpoint(true)
+      val counts = sh.groupBy(col("doc_id")).agg(count("*").as("n_sh"))
+      graft.functions.Dedup.jaccardOfPairs(candsDF, sh, counts, threshold)
+    } finally {
+      q.stop()
+      stream.catalog.dropTempView(name)
+    }
+  }
+
   /** Correctness-gate harness for the continuous globalAggregate (O15):
     * replay the edge VALUES through a MemoryStream across `nBatches`
     * complete-mode triggers of the running histogram; the final table

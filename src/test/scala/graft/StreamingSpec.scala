@@ -441,4 +441,47 @@ class StreamingSpec extends SparkTestBase {
       assert(emitted == Set(1L, 2L, 4L, 5L))
     } finally q.stop()
   }
+
+  test("streaming minhash band keys are bit-identical to the batch signature banding") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox leaps"),
+      (3L, "entirely different words here")).toDF("doc_id", "text")
+    // batch path: shingles → groupBy signature → band keys (minhashPairs'
+    // internals, reproduced from its published hash family)
+    val sh = graft.functions.Dedup.shingles(docs, 2)
+    def mh(s: Int) = min(xxhash64(lit(s), col("shingle"))).as(s"mh$s")
+    val sig = sh.groupBy(col("doc_id")).agg(mh(0), (1 until 32).map(mh): _*)
+    val batchKeys = (0 until 8).flatMap { b =>
+      val rows = (0 until 4).map(r => col(s"mh${b * 4 + r}"))
+      sig.select(col("doc_id"), lit(b).as("band"), xxhash64(rows: _*).as("key"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    }.toSet
+    val streamKeys = StreamingOps.minhashBandRows(docs, 2, 8, 4)
+      .collect().map(r => (r.getLong(2), r.getInt(0), r.getLong(1))).toSet
+    assert(streamKeys == batchKeys)
+  }
+
+  test("replayed minhash candidates converge to the one-shot batch pairs (q30 semantics)") {
+    // near-dup groups STRADDLE triggers: docs 1/2 and docs 3/4 are
+    // near-identical but land in different replay chunks (doc_id order,
+    // 3 batches over 6 docs → chunks {1,2},{3,4},{5,6} — and with
+    // nBatches=6 each doc arrives alone), so every candidate pair is
+    // closed by cross-batch bucket state, not intra-batch pairing
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "one two three four five six"),
+      (4L, "one two three four five seven"),
+      (5L, "completely unrelated text body"),
+      (6L, "another standalone document entirely")).toDF("doc_id", "text")
+    val batch = graft.functions.Dedup.minhashPairs(docs, 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "fixture must contain true near-dup pairs")
+    for (nb <- Seq(3, 6)) {
+      val got = StreamingOps.replayMinhashPairs(docs, 2, 0.5, nBatches = nb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == batch, s"nBatches=$nb: $got != $batch")
+    }
+  }
 }
