@@ -196,6 +196,23 @@ object Corpus {
     *    ≥ 1−(1−0.66)^nTables ≈ 1−2e-4 at the defaults; spec-checked
     *    equal to brute on the planted fixture.
     *
+    * `nPlanes`/`nTables` default to 0 = SIZE ADAPTIVELY. A fixed plane
+    * count is a scale trap: 4 planes = 16 buckets per table, so the
+    * candidate join degenerates toward |train|×|bench|/16 — quadratic
+    * with a small constant, found melting the 1M×2M tier-2 smoke.
+    * Adaptive sizing picks planes so expected BENCH bucket occupancy is
+    * ~1 row (planes = log2(benchRows), floor 4) — random-pair candidate
+    * volume is |train|×|bench|/2^planes per table, so occupancy ~1
+    * keeps it ∝ tables×|train|, linear. Then it solves the
+    * hyperplane-LSH collision calculus for the table count that keeps
+    * recall ≥ 99.9% for pairs AT the threshold (higher-cosine pairs —
+    * the actual contamination — collide strictly more often): per-table
+    * p1 = (1−arccos(t)/π)^planes, tables = ln(1e-3)/ln(1−p1), capped at
+    * 64 (the cap trades recall below the target for bounded work at
+    * low thresholds × huge benchmarks; the gate row pattern of
+    * q33/q36/q122 is the check to run when that matters). Signature
+    * rows grow only linearly (tables × (|train|+|bench|)).
+    *
     * `excludeSameId` applies ONLY when both inputs slice one id space
     * (the q98 shape — a self-comparison must not count as a hit). Leave
     * it false for independent datasets: train vec 5 matching bench vec 5
@@ -205,13 +222,20 @@ object Corpus {
                              threshold: Double,
                              excludeSameId: Boolean = false,
                              maxBroadcastRows: Long = 1000000L,
-                             nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
+                             nPlanes: Int = 0, nTables: Int = 0): DataFrame = {
     val bench = benchmark.localCheckpoint(true)
-    if (bench.count() <= maxBroadcastRows)
+    val benchRows = bench.count()
+    if (benchRows <= maxBroadcastRows)
       embeddingContaminationBrute(train, bench, threshold, excludeSameId)
-    else
+    else {
+      val planes = if (nPlanes > 0) nPlanes
+        else math.max(4, (math.log(benchRows.toDouble) / math.log(2)).ceil.toInt)
+      val p1 = math.pow(1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi, planes)
+      val tables = if (nTables > 0) nTables
+        else math.min(64, math.max(2, (math.log(1e-3) / math.log1p(-p1)).ceil.toInt))
       embeddingContaminationBucketed(train, bench, threshold, excludeSameId,
-        nPlanes, nTables)
+        planes, tables)
+    }
   }
 
   private def prepVecs(df: DataFrame, id: String, e: String, n: String) = {

@@ -24,6 +24,24 @@ object ScaleSmoke {
       val t0 = System.nanoTime(); val r = f
       println(f"[smoke] $label%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
+    // tier-2 instrumentation: wall + total shuffle write + max task peak
+    // memory per operator (shared by the tier2/tier2docs modes)
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong()
+    val peakMem = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuffleW.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        peakMem.getAndAccumulate(sc.stageInfo.taskMetrics.peakExecutionMemory, Math.max)
+      }
+    })
+    def tm[A](label: String)(f: => A): A = {
+      val s0 = shuffleW.get(); peakMem.set(0L)
+      val t0 = System.nanoTime(); val r = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[smoke] $label%-40s $dt%8.1f s  shuffleW=${(shuffleW.get() - s0) / 1e9}%.2f GB  peakTask=${peakMem.get() / 1e6}%.0f MB")
+      r
+    }
     // 30 tokens/doc from a 10k vocab, seeded per (id, pos); every 20th doc
     // gets a near-dup twin (first token perturbed) in the upper id range
     if (mode == "all" || mode == "docs") {
@@ -152,28 +170,60 @@ object ScaleSmoke {
       println(s"[smoke] degree mass: plain=$dP salted=$dS (must match)")
     }
 
+    if (mode == "tier2docs") {
+      // tier-2 for the PIPELINE side (VERDICT r4 item 5): nDocs synthetic
+      // docs (pass 1000000–10000000) through the banded near-dup and
+      // LSH-bucketed decontamination scale paths. Same planting scheme as
+      // the 105k smoke (a near-dup twin every 20th doc) so candidate
+      // volume is checkable against planted truth; 100k vocab keeps the
+      // accidental-shingle-collision floor realistic at 10M docs.
+      val tokenCols = (0 until 30).map(p =>
+        concat(lit("w"), pmod(xxhash64(col("id"), lit(p)), lit(100000))))
+      val base = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", tokenCols: _*).as("text"))
+      val twins = spark.range(nDocs).where(col("id") % 20 === 0)
+        .select((col("id") + nDocs).as("doc_id"),
+          concat_ws(" ", lit("perturbed") +: tokenCols.tail: _*).as("text"))
+      val docs = base.unionByName(twins).localCheckpoint(true)
+      println(s"[smoke] tier2docs corpus: ${docs.count()} docs (planted twins: ${nDocs / 20})")
+      val pairs = tm(s"minhashPairs j>=0.5 ($nDocs docs)")(
+        graft.functions.Dedup.minhashPairs(docs, 2, 0.5).count())
+      println(s"[smoke] near-dup pairs: $pairs (planted ${nDocs / 20})")
+      val clustered = tm(s"nearDupClusters end-to-end ($nDocs docs)")(
+        graft.functions.Dedup.nearDupClusters(docs, 2, 0.5)
+          .where(col("doc_id") =!= col("cluster")).count())
+      println(s"[smoke] docs clustered to a smaller id: $clustered")
+      // decontamination at the same tier: nDocs train vectors, 2M-row
+      // benchmark (past the 1M broadcast budget — exercises the bucketed
+      // path through the public dispatcher). Every 100th train vector is
+      // planted verbatim in the benchmark; the rest of the benchmark is
+      // drawn from a disjoint seed space so it matches nothing.
+      val dim = 16
+      def vecOf(seedCol: org.apache.spark.sql.Column) = transform(
+        sequence(lit(0), lit(dim - 1)),
+        i => ((pmod(xxhash64(seedCol, i), lit(2000L)) - 1000L).cast("double") / 500.0))
+      val train = spark.range(nDocs)
+        .select(col("id").as("vec_id"), vecOf(col("id")).as("embedding"))
+      val planted = spark.range(nDocs / 100)
+        .select((col("id") * 100).as("vec_id"), vecOf(col("id") * 100).as("embedding"))
+      val noise = spark.range(2000000L - nDocs / 100)
+        .select((col("id") + 3000000000L).as("vec_id"),
+          vecOf(col("id") + 3000000000L).as("embedding"))
+      val bench = planted.unionByName(noise).localCheckpoint(true)
+      println(s"[smoke] benchmark rows: ${bench.count()} (planted ${nDocs / 100})")
+      val hits = tm(s"embeddingContamination bucketed ($nDocs train / 2M bench)")(
+        graft.functions.Corpus.embeddingContamination(
+          train, bench, threshold = 0.999).count())
+      println(s"[smoke] contaminated train vecs: $hits (planted ${nDocs / 100}, " +
+        "LSH recall>=1-2e-4 at c~1.0)")
+    }
+
     if (mode == "tier2") {
       // one tier up (VERDICT r3 item 8): 100M edges / 10M vertices,
       // recording wall + total shuffle write + max task peak memory per
       // operator. Run with SPARK_DRIVER_MEM=96g. Riskiest (the bounded-
       // summary CC, whose partials are ~|V|-sized) runs LAST so an OOM
       // can't take earlier results with it.
-      val shuffleW = new java.util.concurrent.atomic.AtomicLong()
-      val peakMem = new java.util.concurrent.atomic.AtomicLong()
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-          shuffleW.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-          peakMem.getAndAccumulate(sc.stageInfo.taskMetrics.peakExecutionMemory, Math.max)
-        }
-      })
-      def tm[A](label: String)(f: => A): A = {
-        val s0 = shuffleW.get(); peakMem.set(0L)
-        val t0 = System.nanoTime(); val r = f
-        val dt = (System.nanoTime() - t0) / 1e9
-        println(f"[smoke] $label%-40s $dt%8.1f s  shuffleW=${(shuffleW.get() - s0) / 1e9}%.2f GB  peakTask=${peakMem.get() / 1e6}%.0f MB")
-        r
-      }
       val n2E = 100000000L
       val n2V = 10000000L
       val g2 = spark.range(n2E).select(
