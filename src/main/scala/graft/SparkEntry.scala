@@ -600,6 +600,20 @@ object SparkEntry {
         .distinct().orderBy("id").limit(3).collect().map(_.getLong(0)).toSeq
       graft.operators.Centrality.betweennessCentrality(c10, srcs)
     }),
+    // HITS hubs & authorities on directed C10: L1-normalized mutual
+    // reinforcement in integer micro-units (q54's exact-replay contract —
+    // truncating division, no driver action inside the loop)
+    "q127_hits" -> ((s, dir) =>
+      graft.operators.Hits.fixedPoint(GraphFixtures.coPurchase10(s, dir), 5)),
+    // sampled harmonic closeness from the 3 smallest vertices: scale div d
+    // summed over first-reach BFS layers (shares q118/q125's forward
+    // machinery; harmonic form so unreachable pairs contribute 0)
+    "q128_harmonic_closeness" -> ((s, dir) => {
+      val c10 = GraphFixtures.coPurchase10(s, dir)
+      val srcs = c10.select(explode(array(col("src"), col("dst"))).as("id"))
+        .distinct().orderBy("id").limit(3).collect().map(_.getLong(0)).toSeq
+      graft.operators.Centrality.harmonicCloseness(c10, srcs)
+    }),
     // k-core decomposition (k=6): iterative peel to fixpoint
     "q60_kcore" -> ((s, dir) =>
       graft.operators.Traversals.kcore(GraphFixtures.coPurchase10(s, dir), 6)),
@@ -624,6 +638,15 @@ object SparkEntry {
     // top-3 TF-IDF terms per doc (fixed-point idf => order-independent)
     "q77_tfidf" -> ((s, dir) =>
       TextStats.tfidfTopK(Tables.documents(s, dir))),
+    // CCNet-style bigram LM quality score: mean next-token conditional
+    // probability in micro-units, self-trained on the corpus's own
+    // bigram counts — every step truncating integer arithmetic
+    "q129_bigram_lm" -> ((s, dir) =>
+      TextStats.bigramLmScore(Tables.documents(s, dir))),
+    // tokenizer-vocab coverage: top-16 vocabulary (count desc, token asc)
+    // and per-doc out-of-vocabulary occurrence rate in micro-units
+    "q130_oov_rate" -> ((s, dir) =>
+      TextStats.oovStats(Tables.documents(s, dir))),
     // O15 streaming form: the continuous globalAggregate (value
     // histogram) replayed over a stream converges to q18's batch answer
     "q80_streaming_histogram" -> ((s, dir) =>
@@ -1194,6 +1217,41 @@ object SparkEntry {
     // MATERIALIZED is load-bearing: each round references the previous
     // round's edge set three times, and DuckDB inlines plain CTEs —
     // 12 rounds would otherwise expand into 3^12 scans of lineitem.
+    // HITS unrolled (q54's pattern): per round an authority sum + L1
+    // normalization then a hub sum + normalization, all truncating
+    // integer division of non-negative operands (`//` ≡ Spark `div`)
+    val hitsSql = {
+      val base = s"WITH c AS MATERIALIZED ($copurchase10), " +
+        "e AS MATERIALIZED (SELECT x AS u, y AS v FROM c), " +
+        "verts AS MATERIALIZED (SELECT u AS id FROM e UNION SELECT v FROM e), " +
+        "h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM verts), "
+      val iters = (1 to 5).map { k =>
+        s"ar$k AS MATERIALIZED (SELECT e.v AS id, SUM(h.h) AS r " +
+          s"FROM e JOIN h${k - 1} h ON h.id = e.u GROUP BY e.v), " +
+          s"a$k AS MATERIALIZED (SELECT verts.id, CAST(COALESCE((ar.r * 1000000) // " +
+          s"(SELECT SUM(r) FROM ar$k), 0) AS BIGINT) AS a " +
+          s"FROM verts LEFT JOIN ar$k ar ON ar.id = verts.id), " +
+          s"hr$k AS MATERIALIZED (SELECT e.u AS id, SUM(a.a) AS r " +
+          s"FROM e JOIN a$k a ON a.id = e.v GROUP BY e.u), " +
+          s"h$k AS MATERIALIZED (SELECT verts.id, CAST(COALESCE((hr.r * 1000000) // " +
+          s"(SELECT SUM(r) FROM hr$k), 0) AS BIGINT) AS h " +
+          s"FROM verts LEFT JOIN hr$k hr ON hr.id = verts.id)"
+      }.mkString(", ")
+      base + iters + " SELECT verts.id, h5.h AS hub_mu, a5.a AS auth_mu " +
+        "FROM verts JOIN h5 ON h5.id = verts.id JOIN a5 ON a5.id = verts.id"
+    }
+    // harmonic closeness over the shared forward-BFS unroll: first-reach
+    // layer index IS the distance; each (s, v) pair contributes the
+    // precomputed truncated term 1000000 // d
+    val closenessSql = {
+      val d = centralityDepth
+      val all = (1 to d).map(r =>
+        s"SELECT v, CAST(${1000000L / r} AS BIGINT) AS cmu FROM f$r").mkString(" UNION ALL ")
+      centralityFwdSql.stripSuffix(", ") +
+        s" SELECT v AS id, CAST(SUM(cmu) AS BIGINT) AS close_mu FROM ($all) GROUP BY v " +
+        "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) WHERE EXISTS " +
+        s"(SELECT 1 FROM f$d)"
+    }
     val kcoreSql = {
       val base = s"WITH c AS MATERIALIZED ($copurchase10), " +
         "e0 AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), "
@@ -1549,6 +1607,8 @@ object SparkEntry {
       "q59_bfs" -> bfsSql,
       "q118_stress_centrality" -> stressSql,
       "q125_betweenness" -> btwSql,
+      "q127_hits" -> hitsSql,
+      "q128_harmonic_closeness" -> closenessSql,
       "q60_kcore" -> kcoreSql,
       "q61_adamic_adar" -> adamicAdarSql,
       "q62_transitivity" -> transitivitySql,
@@ -1661,6 +1721,31 @@ object SparkEntry {
         (s"WITH c AS ($copurchase), " +
           s"t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact $triangleJoin) " +
           "SELECT n_exact, true AS rel_err_ok FROM t"),
+      // mean next-token conditional probability in micro-units: corpus
+      // bigram counts over prefix counts, truncating division throughout
+      "q129_bigram_lm" ->
+        ("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+          "bg AS MATERIALIZED (SELECT doc_id, " +
+          "unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg " +
+          "FROM tk WHERE len(t) >= 2), " +
+          "cb AS MATERIALIZED (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg), " +
+          "cu AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(c) AS cu FROM cb GROUP BY 1), " +
+          "p AS (SELECT cb.bg, (cb.c * 1000000) // cu.cu AS pmu " +
+          "FROM cb JOIN cu ON string_split(cb.bg, ' ')[1] = cu.w1) " +
+          "SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
+          "CAST(SUM(p.pmu) // COUNT(*) AS BIGINT) AS lm_mu " +
+          "FROM bg b JOIN p ON p.bg = b.bg GROUP BY b.doc_id"),
+      // top-16 vocab (count desc, token asc) + per-doc OOV occurrence rate
+      "q130_oov_rate" ->
+        ("WITH tok AS MATERIALIZED (SELECT doc_id, token FROM " +
+          "(SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) " +
+          "WHERE token <> ''), " +
+          "tc AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token), " +
+          "vocab AS (SELECT token FROM tc ORDER BY cnt DESC, token ASC LIMIT 16) " +
+          "SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+          "CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+          "CAST((SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS oov_mu " +
+          "FROM tok t LEFT JOIN vocab v ON v.token = t.token GROUP BY t.doc_id"),
       "q77_tfidf" ->
         ("WITH tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM " +
           "(SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) u " +

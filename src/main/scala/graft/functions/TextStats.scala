@@ -224,6 +224,76 @@ object TextStats {
       .select("doc_id", "rnk", "token", "score_micro")
   }
 
+  /** Per-doc bigram language-model score in integer micro-units — the
+    * CCNet-style "how typical is this document of the corpus" quality
+    * signal, made hash-exact. The corpus's own bigram statistics are the
+    * model (self-trained, like [[LangId]]):
+    *
+    *   p_mu(w1 w2)  = (count(w1 w2) · SCALE) div count(w1 ·)
+    *   lm_mu(doc)   = (Σ over the doc's bigram OCCURRENCES p_mu) div n_bigrams
+    *
+    * — the mean conditional probability of each next token. (The usual
+    * perplexity takes logs; the mean-probability form keeps every step
+    * in truncating non-negative integer arithmetic so Spark `div` and
+    * DuckDB `//` replay it bit-for-bit. Ranking direction is the same:
+    * repetitive/templated docs score high, unusual token sequences low.)
+    *
+    * Plan shape at 100 TB: one explode + groupBy for corpus bigram
+    * counts (vocabulary²-bounded, in practice Zipf-small), a map-side
+    * prefix rollup for the conditioning counts, then one join of the
+    * exploded doc bigrams against the probability table — dimension-like
+    * and broadcast when it fits (AQE); bucket both sides by bigram hash
+    * past that. Docs with fewer than 2 tokens have no bigrams and are
+    * excluded (n_bigrams ≥ 1 on every output row).
+    */
+  def bigramLmScore(docs: DataFrame, scale: Long = 1000000L): DataFrame = {
+    val bg = Spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("t")) - 2),
+          i => concat(col("t")(i), lit(" "), col("t")(i + 1)))).as("bg"))
+      .localCheckpoint(true)
+    val cb = bg.groupBy("bg").agg(count(lit(1)).as("c"))
+    val cu = cb.groupBy(split(col("bg"), " ")(0).as("w1")).agg(sum("c").as("cu"))
+    val p = cb.withColumn("w1", split(col("bg"), " ")(0))
+      .join(cu, "w1")
+      .select(col("bg"), expr(s"(c * $scale) div cu").as("pmu"))
+    bg.join(p, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("pmu").as("psum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("psum div n_bigrams").as("lm_mu"))
+  }
+
+  /** Vocabulary coverage: build the top-`k` token vocabulary (count
+    * desc, token asc — fully deterministic) and report each document's
+    * out-of-vocabulary rate in micro-units:
+    *
+    *   oov_mu = (n_oov · SCALE) div n_tokens
+    *
+    * counting token OCCURRENCES (with multiplicity) on both sides — the
+    * coverage check run before committing to a tokenizer vocab. The
+    * vocab is token-count-table-sized (≪ corpus) and broadcast into an
+    * anti-membership flag; per-doc stats are one explode + keyed agg.
+    */
+  def oovStats(docs: DataFrame, k: Int = 16, scale: Long = 1000000L): DataFrame = {
+    val tok = Spread(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .localCheckpoint(true)
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+      .select(col("token"), lit(true).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr(s"(n_oov * $scale) div n_tokens").as("oov_mu"))
+  }
+
   /** N-gram/token language-ID: self-trained token log-odds profiles.
     * `fit` learns per-language token frequencies from labeled docs (one
     * aggregation, result broadcast by Catalyst via the join); `predict`

@@ -107,6 +107,37 @@ object Centrality {
       .where(col("stress") > 0)
   }
 
+  /** Sampled HARMONIC closeness centrality in fixed-point micro-units:
+    * close_mu(v) = Σ_{s ∈ sources, s≠v, v reachable} (scale div d(s,v)).
+    * Harmonic (not classic reciprocal-of-sum) closeness so disconnected
+    * pairs contribute 0 instead of poisoning the sum — the standard
+    * choice on graphs that may not be connected. Each term is one
+    * truncating integer division of non-negative operands, so the result
+    * replays bit-exact on any engine (Spark `div` ≡ DuckDB `//`).
+    *
+    * Reuses the shared [[forwardLayers]] BFS (first-reach layer index =
+    * exact distance); no backward pass — one union + keyed agg over the
+    * layer list. Same lineage discipline and fail-loud maxDepth contract
+    * as the other sampled-centrality operators.
+    */
+  def harmonicCloseness(edges: DataFrame, sources: Seq[Long],
+                        maxDepth: Int = 20, scale: Long = 1000000L): DataFrame = {
+    require(sources.nonEmpty, "harmonicCloseness: need at least one source")
+    val sym = symmetrize(edges).localCheckpoint(true)
+    val layers = forwardLayers(sym, sources, maxDepth, "harmonicCloseness")
+    // layers is deepest-first: depth(layers(i)) = layers.length - 1 - i;
+    // the depth-0 source layer contributes nothing (v == s there).
+    val depthOf = layers.length - 1
+    val contribs = layers.zipWithIndex.collect {
+      case (l, i) if depthOf - i >= 1 =>
+        l.select(col("v"), lit(scale / (depthOf - i)).as("c"))
+    }
+    require(contribs.nonEmpty,
+      "harmonicCloseness: no vertex reachable from any source (isolated sources)")
+    contribs.reduce(_ unionByName _)
+      .groupBy(col("v").as("id")).agg(sum(col("c")).as("close_mu"))
+  }
+
   /** Sampled BRANDES betweenness centrality in fixed-point micro-units
     * — the fractional dependency split made deterministic: the backward
     * accumulation δ(v) = Σ_{w ∈ succ(v)} (σ_v/σ_w)·(1 + δ(w)) runs

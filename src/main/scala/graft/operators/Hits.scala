@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixed-point HITS (hubs & authorities, Kleinberg) over a
+  * directed edge list, in integer micro-units — the same exact-contract
+  * family as [[PageRank.fixedPoint]] (q54): every intermediate is a
+  * non-negative integer and every division truncates, so any engine
+  * replaying the same iteration count produces bit-identical scores
+  * regardless of partitioning or summation order.
+  *
+  * Per round (classic mutual reinforcement, L1-normalized):
+  *
+  *   a_raw(v) = Σ_{u→v} h(u)            (one join on u + agg on v)
+  *   a(v)     = (a_raw(v)·SCALE) div Σ_w a_raw(w)
+  *   h_raw(u) = Σ_{u→v} a(v)            (one join on v + agg on u)
+  *   h(u)     = (h_raw(u)·SCALE) div Σ_w h_raw(w)
+  *
+  * L1 (sum) normalization replaces the textbook L2 norm precisely
+  * because it stays in integers — the relative ordering and the
+  * convergence fixpoint (principal eigenvectors of AᵀA / AAᵀ) are the
+  * same up to scaling.
+  *
+  * Distributed shape at 100 TB: the edge list is static — partitioned
+  * once on each join key and localCheckpointed, so each round shuffles
+  * only the |V|-row score tables. The two normalizing sums are
+  * single-row aggregates cross-joined back (broadcast of one row — no
+  * driver action inside the loop, no collect). Rounds are fixed, so no
+  * per-round convergence probe either; lineage is cut every 3 rounds.
+  *
+  * Overflow: a_raw ≤ indeg_max·SCALE and the normalizer multiplies by
+  * SCALE once ⇒ terms stay ≤ indeg_max·10¹² — far inside Long for any
+  * realistic skew (spec-probed on the fixture graphs).
+  *
+  * Reference scope: gelly-streaming ships no HITS; this extends the
+  * iterative family (GS/example/IterativeConnectedComponents.java:~40 is
+  * the reference's only feedback-loop shape) with the second classic
+  * link-analysis scorer users expect next to PageRank.
+  */
+object Hits {
+
+  val Scale = 1000000L
+
+  /** `edges`: (src, dst, …) directed. Returns (id BIGINT, hub_mu BIGINT,
+    * auth_mu BIGINT) after `iters` rounds; vertices with no in-edges
+    * carry auth_mu 0, vertices with no out-edges carry hub_mu 0.
+    */
+  def fixedPoint(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+    // static per-round join inputs, partitioned once per join key
+    val eByU = e.repartition(col("u")).localCheckpoint(true)
+    val eByV = e.repartition(col("v")).localCheckpoint(true)
+    val verts = e.select(col("u").as("id")).union(e.select(col("v")))
+      .distinct().localCheckpoint(true)
+
+    var hubs = verts.withColumn("h", lit(Scale))
+    var auths = verts.withColumn("a", lit(0L))
+    for (k <- 1 to iters) {
+      val araw = eByU.join(hubs, eByU("u") === hubs("id"))
+        .groupBy(col("v").as("id")).agg(sum("h").as("r"))
+      val asum = araw.agg(sum("r").as("t"))
+      auths = verts.join(araw, Seq("id"), "left").crossJoin(broadcast(asum))
+        .select(col("id"),
+          coalesce(expr("(r * " + Scale + ") div t"), lit(0L)).as("a"))
+      val hraw = eByV.join(auths, eByV("v") === auths("id"))
+        .groupBy(col("u").as("id")).agg(sum("a").as("r"))
+      val hsum = hraw.agg(sum("r").as("t"))
+      hubs = verts.join(hraw, Seq("id"), "left").crossJoin(broadcast(hsum))
+        .select(col("id"),
+          coalesce(expr("(r * " + Scale + ") div t"), lit(0L)).as("h"))
+      if (k % 3 == 0 || k == iters) {
+        auths = auths.localCheckpoint(true)
+        hubs = hubs.localCheckpoint(true)
+      }
+    }
+    verts.join(hubs, Seq("id")).join(auths, Seq("id"))
+      .select(col("id"), col("h").as("hub_mu"), col("a").as("auth_mu"))
+  }
+}

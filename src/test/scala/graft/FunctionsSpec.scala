@@ -288,4 +288,32 @@ class FunctionsSpec extends SparkTestBase {
     // doc 4 has only the zero-idf token; it still ranks (score 0)
     assert(out((4L, 1L)) == ("common", 0L))
   }
+
+  test("bigram LM score: mean conditional probability in micro-units, hand-checked") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "z")).toDF("doc_id", "text")
+    val out = TextStats.bigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // corpus bigrams: "a b"×2, "b a"×1, "a c"×1; prefix a·=3, b·=1
+    // p("a b")=2e6 div 3=666666, p("b a")=1e6, p("a c")=1e6 div 3=333333
+    // doc1: (666666+1000000+666666) div 3 = 777777; doc2: 333333
+    assert(out == Map(1L -> (3L, 777777L), 2L -> (1L, 333333L)))
+    // single-token doc 3 has no bigrams and no row — by contract
+    assert(!out.contains(3L))
+  }
+
+  test("oov rate: deterministic top-k vocab, occurrence-counted misses") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b c"), (2L, "b b a d")).toDF("doc_id", "text")
+    val out = TextStats.oovStats(docs, k = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // counts a:3 b:3 c:1 d:1 → vocab {a, b} (count desc, token asc);
+    // each doc misses one occurrence of 4 → 250000 µ
+    assert(out == Map(1L -> (4L, 1L, 250000L), 2L -> (4L, 1L, 250000L)))
+    // tie-break determinism at the vocab boundary: k=3 admits "c" (not
+    // "d") because ties break token-ascending
+    val out3 = TextStats.oovStats(docs, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out3 == Map(1L -> 0L, 2L -> 1L))
+  }
 }

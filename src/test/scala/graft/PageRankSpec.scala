@@ -91,4 +91,41 @@ class PageRankSpec extends SparkTestBase {
     assert(total <= n * PageRank.Scale)
     assert(r.collect().forall(_.getLong(1) >= 150000L))
   }
+
+  test("HITS: hubs point at authorities; L1 norms hold; exact replay") {
+    import graft.operators.Hits
+    // 1→3, 2→3, 3→4: vertex 3 is the only authority target of two hubs
+    val e = edgeDf(Seq((1L, 3L), (2L, 3L), (3L, 4L)))
+    val r = Hits.fixedPoint(e, 5).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val hub = r.map(t => t._1 -> t._2).toMap
+    val auth = r.map(t => t._1 -> t._3).toMap
+    // 3 gets hub mass from both 1 and 2 → top authority; 4 only from 3
+    assert(auth(3L) > auth(4L) && auth(1L) == 0L && auth(2L) == 0L)
+    // 1 and 2 point at the top authority → top hubs, and symmetric
+    assert(hub(1L) == hub(2L) && hub(1L) > hub(3L) && hub(4L) == 0L)
+    // L1 normalization: each side sums to ~Scale (truncation loss < |V|)
+    assert(Math.abs(r.map(_._2).sum - Hits.Scale) < r.length)
+    assert(Math.abs(r.map(_._3).sum - Hits.Scale) < r.length)
+    // replay the recurrence exactly in Scala (3 vertices of interest):
+    // hand-unroll round 1 to pin the integer contract
+    // araw: 3 ← h(1)+h(2) = 2e6; 4 ← h(3) = 1e6; total 3e6
+    // a(3) = 2e6*1e6 div 3e6 = 666666; a(4) = 333333
+    // hraw: 1,2 ← a(3) = 666666; 3 ← a(4) = 333333; total 1666665
+    // h(1) = 666666e6 div 1666665 = 399999 (truncating)
+    val r1 = Hits.fixedPoint(e, 1).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val a1 = r1.map(t => t._1 -> t._3).toMap
+    val h1 = r1.map(t => t._1 -> t._2).toMap
+    assert(a1(3L) == 666666L && a1(4L) == 333333L)
+    assert(h1(1L) == 666666L * 1000000L / 1666665L)
+  }
+
+  test("HITS is identical under different partition counts (integer determinism)") {
+    import graft.operators.Hits
+    val c = graft.model.GraphFixtures.coPurchase10(spark, sf)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(key(Hits.fixedPoint(c, 3)) == key(Hits.fixedPoint(c.repartition(13), 3)))
+  }
 }

@@ -284,4 +284,38 @@ class TraversalsSpec extends SparkTestBase {
     }.toMap
     assert(sizes4 == expected)
   }
+
+  test("harmonic closeness: micro-unit sums of reciprocal distances") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Centrality
+    def run(pairs: Seq[(Long, Long)], srcs: Seq[Long]) =
+      Centrality.harmonicCloseness(pairs.toDF("src", "dst"), srcs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // path 1-2-3-4 from source 1: d=1,2,3 → 1e6, 500000, 333333
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 4L)), Seq(1L)) ==
+      Map(2L -> 1000000L, 3L -> 500000L, 4L -> 333333L))
+    // both ends as sources: contributions sum; each source also scores
+    // the other source's distance (1 is at d=3 from 4)
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 4L)), Seq(1L, 4L)) ==
+      Map(1L -> 333333L, 2L -> 1500000L, 3L -> 1500000L, 4L -> 333333L))
+    // disconnected component contributes nothing (harmonic, not classic)
+    assert(run(Seq((1L, 2L), (8L, 9L)), Seq(1L)) == Map(2L -> 1000000L))
+    // fail-loud at maxDepth, like the other sampled-centrality ops
+    intercept[IllegalArgumentException] {
+      Centrality.harmonicCloseness(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst"),
+        Seq(1L), maxDepth = 2).collect()
+    }
+    // fixture determinism
+    val c10 = graft.model.GraphFixtures.coPurchase10(spark, sf)
+    val srcs = c10.select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array(col("src"), col("dst"))).as("id"))
+      .distinct().orderBy("id").limit(3).collect().map(_.getLong(0)).toSeq
+    val a = Centrality.harmonicCloseness(c10, srcs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Centrality.harmonicCloseness(c10, srcs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b && a.nonEmpty)
+  }
 }
