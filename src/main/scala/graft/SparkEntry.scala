@@ -302,6 +302,11 @@ object SparkEntry {
         Similarity.cosinePairsBucketed(emb, 0.3),
         Seq("vec_a", "vec_b"), 0.4)
     }),
+    // semantic dedup end-to-end: CC cluster labels + canonical survivors
+    // over the verified cosine-pair graph (q50's shape on the embedding
+    // side; pair source pluggable — bucketed at scale, exact audit here)
+    "q131_semantic_clusters" -> ((s, dir) =>
+      Similarity.semanticClusters(Tables.embeddings(s, dir), 0.3)),
     "q27_text_quality" -> ((s, dir) =>
       TextStats.qualityStats(Tables.documents(s, dir))),
     // C4-style cleaning audit: digit-mask + whitespace-collapse + trim,
@@ -1977,6 +1982,19 @@ object SparkEntry {
           "CAST(0 AS BIGINT) AS n_false_pos, true AS recall_ok " +
           "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
           "WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3"),
+      // min-label propagation CC over the exact cosine pairs (the
+      // dedupPipelineSql pattern on the embedding side)
+      "q131_semantic_clusters" ->
+        ("WITH RECURSIVE pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb " +
+          "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+          "WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3), " +
+          "sym AS (SELECT va AS a, vb AS b FROM pairs UNION SELECT vb, va FROM pairs), " +
+          "lbl(v, l) AS (SELECT DISTINCT a, a FROM sym " +
+          "UNION SELECT s.b, lbl.l FROM sym s JOIN lbl ON lbl.v = s.a AND lbl.l < s.b), " +
+          "comp AS (SELECT v AS id, MIN(l) AS c FROM lbl GROUP BY v) " +
+          "SELECT e.vec_id, COALESCE(comp.c, e.vec_id) AS cluster, " +
+          "(e.vec_id = COALESCE(comp.c, e.vec_id)) AS is_canonical " +
+          "FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id"),
       "q27_text_quality" ->
         ("WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) " +
           "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +

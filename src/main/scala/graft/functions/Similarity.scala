@@ -127,6 +127,32 @@ object Similarity {
       .where(col("sim") >= threshold)
   }
 
+  /** Semantic near-dup clusters: connected components over a verified
+    * cosine-pair graph, min-vec_id labels (so `vec_id == cluster` marks
+    * the canonical survivor — [[Dedup.nearDupClusters]]'s contract on
+    * the embedding side). The pair source is pluggable: any frame with
+    * (vec_a, vec_b) columns whose pairs passed exact-cosine verification
+    * works, and the downstream CC is identical — at 100 TB feed it
+    * [[cosinePairsBucketed]] (recall-gated by q122); for the
+    * oracle-replicable audit use [[cosinePairs]] via [[semanticClusters]].
+    */
+  def clustersFromPairs(corpus: DataFrame, pairs: DataFrame): DataFrame = {
+    val comps = graft.operators.SummaryAggregations.connectedComponents(
+        pairs.select(col("vec_a").as("src"), col("vec_b").as("dst")))
+      .toDF("vec_id", "cluster")
+    corpus.select("vec_id").join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster"), col("vec_id")).as("cluster"))
+      .withColumn("is_canonical", col("vec_id") === col("cluster"))
+  }
+
+  /** [[clustersFromPairs]] over the exact [[cosinePairs]] audit —
+    * inherits its 100k-row fence; swap the pair source for
+    * [[cosinePairsBucketed]] past that.
+    */
+  def semanticClusters(corpus: DataFrame, threshold: Double): DataFrame =
+    clustersFromPairs(corpus, cosinePairs(corpus, threshold))
+
   /** Deterministic random hyperplanes: seeded at plan build time (no
     * runtime randomness), shipped as a broadcast literal.
     */

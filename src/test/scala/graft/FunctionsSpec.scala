@@ -289,6 +289,32 @@ class FunctionsSpec extends SparkTestBase {
     assert(out((4L, 1L)) == ("common", 0L))
   }
 
+  test("semantic clusters: CC over cosine pairs, min-id canonical, pluggable pair source") {
+    import spark.implicits._
+    import graft.functions.Similarity
+    // two tight groups on orthogonal axes + one singleton off both
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.95f, 0.05f, 0.0f)),
+      (10L, Seq(0.0f, 1.0f, 0.0f)), (11L, Seq(0.0f, 0.9f, 0.1f)),
+      (20L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.semanticClusters(emb, 0.9).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(
+      1L -> (1L, true), 2L -> (1L, false),
+      10L -> (10L, true), 11L -> (10L, false),
+      20L -> (20L, true)))
+    // pair-source pluggability: the bucketed generator feeds the same CC
+    val viaBucketed = Similarity.clustersFromPairs(emb,
+      Similarity.cosinePairsBucketed(emb, 0.9)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bucketed pairs ⊆ exact ⇒ clusters refine the exact ones: every
+    // bucketed label maps inside one exact cluster
+    assert(viaBucketed.keySet == out.keySet)
+    viaBucketed.groupBy(_._2).values.foreach { grp =>
+      assert(grp.keys.map(v => out(v)._1).toSet.size == 1)
+    }
+  }
+
   test("bigram LM score: mean conditional probability in micro-units, hand-checked") {
     import spark.implicits._
     val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "z")).toDF("doc_id", "text")
