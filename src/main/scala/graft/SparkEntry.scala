@@ -619,6 +619,10 @@ object SparkEntry {
         .distinct().orderBy("id").limit(3).collect().map(_.getLong(0)).toSeq
       graft.operators.Centrality.harmonicCloseness(c10, srcs)
     }),
+    // deterministic maximal matching: local-min handshake rounds (the
+    // multilevel-coarsening primitive; ½-approx to maximum matching)
+    "q132_maximal_matching" -> ((s, dir) =>
+      graft.operators.Matching.maximalMatching(GraphFixtures.coPurchase10(s, dir))),
     // k-core decomposition (k=6): iterative peel to fixpoint
     "q60_kcore" -> ((s, dir) =>
       graft.operators.Traversals.kcore(GraphFixtures.coPurchase10(s, dir), 6)),
@@ -1257,6 +1261,33 @@ object SparkEntry {
         "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) WHERE EXISTS " +
         s"(SELECT 1 FROM f$d)"
     }
+    // maximal matching unrolled (the k-core pattern): per round a
+    // per-vertex min incident edge key, handshake detection, matched
+    // vertices retired; sentinel fails loud if edges outlive the unroll
+    val matchingSql = {
+      val base = s"WITH c AS MATERIALIZED ($copurchase10), " +
+        "e0 AS MATERIALIZED (SELECT x AS u, y AS v FROM c), "
+      val rounds = (1 to 12).map { r =>
+        s"k$r AS MATERIALIZED (SELECT u, v, u * 1000000000 + v AS k, " +
+          "(((u * 1000000000 + v) % 2147483648) * 2654435761) % 2147483648 AS p " +
+          s"FROM e${r - 1}), " +
+          s"inc$r AS MATERIALIZED (SELECT u AS x, p, k FROM k$r " +
+          s"UNION ALL SELECT v, p, k FROM k$r), " +
+          s"mp$r AS MATERIALIZED (SELECT x, MIN(p) AS mp FROM inc$r GROUP BY x), " +
+          s"mn$r AS MATERIALIZED (SELECT i.x, MIN(i.k) AS mk FROM inc$r i " +
+          s"JOIN mp$r m ON m.x = i.x AND i.p = m.mp GROUP BY i.x), " +
+          s"m$r AS MATERIALIZED (SELECT e.u, e.v FROM k$r e " +
+          s"JOIN mn$r a ON a.x = e.u AND a.mk = e.k " +
+          s"JOIN mn$r b ON b.x = e.v AND b.mk = e.k), " +
+          s"mv$r AS MATERIALIZED (SELECT u AS x FROM m$r UNION SELECT v FROM m$r), " +
+          s"e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e " +
+          s"LEFT JOIN mv$r a ON a.x = e.u LEFT JOIN mv$r b ON b.x = e.v " +
+          "WHERE a.x IS NULL AND b.x IS NULL)"
+      }.mkString(", ")
+      val all = (1 to 12).map(r => s"SELECT u, v FROM m$r").mkString(" UNION ALL ")
+      base + rounds + s" $all UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
+        "WHERE EXISTS (SELECT 1 FROM e12)"
+    }
     val kcoreSql = {
       val base = s"WITH c AS MATERIALIZED ($copurchase10), " +
         "e0 AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), "
@@ -1614,6 +1645,7 @@ object SparkEntry {
       "q125_betweenness" -> btwSql,
       "q127_hits" -> hitsSql,
       "q128_harmonic_closeness" -> closenessSql,
+      "q132_maximal_matching" -> matchingSql,
       "q60_kcore" -> kcoreSql,
       "q61_adamic_adar" -> adamicAdarSql,
       "q62_transitivity" -> transitivitySql,

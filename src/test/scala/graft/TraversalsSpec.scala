@@ -285,6 +285,54 @@ class TraversalsSpec extends SparkTestBase {
     assert(sizes4 == expected)
   }
 
+  test("maximal matching: handshake rounds, vertex-disjoint, maximal, deterministic") {
+    import spark.implicits._
+    import graft.operators.Matching
+    def run(pairs: Seq[(Long, Long)]) =
+      Matching.maximalMatching(pairs.toDF("src", "dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def checkMatching(pairs: Seq[(Long, Long)], m: Set[(Long, Long)]): Unit = {
+      val canon = pairs.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+        .filter(p => p._1 != p._2).toSet
+      assert(m.subsetOf(canon), "matched edges must come from the graph")
+      val touched = m.flatMap(p => Seq(p._1, p._2))
+      assert(touched.size == 2 * m.size, "matched vertices must be disjoint")
+      assert(canon.forall(e => touched(e._1) || touched(e._2)),
+        "maximality: every edge must touch a matched vertex")
+    }
+    // path: exactly 1 or 2 edges depending on which priorities win,
+    // always a maximal matching
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    checkMatching(path, run(path))
+    // triangle: any single edge is maximal (two matched is impossible)
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    assert(run(tri).size == 1); checkMatching(tri, run(tri))
+    // star: center matches exactly once
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    assert(run(star).size == 1); checkMatching(star, run(star))
+    // direction/duplication insensitivity (canonicalized + distinct)
+    assert(run(Seq((2L, 1L), (1L, 2L), (3L, 2L))) ==
+      run(Seq((1L, 2L), (2L, 3L))))
+    // fixture graph: a matching (vertex-disjoint), maximal (no live
+    // edge between two unmatched vertices), identical across partitions
+    val c10 = graft.model.GraphFixtures.coPurchase10(spark, sf)
+    val m = Matching.maximalMatching(c10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val touched = m.flatMap(p => Seq(p._1, p._2))
+    assert(touched.size == 2 * m.size, "matched vertices must be disjoint")
+    val edges = c10.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    assert(edges.forall(e => touched(e._1) || touched(e._2)),
+      "maximality: every edge must touch a matched vertex")
+    val m2 = Matching.maximalMatching(c10.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m == m2)
+    // fail-loud when the round budget is exhausted with live edges
+    intercept[IllegalArgumentException] {
+      Matching.maximalMatching(Seq((1L, 2L)).toDF("src", "dst"), maxRounds = 0)
+    }
+  }
+
   test("harmonic closeness: micro-unit sums of reciprocal distances") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
