@@ -623,6 +623,18 @@ object SparkEntry {
     // multilevel-coarsening primitive; ½-approx to maximum matching)
     "q132_maximal_matching" -> ((s, dir) =>
       graft.operators.Matching.maximalMatching(GraphFixtures.coPurchase10(s, dir))),
+    // per-edge embeddedness (tie strength): common neighbors via the
+    // k-truss support join, union size in exact integers, micro-unit
+    // Jaccard; cn = 0 flags local bridges
+    "q133_edge_embeddedness" -> ((s, dir) =>
+      graft.operators.LinkPrediction.edgeEmbeddedness(GraphFixtures.coPurchase10(s, dir))),
+    // one multilevel-coarsening step: contract the q132 matching,
+    // aggregate parallel edges into weights, drop self-loops
+    "q134_matching_coarsen" -> ((s, dir) => {
+      val c10 = GraphFixtures.coPurchase10(s, dir)
+      graft.operators.Matching.coarsen(c10,
+        graft.operators.Matching.maximalMatching(c10))
+    }),
     // k-core decomposition (k=6): iterative peel to fixpoint
     "q60_kcore" -> ((s, dir) =>
       graft.operators.Traversals.kcore(GraphFixtures.coPurchase10(s, dir), 6)),
@@ -1226,8 +1238,8 @@ object SparkEntry {
     // MATERIALIZED is load-bearing: each round references the previous
     // round's edge set three times, and DuckDB inlines plain CTEs —
     // 12 rounds would otherwise expand into 3^12 scans of lineitem.
-    // HITS unrolled (q54's pattern): per round an authority sum + L1
-    // normalization then a hub sum + normalization, all truncating
+    // HITS unrolled (q54's pattern): per round an authority sum + L∞
+    // (max) normalization then a hub sum + normalization, all truncating
     // integer division of non-negative operands (`//` ≡ Spark `div`)
     val hitsSql = {
       val base = s"WITH c AS MATERIALIZED ($copurchase10), " +
@@ -1238,12 +1250,12 @@ object SparkEntry {
         s"ar$k AS MATERIALIZED (SELECT e.v AS id, SUM(h.h) AS r " +
           s"FROM e JOIN h${k - 1} h ON h.id = e.u GROUP BY e.v), " +
           s"a$k AS MATERIALIZED (SELECT verts.id, CAST(COALESCE((ar.r * 1000000) // " +
-          s"(SELECT SUM(r) FROM ar$k), 0) AS BIGINT) AS a " +
+          s"(SELECT MAX(r) FROM ar$k), 0) AS BIGINT) AS a " +
           s"FROM verts LEFT JOIN ar$k ar ON ar.id = verts.id), " +
           s"hr$k AS MATERIALIZED (SELECT e.u AS id, SUM(a.a) AS r " +
           s"FROM e JOIN a$k a ON a.id = e.v GROUP BY e.u), " +
           s"h$k AS MATERIALIZED (SELECT verts.id, CAST(COALESCE((hr.r * 1000000) // " +
-          s"(SELECT SUM(r) FROM hr$k), 0) AS BIGINT) AS h " +
+          s"(SELECT MAX(r) FROM hr$k), 0) AS BIGINT) AS h " +
           s"FROM verts LEFT JOIN hr$k hr ON hr.id = verts.id)"
       }.mkString(", ")
       base + iters + " SELECT verts.id, h5.h AS hub_mu, a5.a AS auth_mu " +
@@ -1263,8 +1275,9 @@ object SparkEntry {
     }
     // maximal matching unrolled (the k-core pattern): per round a
     // per-vertex min incident edge key, handshake detection, matched
-    // vertices retired; sentinel fails loud if edges outlive the unroll
-    val matchingSql = {
+    // vertices retired; sentinel fails loud if edges outlive the unroll.
+    // The CTE prefix is shared with the coarsening oracle below.
+    val matchingCtes = {
       val base = s"WITH c AS MATERIALIZED ($copurchase10), " +
         "e0 AS MATERIALIZED (SELECT x AS u, y AS v FROM c), "
       val rounds = (1 to 12).map { r =>
@@ -1285,9 +1298,40 @@ object SparkEntry {
           "WHERE a.x IS NULL AND b.x IS NULL)"
       }.mkString(", ")
       val all = (1 to 12).map(r => s"SELECT u, v FROM m$r").mkString(" UNION ALL ")
-      base + rounds + s" $all UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
-        "WHERE EXISTS (SELECT 1 FROM e12)"
+      base + rounds + s", allm AS MATERIALIZED ($all)"
     }
+    val matchingSql =
+      matchingCtes + " SELECT u, v FROM allm " +
+        "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
+        "WHERE EXISTS (SELECT 1 FROM e12)"
+    // coarsening: matched pairs collapse onto their smaller endpoint,
+    // parallel edges aggregate, self-loops drop (3-column sentinel)
+    val coarsenSql =
+      matchingCtes + ", lbl AS (SELECT v AS x, u AS l FROM allm) " +
+        "SELECT cu, cv, CAST(COUNT(*) AS BIGINT) AS weight FROM " +
+        "(SELECT LEAST(x1, x2) AS cu, GREATEST(x1, x2) AS cv FROM " +
+        "(SELECT COALESCE(a.l, e.u) AS x1, COALESCE(b.l, e.v) AS x2 " +
+        "FROM e0 e LEFT JOIN lbl a ON a.x = e.u LEFT JOIN lbl b ON b.x = e.v) " +
+        "WHERE x1 <> x2) GROUP BY cu, cv " +
+        "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
+        "WHERE EXISTS (SELECT 1 FROM e12)"
+    // per-edge embeddedness: k-truss support join for common neighbors,
+    // exact integer union size, truncated micro-unit Jaccard
+    val embeddednessSql =
+      (s"WITH c AS MATERIALIZED ($copurchase10), " +
+        "sym AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
+        "deg AS (SELECT u AS x, COUNT(*) AS d FROM sym GROUP BY u), " +
+        "e AS (SELECT u, v FROM sym WHERE u < v), " +
+        "cn AS (SELECT e.u, e.v, COUNT(*) AS cn FROM e " +
+        "JOIN sym a ON a.u = e.u JOIN sym b ON b.u = e.v AND b.v = a.v " +
+        "GROUP BY e.u, e.v) " +
+        "SELECT e.u, e.v, CAST(COALESCE(cn.cn, 0) AS BIGINT) AS cn, " +
+        "CAST(du.d + dv.d - 2 - COALESCE(cn.cn, 0) AS BIGINT) AS un, " +
+        "CAST(CASE WHEN du.d + dv.d - 2 - COALESCE(cn.cn, 0) > 0 " +
+        "THEN (COALESCE(cn.cn, 0) * 1000000) // (du.d + dv.d - 2 - COALESCE(cn.cn, 0)) " +
+        "ELSE 0 END AS BIGINT) AS jaccard_mu " +
+        "FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v " +
+        "LEFT JOIN cn ON cn.u = e.u AND cn.v = e.v")
     val kcoreSql = {
       val base = s"WITH c AS MATERIALIZED ($copurchase10), " +
         "e0 AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), "
@@ -1646,6 +1690,8 @@ object SparkEntry {
       "q127_hits" -> hitsSql,
       "q128_harmonic_closeness" -> closenessSql,
       "q132_maximal_matching" -> matchingSql,
+      "q133_edge_embeddedness" -> embeddednessSql,
+      "q134_matching_coarsen" -> coarsenSql,
       "q60_kcore" -> kcoreSql,
       "q61_adamic_adar" -> adamicAdarSql,
       "q62_transitivity" -> transitivitySql,

@@ -10,28 +10,33 @@ import org.apache.spark.sql.functions._
   * replaying the same iteration count produces bit-identical scores
   * regardless of partitioning or summation order.
   *
-  * Per round (classic mutual reinforcement, L1-normalized):
+  * Per round (classic mutual reinforcement, L∞-normalized):
   *
   *   a_raw(v) = Σ_{u→v} h(u)            (one join on u + agg on v)
-  *   a(v)     = (a_raw(v)·SCALE) div Σ_w a_raw(w)
+  *   a(v)     = (a_raw(v)·SCALE) div max_w a_raw(w)
   *   h_raw(u) = Σ_{u→v} a(v)            (one join on v + agg on u)
-  *   h(u)     = (h_raw(u)·SCALE) div Σ_w h_raw(w)
+  *   h(u)     = (h_raw(u)·SCALE) div max_w h_raw(w)
   *
-  * L1 (sum) normalization replaces the textbook L2 norm precisely
-  * because it stays in integers — the relative ordering and the
-  * convergence fixpoint (principal eigenvectors of AᵀA / AAᵀ) are the
-  * same up to scaling.
+  * L∞ (max) normalization replaces the textbook L2 norm precisely
+  * because it stays in integers AND keeps the top score pinned at SCALE
+  * independent of |V| — an L1 (sum) normalizer spreads SCALE total
+  * micro-units across all vertices, so past |V| ≈ SCALE every value
+  * truncates to 0 and the next normalizer divides by zero (found by the
+  * 10M-vertex tier-2 smoke). The relative ordering and the convergence
+  * fixpoint (principal eigenvectors of AᵀA / AAᵀ) are the same up to
+  * scaling.
   *
   * Distributed shape at 100 TB: the edge list is static — partitioned
   * once on each join key and localCheckpointed, so each round shuffles
-  * only the |V|-row score tables. The two normalizing sums are
+  * only the |V|-row score tables. The two normalizing maxima are
   * single-row aggregates cross-joined back (broadcast of one row — no
   * driver action inside the loop, no collect). Rounds are fixed, so no
   * per-round convergence probe either; lineage is cut every 3 rounds.
   *
-  * Overflow: a_raw ≤ indeg_max·SCALE and the normalizer multiplies by
-  * SCALE once ⇒ terms stay ≤ indeg_max·10¹² — far inside Long for any
-  * realistic skew (spec-probed on the fixture graphs).
+  * Overflow: scores are ≤ SCALE after each normalization, so
+  * a_raw ≤ indeg_max·SCALE and the normalizer multiplies by SCALE once
+  * ⇒ terms stay ≤ indeg_max·10¹² — Long-safe up to degree ~9·10⁶
+  * (documented caveat; spec-probed on the fixture graphs).
   *
   * Reference scope: gelly-streaming ships no HITS; this extends the
   * iterative family (GS/example/IterativeConnectedComponents.java:~40 is
@@ -60,13 +65,13 @@ object Hits {
     for (k <- 1 to iters) {
       val araw = eByU.join(hubs, eByU("u") === hubs("id"))
         .groupBy(col("v").as("id")).agg(sum("h").as("r"))
-      val asum = araw.agg(sum("r").as("t"))
+      val asum = araw.agg(max("r").as("t"))
       auths = verts.join(araw, Seq("id"), "left").crossJoin(broadcast(asum))
         .select(col("id"),
           coalesce(expr("(r * " + Scale + ") div t"), lit(0L)).as("a"))
       val hraw = eByV.join(auths, eByV("v") === auths("id"))
         .groupBy(col("u").as("id")).agg(sum("a").as("r"))
-      val hsum = hraw.agg(sum("r").as("t"))
+      val hsum = hraw.agg(max("r").as("t"))
       hubs = verts.join(hraw, Seq("id"), "left").crossJoin(broadcast(hsum))
         .select(col("id"),
           coalesce(expr("(r * " + Scale + ") div t"), lit(0L)).as("h"))

@@ -50,4 +50,38 @@ object LinkPrediction {
       .select(col("u").as("a"), col("v").as("b"))
     pairs.join(existing, Seq("a", "b"), "left_anti")
   }
+
+  /** Per-edge EMBEDDEDNESS — the tie-strength structure underneath
+    * community detection (Granovetter; Easley–Kleinberg ch. 3): for each
+    * canonical edge (u < v), the number of common neighbors `cn`, the
+    * neighborhood-union size `un` = |N(u)\{v} ∪ N(v)\{u}|
+    * = deg(u)+deg(v)−2−cn, and their ratio as a truncated micro-unit
+    * Jaccard (`0` for the isolated-edge un = 0 case). An edge with
+    * cn = 0 is a local bridge.
+    *
+    * Plan shape: the common-neighbor count is the k-truss support join —
+    * one wedge join keyed on the shared endpoint then on (v, w), never
+    * an all-pairs expansion; degrees broadcast when small. Exact integer
+    * arithmetic throughout (Spark `div` ≡ DuckDB `//`).
+    * Output: (u, v, cn, un, jaccard_mu).
+    */
+  def edgeEmbeddedness(edges: DataFrame, scale: Long = 1000000L): DataFrame = {
+    val sym = Traversals.symmetrize(edges).localCheckpoint(true)
+    val e = sym.where(col("u") < col("v"))
+    val deg = sym.groupBy(col("u").as("x")).agg(count(lit(1)).as("d"))
+    val nbrs = sym.select(col("u").as("x"), col("v").as("w"))
+    val common = e
+      .join(nbrs.toDF("u", "w"), Seq("u"))
+      .join(nbrs.toDF("v", "w"), Seq("v", "w"))
+      .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+    e.join(common, Seq("u", "v"), "left")
+      .join(deg.toDF("u", "du"), Seq("u"))
+      .join(deg.toDF("v", "dv"), Seq("v"))
+      .select(col("u"), col("v"),
+        coalesce(col("cn"), lit(0L)).as("cn"),
+        (col("du") + col("dv") - lit(2L) - coalesce(col("cn"), lit(0L))).as("un"))
+      .select(col("u"), col("v"), col("cn"), col("un"),
+        when(col("un") > 0, expr(s"(cn * $scale) div un"))
+          .otherwise(lit(0L)).as("jaccard_mu"))
+  }
 }

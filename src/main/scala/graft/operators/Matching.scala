@@ -40,13 +40,15 @@ object Matching {
     * `edges` (src, dst, …). Returns the matched pairs (u BIGINT,
     * v BIGINT) with u < v.
     */
-  def maximalMatching(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
-    var e = edges.select(
+  private def canonical(edges: DataFrame): DataFrame =
+    edges.select(
         least(col("src").cast("long"), col("dst").cast("long")).as("u"),
         greatest(col("src").cast("long"), col("dst").cast("long")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+
+  def maximalMatching(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    var e = canonical(edges).localCheckpoint(true)
     val maxId = e.agg(max(col("v"))).head()
     require(maxId.isNullAt(0) || maxId.getLong(0) < KeyBase,
       s"maximalMatching: vertex ids must be < $KeyBase for the exact packed edge key")
@@ -86,5 +88,28 @@ object Matching {
         "matching would not be maximal")
     matched.reduceOption(_ unionByName _)
       .getOrElse(e.select(col("u"), col("v")).limit(0))
+  }
+
+  /** Contract a matching into supervertices — one multilevel-coarsening
+    * step: each matched pair collapses onto its smaller endpoint,
+    * unmatched vertices keep their id; parallel edges aggregate into
+    * integer weights and self-loops (the matched edges themselves)
+    * drop. Output: (cu BIGINT, cv BIGINT, weight BIGINT) with cu < cv —
+    * feed it back to [[maximalMatching]] for the next level.
+    *
+    * Plan shape: two broadcast-sized left joins against the matching
+    * (|matching| ≤ |V|/2 and dimension-like) + one keyed agg.
+    */
+  def coarsen(edges: DataFrame, matching: DataFrame): DataFrame = {
+    val e = canonical(edges)
+    val lbl = matching.select(col("v").as("x"), col("u").as("l"))
+    e.join(lbl.toDF("u", "lu"), Seq("u"), "left")
+      .join(lbl.toDF("v", "lv"), Seq("v"), "left")
+      .select(coalesce(col("lu"), col("u")).as("a"),
+        coalesce(col("lv"), col("v")).as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("cu"),
+        greatest(col("a"), col("b")).as("cv"))
+      .groupBy("cu", "cv").agg(count(lit(1)).as("weight"))
   }
 }

@@ -250,6 +250,29 @@ object ScaleSmoke {
           .select(explode(col("summary"))).count()))
     }
 
+    if (mode == "tier2iter") {
+      // tier-2 for the late-r5 iterative family: HITS, sampled harmonic
+      // closeness, hash-priority maximal matching — same 100M-edge/10M-
+      // vertex graph and instrumentation as the tier2 mode. Run with
+      // SPARK_DRIVER_MEM=96g.
+      val n2E = 100000000L
+      val n2V = 10000000L
+      val g2 = spark.range(n2E).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(n2V)).as("src"),
+        pmod(xxhash64(col("id"), lit(2)), lit(n2V)).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .localCheckpoint(true)
+      println(s"[smoke] tier2iter graph: ${g2.count()} edges / ~$n2V vertices")
+      tm("HITS 5 rounds (100M/10M)")(
+        println("[smoke] hits rows: " + graft.operators.Hits.fixedPoint(g2, 5).count()))
+      tm("harmonicCloseness 3 sources (100M/10M)")(
+        println("[smoke] closeness rows: " + graft.operators.Centrality
+          .harmonicCloseness(g2, Seq(0L, 1L, 2L)).count()))
+      tm("maximalMatching (100M/10M)")(
+        println("[smoke] matched pairs: " + graft.operators.Matching
+          .maximalMatching(g2).count()))
+    }
+
     if (mode == "all" || mode == "graph") {
       t("bfsDepths (10M edges)")(
         graft.operators.Traversals.bfsDepths(g, 0L).count())

@@ -92,7 +92,7 @@ class PageRankSpec extends SparkTestBase {
     assert(r.collect().forall(_.getLong(1) >= 150000L))
   }
 
-  test("HITS: hubs point at authorities; L1 norms hold; exact replay") {
+  test("HITS: hubs point at authorities; top scores pinned at Scale; exact replay") {
     import graft.operators.Hits
     // 1→3, 2→3, 3→4: vertex 3 is the only authority target of two hubs
     val e = edgeDf(Seq((1L, 3L), (2L, 3L), (3L, 4L)))
@@ -104,21 +104,23 @@ class PageRankSpec extends SparkTestBase {
     assert(auth(3L) > auth(4L) && auth(1L) == 0L && auth(2L) == 0L)
     // 1 and 2 point at the top authority → top hubs, and symmetric
     assert(hub(1L) == hub(2L) && hub(1L) > hub(3L) && hub(4L) == 0L)
-    // L1 normalization: each side sums to ~Scale (truncation loss < |V|)
-    assert(Math.abs(r.map(_._2).sum - Hits.Scale) < r.length)
-    assert(Math.abs(r.map(_._3).sum - Hits.Scale) < r.length)
-    // replay the recurrence exactly in Scala (3 vertices of interest):
+    // L∞ normalization: the max on each side is exactly Scale — this is
+    // what keeps micro-unit resolution independent of |V| (an L1 sum
+    // normalizer underflows to all-zeros past |V| ≈ Scale)
+    assert(r.map(_._2).max == Hits.Scale)
+    assert(r.map(_._3).max == Hits.Scale)
+    // replay the recurrence exactly in Scala:
     // hand-unroll round 1 to pin the integer contract
-    // araw: 3 ← h(1)+h(2) = 2e6; 4 ← h(3) = 1e6; total 3e6
-    // a(3) = 2e6*1e6 div 3e6 = 666666; a(4) = 333333
-    // hraw: 1,2 ← a(3) = 666666; 3 ← a(4) = 333333; total 1666665
-    // h(1) = 666666e6 div 1666665 = 399999 (truncating)
+    // araw: 3 ← h(1)+h(2) = 2e6; 4 ← h(3) = 1e6; max 2e6
+    // a(3) = 2e6·1e6 div 2e6 = 1e6; a(4) = 1e6·1e6 div 2e6 = 500000
+    // hraw: 1,2 ← a(3) = 1e6; 3 ← a(4) = 500000; max 1e6
+    // h(1) = h(2) = 1e6; h(3) = 500000·1e6 div 1e6 = 500000
     val r1 = Hits.fixedPoint(e, 1).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
     val a1 = r1.map(t => t._1 -> t._3).toMap
     val h1 = r1.map(t => t._1 -> t._2).toMap
-    assert(a1(3L) == 666666L && a1(4L) == 333333L)
-    assert(h1(1L) == 666666L * 1000000L / 1666665L)
+    assert(a1(3L) == 1000000L && a1(4L) == 500000L)
+    assert(h1(1L) == 1000000L && h1(3L) == 500000L)
   }
 
   test("HITS is identical under different partition counts (integer determinism)") {

@@ -333,6 +333,57 @@ class TraversalsSpec extends SparkTestBase {
     }
   }
 
+  test("edge embeddedness: common neighbors, union size, micro-unit Jaccard") {
+    import spark.implicits._
+    import graft.operators.LinkPrediction
+    // kite: 1-2-3-1 triangle with tail 3-4
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = LinkPrediction.edgeEmbeddedness(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // (1,2): cn=1 (vertex 3), un = 2+2-2-1 = 1 → jaccard 1e6
+    assert(out((1L, 2L)) == (1L, 1L, 1000000L))
+    // (2,3): cn=1 (vertex 1), un = 2+3-2-1 = 2 → 500000
+    assert(out((2L, 3L)) == (1L, 2L, 500000L))
+    // (3,4): cn=0 local bridge, un = 3+1-2-0 = 2 → 0
+    assert(out((3L, 4L)) == (0L, 2L, 0L))
+    // isolated edge: un = 0, jaccard defined as 0
+    val iso = LinkPrediction.edgeEmbeddedness(Seq((8L, 9L)).toDF("src", "dst"))
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(iso.toSeq == Seq((0L, 0L, 0L)))
+  }
+
+  test("matching coarsen: matched pairs contract, weights aggregate, self-loops drop") {
+    import spark.implicits._
+    import graft.operators.Matching
+    // explicit matching {(1,2),(3,4)} over a path 1-2-3-4 plus a
+    // parallel-forming edge 1-3: contraction gives supervertices 1,3
+    // with edges 2-3 → (1,3) and 1-3 → (1,3) merged to weight 2
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("src", "dst")
+    val m = Seq((1L, 2L), (3L, 4L)).toDF("u", "v")
+    val out = Matching.coarsen(g, m).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 3L) -> 2L))
+    // end-to-end on the fixture: the coarse graph is strictly smaller
+    // (vertices AND edges) and deterministic
+    val c10 = graft.model.GraphFixtures.coPurchase10(spark, sf)
+    val matching = Matching.maximalMatching(c10)
+    val coarse = Matching.coarsen(c10, matching)
+    val nV = c10.select(org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.col("src"),
+        org.apache.spark.sql.functions.col("dst"))).as("id")).distinct().count()
+    val nCV = coarse.select(org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.col("cu"),
+        org.apache.spark.sql.functions.col("cv"))).as("id")).distinct().count()
+    assert(nCV < nV && coarse.count() < c10.count())
+    // coarsen again through a second matching level — the multilevel loop
+    val m2 = Matching.maximalMatching(
+      coarse.select(org.apache.spark.sql.functions.col("cu").as("src"),
+        org.apache.spark.sql.functions.col("cv").as("dst")))
+    assert(m2.count() > 0)
+  }
+
   test("harmonic closeness: micro-unit sums of reciprocal distances") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
