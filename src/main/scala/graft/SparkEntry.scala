@@ -1031,6 +1031,15 @@ object SparkEntry {
     // → CC over the pair graph → per-doc cluster label
     "q50_dedup_pipeline" -> ((s, dir) =>
       Dedup.nearDupClusters(Tables.documents(s, dir), 2, 0.5)),
+    // leakage-free split: near-dup clusters land atomically in train or
+    // val by the portable hash of the cluster label — no val doc has a
+    // near-duplicate in train
+    "q135_leakage_safe_split" -> ((s, dir) =>
+      Dedup.leakageSafeSplit(Tables.documents(s, dir), 2, 0.5)),
+    // per-source token-budgeted sampling: admit docs in portable-priority
+    // order while the running token count stays within 2000 tokens
+    "q136_token_budget" -> ((s, dir) =>
+      graft.functions.Corpus.tokenBudgetSample(Tables.documents(s, dir), 2000L)),
     // as-of join: each click gets the user's latest purchase value at or
     // before it (null when none) — one windowed pass, no range explosion
     "q51_asof_join" -> ((s, dir) => {
@@ -1126,14 +1135,31 @@ object SparkEntry {
     // the full near-dup pipeline: exact-verified pairs → 2-coloring-free
     // label propagation (same pattern as ccOracle) → every doc labeled by
     // its cluster's min doc_id (singletons label themselves)
-    val dedupPipelineSql =
+    val dedupPipelineCtes =
       (s"WITH RECURSIVE $jaccardCtes, pairs AS ($jaccardSelect), " +
         "sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
         "lbl(v, l) AS (SELECT DISTINCT a, a FROM sym " +
         "UNION SELECT s.b, lbl.l FROM sym s JOIN lbl ON lbl.v = s.a AND lbl.l < s.b), " +
-        "comp AS (SELECT v AS id, MIN(l) AS c FROM lbl GROUP BY v) " +
-        "SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS cluster " +
+        "comp AS (SELECT v AS id, MIN(l) AS c FROM lbl GROUP BY v)")
+    val dedupClusterSelect =
+      ("SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS cluster " +
         "FROM documents d LEFT JOIN comp ON comp.id = d.doc_id")
+    val dedupPipelineSql = s"$dedupPipelineCtes $dedupClusterSelect"
+    // cluster-atomic split under the portable hash of the cluster label
+    val leakageSplitSql =
+      (s"$dedupPipelineCtes SELECT doc_id, cluster, " +
+        "CASE WHEN (((cluster % 2147483648) * 2654435761) % 2147483648) % 1000 < 100 " +
+        s"THEN 'val' ELSE 'train' END AS split FROM ($dedupClusterSelect)")
+    // per-source token budget: running-sum window over the unique
+    // portable-priority order, admit while cum <= budget
+    val tokenBudgetSql =
+      ("WITH d AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "(((doc_id % 2147483648) * 2654435761) % 2147483648) AS pr FROM documents), " +
+        "c AS (SELECT doc_id, source, n_tokens, " +
+        "SUM(n_tokens) OVER (PARTITION BY source ORDER BY pr ASC, doc_id ASC) AS cum_tokens FROM d) " +
+        "SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens " +
+        "FROM c WHERE cum_tokens <= 2000")
     // fixed-point PageRank: iterations unrolled as sequential CTEs (DuckDB
     // forbids aggregation inside a recursive term). Integer micro-units +
     // integer division at every step make the result bit-identical to the
@@ -1684,6 +1710,8 @@ object SparkEntry {
           "SELECT id, COUNT(*) AS triangles FROM (SELECT a AS id FROM t " +
           "UNION ALL SELECT b FROM t UNION ALL SELECT c3 FROM t) GROUP BY id"),
       "q50_dedup_pipeline" -> dedupPipelineSql,
+      "q135_leakage_safe_split" -> leakageSplitSql,
+      "q136_token_budget" -> tokenBudgetSql,
       "q59_bfs" -> bfsSql,
       "q118_stress_centrality" -> stressSql,
       "q125_betweenness" -> btwSql,

@@ -135,6 +135,26 @@ object Corpus {
       .select("source", "doc_id")
   }
 
+  /** Token-BUDGETED sampling — the curation question is usually "give me
+    * N tokens per source", not "N documents": per source, documents are
+    * admitted in engine-portable priority order ([[graft.Portable.prio31]],
+    * doc_id tiebreak → a unique total order, so the running-sum window
+    * frame is unambiguous) until the cumulative token count would exceed
+    * the budget; the first overflowing document is excluded. One window
+    * pass per source partition — the q72 packing shape with a cap.
+    * Output: (doc_id, source, n_tokens, cum_tokens) for kept docs only.
+    */
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val pri = graft.Portable.prio31(col("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(pri.asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budgetTokens)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+  }
+
   /** Temperature-rebalanced mixture sampling at T = 2 (α = 0.5) — the
     * standard multi-source rebalancing (multilingual corpora, source
     * mixing): source s keeps fraction ∝ n_s^(α−1) = √(n_max/n_s),

@@ -285,6 +285,22 @@ object Dedup {
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
+  /** Leakage-free train/validation split: near-dup CLUSTERS are assigned
+    * atomically by the portable priority hash of the cluster label, so a
+    * validation document can never have a near-duplicate in train — the
+    * split-contamination failure mode of doc-level random splits.
+    * `valPermille` of the hash range (‰) goes to "val". Composes
+    * [[nearDupClusters]] with one projection; the hash is
+    * [[graft.Portable.prio31]], so any engine replays the assignment.
+    * Output: (doc_id, cluster, split).
+    */
+  def leakageSafeSplit(docs: DataFrame, n: Int, threshold: Double,
+                       valPermille: Long = 100L): DataFrame =
+    nearDupClusters(docs, n, threshold)
+      .select(col("doc_id"), col("cluster"),
+        when(pmod(graft.Portable.prio31(col("cluster")), lit(1000L)) < valPermille,
+          lit("val")).otherwise(lit("train")).as("split"))
+
   /** One surviving doc_id (the cluster minimum) per near-dup cluster. */
   def nearDupSurvivors(docs: DataFrame, n: Int, threshold: Double): DataFrame =
     nearDupClusters(docs, n, threshold)

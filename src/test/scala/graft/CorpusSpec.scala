@@ -67,6 +67,41 @@ class CorpusSpec extends SparkTestBase {
     assert(r1.filter(_._1 == "sA").map(_._2) == expectA)
   }
 
+  test("tokenBudgetSample: admits in priority order, first overflow excluded") {
+    def prio(id: Long) = ((id % 2147483648L) * 2654435761L) % 2147483648L
+    // source s0: three 3-token docs; budget 7 admits the first two in
+    // priority order and excludes the third (3+3+3 > 7)
+    val d = docs(
+      (1L, "a b c", "en", "s0"), (2L, "d e f", "en", "s0"),
+      (3L, "g h i", "en", "s0"), (10L, "x y", "en", "s1"))
+    val out = Corpus.tokenBudgetSample(d, 7L).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val s0Order = Seq(1L, 2L, 3L).sortBy(id => (prio(id), id))
+    assert(out.keySet == Set(s0Order(0), s0Order(1), 10L))
+    assert(out(s0Order(0))._3 == 3L && out(s0Order(1))._3 == 6L)
+    assert(out(10L) == ("s1", 2L, 2L))
+    // budget below the smallest doc admits nothing
+    assert(Corpus.tokenBudgetSample(d, 1L).count() == 0L)
+  }
+
+  test("leakageSafeSplit: near-dup clusters land atomically, formula-exact") {
+    def prio(id: Long) = ((id % 2147483648L) * 2654435761L) % 2147483648L
+    // docs 1 and 2 are identical → one cluster; 3 is distinct
+    val d = docs(
+      (1L, "the quick brown fox jumps over dogs", "en", "s0"),
+      (2L, "the quick brown fox jumps over dogs", "en", "s0"),
+      (3L, "completely different text goes here now", "en", "s0"))
+    val out = graft.functions.Dedup.leakageSafeSplit(d, 2, 0.5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // cluster-atomic: the near-dup pair shares cluster AND split
+    assert(out(1L)._1 == out(2L)._1 && out(1L)._2 == out(2L)._2)
+    // the assignment is the documented formula of the cluster label
+    out.values.foreach { case (cluster, split) =>
+      val expected = if (prio(cluster) % 1000L < 100L) "val" else "train"
+      assert(split == expected)
+    }
+  }
+
   test("temperatureMix: sqrt quotas upsample small sources, cap at keep-all") {
     val d = docs(((0 until 160).map(i => (i.toLong, "x", "en", "big")) ++
       (160 until 170).map(i => (i.toLong, "x", "en", "small"))): _*)
