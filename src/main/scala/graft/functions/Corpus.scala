@@ -220,17 +220,18 @@ object Corpus {
     * count is a scale trap: 4 planes = 16 buckets per table, so the
     * candidate join degenerates toward |train|×|bench|/16 — quadratic
     * with a small constant, found melting the 1M×2M tier-2 smoke.
-    * Adaptive sizing picks planes so expected BENCH bucket occupancy is
-    * ~1 row (planes = log2(benchRows), floor 4) — random-pair candidate
-    * volume is |train|×|bench|/2^planes per table, so occupancy ~1
-    * keeps it ∝ tables×|train|, linear. Then it solves the
-    * hyperplane-LSH collision calculus for the table count that keeps
-    * recall ≥ 99.9% for pairs AT the threshold (higher-cosine pairs —
-    * the actual contamination — collide strictly more often): per-table
-    * p1 = (1−arccos(t)/π)^planes, tables = ln(1e-3)/ln(1−p1), capped at
-    * 64 (the cap trades recall below the target for bounded work at
-    * low thresholds × huge benchmarks; the gate row pattern of
-    * q33/q36/q122 is the check to run when that matters). Signature
+    * Adaptive sizing is [[Similarity.lshSizing]] — the ONE calculus
+    * shared with [[Similarity.cosinePairsBucketed]] and
+    * [[Similarity.lshTopK]]: planes from the bucket-occupancy rule
+    * (log2(benchRows), floor 4 — random-pair candidate volume is
+    * |train|×|bench|/2^planes per table, so occupancy ~1 keeps it
+    * ∝ tables×|train|, linear), CAPPED by the recall rule (planes past
+    * ln(p1min)/ln(1−θ/π) cannot reach 99.9% recall for pairs AT the
+    * threshold within the 64-table budget — binding only at low
+    * thresholds, where hyperplane LSH is fundamentally recall-vs-
+    * quadratic); then tables = ln(1e-3)/ln(1−p1), capped at 64 (the cap
+    * trades recall below the target for bounded work; the gate row
+    * pattern of q33/q36/q122 is the check when that matters). Signature
     * rows grow only linearly (tables × (|train|+|bench|)).
     *
     * `excludeSameId` applies ONLY when both inputs slice one id space
@@ -248,13 +249,14 @@ object Corpus {
     if (benchRows <= maxBroadcastRows)
       embeddingContaminationBrute(train, bench, threshold, excludeSameId)
     else {
-      val planes = if (nPlanes > 0) nPlanes
-        else math.max(4, (math.log(benchRows.toDouble) / math.log(2)).ceil.toInt)
-      val p1 = math.pow(1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi, planes)
-      val tables = if (nTables > 0) nTables
-        else math.min(64, math.max(2, (math.log(1e-3) / math.log1p(-p1)).ceil.toInt))
+      // ONE sizing calculus for every LSH kernel (Similarity.lshSizing):
+      // occupancy planes = log2(benchRows), capped by the recall rule so
+      // pairs AT the threshold still reach 99.9% recall within the
+      // 64-table budget, tables solved from the collision probability
+      val (ap, at) = Similarity.lshSizing(benchRows, threshold)
       embeddingContaminationBucketed(train, bench, threshold, excludeSameId,
-        planes, tables)
+        if (nPlanes > 0) nPlanes else ap,
+        if (nTables > 0) nTables else at)
     }
   }
 

@@ -58,6 +58,52 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Adaptive LSH sizing — ONE calculus shared by [[cosinePairsBucketed]],
+    * [[lshTopK]] and [[graft.functions.Corpus.embeddingContamination]].
+    * Returns (planes, tables) for a corpus of `rows` vectors and a target
+    * cosine `threshold`:
+    *
+    *  - Occupancy rule: planes = log2(rows) (floor 4) puts expected bucket
+    *    occupancy near one row per table, so random-pair candidate volume
+    *    (rows²/2^planes per table) stays ∝ tables × rows — linear.
+    *  - Recall rule: per-table collision for a pair AT the threshold is
+    *    p1 = (1-θ/π)^planes; to miss such a pair with probability ≤
+    *    `recallMiss` using at most `maxTables` tables, p1 must stay ≥
+    *    1 - recallMiss^(1/maxTables). Planes beyond ln(p1min)/ln(1-θ/π)
+    *    CANNOT reach the recall target — at wide angles (low thresholds)
+    *    this cap binds below log2(rows) and candidate volume is
+    *    fundamentally ∝ rows²/2^planesCap per table: hyperplane LSH
+    *    cannot be simultaneously high-recall and sub-quadratic there.
+    *    That floor is a property of the hash family, not of this sizing
+    *    (the 1M-doc tier-2 smoke measures both regimes, SCALE.md).
+    *
+    * Given the chosen planes, tables = ln(recallMiss)/ln(1-p1), capped at
+    * `maxTables` — the cap trades recall below the target for bounded
+    * work when even planes=1 is too selective (threshold ≤ ~0.1); the
+    * q33/q36/q122 in-query gate rows are the check when that matters.
+    */
+  private[graft] def lshSizing(rows: Long, threshold: Double,
+                               recallMiss: Double = 1e-3,
+                               maxTables: Int = 64): (Int, Int) = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    // 62-bit ceiling: signatures pack one bit per plane into a Long
+    val occupancy = math.min(62, math.max(4,
+      (math.log(math.max(2L, rows).toDouble) / math.log(2)).ceil.toInt))
+    val planesCap =
+      if (p >= 1.0) Int.MaxValue
+      else {
+        val p1min = 1.0 - math.pow(recallMiss, 1.0 / maxTables)
+        math.max(1, (math.log(p1min) / math.log(p)).floor.toInt)
+      }
+    val planes = math.min(occupancy, planesCap)
+    val p1 = math.pow(p, planes)
+    val tables =
+      if (p1 >= 1.0) 2
+      else math.min(maxTables,
+        math.max(2, (math.log(recallMiss) / math.log1p(-p1)).ceil.toInt))
+    (planes, tables)
+  }
+
   /** All corpus pairs (a < b) with cosine ≥ threshold (embedding
     * near-duplicate detection). Exact — and deliberately quadratic: this
     * is the AUDIT baseline the approximate paths are verified against
@@ -69,7 +115,11 @@ object Similarity {
     */
   def cosinePairs(corpus: DataFrame, threshold: Double,
                   maxRows: Long = 100000L): DataFrame = {
-    val n = corpus.count() // parquet sources answer from footer metadata
+    // NOTE: this count EXECUTES the corpus plan — real work for a
+    // filtered/derived frame (only a bare parquet scan answers from
+    // footer metadata). Acceptable here because the fence must see the
+    // true row count before agreeing to an O(n²) audit.
+    val n = corpus.count()
     require(n <= maxRows,
       s"cosinePairs is an exact all-pairs audit over ${n} rows (~${n * n / 2} pairs); " +
         s"cap is $maxRows. Use Similarity.lshTopK / Dedup.minhashPairs for the full " +
@@ -92,28 +142,49 @@ object Similarity {
     * Found pairs are therefore always a SUBSET of the exact audit
     * (precision 1 by construction — the verify step applies the
     * identical formula); recall is 1-(1-p^nPlanes)^nTables for a pair
-    * whose collision probability per plane is p = 1-θ/π. The defaults
-    * target the ~0.3-cosine near-dup cut (p ≈ 0.6 → recall ≈ 0.69);
-    * raise nPlanes toward log2(corpus/bucket_target) for ≥0.9 near-dup
-    * corpora, where p ≈ 0.86 keeps recall high with far smaller
-    * buckets.
+    * whose collision probability per plane is p = 1-θ/π.
+    *
+    * `nPlanes`/`nTables` default to 0 = SIZE ADAPTIVELY via
+    * [[lshSizing]] — planes from the bucket-occupancy rule (log2(rows)),
+    * capped by the recall rule so pairs AT the threshold are still found
+    * with probability ≥ 99.9%, tables solved from the collision
+    * calculus. A fixed plane count is a scale trap (4 planes = 16
+    * buckets/table ⇒ candidates → |corpus|²/16 — the degenerate shape
+    * the 1M×2M contamination tier-2 smoke measured, SCALE.md); the
+    * adaptive default keeps candidates ∝ tables × |corpus| whenever the
+    * threshold's recall cap permits.
     *
     * Plan shape: signatures are one narrow projection per table over a
     * checkpointed (id, vec, norm) table; candidates come from a
     * self-equi-join on (table, signature) — work tracks bucket
     * co-occupancy, never |corpus|²; the verify join fetches the two
-    * embeddings for candidate ids only.
+    * embeddings for candidate ids only. When `dim`, `nPlanes` and
+    * `nTables` are all pinned by the caller, composing the plan runs NO
+    * Spark job (the checkpoint is lazy); otherwise one combined
+    * count+dim aggregate materializes the checkpoint and feeds the
+    * sizing — the corpus plan still executes exactly once.
     */
   def cosinePairsBucketed(corpus: DataFrame, threshold: Double,
-                          nPlanes: Int = 4, nTables: Int = 8,
+                          nPlanes: Int = 0, nTables: Int = 0,
                           dim: Int = -1): DataFrame = {
+    val pinned = dim > 0 && nPlanes > 0 && nTables > 0
     val vecs = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", norm(col("e")))
-      .localCheckpoint(true) // nTables signature branches + 2 verify sides
-    val d = if (dim > 0) dim else vecs.select(size(col("e"))).head().getInt(0)
-    val sigs = (0 until nTables).map { t =>
+      .localCheckpoint(!pinned) // nTables signature branches + 2 verify sides
+    val (d, planes, tables) =
+      if (pinned) (dim, nPlanes, nTables)
+      else {
+        val stats = vecs.agg(count(lit(1)), max(size(col("e")))).head()
+        val rows = stats.getLong(0)
+        val dd = if (dim > 0) dim
+          else if (stats.isNullAt(1)) 1 // empty corpus: any plane dim works
+          else stats.getInt(1)
+        val (ap, at) = lshSizing(rows, threshold)
+        (dd, if (nPlanes > 0) nPlanes else ap, if (nTables > 0) nTables else at)
+      }
+    val sigs = (0 until tables).map { t =>
       vecs.select(col("vec_id"), lit(t).as("tbl"),
-        signature(col("e"), nPlanes, d, seed = 42L + t).as("sig"))
+        signature(col("e"), planes, d, seed = 42L + t).as("sig"))
     }.reduce(_ unionByName _)
     val cands = sigs.toDF("vec_a", "tbl", "sig")
       .join(sigs.toDF("vec_b", "tbl", "sig"), Seq("tbl", "sig"))
@@ -177,28 +248,50 @@ object Similarity {
     *
     * Tuning: recall for a neighbor at angle θ is
     * 1 - (1 - (1-θ/π)^nPlanes)^nTables; more planes → smaller buckets →
-    * fewer candidates but lower recall. The defaults favor recall on
-    * weakly-clustered corpora (top-neighbor cosine ~0.3–0.5); raise
-    * nPlanes toward log2(corpus/bucket_target) when near-duplicates
-    * (cosine ≥0.9) are the target — their collision probability stays
-    * high even with 16+ planes.
+    * fewer candidates but lower recall. `nPlanes`/`nTables` default to
+    * 0 = SIZE ADAPTIVELY via [[lshSizing]] at `targetCosine` — the
+    * cosine at which 99.9% recall is guaranteed (neighbors ABOVE it
+    * collide strictly more often; neighbors below it degrade smoothly).
+    * The 0.5 default matches weakly-clustered corpora where the true
+    * top neighbor sits at cosine ~0.3–0.6; raise it toward 0.9 for
+    * near-duplicate-heavy corpora — the recall cap then permits
+    * log2(rows) planes and candidates stay ∝ tables × |corpus|.
+    *
+    * When `dim`, `nPlanes` and `nTables` are all pinned, composing the
+    * plan runs NO Spark job (lazy checkpoint); otherwise one combined
+    * count+dim aggregate on the corpus materializes its checkpoint and
+    * feeds the sizing — the corpus plan executes once either way (the
+    * checkpoint serves all nTables signature branches).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nPlanes: Int = 4, nTables: Int = 8, dim: Int = -1): DataFrame = {
-    // plane dimension comes from the data (dim <= 0, the default) — a
-    // hard-coded mismatch would truncate dots silently before DotProduct
-    // grew its strict length check; now it would throw mid-query instead
-    val d = if (dim > 0) dim else corpus.select(size(col("embedding"))).head().getInt(0)
-    def signed(df: DataFrame, idCol: String): DataFrame = {
-      val vecs = df.select(col("vec_id").as(idCol), asDouble(col("embedding")).as(s"e_$idCol"))
-      val tables = (0 until nTables).map { t =>
+              nPlanes: Int = 0, nTables: Int = 0, dim: Int = -1,
+              targetCosine: Double = 0.5): DataFrame = {
+    val pinned = dim > 0 && nPlanes > 0 && nTables > 0
+    val cVecs = corpus
+      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("e_neighbor_id"))
+      .localCheckpoint(!pinned)
+    // plane dimension comes from the data unless pinned — a hard-coded
+    // mismatch would throw mid-query in DotProduct's strict length check
+    val (d, planes, tablesN) =
+      if (pinned) (dim, nPlanes, nTables)
+      else {
+        val stats = cVecs.agg(count(lit(1)), max(size(col("e_neighbor_id")))).head()
+        val dd = if (dim > 0) dim
+          else if (stats.isNullAt(1)) 1
+          else stats.getInt(1)
+        val (ap, at) = lshSizing(stats.getLong(0), targetCosine)
+        (dd, if (nPlanes > 0) nPlanes else ap, if (nTables > 0) nTables else at)
+      }
+    def signed(vecs: DataFrame, idCol: String): DataFrame = {
+      val tables = (0 until tablesN).map { t =>
         vecs.select(col(idCol), col(s"e_$idCol"),
-          lit(t).as("tbl"), signature(col(s"e_$idCol"), nPlanes, d, seed = 42L + t).as("sig"))
+          lit(t).as("tbl"), signature(col(s"e_$idCol"), planes, d, seed = 42L + t).as("sig"))
       }
       tables.reduce(_ unionByName _)
     }
-    val c = signed(corpus, "neighbor_id")
-    val q = signed(queries, "query_id")
+    val c = signed(cVecs, "neighbor_id")
+    val q = signed(queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("e_query_id")), "query_id")
     val cands = c.join(broadcast(q), Seq("tbl", "sig"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
