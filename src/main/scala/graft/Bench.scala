@@ -70,7 +70,17 @@ object Bench {
       .mkString("{", ",", "}")
     val fj = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
+    println(line)
+    // sidecar copy: the driver's BENCH_r{N}.json keeps only the last
+    // ~2 KB of stdout, which truncates the per-query map past ~60
+    // queries — persist the complete line so every query stays
+    // machine-readable for the cross-round comparison
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_SIDECAR.json")), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -142,6 +142,27 @@ object SparkEntry {
           lit(true)).as("recall_ok"))
   }
 
+  /** Cluster-level parity gate (q122's recall gate one level up): the
+    * approx clustering's pair source is a SUBSET of the exact one, so
+    * every approx cluster must sit inside exactly one exact cluster
+    * (refinement_ok — structural, a violation means broken CC) and the
+    * per-vector label agreement tracks pair recall (agreement_ok). One
+    * deterministic row the DuckDB oracle predicts from the vec count.
+    */
+  private def clusterParityGate(exact: DataFrame, approx: DataFrame,
+                                bound: Double): DataFrame = {
+    val e = exact.select(col("vec_id"), col("cluster").as("c_exact"))
+    val a = approx.select(col("vec_id"), col("cluster").as("c_approx"))
+    val joined = e.join(a, Seq("vec_id"))
+    val agree = joined.agg(count(lit(1)).as("n_vecs"),
+      coalesce(avg(when(col("c_exact") === col("c_approx"), 1.0).otherwise(0.0))
+        >= bound, lit(true)).as("agreement_ok"))
+    val refine = joined.groupBy("c_approx")
+      .agg(countDistinct(col("c_exact")).as("nx"))
+      .agg(coalesce(max(col("nx")) <= 1, lit(true)).as("refinement_ok"))
+    agree.crossJoin(refine)
+  }
+
   private def revenuePerNation(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val o = Tables.orders(s, dir)
@@ -307,6 +328,19 @@ object SparkEntry {
     // side; pair source pluggable — bucketed at scale, exact audit here)
     "q131_semantic_clusters" -> ((s, dir) =>
       Similarity.semanticClusters(Tables.embeddings(s, dir), 0.3)),
+    // q131's SCALE sibling (q122's gate pattern one level up): the green
+    // path is clustersFromPairs over the fence-free BUCKETED pair source
+    // (adaptive LSH sizing), refereed in-query against the audit-path
+    // clustering. Bucketed pairs ⊆ exact pairs ⇒ bucketed clusters
+    // REFINE the exact ones (refinement_ok is structural); agreement
+    // tracks pair recall (≥99.9% by the sizing calculus, bound at 0.9)
+    "q137_semantic_clusters_bucketed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      clusterParityGate(
+        Similarity.semanticClusters(emb, 0.3),
+        Similarity.clustersFromPairs(emb, Similarity.cosinePairsBucketed(emb, 0.3)),
+        0.9)
+    }),
     "q27_text_quality" -> ((s, dir) =>
       TextStats.qualityStats(Tables.documents(s, dir))),
     // C4-style cleaning audit: digit-mask + whitespace-collapse + trim,
@@ -2101,6 +2135,13 @@ object SparkEntry {
           "SELECT e.vec_id, COALESCE(comp.c, e.vec_id) AS cluster, " +
           "(e.vec_id = COALESCE(comp.c, e.vec_id)) AS is_canonical " +
           "FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id"),
+      // cluster-level gate: refinement is structural (bucketed pairs ⊆
+      // exact ⇒ clusters refine), agreement is recall-backed ≥99.9% by
+      // the adaptive sizing — the oracle predicts the whole row from
+      // the vector count alone
+      "q137_semantic_clusters_bucketed" ->
+        ("SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, true AS agreement_ok, " +
+          "true AS refinement_ok FROM embeddings"),
       "q27_text_quality" ->
         ("WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) " +
           "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +

@@ -246,6 +246,84 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** ALL random-hyperplane LSH signatures for one vector in one fused
+  * pass: `tables(t)(p)` is plane p of table t; output element t is the
+  * table-t signature (bit p set iff dot(vec, plane) ≥ 0 — the same
+  * element-order dot and bit rule as the per-plane Column formulation,
+  * so signatures are bit-identical). The plane tensor rides as ONE plan
+  * reference object: at adaptive sizing (tens of tables × tens of
+  * planes × dim literals) per-plane literal arrays blow the generated
+  * method past Janino limits and seconds of codegen per query — the
+  * [[NearestCentroid]] lesson at one more level of nesting.
+  */
+case class HyperplaneSignatures(child: Expression, tables: Array[Array[Array[Double]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](tables.length)
+    var t = 0
+    while (t < tables.length) {
+      val ps = tables(t)
+      var sig = 0L
+      var p = 0
+      while (p < ps.length) {
+        val plane = ps(p)
+        if (plane.length != v.numElements())
+          throw new IllegalArgumentException(
+            s"hyperplane_signatures: dimension mismatch (${plane.length} vs ${v.numElements()})")
+        var s = 0.0
+        var i = 0
+        while (i < plane.length) { s += plane(i) * v.getDouble(i); i += 1 }
+        if (s >= 0) sig |= 1L << p
+        p += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbls = ctx.addReferenceObj("tables", tables, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val ps = ctx.freshName("ps")
+      val sig = ctx.freshName("sig")
+      val p = ctx.freshName("p")
+      val plane = ctx.freshName("plane")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |long[] $out = new long[$tbls.length];
+         |for (int $t = 0; $t < $tbls.length; $t++) {
+         |  double[][] $ps = $tbls[$t];
+         |  long $sig = 0L;
+         |  for (int $p = 0; $p < $ps.length; $p++) {
+         |    double[] $plane = $ps[$p];
+         |    if ($plane.length != $v.numElements()) {
+         |      throw new IllegalArgumentException(
+         |        "hyperplane_signatures: dimension mismatch (" + $plane.length + " vs " + $v.numElements() + ")");
+         |    }
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $plane.length; $i++) $s += $plane[$i] * $v.getDouble($i);
+         |    if ($s >= 0) $sig |= 1L << $p;
+         |  }
+         |  $out[$t] = $sig;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Pack an `array<int>` of bit indices into a fixed-width `array<long>`
   * bitset. The higher-order-function formulation
   * (`aggregate(ids, zeros, (acc, id) => transform(acc, set-bit-if))`)
@@ -375,6 +453,13 @@ object VectorExpressions {
     */
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), centroids))
+
+  /** All LSH table signatures (`array<long>`, one element per table)
+    * for an `array<double>` vector; the plane tensor is a single plan
+    * constant.
+    */
+  def hyperplaneSignatures(vec: Column, tables: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(HyperplaneSignatures(ColumnBridge.expression(vec), tables))
 
   /** One-pass L2 normalization with a zero-vector guard. */
   def unitVector(vec: Column): Column =

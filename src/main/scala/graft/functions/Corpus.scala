@@ -291,15 +291,15 @@ object Corpus {
                                                     excludeSameId: Boolean,
                                                     nPlanes: Int = 4,
                                                     nTables: Int = 8): DataFrame = {
-    import graft.functions.Similarity.{dot, signature}
+    import graft.functions.Similarity.{dot, signatures}
     val dim = benchmark.select(size(col("embedding"))).head().getInt(0)
-    def signed(df: DataFrame, id: String, e: String, n: String) = {
-      val vecs = prepVecs(df, id, e, n)
-      (0 until nTables).map { tb =>
-        vecs.select(col(id), col(e), col(n), lit(tb).as("tbl"),
-          signature(col(e), nPlanes, dim, seed = 42L + tb).as("sig"))
-      }.reduce(_ unionByName _)
-    }
+    // all tables' signatures in one fused expression + posexplode (one
+    // input scan, O(tables) smaller codegen than per-table branches)
+    def signed(df: DataFrame, id: String, e: String, n: String) =
+      prepVecs(df, id, e, n)
+        .select(col(id), col(e), col(n),
+          posexplode(signatures(col(e), nTables, nPlanes, dim)))
+        .toDF(id, e, n, "tbl", "sig")
     signed(train, "vec_id", "te", "tn")
       .join(signed(benchmark, "bid", "be", "bn"), Seq("tbl", "sig"))
       .where(if (excludeSameId) col("vec_id") =!= col("bid") else lit(true))

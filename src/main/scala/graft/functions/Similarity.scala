@@ -182,10 +182,13 @@ object Similarity {
         val (ap, at) = lshSizing(rows, threshold)
         (dd, if (nPlanes > 0) nPlanes else ap, if (nTables > 0) nTables else at)
       }
-    val sigs = (0 until tables).map { t =>
-      vecs.select(col("vec_id"), lit(t).as("tbl"),
-        signature(col("e"), planes, d, seed = 42L + t).as("sig"))
-    }.reduce(_ unionByName _)
+    // ALL tables' signatures in one codegen'd expression + posexplode —
+    // one scan of the checkpoint and one fused loop per row, where a
+    // per-table union (or per-plane literal columns) re-plans nTables
+    // branches and blows codegen at adaptive table counts
+    val sigs = vecs.select(col("vec_id"),
+        posexplode(signatures(col("e"), tables, planes, d)))
+      .toDF("vec_id", "tbl", "sig")
     val cands = sigs.toDF("vec_a", "tbl", "sig")
       .join(sigs.toDF("vec_b", "tbl", "sig"), Seq("tbl", "sig"))
       .where(col("vec_a") < col("vec_b"))
@@ -241,6 +244,17 @@ object Similarity {
     }
   }
 
+  /** ALL `nTables` signatures at once (`array<long>`, element t = the
+    * seed-42+t table's signature) — one fused codegen'd loop with the
+    * plane tensor as a single plan constant; bit-identical to calling
+    * [[signature]] per table (spec-checked), but O(tables) smaller
+    * generated code. This is the form every bucketed kernel uses.
+    */
+  def signatures(vec: Column, nTables: Int, nPlanes: Int, dim: Int,
+                 seedBase: Long = 42L): Column =
+    VectorExpressions.hyperplaneSignatures(vec,
+      Array.tabulate(nTables)(t => planes(nPlanes, dim, seedBase + t)))
+
   /** Approximate top-k: candidates share an LSH bucket with the query
     * (multi-probe over `nTables` independent signatures), then exact
     * cosine within candidates. Recall measured against
@@ -282,13 +296,10 @@ object Similarity {
         val (ap, at) = lshSizing(stats.getLong(0), targetCosine)
         (dd, if (nPlanes > 0) nPlanes else ap, if (nTables > 0) nTables else at)
       }
-    def signed(vecs: DataFrame, idCol: String): DataFrame = {
-      val tables = (0 until tablesN).map { t =>
-        vecs.select(col(idCol), col(s"e_$idCol"),
-          lit(t).as("tbl"), signature(col(s"e_$idCol"), planes, d, seed = 42L + t).as("sig"))
-      }
-      tables.reduce(_ unionByName _)
-    }
+    def signed(vecs: DataFrame, idCol: String): DataFrame =
+      vecs.select(col(idCol), col(s"e_$idCol"),
+          posexplode(signatures(col(s"e_$idCol"), tablesN, planes, d)))
+        .toDF(idCol, s"e_$idCol", "tbl", "sig")
     val c = signed(cVecs, "neighbor_id")
     val q = signed(queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("e_query_id")), "query_id")

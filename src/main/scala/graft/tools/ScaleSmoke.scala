@@ -273,6 +273,64 @@ object ScaleSmoke {
           .maximalMatching(g2).count()))
     }
 
+    if (mode == "tier2cos") {
+      // tier-2 for the bucketed cosine kernel (VERDICT r5 item 1): nDocs
+      // vectors (pass 1000000), every 100th vector gets a planted twin
+      // (one coordinate nudged, cosine ≥ 0.999) in the upper id range.
+      // At threshold 0.99 the adaptive sizing lands ~(20 planes, 14
+      // tables) for 1M rows — occupancy ~1, candidates ∝ tables×rows —
+      // vs the old fixed (4, 8) whose candidate join would be
+      // rows²/16·8 = 5e11 rows at this scale. Accidental random pairs
+      // at ≥0.99 in dim 16 are ~1.6e-13·n²/2 ≈ 0.1 — found pairs are
+      // checkable against planted truth.
+      val dim = 16
+      def vecOf(seedCol: org.apache.spark.sql.Column) = transform(
+        sequence(lit(0), lit(dim - 1)),
+        i => ((pmod(xxhash64(seedCol, i), lit(2000L)) - 1000L).cast("double") / 500.0))
+      val base = spark.range(nDocs)
+        .select(col("id").as("vec_id"), vecOf(col("id")).as("embedding"))
+      val twins = spark.range(nDocs).where(col("id") % 100 === 0)
+        .select((col("id") + nDocs).as("vec_id"),
+          transform(vecOf(col("id")),
+            (x, i) => when(i === 0, x + lit(0.01)).otherwise(x)).as("embedding"))
+      val corpus = base.unionByName(twins).localCheckpoint(true)
+      println(s"[smoke] tier2cos corpus: ${corpus.count()} vectors (planted twins: ${nDocs / 100})")
+      val (pl, tb) = graft.functions.Similarity.lshSizing(corpus.count(), 0.99)
+      println(s"[smoke] adaptive sizing at 0.99: planes=$pl tables=$tb")
+      val found = tm(s"cosinePairsBucketed 0.99 ($nDocs vecs)")(
+        graft.functions.Similarity.cosinePairsBucketed(corpus, 0.99).count())
+      println(s"[smoke] pairs found: $found (planted ${nDocs / 100})")
+      val clustered = tm(s"clustersFromPairs over bucketed ($nDocs vecs)")(
+        graft.functions.Similarity.clustersFromPairs(corpus,
+          graft.functions.Similarity.cosinePairsBucketed(corpus, 0.99))
+          .where(col("vec_id") =!= col("cluster")).count())
+      println(s"[smoke] vecs clustered to a smaller id: $clustered")
+    }
+
+    if (mode == "tier2zipf") {
+      // tier-2 for the iterative family on a SKEWED graph (VERDICT r5
+      // item 7): the salt-mode Zipf generator (head vertex owns ~7% of
+      // edges) at 10M edges / 1M vertices — exposes hub skew in the
+      // per-layer joins that the uniform tier2iter graph cannot.
+      val u = pmod(xxhash64(col("id"), lit(11)), lit(1000000L)).cast("double") / 1e6
+      val zipf = spark.range(nEdges).select(
+        (exp(u * math.log(nVerts.toDouble))).cast("long").as("src"),
+        pmod(xxhash64(col("id"), lit(12)), lit(nVerts)).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .localCheckpoint(true)
+      val hub = zipf.groupBy("src").count().orderBy(col("count").desc).limit(1).collect()(0)
+      println(s"[smoke] tier2zipf: ${zipf.count()} edges, hub ${hub.getLong(0)} has ${hub.getLong(1)} out-edges")
+      tm("betweenness 3 sources (zipf 10M)")(
+        println("[smoke] betweenness rows: " + graft.operators.Centrality
+          .betweennessCentrality(zipf, Seq(0L, 1L, 2L)).count()))
+      tm("louvain 2 levels (zipf 10M)")(
+        println("[smoke] louvain communities: " + graft.operators.Communities
+          .louvain(zipf).select("community").distinct().count()))
+      tm("maximalMatching (zipf 10M)")(
+        println("[smoke] matched pairs: " + graft.operators.Matching
+          .maximalMatching(zipf).count()))
+    }
+
     if (mode == "all" || mode == "graph") {
       t("bfsDepths (10M edges)")(
         graft.operators.Traversals.bfsDepths(g, 0L).count())

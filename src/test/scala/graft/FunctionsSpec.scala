@@ -222,6 +222,22 @@ class FunctionsSpec extends SparkTestBase {
     assert(recall >= 0.4, s"recall=$recall (${bucketed.size}/${exact.size})")
   }
 
+  test("fused HyperplaneSignatures ≡ per-table signature columns, bit for bit") {
+    import spark.implicits._
+    val vecs = emb.limit(50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val planes = 7; val tables = 5; val dim = 64
+    val fused = vecs.select(col("vec_id"),
+        posexplode(Similarity.signatures(col("e"), tables, planes, dim)))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val perTable = (0 until tables).flatMap { t =>
+      vecs.select(col("vec_id"),
+          Similarity.signature(col("e"), planes, dim, seed = 42L + t).as("sig"))
+        .collect().map(r => (r.getLong(0), t) -> r.getLong(1))
+    }.toMap
+    assert(fused == perTable)
+  }
+
   test("all-pairs fences refuse past their caps and point at the scale path") {
     // cosinePairs: corpus bigger than maxRows refuses before any join
     val eCos = intercept[IllegalArgumentException] {
