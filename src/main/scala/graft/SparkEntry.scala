@@ -702,6 +702,19 @@ object SparkEntry {
     // and per-doc out-of-vocabulary occurrence rate in micro-units
     "q130_oov_rate" -> ((s, dir) =>
       TextStats.oovStats(Tables.documents(s, dir))),
+    // deterministic BPE: 10 learned merges (count desc, pair asc — the
+    // q130 vocabulary determinism pattern applied to subword pairs);
+    // the oracle replays learning as an unrolled string-replace chain
+    "q138_bpe_vocab" -> ((s, dir) =>
+      graft.functions.Bpe.learnedVocab(s, Tables.documents(s, dir), 10)),
+    // per-doc SUBWORD token counts under the learned merges — one
+    // corpus pass against the broadcast word→tokens dictionary
+    "q139_bpe_tokens" -> ((s, dir) =>
+      graft.functions.Bpe.docTokenCounts(Tables.documents(s, dir), 10)),
+    // q136 re-based on BPE tokens: the budget counts what a training
+    // run actually consumes, not whitespace words
+    "q140_bpe_token_budget" -> ((s, dir) =>
+      graft.functions.Bpe.tokenBudgetSampleBpe(Tables.documents(s, dir), 10, 3000L)),
     // O15 streaming form: the continuous globalAggregate (value
     // histogram) replayed over a stream converges to q18's batch answer
     "q80_streaming_histogram" -> ((s, dir) =>
@@ -1194,6 +1207,55 @@ object SparkEntry {
         "SUM(n_tokens) OVER (PARTITION BY source ORDER BY pr ASC, doc_id ASC) AS cum_tokens FROM d) " +
         "SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens " +
         "FROM c WHERE cum_tokens <= 2000")
+    // Deterministic BPE, learning replayed in SQL: each merge round is
+    // three CTEs (pair counts from the delimiter-encoded distinct-word
+    // table; the count-desc/pair-asc argmax; a string-replace pass
+    // applying the merge). MATERIALIZED is load-bearing: without it
+    // DuckDB inlines w10 back through w0 exponentially. The '|'
+    // delimiter encoding plus trailing sentinel makes `replace`
+    // bit-equivalent to BpeEncode's portable-replace pass.
+    val bpeK = 10
+    val bpeLearnCtes: String = {
+      val sb = new StringBuilder
+      sb ++= ("words AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM " +
+        "(SELECT unnest(string_split(replace(text, '|', ''), ' ')) AS word FROM documents) " +
+        "WHERE word <> '' GROUP BY word), ")
+      sb ++= ("w0 AS MATERIALIZED (SELECT word, " +
+        "'|' || array_to_string(string_split(word, ''), '|') || '|' AS repr, cnt FROM words)")
+      for (i <- 1 to bpeK) {
+        sb ++= (s", p$i AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b, SUM(cnt) AS pc " +
+          s"FROM (SELECT string_split(trim(repr, '|'), '|') AS syms, cnt FROM w${i - 1}) s, " +
+          "UNNEST(generate_series(1, len(s.syms) - 1)) AS t(i) GROUP BY 1, 2)")
+        sb ++= (s", m$i AS MATERIALIZED (SELECT a, b, pc FROM p$i " +
+          "ORDER BY pc DESC, a ASC, b ASC LIMIT 1)")
+        sb ++= (s", w$i AS MATERIALIZED (SELECT word, replace(repr, " +
+          s"'|' || (SELECT a FROM m$i) || '|' || (SELECT b FROM m$i) || '|', " +
+          s"'|' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || '|') AS repr, cnt FROM w${i - 1})")
+      }
+      sb.toString
+    }
+    val bpeDictCtes: String = bpeLearnCtes +
+      s", dict AS MATERIALIZED (SELECT word, " +
+      s"CAST(len(string_split(trim(repr, '|'), '|')) AS BIGINT) AS word_tokens FROM w$bpeK)"
+    val bpeVocabSql = "WITH " + bpeLearnCtes + " SELECT * FROM (" +
+      (1 to bpeK).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, " +
+          s"CAST(pc AS BIGINT) AS pair_count FROM m$i").mkString(" UNION ALL ") + ")"
+    val bpeTokensSql = "WITH " + bpeDictCtes +
+      ", tok AS (SELECT doc_id, word FROM (SELECT doc_id, " +
+      "unnest(string_split(replace(text, '|', ''), ' ')) AS word FROM documents) WHERE word <> '') " +
+      "SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, " +
+      "CAST(SUM(d.word_tokens) AS BIGINT) AS n_bpe_tokens " +
+      "FROM tok t JOIN dict d ON d.word = t.word GROUP BY t.doc_id"
+    val bpeBudgetSql = "WITH " + bpeDictCtes +
+      ", tok AS (SELECT doc_id, source, word FROM (SELECT doc_id, source, " +
+      "unnest(string_split(replace(text, '|', ''), ' ')) AS word FROM documents) WHERE word <> ''), " +
+      "pd AS (SELECT t.doc_id, t.source, SUM(d.word_tokens) AS n_tokens " +
+      "FROM tok t JOIN dict d ON d.word = t.word GROUP BY 1, 2), " +
+      "c AS (SELECT doc_id, source, n_tokens, SUM(n_tokens) OVER (PARTITION BY source " +
+      "ORDER BY (((doc_id % 2147483648) * 2654435761) % 2147483648) ASC, doc_id ASC) AS cum_tokens FROM pd) " +
+      "SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+      "CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c WHERE cum_tokens <= 3000"
     // fixed-point PageRank: iterations unrolled as sequential CTEs (DuckDB
     // forbids aggregation inside a recursive term). Integer micro-units +
     // integer division at every step make the result bit-identical to the
@@ -1746,6 +1808,9 @@ object SparkEntry {
       "q50_dedup_pipeline" -> dedupPipelineSql,
       "q135_leakage_safe_split" -> leakageSplitSql,
       "q136_token_budget" -> tokenBudgetSql,
+      "q138_bpe_vocab" -> bpeVocabSql,
+      "q139_bpe_tokens" -> bpeTokensSql,
+      "q140_bpe_token_budget" -> bpeBudgetSql,
       "q59_bfs" -> bfsSql,
       "q118_stress_centrality" -> stressSql,
       "q125_betweenness" -> btwSql,

@@ -222,6 +222,49 @@ class FunctionsSpec extends SparkTestBase {
     assert(recall >= 0.4, s"recall=$recall (${bucketed.size}/${exact.size})")
   }
 
+  test("BpeEncode: merges apply left-to-right with the portable-replace shield") {
+    import spark.implicits._
+    import graft.expressions.BpeEncode
+    def enc(w: String, rules: (String, String)*): Seq[String] =
+      Seq(Tuple1(w)).toDF("word")
+        .select(BpeEncode.column(col("word"), rules.map(r => Array(r._1, r._2)).toArray))
+        .head.getSeq[String](0)
+    assert(enc("lower", ("e", "r")) == Seq("l", "o", "w", "er"))
+    assert(enc("lower", ("l", "o"), ("lo", "w")) == Seq("low", "e", "r"))
+    // shield: equivalently replace('|a|a|a|a|', '|a|a|', '|aa|') — the
+    // trailing delimiter of a match is consumed, so the next symbol
+    // cannot START a match of the same pass
+    assert(enc("aaaa", ("a", "a")) == Seq("aa", "a", "a"))
+    assert(enc("aaaaa", ("a", "a")) == Seq("aa", "a", "aa"))
+    // a rule whose right side is a PREFIX of the actual symbol must not
+    // fire ("rx" != "r") — the trailing-delimiter check in string form
+    assert(enc("erx", ("r", "x"), ("e", "r")) == Seq("e", "rx"))
+    // empty rule set: plain characters
+    assert(enc("cat") == Seq("c", "a", "t"))
+  }
+
+  test("BPE learning is deterministic and counts overlapping pairs; dict matches encode") {
+    import spark.implicits._
+    import graft.functions.Bpe
+    // 'ab' occurs 5x adjacent (3 in "ababab": pairs (a,b)x3, (b,a)x2; 2 in "abab")
+    val docs = Seq((1L, "ababab abab", "s"), (2L, "aaa abab", "s"))
+      .toDF("doc_id", "text", "source")
+    val merges = Bpe.learnMerges(docs, 2)
+    // counts: (a,b): 3·1+2·2=7  (b,a): 2·1+1·2=4  (a,a): 2 (overlaps in aaa)
+    assert(merges(0) == ("a", "b", 7L))
+    // after merge 1 WITH the shield: "ababab"->[ab,a,b,ab] (the a after
+    // a merge can't start a match), "abab"->[ab,a,b], "aaa" unchanged.
+    // round-2 pairs: (ab,a)=1+2=3, (a,b)=1+2=3, (a,a)=2, (b,ab)=1 —
+    // tie at 3 broken by pair asc: ("a","b") < ("ab","a"), so the SAME
+    // rule is learned again (the shield left unmerged occurrences)
+    assert(merges(1) == ("a", "b", 3L))
+    val counts = Bpe.docTokenCounts(docs, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // two (a,b) passes: "ababab"->[ab,a,b,ab]->[ab,ab,ab] (3);
+    // "abab"->[ab,a,b]->[ab,ab] (2); "aaa"->[a,a,a] (3)
+    assert(counts == Map(1L -> (2L, 5L), 2L -> (2L, 5L)))
+  }
+
   test("fused HyperplaneSignatures ≡ per-table signature columns, bit for bit") {
     import spark.implicits._
     val vecs = emb.limit(50)
