@@ -20,6 +20,16 @@ import graft.functions.{Dedup, Similarity, TextStats}
   */
 object SparkEntry {
 
+  /** Shared round/depth budgets — the Scala operator registration AND
+    * its DuckDB oracle unroll derive from the SAME constant, so both
+    * sides hit their fail-loud sentinel at the same input depth. A
+    * deeper graph then fails symmetrically (clear errors on both
+    * engines) instead of surfacing as an opaque hash mismatch when one
+    * side's budget outlives the other's (ADVICE r5).
+    */
+  private val CentralityDepth = 10 // q118/q125/q128 BFS layer budget
+  private val MatchingRounds = 12 // q132/q134 handshake round budget
+
   /** Flagship: revenue-per-nation joins (broadcast dims) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     revenuePerNation(spark, "/root/testdata/sf0.001")
@@ -534,6 +544,16 @@ object SparkEntry {
         graft.operators.Communities.louvain(c10, 2, 2)
           .toDF("id", "label"))
     }),
+    // Louvain + Leiden connectivity refinement: after each level's
+    // gated passes, every community is split into its connected parts
+    // (min-member-id names) before coarsening — final communities are
+    // internally connected by construction; same exact-integer replay
+    "q141_louvain_leiden" -> ((s, dir) => {
+      val c10 = GraphFixtures.coPurchase10(s, dir)
+      graft.operators.Communities.communityStats(c10,
+        graft.operators.Communities.louvainLeiden(c10, 2, 2)
+          .toDF("id", "label"))
+    }),
     // 7-day moving revenue window (RANGE frame over event time) — exact
     // integer cents so the frame sums are order-free in any engine
     "q108_moving_window" -> ((s, dir) => {
@@ -628,7 +648,7 @@ object SparkEntry {
       val c10 = GraphFixtures.coPurchase10(s, dir)
       val srcs = c10.select(explode(array(col("src"), col("dst"))).as("id"))
         .distinct().orderBy("id").limit(3).collect().map(_.getLong(0)).toSeq
-      graft.operators.Centrality.stressCentrality(c10, srcs)
+      graft.operators.Centrality.stressCentrality(c10, srcs, CentralityDepth)
     }),
     // sampled Brandes betweenness: same sources and forward σ layers as
     // q118, fractional dependency split carried in truncated micro-units
@@ -637,11 +657,12 @@ object SparkEntry {
       val c10 = GraphFixtures.coPurchase10(s, dir)
       val srcs = c10.select(explode(array(col("src"), col("dst"))).as("id"))
         .distinct().orderBy("id").limit(3).collect().map(_.getLong(0)).toSeq
-      graft.operators.Centrality.betweennessCentrality(c10, srcs)
+      graft.operators.Centrality.betweennessCentrality(c10, srcs, CentralityDepth)
     }),
-    // HITS hubs & authorities on directed C10: L1-normalized mutual
-    // reinforcement in integer micro-units (q54's exact-replay contract —
-    // truncating division, no driver action inside the loop)
+    // HITS hubs & authorities on directed C10: L-infinity (max) normalized
+    // mutual reinforcement in integer micro-units (q54's exact-replay
+    // contract — truncating division, no driver action inside the loop;
+    // L1 was removed after the tier-2 smoke showed it underflows at scale)
     "q127_hits" -> ((s, dir) =>
       graft.operators.Hits.fixedPoint(GraphFixtures.coPurchase10(s, dir), 5)),
     // sampled harmonic closeness from the 3 smallest vertices: scale div d
@@ -651,12 +672,13 @@ object SparkEntry {
       val c10 = GraphFixtures.coPurchase10(s, dir)
       val srcs = c10.select(explode(array(col("src"), col("dst"))).as("id"))
         .distinct().orderBy("id").limit(3).collect().map(_.getLong(0)).toSeq
-      graft.operators.Centrality.harmonicCloseness(c10, srcs)
+      graft.operators.Centrality.harmonicCloseness(c10, srcs, CentralityDepth)
     }),
     // deterministic maximal matching: local-min handshake rounds (the
     // multilevel-coarsening primitive; ½-approx to maximum matching)
     "q132_maximal_matching" -> ((s, dir) =>
-      graft.operators.Matching.maximalMatching(GraphFixtures.coPurchase10(s, dir))),
+      graft.operators.Matching.maximalMatching(
+        GraphFixtures.coPurchase10(s, dir), MatchingRounds)),
     // per-edge embeddedness (tie strength): common neighbors via the
     // k-truss support join, union size in exact integers, micro-unit
     // Jaccard; cn = 0 flags local bridges
@@ -667,7 +689,7 @@ object SparkEntry {
     "q134_matching_coarsen" -> ((s, dir) => {
       val c10 = GraphFixtures.coPurchase10(s, dir)
       graft.operators.Matching.coarsen(c10,
-        graft.operators.Matching.maximalMatching(c10))
+        graft.operators.Matching.maximalMatching(c10, MatchingRounds))
     }),
     // k-core decomposition (k=6): iterative peel to fixpoint
     "q60_kcore" -> ((s, dir) =>
@@ -781,6 +803,14 @@ object SparkEntry {
         .groupBy(col("id"))
         .agg(count("*").as("n_sampled"),
           sum(length(col("frame"))).as("sampled_bytes"))),
+    // REAL video keyframes: PNG-concat containers walked by a real chunk
+    // parser (signature + length/type/CRC stream until IEND), every 2nd
+    // member frame decoded via javax.imageio to exact pixel stats — the
+    // oracle recomputes the per-frame pixel formula directly
+    "q142_video_keyframes" -> ((s, dir) =>
+      Multimodal.keyframeStats(
+        Multimodal.sampleKeyframes(
+          Multimodal.syntheticVideos(Tables.documents(s, dir)).toDF(), 2))),
     // exact per-group quantiles (sort-based percentile, linear interp)
     "q65_quantiles" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -1300,7 +1330,7 @@ object SparkEntry {
     // shared forward-σ unroll for the sampled-centrality oracles (q118
     // stress, q125 betweenness): 3 smallest vertices as sources, 10 BFS
     // layers, (-1,-1) sentinel if the frontier outlives the unroll
-    val centralityDepth = 10
+    val centralityDepth = CentralityDepth
     val centralityFwdSql = {
       val d = centralityDepth
       val base = s"WITH c AS MATERIALIZED ($copurchase10), " +
@@ -1402,7 +1432,7 @@ object SparkEntry {
     val matchingCtes = {
       val base = s"WITH c AS MATERIALIZED ($copurchase10), " +
         "e0 AS MATERIALIZED (SELECT x AS u, y AS v FROM c), "
-      val rounds = (1 to 12).map { r =>
+      val rounds = (1 to MatchingRounds).map { r =>
         s"k$r AS MATERIALIZED (SELECT u, v, u * 1000000000 + v AS k, " +
           "(((u * 1000000000 + v) % 2147483648) * 2654435761) % 2147483648 AS p " +
           s"FROM e${r - 1}), " +
@@ -1419,13 +1449,13 @@ object SparkEntry {
           s"LEFT JOIN mv$r a ON a.x = e.u LEFT JOIN mv$r b ON b.x = e.v " +
           "WHERE a.x IS NULL AND b.x IS NULL)"
       }.mkString(", ")
-      val all = (1 to 12).map(r => s"SELECT u, v FROM m$r").mkString(" UNION ALL ")
+      val all = (1 to MatchingRounds).map(r => s"SELECT u, v FROM m$r").mkString(" UNION ALL ")
       base + rounds + s", allm AS MATERIALIZED ($all)"
     }
     val matchingSql =
       matchingCtes + " SELECT u, v FROM allm " +
         "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
-        "WHERE EXISTS (SELECT 1 FROM e12)"
+        s"WHERE EXISTS (SELECT 1 FROM e$MatchingRounds)"
     // coarsening: matched pairs collapse onto their smaller endpoint,
     // parallel edges aggregate, self-loops drop (3-column sentinel)
     val coarsenSql =
@@ -1436,7 +1466,7 @@ object SparkEntry {
         "FROM e0 e LEFT JOIN lbl a ON a.x = e.u LEFT JOIN lbl b ON b.x = e.v) " +
         "WHERE x1 <> x2) GROUP BY cu, cv " +
         "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
-        "WHERE EXISTS (SELECT 1 FROM e12)"
+        s"WHERE EXISTS (SELECT 1 FROM e$MatchingRounds)"
     // per-edge embeddedness: k-truss support join for common neighbors,
     // exact integer union size, truncated micro-unit Jaccard
     val embeddednessSql =
@@ -1663,7 +1693,13 @@ object SparkEntry {
     // unroll pattern, generated). Weighted graph tables g{lvl}(u,v,w)
     // carry coarse self-loops; degrees count self-loops twice; the gate
     // recomputes exact-integer modularity before and after every pass.
-    val louvainMLSql = {
+    // Multi-level Louvain replay, optionally with the Leiden
+    // connectivity-refinement step after each level's passes: the
+    // refinement is a recursive min-label spread over intra-community
+    // edges (the bipartiteSql clbl pattern — the component min passes
+    // every `l < b` guard, so MIN(l) per vertex IS the component min),
+    // each community replaced by its components named by min member id.
+    def louvainSqlGen(leiden: Boolean): String = {
       val L = 2; val P = 2
       def pass(t: String, g: String, inL: String, outL: String, parity: Int): String =
         s"sym$t AS MATERIALIZED (SELECT u AS p, v AS o, w FROM $g WHERE u <> v " +
@@ -1701,7 +1737,8 @@ object SparkEntry {
           s"(SELECT q FROM qi$t) THEN cd.label ELSE l.label END AS label " +
           s"FROM cand$t cd JOIN $inL l ON l.id = cd.id), "
       val sb = new StringBuilder
-      sb ++= s"WITH c AS MATERIALIZED ($copurchase10), "
+      sb ++= (if (leiden) "WITH RECURSIVE " else "WITH ")
+      sb ++= s"c AS MATERIALIZED ($copurchase10), "
       sb ++= "g1 AS MATERIALIZED (SELECT x AS u, y AS v, CAST(1 AS BIGINT) AS w FROM c), "
       sb ++= "mm AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS m FROM g1), "
       sb ++= ("l1_0 AS MATERIALIZED (SELECT u AS id, u AS label FROM " +
@@ -1710,13 +1747,29 @@ object SparkEntry {
       for (lvl <- 1 to L) {
         for (p <- 1 to P)
           sb ++= pass(s"_$lvl$p", s"g$lvl", s"l${lvl}_${p - 1}", s"l${lvl}_$p", p % 2)
+        // the labeling that survives to mapping/coarsening: the last
+        // pass's, or its connectivity refinement under Leiden
+        val fin = if (leiden) s"r$lvl" else s"l${lvl}_$P"
+        if (leiden) {
+          sb ++= (s"intra$lvl AS MATERIALIZED (SELECT g.u AS a, g.v AS b FROM g$lvl g " +
+            s"JOIN l${lvl}_$P x ON x.id = g.u JOIN l${lvl}_$P y ON y.id = g.v " +
+            "WHERE x.label = y.label AND g.u <> g.v), " +
+            s"isym$lvl AS MATERIALIZED (SELECT a, b FROM intra$lvl " +
+            s"UNION SELECT b, a FROM intra$lvl), " +
+            s"cc$lvl(v, l) AS (SELECT DISTINCT a, a FROM isym$lvl " +
+            s"UNION SELECT s.b, cc$lvl.l FROM isym$lvl s " +
+            s"JOIN cc$lvl ON cc$lvl.v = s.a AND cc$lvl.l < s.b), " +
+            s"rep$lvl AS MATERIALIZED (SELECT v AS id, MIN(l) AS rep FROM cc$lvl GROUP BY v), " +
+            s"r$lvl AS MATERIALIZED (SELECT l.id, COALESCE(rp.rep, l.id) AS label " +
+            s"FROM l${lvl}_$P l LEFT JOIN rep$lvl rp ON rp.id = l.id), ")
+        }
         sb ++= (s"map${lvl + 1} AS MATERIALIZED (SELECT mp.id, lb.label AS cur " +
-          s"FROM map$lvl mp JOIN l${lvl}_$P lb ON lb.id = mp.cur), ")
+          s"FROM map$lvl mp JOIN $fin lb ON lb.id = mp.cur), ")
         if (lvl < L) {
           sb ++= (s"g${lvl + 1} AS MATERIALIZED (SELECT LEAST(a.label, b.label) AS u, " +
             s"GREATEST(a.label, b.label) AS v, CAST(SUM(g.w) AS BIGINT) AS w FROM g$lvl g " +
-            s"JOIN l${lvl}_$P a ON a.id = g.u JOIN l${lvl}_$P b ON b.id = g.v GROUP BY 1, 2), ")
-          sb ++= s"l${lvl + 1}_0 AS MATERIALIZED (SELECT DISTINCT label AS id, label FROM l${lvl}_$P), "
+            s"JOIN $fin a ON a.id = g.u JOIN $fin b ON b.id = g.v GROUP BY 1, 2), ")
+          sb ++= s"l${lvl + 1}_0 AS MATERIALIZED (SELECT DISTINCT label AS id, label FROM $fin), "
         }
       }
       sb ++= s"lab AS MATERIALIZED (SELECT id, cur AS label FROM map${L + 1}), "
@@ -1734,6 +1787,8 @@ object SparkEntry {
         "LEFT JOIN degc ON degc.label = nv.label")
       sb.toString
     }
+    val louvainMLSql = louvainSqlGen(leiden = false)
+    val louvainLeidenSql = louvainSqlGen(leiden = true)
     // Sound 2-colorability oracle for BOTH graphs (q17 + q90): label
     // components (min-id root per component), then BFS parity from each
     // root; a graph is bipartite iff no vertex acquires both parities.
@@ -1968,6 +2023,19 @@ object SparkEntry {
           "SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, CAST(score_micro AS BIGINT) AS score_micro " +
           "FROM s WHERE rnk <= 3"),
       "q75_frame_sample" -> frameSampleSql,
+      // real video keyframes: (doc_id mod 5)+3 frames per container,
+      // every 2nd sampled; frame pixel(f,i) = (doc_id*31 + f*17 + i) mod 256
+      "q142_video_keyframes" ->
+        ("WITH fr AS (SELECT d.doc_id, f.f FROM documents d, range(8) f(f) " +
+          "WHERE f.f < (d.doc_id % 5) + 3 AND f.f % 2 = 0), " +
+          "px AS (SELECT doc_id, f, " +
+          "CAST((doc_id * 31 + f * 17 + p.i) % 256 AS BIGINT) AS g " +
+          "FROM fr, range(256) p(i)) " +
+          "SELECT doc_id AS id, CAST(f AS BIGINT) AS frame_no, " +
+          "CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height, " +
+          "CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(g) AS BIGINT) AS sum_lum, " +
+          "CAST(SUM(CASE WHEN g < 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_dark " +
+          "FROM px GROUP BY doc_id, f"),
       "q65_quantiles" ->
         ("SELECT l_returnflag AS returnflag, " +
           "ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25, " +
@@ -2304,6 +2372,7 @@ object SparkEntry {
       // vertex (ties → smallest label), kept only if the exact integer
       // modularity 4mΣin − Σd² does not decrease — then q111's stats
       "q124_louvain_multilevel" -> louvainMLSql,
+      "q141_louvain_leiden" -> louvainLeidenSql,
       "q112_louvain_refine" -> (lpaPrefix + ", " +
         "deg AS MATERIALIZED (SELECT u AS id, COUNT(*) AS k FROM sym GROUP BY 1), " +
         "mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM c), " +

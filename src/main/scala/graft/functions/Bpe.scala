@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.Lineage.CutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -49,7 +50,7 @@ object Bpe {
     * one-row scalar), not a data path.
     */
   def learnMerges(docs: DataFrame, k: Int): Array[(String, String, Long)] = {
-    val wf = wordFrequencies(docs).localCheckpoint(true)
+    val wf = wordFrequencies(docs).cutLineage()
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     for (_ <- 1 to k) {
       val rules = out.map(m => Array(m._1, m._2)).toArray

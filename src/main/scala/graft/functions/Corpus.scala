@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.Lineage.CutOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -170,7 +171,7 @@ object Corpus {
     */
   def temperatureMix(docs: DataFrame, maxKeep: Double = 1.0): DataFrame = {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
-      .localCheckpoint(true)
+      .cutLineage()
     val refRow = counts.agg(max("n_total")).head()
     if (refRow.isNullAt(0)) // empty corpus: empty result, not an NPE
       return counts.select(col("source"), col("n_total"),
@@ -244,7 +245,7 @@ object Corpus {
                              excludeSameId: Boolean = false,
                              maxBroadcastRows: Long = 1000000L,
                              nPlanes: Int = 0, nTables: Int = 0): DataFrame = {
-    val bench = benchmark.localCheckpoint(true)
+    val bench = benchmark.cutLineage()
     val benchRows = bench.count()
     if (benchRows <= maxBroadcastRows)
       embeddingContaminationBrute(train, bench, threshold, excludeSameId)

@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.Lineage.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -126,7 +127,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxCooccurrence: Long = 1000000000L): DataFrame = {
-    val sh = shingles(docs, n).localCheckpoint(true)
+    val sh = shingles(docs, n).cutLineage()
     val stats = sh.groupBy("shingle").agg(count("*").as("df"))
       .agg(sum(col("df") * col("df")).as("mass"), count("*").as("dict")).head()
     val (mass, dict) = (stats.getLong(0), stats.getLong(1))
@@ -156,7 +157,7 @@ object Dedup {
     * it wins.
     */
   def ngramJaccardPairsBitset(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(docs, n).localCheckpoint(true)
+    val sh = shingles(docs, n).cutLineage()
     val nDistinct = sh.select("shingle").distinct().count()
     require(nDistinct <= 65536, s"bitset variant needs a small dictionary, got $nDistinct shingles")
     bitsetPairs(sh, nDistinct.toInt, threshold)
@@ -188,7 +189,7 @@ object Dedup {
       .groupBy("doc_id").agg(collect_list(col("sid").cast("int")).as("ids"))
       .select(col("doc_id"), size(col("ids")).as("n_sh"),
         intsToBitset(col("ids"), nWords).as("bm"))
-      .localCheckpoint(true)
+      .cutLineage()
     // the pair loop runs against the corpus as ONE broadcast primitive
     // matrix: a crossJoin would materialize a joined row per PAIR (the
     // dominant cost — ~500ns each), where the kernel only materializes
@@ -241,14 +242,14 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, n: Int, threshold: Double,
                    bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val sh = shingles(docs, n).localCheckpoint(true)
+    val sh = shingles(docs, n).cutLineage()
     val nHashes = bands * rowsPerBand
     // materialize the signature aggregation once: the banding below takes
     // `bands` column slices of it and the self-join doubles each — without
     // the checkpoint every band branch re-runs the full minhash agg
     val sig = sh.groupBy(col("doc_id"))
       .agg(minhash(0).as("mh0"), (1 until nHashes).map(s => minhash(s).as(s"mh$s")): _*)
-      .localCheckpoint(true)
+      .cutLineage()
     // band key = hash of the band's minhash rows
     val banded = (0 until bands).map { b =>
       val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
@@ -330,7 +331,7 @@ object Dedup {
     require(maxDist <= 3, "pigeonhole banding uses 4 chunks of 16 bits")
     // materialized once — 4 chunk branches × both join sides would
     // otherwise re-run the 64-bit-sum aggregation 8 times
-    val sh = simhash(docs).localCheckpoint(true)
+    val sh = simhash(docs).cutLineage()
     val chunks = (0 until 4).map { ch =>
       sh.select(col("doc_id"), col("simhash"), lit(ch).as("chunk"),
         shiftright(col("simhash"), ch * 16).bitwiseAND(0xFFFF).as("key"))

@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.Lineage.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -72,7 +73,7 @@ object IVF {
         // hash-threshold keep-fraction; expected sample size ≈ maxTrainVectors
         val keepPpm = math.max(1L, (maxTrainVectors.toDouble / n * 1e6).toLong)
         all.where(pmod(xxhash64(col("vec_id"), lit(7)), lit(1000000L)) < lit(keepPpm))
-      }).localCheckpoint(true)
+      }).cutLineage()
     var cents: Array[Array[Double]] = vecs
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(k)

@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.Lineage.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -42,7 +43,7 @@ object Sketches {
     val tokens = docs
       .select(explode(split(col("text"), " ")).as("token"))
       .where(col("token") =!= "")
-      .localCheckpoint(true)
+      .cutLineage()
 
     // exact counts + deterministic top-k (ties → lexicographic)
     val exact = tokens.groupBy("token").agg(count("*").as("exact_cnt"))

@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.Lineage.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -175,11 +176,11 @@ object TextStats {
     // Measured: minutes vs seconds on 500 docs. The barrier makes the
     // inferred filter a cheap size() probe on materialized arrays.
     val sel = winnowSelected(docs, k, w).select("doc_id", "selected")
-      .localCheckpoint(true)
+      .cutLineage()
     val e0 = sel.select(col("doc_id"), explode(col("selected")).as("h"))
     val keep = e0.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap).select("h")
-    val e = e0.join(keep, "h").localCheckpoint(true)
+    val e = e0.join(keep, "h").cutLineage()
     val ns = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = e.toDF("h", "a").join(e.toDF("h2", "b"),
         col("h") === col("h2") && col("a") < col("b"))
@@ -209,7 +210,7 @@ object TextStats {
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .where(col("token") =!= "")
       .groupBy("doc_id", "token").agg(count("*").as("tf"))
-      .localCheckpoint(true)
+      .cutLineage()
     val n = tf.select(countDistinct("doc_id")).head().getLong(0)
     val df = tf.groupBy("token").agg(count("*").as("df"))
       .withColumn("idf_micro",
@@ -253,7 +254,7 @@ object TextStats {
       .select(col("doc_id"), explode(
         transform(sequence(lit(0), size(col("t")) - 2),
           i => concat(col("t")(i), lit(" "), col("t")(i + 1)))).as("bg"))
-      .localCheckpoint(true)
+      .cutLineage()
     val cb = bg.groupBy("bg").agg(count(lit(1)).as("c"))
     val cu = cb.groupBy(split(col("bg"), " ")(0).as("w1")).agg(sum("c").as("cu"))
     val p = cb.withColumn("w1", split(col("bg"), " ")(0))
@@ -281,7 +282,7 @@ object TextStats {
     val tok = Spread(docs)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .where(col("token") =!= "")
-      .localCheckpoint(true)
+      .cutLineage()
     val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Lineage.CutOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -34,12 +35,12 @@ object Bipartiteness {
     val sym = edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
       .union(edges.select(col("dst").cast("long"), col("src").cast("long")))
       .distinct()
-      .localCheckpoint(true)
+      .cutLineage()
 
     // state: (id, e = min id reachable by even walk, o = … odd walk or null)
     var state = sym.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("e"), lit(null).cast("long").as("o"))
-      .localCheckpoint(true)
+      .cutLineage()
 
     var verdict: Option[Boolean] = None
     var fingerprint = (-1L, -1L, -1L)
@@ -51,7 +52,7 @@ object Bipartiteness {
         .select(col("id"),
           least(col("e"), col("no")).as("e"), // least ignores nulls
           least(col("o"), col("ne")).as("o"))
-        .localCheckpoint(true)
+        .cutLineage()
       state = next
       // ONE driver action per round: odd-cycle conflict count and the
       // convergence fingerprint come from the same aggregate
@@ -88,11 +89,11 @@ object Bipartiteness {
       .union(edges.select(col("g").cast("string"),
         col("dst").cast("long"), col("src").cast("long")))
       .distinct()
-      .localCheckpoint(true)
+      .cutLineage()
 
     var state = sym.select(col("g"), col("u").as("id")).distinct()
       .select(col("g"), col("id"), col("id").as("e"), lit(null).cast("long").as("o"))
-      .localCheckpoint(true)
+      .cutLineage()
 
     // one parity-propagation hop (a pure plan — no action)
     def hop(st: DataFrame, symA: DataFrame): DataFrame = {
@@ -122,7 +123,7 @@ object Bipartiteness {
       // double-hop may fire one check later, never wrongly. Measured at
       // sf0.1: round cost is join-bound, so this is action-hygiene, not
       // a big wall-clock cut (BASELINE r4 note).
-      state = hop(hop(state, symA), symA).localCheckpoint(true)
+      state = hop(hop(state, symA), symA).cutLineage()
       // one driver action per round for ALL graphs
       val rows = state.groupBy("g").agg(
         coalesce(sum(when(col("e") === col("o"), 1L).otherwise(0L)), lit(0L)).as("c"),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Lineage.CutOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -46,8 +47,8 @@ object Centrality {
     val spark = sym.sparkSession
     import spark.implicits._
     var layers = List(sources.toDF("s").select(col("s"), col("s").as("v"), lit(1L).as("sig"))
-      .localCheckpoint(true))
-    var settled = layers.head.select("s", "v").localCheckpoint(true)
+      .cutLineage())
+    var settled = layers.head.select("s", "v").cutLineage()
     var d = 0
     var frontierSize = 1L
     while (frontierSize > 0 && d < maxDepth) {
@@ -55,11 +56,11 @@ object Centrality {
         .join(sym, col("m") === sym("u"))
         .groupBy(col("s"), col("v")).agg(sum(col("msig")).as("sig"))
         .join(settled, Seq("s", "v"), "left_anti")
-        .localCheckpoint(true)
+        .cutLineage()
       frontierSize = nxt.count()
       if (frontierSize > 0) {
         layers ::= nxt
-        settled = settled.unionByName(nxt.select("s", "v")).localCheckpoint(true)
+        settled = settled.unionByName(nxt.select("s", "v")).cutLineage()
         d += 1
       }
     }
@@ -74,7 +75,7 @@ object Centrality {
   def stressCentrality(edges: DataFrame, sources: Seq[Long],
                        maxDepth: Int = 20): DataFrame = {
     require(sources.nonEmpty, "stressCentrality: need at least one source")
-    val sym = symmetrize(edges).localCheckpoint(true)
+    val sym = symmetrize(edges).cutLineage()
     val layers = forwardLayers(sym, sources, maxDepth, "stressCentrality")
 
     // backward: p = 0 on the deepest layer; one reverse join per layer.
@@ -89,7 +90,7 @@ object Centrality {
         .join(contrib, Seq("s", "v"), "left")
         .select(col("s"), col("v"), col("sig"),
           coalesce(col("p0"), lit(0L)).as("p"))
-        .localCheckpoint(true)
+        .cutLineage()
       acc = acc.unionByName(pUp)
       p = pUp.select("s", "v", "p")
     }
@@ -123,7 +124,7 @@ object Centrality {
   def harmonicCloseness(edges: DataFrame, sources: Seq[Long],
                         maxDepth: Int = 20, scale: Long = 1000000L): DataFrame = {
     require(sources.nonEmpty, "harmonicCloseness: need at least one source")
-    val sym = symmetrize(edges).localCheckpoint(true)
+    val sym = symmetrize(edges).cutLineage()
     val layers = forwardLayers(sym, sources, maxDepth, "harmonicCloseness")
     // layers is deepest-first: depth(layers(i)) = layers.length - 1 - i;
     // the depth-0 source layer contributes nothing (v == s there).
@@ -162,7 +163,7 @@ object Centrality {
   def betweennessCentrality(edges: DataFrame, sources: Seq[Long],
                             maxDepth: Int = 20, scale: Long = 1000000L): DataFrame = {
     require(sources.nonEmpty, "betweennessCentrality: need at least one source")
-    val sym = symmetrize(edges).localCheckpoint(true)
+    val sym = symmetrize(edges).cutLineage()
     val layers = forwardLayers(sym, sources, maxDepth, "betweennessCentrality")
 
     // backward: δµ = 0 on the deepest layer; each upper layer's vertices
@@ -183,7 +184,7 @@ object Centrality {
         .join(contrib, Seq("s", "v"), "left")
         .select(col("s"), col("v"), col("sig"),
           coalesce(col("d0"), lit(0L)).as("del"))
-        .localCheckpoint(true)
+        .cutLineage()
       acc = acc.unionByName(up)
       lower = up
     }

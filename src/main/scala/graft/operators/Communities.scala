@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Lineage.CutOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -31,10 +32,10 @@ object Communities {
       .union(edges.select(col("dst").cast("long"), col("src").cast("long")))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .cutLineage()
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .cutLineage()
     for (_ <- 1 to rounds) {
       val counts = sym.join(labels.toDF("v", "nl"), Seq("v"))
         .groupBy(col("u"), col("nl")).agg(count(lit(1)).as("c"))
@@ -45,7 +46,7 @@ object Communities {
         .select(col("u").as("id"), col("nl").as("new_label"))
       labels = labels.join(top, Seq("id"), "left")
         .select(col("id"), coalesce(col("new_label"), col("label")).as("label"))
-        .localCheckpoint(true)
+        .cutLineage()
     }
     labels
   }
@@ -73,14 +74,14 @@ object Communities {
     */
   def modularityRefine(edges: DataFrame, labels: DataFrame): DataFrame = {
     val c = edges.select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
-      .localCheckpoint(true)
+      .cutLineage()
     val m = c.count()
     val sym = c.select(col("x").as("u"), col("y").as("v"))
       .union(c.select(col("y"), col("x")))
       .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .cutLineage()
     val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("k"))
-    val l0 = labels.select(col("id"), col("label")).localCheckpoint(true)
+    val l0 = labels.select(col("id"), col("label")).cutLineage()
     val stot = l0.join(deg, Seq("id")).groupBy("label").agg(sum("k").as("stot"))
     val kic = sym.join(l0.toDF("v", "lv"), Seq("v"))
       .groupBy(col("u"), col("lv")).agg(count(lit(1)).as("kc"))
@@ -103,7 +104,7 @@ object Communities {
       .select(col("u").as("id"), col("lv").as("new_label"))
     val l1 = l0.join(best, Seq("id"), "left")
       .select(col("id"), coalesce(col("new_label"), col("label")).as("label"))
-      .localCheckpoint(true)
+      .cutLineage()
     // the monotonicity gate: two exact-integer scalars
     val cd = c.toDF("src", "dst")
     if (integerModularity(cd, l1, m) >= integerModularity(cd, l0, m)) l1 else l0
@@ -146,16 +147,16 @@ object Communities {
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
       .select(col("u"), col("v"), lit(1L).as("w"))
-      .localCheckpoint(true)
+      .cutLineage()
     val m = g.agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
     var mapping = g.select(explode(array(col("u"), col("v"))).as("id")).distinct()
       .select(col("id"), col("id").as("cur"))
-      .localCheckpoint(true)
+      .cutLineage()
     val hist = scala.collection.mutable.ArrayBuffer.empty[Long]
     for (lvl <- 1 to levels) {
       var labels = g.select(explode(array(col("u"), col("v"))).as("id")).distinct()
         .select(col("id"), col("id").as("label"))
-        .localCheckpoint(true)
+        .cutLineage()
       // coarsening preserves Q exactly, so the singleton labeling on a
       // coarse graph scores what the previous level ended at — one
       // evaluation at the very start covers every level boundary
@@ -169,13 +170,107 @@ object Communities {
       }
       mapping = mapping.join(labels.toDF("cur", "nl"), Seq("cur"))
         .select(col("id"), col("nl").as("cur"))
-        .localCheckpoint(true)
+        .cutLineage()
       g = g.join(labels.toDF("u", "la"), Seq("u"))
         .join(labels.toDF("v", "lb"), Seq("v"))
         .select(least(col("la"), col("lb")).as("u"),
           greatest(col("la"), col("lb")).as("v"), col("w"))
         .groupBy("u", "v").agg(sum("w").as("w"))
-        .localCheckpoint(true)
+        .cutLineage()
+    }
+    (mapping.toDF("id", "community"), hist.toSeq)
+  }
+
+  /** Leiden-style connectivity refinement: replace every community with
+    * the connected components of its INDUCED subgraph, each named by its
+    * minimum member id — so every output community is internally
+    * connected BY CONSTRUCTION (the well-known Louvain defect this pass
+    * repairs: greedy move passes can leave a community whose members are
+    * only connected through vertices that subsequently moved away).
+    *
+    * The split can never lower exact-integer modularity: every
+    * intra-community edge has both endpoints in one component (that is
+    * what connectivity means), so Σ in_c is unchanged, while a community
+    * splitting into degree masses a+b trades (a+b)² for a²+b² in the
+    * Σtot² penalty — strictly smaller when both parts are non-empty.
+    * The caller asserts that invariant on the exact integers rather than
+    * gating (gating away the split would surrender the connectivity
+    * guarantee, the entire point of the pass).
+    *
+    * Plan: one |E| two-sided label join to keep intra-community edges,
+    * then distributed min-label CC with pointer jumping
+    * ([[ConnectedComponents.iterative]] — the 100 TB CC path), then one
+    * |V| left join; vertices with no intra-community edge become
+    * singletons named by their own id.
+    */
+  private[graft] def connectivityRefine(g: DataFrame, labels: DataFrame): DataFrame = {
+    val l = labels.select(col("id"), col("label")).cutLineage()
+    val intra = g.where(col("u") =!= col("v"))
+      .join(l.toDF("u", "la"), Seq("u"))
+      .join(l.toDF("v", "lb"), Seq("v"))
+      .where(col("la") === col("lb"))
+      .select(col("u").as("src"), col("v").as("dst"))
+    val cc = ConnectedComponents.iterative(intra)
+    l.join(cc.toDF("id", "rep"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("label"))
+      .cutLineage()
+  }
+
+  /** [[louvain]] with Leiden's connectivity guarantee: after each
+    * level's gated move passes, [[connectivityRefine]] splits any
+    * internally-disconnected community into its connected parts before
+    * coarsening, so every community at every level — and therefore every
+    * FINAL community — is internally connected. All other contracts
+    * (exact-integer arithmetic, fixed unroll, member-id community
+    * names, per-pass monotone history) are [[louvain]]'s; the history
+    * additionally records the post-refinement score per level, and the
+    * refinement's never-decreases invariant is asserted fail-loud.
+    */
+  def louvainLeiden(edges: DataFrame, levels: Int = 2, movesPerLevel: Int = 2): DataFrame =
+    louvainLeidenDetail(edges, levels, movesPerLevel)._1
+
+  private[graft] def louvainLeidenDetail(edges: DataFrame, levels: Int,
+                                         movesPerLevel: Int): (DataFrame, Seq[Long]) = {
+    var g = edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .select(col("u"), col("v"), lit(1L).as("w"))
+      .cutLineage()
+    val m = g.agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
+    var mapping = g.select(explode(array(col("u"), col("v"))).as("id")).distinct()
+      .select(col("id"), col("id").as("cur"))
+      .cutLineage()
+    val hist = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (lvl <- 1 to levels) {
+      var labels = g.select(explode(array(col("u"), col("v"))).as("id")).distinct()
+        .select(col("id"), col("id").as("label"))
+        .cutLineage()
+      var curQ =
+        if (lvl == 1) weightedModularity(g, labels, m) else hist.last
+      for (p <- 1 to movesPerLevel) {
+        val cand = weightedMovePass(g, labels, m, p % 2)
+        val candQ = weightedModularity(g, cand, m)
+        if (candQ >= curQ) { labels = cand; curQ = candQ }
+        hist += curQ
+      }
+      // Leiden step: enforce internal connectivity before coarsening
+      val refined = connectivityRefine(g, labels)
+      val refinedQ = weightedModularity(g, refined, m)
+      require(refinedQ >= curQ,
+        s"connectivityRefine lowered exact-integer modularity ($curQ -> $refinedQ) " +
+          "— impossible for a pure component split; the labeling is corrupt")
+      labels = refined; curQ = refinedQ
+      hist += curQ
+      mapping = mapping.join(labels.toDF("cur", "nl"), Seq("cur"))
+        .select(col("id"), col("nl").as("cur"))
+        .cutLineage()
+      g = g.join(labels.toDF("u", "la"), Seq("u"))
+        .join(labels.toDF("v", "lb"), Seq("v"))
+        .select(least(col("la"), col("lb")).as("u"),
+          greatest(col("la"), col("lb")).as("v"), col("w"))
+        .groupBy("u", "v").agg(sum("w").as("w"))
+        .cutLineage()
     }
     (mapping.toDF("id", "community"), hist.toSeq)
   }
@@ -234,7 +329,7 @@ object Communities {
       .select(col("u").as("id"), col("lv").as("new_label"))
     l0.join(best, Seq("id"), "left")
       .select(col("id"), coalesce(col("new_label"), col("label")).as("label"))
-      .localCheckpoint(true)
+      .cutLineage()
   }
 
   /** Exact integer modularity 4m²·Q = 4m·Σ_c in_c − Σ_c (Σtot_c)² on a
@@ -285,7 +380,7 @@ object Communities {
     */
   def communityStats(edges: DataFrame, labels: DataFrame): DataFrame = {
     val c = edges.select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
-    val lab = labels.select(col("id"), col("label")).localCheckpoint(true)
+    val lab = labels.select(col("id"), col("label")).cutLineage()
     val internal = c
       .join(lab.toDF("x", "lx"), Seq("x"))
       .join(lab.toDF("y", "ly"), Seq("y"))

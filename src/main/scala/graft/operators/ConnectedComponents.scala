@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Lineage.CutOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -31,11 +32,11 @@ object ConnectedComponents {
     val sym = edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
       .union(edges.select(col("dst").cast("long"), col("src").cast("long")))
       .distinct()
-      .localCheckpoint(true)
+      .cutLineage()
 
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("l", col("id"))
-      .localCheckpoint(true)
+      .cutLineage()
 
     var converged = false
     var iter = 0
@@ -51,7 +52,7 @@ object ConnectedComponents {
       val rhs = propagated.toDF("id2", "l2")
       val jumped = lhs.join(rhs, lhs("l") === rhs("id2"), "left")
         .select(col("id"), coalesce(col("l2"), col("l")).as("l"))
-        .localCheckpoint(true)
+        .cutLineage()
       val newSum = jumped.agg(sum("l")).head().getLong(0)
       converged = newSum == prevSum
       prevSum = newSum

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Lineage.CutOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -27,7 +28,7 @@ object DegreeMetrics {
     * integer agg. Nothing driver-side.
     */
   def assortativity(edges: DataFrame): DataFrame = {
-    val sym = Traversals.symmetrize(edges).localCheckpoint(true)
+    val sym = Traversals.symmetrize(edges).cutLineage()
     val deg = sym.groupBy(col("u").as("id")).agg(count("*").as("d"))
     val moments = sym
       .join(deg.toDF("u", "j"), Seq("u"))

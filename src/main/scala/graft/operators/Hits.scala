@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Lineage.CutOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -54,11 +55,17 @@ object Hits {
   def fixedPoint(edges: DataFrame, iters: Int = 5): DataFrame = {
     val e = edges
       .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
-    // static per-round join inputs, partitioned once per join key
-    val eByU = e.repartition(col("u")).localCheckpoint(true)
-    val eByV = e.repartition(col("v")).localCheckpoint(true)
+    // Static per-round join inputs, partitioned once per join key.
+    // MEMORY BILL: the edge list is checkpointed TWICE (u-keyed and
+    // v-keyed) — 2x edge-list storage, traded deliberately so every
+    // round's two joins reuse a co-located partitioning with zero
+    // per-round exchanges. At 100 TB prefer this over re-shuffling the
+    // edges 2x per round; the checkpoints are freed when the session's
+    // block manager evicts them.
+    val eByU = e.repartition(col("u")).cutLineage()
+    val eByV = e.repartition(col("v")).cutLineage()
     val verts = e.select(col("u").as("id")).union(e.select(col("v")))
-      .distinct().localCheckpoint(true)
+      .distinct().cutLineage()
 
     var hubs = verts.withColumn("h", lit(Scale))
     var auths = verts.withColumn("a", lit(0L))
@@ -76,8 +83,8 @@ object Hits {
         .select(col("id"),
           coalesce(expr("(r * " + Scale + ") div t"), lit(0L)).as("h"))
       if (k % 3 == 0 || k == iters) {
-        auths = auths.localCheckpoint(true)
-        hubs = hubs.localCheckpoint(true)
+        auths = auths.cutLineage()
+        hubs = hubs.cutLineage()
       }
     }
     verts.join(hubs, Seq("id")).join(auths, Seq("id"))

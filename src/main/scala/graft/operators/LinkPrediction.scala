@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Lineage.CutOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -30,7 +31,7 @@ object LinkPrediction {
     * Output: `(a BIGINT, b BIGINT, cn BIGINT, aa_micro BIGINT)`.
     */
   def adamicAdar(edges: DataFrame, minCommon: Int = 2): DataFrame = {
-    val sym = Traversals.symmetrize(edges).localCheckpoint(true)
+    val sym = Traversals.symmetrize(edges).cutLineage()
     val deg = sym.groupBy(col("u").as("c")).agg(count("*").as("d"))
     // per-neighbor contribution of each center c, as an exact integer.
     // d >= 2: a degree-1 center can never close a wedge, and ln(1) = 0
@@ -66,7 +67,7 @@ object LinkPrediction {
     * Output: (u, v, cn, un, jaccard_mu).
     */
   def edgeEmbeddedness(edges: DataFrame, scale: Long = 1000000L): DataFrame = {
-    val sym = Traversals.symmetrize(edges).localCheckpoint(true)
+    val sym = Traversals.symmetrize(edges).cutLineage()
     val e = sym.where(col("u") < col("v"))
     val deg = sym.groupBy(col("u").as("x")).agg(count(lit(1)).as("d"))
     val nbrs = sym.select(col("u").as("x"), col("v").as("w"))

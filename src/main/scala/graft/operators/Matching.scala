@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Lineage.CutOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -48,7 +49,7 @@ object Matching {
       .distinct()
 
   def maximalMatching(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
-    var e = canonical(edges).localCheckpoint(true)
+    var e = canonical(edges).cutLineage()
     val maxId = e.agg(max(col("v"))).head()
     require(maxId.isNullAt(0) || maxId.getLong(0) < KeyBase,
       s"maximalMatching: vertex ids must be < $KeyBase for the exact packed edge key")
@@ -66,19 +67,19 @@ object Matching {
       val mp = inc.groupBy("x").agg(min("p").as("mp"))
       val mins = inc.join(mp, "x").where(col("p") === col("mp"))
         .groupBy("x").agg(min("k").as("mk"))
-        .localCheckpoint(true)
+        .cutLineage()
       val m = keyed
         .join(mins.toDF("u", "mku"), "u")
         .join(mins.toDF("v", "mkv"), "v")
         .where(col("k") === col("mku") && col("k") === col("mkv"))
         .select("u", "v")
-        .localCheckpoint(true)
+        .cutLineage()
       matched ::= m
       val mv = m.select(col("u").as("x")).union(m.select(col("v")))
       e = e.join(mv.toDF("u"), Seq("u"), "left_anti")
         .join(mv.toDF("v"), Seq("v"), "left_anti")
         .select("u", "v")
-        .localCheckpoint(true)
+        .cutLineage()
       live = e.count()
       r += 1
     }
@@ -95,21 +96,46 @@ object Matching {
     * unmatched vertices keep their id; parallel edges aggregate into
     * integer weights and self-loops (the matched edges themselves)
     * drop. Output: (cu BIGINT, cv BIGINT, weight BIGINT) with cu < cv —
-    * feed it back to [[maximalMatching]] for the next level.
+    * feed it back to [[maximalMatching]] for the next level. If `edges`
+    * already carries a `weight` column (e.g. the output of a previous
+    * coarsening level), those weights are SUMMED into the coarse edge
+    * rather than recounted, so multiplicities survive repeated
+    * coarsening; weightless inputs count parallel edges as weight 1
+    * each. Distinct (u,v,weight) triples from a weighted input are all
+    * kept (a weighted multigraph sums its parallel edges).
     *
     * Plan shape: two broadcast-sized left joins against the matching
     * (|matching| ≤ |V|/2 and dimension-like) + one keyed agg.
     */
   def coarsen(edges: DataFrame, matching: DataFrame): DataFrame = {
-    val e = canonical(edges)
+    // accept either the raw (src,dst,…) naming or this method's own
+    // (cu,cv,weight) output so levels chain without a rename
+    val (sc, dc) =
+      if (edges.columns.contains("src")) ("src", "dst") else ("cu", "cv")
+    val hasWeight = edges.columns.contains("weight")
+    val e =
+      if (hasWeight)
+        edges.select(
+            least(col(sc).cast("long"), col(dc).cast("long")).as("u"),
+            greatest(col(sc).cast("long"), col(dc).cast("long")).as("v"),
+            col("weight").cast("long").as("w"))
+          .where(col("u") =!= col("v"))
+          .distinct()
+      else
+        edges.select(
+            least(col(sc).cast("long"), col(dc).cast("long")).as("u"),
+            greatest(col(sc).cast("long"), col(dc).cast("long")).as("v"))
+          .where(col("u") =!= col("v"))
+          .distinct()
+          .withColumn("w", lit(1L))
     val lbl = matching.select(col("v").as("x"), col("u").as("l"))
     e.join(lbl.toDF("u", "lu"), Seq("u"), "left")
       .join(lbl.toDF("v", "lv"), Seq("v"), "left")
       .select(coalesce(col("lu"), col("u")).as("a"),
-        coalesce(col("lv"), col("v")).as("b"))
+        coalesce(col("lv"), col("v")).as("b"), col("w"))
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("cu"),
-        greatest(col("a"), col("b")).as("cv"))
-      .groupBy("cu", "cv").agg(count(lit(1)).as("weight"))
+        greatest(col("a"), col("b")).as("cv"), col("w"))
+      .groupBy("cu", "cv").agg(sum(col("w")).as("weight"))
   }
 }

@@ -312,9 +312,113 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Frame sampling for `video` payloads: every `stride`-th 64-byte slice
-    * of the payload stands in for a decoded frame (STUB — a real impl
-    * would pull I-frames). Emits (id, frame_no, frame) rows.
+  /** Deterministic REAL video corpus: one concatenated-PNG container per
+    * document (the MJPEG idea with PNG members — every frame is an
+    * independently-decodable keyframe), `(doc_id mod 5) + 3` frames of
+    * `side`×`side` grayscale, pixel(f, i) = (doc_id·31 + f·17 + i) mod
+    * 256 — a formula any engine can recompute, so the container walk +
+    * decode round-trip is hash-verifiable (q88's pattern one modality
+    * over).
+    */
+  def syntheticVideos(docs: DataFrame, side: Int = 16): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val nFrames = (((id % 5) + 5) % 5 + 3).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        var f = 0
+        while (f < nFrames) {
+          val gray = Array.tabulate(side * side)(i =>
+            ((((id * 31 + f * 17 + i) % 256) + 256) % 256).toInt)
+          bos.write(encodeGrayPng(DecodedImage(side, side, gray)))
+          f += 1
+        }
+        MediaRow(id, "video", bos.toByteArray,
+          Map("container" -> "png-concat", "n_frames" -> nFrames.toString))
+      }
+    }
+  }
+
+  /** REAL container walk over a concatenated-PNG payload: verify the
+    * 8-byte PNG signature, then parse the chunk stream (4-byte
+    * big-endian length + 4-byte type + data + 4-byte CRC) until IEND
+    * closes the member; repeat until the payload is exhausted. Returns
+    * the [start, end) byte range of each member frame. Malformed or
+    * trailing garbage stops the walk at the last well-formed frame —
+    * quarantine, never a task kill (the [[decodeGray]] posture).
+    */
+  def pngFrameRanges(content: Array[Byte]): Seq[(Int, Int)] = {
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var o = 0
+    var ok = true
+    while (ok && o + 8 <= content.length) {
+      if (!sig.indices.forall(i => content(o + i) == sig(i))) ok = false
+      else {
+        var p = o + 8
+        var closed = false
+        while (ok && !closed) {
+          if (p + 8 > content.length) ok = false
+          else {
+            val len = ((content(p) & 0xff) << 24) | ((content(p + 1) & 0xff) << 16) |
+              ((content(p + 2) & 0xff) << 8) | (content(p + 3) & 0xff)
+            val typ = new String(content, p + 4, 4, "US-ASCII")
+            val next = p.toLong + 8L + len.toLong + 4L // header + data + CRC
+            if (len < 0 || next > content.length) ok = false
+            else {
+              p = next.toInt
+              if (typ == "IEND") closed = true
+            }
+          }
+        }
+        if (ok && closed) { out += ((o, p)); o = p }
+      }
+    }
+    out.toSeq
+  }
+
+  /** REAL keyframe sampling: walk each video's PNG-concat container
+    * ([[pngFrameRanges]]) and emit every `stride`-th member frame's
+    * encoded bytes as (id, frame_no, frame) — each frame decodes
+    * independently through [[decodeGray]]. Non-video rows are skipped;
+    * payloads that are not PNG containers yield no frames (visible as
+    * missing rows, never silent garbage).
+    */
+  def sampleKeyframes(media: DataFrame, stride: Int = 2): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].filter(_.kind == "video").flatMap { r =>
+      val ranges = pngFrameRanges(r.content)
+      ranges.indices.collect { case f if f % stride == 0 =>
+        val (from, until) = ranges(f)
+        MediaFrame(r.id, f, java.util.Arrays.copyOfRange(r.content, from, until))
+      }
+    }
+  }
+
+  /** Exact integer pixel stats for sampled keyframes through the REAL
+    * decoder — the video analogue of [[imageStats]]: (id, frame_no,
+    * width, height, n_px, sum_lum, n_dark). Frames that fail to decode
+    * are dropped (row-count mismatch, never silent).
+    */
+  def keyframeStats(frames: Dataset[MediaFrame]): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.flatMap { fr =>
+      decodeGray(fr.frame).map { img =>
+        (fr.id, fr.frame_no.toLong, img.width.toLong, img.height.toLong,
+          img.gray.length.toLong, img.gray.foldLeft(0L)(_ + _),
+          img.gray.count(_ < 128).toLong)
+      }
+    }.toDF("id", "frame_no", "width", "height", "n_px", "sum_lum", "n_dark")
+  }
+
+  /** Frame sampling for OPAQUE `video` payloads: every `stride`-th
+    * 64-byte slice of the payload stands in for a frame — the byte-
+    * budget fallback when the payload is not a container this engine
+    * can walk (for real keyframes over PNG-concat containers use
+    * [[sampleKeyframes]]). Emits (id, frame_no, frame) rows.
     */
   def sampleFrames(media: DataFrame, stride: Int = 4): Dataset[MediaFrame] = {
     val spark = media.sparkSession

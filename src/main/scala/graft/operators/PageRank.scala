@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Lineage.CutOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -40,9 +41,9 @@ object PageRank {
       .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
     val deg = e.groupBy("u").agg(count(lit(1)).as("outdeg"))
     // static per-round join input, partitioned once on the join key
-    val eDeg = e.join(deg, "u").repartition(col("u")).localCheckpoint(true)
+    val eDeg = e.join(deg, "u").repartition(col("u")).cutLineage()
     val verts = e.select(col("u").as("id")).union(e.select(col("v")))
-      .distinct().localCheckpoint(true)
+      .distinct().cutLineage()
 
     var ranks = verts.withColumn("rank", lit(Scale))
     for (k <- 1 to iters) {
@@ -57,7 +58,7 @@ object PageRank {
       // no convergence probe ⇒ no need to materialize every round; cut
       // lineage every few rounds to bound plan depth without paying a
       // synchronous job barrier per iteration
-      if (k % 3 == 0 || k == iters) ranks = ranks.localCheckpoint(true)
+      if (k % 3 == 0 || k == iters) ranks = ranks.cutLineage()
     }
     ranks
   }
@@ -74,9 +75,9 @@ object PageRank {
       col("dst").cast("long").as("v"), col("value").cast("long").as("w"))
     val tot = e.groupBy("u").agg(sum("w").as("totw"))
     val eW = e.join(tot, "u").where(col("totw") > 0)
-      .repartition(col("u")).localCheckpoint(true)
+      .repartition(col("u")).cutLineage()
     val verts = e.select(col("u").as("id")).union(e.select(col("v")))
-      .distinct().localCheckpoint(true)
+      .distinct().cutLineage()
 
     var ranks = verts.withColumn("rank", lit(Scale))
     for (k <- 1 to iters) {
@@ -88,7 +89,7 @@ object PageRank {
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(15L * Scale / 100) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
-      if (k % 3 == 0 || k == iters) ranks = ranks.localCheckpoint(true)
+      if (k % 3 == 0 || k == iters) ranks = ranks.cutLineage()
     }
     ranks
   }
@@ -108,11 +109,11 @@ object PageRank {
     val e = edges
       .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
     val deg = e.groupBy("u").agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(deg, "u").repartition(col("u")).localCheckpoint(true)
+    val eDeg = e.join(deg, "u").repartition(col("u")).cutLineage()
     val verts = e.select(col("u").as("id")).union(e.select(col("v")))
       .distinct()
       .withColumn("is_src", col("id").isInCollection(sources))
-      .localCheckpoint(true)
+      .cutLineage()
 
     var ranks = verts.withColumn("rank",
       when(col("is_src"), lit(Scale)).otherwise(lit(0L)))
@@ -126,7 +127,7 @@ object PageRank {
         .select(col("id"), col("is_src"),
           (when(col("is_src"), lit(15L * Scale / 100)).otherwise(lit(0L)) +
             expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
-      if (k % 3 == 0 || k == iters) ranks = ranks.localCheckpoint(true)
+      if (k % 3 == 0 || k == iters) ranks = ranks.cutLineage()
     }
     ranks.select(col("id"), col("rank"))
   }

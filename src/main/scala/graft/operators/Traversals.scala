@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Lineage.CutOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -40,7 +41,7 @@ object Traversals {
     * distributed-BFS cost model.
     */
   def bfsDepths(edges: DataFrame, source: Long, maxIter: Int = 100): DataFrame =
-    bfsFromSym(symmetrize(edges).localCheckpoint(true), source, maxIter)
+    bfsFromSym(symmetrize(edges).cutLineage(), source, maxIter)
 
   /** BFS over an already-symmetrized, already-checkpointed `(u, v)` edge
     * set — lets multi-sweep compositions (diameter) pay the symmetrize
@@ -54,7 +55,7 @@ object Traversals {
     // anti-join is a lazy union over those cached levels, so the total
     // data written is O(|V|), not O(|V| · eccentricity) as a per-round
     // settled rewrite would be
-    var frontiers = List(Seq((source, 0L)).toDF("id", "dist").localCheckpoint(true))
+    var frontiers = List(Seq((source, 0L)).toDF("id", "dist").cutLineage())
     var depth = 0L
     var done = false
     while (depth < maxIter && !done) {
@@ -66,7 +67,7 @@ object Traversals {
         .distinct()
         .join(settledIds, col("id") === col("sid"), "left_anti")
         .withColumn("dist", lit(depth))
-        .localCheckpoint(true)
+        .cutLineage()
       if (next.isEmpty) done = true else frontiers ::= next
     }
     frontiers.map(_.select(col("id"), col("dist"))).reduce(_ union _)
@@ -80,7 +81,7 @@ object Traversals {
     * `(source, ecc_source, far_vertex, diameter_lb)`.
     */
   def doubleSweepDiameter(edges: DataFrame, start: Long, maxIter: Int = 100): DataFrame = {
-    val sym = symmetrize(edges).localCheckpoint(true)
+    val sym = symmetrize(edges).cutLineage()
     val d1 = bfsFromSym(sym, start, maxIter)
     val farRow = d1.orderBy(col("dist").desc, col("id").asc).limit(1).head()
     val far = farRow.getLong(0)
@@ -113,9 +114,9 @@ object Traversals {
     val sym = half.union(half.select(col("v"), col("u"), col("w")))
       .where(col("u") =!= col("v"))
       .groupBy("u", "v").agg(min("w").as("w"))
-      .localCheckpoint(true)
+      .cutLineage()
 
-    var dist = Seq((source, 0L)).toDF("id", "dist").localCheckpoint(true)
+    var dist = Seq((source, 0L)).toDF("id", "dist").cutLineage()
     // frontier = vertices whose distance improved last round. Only their
     // out-edges can improve anything next round, so each round relaxes
     // frontier-incident edges instead of the whole edge list — after the
@@ -133,7 +134,7 @@ object Traversals {
           least(coalesce(col("dist"), col("nd")), coalesce(col("nd"), col("dist"))).as("dist"),
           (col("nd").isNotNull && (col("dist").isNull || col("nd") < col("dist")))
             .as("improved"))
-        .localCheckpoint(true)
+        .cutLineage()
       frontier = merged.where(col("improved")).select("id", "dist")
       dist = merged.select("id", "dist")
       iter += 1
@@ -161,8 +162,8 @@ object Traversals {
   def maximalIndependentSet(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     def prio(c: org.apache.spark.sql.Column) =
       struct(graft.Portable.prio31(c).as("p"), c.as("i"))
-    var sym = symmetrize(edges).localCheckpoint(true)
-    var activeV = sym.select(col("u").as("id")).distinct().localCheckpoint(true)
+    var sym = symmetrize(edges).cutLineage()
+    var activeV = sym.select(col("u").as("id")).distinct().cutLineage()
     var selections: List[DataFrame] = Nil
     var iter = 0
     var done = activeV.isEmpty
@@ -171,18 +172,18 @@ object Traversals {
       val sel = activeV.join(nbrMin, activeV("id") === nbrMin("u"), "left")
         .where(col("np").isNull || prio(col("id")) < col("np"))
         .select(col("id"))
-        .localCheckpoint(true)
+        .cutLineage()
       selections ::= sel
       val removed = sel
         .union(sym.join(sel, sym("u") === sel("id")).select(col("v").as("id")))
         .distinct()
       activeV = activeV
         .join(removed.select(col("id").as("rid")), col("id") === col("rid"), "left_anti")
-        .localCheckpoint(true)
+        .cutLineage()
       sym = sym
         .join(activeV.select(col("id").as("ku")), sym("u") === col("ku"), "left_semi")
         .join(activeV.select(col("id").as("kv")), sym("v") === col("kv"), "left_semi")
-        .localCheckpoint(true)
+        .cutLineage()
       done = activeV.isEmpty
       iter += 1
     }
@@ -204,7 +205,7 @@ object Traversals {
     * graphs.
     */
   def kcore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
-    var sym = symmetrize(edges).localCheckpoint(true)
+    var sym = symmetrize(edges).cutLineage()
     var m = sym.count()
     var changed = m > 0
     var iter = 0
@@ -215,7 +216,7 @@ object Traversals {
       val pruned = sym
         .join(keep, sym("u") === keep("kid"), "left_semi")
         .join(keep, sym("v") === keep("kid"), "left_semi")
-        .localCheckpoint(true)
+        .cutLineage()
       val m2 = pruned.count()
       changed = m2 != m
       m = m2
@@ -241,10 +242,10 @@ object Traversals {
     * join; positions checkpointed per step (the BFS lineage discipline).
     */
   def hashWalks(edges: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
-    val sym = symmetrize(edges).localCheckpoint(true)
+    val sym = symmetrize(edges).cutLineage()
     var walk = starts.select(col("id").cast("long").as("start"))
       .withColumn("cur", col("start"))
-      .localCheckpoint(true)
+      .cutLineage()
     for (step <- 1 to steps) {
       val pri = struct(graft.Portable.prio31(col("v"), step).as("p"), col("v").as("i"))
       val frontier = walk.select(col("cur")).distinct()
@@ -254,7 +255,7 @@ object Traversals {
         .select(col("u").as("cur"), col("m.i").as("nxt"))
       walk = walk.join(next, Seq("cur"), "left")
         .select(col("start"), coalesce(col("nxt"), col("cur")).as("cur"))
-        .localCheckpoint(true)
+        .cutLineage()
     }
     walk.select(col("start"), col("cur").as("end"))
   }
@@ -275,20 +276,20 @@ object Traversals {
     */
   def egoSizes(edges: DataFrame, starts: DataFrame, radius: Int = 2,
                trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
-    val sym = symmetrize(edges).localCheckpoint(true)
+    val sym = symmetrize(edges).cutLineage()
     var reached = starts.select(col("id").cast("long").as("s"))
       .withColumn("v", col("s"))
-      .localCheckpoint(true)
+      .cutLineage()
     var frontier = reached
     for (_ <- 1 to radius) {
       val nxt = frontier.toDF("s", "m")
         .join(sym, col("m") === sym("u"))
         .select(col("s"), col("v"))
         .distinct()
-      val fresh = nxt.join(reached, Seq("s", "v"), "left_anti").localCheckpoint(true)
+      val fresh = nxt.join(reached, Seq("s", "v"), "left_anti").cutLineage()
       trace.foreach(_ += fresh.count())
       // fresh is disjoint from reached by construction — plain union
-      reached = reached.unionByName(fresh).localCheckpoint(true)
+      reached = reached.unionByName(fresh).cutLineage()
       frontier = fresh
     }
     reached.groupBy(col("s").as("id")).agg(count(lit(1)).as("ego_size"))

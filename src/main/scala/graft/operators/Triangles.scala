@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Lineage.CutOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -36,7 +37,7 @@ object Triangles {
   private def withAdjacencyKeyed(cw: DataFrame): DataFrame = {
     // The edge set feeds degree agg, orientation and adjacency: compute
     // its upstream (e.g. the co-purchase self-join) once.
-    val cc = cw.localCheckpoint(true)
+    val cc = cw.cutLineage()
     val deg = cc.select(col("win"), explode(array(col("src"), col("dst"))).as("v"))
       .groupBy("win", "v").agg(count("*").as("d"))
 
@@ -48,7 +49,7 @@ object Triangles {
           struct(col("src").as("lo"), col("dst").as("hi")))
           .otherwise(struct(col("dst").as("lo"), col("src").as("hi"))).as("e"))
       .select(col("win"), col("e.lo").as("u"), col("e.hi").as("v"))
-      .localCheckpoint(true)
+      .cutLineage()
 
     val adj = oriented.groupBy(col("win"), col("u").as("w"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
@@ -61,7 +62,7 @@ object Triangles {
   /** Public handle on the oriented+adjacency relation so callers running
     * several triangle statistics over the SAME edge set (e.g. global and
     * per-vertex counts in one bench session) can pay the degree/orient/
-    * adjacency build once: `val a = adjacency(c).localCheckpoint(true)`
+    * adjacency build once: `val a = adjacency(c).cutLineage()`
     * then [[globalCountFrom]] / [[perVertexCountsFrom]].
     */
   def adjacency(c: DataFrame): DataFrame = withAdjacency(c)
@@ -70,7 +71,7 @@ object Triangles {
   private def withAdjacency(c: DataFrame): DataFrame = {
     // The edge set feeds degree agg, orientation and adjacency: compute
     // its upstream (e.g. the co-purchase self-join) once.
-    val cc = c.localCheckpoint(true)
+    val cc = c.cutLineage()
     val deg = cc.select(explode(array(col("src"), col("dst"))).as("v"))
       .groupBy("v").agg(count("*").as("d"))
 
@@ -82,7 +83,7 @@ object Triangles {
           struct(col("src").as("lo"), col("dst").as("hi")))
           .otherwise(struct(col("dst").as("lo"), col("src").as("hi"))).as("e"))
       .select(col("e.lo").as("u"), col("e.hi").as("v"))
-      .localCheckpoint(true)
+      .cutLineage()
 
     val adj = oriented.groupBy(col("u").as("w"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
@@ -169,7 +170,7 @@ object Triangles {
   def temporalTriangles(events: DataFrame, deltaSec: Long): DataFrame = {
     val e = events.select(col("src").cast("long").as("x"),
         col("dst").cast("long").as("y"), col("t").cast("long").as("t"))
-      .localCheckpoint(true) // two sym branches + the closure side
+      .cutLineage() // two sym branches + the closure side
     val sym = e.select(col("x").as("p"), col("y").as("o"), col("t"))
       .unionByName(e.select(col("y").as("p"), col("x").as("o"), col("t")))
     val s1 = sym.select(col("p"), col("o").as("a"), col("t").as("t1"),
@@ -223,7 +224,7 @@ object Triangles {
         least(col("src"), col("dst")).cast("long").as("src"),
         greatest(col("src"), col("dst")).cast("long").as("dst"))
       .where(col("src") < col("dst")).distinct()
-      .localCheckpoint(true)
+      .cutLineage()
 
     def countSupport(es: DataFrame): DataFrame =
       enumerate(es).select(explode(array(
@@ -237,7 +238,7 @@ object Triangles {
     def withSupport(es: DataFrame): DataFrame =
       es.join(countSupport(es), Seq("src", "dst"), "left")
         .select(col("src"), col("dst"), coalesce(col("sup"), lit(0L)).as("sup"))
-        .localCheckpoint(true)
+        .cutLineage()
 
     var support = withSupport(edges)
     var m = support.count()
@@ -279,7 +280,7 @@ object Triangles {
         support = kept.join(deltas, Seq("src", "dst"), "left")
           .select(col("src"), col("dst"),
             (col("sup") - coalesce(col("dec"), lit(0L))).as("sup"))
-          .localCheckpoint(true)
+          .cutLineage()
       }
       m -= below
       below = support.where(col("sup") < k - 2).count()
@@ -299,7 +300,7 @@ object Triangles {
         least(col("src"), col("dst")).cast("long").as("src"),
         greatest(col("src"), col("dst")).cast("long").as("dst"))
       .where(col("src") < col("dst")).distinct()
-      .localCheckpoint(true)
+      .cutLineage()
     var m = edges.count()
     var changed = m > 0
     var iter = 0
@@ -314,7 +315,7 @@ object Triangles {
       val kept = edges.join(sup, Seq("src", "dst"), "left")
         .where(coalesce(col("sup"), lit(0L)) >= k - 2)
         .select("src", "dst")
-        .localCheckpoint(true)
+        .cutLineage()
       val m2 = kept.count()
       changed = m2 != m
       m = m2
@@ -340,7 +341,7 @@ object Triangles {
     */
   def sparsifiedEstimateGate(c: DataFrame, p: Double = 0.5, seed: Long = 42L,
                              tol: Double = 0.2): DataFrame = {
-    val cc = c.localCheckpoint(true)
+    val cc = c.cutLineage()
     val kept = cc.where(
       pmod(xxhash64(col("src"), col("dst"), lit(seed)), lit(1000000L)) <
         lit((p * 1e6).toLong))
@@ -364,7 +365,7 @@ object Triangles {
     * produces the identical double.
     */
   def transitivity(c: DataFrame): DataFrame = {
-    val cc = c.localCheckpoint(true)
+    val cc = c.cutLineage()
     // d*(d-1) is always even, so `div` keeps the whole sum in exact Long
     // arithmetic — `/` would promote to double and lose exactness (and
     // cross-engine determinism) past 2^53 wedges.
@@ -384,7 +385,7 @@ object Triangles {
     * endpoint count IS the distinct-neighbor count).
     */
   def clusteringCoefficients(c: DataFrame): DataFrame = {
-    val cc = c.localCheckpoint(true)
+    val cc = c.cutLineage()
     val deg = cc.select(explode(array(col("src"), col("dst"))).as("id"))
       .groupBy("id").agg(count("*").as("degree"))
     val tri = perVertexCounts(cc)

@@ -85,6 +85,134 @@ object StreamingOps {
       }
   }
 
+  /** TTL'd union-find state: sorted vertex ids, each id's component
+    * label (min LIVE member of its component) and last-seen event time
+    * in micros — product-encoded primitive arrays (24 B/vertex), the
+    * [[SummaryCodecs]] wire-format discipline.
+    */
+  final case class TtlCcRows(ids: Array[Long], root: Array[Long], seen: Array[Long])
+
+  /** [[runningConnectedComponents]] with WATERMARK-TTL state eviction —
+    * the bounded-state variant the unbounded reference semantics
+    * (GS/SimpleEdgeStream.java keyed first-seen state, which also never
+    * expires) cannot give a production stream. State holds only vertices
+    * seen within the watermark horizon (`ttl` is the watermark delay on
+    * `ts`), so state size is bounded by the horizon's distinct-vertex
+    * count instead of growing with the whole stream's.
+    *
+    * DIVERGENCE CONTRACT vs the unbounded sibling — what expiry loses:
+    *  - An expired vertex stops being reported and, if it re-arrives,
+    *    restarts as a singleton: its old merges are forgotten FOR IT.
+    *  - Merges remain for surviving vertices even when witnessed through
+    *    now-expired vertices (the union-find keeps transitive evidence
+    *    as labels, not paths) — components never split on expiry.
+    *  - Labels are the component's min LIVE vertex, so a component's
+    *    label can move upward when its smallest member expires (the
+    *    unbounded sibling's labels only move downward).
+    * Eviction uses the watermark as of the PREVIOUS trigger (Spark
+    * advances watermarks between micro-batches), so a vertex survives
+    * one extra trigger past its horizon — never the reverse.
+    *
+    * Per-trigger cost is O(state + batch): the same order as the
+    * unbounded sibling's codec decode of its own state, but over the
+    * horizon's vertices only — at 100 TB / unbounded retention the
+    * sibling's state melts and this one plateaus.
+    */
+  def runningConnectedComponentsTtl(edges: DataFrame, ttl: String): Dataset[(Long, Long)] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    implicit val enc: Encoder[TtlCcRows] = Encoders.product[TtlCcRows]
+    edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+        col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", ttl)
+      // the watermark-tagged `ts` attribute must reach the stateful
+      // operator itself (projecting it away makes
+      // getCurrentWatermarkMs throw "watermark not set")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Int, rawIt: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[TtlCcRows]) =>
+          val it = rawIt.map { case (s, d, t) => (s, d, t.getTime * 1000L) }
+          // rebuild the union-find from surviving (id, label) pairs —
+          // labels carry the transitive evidence, paths are not needed
+          val ds = new DisjointSet
+          val seen = scala.collection.mutable.LongMap.empty[Long]
+          state.getOption.foreach { r =>
+            var i = 0
+            while (i < r.ids.length) {
+              ds.union(r.ids(i), r.root(i)); seen(r.ids(i)) = r.seen(i); i += 1
+            }
+          }
+          it.foreach { case (s, d, t) =>
+            ds.union(s, d)
+            if (seen.getOrElse(s, Long.MinValue) < t) seen(s) = t
+            if (seen.getOrElse(d, Long.MinValue) < t) seen(d) = t
+          }
+          val horizonMicros = state.getCurrentWatermarkMs() * 1000L
+          val live = scala.collection.mutable.ArrayBuffer.empty[Long]
+          seen.foreach { case (v, t) => if (t >= horizonMicros) live += v }
+          val ids = live.toArray
+          java.util.Arrays.sort(ids)
+          // relabel to min LIVE member per component
+          val minLive = scala.collection.mutable.LongMap.empty[Long]
+          var i = 0
+          while (i < ids.length) {
+            val r = ds.find(ids(i))
+            if (minLive.getOrElse(r, Long.MaxValue) > ids(i)) minLive(r) = ids(i)
+            i += 1
+          }
+          val roots = new Array[Long](ids.length)
+          val sn = new Array[Long](ids.length)
+          i = 0
+          while (i < ids.length) {
+            roots(i) = minLive(ds.find(ids(i))); sn(i) = seen(ids(i)); i += 1
+          }
+          state.update(TtlCcRows(ids, roots, sn))
+          ids.iterator.zip(roots.iterator)
+      }
+  }
+
+  /** Replay harness for the TTL'd running CC (the
+    * [[replayConnectedComponents]] discipline: MemoryStream batches in
+    * ascending-ts order on a pinned-partition cloned session, driver-side
+    * feeds/collects are the harness, not the operator). Returns the LAST
+    * trigger's full surviving (id, component) assignment — the state
+    * snapshot the divergence contract talks about.
+    */
+  def replayConnectedComponentsTtl(edges: DataFrame, ttl: String,
+                                   nBatches: Int = 4): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val rows = edges
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        unix_micros(col("ts").cast("timestamp")))
+      .as[(Long, Long, Long)].collect()
+    rows.sortInPlaceBy(_._3)
+    val stream = pinnedShuffleSession(spark, 1)
+    implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val ckpt = replayCkpt("graft-replay-ccttl")
+    val last = new java.util.concurrent.atomic.AtomicReference[Array[(Long, Long)]](Array.empty)
+    val q = runningConnectedComponentsTtl(
+        ms.toDF().toDF("src", "dst", "tsu")
+          .select(col("src"), col("dst"),
+            timestamp_micros(col("tsu")).as("ts")), ttl)
+      .toDF("id", "component")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val snap = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        if (snap.nonEmpty) last.set(snap)
+      }
+      .start()
+    try {
+      val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+      spark.createDataset(last.get.toIndexedSeq).toDF("id", "component")
+    } finally q.stop()
+  }
+
   private implicit val pdsEnc: Encoder[ParityDisjointSet] =
     SummaryCodecs.parityDisjointSetEncoder
 

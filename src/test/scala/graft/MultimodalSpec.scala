@@ -127,6 +127,46 @@ class MultimodalSpec extends SparkTestBase {
     } finally hashes.unpersist()
   }
 
+  test("PNG-concat container walk: exact frame ranges, strided keyframes, formula-exact pixels") {
+    import spark.implicits._
+    val docs = Seq(0L, 1L, 4L, 7L).toDF("doc_id")
+    val vids = Multimodal.syntheticVideos(docs).collect()
+    // every container walks into exactly (doc_id mod 5) + 3 member
+    // frames whose ranges tile the payload end-to-end
+    vids.foreach { v =>
+      val ranges = Multimodal.pngFrameRanges(v.content)
+      assert(ranges.size == ((v.id % 5) + 3).toInt, s"doc ${v.id}")
+      assert(ranges.head._1 == 0 && ranges.last._2 == v.content.length)
+      assert(ranges.sliding(2).forall {
+        case Seq((_, e), (s2, _)) => e == s2
+        case _ => true
+      })
+    }
+    // strided keyframes decode to the exact per-frame pixel formula
+    val stats = Multimodal.keyframeStats(
+      Multimodal.sampleKeyframes(Multimodal.syntheticVideos(docs).toDF(), 2))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val expected = (for {
+      id <- Seq(0L, 1L, 4L, 7L)
+      f <- 0 until ((id % 5) + 3).toInt if f % 2 == 0
+    } yield {
+      val px = (0 until 256).map(i => (id * 31 + f * 17 + i) % 256)
+      (id, f.toLong) -> (16L, 16L, 256L, px.sum, px.count(_ < 128).toLong)
+    }).toMap
+    assert(stats == expected)
+    // a payload that is not a PNG container yields no frames (quarantine)
+    assert(Multimodal.pngFrameRanges("not a png at all".getBytes("UTF-8")).isEmpty)
+    // trailing garbage after a valid frame stops at the last good frame
+    val one = vids.find(_.id == 0L).get
+    val firstEnd = Multimodal.pngFrameRanges(one.content).head._2
+    val garbled = java.util.Arrays.copyOfRange(one.content, 0, firstEnd) ++
+      Array[Byte](1, 2, 3, 4, 5)
+    assert(Multimodal.pngFrameRanges(garbled) == Seq((0, firstEnd)))
+  }
+
   test("resizeDecoded is true nearest-neighbor resampling, verified post-round-trip") {
     import spark.implicits._
     val docs = Seq(3L).toDF("doc_id")

@@ -156,6 +156,41 @@ class StreamingSpec extends SparkTestBase {
     assert(got == batch)
   }
 
+  test("TTL'd running CC: bounded state evicts expired vertices, keeps merges for survivors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // chain 1-2-3 early, then a long quiet gap, then late edges touching
+    // 2 again: with a 1-hour TTL the early-only vertices 1 and 3 expire
+    // (eviction uses the PREVIOUS trigger's watermark, hence the third
+    // batch), vertex 2 re-arrives so it survives — still merged with the
+    // late component through the retained label evidence
+    val rows = Seq(
+      (1L, 2L, 0L), (2L, 3L, 60L),           // early chunk (t = 0, 1 min)
+      (10L, 11L, 86400L), (2L, 10L, 86460L), // a day later
+      (10L, 12L, 86520L)                     // third trigger: post-watermark-advance
+    ).toDF("src", "dst", "sec")
+      .select(col("src"), col("dst"), timestamp_seconds(col("sec")).as("ts"))
+    val ttlGot = StreamingOps.replayConnectedComponentsTtl(rows, "1 hour", nBatches = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // expired: 1, 3 gone from the final state; survivors 2/10/11/12
+    // merged, labeled by min LIVE member (2)
+    assert(ttlGot == Map(2L -> 2L, 10L -> 2L, 11L -> 2L, 12L -> 2L), s"got $ttlGot")
+    // with a TTL longer than the whole stream, the final snapshot is the
+    // unbounded sibling's full assignment
+    val bigGot = StreamingOps.replayConnectedComponentsTtl(rows, "30 days", nBatches = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bigGot == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 1L, 11L -> 1L, 12L -> 1L), s"got $bigGot")
+    // on the fixture stream with an infinite-horizon TTL, parity with
+    // the one-shot batch CC (the q45 gate, TTL path)
+    val e = graft.model.GraphFixtures.edgeStream(spark, sf)
+    val got = StreamingOps.replayConnectedComponentsTtl(e, "3650 days", nBatches = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = SummaryAggregations.connectedComponents(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == batch)
+  }
+
   test("windowed neighborhood fold under watermark 0 emits batch-equal closed windows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -191,6 +191,54 @@ class SummarySpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("Leiden refinement: splits disconnected communities, final communities internally connected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Communities, ConnectedComponents}
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+
+    // a labeling that glues two components into one community: the
+    // refinement must split it into min-member-named parts and must not
+    // lower exact-integer modularity
+    val twoParts = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(7L, 8L, 9L))).toDF("src", "dst")
+    val g = twoParts.select(least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v"), lit(1L).as("w"))
+    val glued = Seq(1L, 2L, 3L, 7L, 8L, 9L).toDF("id").withColumn("label", lit(1L))
+    val m = 6L
+    val refined = Communities.connectivityRefine(g, glued)
+    val r = refined.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).map(r).toSet == Set(1L), s"labels: $r")
+    assert(Seq(7L, 8L, 9L).map(r).toSet == Set(7L), s"labels: $r")
+    assert(Communities.weightedModularity(g, refined, m) >=
+      Communities.weightedModularity(g, glued, m))
+    // a connected labeling is a fixed point
+    val connected = Communities.connectivityRefine(g, refined)
+    assert(connected.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap == r)
+
+    // end-to-end: every final louvainLeiden community on the fixture
+    // graph is internally connected (CC of each induced subgraph has
+    // exactly one component), and the history stays monotone
+    val c10 = graft.model.GraphFixtures.coPurchase10(spark, sf)
+    val (lab, hist) = Communities.louvainLeidenDetail(c10, 2, 2)
+    assert(hist == hist.sorted, s"modularity history decreased: $hist")
+    val labDf = lab.toDF("id", "label").cache()
+    val intra = c10.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .join(labDf.toDF("u", "la"), Seq("u"))
+      .join(labDf.toDF("v", "lb"), Seq("v"))
+      .where(col("la") === col("lb") && col("u") =!= col("v"))
+      .select(col("u").as("src"), col("v").as("dst"))
+    val comps = ConnectedComponents.iterative(intra)
+      .join(labDf, Seq("id"))
+      .groupBy("label").agg(countDistinct("component").as("nc"))
+      .where(col("nc") > 1)
+    assert(comps.count() == 0, "louvainLeiden emitted an internally-disconnected community")
+    // determinism: the public entry point matches the detail run
+    val again = Communities.louvainLeiden(c10, 2, 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(again == lab.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap)
+    labDf.unpersist()
+  }
+
   test("summary codecs round-trip arbitrary summary states exactly") {
     import graft.summaries._
     val rnd = new scala.util.Random(7)
