@@ -811,6 +811,13 @@ object SparkEntry {
       Multimodal.keyframeStats(
         Multimodal.sampleKeyframes(
           Multimodal.syntheticVideos(Tables.documents(s, dir)).toDF(), 2))),
+    // REAL audio codec: RIFF/WAVE containers parsed by a real chunk
+    // walker (skips unknown chunks by size), 16-bit PCM decoded to
+    // exact integer signal stats the oracle recomputes from the sample
+    // formula — the third and last modality off the stub path
+    "q144_audio_decode" -> ((s, dir) =>
+      Multimodal.audioStats(
+        Multimodal.syntheticAudio(Tables.documents(s, dir)).toDF())),
     // exact per-group quantiles (sort-based percentile, linear interp)
     "q65_quantiles" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -1098,6 +1105,14 @@ object SparkEntry {
     "q45_streaming_cc" -> ((s, dir) =>
       graft.streaming.StreamingOps.replayConnectedComponents(
         GraphFixtures.edgeStream(s, dir))),
+    // the watermark-TTL'd running summary at an infinite horizon must
+    // equal the unbounded sibling's converged assignment (q13a's
+    // oracle) — certifies the eviction path's bookkeeping is lossless
+    // when nothing is evicted; the bounded-horizon divergence contract
+    // is spec-checked (StreamingSpec)
+    "q143_streaming_cc_ttl" -> ((s, dir) =>
+      graft.streaming.StreamingOps.replayConnectedComponentsTtl(
+        GraphFixtures.edgeStream(s, dir), "3650 days")),
     // O24 streaming form: incremental exact triangles over a replayed
     // edge stream — per-vertex running counts are exact at every prefix
     // and must end equal to the one-shot batch answer on the same graph
@@ -1855,6 +1870,10 @@ object SparkEntry {
       // the running-summary stream must converge to the same assignment
       "q45_streaming_cc" -> ccOracle(
         "SELECT DISTINCT l_partkey AS x, l_suppkey + 1000000000 AS y FROM lineitem"),
+      // TTL'd running summary, horizon past the whole stream: no
+      // eviction fires, so the final snapshot is the full assignment
+      "q143_streaming_cc_ttl" -> ccOracle(
+        "SELECT DISTINCT l_partkey AS x, l_suppkey + 1000000000 AS y FROM lineitem"),
       // incremental per-vertex stream counts == one-shot batch on C10
       "q48_streaming_triangles" ->
         (s"WITH c AS ($copurchase10), t AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c3 $triangleJoin) " +
@@ -2036,6 +2055,14 @@ object SparkEntry {
           "CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(g) AS BIGINT) AS sum_lum, " +
           "CAST(SUM(CASE WHEN g < 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_dark " +
           "FROM px GROUP BY doc_id, f"),
+      // real audio: ((doc_id mod 4)+1)*256 PCM samples per WAV,
+      // sample(i) = ((doc_id*37 + i*17) mod 65536) - 32768
+      "q144_audio_decode" ->
+        ("WITH s AS (SELECT d.doc_id, ((d.doc_id * 37 + p.i * 17) % 65536) - 32768 AS v " +
+          "FROM documents d, range(1024) p(i) WHERE p.i < ((d.doc_id % 4) + 1) * 256) " +
+          "SELECT doc_id AS id, CAST(8000 AS BIGINT) AS sample_rate, " +
+          "CAST(COUNT(*) AS BIGINT) AS n_samples, CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs, " +
+          "CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs FROM s GROUP BY doc_id"),
       "q65_quantiles" ->
         ("SELECT l_returnflag AS returnflag, " +
           "ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25, " +

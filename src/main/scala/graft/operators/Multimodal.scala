@@ -414,6 +414,117 @@ object Multimodal {
     }.toDF("id", "frame_no", "width", "height", "n_px", "sum_lum", "n_dark")
   }
 
+  /** Deterministic REAL audio corpus: one RIFF/WAVE container per
+    * document — 16-bit signed little-endian PCM mono at 8 kHz,
+    * `((doc_id mod 4) + 1)·256` samples, sample(i) = ((doc_id·37 +
+    * i·17) mod 65536) − 32768 — a formula any engine can recompute, so
+    * the container parse + PCM decode is hash-verifiable (the q88/q142
+    * pattern for the third modality).
+    */
+  def syntheticAudio(docs: DataFrame, sampleRate: Int = 8000): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = ((((id % 4) + 4) % 4).toInt + 1) * 256
+        val data = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = ((((id * 37 + i * 17) % 65536) + 65536) % 65536).toInt - 32768
+          data(2 * i) = (v & 0xff).toByte
+          data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        def le32(x: Int): Unit = {
+          bos.write(x & 0xff); bos.write((x >> 8) & 0xff)
+          bos.write((x >> 16) & 0xff); bos.write((x >> 24) & 0xff)
+        }
+        def le16(x: Int): Unit = { bos.write(x & 0xff); bos.write((x >> 8) & 0xff) }
+        bos.write("RIFF".getBytes("US-ASCII")); le32(36 + data.length)
+        bos.write("WAVE".getBytes("US-ASCII"))
+        bos.write("fmt ".getBytes("US-ASCII")); le32(16)
+        le16(1) /* PCM */ ; le16(1) /* mono */ ; le32(sampleRate)
+        le32(sampleRate * 2) /* byte rate */ ; le16(2) /* block align */
+        le16(16) /* bits */
+        bos.write("data".getBytes("US-ASCII")); le32(data.length)
+        bos.write(data)
+        MediaRow(id, "audio", bos.toByteArray,
+          Map("codec" -> "pcm_s16le", "rate" -> sampleRate.toString))
+      }
+    }
+  }
+
+  case class DecodedAudio(sampleRate: Int, channels: Int, samples: Array[Int])
+
+  /** REAL RIFF/WAVE parse: verify the RIFF/WAVE signature, walk the
+    * chunk stream (4-byte id + LE u32 size + payload, word-aligned),
+    * read `fmt ` (require PCM format 1, 16-bit) and `data`, decode the
+    * little-endian signed samples. Unknown chunks are SKIPPED by size —
+    * real WAV files carry LIST/fact/cue chunks and a parser that
+    * assumes fmt-then-data breaks on them. Returns None on anything
+    * malformed ([[decodeGray]]'s quarantine posture).
+    */
+  def decodePcm(content: Array[Byte]): Option[DecodedAudio] = {
+    def le32(o: Int): Long =
+      (content(o) & 0xffL) | ((content(o + 1) & 0xffL) << 8) |
+        ((content(o + 2) & 0xffL) << 16) | ((content(o + 3) & 0xffL) << 24)
+    def le16(o: Int): Int = (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
+    def tag(o: Int): String = new String(content, o, 4, "US-ASCII")
+    if (content.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else {
+      var o = 12
+      var fmt: Option[(Int, Int, Int)] = None // (format, channels, rate)
+      var bits = 0
+      var data: Option[(Int, Int)] = None // (offset, size)
+      var ok = true
+      while (ok && o + 8 <= content.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = tag(o)
+        val size = le32(o + 4)
+        val body = o + 8
+        if (size < 0 || body + size > content.length) ok = false
+        else {
+          if (id == "fmt " && size >= 16) {
+            fmt = Some((le16(body), le16(body + 2), le32(body + 4).toInt))
+            bits = le16(body + 14)
+          } else if (id == "data") data = Some((body, size.toInt))
+          o = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        }
+      }
+      for {
+        (format, channels, rate) <- fmt if ok && format == 1 && bits == 16
+        (off, sz) <- data
+      } yield {
+        val n = sz / 2
+        val samples = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = ((content(off + 2 * i) & 0xff) |
+            (content(off + 2 * i + 1) << 8)).toShort.toInt
+          i += 1
+        }
+        DecodedAudio(rate, channels, samples)
+      }
+    }
+  }
+
+  /** Exact integer signal stats through the REAL PCM decoder — the audio
+    * analogue of [[imageStats]]: (id, sample_rate, n_samples, sum_abs,
+    * peak_abs). Rows whose payload doesn't parse as 16-bit PCM WAV are
+    * dropped (row-count mismatch, never silent).
+    */
+  def audioStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      decodePcm(r.content).map { a =>
+        var sumAbs = 0L; var peak = 0L
+        a.samples.foreach { s => val v = math.abs(s.toLong); sumAbs += v; if (v > peak) peak = v }
+        (r.id, a.sampleRate.toLong, a.samples.length.toLong, sumAbs, peak)
+      }
+    }.toDF("id", "sample_rate", "n_samples", "sum_abs", "peak_abs")
+  }
+
   /** Frame sampling for OPAQUE `video` payloads: every `stride`-th
     * 64-byte slice of the payload stands in for a frame — the byte-
     * budget fallback when the payload is not a container this engine

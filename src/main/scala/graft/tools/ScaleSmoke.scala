@@ -331,6 +331,38 @@ object ScaleSmoke {
           .maximalMatching(zipf).count()))
     }
 
+    if (mode == "tier2ttl") {
+      // Bounded vs unbounded running-CC state (VERDICT r5 item 6's
+      // quantification): a sliding-population edge stream — edge i links
+      // vertex i/2 to a recent vertex, ts advances 1s per 100 edges —
+      // so old vertices stop arriving, exactly the regime TTL exists
+      // for. The final TTL state holds only the horizon's vertices; the
+      // unbounded sibling's state holds every vertex ever seen.
+      val n = 1000000L
+      val edges = spark.range(n).select(
+          floor(col("id") / 2).cast("long").as("src"),
+          greatest(lit(0L),
+            floor(col("id") / 2).cast("long")
+              - pmod(xxhash64(col("id"), lit(21)), lit(200L)) - 1L).as("dst"),
+          timestamp_seconds(floor(col("id") / 100)).as("ts"))
+        .where(col("src") =!= col("dst"))
+        .localCheckpoint(true)
+      val nv = edges.select(explode(array(col("src"), col("dst"))).as("v"))
+        .distinct().count()
+      println(s"[smoke] tier2ttl stream: ${edges.count()} edges, $nv distinct vertices, " +
+        s"event time spans ${n / 100}s")
+      tm("running CC unbounded (1M-edge replay)") {
+        val full = graft.streaming.StreamingOps
+          .replayConnectedComponents(edges, nBatches = 10).count()
+        println(s"[smoke] unbounded final state: $full vertex entries")
+      }
+      tm("running CC TTL 600s (1M-edge replay)") {
+        val live = graft.streaming.StreamingOps
+          .replayConnectedComponentsTtl(edges, "600 seconds", nBatches = 10).count()
+        println(s"[smoke] TTL'd final state: $live vertex entries")
+      }
+    }
+
     if (mode == "all" || mode == "graph") {
       t("bfsDepths (10M edges)")(
         graft.operators.Traversals.bfsDepths(g, 0L).count())

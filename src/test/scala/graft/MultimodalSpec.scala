@@ -167,6 +167,43 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.pngFrameRanges(garbled) == Seq((0, firstEnd)))
   }
 
+  test("WAV round-trip: real RIFF chunk walk decodes the exact PCM samples, skips unknown chunks") {
+    import spark.implicits._
+    val docs = Seq(0L, 3L, 5L).toDF("doc_id")
+    val wavs = Multimodal.syntheticAudio(docs).collect()
+    wavs.foreach { w =>
+      val a = Multimodal.decodePcm(w.content).get
+      val n = (((w.id % 4) + 1) * 256).toInt
+      assert(a.sampleRate == 8000 && a.channels == 1 && a.samples.length == n)
+      val expected = (0 until n).map(i => ((w.id * 37 + i * 17) % 65536).toInt - 32768)
+      assert(a.samples.toSeq == expected, s"doc ${w.id}")
+    }
+    // an unknown chunk BEFORE data must be skipped by size, not break
+    // the parse (LIST/fact/cue chunks are routine in real files)
+    val one = wavs.head.content
+    val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](6, 0, 0, 0) ++
+      Array[Byte](9, 9, 9, 9, 9, 9)
+    val withJunk = one.slice(0, 12) ++ junk ++ one.slice(12, one.length)
+    // fix the RIFF size field for the inserted bytes
+    val sz = (one.length - 8) + junk.length
+    withJunk(4) = (sz & 0xff).toByte; withJunk(5) = ((sz >> 8) & 0xff).toByte
+    withJunk(6) = ((sz >> 16) & 0xff).toByte; withJunk(7) = ((sz >> 24) & 0xff).toByte
+    assert(Multimodal.decodePcm(withJunk).map(_.samples.length) ==
+      Multimodal.decodePcm(one).map(_.samples.length))
+    // malformed payloads quarantine (None), never throw
+    assert(Multimodal.decodePcm("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodePcm("not audio".getBytes("UTF-8")).isEmpty)
+    // audioStats through the distributed path matches the formula
+    val stats = Multimodal.audioStats(Multimodal.syntheticAudio(docs).toDF())
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val exp = Seq(0L, 3L, 5L).map { id =>
+      val n = (((id % 4) + 1) * 256).toInt
+      val vs = (0 until n).map(i => ((id * 37 + i * 17) % 65536) - 32768)
+      id -> (n.toLong, vs.map(v => math.abs(v)).sum, vs.map(v => math.abs(v)).max)
+    }.toMap
+    assert(stats == exp)
+  }
+
   test("resizeDecoded is true nearest-neighbor resampling, verified post-round-trip") {
     import spark.implicits._
     val docs = Seq(3L).toDF("doc_id")
