@@ -818,6 +818,15 @@ object SparkEntry {
     "q144_audio_decode" -> ((s, dir) =>
       Multimodal.audioStats(
         Multimodal.syntheticAudio(Tables.documents(s, dir)).toDF())),
+    // video-level near-dup: per-keyframe aHash through the real
+    // container walk + decoder, videos paired when every sampled frame
+    // hash matches positionally — one (frame_no, hash) equi-join,
+    // candidates ∝ true collisions (the multimodal dedup loop closed)
+    "q145_video_twins" -> ((s, dir) =>
+      Multimodal.videoTwins(
+        Multimodal.keyframeHashes(
+          Multimodal.sampleKeyframes(
+            Multimodal.syntheticVideos(Tables.documents(s, dir)).toDF(), 2)))),
     // exact per-group quantiles (sort-based percentile, linear interp)
     "q65_quantiles" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -2063,6 +2072,29 @@ object SparkEntry {
           "SELECT doc_id AS id, CAST(8000 AS BIGINT) AS sample_rate, " +
           "CAST(COUNT(*) AS BIGINT) AS n_samples, CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs, " +
           "CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs FROM s GROUP BY doc_id"),
+      // per-keyframe aHash (q116's 8x8 mean-threshold formula with the
+      // frame term), then positional all-frame-match video pairs
+      "q145_video_twins" ->
+        ("WITH fr AS (SELECT d.doc_id, f.f FROM documents d, range(8) f(f) " +
+          "WHERE f.f < (d.doc_id % 5) + 3 AND f.f % 2 = 0), " +
+          "px AS (SELECT doc_id, f, p.i, CAST((doc_id * 31 + f * 17 + " +
+          "(2 * (p.i // 8)) * 16 + 2 * (p.i % 8)) % 256 AS BIGINT) AS g " +
+          "FROM fr, range(64) p(i)), " +
+          "s AS (SELECT doc_id, f, SUM(g) AS sm FROM px GROUP BY 1, 2), " +
+          "bits AS (SELECT px.doc_id, px.f, px.i, " +
+          "CASE WHEN 64 * px.g >= s.sm THEN 1 ELSE 0 END AS b " +
+          "FROM px JOIN s ON s.doc_id = px.doc_id AND s.f = px.f), " +
+          "h AS (SELECT doc_id, f, " +
+          "CAST(SUM(CASE WHEN i < 32 THEN b * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS lo, " +
+          "CAST(SUM(CASE WHEN i >= 32 THEN b * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS hi " +
+          "FROM bits GROUP BY 1, 2), " +
+          "nf AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY 1), " +
+          "m AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_match FROM h x " +
+          "JOIN h y ON x.f = y.f AND x.lo = y.lo AND x.hi = y.hi AND x.doc_id < y.doc_id " +
+          "GROUP BY 1, 2) " +
+          "SELECT m.a, m.b, CAST(m.n_match AS BIGINT) AS n_match FROM m " +
+          "JOIN nf na ON na.doc_id = m.a JOIN nf nb ON nb.doc_id = m.b " +
+          "WHERE m.n_match = na.n AND na.n = nb.n"),
       "q65_quantiles" ->
         ("SELECT l_returnflag AS returnflag, " +
           "ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25, " +

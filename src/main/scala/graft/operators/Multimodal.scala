@@ -414,6 +414,68 @@ object Multimodal {
     }.toDF("id", "frame_no", "width", "height", "n_px", "sum_lum", "n_dark")
   }
 
+  /** 64-bit aHash per sampled keyframe through the REAL decoder — the
+    * [[perceptualHashes]] formula applied per (video, frame): 8×8
+    * nearest-neighbor resample, integer mean threshold, two u32 halves.
+    * Frames that fail to decode are dropped.
+    */
+  def keyframeHashes(frames: Dataset[MediaFrame]): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.flatMap { fr =>
+      decodeGray(fr.frame).map { img =>
+        val s = new Array[Long](64)
+        var y = 0
+        while (y < 8) {
+          val sy = y * img.height / 8
+          var x = 0
+          while (x < 8) {
+            s(y * 8 + x) = img.gray(sy * img.width + x * img.width / 8).toLong
+            x += 1
+          }
+          y += 1
+        }
+        val sum = s.sum
+        var lo = 0L; var hi = 0L; var k = 0
+        while (k < 64) {
+          if (64L * s(k) >= sum) {
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        (fr.id, fr.frame_no.toLong, lo, hi)
+      }
+    }.toDF("id", "frame_no", "h_lo", "h_hi")
+  }
+
+  /** Perceptual-duplicate videos over [[keyframeHashes]]: pairs (a < b)
+    * whose sampled keyframes match POSITIONALLY on every frame (same
+    * frame count, equal aHash at each sampled frame_no). The join is a
+    * plain equi-join on (frame_no, hash) — candidates ∝ true hash
+    * collisions, never |videos|², so this is the scale path as-is: at
+    * 100 TB the (frame_no, h_lo, h_hi) shuffle key spreads uniformly
+    * unless the corpus is degenerate (all-flat frames), the same
+    * hot-chunk caveat as [[phashPairsBanded]].
+    */
+  def videoTwins(hashes: DataFrame): DataFrame = {
+    // the hash table is referenced four times (two join sides + two
+    // frame-count joins); cache it so the expensive upstream (container
+    // walk + per-frame decode) runs ONE pass, not four. cache() not
+    // localCheckpoint: lazy — composing this operator must not trigger
+    // a job (the r4-audited hidden-driver-action rule)
+    val h = hashes.cache()
+    val nf = h.groupBy("id").agg(count(lit(1)).as("n"))
+    val a = h.toDF("a", "frame_no", "h_lo", "h_hi")
+    val b = h.toDF("b", "frame_no", "h_lo", "h_hi")
+    a.join(b, Seq("frame_no", "h_lo", "h_hi"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_match"))
+      .join(nf.toDF("a", "na"), Seq("a"))
+      .join(nf.toDF("b", "nb"), Seq("b"))
+      .where(col("n_match") === col("na") && col("na") === col("nb"))
+      .select(col("a"), col("b"), col("n_match"))
+  }
+
   /** Deterministic REAL audio corpus: one RIFF/WAVE container per
     * document — 16-bit signed little-endian PCM mono at 8 kHz,
     * `((doc_id mod 4) + 1)·256` samples, sample(i) = ((doc_id·37 +
