@@ -29,6 +29,12 @@ object SparkEntry {
     */
   private val CentralityDepth = 10 // q118/q125/q128 BFS layer budget
   private val MatchingRounds = 12 // q132/q134 handshake round budget
+  // q147 oracle unroll: h-index convergence measured at 46 rounds on
+  // sf0.01 C10 (long few-vertex tail on chain-like regions); 64 = 1.4x
+  // margin, and the oracle's last-two-rounds sentinel still fails loud
+  // past it. The Spark side iterates to the (unique) fixpoint with its
+  // own fail-loud cap, so neither side can silently truncate.
+  private val CorenessRounds = 64
 
   /** Flagship: revenue-per-nation joins (broadcast dims) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
@@ -694,6 +700,11 @@ object SparkEntry {
     // k-core decomposition (k=6): iterative peel to fixpoint
     "q60_kcore" -> ((s, dir) =>
       graft.operators.Traversals.kcore(GraphFixtures.coPurchase10(s, dir), 6)),
+    // FULL core decomposition: per-vertex coreness via the h-index
+    // fixed point (converges to the exact coreness; fail-loud if the
+    // unroll budget is outlived — shared constant with the oracle)
+    "q147_coreness" -> ((s, dir) =>
+      graft.operators.Traversals.coreness(GraphFixtures.coPurchase10(s, dir))),
     // link prediction: common-neighbor + fixed-point Adamic–Adar scores
     // for distance-2 pairs (wedge-join shape, never all-pairs)
     "q61_adamic_adar" -> ((s, dir) =>
@@ -848,6 +859,23 @@ object SparkEntry {
         .select(col("returnflag"),
           (col("a50") >= col("e25") && col("a50") <= col("e75") &&
             abs(col("a50") - col("e50")) <= col("e50") * 0.1).as("approx_ok"))),
+    // HLL++ distinct-count accuracy gate (q99's pattern for sketches
+    // whose raw output is engine-specific): per source, the exact
+    // distinct doc count plus a boolean that approx_count_distinct at
+    // 1% target rsd landed within 5% relative error — the exact value
+    // hashes cross-engine, the sketch is certified in-query. At 100 TB
+    // the sketch IS the operator (one pass, ~kB of state per group vs
+    // the exact path's distinct shuffle); the exact column here doubles
+    // as the certification baseline the same way q76's DOULION gate
+    // runs both sides
+    "q146_hll_distinct_gate" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("exact_distinct"),
+          approx_count_distinct(col("doc_id"), 0.01).as("a"))
+        .select(col("source"), col("exact_distinct"),
+          (abs(col("a") - col("exact_distinct"))
+            <= col("exact_distinct") * 0.05).as("approx_ok"))),
     // TPC-H Q10 shape: top-20 returned-item customers by revenue over a
     // quarter — 3-table join (broadcast nation), cent-exact integer
     // revenue so the top-k ordering is engine-exact, ties by custkey
@@ -1524,6 +1552,27 @@ object SparkEntry {
         "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
         "WHERE (SELECT COUNT(*) FROM e11) <> (SELECT COUNT(*) FROM e12)"
     }
+    // full coreness via the unrolled h-index fixed point: per round a
+    // neighbor-value join, a per-vertex descending rank, and the count
+    // of positions r with value_r >= r (invariant to tie order); the
+    // last two rounds must agree or the sentinel fails the hash loudly
+    val corenessSql = {
+      val R = CorenessRounds
+      val base = s"WITH c AS MATERIALIZED ($copurchase10), " +
+        "sym AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
+        "h0 AS MATERIALIZED (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS h FROM sym GROUP BY u), "
+      val rounds = (1 to R).map { r =>
+        s"rk$r AS MATERIALIZED (SELECT s.u, p.h AS cv, " +
+          s"ROW_NUMBER() OVER (PARTITION BY s.u ORDER BY p.h DESC) AS r " +
+          s"FROM sym s JOIN h${r - 1} p ON p.id = s.v), " +
+          s"h$r AS MATERIALIZED (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS h " +
+          s"FROM rk$r WHERE cv >= r GROUP BY u)"
+      }.mkString(", ")
+      base + rounds + s" SELECT id, h AS coreness FROM h$R " +
+        "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
+        s"WHERE EXISTS (SELECT 1 FROM h$R a JOIN h${R - 1} b " +
+        "ON a.id = b.id AND a.h <> b.h)"
+    }
     // double-sweep diameter: two chained depth-capped recursive BFS CTEs
     // (the q59 pattern); the far vertex is the deterministic
     // (dist DESC, id ASC) argmax of sweep 1
@@ -1903,6 +1952,7 @@ object SparkEntry {
       "q133_edge_embeddedness" -> embeddednessSql,
       "q134_matching_coarsen" -> coarsenSql,
       "q60_kcore" -> kcoreSql,
+      "q147_coreness" -> corenessSql,
       "q61_adamic_adar" -> adamicAdarSql,
       "q62_transitivity" -> transitivitySql,
       "q63_assortativity" -> assortativitySql,
@@ -2105,6 +2155,9 @@ object SparkEntry {
       // collapse flips Spark's boolean and the hash goes red
       "q99_approx_quantile_gate" ->
         "SELECT l_returnflag AS returnflag, true AS approx_ok FROM lineitem GROUP BY l_returnflag",
+      "q146_hll_distinct_gate" ->
+        ("SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_distinct, " +
+          "true AS approx_ok FROM documents GROUP BY source"),
       "q100_tpch_q1_decimal" ->
         ("SELECT l_returnflag, l_linestatus, " +
           "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +

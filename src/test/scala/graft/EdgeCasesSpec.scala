@@ -99,4 +99,34 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(graft.operators.Traversals.egoSizes(empty, Seq(1L).toDF("id"), 2).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 1L))
   }
+
+  test("r6 operators on degenerate inputs: empty, no throw") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val noDocs = Seq.empty[Long].toDF("doc_id")
+    // Leiden on an empty graph: empty mapping, no div-by-zero in the gate
+    assert(graft.operators.Communities.louvainLeiden(empty).isEmpty)
+    // connectivity refinement with an empty labeling is the empty labeling
+    val g0 = empty.select(col("src").as("u"), col("dst").as("v"), lit(1L).as("w"))
+    assert(graft.operators.Communities.connectivityRefine(
+      g0, Seq.empty[(Long, Long)].toDF("id", "label")).isEmpty)
+    // video/audio synth + decode over zero documents: empty, no throw
+    assert(graft.operators.Multimodal.keyframeStats(
+      graft.operators.Multimodal.sampleKeyframes(
+        graft.operators.Multimodal.syntheticVideos(noDocs).toDF(), 2)).isEmpty)
+    assert(graft.operators.Multimodal.audioStats(
+      graft.operators.Multimodal.syntheticAudio(noDocs).toDF()).isEmpty)
+    // video twins over undecodable junk "videos": no frames → no pairs
+    val junkVid = Seq((1L, "video", "not a container".getBytes, Map.empty[String, String]),
+        (2L, "video", "also junk".getBytes, Map.empty[String, String]))
+      .toDF("id", "kind", "content", "meta")
+    assert(graft.operators.Multimodal.videoTwins(
+      graft.operators.Multimodal.keyframeHashes(
+        graft.operators.Multimodal.sampleKeyframes(junkVid, 2))).isEmpty)
+    // TTL'd streaming CC replay over an empty edge table: empty result
+    val noEdges = Seq.empty[(Long, Long, java.sql.Timestamp)].toDF("src", "dst", "ts")
+    assert(graft.streaming.StreamingOps
+      .replayConnectedComponentsTtl(noEdges, "1 hour", 2).isEmpty)
+  }
 }

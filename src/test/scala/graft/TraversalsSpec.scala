@@ -417,4 +417,26 @@ class TraversalsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b && a.nonEmpty)
   }
+
+  test("coreness: h-index fixed point equals known values and the k-core cross-check") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    // a 5-clique (coreness 4 each) with a pendant path 5-10-11
+    // (10 has coreness 1, 11 has coreness 1; 5 stays 4)
+    val g = (clique(Seq(1L, 2L, 3L, 4L, 5L)) ++ Seq((5L, 10L), (10L, 11L)))
+      .toDF("src", "dst")
+    val c = Traversals.coreness(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L,
+      10L -> 1L, 11L -> 1L), s"got $c")
+    // cross-check on the fixture: {v : coreness(v) >= 6} must be exactly
+    // the 6-core's vertex set (coreness = max k the vertex survives)
+    val c10 = graft.model.GraphFixtures.coPurchase10(spark, sf)
+    val byCoreness = Traversals.coreness(c10).where(col("coreness") >= 6)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val byPeel = Traversals.kcore(c10, 6)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(byCoreness == byPeel)
+  }
 }
