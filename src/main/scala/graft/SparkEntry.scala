@@ -550,6 +550,21 @@ object SparkEntry {
         graft.operators.Communities.louvain(c10, 2, 2)
           .toDF("id", "label"))
     }),
+    // WEIGHTED multi-level Louvain: level 1 starts on integer edge
+    // weights (parallel co-purchases summed) instead of the unit
+    // multiset — the move passes and gates were always weighted, this
+    // exercises them from the first level; same stats output as q124
+    "q148_louvain_weighted" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).where(col("l_orderkey") % 10 === 0)
+      val pairs = li.select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val weighted = pairs.toDF("ok", "src").join(pairs.toDF("ok", "dst"), Seq("ok"))
+        .where(col("src") < col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+      graft.operators.Communities.communityStats(
+        GraphFixtures.coPurchase10(s, dir),
+        graft.operators.Communities.louvainWeighted(weighted, 2, 2)
+          .toDF("id", "label"))
+    }),
     // Louvain + Leiden connectivity refinement: after each level's
     // gated passes, every community is split into its connected parts
     // (min-member-id names) before coarsening — final communities are
@@ -1772,7 +1787,7 @@ object SparkEntry {
     // edges (the bipartiteSql clbl pattern — the component min passes
     // every `l < b` guard, so MIN(l) per vertex IS the component min),
     // each community replaced by its components named by min member id.
-    def louvainSqlGen(leiden: Boolean): String = {
+    def louvainSqlGen(leiden: Boolean, weighted: Boolean = false): String = {
       val L = 2; val P = 2
       def pass(t: String, g: String, inL: String, outL: String, parity: Int): String =
         s"sym$t AS MATERIALIZED (SELECT u AS p, v AS o, w FROM $g WHERE u <> v " +
@@ -1812,7 +1827,14 @@ object SparkEntry {
       val sb = new StringBuilder
       sb ++= (if (leiden) "WITH RECURSIVE " else "WITH ")
       sb ++= s"c AS MATERIALIZED ($copurchase10), "
-      sb ++= "g1 AS MATERIALIZED (SELECT x AS u, y AS v, CAST(1 AS BIGINT) AS w FROM c), "
+      // weighted level-1 graph: parallel co-purchases (same pair, any
+      // order/lineitem multiplicity) sum into integer edge weights
+      sb ++= (if (weighted)
+        "g1 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v, " +
+          "CAST(COUNT(*) AS BIGINT) AS w FROM lineitem a JOIN lineitem b " +
+          "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+          "WHERE a.l_orderkey % 10 = 0 GROUP BY 1, 2), "
+      else "g1 AS MATERIALIZED (SELECT x AS u, y AS v, CAST(1 AS BIGINT) AS w FROM c), ")
       sb ++= "mm AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS m FROM g1), "
       sb ++= ("l1_0 AS MATERIALIZED (SELECT u AS id, u AS label FROM " +
         "(SELECT DISTINCT u FROM (SELECT u FROM g1 UNION ALL SELECT v AS u FROM g1) s1) s2), ")
@@ -1862,6 +1884,7 @@ object SparkEntry {
     }
     val louvainMLSql = louvainSqlGen(leiden = false)
     val louvainLeidenSql = louvainSqlGen(leiden = true)
+    val louvainWeightedSql = louvainSqlGen(leiden = false, weighted = true)
     // Sound 2-colorability oracle for BOTH graphs (q17 + q90): label
     // components (min-id root per component), then BFS parity from each
     // root; a graph is bipartite iff no vertex acquires both parities.
@@ -2485,6 +2508,7 @@ object SparkEntry {
       // modularity 4mΣin − Σd² does not decrease — then q111's stats
       "q124_louvain_multilevel" -> louvainMLSql,
       "q141_louvain_leiden" -> louvainLeidenSql,
+      "q148_louvain_weighted" -> louvainWeightedSql,
       "q112_louvain_refine" -> (lpaPrefix + ", " +
         "deg AS MATERIALIZED (SELECT u AS id, COUNT(*) AS k FROM sym GROUP BY 1), " +
         "mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM c), " +

@@ -141,13 +141,47 @@ object Communities {
     * probe.
     */
   private[graft] def louvainDetail(edges: DataFrame, levels: Int,
-                                   movesPerLevel: Int): (DataFrame, Seq[Long]) = {
-    var g = edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+                                   movesPerLevel: Int): (DataFrame, Seq[Long]) =
+    louvainCore(unitGraph(edges), levels, movesPerLevel, leiden = false)
+
+  /** [[louvain]] over a WEIGHTED edge list (src, dst, weight): parallel
+    * edges sum their integer weights into the canonical graph, and the
+    * move passes / modularity gates run on weighted k_i / Σtot — the
+    * machinery was always weighted (coarse levels are), this entry
+    * point just lets level 1 start weighted too. Long-exact while total
+    * weight < ~1.5e9 (the [[weightedModularity]] envelope).
+    */
+  def louvainWeighted(edges: DataFrame, levels: Int = 2,
+                      movesPerLevel: Int = 2): DataFrame =
+    louvainCore(weightedGraph(edges), levels, movesPerLevel, leiden = false)._1
+
+  /** Canonical unit-weight graph: u < v, distinct, w = 1. */
+  private def unitGraph(edges: DataFrame): DataFrame =
+    edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
       .select(col("u"), col("v"), lit(1L).as("w"))
       .cutLineage()
+
+  /** Canonical weighted graph: u < v, parallel edges SUM their weights. */
+  private def weightedGraph(edges: DataFrame): DataFrame =
+    edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"),
+        col("weight").cast("long").as("w0"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"),
+        col("w0"))
+      .groupBy("u", "v").agg(sum("w0").as("w"))
+      .cutLineage()
+
+  /** The shared multi-level loop behind [[louvain]], [[louvainWeighted]]
+    * and [[louvainLeiden]]: per level, `movesPerLevel` gated move
+    * passes, optionally the Leiden connectivity refinement, then
+    * coarsening. Takes the canonical weighted graph (u < v, integer w).
+    */
+  private def louvainCore(g0: DataFrame, levels: Int, movesPerLevel: Int,
+                          leiden: Boolean): (DataFrame, Seq[Long]) = {
+    var g = g0
     val m = g.agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
     var mapping = g.select(explode(array(col("u"), col("v"))).as("id")).distinct()
       .select(col("id"), col("id").as("cur"))
@@ -166,6 +200,16 @@ object Communities {
         val cand = weightedMovePass(g, labels, m, p % 2)
         val candQ = weightedModularity(g, cand, m)
         if (candQ >= curQ) { labels = cand; curQ = candQ }
+        hist += curQ
+      }
+      if (leiden) {
+        // Leiden step: enforce internal connectivity before coarsening
+        val refined = connectivityRefine(g, labels)
+        val refinedQ = weightedModularity(g, refined, m)
+        require(refinedQ >= curQ,
+          s"connectivityRefine lowered exact-integer modularity ($curQ -> $refinedQ) " +
+            "— impossible for a pure component split; the labeling is corrupt")
+        labels = refined; curQ = refinedQ
         hist += curQ
       }
       mapping = mapping.join(labels.toDF("cur", "nl"), Seq("cur"))
@@ -237,50 +281,8 @@ object Communities {
     louvainLeidenDetail(edges, levels, movesPerLevel)._1
 
   private[graft] def louvainLeidenDetail(edges: DataFrame, levels: Int,
-                                         movesPerLevel: Int): (DataFrame, Seq[Long]) = {
-    var g = edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
-      .where(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .distinct()
-      .select(col("u"), col("v"), lit(1L).as("w"))
-      .cutLineage()
-    val m = g.agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
-    var mapping = g.select(explode(array(col("u"), col("v"))).as("id")).distinct()
-      .select(col("id"), col("id").as("cur"))
-      .cutLineage()
-    val hist = scala.collection.mutable.ArrayBuffer.empty[Long]
-    for (lvl <- 1 to levels) {
-      var labels = g.select(explode(array(col("u"), col("v"))).as("id")).distinct()
-        .select(col("id"), col("id").as("label"))
-        .cutLineage()
-      var curQ =
-        if (lvl == 1) weightedModularity(g, labels, m) else hist.last
-      for (p <- 1 to movesPerLevel) {
-        val cand = weightedMovePass(g, labels, m, p % 2)
-        val candQ = weightedModularity(g, cand, m)
-        if (candQ >= curQ) { labels = cand; curQ = candQ }
-        hist += curQ
-      }
-      // Leiden step: enforce internal connectivity before coarsening
-      val refined = connectivityRefine(g, labels)
-      val refinedQ = weightedModularity(g, refined, m)
-      require(refinedQ >= curQ,
-        s"connectivityRefine lowered exact-integer modularity ($curQ -> $refinedQ) " +
-          "— impossible for a pure component split; the labeling is corrupt")
-      labels = refined; curQ = refinedQ
-      hist += curQ
-      mapping = mapping.join(labels.toDF("cur", "nl"), Seq("cur"))
-        .select(col("id"), col("nl").as("cur"))
-        .cutLineage()
-      g = g.join(labels.toDF("u", "la"), Seq("u"))
-        .join(labels.toDF("v", "lb"), Seq("v"))
-        .select(least(col("la"), col("lb")).as("u"),
-          greatest(col("la"), col("lb")).as("v"), col("w"))
-        .groupBy("u", "v").agg(sum("w").as("w"))
-        .cutLineage()
-    }
-    (mapping.toDF("id", "community"), hist.toSeq)
-  }
+                                         movesPerLevel: Int): (DataFrame, Seq[Long]) =
+    louvainCore(unitGraph(edges), levels, movesPerLevel, leiden = true)
 
   /** Weighted degrees over a canonical weighted graph (u ≤ v, integer
     * w, self-loops allowed): k_i = Σ_{j≠i} w(i,j) + 2·w(i,i) — the
