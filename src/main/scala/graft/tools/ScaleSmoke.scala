@@ -331,6 +331,29 @@ object ScaleSmoke {
           .maximalMatching(zipf).count()))
     }
 
+    if (mode == "tier2core") {
+      // full core decomposition at 10M edges, uniform AND Zipf: the
+      // h-index fixed point's round count is data-dependent (long
+      // few-vertex tails on chain-like regions), so measure both the
+      // benign and the skewed shape
+      tm("coreness (uniform 10M)") {
+        val c = graft.operators.Traversals.coreness(g)
+        println("[smoke] uniform coreness: " + c.agg(max("coreness"), count(lit(1)))
+          .collect()(0).toString)
+      }
+      val u = pmod(xxhash64(col("id"), lit(11)), lit(1000000L)).cast("double") / 1e6
+      val zipf = spark.range(nEdges).select(
+        (exp(u * math.log(nVerts.toDouble))).cast("long").as("src"),
+        pmod(xxhash64(col("id"), lit(12)), lit(nVerts)).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .localCheckpoint(true)
+      tm("coreness (zipf 10M)") {
+        val c = graft.operators.Traversals.coreness(zipf)
+        println("[smoke] zipf coreness: " + c.agg(max("coreness"), count(lit(1)))
+          .collect()(0).toString)
+      }
+    }
+
     if (mode == "tier2ttl") {
       // Bounded vs unbounded running-CC state (VERDICT r5 item 6's
       // quantification): a sliding-population edge stream — edge i links

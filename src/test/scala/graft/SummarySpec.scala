@@ -191,6 +191,35 @@ class SummarySpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("weighted Louvain: edge weights steer the community assignment") {
+    import spark.implicits._
+    import graft.operators.Communities
+    // vertex 1 hangs off a triangle {2,3,4} by a bridge 1-2. With unit
+    // weights the triangle absorbs 2 and the bridge vertex joins it (one
+    // community maximizes Q on this tiny graph); with a HEAVY bridge
+    // (w=20 vs 1) the assignment must still place 1 with 2 — and the
+    // heavy-bridge labeling must differ from a heavy-triangle labeling
+    // where the bridge is the light edge, proving the weight column
+    // reaches the gain arithmetic
+    val heavyBridge = Seq((1L, 2L, 20L), (2L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "weight")
+    val hb = Communities.louvainWeighted(heavyBridge).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hb(1L) == hb(2L), s"heavy bridge must bind 1 to 2: $hb")
+    val heavyTriangle = Seq((1L, 2L, 1L), (2L, 3L, 20L), (2L, 4L, 20L), (3L, 4L, 20L))
+      .toDF("src", "dst", "weight")
+    val ht = Communities.louvainWeighted(heavyTriangle).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ht(2L) == ht(3L) && ht(3L) == ht(4L), s"heavy triangle must merge: $ht")
+    assert(ht(1L) != ht(2L), s"light bridge vertex must stay out: $ht")
+    // parallel edges sum: duplicating a unit edge 20x equals weight 20
+    val dup = (Seq.fill(20)((1L, 2L, 1L)) ++
+      Seq((2L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 1L))).toDF("src", "dst", "weight")
+    val d = Communities.louvainWeighted(dup).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == hb, s"summed parallel edges must equal the weighted form: $d vs $hb")
+  }
+
   test("Leiden refinement: splits disconnected communities, final communities internally connected") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
