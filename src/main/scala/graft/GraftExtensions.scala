@@ -46,7 +46,20 @@ object GraftExtensions {
     IntsToBitset(exprs.head, nWords)
   }
 
+  private def winnowBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      "winnow_select(hashes, k, w) takes exactly three arguments")
+    def intLit(e: Expression, name: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"winnow_select: $name must be an integer literal, got $other")
+    }
+    graft.expressions.WinnowSelect(exprs.head,
+      intLit(exprs(1), "k"), intLit(exprs(2), "w"))
+  }
+
   private[graft] val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "winnow_select" -> (winnowBuilder _),
     "dot_product" -> binary("dot_product(a, b)", DotProduct.apply) _,
     "bit_and_count" -> binary("bit_and_count(a, b)", BitAndCount.apply) _,
     "sorted_intersect_count" ->

@@ -38,6 +38,26 @@ class ExtensionsSpec extends SparkTestBase {
     assert(e.getMessage.contains("literal"))
   }
 
+  test("winnow_select is callable from SQL and agrees with the Scala-side expression") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq("the quick brown fox jumps over the lazy dog").toDF("t")
+    df.createOrReplaceTempView("wtmp")
+    val got = spark.sql("SELECT winnow_select(t, 5, 4) AS s FROM wtmp")
+      .head.getSeq[Long](0)
+    val direct = df.select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.WinnowSelect(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("t")), 5, 4)).as("s"))
+      .head.getSeq[Long](0)
+    assert(got == direct && got.nonEmpty)
+    // non-literal window is rejected loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT winnow_select(t, 5, cast(rand() * 4 AS int)) FROM wtmp").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on sorted distinct sets") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
