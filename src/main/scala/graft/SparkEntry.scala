@@ -294,6 +294,16 @@ object SparkEntry {
       Triangles.perVertexCountsFrom(c10Adjacency(s, dir))),
     "q16_window_triangles" -> ((s, dir) =>
       Triangles.countPerWindow(GraphFixtures.coPurchaseWindowed(s, dir, 5184000L))),
+    // butterfly (2x2 biclique) count on the BIPARTITE part-supplier
+    // graph — the bipartite cohesion motif (triangles cannot cross a
+    // bipartition); wedges pivot on PARTS, the small-degree side
+    // (Sum deg^2 is 10x smaller than pivoting on hub suppliers —
+    // measured 113 s vs seconds at sf0.1)
+    "q149_butterflies" -> ((s, dir) =>
+      Triangles.butterflies(
+        Tables.lineitem(s, dir)
+          .select(col("l_partkey").as("src"), col("l_suppkey").as("dst")),
+        "left")),
     // ---- global aggregate (O15) ----
     "q18_histogram" -> ((s, dir) =>
       E(s, dir).edges
@@ -2259,6 +2269,15 @@ object SparkEntry {
       "q13b_cc_c10" -> ccOracle(copurchase10),
       "q14_triangles" ->
         s"WITH c AS ($copurchase) SELECT COUNT(*) AS triangles $triangleJoin",
+      // butterflies = sum over supplier pairs of C(common parts, 2)
+      // (wedges pivot on parts, matching the Spark side); w*(w-1) is
+      // even, so /2 is exact integer on both engines
+      "q149_butterflies" ->
+        ("WITH e AS (SELECT DISTINCT l_partkey AS l, l_suppkey AS r FROM lineitem), " +
+          "w AS (SELECT a.r AS a, b.r AS b, COUNT(*) AS w FROM e a " +
+          "JOIN e b ON a.l = b.l AND a.r < b.r GROUP BY 1, 2) " +
+          "SELECT CAST(COALESCE(SUM(w * (w - 1) / 2), 0) AS BIGINT) AS n_butterflies, " +
+          "CAST(COUNT(*) AS BIGINT) AS n_wedge_pairs FROM w"),
       "q15_triangles_per_vertex" ->
         (s"WITH c AS ($copurchase), t AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c3 $triangleJoin) " +
           "SELECT id, COUNT(*) AS triangles FROM (SELECT a AS id FROM t " +

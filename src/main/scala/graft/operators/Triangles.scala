@@ -384,6 +384,48 @@ object Triangles {
     * those two already do (the canonical edge set is distinct, so the
     * endpoint count IS the distinct-neighbor count).
     */
+  /** Butterfly (2×2 biclique) counting over a BIPARTITE edge list
+    * (src = left vertex, dst = right vertex) — the bipartite analogue
+    * of triangle counting, the standard cohesion motif for
+    * part–supplier / user–item graphs (triangles cannot exist across a
+    * bipartition). A butterfly is two left vertices sharing two right
+    * vertices; counting by wedges: for every left pair (a < b), w(a,b)
+    * = |common right neighbors|, and butterflies = Σ C(w, 2) — each
+    * butterfly counted exactly once by its left pair.
+    *
+    * `wedgeSide` names the PIVOT side — the side whose vertices the
+    * wedges pass through; the counted pairs are the OTHER side's. Wedge
+    * volume is Σ_pivot deg², so pivot on the side with the SMALLER
+    * per-vertex degrees (for part–supplier, each part touches tens of
+    * suppliers while each supplier fans out to hundreds of parts →
+    * pivot on parts = "left"; measured at sf0.1: 113 s pivoting on
+    * suppliers vs seconds pivoting on parts — the Σdeg² asymmetry is
+    * 10×). Kept a parameter, not inferred — inference would need a
+    * degree aggregation at compose time (the hidden-driver-action
+    * rule). Output: one row
+    * (n_butterflies, n_wedge_pairs) in exact integers — w·(w−1) is
+    * always even, so the /2 is exact on any engine.
+    *
+    * Plan: one self-join on the pivot side + one pair aggregation +
+    * one global sum. Shuffle ∝ wedge count; hub skew on the pivot side
+    * rides AQE's skew split, and the q91 salting note applies past it.
+    */
+  def butterflies(edges: DataFrame, wedgeSide: String = "right"): DataFrame = {
+    require(wedgeSide == "left" || wedgeSide == "right",
+      s"butterflies: wedgeSide must be left|right, got $wedgeSide")
+    val e0 = edges.select(col("src").cast("long").as("l"), col("dst").cast("long").as("r"))
+      .distinct()
+    // pivot column is the shared one; pair column forms the wedge ends
+    val (pivot, pair) = if (wedgeSide == "right") ("r", "l") else ("l", "r")
+    val e = e0.select(col(pivot).as("pv"), col(pair).as("pr")).cutLineage()
+    val w = e.toDF("pv", "a").join(e.toDF("pv", "b"), Seq("pv"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+    w.agg(
+      coalesce(sum(col("w") * (col("w") - 1) / 2), lit(0L)).cast("long").as("n_butterflies"),
+      count(lit(1)).as("n_wedge_pairs"))
+  }
+
   def clusteringCoefficients(c: DataFrame): DataFrame = {
     val cc = c.cutLineage()
     val deg = cc.select(explode(array(col("src"), col("dst"))).as("id"))

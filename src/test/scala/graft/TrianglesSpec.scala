@@ -127,4 +127,26 @@ class TrianglesSpec extends SparkTestBase {
     assert(again.getBoolean(1) == strict.getBoolean(1) &&
       again.getLong(0) == strict.getLong(0))
   }
+
+  test("butterflies: exact 2x2 biclique count, side-invariant, zero on a star") {
+    import spark.implicits._
+    // K(2,3): left {1,2} x right {10,20,30} — butterflies = C(3,2) = 3
+    val k23 = (for (l <- Seq(1L, 2L); r <- Seq(10L, 20L, 30L)) yield (l, r))
+      .toDF("src", "dst")
+    def counts(df: org.apache.spark.sql.DataFrame, side: String) = {
+      val r = Triangles.butterflies(df, side).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(counts(k23, "right")._1 == 3L)
+    assert(counts(k23, "left")._1 == 3L) // butterfly count is side-invariant
+    // a star (one left, many rights) has no left pair → zero butterflies
+    val star = Seq(1L -> 10L, 1L -> 20L, 1L -> 30L).toDF("src", "dst")
+    assert(counts(star, "right") == ((0L, 0L)))
+    // adding one extra edge (2,10) to the star: left pair (1,2) shares
+    // only vertex 10 → w=1 → still zero butterflies, one wedge pair
+    val plus = (Seq(1L -> 10L, 1L -> 20L, 1L -> 30L) :+ (2L -> 10L)).toDF("src", "dst")
+    assert(counts(plus, "right") == ((0L, 1L)))
+    // duplicate edges must not inflate (distinct input contract)
+    assert(counts(k23.union(k23), "right")._1 == 3L)
+  }
 }
