@@ -304,6 +304,14 @@ object SparkEntry {
         Tables.lineitem(s, dir)
           .select(col("l_partkey").as("src"), col("l_suppkey").as("dst")),
         "left")),
+    // per-supplier butterfly participation (the bipartite cohesion /
+    // burst-account signal): supplier s's degree = sum over other
+    // suppliers of C(common parts, 2); same part-side wedge pivot
+    "q150_butterfly_degrees" -> ((s, dir) =>
+      Triangles.butterflyDegrees(
+        Tables.lineitem(s, dir)
+          .select(col("l_partkey").as("src"), col("l_suppkey").as("dst")),
+        "left")),
     // ---- global aggregate (O15) ----
     "q18_histogram" -> ((s, dir) =>
       E(s, dir).edges
@@ -2278,6 +2286,13 @@ object SparkEntry {
           "JOIN e b ON a.l = b.l AND a.r < b.r GROUP BY 1, 2) " +
           "SELECT CAST(COALESCE(SUM(w * (w - 1) / 2), 0) AS BIGINT) AS n_butterflies, " +
           "CAST(COUNT(*) AS BIGINT) AS n_wedge_pairs FROM w"),
+      "q150_butterfly_degrees" ->
+        ("WITH e AS (SELECT DISTINCT l_partkey AS l, l_suppkey AS r FROM lineitem), " +
+          "w AS (SELECT a.r AS a, b.r AS b, COUNT(*) AS w FROM e a " +
+          "JOIN e b ON a.l = b.l AND a.r < b.r GROUP BY 1, 2), " +
+          "bf AS (SELECT a, b, w * (w - 1) / 2 AS bf FROM w WHERE w >= 2) " +
+          "SELECT id, CAST(SUM(bf) AS BIGINT) AS butterfly_degree FROM " +
+          "(SELECT a AS id, bf FROM bf UNION ALL SELECT b, bf FROM bf) GROUP BY id"),
       "q15_triangles_per_vertex" ->
         (s"WITH c AS ($copurchase), t AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c3 $triangleJoin) " +
           "SELECT id, COUNT(*) AS triangles FROM (SELECT a AS id FROM t " +

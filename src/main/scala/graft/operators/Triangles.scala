@@ -426,6 +426,30 @@ object Triangles {
       count(lit(1)).as("n_wedge_pairs"))
   }
 
+  /** Per-vertex butterfly participation on the PAIR side of
+    * [[butterflies]] (the side whose pairs are counted): vertex x's
+    * butterfly degree = Σ_y C(w(x,y), 2) — the standard cohesion /
+    * spam-detection signal for bipartite graphs (a burst account
+    * sharing many items with many accounts lights up here first).
+    * Same wedge plan as the global count plus one explode of the pair
+    * table; emits (id, butterfly_degree) for vertices with ≥ 1.
+    */
+  def butterflyDegrees(edges: DataFrame, wedgeSide: String = "right"): DataFrame = {
+    require(wedgeSide == "left" || wedgeSide == "right",
+      s"butterflyDegrees: wedgeSide must be left|right, got $wedgeSide")
+    val e0 = edges.select(col("src").cast("long").as("l"), col("dst").cast("long").as("r"))
+      .distinct()
+    val (pivot, pair) = if (wedgeSide == "right") ("r", "l") else ("l", "r")
+    val e = e0.select(col(pivot).as("pv"), col(pair).as("pr")).cutLineage()
+    val w = e.toDF("pv", "a").join(e.toDF("pv", "b"), Seq("pv"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .withColumn("bf", col("w") * (col("w") - 1) / 2)
+    w.select(explode(array(col("a"), col("b"))).as("id"), col("bf"))
+      .groupBy("id").agg(sum("bf").cast("long").as("butterfly_degree"))
+  }
+
   def clusteringCoefficients(c: DataFrame): DataFrame = {
     val cc = c.cutLineage()
     val deg = cc.select(explode(array(col("src"), col("dst"))).as("id"))

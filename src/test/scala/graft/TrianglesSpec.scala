@@ -148,5 +148,13 @@ class TrianglesSpec extends SparkTestBase {
     assert(counts(plus, "right") == ((0L, 1L)))
     // duplicate edges must not inflate (distinct input contract)
     assert(counts(k23.union(k23), "right")._1 == 3L)
+    // butterfly degrees on K(2,3), pivot left: supplier pairs (10,20),
+    // (10,30), (20,30) each share both lefts (w=2, 1 butterfly) — every
+    // right vertex participates in 2 of the 3 butterflies
+    val bd = Triangles.butterflyDegrees(k23, "left").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bd == Map(10L -> 2L, 20L -> 2L, 30L -> 2L), s"got $bd")
+    // consistency: sum of pair-side degrees = 2 x global count
+    assert(bd.values.sum == 2 * counts(k23, "left")._1)
   }
 }
