@@ -5,15 +5,24 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing for training-data pipelines.
   *
-  * Media payloads are opaque `binary` columns with typed metadata. The
-  * `image` kind is REAL end-to-end: PNG payloads are decoded to pixels
-  * with the JDK's `javax.imageio` ([[decodeGray]]), resized by true
-  * nearest-neighbor resampling ([[resizeDecoded]]) and re-encoded — the
-  * correctness gate recomputes the decoded pixel sums independently, so
-  * the codec round-trip itself is oracle-verified. Only the audio/video
-  * codecs are STUBBED (this container ships no media libs), as
-  * deterministic fakes clearly marked below; swapping in a real decoder
-  * changes one function body, not the pipeline.
+  * Media payloads are opaque `binary` columns with typed metadata. All
+  * THREE modalities have REAL codec paths:
+  *  - image: `javax.imageio` decode ([[decodeGray]]), true
+  *    nearest-neighbor resample ([[resizeDecoded]]), lossless PNG
+  *    re-encode;
+  *  - video: concatenated-PNG containers walked by a real chunk parser
+  *    ([[pngFrameRanges]]), member keyframes decoded through the image
+  *    codec ([[sampleKeyframes]] / [[keyframeStats]]);
+  *  - audio: RIFF/WAVE containers parsed chunk-by-chunk
+  *    ([[decodePcm]], unknown chunks skipped by size), 16-bit PCM
+  *    decoded to exact integer signal stats ([[audioStats]]).
+  * Every path's correctness gate recomputes the decoded values from a
+  * deterministic formula, so the container walk + decode round-trips
+  * are oracle-verified. The byte-histogram fake ([[stubDecode]])
+  * remains ONLY as the documented fallback for payloads that are not a
+  * container this engine can walk (e.g. MP4 — no MP4 lib ships in this
+  * JRE); swapping in such a decoder changes one function body, not the
+  * pipeline.
   *
   * Decode runs per-partition over iterator batches (the Scala analogue of
   * `mapInPandas`: amortizes per-batch setup, streams rows, never
@@ -40,13 +49,13 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("content"),
       map(lit("source"), col("source"), lit("lang"), col("lang")).as("meta"))
 
-  /** ======== STUB (audio/video ONLY) ========
+  /** ======== STUB (opaque-payload fallback ONLY) ========
     * Deterministic fake decoder: a 16-bin byte histogram normalized to
-    * unit L1 mass. A real implementation would decode the codec (WAV /
-    * MP4) and emit model-ready features; everything around this
-    * function — schema, batching, partitioning — is production-shaped.
-    * Images do NOT go through this path when their payload is a real
-    * encoded image — see [[decodeGray]].
+    * unit L1 mass — the fallback when a payload is not a container this
+    * engine can walk (real paths: [[decodeGray]] for images,
+    * [[pngFrameRanges]]+[[keyframeStats]] for video, [[decodePcm]] for
+    * WAV audio). Everything around this function — schema, batching,
+    * partitioning — is production-shaped.
     */
   private def stubDecode(content: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
