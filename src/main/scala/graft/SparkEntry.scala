@@ -1183,6 +1183,14 @@ object SparkEntry {
     "q143_streaming_cc_ttl" -> ((s, dir) =>
       graft.streaming.StreamingOps.replayConnectedComponentsTtl(
         GraphFixtures.edgeStream(s, dir), "3650 days")),
+    // TTL'd running bipartiteness at an infinite horizon ≡ the batch
+    // verdict; absorbing-conflict and evidence-expiry divergence are
+    // spec-checked (StreamingSpec)
+    "q151_streaming_bip_ttl" -> ((s, dir) => {
+      import s.implicits._
+      Seq(graft.streaming.StreamingOps.replayBipartitenessTtl(
+        GraphFixtures.edgeStream(s, dir), "3650 days")).toDF("bipartite")
+    }),
     // O24 streaming form: incremental exact triangles over a replayed
     // edge stream — per-vertex running counts are exact at every prefix
     // and must end equal to the one-shot batch answer on the same graph
@@ -1973,6 +1981,18 @@ object SparkEntry {
       // eviction fires, so the final snapshot is the full assignment
       "q143_streaming_cc_ttl" -> ccOracle(
         "SELECT DISTINCT l_partkey AS x, l_suppkey + 1000000000 AS y FROM lineitem"),
+      // TTL'd bipartiteness, infinite horizon: parity propagation on E
+      // (the bipartiteSql machinery, single graph)
+      "q151_streaming_bip_ttl" ->
+        ("WITH RECURSIVE esym AS (SELECT l_partkey AS a, l_suppkey + 1000000000 AS b " +
+          "FROM lineitem UNION SELECT l_suppkey + 1000000000, l_partkey FROM lineitem), " +
+          "elbl(v, l) AS (SELECT DISTINCT a, a FROM esym " +
+          "UNION SELECT s.b, elbl.l FROM esym s JOIN elbl ON elbl.v = s.a AND elbl.l < s.b), " +
+          "eroots AS (SELECT DISTINCT MIN(l) AS r FROM elbl GROUP BY v), " +
+          "epar(v, p) AS (SELECT r, 0 FROM eroots " +
+          "UNION SELECT s.b, 1 - epar.p FROM esym s JOIN epar ON epar.v = s.a) " +
+          "SELECT NOT EXISTS (SELECT 1 FROM epar GROUP BY v " +
+          "HAVING COUNT(DISTINCT p) > 1) AS bipartite"),
       // incremental per-vertex stream counts == one-shot batch on C10
       "q48_streaming_triangles" ->
         (s"WITH c AS ($copurchase10), t AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c3 $triangleJoin) " +

@@ -213,6 +213,128 @@ object StreamingOps {
     } finally q.stop()
   }
 
+  /** TTL'd parity union-find state: per live vertex its component
+    * label, its 2-coloring parity RELATIVE TO that label's vertex, and
+    * last-seen micros; plus the absorbing odd-cycle flag.
+    */
+  final case class TtlParityRows(ids: Array[Long], root: Array[Long],
+                                 par: Array[Long], seen: Array[Long],
+                                 conflict: Boolean)
+
+  /** [[runningBipartiteness]] with WATERMARK-TTL state eviction — the
+    * [[runningConnectedComponentsTtl]] pattern on the SECOND summary
+    * family, showing the TTL design generalizes beyond plain union-find.
+    * Emits the current verdict each trigger.
+    *
+    * DIVERGENCE CONTRACT: the odd-cycle flag is ABSORBING and is never
+    * evicted — once an odd cycle has been OBSERVED, the stream stays
+    * non-bipartite forever (the reference's semantics, which expiry
+    * must not quietly undo). What expiry loses is parity EVIDENCE:
+    * relative colorings witnessed only through expired vertices are
+    * forgotten, so an odd cycle whose edges arrive entirely AFTER its
+    * connecting vertices expired may be detected later than the
+    * unbounded sibling would have — never earlier, never spuriously
+    * (a conflict requires two contradictory parities actually held in
+    * state). Labels/parities relabel to the min LIVE member per
+    * component, like the CC sibling.
+    */
+  def runningBipartitenessTtl(edges: DataFrame, ttl: String): Dataset[Boolean] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    implicit val enc: Encoder[TtlParityRows] = Encoders.product[TtlParityRows]
+    edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+        col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", ttl)
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Int, rawIt: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[TtlParityRows]) =>
+          val ds = new ParityDisjointSet
+          val seen = scala.collection.mutable.LongMap.empty[Long]
+          var conflict = false
+          state.getOption.foreach { r =>
+            conflict = r.conflict
+            var i = 0
+            while (i < r.ids.length) {
+              ds.unionWithParity(r.ids(i), r.root(i), r.par(i).toInt)
+              seen(r.ids(i)) = r.seen(i); i += 1
+            }
+          }
+          rawIt.foreach { case (s, d, t) =>
+            ds.addEdge(s, d)
+            val tu = t.getTime * 1000L
+            if (seen.getOrElse(s, Long.MinValue) < tu) seen(s) = tu
+            if (seen.getOrElse(d, Long.MinValue) < tu) seen(d) = tu
+          }
+          conflict ||= !ds.isBipartite
+          val horizonMicros = state.getCurrentWatermarkMs() * 1000L
+          val live = scala.collection.mutable.ArrayBuffer.empty[Long]
+          seen.foreach { case (v, t) => if (t >= horizonMicros) live += v }
+          val ids = live.toArray
+          java.util.Arrays.sort(ids)
+          // min LIVE member per component, and every live vertex's
+          // parity re-expressed relative to that member
+          val minLive = scala.collection.mutable.LongMap.empty[Long]
+          var i = 0
+          while (i < ids.length) {
+            val (r, _) = ds.find(ids(i))
+            if (minLive.getOrElse(r, Long.MaxValue) > ids(i)) minLive(r) = ids(i)
+            i += 1
+          }
+          val roots = new Array[Long](ids.length)
+          val pars = new Array[Long](ids.length)
+          val sn = new Array[Long](ids.length)
+          i = 0
+          while (i < ids.length) {
+            val (r, p) = ds.find(ids(i))
+            val rep = minLive(r)
+            val (_, repP) = ds.find(rep)
+            roots(i) = rep; pars(i) = (p ^ repP).toLong; sn(i) = seen(ids(i))
+            i += 1
+          }
+          state.update(TtlParityRows(ids, roots, pars, sn, conflict))
+          Iterator.single(!conflict)
+      }
+  }
+
+  /** Replay harness for the TTL'd bipartiteness (the
+    * [[replayConnectedComponentsTtl]] discipline): last trigger's
+    * verdict over ascending-ts batches.
+    */
+  def replayBipartitenessTtl(edges: DataFrame, ttl: String,
+                             nBatches: Int = 4): Boolean = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val rows = edges
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        unix_micros(col("ts").cast("timestamp")))
+      .as[(Long, Long, Long)].collect()
+    rows.sortInPlaceBy(_._3)
+    val stream = pinnedShuffleSession(spark, 1)
+    implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val ckpt = replayCkpt("graft-replay-bipttl")
+    val last = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val q = runningBipartitenessTtl(
+        ms.toDF().toDF("src", "dst", "tsu")
+          .select(col("src"), col("dst"),
+            timestamp_micros(col("tsu")).as("ts")), ttl)
+      .toDF("ok")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val snap = df.collect()
+        if (snap.nonEmpty) last.set(snap.last.getBoolean(0))
+      }
+      .start()
+    try {
+      val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+      last.get()
+    } finally q.stop()
+  }
+
   private implicit val pdsEnc: Encoder[ParityDisjointSet] =
     SummaryCodecs.parityDisjointSetEncoder
 

@@ -191,6 +191,33 @@ class StreamingSpec extends SparkTestBase {
     assert(got == batch)
   }
 
+  test("TTL'd bipartiteness: conflict is absorbing, expired parity evidence is forgotten") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def df(rows: Seq[(Long, Long, Long)]) = rows.toDF("src", "dst", "sec")
+      .select(col("src"), col("dst"), timestamp_seconds(col("sec")).as("ts"))
+    // odd triangle entirely within the horizon → false, and STAYS false
+    // after everything expires (absorbing flag survives eviction)
+    val triangleThenQuiet = Seq(
+      (1L, 2L, 0L), (2L, 3L, 60L), (3L, 1L, 120L), // odd cycle early
+      (10L, 11L, 86400L),                           // a day later: all early state expires
+      (12L, 13L, 172800L))                          // another day: 10/11 expire too
+    assert(!StreamingOps.replayBipartitenessTtl(df(triangleThenQuiet), "1 hour", 3))
+    // divergence contract: the 1-2 parity evidence EXPIRES before the
+    // closing edges arrive, so the TTL'd verdict stays true while the
+    // unbounded sibling (infinite horizon) detects the odd triangle
+    val splitTriangle = Seq(
+      (1L, 2L, 0L), (10L, 11L, 86400L),     // batch 1: evidence + watermark advance
+      (10L, 12L, 86460L), (11L, 13L, 86520L), // batch 2: eviction trigger drops 1-2
+      (2L, 3L, 86580L), (3L, 1L, 86640L))   // batch 3: closing edges, evidence gone
+    assert(StreamingOps.replayBipartitenessTtl(df(splitTriangle), "1 hour", 3))
+    assert(!StreamingOps.replayBipartitenessTtl(df(splitTriangle), "30 days", 3))
+    // infinite-horizon parity with the batch verdict on the fixtures
+    val e = graft.model.GraphFixtures.edgeStream(spark, sf)
+    val batch = SummaryAggregations.bipartiteness(e).collect().head.getBoolean(0)
+    assert(StreamingOps.replayBipartitenessTtl(e, "3650 days", 3) == batch)
+  }
+
   test("windowed neighborhood fold under watermark 0 emits batch-equal closed windows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
