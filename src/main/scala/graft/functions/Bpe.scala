@@ -49,10 +49,21 @@ object Bpe {
     * deterministic argmax. The `.head()` per round is loop control (a
     * one-row scalar), not a data path.
     */
-  def learnMerges(docs: DataFrame, k: Int): Array[(String, String, Long)] = {
-    val wf = wordFrequencies(docs).cutLineage()
+  def learnMerges(docs: DataFrame, k: Int): Array[(String, String, Long)] =
+    learnMergesFrom(wordFrequencies(docs).cutLineage(), k)
+
+  /** [[learnMerges]] over an ALREADY-AGGREGATED (word, cnt) frame — the
+    * entry the composite operators use so the one corpus-sized shuffle
+    * truly runs once per pipeline, not once per stage. Stops EARLY
+    * (returning fewer than `k` merges) when no adjacent symbol pair
+    * remains — every word fully merged — which is itself deterministic:
+    * any engine replaying the selection on an exhausted pair space
+    * selects nothing, so the learned vocabulary still matches.
+    */
+  def learnMergesFrom(wf: DataFrame, k: Int): Array[(String, String, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    for (_ <- 1 to k) {
+    var exhausted = false
+    for (_ <- 1 to k if !exhausted) {
       val rules = out.map(m => Array(m._1, m._2)).toArray
       val syms = BpeEncode.column(col("word"), rules)
       val best = wf.select(syms.as("s"), col("cnt"))
@@ -63,8 +74,9 @@ object Bpe {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("cnt")).as("pc"))
         .orderBy(col("pc").desc, col("a").asc, col("b").asc)
-        .limit(1).head()
-      out += ((best.getString(0), best.getString(1), best.getLong(2)))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else out += ((best(0).getString(0), best(0).getString(1), best(0).getLong(2)))
     }
     out.toArray
   }
@@ -80,13 +92,15 @@ object Bpe {
   }
 
   /** Broadcastable dictionary: distinct word → BPE token count under
-    * the `k` learned merges.
+    * the `k` learned merges. The word-frequency aggregation is built
+    * ONCE and shared between merge learning and the dictionary
+    * projection — the design note's one corpus-sized shuffle.
     */
   def tokenDict(docs: DataFrame, k: Int): DataFrame = {
-    val rules = learnMerges(docs, k).map(m => Array(m._1, m._2))
-    wordFrequencies(docs)
-      .select(col("word"),
-        size(BpeEncode.column(col("word"), rules)).cast("long").as("word_tokens"))
+    val wf = wordFrequencies(docs).cutLineage()
+    val rules = learnMergesFrom(wf, k).map(m => Array(m._1, m._2))
+    wf.select(col("word"),
+      size(BpeEncode.column(col("word"), rules)).cast("long").as("word_tokens"))
   }
 
   /** Per-document token counts: (doc_id, n_words, n_bpe_tokens). The

@@ -101,8 +101,8 @@ object Matching {
     * coarsening level), those weights are SUMMED into the coarse edge
     * rather than recounted, so multiplicities survive repeated
     * coarsening; weightless inputs count parallel edges as weight 1
-    * each. Distinct (u,v,weight) triples from a weighted input are all
-    * kept (a weighted multigraph sums its parallel edges).
+    * each. Every weighted input row contributes its weight — duplicate
+    * rows are parallel edges and sum like any others.
     *
     * Plan shape: two broadcast-sized left joins against the matching
     * (|matching| ≤ |V|/2 and dimension-like) + one keyed agg.
@@ -115,12 +115,15 @@ object Matching {
     val hasWeight = edges.columns.contains("weight")
     val e =
       if (hasWeight)
+        // no distinct here: duplicate weighted rows are parallel edges
+        // and must SUM through the final aggregation (a distinct would
+        // collapse equal-weight duplicates but keep unequal ones —
+        // multiplicity preserved or dropped by accident of the values)
         edges.select(
             least(col(sc).cast("long"), col(dc).cast("long")).as("u"),
             greatest(col(sc).cast("long"), col(dc).cast("long")).as("v"),
             col("weight").cast("long").as("w"))
           .where(col("u") =!= col("v"))
-          .distinct()
       else
         edges.select(
             least(col(sc).cast("long"), col(dc).cast("long")).as("u"),

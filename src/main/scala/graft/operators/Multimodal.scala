@@ -467,11 +467,17 @@ object Multimodal {
     * hot-chunk caveat as [[phashPairsBanded]].
     */
   def videoTwins(hashes: DataFrame): DataFrame = {
-    // the hash table is referenced four times (two join sides + two
+    // The hash table is referenced four times (two join sides + two
     // frame-count joins); cache it so the expensive upstream (container
     // walk + per-frame decode) runs ONE pass, not four. cache() not
     // localCheckpoint: lazy — composing this operator must not trigger
-    // a job (the r4-audited hidden-driver-action rule)
+    // a job (the r4-audited hidden-driver-action rule). CACHE
+    // LIFECYCLE: the block stays registered for the session until the
+    // caller unpersists (`spark.catalog.clearCache()` or
+    // `.unpersist()` on this frame) — the Verify/Bench harnesses
+    // already clear between queries; long-lived sessions composing
+    // many twin scans should clear explicitly or the storage pool
+    // will pressure other operators' resident checkpoints.
     val h = hashes.cache()
     val nf = h.groupBy("id").agg(count(lit(1)).as("n"))
     val a = h.toDF("a", "frame_no", "h_lo", "h_hi")

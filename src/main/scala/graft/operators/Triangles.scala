@@ -410,20 +410,31 @@ object Triangles {
     * one global sum. Shuffle ∝ wedge count; hub skew on the pivot side
     * rides AQE's skew split, and the q91 salting note applies past it.
     */
-  def butterflies(edges: DataFrame, wedgeSide: String = "right"): DataFrame = {
+  def butterflies(edges: DataFrame, wedgeSide: String = "right"): DataFrame =
+    wedgePairCounts(edges, wedgeSide, "butterflies").agg(
+      // `div` keeps the arithmetic in exact integers (Column `/`
+      // promotes to double — partition-order-dependent past 2^53, the
+      // same trap transitivity()'s comment documents); w·(w−1) is even,
+      // so the truncating division is the exact C(w, 2)
+      coalesce(sum(expr("w * (w - 1) div 2")), lit(0L)).cast("long").as("n_butterflies"),
+      count(lit(1)).as("n_wedge_pairs"))
+
+  /** Shared wedge-pair prefix for [[butterflies]] / [[butterflyDegrees]]:
+    * per pair (a < b) on the NON-pivot side, the count of shared pivot
+    * vertices. Pivot column is the shared one; pair column forms the
+    * wedge ends.
+    */
+  private def wedgePairCounts(edges: DataFrame, wedgeSide: String,
+                              caller: String): DataFrame = {
     require(wedgeSide == "left" || wedgeSide == "right",
-      s"butterflies: wedgeSide must be left|right, got $wedgeSide")
+      s"$caller: wedgeSide must be left|right, got $wedgeSide")
     val e0 = edges.select(col("src").cast("long").as("l"), col("dst").cast("long").as("r"))
       .distinct()
-    // pivot column is the shared one; pair column forms the wedge ends
     val (pivot, pair) = if (wedgeSide == "right") ("r", "l") else ("l", "r")
     val e = e0.select(col(pivot).as("pv"), col(pair).as("pr")).cutLineage()
-    val w = e.toDF("pv", "a").join(e.toDF("pv", "b"), Seq("pv"))
+    e.toDF("pv", "a").join(e.toDF("pv", "b"), Seq("pv"))
       .where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
-    w.agg(
-      coalesce(sum(col("w") * (col("w") - 1) / 2), lit(0L)).cast("long").as("n_butterflies"),
-      count(lit(1)).as("n_wedge_pairs"))
   }
 
   /** Per-vertex butterfly participation on the PAIR side of
@@ -434,21 +445,12 @@ object Triangles {
     * Same wedge plan as the global count plus one explode of the pair
     * table; emits (id, butterfly_degree) for vertices with ≥ 1.
     */
-  def butterflyDegrees(edges: DataFrame, wedgeSide: String = "right"): DataFrame = {
-    require(wedgeSide == "left" || wedgeSide == "right",
-      s"butterflyDegrees: wedgeSide must be left|right, got $wedgeSide")
-    val e0 = edges.select(col("src").cast("long").as("l"), col("dst").cast("long").as("r"))
-      .distinct()
-    val (pivot, pair) = if (wedgeSide == "right") ("r", "l") else ("l", "r")
-    val e = e0.select(col(pivot).as("pv"), col(pair).as("pr")).cutLineage()
-    val w = e.toDF("pv", "a").join(e.toDF("pv", "b"), Seq("pv"))
-      .where(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+  def butterflyDegrees(edges: DataFrame, wedgeSide: String = "right"): DataFrame =
+    wedgePairCounts(edges, wedgeSide, "butterflyDegrees")
       .where(col("w") >= 2)
-      .withColumn("bf", col("w") * (col("w") - 1) / 2)
-    w.select(explode(array(col("a"), col("b"))).as("id"), col("bf"))
+      .withColumn("bf", expr("w * (w - 1) div 2")) // exact-integer C(w, 2)
+      .select(explode(array(col("a"), col("b"))).as("id"), col("bf"))
       .groupBy("id").agg(sum("bf").cast("long").as("butterfly_degree"))
-  }
 
   def clusteringCoefficients(c: DataFrame): DataFrame = {
     val cc = c.cutLineage()

@@ -401,4 +401,21 @@ class FunctionsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out3 == Map(1L -> 0L, 2L -> 1L))
   }
+
+  test("BPE learning stops gracefully when the pair space exhausts before k merges") {
+    import spark.implicits._
+    import graft.functions.Bpe
+    // one two-symbol word: merge 1 fuses it into a single symbol, so
+    // merges 2..5 have no adjacent pair anywhere — must return 1 merge,
+    // not throw on the empty argmax
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, 5)
+    assert(merges.length == 1 && merges(0)._1 == "a" && merges(0)._2 == "b")
+    // single-character words: zero possible merges from the start
+    val singles = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(Bpe.learnMerges(singles, 3).isEmpty)
+    // and the composed operators survive the exhausted regime
+    assert(Bpe.docTokenCounts(docs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 1L, 1L)))
+  }
 }

@@ -382,6 +382,14 @@ class TraversalsSpec extends SparkTestBase {
       coarse.select(org.apache.spark.sql.functions.col("cu").as("src"),
         org.apache.spark.sql.functions.col("cv").as("dst")))
     assert(m2.count() > 0)
+    // weighted multigraph input: DUPLICATE weighted rows are parallel
+    // edges and must SUM — (2,3,w=5) twice plus (1,3,w=1) contracts to
+    // (1,3) with weight 11, not 6
+    val gw = Seq((2L, 3L, 5L), (2L, 3L, 5L), (1L, 3L, 1L))
+      .toDF("src", "dst", "weight")
+    val outW = Matching.coarsen(gw, Seq((1L, 2L)).toDF("u", "v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(outW == Map((1L, 3L) -> 11L), s"got $outW")
   }
 
   test("harmonic closeness: micro-unit sums of reciprocal distances") {
