@@ -155,6 +155,14 @@ object Communities {
                       movesPerLevel: Int = 2): DataFrame =
     louvainCore(weightedGraph(edges), levels, movesPerLevel, leiden = false)._1
 
+  /** [[louvainWeighted]] with the Leiden connectivity guarantee — the
+    * full matrix point: weighted level-1 graph AND per-level component
+    * splits, same exact-integer contracts as both parents.
+    */
+  def louvainLeidenWeighted(edges: DataFrame, levels: Int = 2,
+                            movesPerLevel: Int = 2): DataFrame =
+    louvainCore(weightedGraph(edges), levels, movesPerLevel, leiden = true)._1
+
   /** Canonical unit-weight graph: u < v, distinct, w = 1. */
   private def unitGraph(edges: DataFrame): DataFrame =
     edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
@@ -179,6 +187,9 @@ object Communities {
     * passes, optionally the Leiden connectivity refinement, then
     * coarsening. Takes the canonical weighted graph (u < v, integer w).
     */
+  private[graft] def louvainCoreDbg(edges: DataFrame, leiden: Boolean): (DataFrame, Seq[Long]) =
+    louvainCore(weightedGraph(edges), 2, 2, leiden)
+
   private def louvainCore(g0: DataFrame, levels: Int, movesPerLevel: Int,
                           leiden: Boolean): (DataFrame, Seq[Long]) = {
     var g = g0

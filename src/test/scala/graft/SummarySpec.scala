@@ -218,6 +218,22 @@ class SummarySpec extends SparkTestBase {
     val d = Communities.louvainWeighted(dup).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(d == hb, s"summed parallel edges must equal the weighted form: $d vs $hb")
+    // the weighted+Leiden matrix point on the classic two-communities
+    // graph (two heavy triangles, light bridge — separation IS the
+    // modularity optimum here, unlike the single-triangle fixture where
+    // Leiden correctly finds the everything-merged Q=0 optimum plain
+    // Louvain's parity dynamics miss)
+    val twoTri = Seq((1L, 2L, 20L), (1L, 3L, 20L), (2L, 3L, 20L),
+      (4L, 5L, 20L), (4L, 6L, 20L), (5L, 6L, 20L), (3L, 4L, 1L))
+      .toDF("src", "dst", "weight")
+    // 4 moves/level: the parity-alternating passes need two full
+    // even/odd sweeps to pull every triangle member across on this
+    // weighted instance (the fixed unroll is part of the contract)
+    val wl = Communities.louvainLeidenWeighted(twoTri, 2, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).map(wl).toSet.size == 1, s"got $wl")
+    assert(Seq(4L, 5L, 6L).map(wl).toSet.size == 1, s"got $wl")
+    assert(wl(1L) != wl(4L), s"got $wl")
   }
 
   test("Leiden refinement: splits disconnected communities, final communities internally connected") {
