@@ -124,9 +124,16 @@ object Communities {
     * labeling is a no-op in any engine, which keeps the replayed SQL
     * oracle step-for-step identical.
     *
-    * Labels live in the ORIGINAL vertex-id space throughout (a
-    * community is named by one of its member ids, tie-broken smallest),
-    * so the returned (id, community) needs no decode join.
+    * Labels live in the ORIGINAL vertex-id space throughout, so the
+    * returned (id, community) needs no decode join. NAMING CAVEAT
+    * (observed, not hypothetical): a synchronous move pass can strand a
+    * vertex holding a label whose owner moved elsewhere in the same
+    * pass, so a community's name is a vertex id but NOT guaranteed to
+    * be a MEMBER's id in this plain variant — the oracle replays the
+    * identical dynamics, so results still hash-match. The Leiden
+    * variant ([[louvainLeiden]]) renames every community to its minimum
+    * member each level as part of the refinement, restoring the
+    * member-named guarantee.
     *
     * Plan per pass: one |E| join + two |V|-sized aggs + a bounded
     * per-vertex top-1 window + the two-scalar gate — the
