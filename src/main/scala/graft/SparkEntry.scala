@@ -733,6 +733,11 @@ object SparkEntry {
     // k-core decomposition (k=6): iterative peel to fixpoint
     "q60_kcore" -> ((s, dir) =>
       graft.operators.Traversals.kcore(GraphFixtures.coPurchase10(s, dir), 6)),
+    // per-edge truss class (trussness capped at 6 = "6+"): successive
+    // hybrid peels on the shrinking edge set — the edge analogue of
+    // q147's coreness
+    "q152_trussness" -> ((s, dir) =>
+      Triangles.trussness(GraphFixtures.coPurchase10(s, dir), 6)),
     // FULL core decomposition: per-vertex coreness via the h-index
     // fixed point (converges to the exact coreness; fail-loud if the
     // unroll budget is outlived — shared constant with the oracle)
@@ -1690,6 +1695,46 @@ object SparkEntry {
         "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
         "WHERE (SELECT COUNT(*) FROM e9) <> (SELECT COUNT(*) FROM e10)"
     }
+    // trussness: the q81 peel unrolled PER LEVEL k=3..6, each level
+    // starting from the previous level's converged survivors; dropped
+    // edges are labeled k-1, kMax survivors labeled kMax ("6+"); one
+    // sentinel per level fails the hash loudly if a peel outlives its
+    // unroll
+    val trussnessSql = {
+      val kMax = 6; val R = 10
+      val sb = new StringBuilder
+      sb ++= s"WITH f2 AS MATERIALIZED ($copurchase10), "
+      for (k <- 3 to kMax) {
+        sb ++= s"e${k}_0 AS MATERIALIZED (SELECT x, y FROM f${k - 1}), "
+        for (r <- 1 to R) {
+          sb ++= (s"t${k}_$r AS MATERIALIZED (SELECT e1.x AS a, e1.y AS b, e2.y AS c3 " +
+            s"FROM e${k}_${r - 1} e1 JOIN e${k}_${r - 1} e2 ON e2.x = e1.y " +
+            s"JOIN e${k}_${r - 1} e3 ON e3.x = e1.x AND e3.y = e2.y), " +
+            s"s${k}_$r AS MATERIALIZED (SELECT x, y, COUNT(*) AS sup FROM (" +
+            s"SELECT a AS x, b AS y FROM t${k}_$r UNION ALL " +
+            s"SELECT a, c3 FROM t${k}_$r UNION ALL SELECT b, c3 FROM t${k}_$r) u GROUP BY x, y), " +
+            s"e${k}_$r AS MATERIALIZED (SELECT e.x, e.y FROM e${k}_${r - 1} e " +
+            s"LEFT JOIN s${k}_$r s ON s.x = e.x AND s.y = e.y " +
+            s"WHERE COALESCE(s.sup, 0) >= ${k - 2}), ")
+        }
+        sb ++= s"f$k AS MATERIALIZED (SELECT x, y FROM e${k}_$R), "
+        sb ++= (s"d$k AS MATERIALIZED (SELECT e.x, e.y FROM f${k - 1} e " +
+          s"LEFT JOIN f$k s ON s.x = e.x AND s.y = e.y " +
+          s"WHERE s.x IS NULL), ")
+      }
+      val dropped = (3 to kMax).map(k =>
+        s"SELECT x AS src, y AS dst, CAST(${k - 1} AS BIGINT) AS trussness FROM d$k")
+        .mkString(" UNION ALL ")
+      val sentinels = (3 to kMax).map(k =>
+        s"(SELECT COUNT(*) FROM e${k}_${R - 1}) <> (SELECT COUNT(*) FROM e${k}_$R)")
+        .mkString(" OR ")
+      sb ++= s"res AS ($dropped UNION ALL " +
+        s"SELECT x, y, CAST($kMax AS BIGINT) FROM f$kMax) "
+      sb ++= ("SELECT src, dst, trussness FROM res " +
+        "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
+        s"WHERE $sentinels")
+      sb.toString
+    }
     // Adamic–Adar: wedge join over centers with degree >= 2; each
     // center's 1/ln(deg) weight is rounded to integer micro-units FIRST
     // so the per-pair sum is order-independent (the q32/q54 pattern)
@@ -2021,6 +2066,7 @@ object SparkEntry {
       "q74_diameter" -> diameterSql,
       "q79_mis" -> misSql,
       "q81_ktruss" -> ktrussSql,
+      "q152_trussness" -> trussnessSql,
       "q82_weighted_pagerank" -> weightedPagerankSql,
       // REAL image codec gates: the oracle recomputes the deterministic
       // pixel formula pixel(i) = (doc_id*31 + i) mod 256 directly; the

@@ -289,6 +289,35 @@ object Triangles {
     support.select("src", "dst")
   }
 
+  /** Per-edge TRUSS CLASS — the edge analogue of [[Traversals.coreness]]:
+    * trussness(e) = the largest k with e in the k-truss, computed by
+    * successive peels on the monotonically shrinking edge set
+    * ((k+1)-truss ⊆ k-truss, so each level starts from the previous
+    * level's survivors — the k=3 peel on the full graph dominates and
+    * later levels cost geometrically less). Edges in no 3-truss report
+    * trussness 2; survivors of the `kMax`-truss report `kMax`, meaning
+    * "≥ kMax" (the cap bounds the level count — raise it when the deep
+    * classes matter). Each level rides [[ktruss]]'s hybrid peel, so the
+    * at-scale story is the measured one (SCALE.md k-truss A/B).
+    */
+  def trussness(c: DataFrame, kMax: Int = 6): DataFrame = {
+    require(kMax >= 3, s"trussness: kMax must be >= 3, got $kMax")
+    var cur = c.select(
+        least(col("src"), col("dst")).cast("long").as("src"),
+        greatest(col("src"), col("dst")).cast("long").as("dst"))
+      .where(col("src") < col("dst")).distinct()
+      .cutLineage()
+    var parts = List.empty[DataFrame]
+    for (k <- 3 to kMax) {
+      val surv = ktruss(cur, k).cutLineage()
+      parts ::= cur.join(surv, Seq("src", "dst"), "left_anti")
+        .select(col("src"), col("dst"), lit((k - 1).toLong).as("trussness"))
+      cur = surv
+    }
+    parts ::= cur.select(col("src"), col("dst"), lit(kMax.toLong).as("trussness"))
+    parts.reduce(_ unionByName _)
+  }
+
   /** Full-recount k-truss — the r2 baseline kept for the ScaleSmoke A/B
     * against the incremental [[ktruss]]: every round re-enumerates ALL
     * triangles of the surviving graph. Wins when the peel converges in

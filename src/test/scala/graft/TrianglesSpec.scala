@@ -128,6 +128,26 @@ class TrianglesSpec extends SparkTestBase {
       again.getLong(0) == strict.getLong(0))
   }
 
+  test("trussness: per-edge classes match hand values and the k-truss cross-check") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    // a 5-clique (every edge in 3 triangles → trussness 5) plus a
+    // pendant edge 5-10 (no triangle → trussness 2)
+    val g = (clique(Seq(1L, 2L, 3L, 4L, 5L)) :+ (5L, 10L)).toDF("src", "dst")
+    val t = Triangles.trussness(g).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(t((5L, 10L)) == 2L, s"got $t")
+    assert(clique(Seq(1L, 2L, 3L, 4L, 5L)).forall(e => t(e) == 5L), s"got $t")
+    // cross-check on the fixture: {e : trussness(e) >= 5} must equal the
+    // 5-truss edge set from the hybrid peel
+    val c10 = graft.model.GraphFixtures.coPurchase10(spark, sf)
+    val byClass = Triangles.trussness(c10).where(col("trussness") >= 5)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byPeel = Triangles.ktruss(c10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byClass == byPeel)
+  }
+
   test("butterflies: exact 2x2 biclique count, side-invariant, zero on a star") {
     import spark.implicits._
     // K(2,3): left {1,2} x right {10,20,30} — butterflies = C(3,2) = 3
