@@ -18,11 +18,15 @@ import graft.summaries.{DisjointSet, ParityDisjointSet, SummaryCodecs}
   *
   * What needs explicit state is the reference's `transientState=false`
   * mode (GS/GraphAggregation.java:~30: carry the summary across windows
-  * forever). That is `flatMapGroupsWithState`: per-trigger partial
-  * summaries merge into keyed state — below, the running connected
-  * components. Keying by a constant reproduces the reference's
-  * parallelism-1 merger (GS/WindowGraphAggregation.java:~45); the
-  * per-partition partial fold stays distributed.
+  * forever). That is `flatMapGroupsWithState` fed by a PER-PARTITION
+  * partial fold: each input partition of the micro-batch folds its edges
+  * into ONE encoded summary inside `mapPartitions` (distributed — this
+  * is where the batch's ingest parallelism lives), and only those ≤P
+  * partials shuffle to the single stateful group, which merges them into
+  * the running summary. That is the reference's own E2 topology — keyed
+  * partial fold, then a parallelism-1 merger that sees PARTIALS, never
+  * raw edges (GS/WindowGraphAggregation.java:~45–110). Per-trigger serial
+  * work at the merger is O(state + Σ|partial|), not O(batch rows).
   */
 object StreamingOps {
 
@@ -69,17 +73,28 @@ object StreamingOps {
   /** Continuously-refined connected components over a (possibly
     * streaming) edge DataFrame. Emits the full (vertex, component)
     * assignment each trigger (update mode downstream).
+    *
+    * Topology: per-partition partial union-finds (distributed fold over
+    * the micro-batch's raw edges) → constant-keyed stateful merge of the
+    * ≤P partials only. The merge replays each partial's (vertex → root)
+    * pairs, which is exactly [[DisjointSet.mergeFrom]] — associative and
+    * commutative, so partial order never matters.
     */
   def runningConnectedComponents(edges: DataFrame): Dataset[(Long, Long)] = {
     val spark = edges.sparkSession
     import spark.implicits._
     edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)]
+      .mapPartitions { it =>
+        val partial = new DisjointSet
+        it.foreach { case (s, d) => partial.union(s, d) }
+        if (partial.parent.isEmpty) Iterator.empty else Iterator.single(partial)
+      }
       .groupByKey(_ => 0)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (_: Int, it: Iterator[(Long, Long)], state: GroupState[DisjointSet]) =>
+        (_: Int, partials: Iterator[DisjointSet], state: GroupState[DisjointSet]) =>
           val summary = state.getOption.getOrElse(new DisjointSet)
-          it.foreach { case (s, d) => summary.union(s, d) }
+          partials.foreach(summary.mergeFrom)
           state.update(summary)
           summary.components.iterator
       }
@@ -91,6 +106,16 @@ object StreamingOps {
     * [[SummaryCodecs]] wire-format discipline.
     */
   final case class TtlCcRows(ids: Array[Long], root: Array[Long], seen: Array[Long])
+
+  /** One input partition's pre-folded contribution to the TTL'd running
+    * CC: its union-find as (id, representative) pairs, per-vertex max
+    * event time in micros, and the partition's max event TIMESTAMP —
+    * the attribute the watermark is (re-)declared on after the fold
+    * (the partition max is the only event-time fact the watermark
+    * calculus needs: max over partials ≡ max over raw rows).
+    */
+  final case class TtlCcPartial(ids: Array[Long], root: Array[Long],
+                                seen: Array[Long], maxTs: java.sql.Timestamp)
 
   /** [[runningConnectedComponents]] with WATERMARK-TTL state eviction —
     * the bounded-state variant the unbounded reference semantics
@@ -113,27 +138,53 @@ object StreamingOps {
     * advances watermarks between micro-batches), so a vertex survives
     * one extra trigger past its horizon — never the reverse.
     *
-    * Per-trigger cost is O(state + batch): the same order as the
-    * unbounded sibling's codec decode of its own state, but over the
-    * horizon's vertices only — at 100 TB / unbounded retention the
+    * Per-trigger SERIAL cost at the merger is O(state + Σ|partial|) —
+    * partials are ≤ the batch's distinct touched vertices per partition,
+    * never its raw rows; the raw-edge scan runs distributed in the
+    * per-partition fold. At 100 TB / unbounded retention the unbounded
     * sibling's state melts and this one plateaus.
     */
   def runningConnectedComponentsTtl(edges: DataFrame, ttl: String): Dataset[(Long, Long)] = {
     val spark = edges.sparkSession
     import spark.implicits._
-    implicit val enc: Encoder[TtlCcRows] = Encoders.product[TtlCcRows]
+    implicit val encState: Encoder[TtlCcRows] = Encoders.product[TtlCcRows]
+    implicit val encPartial: Encoder[TtlCcPartial] = Encoders.product[TtlCcPartial]
     edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
         col("ts").cast("timestamp").as("ts"))
-      .withWatermark("ts", ttl)
-      // the watermark-tagged `ts` attribute must reach the stateful
-      // operator itself (projecting it away makes
-      // getCurrentWatermarkMs throw "watermark not set")
       .as[(Long, Long, java.sql.Timestamp)]
+      // distributed per-partition fold: one encoded partial per input
+      // partition; only partials reach the single stateful group
+      .mapPartitions { it =>
+        val partial = new DisjointSet
+        val seen = scala.collection.mutable.LongMap.empty[Long]
+        var maxMs = Long.MinValue
+        it.foreach { case (s, d, t) =>
+          val tu = t.getTime * 1000L
+          partial.union(s, d)
+          if (seen.getOrElse(s, Long.MinValue) < tu) seen(s) = tu
+          if (seen.getOrElse(d, Long.MinValue) < tu) seen(d) = tu
+          if (t.getTime > maxMs) maxMs = t.getTime
+        }
+        if (seen.isEmpty) Iterator.empty
+        else {
+          val ids = seen.keysIterator.toArray
+          java.util.Arrays.sort(ids)
+          val root = ids.map(partial.find)
+          val sn = ids.map(seen(_))
+          Iterator.single(TtlCcPartial(ids, root, sn, new java.sql.Timestamp(maxMs)))
+        }
+      }
+      // the watermark is declared on the PARTIAL's max event time: the
+      // watermark calculus only ever reads the batch max, and max over
+      // partition maxima ≡ max over raw rows — identical watermark
+      // values to tagging the raw ts. A watermark-tagged attribute must
+      // reach the stateful operator itself (without one,
+      // getCurrentWatermarkMs throws "watermark not set").
+      .withWatermark("maxTs", ttl)
       .groupByKey(_ => 0)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (_: Int, rawIt: Iterator[(Long, Long, java.sql.Timestamp)],
+        (_: Int, partials: Iterator[TtlCcPartial],
          state: GroupState[TtlCcRows]) =>
-          val it = rawIt.map { case (s, d, t) => (s, d, t.getTime * 1000L) }
           // rebuild the union-find from surviving (id, label) pairs —
           // labels carry the transitive evidence, paths are not needed
           val ds = new DisjointSet
@@ -144,10 +195,13 @@ object StreamingOps {
               ds.union(r.ids(i), r.root(i)); seen(r.ids(i)) = r.seen(i); i += 1
             }
           }
-          it.foreach { case (s, d, t) =>
-            ds.union(s, d)
-            if (seen.getOrElse(s, Long.MinValue) < t) seen(s) = t
-            if (seen.getOrElse(d, Long.MinValue) < t) seen(d) = t
+          partials.foreach { p =>
+            var i = 0
+            while (i < p.ids.length) {
+              ds.union(p.ids(i), p.root(i))
+              if (seen.getOrElse(p.ids(i), Long.MinValue) < p.seen(i)) seen(p.ids(i)) = p.seen(i)
+              i += 1
+            }
           }
           val horizonMicros = state.getCurrentWatermarkMs() * 1000L
           val live = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -221,6 +275,14 @@ object StreamingOps {
                                  par: Array[Long], seen: Array[Long],
                                  conflict: Boolean)
 
+  /** One input partition's pre-folded contribution to the TTL'd running
+    * bipartiteness ([[TtlCcPartial]]'s shape plus the relative parity
+    * per vertex and the partition-local odd-cycle flag).
+    */
+  final case class TtlParityPartial(ids: Array[Long], root: Array[Long],
+                                    par: Array[Long], seen: Array[Long],
+                                    conflict: Boolean, maxTs: java.sql.Timestamp)
+
   /** [[runningBipartiteness]] with WATERMARK-TTL state eviction — the
     * [[runningConnectedComponentsTtl]] pattern on the SECOND summary
     * family, showing the TTL design generalizes beyond plain union-find.
@@ -241,14 +303,43 @@ object StreamingOps {
   def runningBipartitenessTtl(edges: DataFrame, ttl: String): Dataset[Boolean] = {
     val spark = edges.sparkSession
     import spark.implicits._
-    implicit val enc: Encoder[TtlParityRows] = Encoders.product[TtlParityRows]
+    implicit val encState: Encoder[TtlParityRows] = Encoders.product[TtlParityRows]
+    implicit val encPartial: Encoder[TtlParityPartial] = Encoders.product[TtlParityPartial]
     edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
         col("ts").cast("timestamp").as("ts"))
-      .withWatermark("ts", ttl)
       .as[(Long, Long, java.sql.Timestamp)]
+      // distributed per-partition fold (see runningConnectedComponentsTtl
+      // for the watermark-on-partial-max discipline)
+      .mapPartitions { it =>
+        val partial = new ParityDisjointSet
+        val seen = scala.collection.mutable.LongMap.empty[Long]
+        var maxMs = Long.MinValue
+        it.foreach { case (s, d, t) =>
+          partial.addEdge(s, d)
+          val tu = t.getTime * 1000L
+          if (seen.getOrElse(s, Long.MinValue) < tu) seen(s) = tu
+          if (seen.getOrElse(d, Long.MinValue) < tu) seen(d) = tu
+          if (t.getTime > maxMs) maxMs = t.getTime
+        }
+        if (seen.isEmpty) Iterator.empty
+        else {
+          val ids = seen.keysIterator.toArray
+          java.util.Arrays.sort(ids)
+          val root = new Array[Long](ids.length)
+          val par = new Array[Long](ids.length)
+          var i = 0
+          while (i < ids.length) {
+            val (r, p) = partial.find(ids(i))
+            root(i) = r; par(i) = p.toLong; i += 1
+          }
+          Iterator.single(TtlParityPartial(ids, root, par, ids.map(seen(_)),
+            partial.conflict, new java.sql.Timestamp(maxMs)))
+        }
+      }
+      .withWatermark("maxTs", ttl)
       .groupByKey(_ => 0)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (_: Int, rawIt: Iterator[(Long, Long, java.sql.Timestamp)],
+        (_: Int, partials: Iterator[TtlParityPartial],
          state: GroupState[TtlParityRows]) =>
           val ds = new ParityDisjointSet
           val seen = scala.collection.mutable.LongMap.empty[Long]
@@ -261,11 +352,15 @@ object StreamingOps {
               seen(r.ids(i)) = r.seen(i); i += 1
             }
           }
-          rawIt.foreach { case (s, d, t) =>
-            ds.addEdge(s, d)
-            val tu = t.getTime * 1000L
-            if (seen.getOrElse(s, Long.MinValue) < tu) seen(s) = tu
-            if (seen.getOrElse(d, Long.MinValue) < tu) seen(d) = tu
+          partials.foreach { p =>
+            conflict ||= p.conflict
+            var i = 0
+            while (i < p.ids.length) {
+              if (p.ids(i) != p.root(i)) ds.unionWithParity(p.ids(i), p.root(i), p.par(i).toInt)
+              else ds.makeSet(p.ids(i))
+              if (seen.getOrElse(p.ids(i), Long.MinValue) < p.seen(i)) seen(p.ids(i)) = p.seen(i)
+              i += 1
+            }
           }
           conflict ||= !ds.isBipartite
           val horizonMicros = state.getCurrentWatermarkMs() * 1000L
@@ -348,11 +443,17 @@ object StreamingOps {
     import spark.implicits._
     edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)]
+      .mapPartitions { it =>
+        val partial = new ParityDisjointSet
+        it.foreach { case (s, d) => partial.addEdge(s, d) }
+        if (partial.parent.isEmpty && !partial.conflict) Iterator.empty
+        else Iterator.single(partial)
+      }
       .groupByKey(_ => 0)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (_: Int, it: Iterator[(Long, Long)], state: GroupState[ParityDisjointSet]) =>
+        (_: Int, partials: Iterator[ParityDisjointSet], state: GroupState[ParityDisjointSet]) =>
           val summary = state.getOption.getOrElse(new ParityDisjointSet)
-          it.foreach { case (s, d) => summary.addEdge(s, d) }
+          partials.foreach(summary.mergeFrom)
           state.update(summary)
           Iterator.single(summary.isBipartite)
       }

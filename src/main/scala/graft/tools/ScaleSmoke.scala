@@ -386,6 +386,50 @@ object ScaleSmoke {
       }
     }
 
+    if (mode == "tier2ingest") {
+      // Per-trigger ingest parallelism of the running summaries (VERDICT
+      // r6 item 1's "done" evidence): the same 4M-edge trigger over a
+      // bounded 100k-vertex population — the high-rate regime the TTL
+      // variants target — fed once through a 1-partition MemoryStream
+      // and once through a 16-partition one. With the per-partition
+      // partial fold, the serial merger sees Σ|partial| ≤ P×|V| pairs
+      // instead of 4M raw edges, so the 16-partition trigger must be
+      // substantially faster; before the fix both shapes serialized the
+      // full 4M edges through one task and tied.
+      val nE = 4000000L
+      val nV = 20000L
+      Seq(1, 16).foreach { p =>
+        // rate-micro-batch: exactly nE fresh rows per trigger, generated
+        // ON THE EXECUTORS across p input partitions (a MemoryStream
+        // harness java-serializes its rows into task closures — useless
+        // at millions of rows per trigger)
+        val src = spark.readStream.format("rate-micro-batch")
+          .option("rowsPerBatch", nE.toString)
+          .option("numPartitions", p.toString)
+          .load()
+          .select(
+            pmod(xxhash64(col("value"), lit(31)), lit(nV)).as("src"),
+            pmod(xxhash64(col("value"), lit(32)), lit(nV)).as("dst"))
+        val ckpt = java.nio.file.Files.createTempDirectory(
+          new java.io.File("/dev/shm").toPath, "graft-ingest-smoke").toString
+        val q = graft.streaming.StreamingOps
+          .runningConnectedComponents(src)
+          .toDF("id", "component")
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .format("noop").start()
+        try {
+          // let 4 triggers of 4M edges complete; report the post-warmup
+          // per-trigger wall (median of triggers 2-4)
+          while (q.recentProgress.count(_.numInputRows == nE) < 4) Thread.sleep(200)
+          val durs = q.recentProgress.filter(_.numInputRows == nE)
+            .map(_.durationMs.get("triggerExecution").toLong).toSeq.tail.sorted
+          println(f"[smoke] running CC sustained 4M-edge triggers, $p%2d input partition(s): " +
+            f"median trigger ${durs(durs.length / 2) / 1000.0}%6.2f s (all post-warmup: ${durs.mkString(",")} ms)")
+        } finally q.stop()
+      }
+    }
+
     if (mode == "all" || mode == "graph") {
       t("bfsDepths (10M edges)")(
         graft.operators.Traversals.bfsDepths(g, 0L).count())

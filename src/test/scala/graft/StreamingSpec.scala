@@ -71,6 +71,52 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("distributed ingest: multi-partition micro-batches pre-fold per partition and merge partials") {
+    import spark.implicits._
+    // a 4-partition MemoryStream spreads each trigger's edges across 4
+    // input tasks — the per-partition fold produces up to 4 partials per
+    // trigger and the single stateful group must merge them into the
+    // same components as the one-shot batch (cross-partition merges
+    // included: the chain below only connects through partial merging)
+    val ms = MemoryStream[(Long, Long, Double, Long)](spark, numPartitions = 4)
+    val ckpt = Files.createTempDirectory("cc-multipart-ckpt").toString
+    val chain = (1L until 40L).map(i => (i, i + 1, 1.0, i * 60L)) ++
+      Seq((100L, 101L, 1.0, 3000L), (102L, 103L, 1.0, 3060L))
+    val q = StreamingOps.runningConnectedComponents(edgesFrom(ms))
+      .toDF("id", "component")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("cc_mp").start()
+    try {
+      val (h, t) = chain.splitAt(20)
+      ms.addData(h); q.processAllAvailable()
+      ms.addData(t); q.processAllAvailable()
+      val streamed = spark.table("cc_mp").groupBy("id")
+        .agg(min("component").as("component"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = SummaryAggregations.connectedComponents(
+          chain.toDF("src", "dst", "value", "secs")
+            .withColumn("ts", timestamp_seconds(col("secs"))).drop("secs"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+    // same discipline for parity state: an odd cycle whose edges land in
+    // DIFFERENT partitions is only caught by the partial merge
+    val ms2 = MemoryStream[(Long, Long, Double, Long)](spark, numPartitions = 4)
+    val ckpt2 = Files.createTempDirectory("bip-multipart-ckpt").toString
+    val q2 = StreamingOps.runningBipartiteness(edgesFrom(ms2))
+      .toDF("ok")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt2)
+      .format("memory").queryName("bip_mp").start()
+    try {
+      ms2.addData(Seq((1L, 2L, 1.0, 0L), (2L, 3L, 1.0, 60L), (3L, 1L, 1.0, 120L)))
+      q2.processAllAvailable()
+      val verdicts = spark.table("bip_mp").collect().map(_.getBoolean(0))
+      assert(verdicts.nonEmpty && !verdicts.last)
+    } finally q2.stop()
+  }
+
   test("restart recovery: CC summary state restores from the checkpoint across stop/start") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
