@@ -738,6 +738,15 @@ object SparkEntry {
     // q147's coreness
     "q152_trussness" -> ((s, dir) =>
       Triangles.trussness(GraphFixtures.coPurchase10(s, dir), 6)),
+    // substring-level dedup (Lee et al. 2021 capability): maximal
+    // cross-document repeated ≥5-token spans — the boilerplate-
+    // contamination class document-level MinHash cannot see
+    "q153_substring_repeats" -> ((s, dir) =>
+      Dedup.repeatedSpans(Tables.documents(s, dir), 5)),
+    // the dedup ACTION: strip covered tokens and rebuild each document
+    // (clean_text hash-checked verbatim against the SQL rebuild)
+    "q154_substring_dedup" -> ((s, dir) =>
+      Dedup.stripRepeatedSpans(Tables.documents(s, dir), 5)),
     // FULL core decomposition: per-vertex coreness via the h-index
     // fixed point (converges to the exact coreness; fail-loud if the
     // unroll budget is outlived — shared constant with the oracle)
@@ -2067,6 +2076,41 @@ object SparkEntry {
       "q79_mis" -> misSql,
       "q81_ktruss" -> ktrussSql,
       "q152_trussness" -> trussnessSql,
+      // substring-level dedup: the oracle replays the span pipeline on
+      // shingle STRINGS (the Spark side shuffles 64-bit fingerprints —
+      // identical output absent a 2⁻⁶⁵-class collision)
+      "q153_substring_repeats" ->
+        ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+          "p0 AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 4, 0))) AS pos FROM t), " +
+          "sh AS (SELECT doc_id, pos, array_to_string(toks[pos+1:pos+5], ' ') AS shingle FROM p0), " +
+          "rep AS (SELECT shingle FROM (SELECT shingle, COUNT(DISTINCT doc_id) AS nd " +
+          "FROM sh GROUP BY 1) WHERE nd >= 2), " +
+          "hit AS (SELECT doc_id, pos FROM sh JOIN rep USING (shingle)), " +
+          "isl AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER " +
+          "(PARTITION BY doc_id ORDER BY pos) AS grp FROM hit) " +
+          "SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok, " +
+          "CAST(MAX(pos) + 4 AS BIGINT) AS end_tok, " +
+          "CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_tokens " +
+          "FROM isl GROUP BY doc_id, grp"),
+      "q154_substring_dedup" ->
+        ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+          "p0 AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 4, 0))) AS pos FROM t), " +
+          "sh AS (SELECT doc_id, pos, array_to_string(toks[pos+1:pos+5], ' ') AS shingle FROM p0), " +
+          "rep AS (SELECT shingle FROM (SELECT shingle, COUNT(DISTINCT doc_id) AS nd " +
+          "FROM sh GROUP BY 1) WHERE nd >= 2), " +
+          "hit AS (SELECT doc_id, pos FROM sh JOIN rep USING (shingle)), " +
+          "cov AS (SELECT DISTINCT doc_id, ti FROM " +
+          "(SELECT doc_id, unnest(range(pos, pos + 5)) AS ti FROM hit)), " +
+          "tok AS (SELECT doc_id, unnest(toks) AS token, " +
+          "generate_subscripts(toks, 1) - 1 AS pos FROM t), " +
+          "kept AS (SELECT tok.doc_id, tok.pos, tok.token FROM tok " +
+          "LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.ti = tok.pos WHERE cov.ti IS NULL), " +
+          "reb AS (SELECT doc_id, COUNT(*) AS kept_tokens, " +
+          "string_agg(token, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id) " +
+          "SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens, " +
+          "CAST(len(t.toks) - COALESCE(reb.kept_tokens, 0) AS BIGINT) AS repeated_tokens, " +
+          "COALESCE(reb.clean_text, '') AS clean_text " +
+          "FROM t LEFT JOIN reb ON reb.doc_id = t.doc_id"),
       "q82_weighted_pagerank" -> weightedPagerankSql,
       // REAL image codec gates: the oracle recomputes the deterministic
       // pixel formula pixel(i) = (doc_id*31 + i) mod 256 directly; the
@@ -2344,19 +2388,21 @@ object SparkEntry {
       "q14_triangles" ->
         s"WITH c AS ($copurchase) SELECT COUNT(*) AS triangles $triangleJoin",
       // butterflies = sum over supplier pairs of C(common parts, 2)
-      // (wedges pivot on parts, matching the Spark side); w*(w-1) is
-      // even, so /2 is exact integer on both engines
+      // (wedges pivot on parts, matching the Spark side); DuckDB's `/`
+      // is FLOAT division (returns DOUBLE, summed in floating point) —
+      // `//` keeps the whole oracle in exact integers, matching the
+      // Spark side's deliberate integer `div` discipline (ADVICE r6)
       "q149_butterflies" ->
         ("WITH e AS (SELECT DISTINCT l_partkey AS l, l_suppkey AS r FROM lineitem), " +
           "w AS (SELECT a.r AS a, b.r AS b, COUNT(*) AS w FROM e a " +
           "JOIN e b ON a.l = b.l AND a.r < b.r GROUP BY 1, 2) " +
-          "SELECT CAST(COALESCE(SUM(w * (w - 1) / 2), 0) AS BIGINT) AS n_butterflies, " +
+          "SELECT CAST(COALESCE(SUM(w * (w - 1) // 2), 0) AS BIGINT) AS n_butterflies, " +
           "CAST(COUNT(*) AS BIGINT) AS n_wedge_pairs FROM w"),
       "q150_butterfly_degrees" ->
         ("WITH e AS (SELECT DISTINCT l_partkey AS l, l_suppkey AS r FROM lineitem), " +
           "w AS (SELECT a.r AS a, b.r AS b, COUNT(*) AS w FROM e a " +
           "JOIN e b ON a.l = b.l AND a.r < b.r GROUP BY 1, 2), " +
-          "bf AS (SELECT a, b, w * (w - 1) / 2 AS bf FROM w WHERE w >= 2) " +
+          "bf AS (SELECT a, b, w * (w - 1) // 2 AS bf FROM w WHERE w >= 2) " +
           "SELECT id, CAST(SUM(bf) AS BIGINT) AS butterfly_degree FROM " +
           "(SELECT a AS id, bf FROM bf UNION ALL SELECT b, bf FROM bf) GROUP BY id"),
       "q15_triangles_per_vertex" ->

@@ -308,6 +308,92 @@ object Dedup {
       .groupBy("cluster").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
 
+  /** Maximal cross-document repeated token spans of length ≥ k — the
+    * substring-level dedup capability of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * public), re-expressed for Spark: where the paper builds a corpus
+    * suffix array, this engine marks every k-token shingle whose
+    * fingerprint occurs in ≥ `minDocs` DISTINCT documents and merges
+    * runs of consecutive marked start positions into maximal spans —
+    * a run p₁..p₂ of repeated k-gram starts covers tokens
+    * [p₁, p₂+k−1], exactly the union of its repeated k-windows. Any
+    * repeated substring of length L ≥ k is covered (all its k-gram
+    * starts are marked), so coverage equals the suffix-array method's
+    * at ≥k granularity; sub-k repeats are invisible by contract.
+    *
+    * Document-level MinHash misses this class entirely: boilerplate
+    * (licenses, navigation chrome, templated headers) repeats ACROSS
+    * otherwise-unrelated documents without making any document pair
+    * near-duplicate.
+    *
+    * Scale shape: one groupBy on the 64-bit shingle fingerprint (8 B
+    * shuffle keys, never shingle text), one semi-join back on the
+    * fingerprint, and a per-document window over marked positions —
+    * every stage ∝ corpus tokens or ∝ true repeats; no all-pairs
+    * anything. Tokens are whitespace-split; positions are 0-based.
+    *
+    * Output: (doc_id, start_tok, end_tok, span_tokens), one row per
+    * maximal span. The correctness oracle replays the same pipeline on
+    * shingle STRINGS — identical output absent a 64-bit fingerprint
+    * collision (≈n²/2⁶⁵; nil at any validated scale, and the hash gate
+    * would surface one loudly).
+    */
+  def repeatedSpans(docs: DataFrame, k: Int, minDocs: Int = 2): DataFrame = {
+    val toks = split(col("text"), " ")
+    val pos = Spread(docs)
+      .where(size(toks) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => xxhash64(concat_ws(" ", slice(toks, i, lit(k)))))))
+      .toDF("doc_id", "pos", "fp")
+    val repeated = pos.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select("fp")
+    // (doc_id, pos) is unique by construction — no distinct needed
+    val hits = pos.join(repeated, Seq("fp"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // islands: consecutive marked starts share (pos - row_number)
+    hits
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        (max(col("pos")) + (k - 1)).cast("long").as("end_tok"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("span_tokens"))
+  }
+
+  /** The dedup ACTION on [[repeatedSpans]]: strip every token covered by
+    * a ≥k-token cross-document repeat and rebuild the document text
+    * (Lee et al. 2021 remove the repeated occurrences; this keeps NO
+    * copy — the flag-and-review variant is [[repeatedSpans]] itself).
+    * Output per input document: (doc_id, n_tokens, repeated_tokens,
+    * clean_text); documents with no repeats pass through verbatim, a
+    * fully-covered document keeps an empty text. Rebuild order is by
+    * token position (array_sort on (pos, token) structs — exact, no
+    * collation involved), so spacing is reproduced token-for-token.
+    */
+  def stripRepeatedSpans(docs: DataFrame, k: Int, minDocs: Int = 2): DataFrame = {
+    val toks = split(col("text"), " ")
+    val tok = Spread(docs)
+      .select(col("doc_id"), posexplode(toks))
+      .toDF("doc_id", "pos", "token")
+    val covered = repeatedSpans(docs, k, minDocs)
+      .select(col("doc_id"),
+        explode(sequence(col("start_tok"), col("end_tok"))).as("pos"))
+    val rebuilt = tok.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          s => s.getField("token")), " ").as("clean_text"))
+    docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("repeated_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** 64-bit SimHash over tokens: bit b is the sign of Σ_tokens ±1 where
     * the token's hash decides the sign at bit b.
     */

@@ -12,6 +12,40 @@ class CorpusSpec extends SparkTestBase {
       .withColumn("n_chars", length(col("text")))
   }
 
+  test("repeatedSpans: planted cross-document boilerplate found as maximal spans, merged when overlapping") {
+    import graft.functions.Dedup
+    // k=3; a 5-token boilerplate "the quick brown fox jumps" planted in
+    // docs 1 and 2 at different offsets; doc 3 shares nothing 3-token
+    // long with anyone; doc 4 repeats a WITHIN-doc phrase only (must
+    // not trigger: the contract is cross-document)
+    val d = docs(
+      (1L, "alpha the quick brown fox jumps omega", "en", "s0"),
+      (2L, "the quick brown fox jumps beta gamma delta", "en", "s0"),
+      (3L, "unrelated words entirely here now", "en", "s0"),
+      (4L, "p q r s p q r s", "en", "s0"))
+    val spans = Dedup.repeatedSpans(d, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // doc 1: boilerplate at tokens 1..5 -> starts 1,2,3 merge to [1,5];
+    // doc 2: at tokens 0..4 -> starts 0,1,2 merge to [0,4]
+    assert(spans == Set((1L, 1L, 5L, 5L), (2L, 0L, 4L, 5L)))
+    // strip: covered tokens removed, text rebuilt in position order
+    val clean = Dedup.stripRepeatedSpans(d, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(clean(1L) == ((7L, 5L, "alpha omega")))
+    assert(clean(2L) == ((8L, 5L, "beta gamma delta")))
+    assert(clean(3L) == ((5L, 0L, "unrelated words entirely here now")))
+    assert(clean(4L) == ((8L, 0L, "p q r s p q r s")))
+    // two documents sharing DISJOINT repeats with a third produce
+    // separate spans, not one merged one
+    val d2 = docs(
+      (10L, "a b c GAP x y z", "en", "s0"),
+      (11L, "a b c other stuff here", "en", "s0"),
+      (12L, "more filler x y z", "en", "s0"))
+    val spans2 = Dedup.repeatedSpans(d2, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans2 == Set((10L, 0L, 2L), (10L, 4L, 6L), (11L, 0L, 2L), (12L, 2L, 4L)))
+  }
+
   test("repetitionStats: exact duplication fractions") {
     val d = docs(
       (1L, "a b a b", "en", "s0"),      // 4 tokens, 2 distinct; bigrams: a b, b a, a b -> 2 distinct of 3
