@@ -194,9 +194,6 @@ object Communities {
     * passes, optionally the Leiden connectivity refinement, then
     * coarsening. Takes the canonical weighted graph (u < v, integer w).
     */
-  private[graft] def louvainCoreDbg(edges: DataFrame, leiden: Boolean): (DataFrame, Seq[Long]) =
-    louvainCore(weightedGraph(edges), 2, 2, leiden)
-
   private def louvainCore(g0: DataFrame, levels: Int, movesPerLevel: Int,
                           leiden: Boolean): (DataFrame, Seq[Long]) = {
     var g = g0

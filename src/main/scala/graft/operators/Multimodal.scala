@@ -532,15 +532,21 @@ object Multimodal {
     }
   }
 
+  /** `samples` is CHANNEL-INTERLEAVED frames (the WAV data layout):
+    * frame f's channel c sample is `samples(f * channels + c)`, and the
+    * array is truncated to whole frames. Mono ⇒ samples are the signal.
+    */
   case class DecodedAudio(sampleRate: Int, channels: Int, samples: Array[Int])
 
   /** REAL RIFF/WAVE parse: verify the RIFF/WAVE signature, walk the
     * chunk stream (4-byte id + LE u32 size + payload, word-aligned),
-    * read `fmt ` (require PCM format 1, 16-bit) and `data`, decode the
-    * little-endian signed samples. Unknown chunks are SKIPPED by size —
-    * real WAV files carry LIST/fact/cue chunks and a parser that
-    * assumes fmt-then-data breaks on them. Returns None on anything
-    * malformed ([[decodeGray]]'s quarantine posture).
+    * read `fmt ` (require PCM format 1, 16-bit, ≥1 channel, and a
+    * consistent block align of channels×2 — an inconsistent block align
+    * means the frame layout is not what the header claims) and `data`,
+    * decode the little-endian signed samples. Unknown chunks are
+    * SKIPPED by size — real WAV files carry LIST/fact/cue chunks and a
+    * parser that assumes fmt-then-data breaks on them. Returns None on
+    * anything malformed ([[decodeGray]]'s quarantine posture).
     */
   def decodePcm(content: Array[Byte]): Option[DecodedAudio] = {
     def le32(o: Int): Long =
@@ -553,6 +559,7 @@ object Multimodal {
       var o = 12
       var fmt: Option[(Int, Int, Int)] = None // (format, channels, rate)
       var bits = 0
+      var blockAlign = 0
       var data: Option[(Int, Int)] = None // (offset, size)
       var ok = true
       while (ok && o + 8 <= content.length && (fmt.isEmpty || data.isEmpty)) {
@@ -563,16 +570,21 @@ object Multimodal {
         else {
           if (id == "fmt " && size >= 16) {
             fmt = Some((le16(body), le16(body + 2), le32(body + 4).toInt))
+            blockAlign = le16(body + 12)
             bits = le16(body + 14)
           } else if (id == "data") data = Some((body, size.toInt))
           o = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
         }
       }
       for {
-        (format, channels, rate) <- fmt if ok && format == 1 && bits == 16
+        (format, channels, rate) <- fmt
+        if ok && format == 1 && bits == 16 && channels >= 1 &&
+          blockAlign == channels * 2
         (off, sz) <- data
       } yield {
-        val n = sz / 2
+        // whole frames only: a truncated final frame is dropped, not
+        // half-decoded
+        val n = (sz / (2 * channels)) * channels
         val samples = new Array[Int](n)
         var i = 0
         while (i < n) {
@@ -587,8 +599,12 @@ object Multimodal {
 
   /** Exact integer signal stats through the REAL PCM decoder — the audio
     * analogue of [[imageStats]]: (id, sample_rate, n_samples, sum_abs,
-    * peak_abs). Rows whose payload doesn't parse as 16-bit PCM WAV are
-    * dropped (row-count mismatch, never silent).
+    * peak_abs). `n_samples` counts FRAMES (per-channel sample count),
+    * and `sum_abs`/`peak_abs` aggregate over every channel's samples —
+    * channel-agnostic signal magnitudes; for per-channel analysis
+    * de-interleave [[decodePcm]]'s output directly. For the mono case
+    * the distinction vanishes. Rows whose payload doesn't parse as
+    * 16-bit PCM WAV are dropped (row-count mismatch, never silent).
     */
   def audioStats(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -597,7 +613,7 @@ object Multimodal {
       decodePcm(r.content).map { a =>
         var sumAbs = 0L; var peak = 0L
         a.samples.foreach { s => val v = math.abs(s.toLong); sumAbs += v; if (v > peak) peak = v }
-        (r.id, a.sampleRate.toLong, a.samples.length.toLong, sumAbs, peak)
+        (r.id, a.sampleRate.toLong, (a.samples.length / a.channels).toLong, sumAbs, peak)
       }
     }.toDF("id", "sample_rate", "n_samples", "sum_abs", "peak_abs")
   }

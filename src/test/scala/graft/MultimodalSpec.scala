@@ -202,6 +202,31 @@ class MultimodalSpec extends SparkTestBase {
       id -> (n.toLong, vs.map(v => math.abs(v)).sum, vs.map(v => math.abs(v)).max)
     }.toMap
     assert(stats == exp)
+    // STEREO: interleaved frames decode whole, n_samples counts FRAMES,
+    // sum/peak span both channels; a block align inconsistent with the
+    // channel count quarantines (ADVICE r6)
+    def stereoWav(samples: Seq[Int], blockAlign: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = (0 until 4).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+      def le16(v: Int): Unit = (0 until 2).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+      val data = samples.flatMap(s => Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+      bos.write("RIFF".getBytes("US-ASCII")); le32(36 + data.length)
+      bos.write("WAVE".getBytes("US-ASCII"))
+      bos.write("fmt ".getBytes("US-ASCII")); le32(16)
+      le16(1); le16(2) /* stereo */ ; le32(8000); le32(8000 * 4)
+      le16(blockAlign); le16(16)
+      bos.write("data".getBytes("US-ASCII")); le32(data.length)
+      bos.write(data)
+      bos.toByteArray
+    }
+    val st = Multimodal.decodePcm(stereoWav(Seq(100, -200, 300, -400, 7), 4)).get
+    assert(st.channels == 2)
+    assert(st.samples.toSeq == Seq(100, -200, 300, -400)) // trailing half-frame dropped
+    val stStats = Multimodal.audioStats(Seq(
+      Multimodal.MediaRow(9L, "audio", stereoWav(Seq(100, -200, 300, -400), 4),
+        Map.empty[String, String])).toDF()).collect().head
+    assert((stStats.getLong(2), stStats.getLong(3), stStats.getLong(4)) == (2L, 1000L, 400L))
+    assert(Multimodal.decodePcm(stereoWav(Seq(1, 2), 2)).isEmpty) // block align ≠ channels×2
   }
 
   test("resizeDecoded is true nearest-neighbor resampling, verified post-round-trip") {
