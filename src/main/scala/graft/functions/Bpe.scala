@@ -4,7 +4,7 @@ import graft.Lineage.CutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.BpeEncode
+import graft.expressions.{BpeEncode, BpeMergeOnce}
 
 /** Deterministic byte-pair-encoding tokenizer over the `documents`
   * table — the real-tokenizer upgrade of the whitespace/regex token
@@ -14,10 +14,14 @@ import graft.expressions.BpeEncode
   * Design for 100 TB: the only corpus-sized work is ONE word-frequency
   * aggregation (a single shuffle on `word`); merge learning then runs
   * on the distinct-word table (bounded by vocabulary, ~Heaps-law
-  * sublinear in corpus size), with one loop-control scalar read per
-  * merge round (the q124/q132 iterative pattern). Application is a
-  * BROADCAST dictionary join (distinct word → token count): each
-  * distinct word is encoded once, never per occurrence.
+  * sublinear in corpus size) with INCREMENTALLY-MAINTAINED pair counts
+  * — per round, only the words containing the won pair are touched and
+  * only their pair-count deltas move, so a 32k–50k-merge production
+  * vocabulary costs k bounded-size rounds, not k vocabulary re-encodes
+  * (the one loop-control scalar read per round is the q124/q132
+  * iterative pattern). Application is a BROADCAST dictionary join
+  * (distinct word → token count): each distinct word is encoded once,
+  * never per occurrence.
   *
   * Determinism contract (cross-engine, hash-checkable):
   *  - words: split on single spaces, empties dropped, `|` stripped
@@ -43,11 +47,11 @@ object Bpe {
       .where(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
-  /** Learn `k` merges. Per round: encode every distinct word with the
-    * rules so far (from scratch — k is small, the word table is
-    * vocabulary-sized), count adjacent symbol pairs, take the
-    * deterministic argmax. The `.head()` per round is loop control (a
-    * one-row scalar), not a data path.
+  /** Learn `k` merges — incremental pair-count maintenance (see
+    * [[learnMergesFrom]]): each round applies the won merge to affected
+    * words only and adjusts the maintained pair table, so learning a
+    * production-sized vocabulary (k in the tens of thousands) costs one
+    * bounded-size job per round, never a corpus or vocabulary re-encode.
     */
   def learnMerges(docs: DataFrame, k: Int): Array[(String, String, Long)] =
     learnMergesFrom(wordFrequencies(docs).cutLineage(), k)
@@ -59,8 +63,111 @@ object Bpe {
     * remains — every word fully merged — which is itself deterministic:
     * any engine replaying the selection on an exhausted pair space
     * selects nothing, so the learned vocabulary still matches.
+    *
+    * INCREMENTAL (the production-k path): pair counts are maintained
+    * across rounds instead of re-derived by re-encoding the whole
+    * vocabulary. The loop keeps two checkpointed working tables —
+    * `enc` (each multi-symbol word's CURRENT symbol array + corpus
+    * count) and `pc` (the adjacent-pair count table) — and per round:
+    * take the deterministic argmax from `pc` (a scalar read on a
+    * vocabulary-bounded table — loop control, not a data path), apply
+    * the won merge to the AFFECTED words only (one
+    * [[graft.expressions.BpeMergeOnce]] pass over words containing the
+    * (a,b) adjacency — identical by construction to re-encoding under
+    * all rules so far, since [[graft.expressions.BpeEncode]] applies
+    * rules as the same one-pass unit), and adjust `pc` by the affected
+    * words' old-pairs −, new-pairs + delta. Per-round work is
+    * O(vocab filter + affected words + |pc|) instead of the rescan
+    * learner's O(vocab × word length × rules so far) — sub-quadratic
+    * in k, the difference between k=10 demos and a 32k–50k production
+    * vocabulary (measured: SCALE.md tier2bpe). Equality with
+    * [[learnMergesRescan]] is spec-checked merge-for-merge.
+    *
+    * Working-table hygiene: each round's checkpoints are materialized
+    * EAGERLY before the previous round's are unpersisted, and only
+    * RDD ids this loop created are ever touched.
     */
   def learnMergesFrom(wf: DataFrame, k: Int): Array[(String, String, Long)] = {
+    val spark = wf.sparkSession
+    val sc = spark.sparkContext
+    def pairsOf(df: DataFrame): DataFrame =
+      df.where(size(col("s")) >= 2) // sequence(0, -1) DESCENDS — guard 1-symbol rows
+        .select(explode(expr(
+          "transform(sequence(0, size(s) - 2), i -> struct(s[i] AS a, s[i + 1] AS b))")).as("p"),
+          col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("pc"))
+    val before0 = sc.getPersistentRDDs.keySet
+    // right-size the working tables: the vocabulary is tiny relative to
+    // the corpus (Heaps' law), and each of the k rounds runs a handful
+    // of jobs over these tables — 32 near-empty partitions per job is
+    // pure task-scheduling overhead × k. ~250k words per partition,
+    // capped at the session's parallelism.
+    val vocabRows = wf.count()
+    val parts = math.max(1, math.min(sc.defaultParallelism,
+      (vocabRows / 250000L).toInt))
+    var enc = wf.select(BpeEncode.column(col("word"), Array.empty).as("s"), col("cnt"))
+      .where(size(col("s")) >= 2)
+      .coalesce(parts)
+      .cutLineage()
+    var pc = pairsOf(enc).coalesce(parts).cutLineage()
+    var ownedIds: Seq[Int] = (sc.getPersistentRDDs.keySet -- before0).toSeq
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    try {
+      for (_ <- 1 to k if !exhausted) {
+        val best = pc.orderBy(col("pc").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          out += ((a, b, c))
+          val hasPair = exists(
+            sequence(lit(0), size(col("s")) - 2),
+            i => element_at(col("s"), i + 1) === lit(a) &&
+              element_at(col("s"), i + 2) === lit(b))
+          val before = sc.getPersistentRDDs.keySet
+          // aff/merged are cheap filter+map branches over the CHECKPOINTED
+          // enc — re-deriving them in two plans costs less than two more
+          // eager checkpoint jobs per round (round latency is the budget)
+          val aff = enc.where(hasPair)
+          val merged = aff.select(BpeMergeOnce.column(col("s"), a, b).as("s"), col("cnt"))
+          // pc := pc − pairs(affected, old) + pairs(affected, merged),
+          // dropped at zero (a vanished pair must not win a later round)
+          val newPc = pc
+            .unionByName(pairsOf(aff).select(col("a"), col("b"), (-col("pc")).as("pc")))
+            .unionByName(pairsOf(merged))
+            .groupBy("a", "b").agg(sum(col("pc")).as("pc"))
+            .where(col("pc") > 0)
+            .coalesce(parts)
+            .cutLineage()
+          val newEnc = enc.where(!hasPair)
+            .unionByName(merged.where(size(col("s")) >= 2))
+            .coalesce(parts)
+            .cutLineage()
+          val fresh = (sc.getPersistentRDDs.keySet -- before).toSeq
+          // the new round's tables are materialized (eager checkpoints);
+          // drop ONLY the blocks this loop created in earlier rounds
+          ownedIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+          ownedIds = fresh
+          enc = newEnc
+          pc = newPc
+        }
+      }
+    } finally {
+      ownedIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
+    out.toArray
+  }
+
+  /** The r6 rescan learner, kept as the AUDIT definition the oracle SQL
+    * mirrors (re-encode every distinct word under all rules so far,
+    * re-count all pairs, take the argmax): O(k² · vocab · word length)
+    * total work and the reason k was capped at demo sizes. The
+    * incremental [[learnMergesFrom]] is spec-checked equal to this
+    * merge-for-merge; keep rescan for cross-checks, never for scale.
+    */
+  private[graft] def learnMergesRescan(wf: DataFrame, k: Int): Array[(String, String, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
     for (_ <- 1 to k if !exhausted) {

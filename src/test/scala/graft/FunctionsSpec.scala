@@ -195,6 +195,16 @@ class FunctionsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.4, s"recall=$recall")
+    // multi-probe (Hamming-1 query fanout): candidates are a SUPERSET
+    // of the exact-bucket candidates, so recall can only improve — and
+    // at sf0.001's wide-angle neighbors it must beat the single-probe
+    // run (q33 raises its gate on the strength of this)
+    val mp = Similarity.lshTopK(emb, queries, 5, probeHamming1 = true).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val mpRecall = (brute & mp).size.toDouble / brute.size
+    assert(mpRecall >= recall, s"multi-probe $mpRecall < single-probe $recall")
+    assert(mpRecall >= 0.6, s"multi-probe recall=$mpRecall")
+    println(s"[spec] lshTopK recall single-probe=$recall multi-probe=$mpRecall")
   }
 
   test("cosinePairs matches a hand-computed example") {
@@ -263,6 +273,35 @@ class FunctionsSpec extends SparkTestBase {
     // two (a,b) passes: "ababab"->[ab,a,b,ab]->[ab,ab,ab] (3);
     // "abab"->[ab,a,b]->[ab,ab] (2); "aaa"->[a,a,a] (3)
     assert(counts == Map(1L -> (2L, 5L), 2L -> (2L, 5L)))
+  }
+
+  test("incremental BPE learning ≡ the rescan learner, merge for merge") {
+    import spark.implicits._
+    import graft.functions.Bpe
+    // overlap-heavy corpus: repeats, shields, words that fully merge
+    // and leave the working table, and a tie broken by pair order
+    val docs = Seq(
+      (1L, "ababab abab aaa", "s"), (2L, "banana bandana ban", "s"),
+      (3L, "xy xy xyxy zz", "s"), (4L, "q", "s")).toDF("doc_id", "text", "source")
+    val wf = Bpe.wordFrequencies(docs).cache()
+    val k = 12
+    val inc = Bpe.learnMergesFrom(wf, k).toSeq
+    val rescan = Bpe.learnMergesRescan(wf, k).toSeq
+    assert(inc == rescan, s"incremental=$inc rescan=$rescan")
+    // single-symbol corpus exhausts immediately on both paths
+    val singles = Seq((1L, "a b c", "s")).toDF("doc_id", "text", "source")
+    assert(Bpe.learnMergesFrom(Bpe.wordFrequencies(singles), 3).isEmpty)
+    // BpeMergeOnce on an encoded array ≡ BpeEncode with the rule appended
+    import graft.expressions.{BpeEncode, BpeMergeOnce}
+    val w = Seq(Tuple1("aaaa")).toDF("word")
+    val viaOnce = w.select(BpeMergeOnce.column(
+        BpeEncode.column(col("word"), Array(Array("a", "a"))), "aa", "a"))
+      .head.getSeq[String](0)
+    val viaFull = w.select(BpeEncode.column(col("word"),
+        Array(Array("a", "a"), Array("aa", "a"))))
+      .head.getSeq[String](0)
+    assert(viaOnce == viaFull && viaOnce == Seq("aaa", "a"))
+    wf.unpersist()
   }
 
   test("fused HyperplaneSignatures ≡ per-table signature columns, bit for bit") {
