@@ -236,42 +236,52 @@ object Traversals {
     * engines) replaces [[kcore]]'s per-k peeling when the whole
     * decomposition is wanted in ONE pass family.
     *
-    * Per round: one |E| join against the |V| value table + one
-    * per-vertex descending sort (window) + a count — the h-index is the
-    * number of rank positions r with value_r ≥ r, which is invariant to
-    * tie order, so the result is engine-exact. Values checkpointed per
-    * round (lineage cut). Distributed shape: shuffles keyed on vertex
-    * id; the window sort is bounded per-vertex (degree), and hub skew
-    * rides AQE like every other neighborhood op.
-    *
-    * Runs to the FIXPOINT (per-round scalar convergence probe, the
-    * [[kcore]] loop-control class — measured 46 rounds at sf0.01: the
-    * iteration has a long few-vertices tail on chain-like regions, so a
-    * fixed unroll would mostly buy no-op rounds). `maxRounds` fails
-    * loud, never returns a truncated decomposition. The fixed point is
-    * UNIQUE (it IS the coreness), so the SQL oracle may unroll any
-    * budget that covers its own convergence — its last-two-rounds
-    * sentinel and this require fail independently and loudly if either
-    * side's budget is outlived; a silent one-sided truncation cannot
-    * happen.
+    * FRONTIER rounds: a vertex's h-index can only change when some
+    * neighbor's value changed, so after the first full round only the
+    * neighbors of last round's CHANGED vertices are recomputed — the
+    * BFS frontier discipline every other iterative operator here uses.
+    * Per round: one semi-join restricting the |E| table to candidate
+    * rows, the per-candidate descending sort (window; bounded by
+    * degree), and a coalescing join back onto the |V| value table.
+    * The h-index is the number of rank positions r with value_r ≥ r —
+    * invariant to tie order, engine-exact. The measured long
+    * few-vertices tail on chain-like regions (46 rounds at sf0.01) is
+    * exactly where the frontier pays: tail rounds touch the few
+    * changers' neighborhoods, not |E| (SCALE.md tier2core r7).
+    * Non-candidates keep their value, which equals what recomputation
+    * would produce (their neighbor multiset is unchanged) — so the
+    * fixpoint is identical to full recomputation, and it is UNIQUE (it
+    * IS the coreness). The SQL oracle may therefore unroll any budget
+    * covering its own convergence — its last-two-rounds sentinel and
+    * this `require` fail independently and loudly if either side's
+    * budget is outlived; a silent one-sided truncation cannot happen.
     */
   def coreness(edges: DataFrame, maxRounds: Int = 200): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sym = symmetrize(edges).cutLineage()
     var c = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("h"))
       .cutLineage()
+    // round 1 recomputes everyone (degrees are only the upper bound)
+    var changed = c.select(col("id"))
     var moved = 1L
     var r = 0
     while (moved > 0 && r < maxRounds) {
-      val nv = sym.join(c.toDF("v", "cv"), Seq("v")).select(col("u"), col("cv"))
-      val next = nv.withColumn("r", row_number().over(
+      val cand = sym.join(changed.toDF("v"), Seq("v"), "left_semi")
+        .select(col("u")).distinct()
+      val nv = sym.join(cand, Seq("u"), "left_semi")
+        .join(c.toDF("v", "cv"), Seq("v"))
+        .select(col("u"), col("cv"))
+      val upd = nv.withColumn("r", row_number().over(
           Window.partitionBy("u").orderBy(col("cv").desc)))
         .where(col("cv") >= col("r"))
-        .groupBy(col("u").as("id")).agg(count(lit(1)).as("h"))
+        .groupBy(col("u").as("id")).agg(count(lit(1)).as("nh"))
+      val next = c.join(upd, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nh"), col("h")).as("h"),
+          (col("nh").isNotNull && col("nh") =!= col("h")).as("ch"))
         .cutLineage()
-      moved = c.toDF("id", "a").join(next.toDF("id", "b"), Seq("id"))
-        .where(col("a") =!= col("b")).count()
-      c = next
+      changed = next.where(col("ch")).select("id")
+      moved = changed.count()
+      c = next.select("id", "h")
       r += 1
     }
     require(moved == 0,

@@ -225,22 +225,33 @@ object Triangles {
         greatest(col("src"), col("dst")).cast("long").as("dst"))
       .where(col("src") < col("dst")).distinct()
       .cutLineage()
+    peelFrom(withSupport(edges), k, maxIter, deltaFraction).select("src", "dst")
+  }
 
-    def countSupport(es: DataFrame): DataFrame =
-      enumerate(es).select(explode(array(
-          struct(least(col("ta"), col("tb")).as("s"), greatest(col("ta"), col("tb")).as("d")),
-          struct(least(col("ta"), col("tc")).as("s"), greatest(col("ta"), col("tc")).as("d")),
-          struct(least(col("tb"), col("tc")).as("s"), greatest(col("tb"), col("tc")).as("d"))))
-          .as("e"))
-        .groupBy(col("e.s").as("src"), col("e.d").as("dst"))
-        .agg(count("*").as("sup"))
+  private def countSupport(es: DataFrame): DataFrame =
+    enumerate(es).select(explode(array(
+        struct(least(col("ta"), col("tb")).as("s"), greatest(col("ta"), col("tb")).as("d")),
+        struct(least(col("ta"), col("tc")).as("s"), greatest(col("ta"), col("tc")).as("d")),
+        struct(least(col("tb"), col("tc")).as("s"), greatest(col("tb"), col("tc")).as("d"))))
+        .as("e"))
+      .groupBy(col("e.s").as("src"), col("e.d").as("dst"))
+      .agg(count("*").as("sup"))
 
-    def withSupport(es: DataFrame): DataFrame =
-      es.join(countSupport(es), Seq("src", "dst"), "left")
-        .select(col("src"), col("dst"), coalesce(col("sup"), lit(0L)).as("sup"))
-        .cutLineage()
+  private def withSupport(es: DataFrame): DataFrame =
+    es.join(countSupport(es), Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), coalesce(col("sup"), lit(0L)).as("sup"))
+      .cutLineage()
 
-    var support = withSupport(edges)
+  /** The hybrid peel loop over an ALREADY-CORRECT (src, dst, sup)
+    * table, returning the CONVERGED support table of the k-truss
+    * survivors. Exposed separately so [[trussness]] can thread level
+    * k's converged supports straight into level k+1 — the (k+1) peel
+    * starts from exactly the supports a fresh enumeration of the
+    * surviving graph would recount.
+    */
+  private def peelFrom(support0: DataFrame, k: Int, maxIter: Int,
+                       deltaFraction: Double): DataFrame = {
+    var support = support0
     var m = support.count()
     var below = support.where(col("sup") < k - 2).count()
     var iter = 0
@@ -286,7 +297,7 @@ object Triangles {
       below = support.where(col("sup") < k - 2).count()
       iter += 1
     }
-    support.select("src", "dst")
+    support
   }
 
   /** Per-edge TRUSS CLASS — the edge analogue of [[Traversals.coreness]]:
@@ -297,24 +308,29 @@ object Triangles {
     * later levels cost geometrically less). Edges in no 3-truss report
     * trussness 2; survivors of the `kMax`-truss report `kMax`, meaning
     * "≥ kMax" (the cap bounds the level count — raise it when the deep
-    * classes matter). Each level rides [[ktruss]]'s hybrid peel, so the
-    * at-scale story is the measured one (SCALE.md k-truss A/B).
+    * classes matter). Each level rides [[ktruss]]'s hybrid peel, and
+    * the converged SUPPORT table of level k's survivors seeds level
+    * k+1 directly — supports are valid in the surviving subgraph by
+    * construction, so the per-level full triangle recount the naive
+    * chain would pay (the k=3 enumeration repeated per level) happens
+    * exactly ONCE, on the original graph.
     */
   def trussness(c: DataFrame, kMax: Int = 6): DataFrame = {
     require(kMax >= 3, s"trussness: kMax must be >= 3, got $kMax")
-    var cur = c.select(
+    val edges = c.select(
         least(col("src"), col("dst")).cast("long").as("src"),
         greatest(col("src"), col("dst")).cast("long").as("dst"))
       .where(col("src") < col("dst")).distinct()
       .cutLineage()
+    var sup = withSupport(edges)
     var parts = List.empty[DataFrame]
     for (k <- 3 to kMax) {
-      val surv = ktruss(cur, k).cutLineage()
-      parts ::= cur.join(surv, Seq("src", "dst"), "left_anti")
+      val surv = peelFrom(sup, k, 50, 0.05)
+      parts ::= sup.join(surv, Seq("src", "dst"), "left_anti")
         .select(col("src"), col("dst"), lit((k - 1).toLong).as("trussness"))
-      cur = surv
+      sup = surv
     }
-    parts ::= cur.select(col("src"), col("dst"), lit(kMax.toLong).as("trussness"))
+    parts ::= sup.select(col("src"), col("dst"), lit(kMax.toLong).as("trussness"))
     parts.reduce(_ unionByName _)
   }
 

@@ -438,13 +438,18 @@ class TraversalsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(c == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L,
       10L -> 1L, 11L -> 1L), s"got $c")
-    // cross-check on the fixture: {v : coreness(v) >= 6} must be exactly
-    // the 6-core's vertex set (coreness = max k the vertex survives)
+    // cross-check on the fixture at EVERY level 3..6: {v : coreness(v)
+    // >= k} must be exactly the k-core's vertex set (coreness = max k
+    // the vertex survives) — level-by-level, this pins the frontier
+    // variant's full fixpoint against the independent peel
     val c10 = graft.model.GraphFixtures.coPurchase10(spark, sf)
-    val byCoreness = Traversals.coreness(c10).where(col("coreness") >= 6)
-      .select("id").collect().map(_.getLong(0)).toSet
-    val byPeel = Traversals.kcore(c10, 6)
-      .select("id").collect().map(_.getLong(0)).toSet
-    assert(byCoreness == byPeel)
+    val cAll = Traversals.coreness(c10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (3 to 6).foreach { k =>
+      val byCoreness = cAll.filter(_._2 >= k).keySet
+      val byPeel = Traversals.kcore(c10, k)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(byCoreness == byPeel, s"coreness>=$k vs $k-core mismatch")
+    }
   }
 }
