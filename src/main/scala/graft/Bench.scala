@@ -9,6 +9,9 @@ object Bench {
     // fallback so a Janino compile failure fails the query loudly.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val startedAt = java.time.Instant.now().toString
     val strict = sys.env.get("SPARK_GRAFT_STRICT_CODEGEN").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -81,6 +84,23 @@ object Bench {
         "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_SIDECAR.json")), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
+    // append-only history: BENCH_SIDECAR.json is a single snapshot that
+    // a later hot-window run silently overwrites (it cost a round of
+    // cross-round comparability in r6) — keep EVERY run with its wall
+    // clock and machine load so a reader can tell a fair window from a
+    // loaded one without git archaeology
+    locally {
+      val loadEnd = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      val hist = s"""{"started":"$startedAt","load_start":$loadStart,"load_end":$loadEnd,""" +
+        line.stripPrefix("{")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/BENCH_SIDECAR_HISTORY.jsonl"),
+        hist + "\n",
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] history append failed: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

@@ -122,6 +122,34 @@ object SparkEntry {
     df
   }
 
+  /** Deterministic provenance URLs for the documents fixture (it ships
+    * a `source` tag but no URL): every 10th doc gets an uppercase
+    * scheme + userinfo + explicit port variant so the host extractor's
+    * full grammar is exercised, the rest a plain https URL. Both
+    * branches normalize to the same lowercase host per (source, lang),
+    * and the DuckDB oracles rebuild the identical strings.
+    */
+  /** The oracle-side twin of [[withProvenanceUrls]] / [[Corpus.urlHost]]
+    * — ONE definition each, interpolated into every domain-curation
+    * oracle (the CentralityDepth shared-constant discipline: if the
+    * Spark side changes, these change with it or the hashes go red).
+    */
+  private val provenanceUrlSql: String =
+    "CASE WHEN doc_id % 10 = 0 THEN 'HTTPS://user:pw@' || UPPER(source) || '.' || lang || " +
+      "'.example.org:8443/a/' || CAST(doc_id AS VARCHAR) " +
+      "ELSE 'https://' || source || '.' || lang || " +
+      "'.example.org/d/' || CAST(doc_id AS VARCHAR) END"
+  private val hostExtractSql: String =
+    "LOWER(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1))"
+
+  private def withProvenanceUrls(docs: DataFrame): DataFrame =
+    docs.withColumn("url",
+      when(col("doc_id") % 10 === 0,
+        concat(lit("HTTPS://user:pw@"), upper(col("source")), lit("."),
+          col("lang"), lit(".example.org:8443/a/"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("https://"), col("source"), lit("."),
+          col("lang"), lit(".example.org/d/"), col("doc_id").cast("string"))))
+
   /** Driver-visible recall gate for ANN operators whose raw top-k output
     * is hash-family-dependent: computes recall of `approx` against the
     * exact result inside the query and emits ONE deterministic row the
@@ -422,11 +450,14 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       TextStats.LangId.predict(docs, TextStats.LangId.fit(docs))
     }),
+    // multi-probe (Hamming-1) lshTopK: the query-side fanout lifts
+    // wide-angle recall without more tables — measured 0.98 → 1.0 at
+    // sf0.001 (spec) — so the in-query gate rises 0.4 → 0.7
     "q33_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.where(col("vec_id") <= 9)
       recallGate(Similarity.bruteForceTopK(emb, q, 5),
-        Similarity.lshTopK(emb, q, 5), 0.4)
+        Similarity.lshTopK(emb, q, 5, probeHamming1 = true), 0.7)
     }),
     "q34_multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
@@ -747,6 +778,19 @@ object SparkEntry {
     // (clean_text hash-checked verbatim against the SQL rebuild)
     "q154_substring_dedup" -> ((s, dir) =>
       Dedup.stripRepeatedSpans(Tables.documents(s, dir), 5)),
+    // domain-level curation: deterministic provenance URLs (mixed-case
+    // scheme/host, userinfo+port variants exercise the real extractor),
+    // host extraction, and a per-domain cap of 3 docs in portable
+    // priority order
+    "q155_domain_caps" -> ((s, dir) =>
+      graft.functions.Corpus.domainCap(withProvenanceUrls(Tables.documents(s, dir)), 3)),
+    // domain-rebalanced temperature mixing: the q107 quota calculus
+    // keyed by extracted host instead of the source tag
+    "q156_domain_mix" -> ((s, dir) =>
+      graft.functions.Corpus.temperatureMix(
+        withProvenanceUrls(Tables.documents(s, dir))
+          .withColumn("host", graft.functions.Corpus.urlHost(col("url"))),
+        maxKeep = 0.8, keyCol = "host")),
     // FULL core decomposition: per-vertex coreness via the h-index
     // fixed point (converges to the exact coreness; fail-loud if the
     // unroll budget is outlived — shared constant with the oracle)
@@ -2584,6 +2628,23 @@ object SparkEntry {
         ("WITH r AS (SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source " +
           "ORDER BY ((doc_id % 2147483648) * 2654435761) % 2147483648, doc_id) AS rn " +
           "FROM documents) SELECT source, doc_id FROM r WHERE rn <= 5"),
+      "q155_domain_caps" ->
+        (s"WITH u AS (SELECT doc_id, $provenanceUrlSql AS url FROM documents), " +
+          s"h AS (SELECT doc_id, $hostExtractSql AS host FROM u), " +
+          "r AS (SELECT host, doc_id, ROW_NUMBER() OVER (PARTITION BY host " +
+          "ORDER BY ((doc_id % 2147483648) * 2654435761) % 2147483648, doc_id) AS rn " +
+          "FROM h) SELECT host, doc_id FROM r WHERE rn <= 3"),
+      "q156_domain_mix" ->
+        (s"WITH u AS (SELECT doc_id, $provenanceUrlSql AS url FROM documents), " +
+          s"h AS (SELECT doc_id, $hostExtractSql AS host FROM u), " +
+          "c AS (SELECT host, COUNT(*) AS n_total FROM h GROUP BY host), " +
+          "m AS (SELECT MAX(n_total) AS mx FROM c), " +
+          "q AS (SELECT host, n_total, LEAST(CAST(FLOOR(SQRT(m.mx * 1.0 / n_total) * 800000) AS BIGINT), " +
+          "1000000) AS quota_ppm FROM c, m) " +
+          "SELECT q.host, q.n_total, q.quota_ppm, " +
+          "CAST(SUM(CASE WHEN d.doc_id % 1000000 < q.quota_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+          "FROM h d JOIN q ON d.host = q.host " +
+          "GROUP BY q.host, q.n_total, q.quota_ppm"),
       "q98_embedding_decontam" ->
         ("WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id > 9), " +
           "b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id <= 9), " +

@@ -167,28 +167,73 @@ object Corpus {
     * correctly-rounded by IEEE 754 in every engine, so the ppm cut is
     * bit-identical everywhere — a general-α `pow` is only ~1-ulp
     * reproducible and could flip a floor at the boundary. Output:
-    * (source, n_total, quota_ppm, n_kept).
+    * (keyCol, n_total, quota_ppm, n_kept). `keyCol` defaults to
+    * `source`; pass `host` (from [[urlHost]]) for domain-rebalanced
+    * mixing — the quota calculus is key-agnostic.
     */
-  def temperatureMix(docs: DataFrame, maxKeep: Double = 1.0): DataFrame = {
-    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+  def temperatureMix(docs: DataFrame, maxKeep: Double = 1.0,
+                     keyCol: String = "source"): DataFrame = {
+    val counts = docs.groupBy(keyCol).agg(count(lit(1)).as("n_total"))
       .cutLineage()
     val refRow = counts.agg(max("n_total")).head()
     if (refRow.isNullAt(0)) // empty corpus: empty result, not an NPE
-      return counts.select(col("source"), col("n_total"),
+      return counts.select(col(keyCol), col("n_total"),
         lit(0L).as("quota_ppm"), lit(0L).as("n_kept"))
     val ref = refRow.getLong(0)
     val quota = floor(
       sqrt(lit(ref.toDouble) / col("n_total").cast("double")) *
         lit(maxKeep * 1e6)).cast("long")
-    val q = counts.select(col("source"), col("n_total"),
+    val q = counts.select(col(keyCol), col("n_total"),
       least(quota, lit(1000000L)).as("quota_ppm"))
-    docs.select(col("source"), col("doc_id"))
-      .join(broadcast(q), Seq("source"))
-      .groupBy(col("source"))
+    docs.select(col(keyCol), col("doc_id"))
+      .join(broadcast(q), Seq(keyCol))
+      .groupBy(col(keyCol))
       .agg(first(col("n_total")).as("n_total"), first(col("quota_ppm")).as("quota_ppm"),
         sum(when(pmod(col("doc_id"), lit(1000000L)) < col("quota_ppm"), 1L)
           .otherwise(0L)).as("n_kept"))
   }
+
+  /** Lowercased host of a URL — the provenance key of domain-level
+    * curation. One anchored regex (scheme, optional userinfo, host up
+    * to the first `/ : ? #`), engine-portable: Java and RE2 regex agree
+    * on this pattern, so the DuckDB oracles replay it verbatim.
+    * Unparseable URLs yield '' (regexp_extract's no-match contract) —
+    * group them, don't drop them: unattributable provenance is itself a
+    * curation signal.
+    */
+  def urlHost(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1))
+
+  /** Per-domain document cap — the standard anti-overrepresentation
+    * control (one forum mirror must not dominate the corpus): each host
+    * keeps its `cap` lowest-priority documents under the engine-portable
+    * hash order ([[graft.Portable.prio31]], doc_id ties), everything
+    * else is dropped. `docs` must carry a `url` column ([[urlHost]] is
+    * applied here). Output (host, doc_id) for survivors.
+    *
+    * Plan: one shuffle on host + a per-host top-k window — the
+    * [[stratifiedSample]] shape keyed by provenance; the same hot-key
+    * note applies (pre-filter with a sampled priority threshold before
+    * the exact window if one domain is corpus-scale).
+    */
+  def domainCap(docs: DataFrame, cap: Int): DataFrame = {
+    val pri = graft.Portable.prio31(col("doc_id"))
+    val w = Window.partitionBy(col("host")).orderBy(pri.asc, col("doc_id").asc)
+    docs.select(urlHost(col("url")).as("host"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= cap)
+      .select("host", "doc_id")
+  }
+
+  /** Per-domain corpus profile: document and token counts per host —
+    * the dashboard aggregate domain curation decisions read. One
+    * projection + one shuffle on host.
+    */
+  def domainStats(docs: DataFrame): DataFrame =
+    docs.select(urlHost(col("url")).as("host"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
 
   /** Embedding-level benchmark decontamination — the semantic sibling of
     * [[contaminationHits]]'s n-gram check: flag training vectors whose

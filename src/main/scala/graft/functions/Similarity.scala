@@ -276,10 +276,22 @@ object Similarity {
     * count+dim aggregate on the corpus materializes its checkpoint and
     * feeds the sizing — the corpus plan executes once either way (the
     * checkpoint serves all nTables signature branches).
+    *
+    * `probeHamming1` turns on MULTI-PROBE (Lv et al. 2007, public): each
+    * query probes its exact bucket PLUS every Hamming-1 neighbor bucket
+    * (one signature bit flipped) in every table. A neighbor separated
+    * from the query by exactly one disagreeing plane is then found with
+    * certainty in that table, which is where [[lshSizing]]'s
+    * fundamental wide-angle recall cap binds — more recall WITHOUT more
+    * tables or any extra corpus-side work: only the (broadcast-tiny)
+    * query side fans out ×(planes+1), so candidate volume stays ∝
+    * tables × corpus-bucket occupancy along the probed keys (q33's gate
+    * row checks the recall side in-query).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nPlanes: Int = 0, nTables: Int = 0, dim: Int = -1,
-              targetCosine: Double = 0.5): DataFrame = {
+              targetCosine: Double = 0.5,
+              probeHamming1: Boolean = false): DataFrame = {
     val pinned = dim > 0 && nPlanes > 0 && nTables > 0
     val cVecs = corpus
       .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("e_neighbor_id"))
@@ -301,8 +313,15 @@ object Similarity {
           posexplode(signatures(col(s"e_$idCol"), tablesN, planes, d)))
         .toDF(idCol, s"e_$idCol", "tbl", "sig")
     val c = signed(cVecs, "neighbor_id")
-    val q = signed(queries.select(col("vec_id").as("query_id"),
+    val q0 = signed(queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("e_query_id")), "query_id")
+    // multi-probe: fan the QUERY side out to its Hamming-1 bucket keys —
+    // the corpus side and its bucketing are untouched
+    val q = if (!probeHamming1) q0
+      else q0.select(col("query_id"), col("e_query_id"), col("tbl"),
+        explode(concat(array(col("sig")),
+          expr(s"transform(sequence(0, ${planes - 1}), " +
+            "j -> sig ^ shiftleft(CAST(1 AS BIGINT), j))"))).as("sig"))
     val cands = c.join(broadcast(q), Seq("tbl", "sig"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

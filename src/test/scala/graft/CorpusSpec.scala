@@ -136,6 +136,33 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("urlHost grammar + domainCap keeps the cap lowest-priority docs per host") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://a.example.org/x"),
+      (2L, "HTTPS://A.EXAMPLE.ORG:8443/y"),          // scheme/host case, port
+      (3L, "ftp://user:pw@a.example.org/z"),          // scheme variety, userinfo
+      (4L, "https://b.example.org/p?q=1#frag"),
+      (5L, "not a url at all"),                       // unparseable -> ''
+      (6L, "https://b.example.org"),                  // bare host, no path
+      (7L, "https://a.example.org/deep/er/path"))
+      .toDF("doc_id", "url")
+    val hosts = urls.select(col("doc_id"), Corpus.urlHost(col("url")).as("host"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hosts == Map(1L -> "a.example.org", 2L -> "a.example.org",
+      3L -> "a.example.org", 4L -> "b.example.org", 5L -> "",
+      6L -> "b.example.org", 7L -> "a.example.org"))
+    // cap 2: host a keeps the 2 lowest by prio31 (doc_id ties), b keeps
+    // both, '' keeps its single doc — verified against the replayed hash
+    val kept = Corpus.domainCap(urls, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    def prio(id: Long) = ((id % 2147483648L) * 2654435761L) % 2147483648L
+    val expA = Seq(1L, 2L, 3L, 7L).sortBy(id => (prio(id), id)).take(2).toSet
+    assert(kept.filter(_._1 == "a.example.org").map(_._2) == expA)
+    assert(kept.filter(_._1 == "b.example.org").map(_._2) == Set(4L, 6L))
+    assert(kept.filter(_._1 == "").map(_._2) == Set(5L))
+  }
+
   test("temperatureMix: sqrt quotas upsample small sources, cap at keep-all") {
     val d = docs(((0 until 160).map(i => (i.toLong, "x", "en", "big")) ++
       (160 until 170).map(i => (i.toLong, "x", "en", "small"))): _*)
