@@ -422,6 +422,43 @@ object ScaleSmoke {
       }
     }
 
+    if (mode == "tier2substr") {
+      // Substring-level dedup at 100k docs (q153/q154's scale check):
+      // every 10th doc gets the SAME 8-token boilerplate injected at a
+      // doc-dependent offset inside its 30 unique-ish tokens — the
+      // cross-document repeat class MinHash can't see (no doc pair is
+      // near-duplicate). Expected: every planted doc reports exactly
+      // one maximal span of exactly the boilerplate's 8 tokens (offsets
+      // differ, so no flanking token can extend a span consistently);
+      // organic 5-gram repeats among the w0000..w9999 tokens are
+      // possible but the planted count is the floor.
+      val bp = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+      val tokenCols = (0 until 30).map(p =>
+        concat(lit("w"), pmod(xxhash64(col("id"), lit(p)), lit(100000000L))))
+      val baseText = concat_ws(" ", tokenCols: _*)
+      val docs = spark.range(100000).select(col("id").as("doc_id"),
+        when(col("id") % 10 === 0,
+          concat_ws(" ",
+            concat_ws(" ", tokenCols.take(5): _*), lit(bp),
+            concat_ws(" ", tokenCols.drop(5): _*)))
+          .otherwise(baseText).as("text"))
+        .localCheckpoint(true)
+      println(s"[smoke] tier2substr corpus: ${docs.count()} docs, 10000 planted boilerplate copies")
+      tm("repeatedSpans k=5 (100k docs)") {
+        val spans = graft.functions.Dedup.repeatedSpans(docs, 5).localCheckpoint(true)
+        val planted = spans.where(col("doc_id") % 10 === 0 &&
+          col("start_tok") === 5 && col("span_tokens") === 8).count()
+        println(s"[smoke] spans: ${spans.count()} total; planted found $planted/10000 " +
+          s"(exact 8-token span at offset 5)")
+        require(planted == 10000, s"planted recall failed: $planted")
+      }
+      tm("stripRepeatedSpans k=5 (100k docs)") {
+        val cleaned = graft.functions.Dedup.stripRepeatedSpans(docs, 5)
+        val stats = cleaned.agg(count(lit(1)), sum("repeated_tokens")).collect()(0)
+        println(s"[smoke] cleaned docs: ${stats.getLong(0)}, repeated tokens removed: ${stats.getLong(1)}")
+      }
+    }
+
     if (mode == "tier2ingest") {
       // Per-trigger ingest parallelism of the running summaries (VERDICT
       // r6 item 1's "done" evidence): the same 4M-edge trigger over a
