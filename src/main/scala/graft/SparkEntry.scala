@@ -150,6 +150,39 @@ object SparkEntry {
         .otherwise(concat(lit("https://"), col("source"), lit("."),
           col("lang"), lit(".example.org/d/"), col("doc_id").cast("string"))))
 
+  /** Deterministic planted PII for the documents fixture (the synthetic
+    * text carries none): every 5th doc gains an email, every 7th an
+    * IPv4 literal, every 11th an international-format phone — built
+    * from (doc_id, source, lang) so the DuckDB oracle rebuilds the
+    * identical strings. Overlaps (doc_id divisible by several) stack,
+    * so multi-class documents are exercised too.
+    */
+  private def withPlantedPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" contact "), col("source"), lit("@mail-"), col("lang"),
+          lit(".example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 200).cast("string"), lit("."),
+          (col("doc_id") % 250).cast("string"), lit("."),
+          (col("doc_id") % 100).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call +"), (lit(100) + col("doc_id") % 900).cast("string"),
+          lit("-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit(""))))
+
+  /** The oracle-side twin of [[withPlantedPii]] (shared-constant
+    * discipline, see [[provenanceUrlSql]]).
+    */
+  private val plantedPiiSql: String =
+    "text || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN ' contact ' || source || '@mail-' || lang || " +
+      "'.example.com' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || " +
+      "CAST(doc_id % 250 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END) || " +
+      "(CASE WHEN doc_id % 11 = 0 THEN ' call +' || CAST(100 + doc_id % 900 AS VARCHAR) || " +
+      "'-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)"
+
   /** Driver-visible recall gate for ANN operators whose raw top-k output
     * is hash-family-dependent: computes recall of `approx` against the
     * exact result inside the query and emits ONE deterministic row the
@@ -791,6 +824,11 @@ object SparkEntry {
         withProvenanceUrls(Tables.documents(s, dir))
           .withColumn("host", graft.functions.Corpus.urlHost(col("url"))),
         maxKeep = 0.8, keyCol = "host")),
+    // PII detection + redaction over deterministically-planted PII
+    // (the synthetic corpus carries none): counts per class + the
+    // sentinel-redacted text, hash-checked verbatim
+    "q157_pii_redaction" -> ((s, dir) =>
+      graft.functions.Corpus.piiRedact(withPlantedPii(Tables.documents(s, dir)))),
     // FULL core decomposition: per-vertex coreness via the h-index
     // fixed point (converges to the exact coreness; fail-loud if the
     // unroll budget is outlived — shared constant with the oracle)
@@ -2634,6 +2672,17 @@ object SparkEntry {
           "r AS (SELECT host, doc_id, ROW_NUMBER() OVER (PARTITION BY host " +
           "ORDER BY ((doc_id % 2147483648) * 2654435761) % 2147483648, doc_id) AS rn " +
           "FROM h) SELECT host, doc_id FROM r WHERE rn <= 3"),
+      "q157_pii_redaction" ->
+        (s"WITH p AS (SELECT doc_id, $plantedPiiSql AS text FROM documents) " +
+          "SELECT doc_id, " +
+          "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
+          "CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4, " +
+          "CAST(len(regexp_extract_all(text, '\\+\\d[\\d-]{6,14}\\d')) AS BIGINT) AS n_phones, " +
+          "regexp_replace(regexp_replace(regexp_replace(text, " +
+          "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+          "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), " +
+          "'\\+\\d[\\d-]{6,14}\\d', '<PHONE>', 'g') AS clean_text " +
+          "FROM p"),
       "q156_domain_mix" ->
         (s"WITH u AS (SELECT doc_id, $provenanceUrlSql AS url FROM documents), " +
           s"h AS (SELECT doc_id, $hostExtractSql AS host FROM u), " +

@@ -235,6 +235,36 @@ object Corpus {
       .groupBy("host")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
 
+  /** PII patterns — deliberately restricted to a regex subset on which
+    * Java regex (Spark) and RE2 (DuckDB) agree token-for-token
+    * (character classes, bounded quantifiers, \b word boundaries; no
+    * backrefs, no lookaround), so the oracle replays detection AND
+    * redaction verbatim. High-precision conservative shapes — a
+    * production deployment widens the pattern set per policy; the
+    * PIPELINE (count per class on the raw text, then ordered global
+    * replacement) is the operator.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d[\\d-]{6,14}\\d"
+
+  /** PII detection + redaction — the standard curation pass before
+    * training-data release (emails, IPv4 literals, international-format
+    * phone numbers): per document, match counts per class on the RAW
+    * text and the text with every match replaced by a typed sentinel
+    * (`<EMAIL>`, `<IP>`, `<PHONE>`), applied in that fixed order so the
+    * output is deterministic. Output: (doc_id, n_emails, n_ipv4,
+    * n_phones, clean_text). Pure per-row projection — no shuffle, no
+    * UDF, stays inside WholeStageCodegen.
+    */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).cast("long").as("n_ipv4"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>").as("clean_text"))
+
   /** Embedding-level benchmark decontamination — the semantic sibling of
     * [[contaminationHits]]'s n-gram check: flag training vectors whose
     * cosine against ANY benchmark vector reaches `threshold`. Output

@@ -163,6 +163,26 @@ class CorpusSpec extends SparkTestBase {
     assert(kept.filter(_._1 == "").map(_._2) == Set(5L))
   }
 
+  test("piiRedact: per-class counts on raw text, ordered sentinel replacement") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.com or jo@ex.org thanks"),
+      (2L, "server 192.168.001.5 and 10.0.0.7 up"),
+      (3L, "call +1-555-0142 or +44-20-7946-0958 now"),
+      (4L, "mixed a@b.co then 8.8.8.8 then +7-495-123-4567 end"),
+      (5L, "nothing sensitive here 3.14 is pi and 1.2.3 is a version"))
+      .toDF("doc_id", "text")
+    val r = Corpus.piiRedact(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4))).toMap
+    assert(r(1L) == ((2L, 0L, 0L, "mail me at <EMAIL> or <EMAIL> thanks")))
+    assert(r(2L) == ((0L, 2L, 0L, "server <IP> and <IP> up")))
+    assert(r(3L) == ((0L, 0L, 2L, "call <PHONE> or <PHONE> now")))
+    assert(r(4L) == ((1L, 1L, 1L, "mixed <EMAIL> then <IP> then <PHONE> end")))
+    // 1.2.3 is NOT an ipv4 (three octets); 3.14 is not; short numbers
+    // without +country stay — conservative precision by design
+    assert(r(5L) == ((0L, 0L, 0L, "nothing sensitive here 3.14 is pi and 1.2.3 is a version")))
+  }
+
   test("temperatureMix: sqrt quotas upsample small sources, cap at keep-all") {
     val d = docs(((0 until 160).map(i => (i.toLong, "x", "en", "big")) ++
       (160 until 170).map(i => (i.toLong, "x", "en", "small"))): _*)
