@@ -135,3 +135,63 @@ object ImagePipelineExample {
     spark.stop()
   }
 }
+
+/** The end-to-end TRAINING-DATA CURATION pipeline a user of the
+  * extended engine runs (each stage is an oracle-checked operator —
+  * this main just chains them the way a production job would):
+  *
+  *  1. exact dedup (128-bit content keys)
+  *  2. near-dup clustering (MinHash banding → exact-Jaccard verify →
+  *     CC), keeping each cluster's canonical survivor
+  *  3. substring-level dedup: strip cross-document repeated ≥5-token
+  *     spans from the survivors (the boilerplate class doc-level
+  *     near-dup can't see)
+  *  4. PII redaction (emails / IPv4 / phones → typed sentinels)
+  *  5. quality gating (C4/Gopher-style per-language bounds)
+  *  6. domain caps + temperature-rebalanced source mixing
+  *  7. token-budgeted admission (the training run's actual unit)
+  *
+  * Run: `sbt "runMain graft.examples.CurateCorpusExample [sfDir]"`
+  */
+object CurateCorpusExample {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.local()
+    import graft.functions.{Corpus, Dedup}
+    val docs = graft.model.Tables.documents(spark, dir)
+    println(s"[curate] input docs: ${docs.count()}")
+
+    // 1-2: exact + near-dup survivors (cluster-canonical doc ids)
+    val survivors = Dedup.nearDupSurvivors(docs, n = 2, threshold = 0.5)
+    val kept = docs.join(survivors, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    println(s"[curate] after exact+near dedup: ${kept.count()}")
+
+    // 3: strip cross-document repeated spans, keep the rebuilt text
+    val stripped = Dedup.stripRepeatedSpans(kept, k = 5)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .join(kept.select("doc_id", "lang", "source"), Seq("doc_id"))
+    val spanStats = Dedup.repeatedSpans(kept, k = 5)
+      .agg(count(lit(1)), sum("span_tokens")).collect()(0)
+    println(s"[curate] repeated spans stripped: ${spanStats.get(0)} spans / " +
+      s"${spanStats.get(1)} tokens")
+
+    // 4: PII redaction on the stripped text
+    val redacted = Corpus.piiRedact(stripped)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .join(stripped.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .localCheckpoint(true)
+
+    // 5: quality gate (per-language bounds)
+    val quality = Corpus.qualityGate(redacted)
+    println("[curate] quality pass rates per lang:")
+    quality.show(10, truncate = false)
+
+    // 6-7: temperature mixing quotas, then token-budgeted admission
+    Corpus.temperatureMix(redacted, maxKeep = 0.8).show(5, truncate = false)
+    val admitted = Corpus.tokenBudgetSample(redacted, budgetTokens = 20000L)
+    println(s"[curate] token-budget admitted: ${admitted.count()} docs, " +
+      s"budget 20000 tokens/source")
+    spark.stop()
+  }
+}
