@@ -910,6 +910,12 @@ object SparkEntry {
     "q81_ktruss" -> ((s, dir) =>
       Triangles.ktruss(GraphFixtures.coPurchase10(s, dir), 5)),
     // Luby-style maximal independent set with fixed hash priorities
+    // deterministic greedy (Jones-Plassmann) coloring under the
+    // portable priority order — the parallel-scheduling primitive
+    // (conflict-free update batches); equals the sequential greedy in
+    // priority order, so the oracle unrolls the rounds exactly
+    "q158_graph_coloring" -> ((s, dir) =>
+      graft.operators.Communities.greedyColoring(GraphFixtures.coPurchase10(s, dir))),
     "q79_mis" -> ((s, dir) =>
       graft.operators.Traversals.maximalIndependentSet(
         GraphFixtures.coPurchase10(s, dir))),
@@ -1766,6 +1772,38 @@ object SparkEntry {
         (1 to 10).map(r => s"SELECT id FROM s$r").mkString(" UNION ") +
         " UNION ALL SELECT CAST(-1 AS BIGINT) WHERE EXISTS (SELECT 1 FROM a10)"
     }
+    // greedy (Jones-Plassmann) coloring unrolled: per round, the ready
+    // set (no uncolored smaller-priority neighbor) takes the mex of its
+    // smaller neighbors' colors; 60 rounds = 2x the measured 29-round
+    // depth at sf0.01 (26 at sf0.001), sentinel row -1 if the unroll
+    // is outlived — the q147 two-sided fail-loud discipline
+    val coloringSql = {
+      def pr(c: String) = s"{'p': (($c % 2147483648) * 2654435761) % 2147483648, 'i': $c}"
+      val R = 60
+      val sb = new StringBuilder
+      sb ++= s"WITH c AS MATERIALIZED ($copurchase10), " +
+        "sym AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
+        s"dep AS MATERIALIZED (SELECT u, v FROM sym WHERE ${pr("v")} < ${pr("u")}), " +
+        "u0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM sym), " +
+        "k0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS color WHERE 1=0), "
+      for (r <- 1 to R) {
+        sb ++= (s"p$r AS (SELECT DISTINCT d.u AS id FROM dep d JOIN u${r - 1} x ON x.id = d.v), " +
+          s"rd$r AS MATERIALIZED (SELECT id FROM u${r - 1} WHERE id NOT IN (SELECT id FROM p$r)), " +
+          s"us$r AS MATERIALIZED (SELECT d.u AS id, k.color AS cc FROM dep d " +
+          s"JOIN rd$r t ON t.id = d.u JOIN k${r - 1} k ON k.id = d.v), " +
+          s"cn$r AS (SELECT id, COUNT(*) AS n FROM us$r GROUP BY id), " +
+          s"cd$r AS (SELECT t.id, unnest(range(0, COALESCE(cn.n, 0) + 1)) AS cc FROM rd$r t " +
+          s"LEFT JOIN cn$r cn ON cn.id = t.id), " +
+          s"k$r AS MATERIALIZED (SELECT id, color FROM k${r - 1} UNION ALL " +
+          s"SELECT cd.id, CAST(MIN(cd.cc) AS BIGINT) FROM cd$r cd LEFT JOIN us$r us " +
+          s"ON us.id = cd.id AND us.cc = cd.cc WHERE us.cc IS NULL GROUP BY cd.id), " +
+          s"u$r AS MATERIALIZED (SELECT id FROM u${r - 1} WHERE id NOT IN (SELECT id FROM rd$r)), ")
+      }
+      sb ++= s"fin AS (SELECT id, color FROM k$R) " +
+        s"SELECT id, color FROM fin UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
+        s"WHERE EXISTS (SELECT 1 FROM u$R)"
+      sb.toString
+    }
     // k-truss peel unrolled (the kcore/MIS pattern): the canonical
     // a<b<c triangle join yields the 3 edge roles directly canonical;
     // fixpoint takes 4 rounds at sf0.001 / 2 at sf0.01, 10 = margin
@@ -2156,6 +2194,7 @@ object SparkEntry {
       "q64_sssp" -> ssspSql,
       "q74_diameter" -> diameterSql,
       "q79_mis" -> misSql,
+      "q158_graph_coloring" -> coloringSql,
       "q81_ktruss" -> ktrussSql,
       "q152_trussness" -> trussnessSql,
       // substring-level dedup: the oracle replays the span pipeline on

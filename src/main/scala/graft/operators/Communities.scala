@@ -51,6 +51,68 @@ object Communities {
     labels
   }
 
+  /** Deterministic greedy vertex coloring — Jones–Plassmann (public,
+    * 1993) under the engine-portable priority order: a vertex is READY
+    * when every neighbor with a smaller ([[graft.Portable.prio31]], id)
+    * priority is already colored, and takes the smallest color unused
+    * by those neighbors (the mex). The fixpoint equals the SEQUENTIAL
+    * greedy coloring in priority order — one fixed total order, so any
+    * engine replaying the rounds produces the identical coloring (the
+    * q79 MIS determinism discipline applied to coloring); colors are
+    * bounded by maxDegree+1 as for any greedy order. Coloring is the
+    * standard parallel-scheduling primitive (conflict-free update
+    * batches: all vertices of one color touch no shared edge).
+    *
+    * Per round: one semi-join finding vertices with an uncolored
+    * smaller-priority neighbor (their complement is the ready set), one
+    * join collecting the ready vertices' used colors, a per-vertex mex
+    * (array scan bounded by degree), and the coalescing union —
+    * everything keyed on vertex id; rounds = the priority DAG's depth
+    * (logarithmic on random priorities), fail-loud at `maxRounds`.
+    */
+  def greedyColoring(edges: DataFrame, maxRounds: Int = 100,
+                     trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+    val sym = edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .union(edges.select(col("dst").cast("long"), col("src").cast("long")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .cutLineage()
+    def pr(c: org.apache.spark.sql.Column) =
+      struct(graft.Portable.prio31(c).as("p"), c.as("i"))
+    // dependency edges: u waits on its smaller-priority neighbors v
+    val dep = sym.where(pr(col("v")) < pr(col("u"))).cutLineage()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var colors = Seq.empty[(Long, Long)].toDF("id", "color")
+    var uncolored = sym.select(col("u").as("id")).distinct().cutLineage()
+    var remaining = uncolored.count()
+    var rounds = 0
+    while (remaining > 0 && rounds < maxRounds) {
+      val pending = dep.join(uncolored.toDF("v"), Seq("v"), "left_semi")
+        .select(col("u").as("id")).distinct()
+      val ready = uncolored.join(pending, Seq("id"), "left_anti")
+      val used = dep.join(ready.toDF("u"), Seq("u"), "left_semi")
+        .join(colors.toDF("v", "c"), Seq("v"))
+        .groupBy(col("u").as("id")).agg(collect_set(col("c")).as("used"))
+      val emptyArr = array().cast("array<bigint>")
+      val newly = ready.join(used, Seq("id"), "left")
+        .select(col("id"),
+          array_min(filter(
+            sequence(lit(0L), size(coalesce(col("used"), emptyArr)).cast("long")),
+            c => !array_contains(coalesce(col("used"), emptyArr), c))).as("color"))
+      colors = colors.unionByName(newly).cutLineage()
+      uncolored = uncolored.join(newly.select("id"), Seq("id"), "left_anti").cutLineage()
+      val left = uncolored.count()
+      trace.foreach(_ += remaining - left) // colored this round
+      remaining = left
+      rounds += 1
+    }
+    require(remaining == 0,
+      s"greedyColoring: $remaining vertices uncolored after $maxRounds rounds — " +
+        "raise maxRounds; a partial coloring is not the greedy fixpoint")
+    colors
+  }
+
   /** One synchronous greedy modularity-gain pass — the Louvain level-1
     * MOVE step, made deterministic and hash-checkable: every vertex
     * simultaneously evaluates moving to each neighboring community of

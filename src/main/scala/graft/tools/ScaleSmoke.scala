@@ -422,6 +422,19 @@ object ScaleSmoke {
       }
     }
 
+    if (mode == "colorprobe") {
+      // round-count probe for the greedy-coloring oracle's unroll
+      // budget (args: nDocs is reused as a no-op; probes the fixture
+      // graphs at sf0.001 and sf0.01)
+      Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+        val tr = scala.collection.mutable.Buffer.empty[Long]
+        val c = graft.operators.Communities.greedyColoring(
+          graft.model.GraphFixtures.coPurchase10(spark, dir), trace = Some(tr))
+        val nc = c.agg(max("color")).collect()(0).getLong(0) + 1
+        println(s"[smoke] colorprobe $dir: rounds=${tr.length} colors=$nc vertices=${c.count()}")
+      }
+    }
+
     if (mode == "tier2substr") {
       // Substring-level dedup at 100k docs (q153/q154's scale check):
       // every 10th doc gets the SAME 8-token boilerplate injected at a

@@ -284,6 +284,42 @@ class SummarySpec extends SparkTestBase {
     labDf.unpersist()
   }
 
+  test("greedy coloring: proper, deterministic, equals the sequential greedy in priority order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Communities
+    // triangle + pendant: proper coloring needs 3 colors on the clique
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val got = Communities.greedyColoring(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sequential greedy in (prio31, id) order replayed by hand
+    def prio(id: Long) = (((id % 2147483648L) * 2654435761L) % 2147483648L, id)
+    val adj = Map(1L -> Set(2L, 3L), 2L -> Set(1L, 3L), 3L -> Set(1L, 2L, 4L), 4L -> Set(3L))
+    val exp = scala.collection.mutable.Map.empty[Long, Long]
+    adj.keys.toSeq.sortBy(prio).foreach { v =>
+      val used = adj(v).flatMap(exp.get)
+      exp(v) = Iterator.from(0).map(_.toLong).find(c => !used.contains(c)).get
+    }
+    assert(got == exp.toMap, s"got $got expected $exp")
+    // fixture graph: proper (no monochromatic edge), bounded by
+    // maxDegree+1, and bit-identical across two independent runs
+    val c10 = graft.model.GraphFixtures.coPurchase10(spark, sf)
+    val tr = scala.collection.mutable.Buffer.empty[Long]
+    val colors = Communities.greedyColoring(c10, trace = Some(tr))
+    println(s"[spec] greedyColoring rounds=${tr.length} per-round=${tr.mkString(",")}")
+    val colMap = colors.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = c10.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (a, b) =>
+      assert(colMap(a) != colMap(b), s"edge ($a,$b) monochromatic") }
+    val maxDeg = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map(_._2.size).max
+    assert(colMap.values.max <= maxDeg, s"colors ${colMap.values.max} vs maxdeg $maxDeg")
+    val again = Communities.greedyColoring(c10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == colMap)
+  }
+
   test("summary codecs round-trip arbitrary summary states exactly") {
     import graft.summaries._
     val rnd = new scala.util.Random(7)
