@@ -802,6 +802,11 @@ object SparkEntry {
     // q147's coreness
     "q152_trussness" -> ((s, dir) =>
       Triangles.trussness(GraphFixtures.coPurchase10(s, dir), 6)),
+    // 4-clique participation per vertex: each clique enumerated once
+    // from its orientation-minimal triangle + a 3-way out-list
+    // intersection — never a 4-way edge self-join
+    "q159_four_cliques" -> ((s, dir) =>
+      Triangles.fourCliqueCounts(GraphFixtures.coPurchase10(s, dir))),
     // substring-level dedup (Lee et al. 2021 capability): maximal
     // cross-document repeated ≥5-token spans — the boilerplate-
     // contamination class document-level MinHash cannot see
@@ -2195,6 +2200,18 @@ object SparkEntry {
       "q74_diameter" -> diameterSql,
       "q79_mis" -> misSql,
       "q158_graph_coloring" -> coloringSql,
+      // 4-cliques as the canonical a<b<c<d 6-edge join, corners unpivoted
+      "q159_four_cliques" ->
+        (s"WITH c AS MATERIALIZED ($copurchase10), " +
+          "q AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c3, e3.y AS d4 " +
+          "FROM c e1 JOIN c e2 ON e2.x = e1.x AND e2.y > e1.y " +
+          "JOIN c e12 ON e12.x = e1.y AND e12.y = e2.y " +
+          "JOIN c e3 ON e3.x = e1.x AND e3.y > e2.y " +
+          "JOIN c e13 ON e13.x = e1.y AND e13.y = e3.y " +
+          "JOIN c e23 ON e23.x = e2.y AND e23.y = e3.y) " +
+          "SELECT id, COUNT(*) AS cliques4 FROM (" +
+          "SELECT a AS id FROM q UNION ALL SELECT b FROM q " +
+          "UNION ALL SELECT c3 FROM q UNION ALL SELECT d4 FROM q) GROUP BY id"),
       "q81_ktruss" -> ktrussSql,
       "q152_trussness" -> trussnessSql,
       // substring-level dedup: the oracle replays the span pipeline on

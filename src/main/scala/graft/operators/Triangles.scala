@@ -133,6 +133,41 @@ object Triangles {
       .select(explode(array(col("ta"), col("tb"), col("tc"))).as("id"))
       .groupBy("id").agg(count("*").as("triangles"))
 
+  /** Per-vertex 4-clique participation counts — the next motif up from
+    * triangles (community cores, spam/bot cliques): a 4-clique is an
+    * oriented triangle (ta <π tb <π tc in the degree orientation) plus
+    * one vertex in the intersection of all three out-neighbor lists, so
+    * each clique is enumerated exactly once from its π-minimal triangle.
+    * Cost rides the same Σ min-side bound as the triangle enumerator —
+    * one extra adjacency join and a three-way sorted intersection per
+    * triangle; never a 4-way edge self-join. Output: (id, cliques4) for
+    * vertices in ≥1 4-clique.
+    */
+  def fourCliqueCounts(c: DataFrame): DataFrame = {
+    // canonicalize defensively (the ktruss discipline): duplicated or
+    // reversed inputs fold into one (min, max) edge instead of
+    // inflating degrees and adjacency lists
+    val edges = c.select(
+        least(col("src"), col("dst")).cast("long").as("src"),
+        greatest(col("src"), col("dst")).cast("long").as("dst"))
+      .where(col("src") < col("dst")).distinct()
+    val adjRel = adjacency(edges).cutLineage()
+    // per-vertex out-lists recovered from BOTH roles of the edge
+    // relation (tc usually appears as an edge's v, never only as u);
+    // π-sinks carry no list and cannot extend a triangle, so the inner
+    // join below is exact
+    val alist = adjRel.select(col("u").as("tc"), col("au").as("ac"))
+      .unionByName(adjRel.select(col("v").as("tc"), col("av").as("ac")))
+      .dropDuplicates("tc")
+    adjRel.select(col("u").as("ta"), col("v").as("tb"),
+        explode(array_intersect(col("au"), col("av"))).as("tc"), col("au"), col("av"))
+      .join(alist, Seq("tc"))
+      .select(col("ta"), col("tb"), col("tc"),
+        explode(array_intersect(array_intersect(col("au"), col("av")), col("ac"))).as("td"))
+      .select(explode(array(col("ta"), col("tb"), col("tc"), col("td"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("cliques4"))
+  }
+
   /** Triangle count per tumbling window over a windowed canonical edge
     * set (win, src, dst) — the reference's WindowTriangles. Same
     * degree-oriented edge-iterator as the global path, with degrees and

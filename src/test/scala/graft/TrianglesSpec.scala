@@ -1,4 +1,5 @@
 package graft
+// (4-clique spec appended at the bottom of this suite)
 
 import org.apache.spark.sql.functions._
 
@@ -176,5 +177,27 @@ class TrianglesSpec extends SparkTestBase {
     assert(bd == Map(10L -> 2L, 20L -> 2L, 30L -> 2L), s"got $bd")
     // consistency: sum of pair-side degrees = 2 x global count
     assert(bd.values.sum == 2 * counts(k23, "left")._1)
+  }
+
+  test("4-clique counts: K4/K5 exact, diamond excluded, duplicates don't inflate") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    def counts(es: Seq[(Long, Long)]) =
+      Triangles.fourCliqueCounts(es.toDF("src", "dst")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4: one 4-clique, every vertex in it
+    assert(counts(clique(Seq(1L, 2L, 3L, 4L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // K5: C(5,4)=5 cliques; each vertex in C(4,3)=4 of them
+    assert(counts(clique(Seq(1L, 2L, 3L, 4L, 5L))) ==
+      (1L to 5L).map(_ -> 4L).toMap)
+    // diamond (K4 minus one edge): triangles but NO 4-clique
+    assert(counts(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (3L, 4L))).isEmpty)
+    // K4 + pendant: pendant vertex excluded, clique intact
+    assert(counts(clique(Seq(1L, 2L, 3L, 4L)) :+ (4L, 9L)) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // duplicated edges (distinct-input canonicalization)
+    assert(counts(clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(1L, 2L, 3L, 4L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 }
