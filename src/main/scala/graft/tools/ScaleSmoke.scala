@@ -433,6 +433,15 @@ object ScaleSmoke {
         val nc = c.agg(max("color")).collect()(0).getLong(0) + 1
         println(s"[smoke] colorprobe $dir: rounds=${tr.length} colors=$nc vertices=${c.count()}")
       }
+      // tier-2: the uniform 10M-edge / 1M-vertex graph (avg degree ~20,
+      // random priorities — the JP depth is what bounds rounds at scale)
+      val tr = scala.collection.mutable.Buffer.empty[Long]
+      tm("greedyColoring (uniform 10M)") {
+        val c = graft.operators.Communities.greedyColoring(g, maxRounds = 200,
+          trace = Some(tr))
+        val nc = c.agg(max("color")).collect()(0).getLong(0) + 1
+        println(s"[smoke] 10M coloring: rounds=${tr.length} colors=$nc vertices=${c.count()}")
+      }
     }
 
     if (mode == "tier2substr") {
