@@ -129,4 +129,45 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(graft.streaming.StreamingOps
       .replayConnectedComponentsTtl(noEdges, "1 hour", 2).isEmpty)
   }
+
+  test("r7 operators on degenerate inputs: empty, no throw") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // substring dedup: no docs → no spans; short docs (< k tokens) and
+    // unique docs pass through verbatim with zero repeated tokens
+    assert(graft.functions.Dedup.repeatedSpans(noDocs, 5).isEmpty)
+    assert(graft.functions.Dedup.stripRepeatedSpans(noDocs, 5).isEmpty)
+    val shorts = Seq((1L, "too short"), (2L, "also tiny")).toDF("doc_id", "text")
+    assert(graft.functions.Dedup.repeatedSpans(shorts, 5).isEmpty)
+    val passthrough = graft.functions.Dedup.stripRepeatedSpans(shorts, 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(passthrough == Map(1L -> ((0L, "too short")), 2L -> ((0L, "also tiny"))))
+    // coloring: empty graph → empty coloring, no fail-loud trip;
+    // self-loops are dropped by canonicalization (a self-loop can never
+    // be properly colored — the operator excludes it like every other
+    // graph op here)
+    assert(graft.operators.Communities.greedyColoring(empty).isEmpty)
+    val loopy = Seq((1L, 1L), (1L, 2L)).toDF("src", "dst")
+    val lc = graft.operators.Communities.greedyColoring(loopy).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lc.keySet == Set(1L, 2L) && lc(1L) != lc(2L))
+    // 4-cliques: empty / triangle-free graphs → empty
+    assert(graft.operators.Triangles.fourCliqueCounts(empty).isEmpty)
+    assert(graft.operators.Triangles.fourCliqueCounts(
+      Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")).isEmpty)
+    // PII redaction over zero docs → empty; empty text row is identity
+    assert(graft.functions.Corpus.piiRedact(noDocs).isEmpty)
+    val emptyText = graft.functions.Corpus.piiRedact(
+      Seq((9L, "")).toDF("doc_id", "text")).collect().head
+    assert(emptyText.getString(4) == "" && emptyText.getLong(1) == 0L)
+    // domain ops: unparseable URLs group under '' and survive the cap
+    val oneBad = Seq((1L, "no scheme here")).toDF("doc_id", "url")
+    assert(graft.functions.Corpus.domainCap(oneBad, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == Set(("", 1L)))
+    // incremental BPE over an empty word table: no merges, no throw
+    val noWf = Seq.empty[(String, Long)].toDF("word", "cnt")
+    assert(graft.functions.Bpe.learnMergesFrom(noWf, 3).isEmpty)
+  }
 }
