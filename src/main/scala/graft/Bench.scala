@@ -88,8 +88,11 @@ object Bench {
     // a later hot-window run silently overwrites (it cost a round of
     // cross-round comparability in r6) — keep EVERY run with its wall
     // clock and machine load so a reader can tell a fair window from a
-    // loaded one without git archaeology
-    locally {
+    // loaded one without git archaeology. CANONICAL runs only: a dev
+    // run with SPARK_GRAFT_ONLY (partial query set) or a redirected
+    // SPARK_GRAFT_BENCH_OUT (scratch output) must not pollute the
+    // fair-window record this file exists to keep clean
+    if (only.isEmpty && sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty) {
       val loadEnd = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
       val hist = s"""{"started":"$startedAt","load_start":$loadStart,"load_end":$loadEnd,""" +

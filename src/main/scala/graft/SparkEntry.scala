@@ -914,13 +914,13 @@ object SparkEntry {
     // k-truss (k=5): edges in >= 3 triangles after iterative peel
     "q81_ktruss" -> ((s, dir) =>
       Triangles.ktruss(GraphFixtures.coPurchase10(s, dir), 5)),
-    // Luby-style maximal independent set with fixed hash priorities
     // deterministic greedy (Jones-Plassmann) coloring under the
     // portable priority order — the parallel-scheduling primitive
     // (conflict-free update batches); equals the sequential greedy in
     // priority order, so the oracle unrolls the rounds exactly
     "q158_graph_coloring" -> ((s, dir) =>
       graft.operators.Communities.greedyColoring(GraphFixtures.coPurchase10(s, dir))),
+    // Luby-style maximal independent set with fixed hash priorities
     "q79_mis" -> ((s, dir) =>
       graft.operators.Traversals.maximalIndependentSet(
         GraphFixtures.coPurchase10(s, dir))),
@@ -2224,8 +2224,10 @@ object SparkEntry {
           "rep AS (SELECT shingle FROM (SELECT shingle, COUNT(DISTINCT doc_id) AS nd " +
           "FROM sh GROUP BY 1) WHERE nd >= 2), " +
           "hit AS (SELECT doc_id, pos FROM sh JOIN rep USING (shingle)), " +
-          "isl AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER " +
-          "(PARTITION BY doc_id ORDER BY pos) AS grp FROM hit) " +
+          "br AS (SELECT doc_id, pos, CASE WHEN pos - LAG(pos) OVER " +
+          "(PARTITION BY doc_id ORDER BY pos) <= 5 THEN 0 ELSE 1 END AS brk FROM hit), " +
+          "isl AS (SELECT doc_id, pos, SUM(brk) OVER " +
+          "(PARTITION BY doc_id ORDER BY pos) AS grp FROM br) " +
           "SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok, " +
           "CAST(MAX(pos) + 4 AS BIGINT) AS end_tok, " +
           "CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_tokens " +

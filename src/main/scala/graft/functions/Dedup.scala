@@ -333,7 +333,10 @@ object Dedup {
     * anything. Tokens are whitespace-split; positions are 0-based.
     *
     * Output: (doc_id, start_tok, end_tok, span_tokens), one row per
-    * maximal span. The correctness oracle replays the same pipeline on
+    * MAXIMAL COVERED TOKEN INTERVAL: two marked k-windows whose
+    * coverage overlaps OR touches (start gap ≤ k) fold into one row,
+    * so rows never overlap and span_tokens sums to exactly the covered
+    * token count. The correctness oracle replays the same pipeline on
     * shingle STRINGS — identical output absent a 64-bit fingerprint
     * collision (≈n²/2⁶⁵; nil at any validated scale, and the hash gate
     * would surface one loudly).
@@ -353,9 +356,17 @@ object Dedup {
     // (doc_id, pos) is unique by construction — no distinct needed
     val hits = pos.join(repeated, Seq("fp"), "left_semi")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    // islands: consecutive marked starts share (pos - row_number)
+    // islands of OVERLAPPING-OR-TOUCHING windows: a start within k of
+    // the previous start extends the covered interval (its window
+    // reaches at least the previous window's end + 1); a larger gap
+    // leaves ≥1 uncovered token and breaks the island. Start-position
+    // consecutiveness (gap 1) would split intervals whose windows
+    // overlap through a non-repeated middle shingle into OVERLAPPING
+    // rows, double-counting the shared tokens.
     hits
-      .withColumn("grp", col("pos") - row_number().over(w))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("grp", sum(col("brk")).over(w))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).cast("long").as("start_tok"),
         (max(col("pos")) + (k - 1)).cast("long").as("end_tok"))

@@ -82,34 +82,49 @@ object Communities {
     // dependency edges: u waits on its smaller-priority neighbors v
     val dep = sym.where(pr(col("v")) < pr(col("u"))).cutLineage()
     val spark = edges.sparkSession
+    val sc = spark.sparkContext
     import spark.implicits._
     var colors = Seq.empty[(Long, Long)].toDF("id", "color")
     var uncolored = sym.select(col("u").as("id")).distinct().cutLineage()
     var remaining = uncolored.count()
     var rounds = 0
+    // working-table hygiene (the incremental-BPE discipline): each
+    // round's checkpoints materialize EAGERLY, then the previous
+    // round's blocks — and only blocks this loop created — unpersist;
+    // otherwise 2×rounds snapshots (colors growing toward |V| each)
+    // stay pinned for the life of the query
+    var ownedIds: Seq[Int] = Nil
     while (remaining > 0 && rounds < maxRounds) {
-      val pending = dep.join(uncolored.toDF("v"), Seq("v"), "left_semi")
-        .select(col("u").as("id")).distinct()
-      val ready = uncolored.join(pending, Seq("id"), "left_anti")
-      val used = dep.join(ready.toDF("u"), Seq("u"), "left_semi")
-        .join(colors.toDF("v", "c"), Seq("v"))
-        .groupBy(col("u").as("id")).agg(collect_set(col("c")).as("used"))
-      val emptyArr = array().cast("array<bigint>")
-      val newly = ready.join(used, Seq("id"), "left")
-        .select(col("id"),
-          array_min(filter(
-            sequence(lit(0L), size(coalesce(col("used"), emptyArr)).cast("long")),
-            c => !array_contains(coalesce(col("used"), emptyArr), c))).as("color"))
-      colors = colors.unionByName(newly).cutLineage()
-      uncolored = uncolored.join(newly.select("id"), Seq("id"), "left_anti").cutLineage()
-      val left = uncolored.count()
-      trace.foreach(_ += remaining - left) // colored this round
-      remaining = left
-      rounds += 1
+        val pending = dep.join(uncolored.toDF("v"), Seq("v"), "left_semi")
+          .select(col("u").as("id")).distinct()
+        val ready = uncolored.join(pending, Seq("id"), "left_anti")
+        val used = dep.join(ready.toDF("u"), Seq("u"), "left_semi")
+          .join(colors.toDF("v", "c"), Seq("v"))
+          .groupBy(col("u").as("id")).agg(collect_set(col("c")).as("used"))
+        val emptyArr = array().cast("array<bigint>")
+        val newly = ready.join(used, Seq("id"), "left")
+          .select(col("id"),
+            array_min(filter(
+              sequence(lit(0L), size(coalesce(col("used"), emptyArr)).cast("long")),
+              c => !array_contains(coalesce(col("used"), emptyArr), c))).as("color"))
+        val before = sc.getPersistentRDDs.keySet
+        colors = colors.unionByName(newly).cutLineage()
+        uncolored = uncolored.join(newly.select("id"), Seq("id"), "left_anti").cutLineage()
+        val left = uncolored.count()
+        val fresh = (sc.getPersistentRDDs.keySet -- before).toSeq
+        ownedIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+        ownedIds = fresh
+        trace.foreach(_ += remaining - left) // colored this round
+        remaining = left
+        rounds += 1
     }
     require(remaining == 0,
       s"greedyColoring: $remaining vertices uncolored after $maxRounds rounds — " +
         "raise maxRounds; a partial coloring is not the greedy fixpoint")
+    // the final round's checkpoints are deliberately NOT unpersisted:
+    // the returned `colors` IS the last checkpoint (locally-checkpointed
+    // frames are unrecomputable once dropped); the harnesses clear
+    // residual blocks between queries
     colors
   }
 

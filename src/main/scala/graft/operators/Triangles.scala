@@ -159,11 +159,17 @@ object Triangles {
     val alist = adjRel.select(col("u").as("tc"), col("au").as("ac"))
       .unionByName(adjRel.select(col("v").as("tc"), col("av").as("ac")))
       .dropDuplicates("tc")
-    adjRel.select(col("u").as("ta"), col("v").as("tb"),
-        explode(array_intersect(col("au"), col("av"))).as("tc"), col("au"), col("av"))
+    // evaluate the edge's out-list intersection ONCE and carry it: the
+    // td stage intersects it against tc's list per TRIANGLE row, and
+    // re-deriving the O(deg) edge intersection there would repeat the
+    // merge for every triangle of the edge
+    adjRel
+      .withColumn("common", array_intersect(col("au"), col("av")))
+      .select(col("u").as("ta"), col("v").as("tb"),
+        explode(col("common")).as("tc"), col("common"))
       .join(alist, Seq("tc"))
       .select(col("ta"), col("tb"), col("tc"),
-        explode(array_intersect(array_intersect(col("au"), col("av")), col("ac"))).as("td"))
+        explode(array_intersect(col("common"), col("ac"))).as("td"))
       .select(explode(array(col("ta"), col("tb"), col("tc"), col("td"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("cliques4"))
   }

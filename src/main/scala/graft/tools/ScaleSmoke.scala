@@ -484,7 +484,7 @@ object ScaleSmoke {
     if (mode == "tier2ingest") {
       // Per-trigger ingest parallelism of the running summaries (VERDICT
       // r6 item 1's "done" evidence): the same 4M-edge trigger over a
-      // bounded 100k-vertex population — the high-rate regime the TTL
+      // bounded 20k-vertex population — the high-rate regime the TTL
       // variants target — fed once through a 1-partition MemoryStream
       // and once through a 16-partition one. With the per-partition
       // partial fold, the serial merger sees Σ|partial| ≤ P×|V| pairs
@@ -515,8 +515,13 @@ object ScaleSmoke {
           .format("noop").start()
         try {
           // let 4 triggers of 4M edges complete; report the post-warmup
-          // per-trigger wall (median of triggers 2-4)
-          while (q.recentProgress.count(_.numInputRows == nE) < 4) Thread.sleep(200)
+          // per-trigger wall (median of triggers 2-4). Fail loud if the
+          // query dies (a terminated query's progress never grows — a
+          // bare poll would spin forever)
+          while (q.recentProgress.count(_.numInputRows == nE) < 4) {
+            q.exception.foreach(e => throw e)
+            Thread.sleep(200)
+          }
           val durs = q.recentProgress.filter(_.numInputRows == nE)
             .map(_.durationMs.get("triggerExecution").toLong).toSeq.tail.sorted
           println(f"[smoke] running CC sustained 4M-edge triggers, $p%2d input partition(s): " +

@@ -36,7 +36,8 @@ class CorpusSpec extends SparkTestBase {
     assert(clean(3L) == ((5L, 0L, "unrelated words entirely here now")))
     assert(clean(4L) == ((8L, 0L, "p q r s p q r s")))
     // two documents sharing DISJOINT repeats with a third produce
-    // separate spans, not one merged one
+    // separate spans, not one merged one (gap 4 > k leaves token 3
+    // uncovered)
     val d2 = docs(
       (10L, "a b c GAP x y z", "en", "s0"),
       (11L, "a b c other stuff here", "en", "s0"),
@@ -44,6 +45,35 @@ class CorpusSpec extends SparkTestBase {
     val spans2 = Dedup.repeatedSpans(d2, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(spans2 == Set((10L, 0L, 2L), (10L, 4L, 6L), (11L, 0L, 2L), (12L, 2L, 4L)))
+    // OVERLAPPING windows through an unrepeated middle shingle: doc 20's
+    // starts {0, 2} (gap 2 ≤ k) — "p q r" shared with 21, "r s t" with
+    // 22, "q r s" unique — must fold into ONE maximal interval [0,4],
+    // never two overlapping rows double-counting token 2
+    val d3 = docs(
+      (20L, "p q r s t", "en", "s0"),
+      (21L, "x x p q r", "en", "s0"),
+      (22L, "r s t y y", "en", "s0"))
+    val s20 = Dedup.repeatedSpans(d3, 3).collect()
+      .filter(_.getLong(0) == 20L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(s20 == Set((0L, 4L, 5L)), s"got $s20")
+    // TOUCHING coverage (gap exactly k): starts {0, 3} cover [0,2] and
+    // [3,5] with no uncovered token between — one interval [0,5]
+    val d4 = docs(
+      (30L, "a b c d e f", "en", "s0"),
+      (31L, "a b c zz zz", "en", "s0"),
+      (32L, "zz d e f zz", "en", "s0"))
+    val s30 = Dedup.repeatedSpans(d4, 3).collect()
+      .filter(_.getLong(0) == 30L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(s30 == Set((0L, 5L, 6L)), s"got $s30")
+    // span_tokens over a document now sums to EXACTLY its covered
+    // token count (rows are disjoint) — cross-check vs the strip
+    val stripped3 = Dedup.stripRepeatedSpans(d3, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val spanSum3 = Dedup.repeatedSpans(d3, 3).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(3)).sum).toMap
+    assert(stripped3.filter(_._2 > 0) == spanSum3, s"$stripped3 vs $spanSum3")
   }
 
   test("repetitionStats: exact duplication fractions") {
