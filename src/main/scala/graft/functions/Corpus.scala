@@ -256,6 +256,14 @@ object Corpus {
     * output is deterministic. Output: (doc_id, n_emails, n_ipv4,
     * n_phones, clean_text). Pure per-row projection — no shuffle, no
     * UDF, stays inside WholeStageCodegen.
+    *
+    * OVERLAP CONTRACT: counts are per-class on the RAW text, so text a
+    * higher-priority class consumes during redaction can still count
+    * under a lower one — `1.2.3.4@x.example.com` counts one email AND
+    * one IPv4 but redacts as a single `<EMAIL>` (email runs first).
+    * Counts answer "how much of each shape appears", redaction answers
+    * "is the output clean" — deliberately different questions; the
+    * DuckDB oracle replays both identically.
     */
   def piiRedact(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

@@ -316,7 +316,12 @@ object Similarity {
     val q0 = signed(queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("e_query_id")), "query_id")
     // multi-probe: fan the QUERY side out to its Hamming-1 bucket keys —
-    // the corpus side and its bucketing are untouched
+    // the corpus side and its bucketing are untouched. The signature is
+    // a 64-bit long, so a pinned nPlanes past 64 would silently wrap
+    // shiftleft and probe duplicate/wrong buckets — fail loud instead
+    // (planes is also interpolated into the probe SQL below).
+    require(planes >= 1 && planes <= 64,
+      s"lshTopK: nPlanes must be in [1, 64] (signature is a 64-bit long), got $planes")
     val q = if (!probeHamming1) q0
       else q0.select(col("query_id"), col("e_query_id"), col("tbl"),
         explode(concat(array(col("sig")),

@@ -180,6 +180,20 @@ object StreamingOps {
       // values to tagging the raw ts. A watermark-tagged attribute must
       // reach the stateful operator itself (without one,
       // getCurrentWatermarkMs throws "watermark not set").
+      //
+      // LATE-DATA GRANULARITY (coarser than per-row tagging, on
+      // purpose): per-row watermark tagging would drop an
+      // individually-late edge BEFORE the stateful operator; bundling
+      // it into a partial whose maxTs is fresh carries it through, so
+      // a late edge can still union two live vertices within its
+      // arrival trigger (its endpoints' `seen` stamps stay old and
+      // expire on schedule). This is strictly LESS lossy than per-row
+      // dropping, one-sided (late data is admitted, never fresh data
+      // dropped), and consistent with the eviction rule below, which
+      // also runs at trigger granularity (the previous trigger's
+      // watermark). The replay oracle feeds ascending-ts batches, where
+      // the two granularities coincide — the contract here governs
+      // out-of-order production streams.
       .withWatermark("maxTs", ttl)
       .groupByKey(_ => 0)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
