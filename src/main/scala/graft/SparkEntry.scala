@@ -171,6 +171,33 @@ object SparkEntry {
           lit("-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
         .otherwise(lit(""))))
 
+  /** Deterministic WITHIN-document repeats for the documents fixture
+    * (its natural text repeats across documents, not within one):
+    * every 6th doc appends a doc-specific 6-token phrase three times,
+    * so each period-offset-0/1 5-gram occurs exactly 3 times inside
+    * that one document (nd = 1 — invisible to the cross-document
+    * criterion, the capability q160 exists to pin). Tokens embed the
+    * doc_id, so planted phrases never collide across documents.
+    */
+  private def withSelfRepeats(docs: DataFrame): DataFrame = {
+    val ph = concat_ws(" ", Seq("a", "b", "c", "d", "e", "f").map(sfx =>
+      concat(lit("sr"), col("doc_id").cast("string"), lit(sfx))): _*)
+    docs.withColumn("text",
+      when(col("doc_id") % 6 === 0, concat_ws(" ", col("text"), ph, ph, ph))
+        .otherwise(col("text")))
+  }
+
+  /** The oracle-side twin of [[withSelfRepeats]] (shared-constant
+    * discipline, see [[provenanceUrlSql]]).
+    */
+  private val selfRepeatSql: String = {
+    val ph = Seq("a", "b", "c", "d", "e", "f")
+      .map(s => s"'sr' || CAST(doc_id AS VARCHAR) || '$s'")
+      .mkString(" || ' ' || ")
+    s"CASE WHEN doc_id % 6 = 0 THEN text || ' ' || $ph || ' ' || $ph || ' ' || $ph " +
+      "ELSE text END"
+  }
+
   /** The oracle-side twin of [[withPlantedPii]] (shared-constant
     * discipline, see [[provenanceUrlSql]]).
     */
@@ -182,6 +209,37 @@ object SparkEntry {
       "CAST(doc_id % 250 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END) || " +
       "(CASE WHEN doc_id % 11 = 0 THEN ' call +' || CAST(100 + doc_id % 900 AS VARCHAR) || " +
       "'-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)"
+
+  /** [[withPlantedPii]] extended with the r8 classes: every 13th doc a
+    * Luhn-VALID card (separator varies by parity — the public 4111…
+    * test number), every 19th a Luhn-INVALID card-shaped 16-digit run
+    * (counts must skip it, redaction must still take it), every 17th an
+    * SSN-shaped id built from doc_id. The DuckDB oracle rebuilds the
+    * identical strings.
+    */
+  private def withPlantedPiiWide(docs: DataFrame): DataFrame =
+    withPlantedPii(docs).withColumn("text", concat(col("text"),
+      when(col("doc_id") % 13 === 0,
+        when(col("doc_id") % 2 === 0, lit(" pay 4111 1111 1111 1111 now"))
+          .otherwise(lit(" pay 4111-1111-1111-1111 now"))).otherwise(lit("")),
+      when(col("doc_id") % 19 === 0, lit(" ref 1234 5678 9012 3456 x"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 17 === 0,
+        concat(lit(" ssn "), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit(""))))
+
+  /** The oracle-side twin of [[withPlantedPiiWide]]. */
+  private val plantedPiiWideSql: String =
+    s"($plantedPiiSql) || " +
+      "(CASE WHEN doc_id % 13 = 0 THEN (CASE WHEN doc_id % 2 = 0 " +
+      "THEN ' pay 4111 1111 1111 1111 now' ELSE ' pay 4111-1111-1111-1111 now' END) " +
+      "ELSE '' END) || " +
+      "(CASE WHEN doc_id % 19 = 0 THEN ' ref 1234 5678 9012 3456 x' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 17 = 0 THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') " +
+      "|| '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') " +
+      "|| '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)"
 
   /** Driver-visible recall gate for ANN operators whose raw top-k output
     * is hash-family-dependent: computes recall of `approx` against the
@@ -816,6 +874,13 @@ object SparkEntry {
     // (clean_text hash-checked verbatim against the SQL rebuild)
     "q154_substring_dedup" -> ((s, dir) =>
       Dedup.stripRepeatedSpans(Tables.documents(s, dir), 5)),
+    // WITHIN-document repeated spans: the occurrence-count criterion
+    // (≥3 occurrences anywhere) over planted self-repeats — the
+    // scraped-page-chrome class the cross-document criterion (nd ≥ 2)
+    // cannot see; both criteria ride the same fingerprint aggregation
+    "q160_selfrepeat_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(withSelfRepeats(Tables.documents(s, dir)), 5,
+        minDocs = 2, minOccurs = 3)),
     // domain-level curation: deterministic provenance URLs (mixed-case
     // scheme/host, userinfo+port variants exercise the real extractor),
     // host extraction, and a per-domain cap of 3 docs in portable
@@ -834,6 +899,12 @@ object SparkEntry {
     // sentinel-redacted text, hash-checked verbatim
     "q157_pii_redaction" -> ((s, dir) =>
       graft.functions.Corpus.piiRedact(withPlantedPii(Tables.documents(s, dir)))),
+    // widened PII pass: Luhn-checked cards (count = valid only, redact
+    // = every card shape) + SSN national-ID class over planted
+    // valid/invalid fixtures — the checksum runs as a higher-order
+    // aggregate the DuckDB oracle replays as list_sum/list_transform
+    "q161_pii_wide" -> ((s, dir) =>
+      graft.functions.Corpus.piiRedactWide(withPlantedPiiWide(Tables.documents(s, dir)))),
     // FULL core decomposition: per-vertex coreness via the h-index
     // fixed point (converges to the exact coreness; fail-loud if the
     // unroll budget is outlived — shared constant with the oracle)
@@ -2232,6 +2303,22 @@ object SparkEntry {
           "CAST(MAX(pos) + 4 AS BIGINT) AS end_tok, " +
           "CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_tokens " +
           "FROM isl GROUP BY doc_id, grp"),
+      "q160_selfrepeat_spans" ->
+        (s"WITH d0 AS (SELECT doc_id, $selfRepeatSql AS text FROM documents), " +
+          "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d0), " +
+          "p0 AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 4, 0))) AS pos FROM t), " +
+          "sh AS (SELECT doc_id, pos, array_to_string(toks[pos+1:pos+5], ' ') AS shingle FROM p0), " +
+          "rep AS (SELECT shingle FROM (SELECT shingle, COUNT(DISTINCT doc_id) AS nd, " +
+          "COUNT(*) AS occ FROM sh GROUP BY 1) WHERE nd >= 2 OR occ >= 3), " +
+          "hit AS (SELECT doc_id, pos FROM sh JOIN rep USING (shingle)), " +
+          "br AS (SELECT doc_id, pos, CASE WHEN pos - LAG(pos) OVER " +
+          "(PARTITION BY doc_id ORDER BY pos) <= 5 THEN 0 ELSE 1 END AS brk FROM hit), " +
+          "isl AS (SELECT doc_id, pos, SUM(brk) OVER " +
+          "(PARTITION BY doc_id ORDER BY pos) AS grp FROM br) " +
+          "SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok, " +
+          "CAST(MAX(pos) + 4 AS BIGINT) AS end_tok, " +
+          "CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_tokens " +
+          "FROM isl GROUP BY doc_id, grp"),
       "q154_substring_dedup" ->
         ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
           "p0 AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 4, 0))) AS pos FROM t), " +
@@ -2738,6 +2825,28 @@ object SparkEntry {
           "CAST(len(regexp_extract_all(text, '\\+\\d[\\d-]{6,14}\\d')) AS BIGINT) AS n_phones, " +
           "regexp_replace(regexp_replace(regexp_replace(text, " +
           "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+          "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), " +
+          "'\\+\\d[\\d-]{6,14}\\d', '<PHONE>', 'g') AS clean_text " +
+          "FROM p"),
+      "q161_pii_wide" ->
+        (s"WITH p AS (SELECT doc_id, $plantedPiiWideSql AS text FROM documents) " +
+          "SELECT doc_id, " +
+          "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
+          "CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4, " +
+          "CAST(len(regexp_extract_all(text, '\\+\\d[\\d-]{6,14}\\d')) AS BIGINT) AS n_phones, " +
+          "CAST(len(list_filter(list_transform(" +
+          "regexp_extract_all(text, '\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}\\b'), " +
+          "m -> regexp_replace(m, '[^0-9]', '', 'g')), " +
+          "ds -> list_sum(list_transform(range(1, len(ds) + 1), i -> " +
+          "CASE WHEN ((len(ds) - i) % 2) = 1 " +
+          "THEN CASE WHEN CAST(ds[i] AS INT) * 2 > 9 THEN CAST(ds[i] AS INT) * 2 - 9 " +
+          "ELSE CAST(ds[i] AS INT) * 2 END " +
+          "ELSE CAST(ds[i] AS INT) END)) % 10 = 0)) AS BIGINT) AS n_cards, " +
+          "CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn, " +
+          "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, " +
+          "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+          "'\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}\\b', '<CARD>', 'g'), " +
+          "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), " +
           "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), " +
           "'\\+\\d[\\d-]{6,14}\\d', '<PHONE>', 'g') AS clean_text " +
           "FROM p"),

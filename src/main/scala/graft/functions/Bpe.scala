@@ -47,11 +47,12 @@ object Bpe {
       .where(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
-  /** Learn `k` merges — incremental pair-count maintenance (see
-    * [[learnMergesFrom]]): each round applies the won merge to affected
-    * words only and adjusts the maintained pair table, so learning a
-    * production-sized vocabulary (k in the tens of thousands) costs one
-    * bounded-size job per round, never a corpus or vocabulary re-encode.
+  /** Learn `k` merges — incremental pair-count maintenance plus BATCHED
+    * selection (see [[learnMergesFrom]]): each round applies a provably
+    * order-equivalent batch of merges, so learning a production-sized
+    * vocabulary (k in the tens of thousands) costs k/batch-width
+    * bounded-size rounds, never a corpus or vocabulary re-encode and
+    * never k sequential driver-paced jobs.
     */
   def learnMerges(docs: DataFrame, k: Int): Array[(String, String, Long)] =
     learnMergesFrom(wordFrequencies(docs).cutLineage(), k)
@@ -69,25 +70,63 @@ object Bpe {
     * vocabulary. The loop keeps two checkpointed working tables —
     * `enc` (each multi-symbol word's CURRENT symbol array + corpus
     * count) and `pc` (the adjacent-pair count table) — and per round:
-    * take the deterministic argmax from `pc` (a scalar read on a
+    * select a BATCH of merges from `pc` (a bounded collect on a
     * vocabulary-bounded table — loop control, not a data path), apply
-    * the won merge to the AFFECTED words only (one
-    * [[graft.expressions.BpeMergeOnce]] pass over words containing the
-    * (a,b) adjacency — identical by construction to re-encoding under
-    * all rules so far, since [[graft.expressions.BpeEncode]] applies
-    * rules as the same one-pass unit), and adjust `pc` by the affected
-    * words' old-pairs −, new-pairs + delta. Per-round work is
-    * O(vocab filter + affected words + |pc|) instead of the rescan
-    * learner's O(vocab × word length × rules so far) — sub-quadratic
-    * in k, the difference between k=10 demos and a 32k–50k production
-    * vocabulary (measured: SCALE.md tier2bpe). Equality with
-    * [[learnMergesRescan]] is spec-checked merge-for-merge.
+    * them in rank order to the AFFECTED words only (chained
+    * [[graft.expressions.BpeMergeOnce]] passes over words containing
+    * any batch adjacency — identical by construction to re-encoding
+    * under all rules so far, since [[graft.expressions.BpeEncode]]
+    * applies rules as the same one-pass units in the same order), and
+    * adjust `pc` by the affected words' old-pairs −, new-pairs +
+    * delta. Per-round work is O(vocab filter + affected words + |pc|)
+    * for a whole batch of merges, so a 32k-vocabulary learn is
+    * k/batch-width driver-paced rounds, not k (measured: SCALE.md
+    * tier2bpe). Equality with [[learnMergesRescan]] is spec-checked
+    * merge-for-merge.
+    *
+    * BATCH VALIDITY — why batching provably cannot reorder the merge
+    * sequence. Let the pair table rank by (count DESC, (a,b) ASC). A
+    * round admits the longest CONTIGUOUS rank-prefix m1..mN (width
+    * capped at `maxBatch`, no skipping) such that
+    *
+    *  1. members are pairwise symbol-disjoint INCLUDING concats:
+    *     {aj,bj} ∩ {ai, bi, ai+bi} = ∅ for every i < j — so applying
+    *     earlier batch members cannot change a later member's count
+    *     (no destroyed occurrence touches its symbols, and every
+    *     created adjacency involves the new symbol ai+bi);
+    *  2. cj > ⌊c1/2⌋ for j ≥ 2 — a merged pair's LEFTOVER occurrences
+    *     (surviving (ai,bi) adjacencies from odd chains like "ababab",
+    *     which the portable-replace pass leaves behind and sequential
+    *     selection may re-pick later) number at most ⌊ci/2⌋ ≤ ⌊c1/2⌋
+    *     (each leftover consumes two old occurrences), so they lose
+    *     strictly to every batch member;
+    *  3. the tail is shrunk until c_N is STRICTLY greater than the
+    *     first non-admitted entry's count — every pair CREATED by a
+    *     batch member (x, ai+bi)/(ai+bi, y) has count ≤ the old count
+    *     of an adjacent pair (x,ai)/(bi,y), all of which rank past the
+    *     boundary (they share a symbol, so they were never admitted),
+    *     hence < c_N; strictness also removes the lex-tie hazard of a
+    *     created pair tying a batch member's count.
+    *
+    * Under 1–3 the sequential argmax at step j is exactly mj: batch
+    * members j..N keep their counts (1), every non-member old pair is
+    * ≤ the boundary count < cj (prefix contiguity + 3), every created
+    * pair is < c_N ≤ cj (3), every leftover is ≤ ⌊c1/2⌋ < cj (2), and
+    * ties inside the batch follow rank order by construction. A round
+    * degenerating to width 1 IS the sequential argmax. The recorded
+    * counts match sequential's for the same reason (unchanged at
+    * selection time).
     *
     * Working-table hygiene: each round's checkpoints are materialized
     * EAGERLY before the previous round's are unpersisted, and only
     * RDD ids this loop created are ever touched.
+    *
+    * `batchTrace`, when supplied, records each round's admitted batch
+    * width (spec/diagnostics hook, the greedyColoring trace pattern).
     */
-  def learnMergesFrom(wf: DataFrame, k: Int): Array[(String, String, Long)] = {
+  def learnMergesFrom(wf: DataFrame, k: Int, maxBatch: Int = 64,
+                      batchTrace: Option[scala.collection.mutable.Buffer[Int]] = None)
+      : Array[(String, String, Long)] = {
     val spark = wf.sparkSession
     val sc = spark.sparkContext
     def pairsOf(df: DataFrame): DataFrame =
@@ -112,26 +151,59 @@ object Bpe {
       .cutLineage()
     var pc = pairsOf(enc).coalesce(parts).cutLineage()
     var ownedIds: Seq[Int] = (sc.getPersistentRDDs.keySet -- before0).toSeq
+    require(maxBatch >= 1, s"learnMergesFrom: maxBatch must be >= 1, got $maxBatch")
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
     try {
-      for (_ <- 1 to k if !exhausted) {
-        val best = pc.orderBy(col("pc").desc, col("a").asc, col("b").asc)
-          .limit(1).collect()
-        if (best.isEmpty) exhausted = true
+      while (out.length < k && !exhausted) {
+        val cap = math.min(maxBatch, k - out.length)
+        val top = pc.orderBy(col("pc").desc, col("a").asc, col("b").asc)
+          .limit(cap + 1).collect()
+        if (top.isEmpty) exhausted = true
         else {
-          val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-          out += ((a, b, c))
+          // admit the valid rank-prefix (scaladoc conditions 1–3)
+          val admitted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+          val symbols = scala.collection.mutable.HashSet.empty[String]
+          val c1 = top(0).getLong(2)
+          var idx = 0
+          var blocked = false
+          while (!blocked && idx < top.length && admitted.length < cap) {
+            val (a, b, c) = (top(idx).getString(0), top(idx).getString(1), top(idx).getLong(2))
+            val ok = admitted.isEmpty ||
+              (!symbols(a) && !symbols(b) && c > c1 / 2)
+            if (ok) {
+              admitted += ((a, b, c))
+              symbols += a; symbols += b; symbols += (a + b)
+              idx += 1
+            } else blocked = true
+          }
+          // strict boundary drop (condition 3): pop trailing members
+          // tying the first non-admitted count — width 1 is always valid
+          // (it IS the sequential argmax, lex tie-break included)
+          val boundary = if (idx < top.length) Some(top(idx).getLong(2)) else None
+          while (admitted.length > 1 && boundary.contains(admitted.last._3))
+            admitted.remove(admitted.length - 1)
+          out ++= admitted
+          batchTrace.foreach(_ += admitted.length)
+          val rules = admitted.toArray
+          // ONE array pass deciding "contains any batch adjacency" —
+          // width disjuncts inside a single exists lambda
           val hasPair = exists(
             sequence(lit(0), size(col("s")) - 2),
-            i => element_at(col("s"), i + 1) === lit(a) &&
-              element_at(col("s"), i + 2) === lit(b))
+            i => rules.map { case (a, b, _) =>
+              element_at(col("s"), i + 1) === lit(a) &&
+                element_at(col("s"), i + 2) === lit(b)
+            }.reduce(_ || _))
           val before = sc.getPersistentRDDs.keySet
           // aff/merged are cheap filter+map branches over the CHECKPOINTED
           // enc — re-deriving them in two plans costs less than two more
           // eager checkpoint jobs per round (round latency is the budget)
           val aff = enc.where(hasPair)
-          val merged = aff.select(BpeMergeOnce.column(col("s"), a, b).as("s"), col("cnt"))
+          // rank-order chained passes ≡ sequential application of each
+          // rule as its own pass (the BpeEncode one-pass unit)
+          val merged = aff.select(rules.foldLeft(col("s")) {
+            case (s, (a, b, _)) => BpeMergeOnce.column(s, a, b)
+          }.as("s"), col("cnt"))
           // pc := pc − pairs(affected, old) + pairs(affected, merged),
           // dropped at zero (a vanished pair must not win a later round)
           val newPc = pc
@@ -139,10 +211,20 @@ object Bpe {
             .unionByName(pairsOf(merged))
             .groupBy("a", "b").agg(sum(col("pc")).as("pc"))
             .where(col("pc") > 0)
-            .coalesce(parts)
-            .cutLineage()
           val newEnc = enc.where(!hasPair)
             .unionByName(merged.where(size(col("s")) >= 2))
+          // ONE eager checkpoint for both working tables (tagged union):
+          // the loop is driver-latency-bound, so a fused materialization
+          // beats two checkpoint jobs per round; the per-kind reads are
+          // narrow filters over the cached blocks (vocab-bounded — the
+          // double-scan costs microseconds, the saved job costs ~100 ms)
+          val combined = newEnc
+            .select(lit(0).as("kind"), col("s"), col("cnt"),
+              lit(null).cast("string").as("a"), lit(null).cast("string").as("b"),
+              lit(null).cast("long").as("pc"))
+            .unionByName(newPc.select(lit(1).as("kind"),
+              lit(null).cast("array<string>").as("s"), lit(null).cast("long").as("cnt"),
+              col("a"), col("b"), col("pc")))
             .coalesce(parts)
             .cutLineage()
           val fresh = (sc.getPersistentRDDs.keySet -- before).toSeq
@@ -150,8 +232,8 @@ object Bpe {
           // drop ONLY the blocks this loop created in earlier rounds
           ownedIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
           ownedIds = fresh
-          enc = newEnc
-          pc = newPc
+          enc = combined.where(col("kind") === 0).select("s", "cnt")
+          pc = combined.where(col("kind") === 1).select("a", "b", "pc")
         }
       }
     } finally {

@@ -313,8 +313,12 @@ object Dedup {
     * ("Deduplicating Training Data Makes Language Models Better",
     * public), re-expressed for Spark: where the paper builds a corpus
     * suffix array, this engine marks every k-token shingle whose
-    * fingerprint occurs in ≥ `minDocs` DISTINCT documents and merges
-    * runs of consecutive marked start positions into maximal spans —
+    * fingerprint occurs in ≥ `minDocs` DISTINCT documents — OR, when
+    * `minOccurs` > 0, ≥ `minOccurs` times ANYWHERE, which catches a
+    * document repeating its own boilerplate (scraped-page chrome, the
+    * self-repeat class Lee et al. also dedup; a within-document repeat
+    * has nd = 1 and is invisible to the cross-document criterion) —
+    * and merges runs of consecutive marked start positions into maximal spans —
     * a run p₁..p₂ of repeated k-gram starts covers tokens
     * [p₁, p₂+k−1], exactly the union of its repeated k-windows. Any
     * repeated substring of length L ≥ k is covered (all its k-gram
@@ -341,7 +345,8 @@ object Dedup {
     * collision (≈n²/2⁶⁵; nil at any validated scale, and the hash gate
     * would surface one loudly).
     */
-  def repeatedSpans(docs: DataFrame, k: Int, minDocs: Int = 2): DataFrame = {
+  def repeatedSpans(docs: DataFrame, k: Int, minDocs: Int = 2,
+                    minOccurs: Int = 0): DataFrame = {
     val toks = split(col("text"), " ")
     val pos = Spread(docs)
       .where(size(toks) >= k)
@@ -349,9 +354,13 @@ object Dedup {
         posexplode(transform(sequence(lit(1), size(toks) - (k - 1)),
           i => xxhash64(concat_ws(" ", slice(toks, i, lit(k)))))))
       .toDF("doc_id", "pos", "fp")
-    val repeated = pos.groupBy("fp")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= minDocs)
+    // both criteria ride ONE aggregation on the 8 B fingerprint keys;
+    // the occurrence count adds no shuffle
+    val marked = pos.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("occ"))
+    val repeated = (if (minOccurs > 0)
+        marked.where(col("nd") >= minDocs || col("occ") >= minOccurs)
+      else marked.where(col("nd") >= minDocs))
       .select("fp")
     // (doc_id, pos) is unique by construction — no distinct needed
     val hits = pos.join(repeated, Seq("fp"), "left_semi")
@@ -384,12 +393,13 @@ object Dedup {
     * token position (array_sort on (pos, token) structs — exact, no
     * collation involved), so spacing is reproduced token-for-token.
     */
-  def stripRepeatedSpans(docs: DataFrame, k: Int, minDocs: Int = 2): DataFrame = {
+  def stripRepeatedSpans(docs: DataFrame, k: Int, minDocs: Int = 2,
+                         minOccurs: Int = 0): DataFrame = {
     val toks = split(col("text"), " ")
     val tok = Spread(docs)
       .select(col("doc_id"), posexplode(toks))
       .toDF("doc_id", "pos", "token")
-    val covered = repeatedSpans(docs, k, minDocs)
+    val covered = repeatedSpans(docs, k, minDocs, minOccurs)
       .select(col("doc_id"),
         explode(sequence(col("start_tok"), col("end_tok"))).as("pos"))
     val rebuilt = tok.join(covered, Seq("doc_id", "pos"), "left_anti")

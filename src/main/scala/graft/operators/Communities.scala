@@ -63,15 +63,24 @@ object Communities {
     * standard parallel-scheduling primitive (conflict-free update
     * batches: all vertices of one color touch no shared edge).
     *
-    * Per round: one semi-join finding vertices with an uncolored
-    * smaller-priority neighbor (their complement is the ready set), one
-    * join collecting the ready vertices' used colors, a per-vertex mex
-    * (array scan bounded by degree), and the coalescing union —
-    * everything keyed on vertex id; rounds = the priority DAG's depth
+    * Per round (FUSED, r8 — the loop is driver-latency-bound, not
+    * data-bound, so fewer jobs per round is the lever): ONE pass —
+    * dep edges of still-uncolored vertices join the nullable-color
+    * state table on the neighbor side, and a single aggregation yields
+    * per vertex both `blocked` (any uncolored smaller-priority
+    * neighbor survives) and `used` (the colored ones' colors);
+    * unblocked vertices take the mex. One eager checkpoint + one
+    * cached count per round, against the previous shape's two
+    * checkpoints and four-join chain. Per-round work stays keyed on
+    * the SHRINKING uncolored set (the dep scan is semi-joined on it
+    * before anything widens); rounds = the priority DAG's depth
     * (logarithmic on random priorities), fail-loud at `maxRounds`.
     */
   def greedyColoring(edges: DataFrame, maxRounds: Int = 100,
                      trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val before0 = sc.getPersistentRDDs.keySet
     val sym = edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
       .union(edges.select(col("dst").cast("long"), col("src").cast("long")))
       .where(col("u") =!= col("v"))
@@ -79,53 +88,62 @@ object Communities {
       .cutLineage()
     def pr(c: org.apache.spark.sql.Column) =
       struct(graft.Portable.prio31(c).as("p"), c.as("i"))
-    // dependency edges: u waits on its smaller-priority neighbors v
-    val dep = sym.where(pr(col("v")) < pr(col("u"))).cutLineage()
-    val spark = edges.sparkSession
-    val sc = spark.sparkContext
-    import spark.implicits._
-    var colors = Seq.empty[(Long, Long)].toDF("id", "color")
-    var uncolored = sym.select(col("u").as("id")).distinct().cutLineage()
-    var remaining = uncolored.count()
+    // dependency edges: u waits on its smaller-priority neighbors v —
+    // pre-partitioned ON u once, so every round's semi-join reuses the
+    // layout instead of re-shuffling the edge table (LogicalRDD keeps
+    // the partitioning through the checkpoint; the uncolored side
+    // arrives partitioned by id ≡ u via the alias-aware rule)
+    val dep = sym.where(pr(col("v")) < pr(col("u")))
+      .repartition(col("u")).cutLineage()
+    var state = sym.select(col("u").as("id")).distinct()
+      .withColumn("color", lit(null).cast("long"))
+      .cutLineage()
+    // the setup checkpoints (sym, dep, initial state) are owned by this
+    // call and released after the loop — only the FINAL state snapshot
+    // survives, it IS the returned frame (ADVICE r7: the old shape
+    // pinned three edge-scale tables for the session's life)
+    val initIds: Seq[Int] = (sc.getPersistentRDDs.keySet -- before0).toSeq
+    var remaining = state.count()
     var rounds = 0
-    // working-table hygiene (the incremental-BPE discipline): each
-    // round's checkpoints materialize EAGERLY, then the previous
-    // round's blocks — and only blocks this loop created — unpersist;
-    // otherwise 2×rounds snapshots (colors growing toward |V| each)
-    // stay pinned for the life of the query
     var ownedIds: Seq[Int] = Nil
-    while (remaining > 0 && rounds < maxRounds) {
-        val pending = dep.join(uncolored.toDF("v"), Seq("v"), "left_semi")
-          .select(col("u").as("id")).distinct()
-        val ready = uncolored.join(pending, Seq("id"), "left_anti")
-        val used = dep.join(ready.toDF("u"), Seq("u"), "left_semi")
-          .join(colors.toDF("v", "c"), Seq("v"))
-          .groupBy(col("u").as("id")).agg(collect_set(col("c")).as("used"))
+    try {
+      while (remaining > 0 && rounds < maxRounds) {
+        val unc = state.where(col("color").isNull)
+        val agg = dep.join(unc.select(col("id").as("u")), Seq("u"), "left_semi")
+          .join(state.select(col("id").as("v"), col("color").as("vc")), Seq("v"))
+          .groupBy(col("u").as("id"))
+          .agg(max(when(col("vc").isNull, 1).otherwise(0)).as("blocked"),
+            collect_set(col("vc")).as("used"))
         val emptyArr = array().cast("array<bigint>")
-        val newly = ready.join(used, Seq("id"), "left")
-          .select(col("id"),
-            array_min(filter(
-              sequence(lit(0L), size(coalesce(col("used"), emptyArr)).cast("long")),
-              c => !array_contains(coalesce(col("used"), emptyArr), c))).as("color"))
+        val mex = array_min(filter(
+          sequence(lit(0L), size(coalesce(col("used"), emptyArr)).cast("long")),
+          c => !array_contains(coalesce(col("used"), emptyArr), c)))
         val before = sc.getPersistentRDDs.keySet
-        colors = colors.unionByName(newly).cutLineage()
-        uncolored = uncolored.join(newly.select("id"), Seq("id"), "left_anti").cutLineage()
-        val left = uncolored.count()
+        val newState = state.join(agg, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("color"),
+              when(coalesce(col("blocked"), lit(0)) === 0, mex)).as("color"))
+          .cutLineage()
+        val left = newState.where(col("color").isNull).count()
         val fresh = (sc.getPersistentRDDs.keySet -- before).toSeq
         ownedIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
         ownedIds = fresh
+        state = newState
         trace.foreach(_ += remaining - left) // colored this round
         remaining = left
         rounds += 1
+      }
+    } finally {
+      initIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     }
     require(remaining == 0,
       s"greedyColoring: $remaining vertices uncolored after $maxRounds rounds — " +
         "raise maxRounds; a partial coloring is not the greedy fixpoint")
-    // the final round's checkpoints are deliberately NOT unpersisted:
-    // the returned `colors` IS the last checkpoint (locally-checkpointed
-    // frames are unrecomputable once dropped); the harnesses clear
-    // residual blocks between queries
-    colors
+    // the final round's checkpoint is deliberately NOT unpersisted: the
+    // returned frame reads it (locally-checkpointed frames are
+    // unrecomputable once dropped); the harnesses clear residual blocks
+    // between queries
+    state
   }
 
   /** One synchronous greedy modularity-gain pass — the Louvain level-1

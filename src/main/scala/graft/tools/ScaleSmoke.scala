@@ -405,20 +405,56 @@ object ScaleSmoke {
       println(s"[smoke] tier2bpe corpus: ${docs.count()} docs, ${wf.count()} distinct words")
       // per-merge cost at k=200 vs k=1000: FLAT (same ms/merge) means
       // per-round work does not grow with the accumulated rule count —
-      // the sub-quadratic claim. The rescan learner at k=200 is the
-      // contrast: its per-merge cost already reflects re-encoding the
-      // vocabulary under up to 200 rules and grows linearly in k.
+      // the sub-quadratic claim. BATCHED selection (r8) then divides the
+      // driver-paced round count by the realized batch width: per-merge
+      // wall should drop ~in proportion to the mean width vs maxBatch=1.
+      // The rescan learner at k=200 is the growth contrast: its
+      // per-merge cost reflects re-encoding the vocabulary under up to
+      // 200 rules and grows linearly in k.
       Seq(200, 1000).foreach { k =>
+        val widths = scala.collection.mutable.ArrayBuffer.empty[Int]
         val t0 = System.nanoTime()
-        val got = graft.functions.Bpe.learnMergesFrom(wf, k).length
+        val got = graft.functions.Bpe.learnMergesFrom(wf, k,
+          batchTrace = Some(widths)).length
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"[smoke] incremental learn k=$k%5d: $dt%7.1f s (${dt / k * 1000}%6.1f ms/merge; got $got)")
+        val mw = if (widths.isEmpty) 0.0 else got.toDouble / widths.length
+        println(f"[smoke] batched(64) learn k=$k%5d: $dt%7.1f s (${dt / k * 1000}%6.1f ms/merge; " +
+          f"rounds=${widths.length}%d meanWidth=$mw%.1f; got $got)")
       }
-      Seq(200, 1000).foreach { k =>
+      Seq(200).foreach { k =>
+        val t0 = System.nanoTime()
+        val got = graft.functions.Bpe.learnMergesFrom(wf, k, maxBatch = 1).length
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[smoke] width-1     learn k=$k%5d: $dt%7.1f s (${dt / k * 1000}%6.1f ms/merge; got $got)")
+      }
+      Seq(200).foreach { k =>
         val t0 = System.nanoTime()
         val got = graft.functions.Bpe.learnMergesRescan(wf, k).length
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"[smoke] rescan      learn k=$k%5d: $dt%7.1f s (${dt / k * 1000}%6.1f ms/merge; got $got)")
+      }
+      // batch width is CORPUS-dependent: the wXXXX vocab above is
+      // symbol-narrow (11 chars), so top pairs fight over the same
+      // digits and the no-skip prefix rule keeps batches thin. A
+      // letter-diverse vocabulary (26-char alphabet, 8-char words) is
+      // the natural-text-like contrast — top pairs are mostly
+      // symbol-disjoint and batches widen accordingly.
+      val letterCols = (0 until 12).map(p =>
+        concat((0 until 8).map(c =>
+          chr(lit(97) + pmod(xxhash64(col("id"), lit(p * 8 + c)), lit(26)))): _*))
+      val docsL = spark.range(20000L).select(col("id").as("doc_id"),
+        concat_ws(" ", letterCols: _*).as("text")).localCheckpoint(true)
+      val wfL = graft.Lineage.cut(graft.functions.Bpe.wordFrequencies(docsL))
+      println(s"[smoke] tier2bpe letters corpus: ${wfL.count()} distinct words")
+      Seq(1000).foreach { k =>
+        val widths = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val t0 = System.nanoTime()
+        val got = graft.functions.Bpe.learnMergesFrom(wfL, k,
+          batchTrace = Some(widths)).length
+        val dt = (System.nanoTime() - t0) / 1e9
+        val mw = if (widths.isEmpty) 0.0 else got.toDouble / widths.length
+        println(f"[smoke] batched(64) letters k=$k%5d: $dt%7.1f s (${dt / k * 1000}%6.1f ms/merge; " +
+          f"rounds=${widths.length}%d meanWidth=$mw%.1f; got $got)")
       }
     }
 

@@ -76,6 +76,68 @@ class CorpusSpec extends SparkTestBase {
     assert(stripped3.filter(_._2 > 0) == spanSum3, s"$stripped3 vs $spanSum3")
   }
 
+  test("repeatedSpans minOccurs: within-document self-repeats caught, cross-doc criterion unchanged") {
+    import graft.functions.Dedup
+    // doc 4 repeats its own 4-token phrase twice (nd = 1 — invisible to
+    // minDocs); docs 1/2 share cross-document boilerplate as before;
+    // doc 5 repeats a phrase exactly once short of the threshold
+    val d = docs(
+      (1L, "alpha the quick brown fox jumps omega", "en", "s0"),
+      (2L, "the quick brown fox jumps beta gamma delta", "en", "s0"),
+      (4L, "p q r s p q r s", "en", "s0"),
+      (5L, "u v w x filler filler2 u v w x filler3 filler4 morefiller", "en", "s0"))
+    // occurrence criterion at 2: doc 4's "p q r"/"q r s" shingles occur
+    // twice (starts 0,4 and 1,5) → starts {0,1,4,5} gap ≤ 3 merge to
+    // [0, 5+2] = the whole 8-token text; doc 5's "u v w"/"v w x" also
+    // occur twice → starts {0,1,6,7} merge (gap 5 > k=3 BREAKS between
+    // 1 and 6) to [0,3] and [6,9]
+    val spans = Dedup.repeatedSpans(d, 3, minDocs = 2, minOccurs = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans == Set(
+      (1L, 1L, 5L, 5L), (2L, 0L, 4L, 5L),
+      (4L, 0L, 7L, 8L),
+      (5L, 0L, 3L, 4L), (5L, 6L, 9L, 4L)), s"got $spans")
+    // threshold 3: doc 4's phrase occurs only twice — nothing flagged
+    val strict = Dedup.repeatedSpans(d, 3, minDocs = 2, minOccurs = 3).collect()
+      .map(_.getLong(0)).toSet
+    assert(strict == Set(1L, 2L), s"got $strict")
+    // minOccurs = 0 (default) ≡ the unchanged cross-document contract
+    val legacy = Dedup.repeatedSpans(d, 3).collect().map(_.getLong(0)).toSet
+    assert(legacy == Set(1L, 2L))
+    // the strip action honors the combined criterion
+    val clean = Dedup.stripRepeatedSpans(d, 3, minDocs = 2, minOccurs = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(clean(4L) == ((8L, "")), s"got ${clean(4L)}")
+    assert(clean(5L) == ((8L, "filler filler2 filler3 filler4 morefiller")),
+      s"got ${clean(5L)}")
+  }
+
+  test("piiRedactWide: Luhn separates real cards from 16-digit noise; SSN shape redacted") {
+    import graft.functions.Corpus
+    val d = docs(
+      // valid card, space separators (4111… is the public Luhn-valid test number)
+      (1L, "pay 4111 1111 1111 1111 today", "en", "s"),
+      // valid card, dash separators; plus an SSN
+      (2L, "card 4111-1111-1111-1111 ssn 123-45-6789 end", "en", "s"),
+      // card-SHAPED but Luhn-invalid: counted 0, still redacted
+      (3L, "ref 1234 5678 9012 3456 thanks", "en", "s"),
+      // unseparated 16 valid digits (4012888888881881 is Luhn-valid)
+      (4L, "id 4012888888881881 ok", "en", "s"),
+      (5L, "no pii here at all", "en", "s"))
+    val r = Corpus.piiRedactWide(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(4), x.getLong(5), x.getString(6)))).toMap
+    assert(r(1L) == ((1L, 0L, "pay <CARD> today")), s"got ${r(1L)}")
+    assert(r(2L) == ((1L, 1L, "card <CARD> ssn <SSN> end")), s"got ${r(2L)}")
+    assert(r(3L) == ((0L, 0L, "ref <CARD> thanks")), s"got ${r(3L)}")
+    assert(r(4L) == ((1L, 0L, "id <CARD> ok")), s"got ${r(4L)}")
+    assert(r(5L) == ((0L, 0L, "no pii here at all")), s"got ${r(5L)}")
+    // the three original classes keep their q157 semantics
+    val legacyCols = Corpus.piiRedactWide(docs(
+      (9L, "mail a@b.co ip 1.2.3.4 tel +12-3456-789", "en", "s"))).head()
+    assert((legacyCols.getLong(1), legacyCols.getLong(2), legacyCols.getLong(3)) == ((1L, 1L, 1L)))
+    assert(legacyCols.getString(6) == "mail <EMAIL> ip <IP> tel <PHONE>")
+  }
+
   test("repetitionStats: exact duplication fractions") {
     val d = docs(
       (1L, "a b a b", "en", "s0"),      // 4 tokens, 2 distinct; bigrams: a b, b a, a b -> 2 distinct of 3

@@ -304,6 +304,40 @@ class FunctionsSpec extends SparkTestBase {
     wf.unpersist()
   }
 
+  test("batched BPE merge selection ≡ sequential, with real batching observed") {
+    import spark.implicits._
+    import graft.functions.Bpe
+    // distinct-alphabet word families give symbol-disjoint top pairs
+    // with a strict count ladder (batchable); plus overlap chains whose
+    // LEFTOVER occurrences sequential may re-select later, a
+    // lex-ordered count tie, and shield shapes
+    val docs = Seq(
+      (1L, "xxxxxxxx xxxxxxxx yyyyyy yyyyyy zzzz", "s"),
+      (2L, "ababababab cdcdcdcd efefef gh gh gh", "s"),
+      (3L, "mn mn mn mn op op op qr qr st", "s"),
+      (4L, "banana bandana kayak", "s")).toDF("doc_id", "text", "source")
+    val wf = Bpe.wordFrequencies(docs).cache()
+    val k = 25
+    val widths = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val batched = Bpe.learnMergesFrom(wf, k, maxBatch = 8,
+      batchTrace = Some(widths)).toSeq
+    val sequential = Bpe.learnMergesFrom(wf, k, maxBatch = 1).toSeq
+    val rescan = Bpe.learnMergesRescan(wf, k).toSeq
+    assert(batched == rescan, s"batched=$batched rescan=$rescan")
+    assert(sequential == rescan, s"sequential=$sequential rescan=$rescan")
+    // the fixture must actually exercise batching, not degenerate to 1s
+    assert(widths.exists(_ > 1), s"no round batched: widths=$widths")
+    assert(widths.sum == batched.length)
+    // count ties straddling a would-be batch boundary force width 1 on
+    // the tied ranks (the strict-drop rule) and stay order-correct
+    val tied = Seq(
+      (1L, "aa aa aa bb bb bb cc cc cc", "s")).toDF("doc_id", "text", "source")
+    val twf = Bpe.wordFrequencies(tied).cache()
+    assert(Bpe.learnMergesFrom(twf, 6, maxBatch = 8).toSeq ==
+      Bpe.learnMergesRescan(twf, 6).toSeq)
+    wf.unpersist(); twf.unpersist()
+  }
+
   test("fused HyperplaneSignatures ≡ per-table signature columns, bit for bit") {
     import spark.implicits._
     val vecs = emb.limit(50)
