@@ -562,6 +562,17 @@ object SparkEntry {
       recallGate(Similarity.bruteForceTopK(emb, q, 5),
         graft.functions.IVF.annTopK(emb, q, 5), 0.4)
     }),
+    // product-quantized ANN (Jégou et al. 2011): the searched index is
+    // M=8 small ints per vector (16-64x footprint cut vs raw floats),
+    // ADC scoring = 8 table lookups per pair, exact re-rank of the
+    // top-64 shortlist; gate bound 0.5 measured with margin on the
+    // ADVERSARIAL uniform-random fixture (real corpora cluster)
+    "q162_ann_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") <= 9)
+      recallGate(Similarity.bruteForceTopK(emb, q, 5),
+        graft.functions.PQ.annTopK(emb, q, 5, shortlist = 64), 0.5)
+    }),
     // O20 transientState=true: per-window summary aggregation
     "q37_window_cc" -> ((s, dir) =>
       SummaryAggregations.connectedComponentsPerWindow(
@@ -2750,6 +2761,7 @@ object SparkEntry {
           "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
           "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"),
       "q36_ann_ivf" -> annGateSql,
+      "q162_ann_pq" -> annGateSql,
       "q26_embedding_neardup" ->
         ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
           "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim " +

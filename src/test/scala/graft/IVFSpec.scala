@@ -44,6 +44,40 @@ class IVFSpec extends SparkTestBase {
     assert(r8 >= r2)
   }
 
+  test("PQ: deterministic codebooks, code shape, and shortlist-covers-exact recall") {
+    import graft.functions.PQ
+    val m1 = PQ.fit(emb, m = 8, ks = 16, iters = 3)
+    val m2 = PQ.fit(emb, m = 8, ks = 16, iters = 3)
+    assert(m1.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      m2.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(m1.m == 8 && m1.dsub == 8) // dim 64 / 8 subspaces
+    val indexed = PQ.index(emb, m1).cache()
+    assert(indexed.count() == emb.count())
+    // every code within its codebook's range
+    val mx = indexed.select(max(array_max(col("codes")))).head.getInt(0)
+    assert(mx < 16)
+    val queries = emb.where(col("vec_id") <= 9)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(shortlist: Int): Double = {
+      val got = PQ.topK(indexed, emb, queries, m1, 5, shortlist).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    // shortlist = corpus size degenerates to exact brute force (the
+    // re-rank sees everything)
+    val n = emb.count().toInt
+    assert(recall(n) == 1.0, "full shortlist must be exact")
+    val r64 = recall(64)
+    assert(r64 >= 0.5, s"shortlist=64 recall too low: $r64")
+    // exact-cosine sims on the re-ranked output match brute force
+    val pqTop = PQ.topK(indexed, emb, queries, m1, 5, n).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val bfTop = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pqTop == bfTop)
+  }
+
   test("sampled training (maxTrainVectors < corpus) still yields a usable index") {
     val n = emb.count()
     val cap = (n / 4).toInt.max(8)

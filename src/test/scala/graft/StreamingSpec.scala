@@ -117,6 +117,54 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("hierarchical fan-in: two-level partial merge equals single-level and batch") {
+    import spark.implicits._
+    // 8-partition micro-batches with fanIn=3: partials fold to ≤3
+    // second-level partials before the constant-keyed merger; the chain
+    // connects ONLY through correct cross-partial merging at both levels
+    val ms = MemoryStream[(Long, Long, Double, Long)](spark, numPartitions = 8)
+    val ckpt = Files.createTempDirectory("cc-fanin-ckpt").toString
+    val chain = (1L until 60L).map(i => (i, i + 1, 1.0, i * 60L)) ++
+      Seq((200L, 201L, 1.0, 4000L))
+    val q = StreamingOps.runningConnectedComponents(edgesFrom(ms), fanIn = 3)
+      .toDF("id", "component")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("cc_fanin").start()
+    try {
+      val (h, t) = chain.splitAt(30)
+      ms.addData(h); q.processAllAvailable()
+      ms.addData(t); q.processAllAvailable()
+      val streamed = spark.table("cc_fanin").groupBy("id")
+        .agg(min("component").as("component"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = SummaryAggregations.connectedComponents(
+          chain.toDF("src", "dst", "value", "secs")
+            .withColumn("ts", timestamp_seconds(col("secs"))).drop("secs"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+    // TTL variants: fanIn=2 replay ≡ the single-level replay, including
+    // eviction behavior (watermark values are identical — max over
+    // second-level partials ≡ max over raw rows)
+    val rows = ((1L until 20L).map(i => (i, i + 1, 1.0, i * 60L)) ++
+      Seq((50L, 51L, 1.0, 999999L)))
+      .toDF("src", "dst", "value", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs"))).drop("secs")
+    val base = StreamingOps.replayConnectedComponentsTtl(rows, "1 hour", nBatches = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fan = StreamingOps.replayConnectedComponentsTtl(rows, "1 hour", nBatches = 3,
+      fanIn = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fan == base, s"fanIn=2 diverged: $fan vs $base")
+    // parity family: odd cycle split across partials still absorbs
+    val tri = Seq((1L, 2L, 1.0, 0L), (2L, 3L, 1.0, 60L), (3L, 1L, 1.0, 120L))
+      .toDF("src", "dst", "value", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs"))).drop("secs")
+    assert(!StreamingOps.replayBipartitenessTtl(tri, "30 days", 3, fanIn = 2))
+    assert(StreamingOps.replayBipartitenessTtl(rows, "30 days", 3, fanIn = 2) ==
+      StreamingOps.replayBipartitenessTtl(rows, "30 days", 3))
+  }
+
   test("restart recovery: CC summary state restores from the checkpoint across stop/start") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
