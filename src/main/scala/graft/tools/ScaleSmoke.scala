@@ -585,7 +585,13 @@ object ScaleSmoke {
       // full 4M edges through one task and tied.
       val nE = 4000000L
       val nV = 20000L
-      Seq(1, 16).foreach { p =>
+      // (p, fanIn): 1 vs 16 input partitions reproduces the r7 row;
+      // 64 partitions with and without the two-level fan-in is the r8
+      // evidence that the merger's Σ|partial| replay stops being the
+      // floor once P outgrows the horizon population's usefulness
+      // (64 partials × ≤20k pairs = 1.28M pairs/trigger serialized at
+      // the merger without fan-in; ≤8 × ≤20k with fanIn=8)
+      Seq((1, 0), (16, 0), (64, 0), (64, 8)).foreach { case (p, fi) =>
         // rate-micro-batch: exactly nE fresh rows per trigger, generated
         // ON THE EXECUTORS across p input partitions (a MemoryStream
         // harness java-serializes its rows into task closures — useless
@@ -600,7 +606,7 @@ object ScaleSmoke {
         val ckpt = java.nio.file.Files.createTempDirectory(
           new java.io.File("/dev/shm").toPath, "graft-ingest-smoke").toString
         val q = graft.streaming.StreamingOps
-          .runningConnectedComponents(src)
+          .runningConnectedComponents(src, fanIn = fi)
           .toDF("id", "component")
           .writeStream.outputMode("update")
           .option("checkpointLocation", ckpt)
@@ -616,8 +622,9 @@ object ScaleSmoke {
           }
           val durs = q.recentProgress.filter(_.numInputRows == nE)
             .map(_.durationMs.get("triggerExecution").toLong).toSeq.tail.sorted
-          println(f"[smoke] running CC sustained 4M-edge triggers, $p%2d input partition(s): " +
-            f"median trigger ${durs(durs.length / 2) / 1000.0}%6.2f s (all post-warmup: ${durs.mkString(",")} ms)")
+          println(f"[smoke] running CC sustained 4M-edge triggers, $p%2d input partition(s), " +
+            f"fanIn=$fi%d: median trigger ${durs(durs.length / 2) / 1000.0}%6.2f s " +
+            f"(all post-warmup: ${durs.mkString(",")} ms)")
         } finally q.stop()
       }
     }
