@@ -876,6 +876,22 @@ object SparkEntry {
     // intersection — never a 4-way edge self-join
     "q159_four_cliques" -> ((s, dir) =>
       Triangles.fourCliqueCounts(GraphFixtures.coPurchase10(s, dir))),
+    // strongly connected components over the DIRECTED fixture (per-order
+    // part cycles + customer order chains): trim + fused fwd/bwd
+    // min-label peeling — the directed sibling of q28's iterative CC
+    "q163_scc" -> ((s, dir) =>
+      graft.operators.Scc.stronglyConnectedComponents(
+        GraphFixtures.directedParts(s, dir))),
+    // condensation DAG of the SCC decomposition: per-component size and
+    // longest-path level (the scheduling depth of the component)
+    "q164_condensation" -> ((s, dir) =>
+      graft.operators.Scc.condensationLevels(
+        GraphFixtures.directedParts(s, dir))),
+    // directed triad census: reciprocity numerator + 3-cycles vs
+    // feed-forward triangles — direction-aware motifs the undirected
+    // triangle family cannot distinguish
+    "q165_directed_triads" -> ((s, dir) =>
+      Triangles.directedTriadCensus(GraphFixtures.directedParts(s, dir))),
     // substring-level dedup (Lee et al. 2021 capability): maximal
     // cross-document repeated ≥5-token spans — the boilerplate-
     // contamination class document-level MinHash cannot see
@@ -1911,6 +1927,64 @@ object SparkEntry {
         "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
         "WHERE (SELECT COUNT(*) FROM e9) <> (SELECT COUNT(*) FROM e10)"
     }
+    // D — the directed fixture (GraphFixtures.directedParts, mod 20):
+    // per-order part cycles (LEAD over line number, wrap via
+    // FIRST_VALUE) + customer order chains (LEAD over order date). Both
+    // engines replay the same window arithmetic row for row.
+    val directedCtes =
+      ("li0 AS MATERIALIZED (SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey AS p " +
+        "FROM lineitem WHERE l_orderkey % 20 = 0), " +
+        "cyc AS (SELECT p AS src, COALESCE(LEAD(p) OVER w, FIRST_VALUE(p) OVER w) AS dst " +
+        "FROM li0 WINDOW w AS (PARTITION BY ok ORDER BY ln, p)), " +
+        "fir AS (SELECT ok, p AS fp FROM (SELECT ok, p, ROW_NUMBER() OVER " +
+        "(PARTITION BY ok ORDER BY ln, p) AS rn FROM li0) q0 WHERE rn = 1), " +
+        "chn AS (SELECT fp AS src, LEAD(fp) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, ok) AS dst FROM fir JOIN orders ON o_orderkey = ok), " +
+        "d AS MATERIALIZED (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM cyc " +
+        "UNION ALL SELECT src, dst FROM chn) z WHERE dst IS NOT NULL AND src <> dst)")
+    // SCC ground truth by definition: reachability closure (UNION set
+    // semantics terminate it on cycles), mutual pairs, min mutual
+    // partner (self for vertices on no cycle). Tractable because the
+    // mod-20 fixture keeps components and chains small — the closure
+    // IS the reason the fixture is filtered.
+    val sccSelect =
+      ("rr(s, t) AS (SELECT src, dst FROM d " +
+        "UNION SELECT rr.s, d.dst FROM rr JOIN d ON d.src = rr.t), " +
+        "vv AS (SELECT src AS id FROM d UNION SELECT dst FROM d), " +
+        "mu AS (SELECT a.s AS id, a.t AS w FROM rr a JOIN rr b ON b.s = a.t AND b.t = a.s), " +
+        "sc AS MATERIALIZED (SELECT vv.id, LEAST(vv.id, COALESCE(MIN(mu.w), vv.id)) AS scc " +
+        "FROM vv LEFT JOIN mu ON mu.id = vv.id GROUP BY vv.id)")
+    val sccSql =
+      s"WITH RECURSIVE $directedCtes, $sccSelect SELECT id, scc FROM sc"
+    // condensation longest-path levels: recursive relax capped at 60
+    // with the two-sided sentinel (the Spark loop fails loud at the
+    // same cap)
+    val condensationSql =
+      (s"WITH RECURSIVE $directedCtes, $sccSelect, " +
+        "ce AS MATERIALIZED (SELECT DISTINCT sa.scc AS cs, sb.scc AS cd FROM d " +
+        "JOIN sc sa ON sa.id = d.src JOIN sc sb ON sb.id = d.dst WHERE sa.scc <> sb.scc), " +
+        "lp(c, l) AS (SELECT scc, 0 FROM sc GROUP BY scc " +
+        "UNION SELECT ce.cd, lp.l + 1 FROM lp JOIN ce ON ce.cs = lp.c WHERE lp.l < 60), " +
+        "lv AS (SELECT c AS scc, MAX(l) AS level FROM lp GROUP BY c) " +
+        "SELECT sc.scc, CAST(COUNT(*) AS BIGINT) AS n_members, " +
+        "CAST(MIN(lv.level) AS BIGINT) AS level " +
+        "FROM sc JOIN lv ON lv.scc = sc.scc GROUP BY sc.scc " +
+        "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
+        "WHERE EXISTS (SELECT 1 FROM lv WHERE level >= 60)")
+    // directed triad census: 3-cycles canonicalized by their unique
+    // min-vertex rotation; feed-forward roles are fixed so no
+    // canonicalization is needed
+    val directedTriadsSql =
+      (s"WITH $directedCtes " +
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_edges, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM d a WHERE EXISTS " +
+        "(SELECT 1 FROM d r WHERE r.src = a.dst AND r.dst = a.src)) AS n_reciprocal, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM d e1 JOIN d e2 ON e2.src = e1.dst " +
+        "JOIN d e3 ON e3.src = e2.dst AND e3.dst = e1.src " +
+        "WHERE e1.src < e1.dst AND e1.src < e2.dst) AS cycle_triangles, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM d e1 JOIN d e2 ON e2.src = e1.dst " +
+        "JOIN d e3 ON e3.src = e1.src AND e3.dst = e2.dst " +
+        "WHERE e1.src <> e2.dst) AS ffl_triangles")
     // trussness: the q81 peel unrolled PER LEVEL k=3..6, each level
     // starting from the previous level's converged survivors; dropped
     // edges are labeled k-1, kMax survivors labeled kMax ("6+"); one
@@ -2296,6 +2370,9 @@ object SparkEntry {
           "UNION ALL SELECT c3 FROM q UNION ALL SELECT d4 FROM q) GROUP BY id"),
       "q81_ktruss" -> ktrussSql,
       "q152_trussness" -> trussnessSql,
+      "q163_scc" -> sccSql,
+      "q164_condensation" -> condensationSql,
+      "q165_directed_triads" -> directedTriadsSql,
       // substring-level dedup: the oracle replays the span pipeline on
       // shingle STRINGS (the Spark side shuffles 64-bit fingerprints —
       // identical output absent a 2⁻⁶⁵-class collision)

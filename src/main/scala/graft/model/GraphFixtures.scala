@@ -76,6 +76,50 @@ object GraphFixtures {
       .distinct()
   }
 
+  /** D — DIRECTED part graph (the directed-analytics fixture: SCC,
+    * condensation, directed motifs). Two edge families:
+    *
+    *  1. Per-order cycles: each order's lineitems (sorted by
+    *     l_linenumber, part id as tiebreak) form a directed cycle over
+    *     their parts — line i's part → line i+1's part, last → first.
+    *     Orders that share a part merge their cycles into one strongly
+    *     connected component.
+    *  2. Customer chains: each customer's filtered orders (by
+    *     o_orderdate then o_orderkey) chain head-to-head — the first
+    *     part of one order → the first part of the customer's next
+    *     order. These are the inter-SCC DAG edges (they only form new
+    *     cycles when chains collide on shared parts).
+    *
+    * Orders are filtered to o_orderkey % orderMod == 0 (pushed to the
+    * scan); self-edges dropped, distinct pairs. At scale both families
+    * are one window over the order key / customer key — a single
+    * shuffle each, no self-join.
+    */
+  def directedParts(spark: SparkSession, dir: String,
+                    orderMod: Long = 20L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_orderkey") % orderMod === 0)
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_partkey").as("p"))
+    val w = Window.partitionBy("ok").orderBy("ln", "p")
+    val cyc = li.select(col("p").as("src"),
+      coalesce(lead("p", 1).over(w), first("p").over(w)).as("dst"))
+    val firsts = li.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).select(col("ok"), col("p").as("fp"))
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderkey") % orderMod === 0)
+      .select(col("o_orderkey").as("ok"), col("o_custkey"), col("o_orderdate"))
+    val wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "ok")
+    val chain = firsts.join(ord, Seq("ok"))
+      .select(col("fp").as("src"), lead("fp", 1).over(wc).as("dst"))
+      .where(col("dst").isNotNull)
+    cyc.unionByName(chain)
+      .where(col("src") =!= col("dst"))
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+  }
+
   /** CW — co-purchase edges tagged with the tumbling event-time window
     * (epoch-aligned, `sizeSec` seconds) of their order's o_orderdate.
     * Distinct per (win, src, dst): an edge exists in a window iff some

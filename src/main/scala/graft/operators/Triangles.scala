@@ -538,6 +538,47 @@ object Triangles {
       .select(explode(array(col("a"), col("b"))).as("id"), col("bf"))
       .groupBy("id").agg(sum("bf").cast("long").as("butterfly_degree"))
 
+  /** Directed triad census over a directed edge set — the
+    * motif-analysis counterpart of [[globalCount]] for graphs where
+    * direction carries meaning (who-follows-whom, dependency edges):
+    * one row `(n_edges, n_reciprocal, cycle_triangles, ffl_triangles)`.
+    *
+    *  - `n_reciprocal`: edges whose reverse also exists (reciprocity's
+    *    numerator) — a self-semi-join on the flipped pair.
+    *  - `cycle_triangles`: directed 3-cycles a→b→c→a over distinct
+    *    vertices, counted once per cyclic orientation via the unique
+    *    min-vertex rotation (a < b, a < c) — no orientation trick
+    *    applies to directed cycles, but the two chained equi-joins
+    *    shuffle on single vertex keys and AQE handles the skew.
+    *  - `ffl_triangles`: feed-forward triples a→b, b→c, a→c with
+    *    distinct vertices — roles (source/middle/sink) are fixed, so
+    *    each triple counts exactly once without canonicalization.
+    *
+    * All three counts ride the SAME deduplicated edge checkpoint; the
+    * joins are vertex-keyed shuffles (no cross product anywhere).
+    */
+  def directedTriadCensus(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .cutLineage()
+    val nEdges = e.select(count(lit(1)).as("n_edges"))
+    val nRecip = e.join(e.toDF("v", "u"), Seq("u", "v"), "left_semi")
+      .select(count(lit(1)).as("n_reciprocal"))
+    val ab = e.toDF("a", "b")
+    val bc = e.toDF("b", "c")
+    val wedges = ab.join(bc, Seq("b")).where(col("a") =!= col("c"))
+    val cycles = wedges
+      .join(e.toDF("c", "a"), Seq("c", "a"), "left_semi")
+      .where(col("a") < col("b") && col("a") < col("c"))
+      .select(count(lit(1)).as("cycle_triangles"))
+    val ffl = wedges
+      .join(e.toDF("a", "c"), Seq("a", "c"), "left_semi")
+      .select(count(lit(1)).as("ffl_triangles"))
+    nEdges.crossJoin(nRecip).crossJoin(cycles).crossJoin(ffl)
+  }
+
   def clusteringCoefficients(c: DataFrame): DataFrame = {
     val cc = c.cutLineage()
     val deg = cc.select(explode(array(col("src"), col("dst"))).as("id"))
