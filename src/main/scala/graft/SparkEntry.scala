@@ -1465,6 +1465,270 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(sum(size(TextStats.regexTokens(col("text")))).as("n_subwords"),
           sum(size(split(col("text"), " "))).as("n_words"))),
+    // TPC-H Q2 shape (reduced schema: lineitem stands in for partsupp;
+    // supply cost = min observed price in exact cents). The correlated
+    // MIN becomes agg-then-join; the filtered part set and the per-part
+    // minima are both small -> broadcast, so only the cost aggregation
+    // shuffles (once, on (supplier, part))
+    "q166_tpch_q2" -> ((s, dir) => {
+      val cost = Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("cost_cents"))
+      val p = Tables.part(s, dir)
+        .where(col("p_size").between(10, 20) && col("p_type") === "LARGE")
+        .select("p_partkey")
+      val offers = cost.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val minCost = offers.groupBy(col("p_partkey").as("mk"))
+        .agg(min("cost_cents").as("min_cost"))
+      offers.join(broadcast(minCost),
+          col("p_partkey") === col("mk") && col("cost_cents") === col("min_cost"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey").as("partkey"), col("s_name"), col("s_acctbal"),
+          col("n_name").as("nation"), col("cost_cents"))
+    }),
+    // TPC-H Q13: order-count distribution — the priority filter lives
+    // IN the left-join condition so zero-order customers survive with
+    // c_count = 0; two shuffles total (join key, then the tiny
+    // count-of-counts regroup)
+    "q167_tpch_q13" -> ((s, dir) => {
+      val ords = Tables.orders(s, dir)
+        .where(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .select("o_custkey", "o_orderkey")
+      Tables.customer(s, dir).select("c_custkey")
+        .join(ords, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count("*").as("custdist"))
+    }),
+    // TPC-H Q21 shape (reduced schema: 'kept waiting' = sole supplier
+    // with a returned lineitem on a multi-supplier order): the EXISTS
+    // is a left-semi and the NOT EXISTS a left-anti, both shuffling on
+    // l_orderkey only; supplier dim broadcast
+    "q168_tpch_q21" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+      val l1 = li.where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey").distinct()
+      val others = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val hasOther = l1.join(others,
+        col("l_orderkey") === col("ok") && col("l_suppkey") =!= col("sk"), "left_semi")
+      val othersR = li.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2")).distinct()
+      hasOther.join(othersR,
+          col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"), "left_anti")
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count("*").as("numwait"))
+    }),
+    // TPC-H Q22 shape: the scalar-average threshold is compared EXACTLY
+    // in integer cents (bal·n_pos > s_pos — no engine-specific float
+    // averaging at the boundary); the one-row aggregate broadcasts and
+    // the order probe is a left-anti on o_custkey
+    "q169_tpch_q22" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .withColumn("bal_cents", round(col("c_acctbal") * 100).cast("long"))
+      val thr = cust.where(col("c_acctbal") > 0)
+        .agg(sum("bal_cents").as("s_pos"), count("*").as("n_pos"))
+      val urgent = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      cust.crossJoin(broadcast(thr))
+        .where(col("bal_cents") * col("n_pos") > col("s_pos"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count("*").as("numcust"),
+          (sum("bal_cents") / 100.0).as("totacctbal"))
+    }),
+    // TPC-H Q16 shape: supplier-count distribution per part attribute;
+    // the NOT IN exclusion is a broadcast left-anti (6 rows), the part
+    // dim a broadcast join — the only shuffle is the distinct pair agg
+    "q170_tpch_q16" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_suppkey").distinct()
+      val p = Tables.part(s, dir)
+        .where(col("p_brand") =!= "Brand#15" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      val bad = Tables.supplier(s, dir)
+        .where(col("s_acctbal") < 0).select("s_suppkey")
+      ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+    }),
+    // TPC-H Q7: volume shipping between a nation pair (both directions).
+    // Fact-side joins shuffle on l_orderkey then o_custkey; supplier and
+    // both nation role dims broadcast; revenue in exact cents
+    "q171_tpch_q7" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .withColumn("cents",
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "cents")
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+      li.join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8") ||
+          (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum("cents").as("revenue_cents"))
+    }),
+    // TPC-H Q8: national market share inside a region's market per year.
+    // The share is reported in exact integer ppm (numerator*1e6 div
+    // denominator) plus both cent sums — no float averaging anywhere
+    "q172_tpch_q8" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("cents",
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+        .select("l_orderkey", "l_partkey", "l_suppkey", "cents")
+      val p = Tables.part(s, dir).where(col("p_type") === "PROMO").select("p_partkey")
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val custAsia = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA").select("c_custkey")
+      val sn = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("snk"))
+        .select("s_suppkey", "supp_nation")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(custAsia, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", col("cents")).otherwise(0L))
+            .as("nation_cents"),
+          sum("cents").as("total_cents"))
+        .withColumn("share_ppm",
+          expr("nation_cents * 1000000L div total_cents"))
+    }),
+    // TPC-H Q9 shape (reduced schema: p_retailprice stands in for
+    // ps_supplycost, l_shipdate's year for o_year): per-row profit in
+    // exact cents, part + supplier + nation dims all broadcast — the
+    // only shuffle is the final (nation, year) aggregation
+    "q173_tpch_q9" -> ((s, dir) => {
+      val p = Tables.part(s, dir).where(col("p_name").contains("widget"))
+        .withColumn("cost_cents", round(col("p_retailprice") * 100).cast("long"))
+        .select("p_partkey", "cost_cents")
+      val sn = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("profit_cents",
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long") -
+            col("cost_cents") * col("l_quantity").cast("long"))
+        .groupBy(col("nation"), year(col("l_shipdate")).cast("long").as("o_year"))
+        .agg(sum("profit_cents").as("sum_profit_cents"))
+    }),
+    // TPC-H Q11 shape (scale-free threshold: parts whose value exceeds
+    // the AVERAGE part value — value*n_parts > total, exact integers —
+    // instead of the SF-pinned 0.0001 fraction): per-part value from
+    // suppliers in one region, one-row global aggregate broadcast
+    "q174_tpch_q11" -> ((s, dir) => {
+      val regSupp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "AFRICA").select("s_suppkey")
+      val value = Tables.lineitem(s, dir)
+        .join(broadcast(regSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("value_cents"))
+      val tot = value.agg(sum("value_cents").as("total_cents"),
+        count("*").as("n_parts"))
+      value.crossJoin(broadcast(tot))
+        .where(col("value_cents") * col("n_parts") > col("total_cents"))
+        .select("partkey", "value_cents")
+    }),
+    // TPC-H Q12 shape (no l_shipmode — l_linestatus stands in): per
+    // mode, high- vs low-priority lineitem counts for a shipping year;
+    // one join shuffle on l_orderkey, then a two-row regroup
+    "q175_tpch_q12" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linestatus")
+      li.join(Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus").as("linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+            .as("low_line_count"))
+    }),
+    // TPC-H Q15: top supplier(s) by quarterly revenue — the revenue view
+    // is one grouped agg, the scalar MAX broadcasts back as a one-row
+    // join, equality is exact on integer cents
+    "q176_tpch_q15" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("total_revenue_cents"))
+      val mx = rev.agg(max("total_revenue_cents").as("max_cents"))
+      rev.crossJoin(broadcast(mx))
+        .where(col("total_revenue_cents") === col("max_cents"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey").as("suppkey"), col("s_name"), col("total_revenue_cents"))
+    }),
+    // TPC-H Q17: small-quantity-order revenue for one brand — the
+    // correlated per-part AVG becomes an agg-then-broadcast-join and the
+    // 0.2·avg comparison is exact on integers (qty·5·cnt < sum_qty);
+    // the single output row divides cents by the constant 700.0 only at
+    // the edge
+    "q177_tpch_q17" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .where(col("p_brand") === "Brand#3" && col("p_size") <= 10)
+        .select("p_partkey")
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val avgq = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum("qty").as("sum_qty"), count("*").as("cnt"))
+      li.join(broadcast(avgq), col("l_partkey") === col("pk"))
+        .where(col("qty") * 5 * col("cnt") < col("sum_qty"))
+        .agg(sum("cents").as("total_cents"))
+        .withColumn("avg_yearly", col("total_cents") / 700.0)
+    }),
+    // TPC-H Q20 shape (no partsupp availqty — a supplier "has excess
+    // stock" when it is the STRICT top shipper, by quantity, of a
+    // promoted part): two nested aggregations and two windows sharing
+    // ONE shuffle key (partkey); argmax + uniqueness exact on integer
+    // quantities
+    "q178_tpch_q20" -> ((s, dir) => {
+      val p = Tables.part(s, dir).where(col("p_name").startsWith("large"))
+        .select("p_partkey")
+      val perSupp = Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("supp_qty"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+      perSupp.withColumn("max_qty", max("supp_qty").over(w))
+        .where(col("supp_qty") === col("max_qty"))
+        .withColumn("n_at_max", count(lit(1)).over(w))
+        .where(col("n_at_max") === 1)
+        .select("l_suppkey").distinct()
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+    }),
   )
 
   /** DuckDB oracle SQL — identical aliases/semantics as the Spark plans. */
@@ -2507,6 +2771,169 @@ object SparkEntry {
           "AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
           "AND r_name = 'ASIA' AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01' " +
           "GROUP BY n_name"),
+      // TPC-H Q2 shape on the reduced schema (no partsupp table —
+      // lineitem stands in: supply cost = min observed price in exact
+      // cents per (supplier, part)); the correlated MIN subquery is the
+      // agg-then-join on the filtered part set
+      "q166_tpch_q2" ->
+        ("WITH cost AS (SELECT l_suppkey, l_partkey, " +
+          "MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_cents " +
+          "FROM lineitem GROUP BY 1, 2), " +
+          "p AS (SELECT p_partkey FROM part WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'), " +
+          "o AS (SELECT * FROM cost JOIN p ON l_partkey = p_partkey), " +
+          "m AS (SELECT p_partkey AS mk, MIN(cost_cents) AS min_cost FROM o GROUP BY 1) " +
+          "SELECT o.p_partkey AS partkey, s_name, s_acctbal, n_name AS nation, cost_cents " +
+          "FROM o JOIN m ON p_partkey = mk AND cost_cents = min_cost " +
+          "JOIN supplier ON l_suppkey = s_suppkey " +
+          "JOIN nation ON s_nationkey = n_nationkey"),
+      // TPC-H Q13: customer order-count distribution via a FILTERED
+      // left outer join (the filter lives in the join condition so
+      // zero-order customers survive)
+      "q167_tpch_q13" ->
+        ("SELECT c_count, COUNT(*) AS custdist FROM (" +
+          "SELECT c_custkey, COUNT(o_orderkey) AS c_count FROM customer " +
+          "LEFT JOIN orders ON c_custkey = o_custkey " +
+          "AND o_orderpriority <> '4-NOT SPECIFIED' " +
+          "GROUP BY c_custkey) GROUP BY c_count"),
+      // TPC-H Q21 shape on the reduced schema (no receipt/commit dates —
+      // 'kept waiting' becomes: sole supplier with a returned lineitem
+      // on a multi-supplier order): EXISTS + NOT EXISTS on the same
+      // fact with flipped correlation
+      "q168_tpch_q21" ->
+        ("WITH l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem " +
+          "WHERE l_returnflag = 'R') " +
+          "SELECT s_name, COUNT(*) AS numwait FROM l1 " +
+          "JOIN supplier ON l1.l_suppkey = s_suppkey " +
+          "WHERE EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey " +
+          "AND l2.l_suppkey <> l1.l_suppkey) " +
+          "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey " +
+          "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') " +
+          "GROUP BY s_name"),
+      // TPC-H Q22 shape: scalar-average threshold compared EXACTLY in
+      // integer cents (bal·n_pos > sum_pos sidesteps engine-specific
+      // float averaging) + anti join on urgent orders
+      "q169_tpch_q22" ->
+        ("WITH c AS (SELECT c_custkey, c_nationkey, " +
+          "CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents, c_acctbal FROM customer), " +
+          "t AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS s_pos, " +
+          "CAST(COUNT(*) AS BIGINT) AS n_pos FROM c WHERE c_acctbal > 0) " +
+          "SELECT c_nationkey AS nationkey, COUNT(*) AS numcust, " +
+          "SUM(bal_cents) / 100.0 AS totacctbal " +
+          "FROM c, t WHERE bal_cents * n_pos > s_pos " +
+          "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+          "AND o_orderpriority = '1-URGENT') " +
+          "GROUP BY c_nationkey"),
+      // TPC-H Q16 shape: supplier-count distribution per part attribute
+      // with a NOT IN exclusion subquery (negative-acctbal suppliers
+      // stand in for the complaints filter)
+      "q170_tpch_q16" ->
+        ("SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt " +
+          "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps " +
+          "JOIN part ON p_partkey = l_partkey " +
+          "WHERE p_brand <> 'Brand#15' AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45) " +
+          "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+          "GROUP BY 1, 2, 3"),
+      // TPC-H Q7: nation-pair volume shipping, revenue in exact cents
+      "q171_tpch_q7" ->
+        ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+          "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+          "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "JOIN supplier ON l_suppkey = s_suppkey " +
+          "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+          "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+          "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
+          "AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8') " +
+          "OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')) " +
+          "GROUP BY 1, 2, 3"),
+      // TPC-H Q8: market share per year in exact integer ppm
+      "q172_tpch_q8" ->
+        ("WITH f AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+          "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents, " +
+          "(SELECT n_name FROM nation WHERE n_nationkey = s_nationkey) AS supp_nation " +
+          "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+          "JOIN orders ON l_orderkey = o_orderkey " +
+          "JOIN supplier ON l_suppkey = s_suppkey " +
+          "WHERE p_type = 'PROMO' " +
+          "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' " +
+          "AND EXISTS (SELECT 1 FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+          "JOIN region ON n_regionkey = r_regionkey " +
+          "WHERE c_custkey = o_custkey AND r_name = 'ASIA')) " +
+          "SELECT o_year, " +
+          "CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS BIGINT) AS nation_cents, " +
+          "CAST(SUM(cents) AS BIGINT) AS total_cents, " +
+          "CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) * 1000000 AS BIGINT) " +
+          "// CAST(SUM(cents) AS BIGINT) AS share_ppm " +
+          "FROM f GROUP BY 1"),
+      // TPC-H Q9 shape: profit in exact cents (p_retailprice stands in
+      // for ps_supplycost, shipdate year for o_year)
+      "q173_tpch_q9" ->
+        ("SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year, " +
+          "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) " +
+          "- CAST(ROUND(p_retailprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_profit_cents " +
+          "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+          "JOIN supplier ON l_suppkey = s_suppkey " +
+          "JOIN nation ON s_nationkey = n_nationkey " +
+          "WHERE p_name LIKE '%widget%' " +
+          "GROUP BY 1, 2"),
+      // TPC-H Q11 shape: above-average part values from one region's
+      // suppliers (value*n_parts > total — scale-free, exact integers)
+      "q174_tpch_q11" ->
+        ("WITH v AS (SELECT l_partkey AS partkey, " +
+          "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents " +
+          "FROM lineitem WHERE l_suppkey IN " +
+          "(SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+          "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'AFRICA') " +
+          "GROUP BY 1), " +
+          "t AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents, " +
+          "CAST(COUNT(*) AS BIGINT) AS n_parts FROM v) " +
+          "SELECT partkey, value_cents FROM v, t " +
+          "WHERE value_cents * n_parts > total_cents"),
+      // TPC-H Q12 shape: l_linestatus stands in for l_shipmode
+      "q175_tpch_q12" ->
+        ("SELECT l_linestatus AS linestatus, " +
+          "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+          "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
+          "GROUP BY 1"),
+      // TPC-H Q15: top supplier(s) by quarterly revenue, exact-cent MAX
+      "q176_tpch_q15" ->
+        ("WITH rev AS (SELECT l_suppkey, " +
+          "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_revenue_cents " +
+          "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+          "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) " +
+          "SELECT s_suppkey AS suppkey, s_name, total_revenue_cents " +
+          "FROM rev JOIN supplier ON l_suppkey = s_suppkey " +
+          "WHERE total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM rev)"),
+      // TPC-H Q17: small-quantity revenue, the 0.2·avg test exact on
+      // integers (qty·5·cnt < sum_qty)
+      "q177_tpch_q17" ->
+        ("WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, " +
+          "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem " +
+          "WHERE l_partkey IN (SELECT p_partkey FROM part " +
+          "WHERE p_brand = 'Brand#3' AND p_size <= 10)), " +
+          "a AS (SELECT l_partkey AS pk, CAST(SUM(qty) AS BIGINT) AS sum_qty, " +
+          "CAST(COUNT(*) AS BIGINT) AS cnt FROM li GROUP BY 1) " +
+          "SELECT CAST(SUM(cents) AS BIGINT) AS total_cents, " +
+          "CAST(SUM(cents) AS BIGINT) / 700.0 AS avg_yearly " +
+          "FROM li JOIN a ON l_partkey = pk WHERE qty * 5 * cnt < sum_qty"),
+      // TPC-H Q20 shape: suppliers that are the strict (unique-argmax)
+      // top shipper of some promoted part
+      "q178_tpch_q20" ->
+        ("WITH ps AS (SELECT l_partkey, l_suppkey, " +
+          "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty " +
+          "FROM lineitem WHERE l_partkey IN " +
+          "(SELECT p_partkey FROM part WHERE p_name LIKE 'large%') GROUP BY 1, 2), " +
+          "mx AS (SELECT l_partkey AS pk, CAST(MAX(supp_qty) AS BIGINT) AS max_qty " +
+          "FROM ps GROUP BY 1), " +
+          "top AS (SELECT l_partkey, l_suppkey FROM ps JOIN mx " +
+          "ON l_partkey = pk AND supp_qty = max_qty), " +
+          "uniq AS (SELECT l_partkey FROM top GROUP BY 1 HAVING COUNT(*) = 1) " +
+          "SELECT DISTINCT s_suppkey AS suppkey, s_name " +
+          "FROM top JOIN uniq USING (l_partkey) " +
+          "JOIN supplier ON l_suppkey = s_suppkey"),
       "q84_stream_join" ->
         ("WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tu, " +
           "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), " +
