@@ -1729,6 +1729,25 @@ object SparkEntry {
         .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey").as("suppkey"), col("s_name"))
     }),
+    // fixed-length audio segmentation through the REAL RIFF/WAVE decoder
+    // (the VAD / ASR-chunking primitive): whole 128-frame chunks with
+    // exact integer energy stats — per-partition decode, no shuffle
+    "q179_audio_chunks" -> ((s, dir) =>
+      Multimodal.audioChunks(
+        Multimodal.syntheticAudio(Tables.documents(s, dir)).toDF(), 128)),
+    // shot-boundary detection: consecutive sampled keyframes through the
+    // REAL container walk + decoder, exact aHash Hamming jumps ≥ 16 bits
+    // flagged as cuts; every consecutive pair emitted with its distance
+    "q180_shot_boundaries" -> ((s, dir) =>
+      Multimodal.shotBoundaries(
+        Multimodal.keyframeHashes(
+          Multimodal.sampleKeyframes(
+            Multimodal.syntheticVideos(Tables.documents(s, dir)).toDF(), 2)), 16)),
+    // CDC latest-value-per-key parity: keyed 32 B/key state replayed over
+    // an event-time-ordered stream in update mode — the changelog's last
+    // row per key must equal the batch argmax-by-(ts, event_id) answer
+    "q181_latest_per_key" -> ((s, dir) =>
+      graft.streaming.StreamingOps.replayLatestPerKey(Tables.events(s, dir))),
   )
 
   /** DuckDB oracle SQL — identical aliases/semantics as the Spark plans. */
@@ -2934,6 +2953,51 @@ object SparkEntry {
           "SELECT DISTINCT s_suppkey AS suppkey, s_name " +
           "FROM top JOIN uniq USING (l_partkey) " +
           "JOIN supplier ON l_suppkey = s_suppkey"),
+      // audio chunking: the q144 sample formula grouped into whole
+      // 128-frame chunks (every synthetic length is a multiple of 256,
+      // so no partial-tail case arises here; the operator drops tails)
+      "q179_audio_chunks" ->
+        ("WITH s AS (SELECT d.doc_id, p.i // 128 AS c, " +
+          "((d.doc_id * 37 + p.i * 17) % 65536) - 32768 AS v " +
+          "FROM documents d, range(1024) p(i) WHERE p.i < ((d.doc_id % 4) + 1) * 256) " +
+          "SELECT doc_id AS id, CAST(c AS BIGINT) AS chunk_no, " +
+          "CAST(128 AS BIGINT) AS n_frames, CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs, " +
+          "CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs FROM s GROUP BY doc_id, c"),
+      // shot boundaries: q145's per-frame aHash CTEs, then LAG pairs +
+      // exact Hamming with the 16-bit cut threshold
+      "q180_shot_boundaries" ->
+        ("WITH fr AS (SELECT d.doc_id, f.f FROM documents d, range(8) f(f) " +
+          "WHERE f.f < (d.doc_id % 5) + 3 AND f.f % 2 = 0), " +
+          "px AS (SELECT doc_id, f, p.i, CAST((doc_id * 31 + f * 17 + " +
+          "(2 * (p.i // 8)) * 16 + 2 * (p.i % 8)) % 256 AS BIGINT) AS g " +
+          "FROM fr, range(64) p(i)), " +
+          "s AS (SELECT doc_id, f, SUM(g) AS sm FROM px GROUP BY 1, 2), " +
+          "bits AS (SELECT px.doc_id, px.f, px.i, " +
+          "CASE WHEN 64 * px.g >= s.sm THEN 1 ELSE 0 END AS b " +
+          "FROM px JOIN s ON s.doc_id = px.doc_id AND s.f = px.f), " +
+          "h AS (SELECT doc_id, f, " +
+          "CAST(SUM(CASE WHEN i < 32 THEN b * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS lo, " +
+          "CAST(SUM(CASE WHEN i >= 32 THEN b * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS hi " +
+          "FROM bits GROUP BY 1, 2), " +
+          "p AS (SELECT doc_id, f, lo, hi, " +
+          "LAG(f) OVER (PARTITION BY doc_id ORDER BY f) AS pf, " +
+          "LAG(lo) OVER (PARTITION BY doc_id ORDER BY f) AS plo, " +
+          "LAG(hi) OVER (PARTITION BY doc_id ORDER BY f) AS phi FROM h) " +
+          "SELECT doc_id AS id, CAST(pf AS BIGINT) AS from_frame, " +
+          "CAST(f AS BIGINT) AS to_frame, " +
+          "CAST(bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) AS BIGINT) AS hamming, " +
+          "CAST(CASE WHEN bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) >= 16 " +
+          "THEN 1 ELSE 0 END AS BIGINT) AS is_cut " +
+          "FROM p WHERE pf IS NOT NULL"),
+      // CDC latest per key: batch argmax by (ts, event_id) + event count
+      "q181_latest_per_key" ->
+        ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu, " +
+          "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), " +
+          "r AS (SELECT user_id, event_id, tu, cents, " +
+          "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tu DESC, event_id DESC) AS rn, " +
+          "COUNT(*) OVER (PARTITION BY user_id) AS n FROM e) " +
+          "SELECT user_id, CAST(tu AS BIGINT) AS last_tu, event_id AS last_event_id, " +
+          "cents AS last_cents, CAST(n AS BIGINT) AS n_events FROM r WHERE rn = 1"),
       "q84_stream_join" ->
         ("WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tu, " +
           "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), " +

@@ -618,6 +618,62 @@ object Multimodal {
     }.toDF("id", "sample_rate", "n_samples", "sum_abs", "peak_abs")
   }
 
+  /** Fixed-length audio segmentation (the VAD / ASR-chunking primitive):
+    * split each decoded signal into consecutive whole chunks of
+    * `chunkFrames` frames and emit exact integer energy stats per chunk
+    * — (id, chunk_no, n_frames, sum_abs, peak_abs), channel-agnostic
+    * like [[audioStats]]. A trailing partial chunk is DROPPED (whole
+    * chunks only — the same whole-units posture as the frame-truncation
+    * rule in [[decodePcm]]); callers wanting the tail pad upstream.
+    * Per-partition decode + local chunk loop: embarrassingly parallel,
+    * no shuffle, output rows ∝ total audio duration / chunk length.
+    */
+  def audioChunks(media: DataFrame, chunkFrames: Int): DataFrame = {
+    require(chunkFrames > 0, s"chunkFrames must be positive; got $chunkFrames")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      decodePcm(r.content).toSeq.flatMap { a =>
+        val frames = a.samples.length / a.channels
+        (0 until frames / chunkFrames).map { c =>
+          var sumAbs = 0L; var peak = 0L
+          var i = c * chunkFrames * a.channels
+          val end = (c + 1) * chunkFrames * a.channels
+          while (i < end) {
+            val v = math.abs(a.samples(i).toLong)
+            sumAbs += v; if (v > peak) peak = v
+            i += 1
+          }
+          (r.id, c.toLong, chunkFrames.toLong, sumAbs, peak)
+        }
+      }
+    }.toDF("id", "chunk_no", "n_frames", "sum_abs", "peak_abs")
+  }
+
+  /** Shot-boundary (cut) detection over [[keyframeHashes]] output: for
+    * each video, consecutive sampled keyframes are compared by exact
+    * aHash Hamming distance; a jump of ≥ `cutBits` differing bits marks
+    * a cut. Emits EVERY consecutive pair with its distance plus the
+    * 0/1 cut flag so downstream thresholds can be re-derived without a
+    * re-decode. One window over (id ORDER BY frame_no) — a single
+    * shuffle keyed on video id, state per video ∝ sampled frames, no
+    * pairwise blowup anywhere.
+    */
+  def shotBoundaries(hashes: DataFrame, cutBits: Int): DataFrame = {
+    require(cutBits >= 0 && cutBits <= 64, s"cutBits must be in [0, 64]; got $cutBits")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("frame_no")
+    hashes
+      .withColumn("from_frame", lag(col("frame_no"), 1).over(w))
+      .withColumn("p_lo", lag(col("h_lo"), 1).over(w))
+      .withColumn("p_hi", lag(col("h_hi"), 1).over(w))
+      .where(col("from_frame").isNotNull)
+      .select(col("id"), col("from_frame"), col("frame_no").as("to_frame"),
+        (bit_count(col("h_lo").bitwiseXOR(col("p_lo"))) +
+          bit_count(col("h_hi").bitwiseXOR(col("p_hi")))).cast("long").as("hamming"))
+      .withColumn("is_cut", when(col("hamming") >= cutBits, 1L).otherwise(0L))
+  }
+
   /** Frame sampling for OPAQUE `video` payloads: every `stride`-th
     * 64-byte slice of the payload stands in for a frame — the byte-
     * budget fallback when the payload is not a container this engine

@@ -875,6 +875,94 @@ object StreamingOps {
     }
   }
 
+  /** Per-key CDC state: the lexicographically-latest (event time, event
+    * id) observation's value plus the running event count — 32 B/key
+    * regardless of event volume, the compact-state discipline of the
+    * other summaries.
+    */
+  final case class KeyLatest(tu: Long, eventId: Long, cents: Long, n: Long)
+
+  /** CDC-style "latest value per key" (the materialized-upsert-view
+    * primitive): keyed state holds each key's latest observation by
+    * (event time, event id) lexicographic order — the id tiebreak makes
+    * same-timestamp updates deterministic — plus the event count. Each
+    * trigger emits one update row per TOUCHED key (update mode), so a
+    * downstream sink sees an upsert changelog whose last row per key is
+    * the current value. State is O(live keys), independent of stream
+    * length; at scale the groupByKey shuffle is the only exchange and
+    * keys spread uniformly unless the workload is single-key-hot (the
+    * standard skew caveat). Input columns: (user_id, event_id, tu,
+    * cents).
+    */
+  def streamingLatestPerKey(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("tu").cast("long"), col("cents").cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[KeyLatest]) =>
+          var st = state.getOption.getOrElse(
+            KeyLatest(Long.MinValue, Long.MinValue, 0L, 0L))
+          rows.foreach { case (_, eid, tu, cents) =>
+            val newer = tu > st.tu || (tu == st.tu && eid > st.eventId)
+            st =
+              if (newer) KeyLatest(tu, eid, cents, st.n + 1)
+              else st.copy(n = st.n + 1)
+          }
+          state.update(st)
+          Iterator.single((user, st.tu, st.eventId, st.cents, st.n))
+      }
+      .toDF("user_id", "last_tu", "last_event_id", "last_cents", "n_events")
+  }
+
+  /** Correctness-gate harness: replay the events table through a
+    * MemoryStream in EVENT-TIME order (the realistic CDC arrival order;
+    * the state logic itself is arrival-order-independent) across
+    * `nBatches` triggers of [[streamingLatestPerKey]]; the final update
+    * row per key — the one with the maximal running count — must equal
+    * the batch argmax-by-(ts, event_id) answer. Keys whose updates span
+    * triggers exercise the cross-batch state path.
+    */
+  def replayLatestPerKey(events: DataFrame, nBatches: Int = 4): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        expr("ts_ns div 1000").as("tu"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long)].collect()
+    rows.sortInPlaceBy(r => (r._3, r._2))
+    val stream = pinnedShuffleSession(spark, 8)
+    implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long, Long)]
+    val name = "graft_replay_lpk_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = replayCkpt("graft-replay-lpk")
+    val q = streamingLatestPerKey(
+        ms.toDF().toDF("user_id", "event_id", "tu", "cents"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(name).start()
+    try {
+      val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+      // the changelog's last row per key = the row with the maximal
+      // running count (n_events is strictly increasing per key)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      val fin = stream.table(name)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      spark.createDataset(fin.toIndexedSeq)
+        .toDF("user_id", "last_tu", "last_event_id", "last_cents", "n_events")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   /** Stateless per-document MinHash banding projection — the SAME hash
     * family and band keys as [[graft.functions.Dedup.minhashPairs]]
     * (shingle = n-gram of whitespace tokens; mh_s = min over shingles of

@@ -229,6 +229,65 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodePcm(stereoWav(Seq(1, 2), 2)).isEmpty) // block align ≠ channels×2
   }
 
+  test("audioChunks: whole chunks recompose the doc totals; partial tails drop") {
+    import spark.implicits._
+    val docs = Seq(0L, 3L, 5L).toDF("doc_id")
+    val wavs = Multimodal.syntheticAudio(docs).toDF()
+    val chunks = Multimodal.audioChunks(wavs, 128).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val stats = Multimodal.audioStats(wavs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // every synthetic length is a multiple of 128 → chunk count n/128,
+    // chunk sums recompose the doc sum, chunk peaks max to the doc peak
+    stats.foreach { case (id, (n, sumAbs, peak)) =>
+      val mine = chunks.filter(_._1._1 == id).values.toSeq
+      assert(mine.size.toLong === n / 128)
+      assert(mine.forall(_._1 == 128L))
+      assert(mine.map(_._2).sum === sumAbs)
+      assert(mine.map(_._3).max === peak)
+    }
+    // chunk boundaries are frame-exact: chunk 0 of doc 0 is the formula
+    // over i in [0, 128)
+    val vs = (0 until 128).map(i => math.abs(((0L * 37 + i * 17) % 65536) - 32768))
+    assert(chunks((0L, 0L)) === ((128L, vs.sum, vs.max.toLong)))
+    // a signal shorter than one chunk yields no rows (tail dropped), and
+    // a 1.5-chunk signal yields exactly the whole chunk
+    assert(Multimodal.audioChunks(wavs, 4096).collect().isEmpty)
+    val oneAndHalf = Multimodal.audioChunks(wavs.where(org.apache.spark.sql.functions.col("id") === 0L), 170)
+      .collect() // doc 0 has 256 frames → one whole 170-frame chunk
+    assert(oneAndHalf.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((0L, 0L)))
+  }
+
+  test("shotBoundaries: one row per consecutive sampled pair, exact Hamming") {
+    import spark.implicits._
+    val docs = Seq(0L, 1L, 2L, 3L, 4L).toDF("doc_id")
+    val hashes = Multimodal.keyframeHashes(
+      Multimodal.sampleKeyframes(Multimodal.syntheticVideos(docs).toDF(), 2))
+    val hs = hashes.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val rows = Multimodal.shotBoundaries(hashes, 16).collect()
+    // per video: sampled frames sorted; rows = consecutive pairs
+    val byVid = hs.keys.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted)
+    val expected = byVid.toSeq.flatMap { case (id, fs) =>
+      fs.zip(fs.drop(1)).map { case (a, b) =>
+        val (alo, ahi) = hs((id, a)); val (blo, bhi) = hs((id, b))
+        val ham = java.lang.Long.bitCount(alo ^ blo) + java.lang.Long.bitCount(ahi ^ bhi)
+        (id, a, b, ham.toLong, if (ham >= 16) 1L else 0L)
+      }
+    }.toSet
+    val got = rows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got === expected)
+    // pair counts follow the sampled-frame counts (doc 0 has 3 frames →
+    // sampled {0, 2} → 1 pair; doc 2 has 5 → sampled {0, 2, 4} → 2)
+    assert(rows.count(_.getLong(0) == 0L) === 1)
+    assert(rows.count(_.getLong(0) == 2L) === 2)
+    // and a one-sampled-frame input yields no rows at all
+    assert(Multimodal.shotBoundaries(
+      hashes.where(org.apache.spark.sql.functions.col("id") === 0L && org.apache.spark.sql.functions.col("frame_no") === 0L), 16).collect().isEmpty)
+  }
+
   test("resizeDecoded is true nearest-neighbor resampling, verified post-round-trip") {
     import spark.implicits._
     val docs = Seq(3L).toDF("doc_id")

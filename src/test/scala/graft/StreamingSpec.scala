@@ -640,4 +640,27 @@ class StreamingSpec extends SparkTestBase {
       assert(got == batch, s"nBatches=$nb: $got != $batch")
     }
   }
+
+  test("latest-per-key: batch-split independent, ties broken by event id") {
+    import spark.implicits._
+    // fixture: key 1 updated across batches (late event_id wins the ts
+    // tie), key 2 single-batch, key 3 updated in every batch
+    val ev = Seq(
+      (10L, 1L, 1000L, 5.00), (11L, 1L, 2000L, 6.00), (12L, 1L, 2000L, 7.00),
+      (20L, 2L, 1500L, 8.00),
+      (30L, 3L, 500L, 1.00), (31L, 3L, 1600L, 2.00), (32L, 3L, 2500L, 3.00))
+      .toDF("event_id", "user_id", "tu", "value")
+      .withColumn("ts_ns", col("tu") * 1000L)
+    val expected = Map(
+      1L -> (2000L, 12L, 700L, 3L), // ts tie at 2000 → event 12 wins
+      2L -> (1500L, 20L, 800L, 1L),
+      3L -> (2500L, 32L, 300L, 3L))
+    for (nb <- Seq(1, 3, 7)) {
+      val got = StreamingOps.replayLatestPerKey(ev, nBatches = nb)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      assert(got == expected, s"nBatches=$nb: $got")
+    }
+  }
 }
