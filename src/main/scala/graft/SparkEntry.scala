@@ -1748,6 +1748,11 @@ object SparkEntry {
     // row per key must equal the batch argmax-by-(ts, event_id) answer
     "q181_latest_per_key" -> ((s, dir) =>
       graft.streaming.StreamingOps.replayLatestPerKey(Tables.events(s, dir))),
+    // fastText-shape model-based quality scoring: hashed unigram+bigram
+    // feature buckets, exact integer linear score, sign threshold —
+    // pure codegen'd HOF projection, no explode/shuffle/UDF
+    "q182_quality_model" -> ((s, dir) =>
+      graft.functions.Corpus.qualityModelScores(Tables.documents(s, dir))),
   )
 
   /** DuckDB oracle SQL — identical aliases/semantics as the Spark plans. */
@@ -2998,6 +3003,25 @@ object SparkEntry {
           "COUNT(*) OVER (PARTITION BY user_id) AS n FROM e) " +
           "SELECT user_id, CAST(tu AS BIGINT) AS last_tu, event_id AS last_event_id, " +
           "cents AS last_cents, CAST(n AS BIGINT) AS n_events FROM r WHERE rn = 1"),
+      // hashing-trick quality model: md5-hex feature buckets + the
+      // multiplicative-hash weight formula replayed per token/bigram
+      "q182_quality_model" -> {
+        val wfun = "CAST(((CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT) % 4096) " +
+          "* 2654435761) % 2147483648 % 1001 AS BIGINT) - 500"
+        ("WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks " +
+          "FROM documents), " +
+          "f AS (SELECT doc_id, toks, CASE WHEN len(toks) >= 2 THEN " +
+          "list_transform(range(len(toks) - 1), i -> " +
+          "toks[CAST(i + 1 AS BIGINT)] || ' ' || toks[CAST(i + 2 AS BIGINT)]) " +
+          "ELSE CAST([] AS VARCHAR[]) END AS bgs FROM d), " +
+          "w AS (SELECT doc_id, len(toks) + len(bgs) AS n_feats, " +
+          s"list_sum(list_transform(toks, t -> $wfun)) AS su, " +
+          s"list_sum(list_transform(bgs, t -> $wfun)) AS sb FROM f) " +
+          "SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, " +
+          "CAST(COALESCE(su, 0) + COALESCE(sb, 0) AS BIGINT) AS score, " +
+          "CAST(CASE WHEN COALESCE(su, 0) + COALESCE(sb, 0) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep " +
+          "FROM w")
+      },
       "q84_stream_join" ->
         ("WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tu, " +
           "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), " +

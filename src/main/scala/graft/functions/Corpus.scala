@@ -465,4 +465,53 @@ object Corpus {
       .agg(count("*").as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         round(sum(col("n_tokens")).cast("double") / capacity, 6).as("fill_frac"))
   }
+
+  /** fastText-style hashing-trick feature bucket for a token (or any
+    * string feature): first 8 hex digits of md5, mod `buckets` —
+    * engine-portable (md5 is identical everywhere; no engine-specific
+    * string hash in the contract).
+    */
+  private def featBucket(t: org.apache.spark.sql.Column, buckets: Int) =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Deterministic per-bucket weight in [-500, 500]: the [[graft.Portable]]
+    * multiplicative-hash calculus folded to a signed integer. A trained
+    * model would broadcast its real weight array instead — the STUB is
+    * the weight VALUES, never the plumbing (hashing trick, n-gram
+    * features, integer linear score) — swap `bucketWeight` for an
+    * `element_at(lit(weights), bucket + 1)` lookup to deploy one.
+    */
+  private def bucketWeight(b: org.apache.spark.sql.Column) =
+    pmod(b * 2654435761L, lit(2147483648L)) % 1001L - 500L
+
+  /** Model-based quality scoring (the fastText classifier shape used by
+    * CCNet/LLaMA-style curation): whitespace unigrams + adjacent-pair
+    * bigrams are hashed into `buckets` feature slots; the document score
+    * is the exact integer sum of the slot weights and `keep` is the
+    * score's sign (the logistic threshold at p=0.5). Pure per-document
+    * projection built from codegen'd higher-order functions — no
+    * explode, no shuffle, no UDF; at 100 TB this runs at scan speed
+    * next to the other per-doc gates.
+    */
+  def qualityModelScores(docs: DataFrame, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets must be positive; got $buckets")
+    val toksC = filter(split(col("text"), " "), t => t =!= "")
+    val uni = transform(col("toks"), t => bucketWeight(featBucket(t, buckets)))
+    val big = transform(col("bigrams"), t => bucketWeight(featBucket(t, buckets)))
+    val sumArr = (a: org.apache.spark.sql.Column) =>
+      aggregate(a, lit(0L), (acc, x) => acc + x)
+    docs
+      .withColumn("toks", toksC)
+      .withColumn("bigrams",
+        when(size(col("toks")) >= 2,
+          zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array()))
+      .select(col("doc_id"),
+        (size(col("toks")) + size(col("bigrams"))).cast("long").as("n_feats"),
+        (sumArr(uni) + sumArr(big)).as("score"))
+      .withColumn("keep", when(col("score") >= 0, 1L).otherwise(0L))
+  }
 }

@@ -385,4 +385,34 @@ class CorpusSpec extends SparkTestBase {
     assert(r2 == Map(("sA", 0L) -> 2L, ("sA", 1L) -> 1L,
       ("sB", 0L) -> 2L, ("sB", 1L) -> 1L))
   }
+
+  test("qualityModelScores: exact integer linear score over hashed uni+bigrams") {
+    import spark.implicits._
+    // reference weight calc mirroring the distributed formula
+    def weight(feat: String, buckets: Int = 4096): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(feat.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val b = java.lang.Long.parseLong(hex, 16) % buckets
+      ((b * 2654435761L) % 2147483648L) % 1001L - 500L
+    }
+    val docs = Seq(
+      (1L, "alpha beta gamma"),       // 3 uni + 2 bi = 5 feats
+      (2L, "solo"),                   // 1 uni, no bigrams
+      (3L, ""),                       // no features at all
+      (4L, "  spaced   out  "))       // empty split tokens filtered
+      .toDF("doc_id", "text")
+    val got = Corpus.qualityModelScores(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val s1 = Seq("alpha", "beta", "gamma", "alpha beta", "beta gamma").map(weight(_)).sum
+    val s2 = weight("solo")
+    val s4 = Seq("spaced", "out", "spaced out").map(weight(_)).sum
+    assert(got(1L) === ((5L, s1, if (s1 >= 0) 1L else 0L)))
+    assert(got(2L) === ((1L, s2, if (s2 >= 0) 1L else 0L)))
+    assert(got(3L) === ((0L, 0L, 1L))) // featureless doc scores 0, kept
+    assert(got(4L) === ((3L, s4, if (s4 >= 0) 1L else 0L)))
+    // the plan is a pure projection: no exchange anywhere
+    val plan = Corpus.qualityModelScores(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "quality scoring must not shuffle")
+  }
 }
