@@ -210,6 +210,27 @@ object Sources {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Bucketed catalog table — the co-located-join layout for the 100 TB
+    * regime: two facts bucketed (and optionally sorted) on their join
+    * key with the SAME bucket count join with NO Exchange on either side
+    * — the shuffle happened once at write time and is amortized over
+    * every subsequent join/aggregation on that key (the classic
+    * fact-to-fact pattern: lineitem⋈orders on orderkey, events sessions
+    * by user, edges by src). `sortBy` additionally pre-sorts each bucket
+    * file so the sort-merge join's per-task Sort disappears too.
+    * Bucketing requires the session catalog (`saveAsTable`) — plain
+    * `.parquet(path)` writes lose the bucket metadata. The no-Exchange
+    * contract is spec-certified (SourcesSpec).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive; got $nBuckets")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.saveAsTable(table)
+  }
+
   /** Z-order (Morton-curve) layout writer — multi-dimensional file
     * skipping for the 100 TB regime. [[writePartitioned]]'s range layout
     * clusters ONE sort prefix: a filter on the second column alone
