@@ -1753,6 +1753,16 @@ object SparkEntry {
     // pure codegen'd HOF projection, no explode/shuffle/UDF
     "q182_quality_model" -> ((s, dir) =>
       graft.functions.Corpus.qualityModelScores(Tables.documents(s, dir))),
+    // q39's answer through the k-BOUNDED top-k Aggregator instead of the
+    // window: map-side combine caps the exchange at O(parts×groups×k)
+    // rows — the scale path as the oracle-checked path (q137's pattern)
+    "q183_topk_bounded" -> ((s, dir) =>
+      graft.functions.TopK.perGroup(
+        Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "lang", "n_tokens", "doc_id", 3)
+        .select("lang", "rnk", "doc_id", "n_tokens")),
   )
 
   /** DuckDB oracle SQL — identical aliases/semantics as the Spark plans. */
@@ -3655,6 +3665,12 @@ object SparkEntry {
           "SELECT user_id, CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_sessions, " +
           "COUNT(*) AS n_events FROM s GROUP BY user_id"),
       "q39_top_docs_per_lang" ->
+        ("WITH d AS (SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+          "r AS (SELECT lang, doc_id, n_tokens, ROW_NUMBER() OVER " +
+          "(PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS rnk FROM d) " +
+          "SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_tokens FROM r WHERE rnk <= 3"),
+      // the bounded-Aggregator path must produce the identical ranking
+      "q183_topk_bounded" ->
         ("WITH d AS (SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
           "r AS (SELECT lang, doc_id, n_tokens, ROW_NUMBER() OVER " +
           "(PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS rnk FROM d) " +

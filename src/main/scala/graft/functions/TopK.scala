@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded top-k per group — the scale-safe alternative to the window
+  * `row_number` idiom.
+  *
+  * `Window.partitionBy(g).orderBy(...)` + `rnk <= k` shuffles EVERY row
+  * of the table to its group's partition and sorts it there: at 100 TB
+  * the exchange carries the full fact table to answer a question whose
+  * result is k rows per group. This operator instead runs the selection
+  * as an [[Aggregator]] with a k-bounded buffer, so the map side already
+  * reduces each (input partition, group) to ≤ k candidates and the
+  * exchange carries O(partitions × groups × k) rows — independent of the
+  * table size. Same deterministic contract as the window form: order by
+  * (key DESC, id ASC), ties broken by the smaller id.
+  *
+  * The buffer is two parallel primitive arrays (the
+  * [[graft.summaries.SummaryCodecs]] wire-format discipline — no boxed
+  * pairs, no object headers on the shuffle).
+  */
+object TopK {
+
+  /** Buffer/output: parallel arrays sorted by (key desc, id asc), length ≤ k. */
+  final case class TopKBuf(keys: Array[Long], ids: Array[Long])
+
+  final class TopKAgg(k: Int) extends Aggregator[(Long, Long), TopKBuf, TopKBuf] {
+    require(k > 0, s"k must be positive; got $k")
+
+    // strict order: (key desc, id asc); true when (ka, ia) ranks before (kb, ib)
+    private def before(ka: Long, ia: Long, kb: Long, ib: Long): Boolean =
+      ka > kb || (ka == kb && ia < ib)
+
+    def zero: TopKBuf = TopKBuf(Array.emptyLongArray, Array.emptyLongArray)
+
+    def reduce(b: TopKBuf, x: (Long, Long)): TopKBuf = {
+      val n = b.keys.length
+      if (n == k && !before(x._1, x._2, b.keys(n - 1), b.ids(n - 1))) b
+      else {
+        var i = 0
+        while (i < n && before(b.keys(i), b.ids(i), x._1, x._2)) i += 1
+        val m = math.min(n + 1, k)
+        val ks = new Array[Long](m); val is = new Array[Long](m)
+        System.arraycopy(b.keys, 0, ks, 0, i)
+        System.arraycopy(b.ids, 0, is, 0, i)
+        ks(i) = x._1; is(i) = x._2
+        val tail = m - i - 1
+        if (tail > 0) {
+          System.arraycopy(b.keys, i, ks, i + 1, tail)
+          System.arraycopy(b.ids, i, is, i + 1, tail)
+        }
+        TopKBuf(ks, is)
+      }
+    }
+
+    def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+      val m = math.min(a.keys.length + b.keys.length, k)
+      val ks = new Array[Long](m); val is = new Array[Long](m)
+      var i = 0; var j = 0; var o = 0
+      while (o < m) {
+        val takeA = j >= b.keys.length || (i < a.keys.length &&
+          before(a.keys(i), a.ids(i), b.keys(j), b.ids(j)))
+        if (takeA) { ks(o) = a.keys(i); is(o) = a.ids(i); i += 1 }
+        else { ks(o) = b.keys(j); is(o) = b.ids(j); j += 1 }
+        o += 1
+      }
+      TopKBuf(ks, is)
+    }
+
+    def finish(r: TopKBuf): TopKBuf = r
+    def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  }
+
+  /** Top `k` rows per `group`, ordered by (`key` DESC, `id` ASC) —
+    * output (group, rnk, id, key), identical to the window-row_number
+    * form but with the k-bounded map-side combine described above.
+    */
+  def perGroup(df: DataFrame, group: String, key: String, id: String,
+               k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new TopKAgg(k)
+    df.select(col(group).cast("string"), col(key).cast("long"), col(id).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn)
+      .toDF(group, "topk")
+      .select(col(group), col("topk"),
+        posexplode(col("topk.keys")).as(Seq("pos", key)))
+      .withColumn("rnk", (col("pos") + 1).cast("long"))
+      .withColumn(id, expr(s"topk.ids[pos]"))
+      .select(col(group), col("rnk"), col(id), col(key))
+  }
+}
