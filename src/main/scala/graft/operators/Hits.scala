@@ -67,27 +67,34 @@ object Hits {
     val verts = e.select(col("u").as("id")).union(e.select(col("v")))
       .distinct().cutLineage()
 
+    // The loop tables are SPARSE: auths holds only vertices with ≥1
+    // in-edge, hubs (after round 1) only vertices with ≥1 out-edge. An
+    // absent row is a 0 score, and a 0 contributes nothing to either
+    // Σ — so dropping the per-round dense-vertex scaffold (two |V|
+    // left-joins + coalesce per round in the original formulation)
+    // changes NO value; the zeros are filled once, at the end. The
+    // normalizing max is likewise unchanged (max of non-negatives
+    // ignores absent zeros). q127's hash is the regression gate.
     var hubs = verts.withColumn("h", lit(Scale))
-    var auths = verts.withColumn("a", lit(0L))
+    var auths = verts.limit(0).withColumn("a", lit(0L))
     for (k <- 1 to iters) {
       val araw = eByU.join(hubs, eByU("u") === hubs("id"))
         .groupBy(col("v").as("id")).agg(sum("h").as("r"))
       val asum = araw.agg(max("r").as("t"))
-      auths = verts.join(araw, Seq("id"), "left").crossJoin(broadcast(asum))
-        .select(col("id"),
-          coalesce(expr("(r * " + Scale + ") div t"), lit(0L)).as("a"))
+      auths = araw.crossJoin(broadcast(asum))
+        .select(col("id"), expr("(r * " + Scale + ") div t").as("a"))
       val hraw = eByV.join(auths, eByV("v") === auths("id"))
         .groupBy(col("u").as("id")).agg(sum("a").as("r"))
       val hsum = hraw.agg(max("r").as("t"))
-      hubs = verts.join(hraw, Seq("id"), "left").crossJoin(broadcast(hsum))
-        .select(col("id"),
-          coalesce(expr("(r * " + Scale + ") div t"), lit(0L)).as("h"))
+      hubs = hraw.crossJoin(broadcast(hsum))
+        .select(col("id"), expr("(r * " + Scale + ") div t").as("h"))
       if (k % 3 == 0 || k == iters) {
         auths = auths.cutLineage()
         hubs = hubs.cutLineage()
       }
     }
-    verts.join(hubs, Seq("id")).join(auths, Seq("id"))
-      .select(col("id"), col("h").as("hub_mu"), col("a").as("auth_mu"))
+    verts.join(hubs, Seq("id"), "left").join(auths, Seq("id"), "left")
+      .select(col("id"), coalesce(col("h"), lit(0L)).as("hub_mu"),
+        coalesce(col("a"), lit(0L)).as("auth_mu"))
   }
 }

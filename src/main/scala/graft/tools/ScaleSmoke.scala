@@ -573,6 +573,64 @@ object ScaleSmoke {
       }
     }
 
+    if (mode == "tier2topk") {
+      // Bounded top-k per group vs the window idiom at 10M rows / 1k
+      // groups (q183's scale claim): the window exchange carries all
+      // 10M rows to rank 5k of them; the Aggregator's map-side combine
+      // caps its exchange at parts × groups × k buffered rows. Both
+      // paths must agree exactly.
+      val rows = spark.range(10000000).select(
+        pmod(xxhash64(col("id")), lit(1000L)).cast("string").as("g"),
+        pmod(xxhash64(col("id"), lit(1)), lit(1000000L)).as("key"),
+        col("id").as("rid")).localCheckpoint(true)
+      println(s"[smoke] tier2topk corpus: ${rows.count()} rows, 1000 groups")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+        .orderBy(col("key").desc, col("rid").asc)
+      val viaWindow = tm("window row_number top-5 (10M rows)") {
+        rows.withColumn("rnk", row_number().over(w).cast("long"))
+          .where(col("rnk") <= 5).select("g", "rnk", "rid", "key")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      }
+      val viaAgg = tm("TopK.perGroup top-5 (10M rows)") {
+        graft.functions.TopK.perGroup(rows, "g", "key", "rid", 5)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      }
+      require(viaAgg == viaWindow, "bounded top-k diverged from the window answer")
+    }
+
+    if (mode == "tier2cdc") {
+      // CDC latest-per-key at 2M events over 100k keys in 8 triggers
+      // (q181's scale probe): per-trigger work ∝ batch + touched keys,
+      // state 32 B/key. The replay answer must equal the batch argmax.
+      import spark.implicits._
+      val n = 2000000L
+      val ev = spark.range(n).select(
+        col("id").as("event_id"),
+        pmod(xxhash64(col("id")), lit(100000L)).as("user_id"),
+        pmod(xxhash64(col("id"), lit(3)), lit(10000000L)).as("tu"),
+        (pmod(xxhash64(col("id"), lit(5)), lit(100000L)).cast("double") / 100).as("value"))
+        .withColumn("ts_ns", col("tu") * 1000L)
+        .localCheckpoint(true)
+      println(s"[smoke] tier2cdc corpus: ${ev.count()} events, 100k keys")
+      val got = tm("replayLatestPerKey 8 triggers (2M events)") {
+        graft.streaming.StreamingOps.replayLatestPerKey(ev, nBatches = 8)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+      }
+      val expected = tm("batch argmax (2M events)") {
+        val w2 = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("tu").desc, col("event_id").desc)
+        ev.withColumn("rn", row_number().over(w2))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+          .where(col("rn") === 1)
+          .select("user_id", "tu", "event_id", "n")
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      }
+      require(got == expected, "streaming CDC diverged from the batch argmax")
+    }
+
     if (mode == "tier2ingest") {
       // Per-trigger ingest parallelism of the running summaries (VERDICT
       // r6 item 1's "done" evidence): the same 4M-edge trigger over a
