@@ -4,18 +4,27 @@ import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
-/** Bounded top-k per group — the scale-safe alternative to the window
-  * `row_number` idiom.
+/** Bounded top-k per group as an [[Aggregator]] with a k-bounded buffer:
+  * the map side reduces each (input partition, group) to ONE buffered
+  * row of ≤ k candidates, so the exchange carries O(partitions × groups)
+  * array rows independent of table size.
   *
-  * `Window.partitionBy(g).orderBy(...)` + `rnk <= k` shuffles EVERY row
-  * of the table to its group's partition and sorts it there: at 100 TB
-  * the exchange carries the full fact table to answer a question whose
-  * result is k rows per group. This operator instead runs the selection
-  * as an [[Aggregator]] with a k-bounded buffer, so the map side already
-  * reduces each (input partition, group) to ≤ k candidates and the
-  * exchange carries O(partitions × groups × k) rows — independent of the
-  * table size. Same deterministic contract as the window form: order by
-  * (key DESC, id ASC), ties broken by the smaller id.
+  * Honest relationship to the window idiom: Spark's own
+  * `InferWindowGroupLimit` rule (3.5+) ALREADY bounds the
+  * `row_number() ≤ k` window's exchange to ≤ partitions × groups × k
+  * records (tier2topk measured 160k records for a 10M-row table — not
+  * 10M), so the window form is not the full-table-shuffle trap it was
+  * pre-3.5. What the Aggregator form still buys:
+  *   - k× fewer shuffle records (one parallel-array row per
+  *     partition×group instead of k individual rows; measured 32k vs
+  *     160k at k=5);
+  *   - it COMPOSES — `agg(topk, count, sum, …)` answers the ranking
+  *     alongside other aggregates in the same single shuffle, where the
+  *     window-limit rule only fires for the standalone ranking query;
+  *   - it runs in Update-mode streaming aggregations, where window
+  *     functions are unsupported.
+  * Same deterministic contract as the window form: order by (key DESC,
+  * id ASC), ties broken by the smaller id.
   *
   * The buffer is two parallel primitive arrays (the
   * [[graft.summaries.SummaryCodecs]] wire-format discipline — no boxed

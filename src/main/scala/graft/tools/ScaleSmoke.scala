@@ -578,7 +578,27 @@ object ScaleSmoke {
       // groups (q183's scale claim): the window exchange carries all
       // 10M rows to rank 5k of them; the Aggregator's map-side combine
       // caps its exchange at parts × groups × k buffered rows. Both
-      // paths must agree exactly.
+      // paths must agree exactly. Shuffle records/bytes are read from a
+      // dedicated listener with a drain wait (the shared tm counter can
+      // race the async listener bus on short jobs).
+      val sRec = new java.util.concurrent.atomic.AtomicLong()
+      val sByt = new java.util.concurrent.atomic.AtomicLong()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          sRec.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          sByt.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+      def measured[A](label: String)(f: => A): A = {
+        Thread.sleep(2000)
+        val r0 = sRec.get(); val b0 = sByt.get(); val t0 = System.nanoTime()
+        val r = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000) // drain the listener bus before reading deltas
+        println(f"[smoke] $label%-40s $dt%8.1f s  shuffleRecords=${sRec.get() - r0}%,d  shuffleBytes=${(sByt.get() - b0) / 1e6}%.1f MB")
+        r
+      }
       val rows = spark.range(10000000).select(
         pmod(xxhash64(col("id")), lit(1000L)).cast("string").as("g"),
         pmod(xxhash64(col("id"), lit(1)), lit(1000000L)).as("key"),
@@ -586,13 +606,13 @@ object ScaleSmoke {
       println(s"[smoke] tier2topk corpus: ${rows.count()} rows, 1000 groups")
       val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
         .orderBy(col("key").desc, col("rid").asc)
-      val viaWindow = tm("window row_number top-5 (10M rows)") {
+      val viaWindow = measured("window row_number top-5 (10M rows)") {
         rows.withColumn("rnk", row_number().over(w).cast("long"))
           .where(col("rnk") <= 5).select("g", "rnk", "rid", "key")
           .collect()
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       }
-      val viaAgg = tm("TopK.perGroup top-5 (10M rows)") {
+      val viaAgg = measured("TopK.perGroup top-5 (10M rows)") {
         graft.functions.TopK.perGroup(rows, "g", "key", "rid", 5)
           .collect()
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
