@@ -55,10 +55,6 @@ object SparkEntry {
     * unpersist — they must skip the pinned ones. Build intermediates are
     * released immediately; only the final relation stays pinned.
     */
-  private val adjCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, Int)]()
-  private val adjUses =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Integer]()
   // pins are keyed by (session identity, rdd id): RDD ids restart per
   // SparkContext, so a stale id from a stopped session must never shield
   // an unrelated RDD in a later one (ADVICE r3)
@@ -74,53 +70,81 @@ object SparkEntry {
     out
   }
 
-  private def c10Adjacency(s: SparkSession, dir: String): DataFrame = {
-    val sid = System.identityHashCode(s)
-    val key = (sid, dir)
-    val (df, cpId) = adjCache.computeIfAbsent(key, _ => {
-      val before = s.sparkContext.getPersistentRDDs.keySet
-      val cp = Triangles.adjacency(GraphFixtures.coPurchase(s, dir)).localCheckpoint(true)
-      // pin the checkpoint's OWN rdd, read off its LogicalRDD plan — no
-      // diff-the-global-set heuristic that concurrent persists could
-      // misdirect at an unrecomputable block (ADVICE r3)
-      val id = org.apache.spark.sql.graftbridge.PlanBridge.checkpointRddId(cp)
-        .getOrElse(sys.error("eager localCheckpoint did not produce a LogicalRDD plan"))
-      pinned.add((sid, id))
-      // release the build's internal checkpoints. The sweep set is
-      // snapshot-diffed, so under concurrency it can contain OTHER
-      // threads' blocks — filter it against the global pin set (all
-      // sessions'), because a concurrent thread's eager localCheckpoint
-      // is unrecomputable and must never be swept; what remains is
-      // recomputable and a redundant unpersist is harmless
-      val pinnedNow = new java.util.HashSet[Int]()
-      pinned.forEach(t => pinnedNow.add(t._2))
-      (s.sparkContext.getPersistentRDDs.keySet -- before - id)
-        .filterNot(pinnedNow.contains)
-        .foreach(i =>
-          s.sparkContext.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
-      // a memo orphaned by an unpaired run (e.g. SPARK_GRAFT_ONLY=q14
-      // alone) is dropped when its context stops, releasing the pin
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          adjCache.remove(key); adjUses.remove(key); pinned.remove((sid, id))
-        }
+  /** Generic session-scoped cross-query memo with the pin/sweep
+    * discipline documented above: `build` runs once per (session, dir),
+    * the result is eagerly checkpointed and PINNED against the
+    * harness's between-query unpersist sweep, and after `maxUses`
+    * consumers have built their plans the pin is dropped so the sweep
+    * reclaims the blocks (a memo left resident GC-pressures every later
+    * query — measured on q50: 5.8 s isolated vs 16.5 s with a resident
+    * memo).
+    */
+  private final class CrossQueryMemo(maxUses: Int,
+      build: (SparkSession, String) => DataFrame) {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, Int)]()
+    private val uses =
+      new java.util.concurrent.ConcurrentHashMap[(Int, String), Integer]()
+
+    def apply(s: SparkSession, dir: String): DataFrame = {
+      val sid = System.identityHashCode(s)
+      val key = (sid, dir)
+      val (df, cpId) = cache.computeIfAbsent(key, _ => {
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val cp = build(s, dir).localCheckpoint(true)
+        // pin the checkpoint's OWN rdd, read off its LogicalRDD plan — no
+        // diff-the-global-set heuristic that concurrent persists could
+        // misdirect at an unrecomputable block (ADVICE r3)
+        val id = org.apache.spark.sql.graftbridge.PlanBridge.checkpointRddId(cp)
+          .getOrElse(sys.error("eager localCheckpoint did not produce a LogicalRDD plan"))
+        pinned.add((sid, id))
+        // release the build's internal checkpoints. The sweep set is
+        // snapshot-diffed, so under concurrency it can contain OTHER
+        // threads' blocks — filter it against the global pin set (all
+        // sessions'), because a concurrent thread's eager localCheckpoint
+        // is unrecomputable and must never be swept; what remains is
+        // recomputable and a redundant unpersist is harmless
+        val pinnedNow = new java.util.HashSet[Int]()
+        pinned.forEach(t => pinnedNow.add(t._2))
+        (s.sparkContext.getPersistentRDDs.keySet -- before - id)
+          .filterNot(pinnedNow.contains)
+          .foreach(i =>
+            s.sparkContext.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
+        // a memo orphaned by an unpaired run (e.g. SPARK_GRAFT_ONLY=q14
+        // alone) is dropped when its context stops, releasing the pin
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            cache.remove(key); uses.remove(key); pinned.remove((sid, id))
+          }
+        })
+        (cp, id)
       })
-      (cp, id)
-    })
-    // exactly two queries consume this memo (q14 + q15): once the second
-    // has BUILT its plan, unpin so the harness's between-query sweep
-    // reclaims the blocks right after it executes — a memo left resident
-    // for the rest of a bench run GC-pressures every later query
-    // (measured: q50 5.8 s isolated vs 16.5 s with the memo resident)
-    if (adjUses.merge(key, Int.box(1),
-        (a: Integer, b: Integer) => Int.box(a.intValue + b.intValue)).intValue >= 2) {
-      adjCache.remove(key)
-      adjUses.remove(key)
-      pinned.remove((sid, cpId))
+      if (uses.merge(key, Int.box(1),
+          (a: Integer, b: Integer) => Int.box(a.intValue + b.intValue))
+          .intValue >= maxUses) {
+        cache.remove(key)
+        uses.remove(key)
+        pinned.remove((sid, cpId))
+      }
+      df
     }
-    df
   }
+
+  // q14 + q15: two statistics over one oriented+adjacency relation
+  private val c10AdjMemo = new CrossQueryMemo(2,
+    (s, dir) => Triangles.adjacency(GraphFixtures.coPurchase(s, dir)))
+  // q163 + q164: the condensation re-reads q163's SCC decomposition.
+  // The decomposition is a union of ~|outer rounds| per-round checkpoint
+  // frames — coalesce before the memo's eager checkpoint so the pinned
+  // copy is a handful of blocks, not hundreds of near-empty partitions
+  private val directedSccMemo = new CrossQueryMemo(2,
+    (s, dir) => graft.operators.Scc.stronglyConnectedComponents(
+      GraphFixtures.directedParts(s, dir))
+      .coalesce(s.sparkContext.defaultParallelism))
+
+  private def c10Adjacency(s: SparkSession, dir: String): DataFrame =
+    c10AdjMemo(s, dir)
 
   /** Deterministic provenance URLs for the documents fixture (it ships
     * a `source` tag but no URL): every 10th doc gets an uppercase
@@ -879,14 +903,13 @@ object SparkEntry {
     // strongly connected components over the DIRECTED fixture (per-order
     // part cycles + customer order chains): trim + fused fwd/bwd
     // min-label peeling — the directed sibling of q28's iterative CC
-    "q163_scc" -> ((s, dir) =>
-      graft.operators.Scc.stronglyConnectedComponents(
-        GraphFixtures.directedParts(s, dir))),
+    "q163_scc" -> ((s, dir) => directedSccMemo(s, dir)),
     // condensation DAG of the SCC decomposition: per-component size and
-    // longest-path level (the scheduling depth of the component)
+    // longest-path level (the scheduling depth of the component); reads
+    // q163's decomposition from the session memo instead of re-peeling
     "q164_condensation" -> ((s, dir) =>
-      graft.operators.Scc.condensationLevels(
-        GraphFixtures.directedParts(s, dir))),
+      graft.operators.Scc.condensationLevelsFrom(
+        GraphFixtures.directedParts(s, dir), directedSccMemo(s, dir))),
     // directed triad census: reciprocity numerator + 3-cycles vs
     // feed-forward triangles — direction-aware motifs the undirected
     // triangle family cannot distinguish

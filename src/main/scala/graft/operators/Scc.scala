@@ -161,10 +161,18 @@ object Scc {
     * construction, so the longest path is finite; the cap is fail-loud
     * anyway).
     */
-  def condensationLevels(edges: DataFrame, maxDepth: Int = 60): DataFrame = {
+  def condensationLevels(edges: DataFrame, maxDepth: Int = 60): DataFrame =
+    condensationLevelsFrom(edges, stronglyConnectedComponents(edges), maxDepth)
+
+  /** [[condensationLevels]] over PRECOMPUTED SCC labels — callers that
+    * already ran the decomposition (q163/q164 share one via the
+    * session memo) skip recomputing it.
+    */
+  def condensationLevelsFrom(edges: DataFrame, sccLabels: DataFrame,
+                             maxDepth: Int = 60): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val scc = stronglyConnectedComponents(edges).cutLineage()
+    val scc = sccLabels.select(col("id"), col("scc")).cutLineage()
     val e = edges
       .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
     val ce = e
