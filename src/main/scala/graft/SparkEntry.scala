@@ -1786,6 +1786,11 @@ object SparkEntry {
             size(split(col("text"), " ")).cast("long").as("n_tokens")),
         "lang", "n_tokens", "doc_id", 3)
         .select("lang", "rnk", "doc_id", "n_tokens")),
+    // streaming leaderboard: COMPLETE-mode sort+limit over a running
+    // count — the sink holds the full current top-5 after every trigger;
+    // final ranking ≡ the batch answer, ties by smaller user id
+    "q184_streaming_topk" -> ((s, dir) =>
+      graft.streaming.StreamingOps.replayTopKByCount(Tables.events(s, dir), 5)),
   )
 
   /** DuckDB oracle SQL — identical aliases/semantics as the Spark plans. */
@@ -3692,6 +3697,14 @@ object SparkEntry {
           "r AS (SELECT lang, doc_id, n_tokens, ROW_NUMBER() OVER " +
           "(PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS rnk FROM d) " +
           "SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_tokens FROM r WHERE rnk <= 3"),
+      // streaming complete-mode leaderboard ≡ batch top-5 by count
+      "q184_streaming_topk" ->
+        ("WITH c AS (SELECT user_id, COUNT(*) AS n_events FROM events " +
+          "WHERE event_type = 'purchase' GROUP BY 1), " +
+          "r AS (SELECT user_id, n_events, ROW_NUMBER() OVER " +
+          "(ORDER BY n_events DESC, user_id) AS rnk FROM c) " +
+          "SELECT user_id, CAST(rnk AS BIGINT) AS rnk, CAST(n_events AS BIGINT) AS n_events " +
+          "FROM r WHERE rnk <= 5"),
       // the bounded-Aggregator path must produce the identical ranking
       "q183_topk_bounded" ->
         ("WITH d AS (SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +

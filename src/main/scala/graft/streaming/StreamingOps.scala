@@ -963,6 +963,54 @@ object StreamingOps {
     }
   }
 
+  /** Streaming top-k by running count, COMPLETE output mode — the one
+    * mode where Structured Streaming permits a global sort + limit over
+    * a streaming aggregate, so the sink holds the FULL current ranking
+    * after every trigger (the live-leaderboard primitive; contrast
+    * [[streamingLatestPerKey]]'s update-mode changelog, which never
+    * ranks). State is the per-key running count (16 B/key); the
+    * ranking itself is recomputed from state each trigger — complete
+    * mode's rewrite-the-result contract, priced for dashboards whose
+    * result is k rows, not for unbounded sinks. Ties break by smaller
+    * key, so the ranking is deterministic under any trigger split.
+    */
+  def replayTopKByCount(events: DataFrame, k: Int = 5,
+                        nBatches: Int = 4): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events.where(col("event_type") === "purchase")
+      .select(col("user_id").cast("long"), col("event_id").cast("long"))
+      .as[(Long, Long)].collect()
+    rows.sortInPlaceBy(_._2)
+    val stream = pinnedShuffleSession(spark, 8)
+    implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val name = "graft_replay_topk_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = replayCkpt("graft-replay-topk")
+    val ranked = ms.toDF().toDF("user_id", "event_id")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+      .limit(k)
+    val q = ranked.writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(name).start()
+    try {
+      val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+      // complete mode REPLACES the sink table each trigger — it already
+      // holds exactly the final ranking; stamp ranks on the k rows
+      val fin = stream.table(name)
+        .orderBy(col("n_events").desc, col("user_id").asc)
+        .as[(Long, Long)].collect()
+      spark.createDataset(fin.toIndexedSeq.zipWithIndex
+          .map { case ((u, n), i) => (u, (i + 1).toLong, n) })
+        .toDF("user_id", "rnk", "n_events")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   /** Stateless per-document MinHash banding projection — the SAME hash
     * family and band keys as [[graft.functions.Dedup.minhashPairs]]
     * (shingle = n-gram of whitespace tokens; mh_s = min over shingles of

@@ -641,6 +641,26 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming top-k leaderboard: batch-split independent, ties by smaller key") {
+    import spark.implicits._
+    // purchase counts: u1=3, u2=3 (tie -> u1 first), u3=2, u4=1, u5=1,
+    // u6=1 — the k=3 cut falls inside the tie group {u4,u5,u6}? No:
+    // top-3 is u1,u2,u3; k=4 would cut inside {4,5,6} -> u4 by id
+    val ev = Seq(
+      (1L, 1L, "purchase"), (2L, 1L, "purchase"), (3L, 1L, "purchase"),
+      (4L, 2L, "purchase"), (5L, 2L, "purchase"), (6L, 2L, "purchase"),
+      (7L, 3L, "purchase"), (8L, 3L, "purchase"),
+      (9L, 4L, "purchase"), (10L, 5L, "purchase"), (11L, 6L, "purchase"),
+      (12L, 9L, "click") // non-purchase never counts
+    ).toDF("event_id", "user_id", "event_type")
+    for (nb <- Seq(1, 4)) {
+      val got = StreamingOps.replayTopKByCount(ev, k = 4, nBatches = nb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === Seq((1L, 1L, 3L), (2L, 2L, 3L), (3L, 3L, 2L), (4L, 4L, 1L)),
+        s"nBatches=$nb: $got")
+    }
+  }
+
   test("latest-per-key: batch-split independent, ties broken by event id") {
     import spark.implicits._
     // fixture: key 1 updated across batches (late event_id wins the ts
