@@ -1791,6 +1791,12 @@ object SparkEntry {
     // final ranking ≡ the batch answer, ties by smaller user id
     "q184_streaming_topk" -> ((s, dir) =>
       graft.streaming.StreamingOps.replayTopKByCount(Tables.events(s, dir), 5)),
+    // EXACT-integer Lloyd's k-means (k=4, 3 iterations): micro-unit
+    // quantization, literal-broadcast centroids, argmin ties by smaller
+    // cid, truncating integer centroid means — bit-replayable clustering
+    // (the value-checked sibling of the recall-gated IVF/PQ k-means)
+    "q185_kmeans_exact" -> ((s, dir) =>
+      graft.functions.KMeans.clusterExact(Tables.embeddings(s, dir))),
   )
 
   /** DuckDB oracle SQL — identical aliases/semantics as the Spark plans. */
@@ -2014,6 +2020,44 @@ object SparkEntry {
     // MATERIALIZED is load-bearing: each round references the previous
     // round's edge set three times, and DuckDB inlines plain CTEs —
     // 12 rounds would otherwise expand into 3^12 scans of lineitem.
+    // Exact-integer k-means unrolled (q185): micro-unit quantization,
+    // per-iteration cross-join assignment (argmin by dist then cid) and
+    // truncating integer centroid means — `//` on signed BIGINTs
+    // truncates toward zero in DuckDB, matching Scala Long division
+    val kmeansSql = {
+      val D = 64; val K = 4; val I = 3
+      def dist(v: String, c: String) =
+        s"CAST(list_sum(list_transform(range($D), i -> " +
+          s"($v.e[CAST(i + 1 AS BIGINT)] - $c.c[CAST(i + 1 AS BIGINT)]) * " +
+          s"($v.e[CAST(i + 1 AS BIGINT)] - $c.c[CAST(i + 1 AS BIGINT)]))) AS BIGINT)"
+      val base =
+        "WITH v AS MATERIALIZED (SELECT vec_id, list_transform(embedding, " +
+          "x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e FROM embeddings), " +
+          "c0 AS MATERIALIZED (SELECT cid, c FROM (SELECT ROW_NUMBER() OVER " +
+          "(ORDER BY ((vec_id % 2147483648) * 2654435761) % 2147483648, vec_id) - 1 AS cid, " +
+          s"e AS c FROM v) WHERE cid < $K), "
+      val iters = (1 to I).map { n =>
+        s"d$n AS MATERIALIZED (SELECT v.vec_id, v.e, c.cid, ${dist("v", "c")} AS dist " +
+          s"FROM v, c${n - 1} c), " +
+          s"a$n AS MATERIALIZED (SELECT vec_id, e, cid FROM (SELECT *, ROW_NUMBER() OVER " +
+          s"(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d$n) WHERE rn = 1), " +
+          s"m$n AS MATERIALIZED (SELECT cid, r.i AS dim, " +
+          s"CAST(SUM(e[CAST(r.i + 1 AS BIGINT)]) AS BIGINT) AS s, " +
+          s"CAST(COUNT(*) AS BIGINT) AS cnt FROM a$n, range($D) r(i) GROUP BY 1, 2), " +
+          s"c$n AS MATERIALIZED (SELECT p.cid, COALESCE(nl.nc, p.c) AS c FROM c${n - 1} p " +
+          s"LEFT JOIN (SELECT cid, list(s // cnt ORDER BY dim) AS nc FROM m$n GROUP BY cid) nl " +
+          "ON nl.cid = p.cid)"
+      }.mkString(", ")
+      val fin =
+        s", df AS (SELECT v.vec_id, c.cid, ${dist("v", "c")} AS dist FROM v, c$I c), " +
+          "af AS (SELECT vec_id, cid, dist FROM (SELECT *, ROW_NUMBER() OVER " +
+          "(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM df) WHERE rn = 1), " +
+          s"cs AS (SELECT cid, CAST(list_sum(c) AS BIGINT) AS centroid_sum FROM c$I) " +
+          "SELECT af.cid, CAST(COUNT(*) AS BIGINT) AS n_members, cs.centroid_sum, " +
+          "CAST(SUM(af.dist) AS BIGINT) AS inertia " +
+          "FROM af JOIN cs ON cs.cid = af.cid GROUP BY af.cid, cs.centroid_sum"
+      base + iters + fin
+    }
     // HITS unrolled (q54's pattern): per round an authority sum + L∞
     // (max) normalization then a hub sum + normalization, all truncating
     // integer division of non-negative operands (`//` ≡ Spark `div`)
@@ -3697,6 +3741,7 @@ object SparkEntry {
           "r AS (SELECT lang, doc_id, n_tokens, ROW_NUMBER() OVER " +
           "(PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS rnk FROM d) " +
           "SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_tokens FROM r WHERE rnk <= 3"),
+      "q185_kmeans_exact" -> kmeansSql,
       // streaming complete-mode leaderboard ≡ batch top-5 by count
       "q184_streaming_topk" ->
         ("WITH c AS (SELECT user_id, COUNT(*) AS n_events FROM events " +
