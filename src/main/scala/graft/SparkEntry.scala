@@ -1797,6 +1797,16 @@ object SparkEntry {
     // (the value-checked sibling of the recall-gated IVF/PQ k-means)
     "q185_kmeans_exact" -> ((s, dir) =>
       graft.functions.KMeans.clusterExact(Tables.embeddings(s, dir))),
+    // incremental CC (the daily-update path): labels of the old 90% of
+    // the graph + a 10% edge delta → labels of the FULL graph without
+    // touching old edges — cost ∝ |V| + |delta|, not |E|; the oracle is
+    // the full-graph CC, so the equivalence itself is hash-checked
+    "q186_incremental_cc" -> ((s, dir) => {
+      val e = GraphFixtures.edgeStream(s, dir).select("src", "dst")
+      val tag = pmod(xxhash64(col("src"), col("dst")), lit(10L))
+      val labels = ConnectedComponents.iterative(e.where(tag =!= 7))
+      ConnectedComponents.incremental(labels, e.where(tag === 7))
+    }),
   )
 
   /** DuckDB oracle SQL — identical aliases/semantics as the Spark plans. */
@@ -3742,6 +3752,9 @@ object SparkEntry {
           "(PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS rnk FROM d) " +
           "SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_tokens FROM r WHERE rnk <= 3"),
       "q185_kmeans_exact" -> kmeansSql,
+      // the incremental path must equal CC of the FULL edge set
+      "q186_incremental_cc" -> ccOracle(
+        "SELECT DISTINCT l_partkey AS x, l_suppkey + 1000000000 AS y FROM lineitem"),
       // streaming complete-mode leaderboard ≡ batch top-5 by count
       "q184_streaming_topk" ->
         ("WITH c AS (SELECT user_id, COUNT(*) AS n_events FROM events " +

@@ -61,4 +61,27 @@ object ConnectedComponents {
     }
     labels.select(col("id"), col("l").as("component"))
   }
+
+  /** INCREMENTAL connected components — the daily-update path at
+    * 100 TB: given the PREVIOUS decomposition's labels `(id,
+    * component)` and a DELTA of new edges, produce the labels of the
+    * grown graph WITHOUT touching the old edge set.
+    *
+    * Correctness: a component's label edges `(id → component)` form a
+    * star that is connectivity-equivalent to the original component
+    * (every member reaches the root in one hop), and component roots
+    * are themselves member vertices — so CC over (label stars ∪ delta)
+    * equals CC over (old edges ∪ delta), with min-label outputs
+    * unchanged because the star preserves each component's member set.
+    * Cost: ∝ |V| + |delta| instead of |E| + |delta| — on a corpus
+    * where edges outnumber vertices 100:1, the daily recompute drops
+    * by that factor. Spec-pinned ≡ full recompute; q186 hash-checks it
+    * against the full-graph oracle.
+    */
+  def incremental(labels: DataFrame, delta: DataFrame, maxIter: Int = 50): DataFrame = {
+    val stars = labels.select(col("id").cast("long").as("src"),
+      col("component").cast("long").as("dst"))
+    iterative(stars.unionByName(delta.select(col("src").cast("long"),
+      col("dst").cast("long"))), maxIter)
+  }
 }

@@ -107,6 +107,24 @@ class SummarySpec extends SparkTestBase {
     assert(!graft.operators.Bipartiteness.iterative(c).head.getBoolean(0))
   }
 
+  test("incremental CC equals full recompute when the delta merges components") {
+    import spark.implicits._
+    // old graph: two separate chains {1-2-3} and {10-11}; a singleton 20
+    val old = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L)).toDF("src", "dst")
+    // delta: a bridge 3-10 (merges the chains) and a brand-new pair 30-31
+    val delta = Seq((3L, 10L), (30L, 31L)).toDF("src", "dst")
+    val labels = ConnectedComponents.iterative(old)
+    val inc = ConnectedComponents.incremental(labels, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = ConnectedComponents.iterative(old.unionByName(delta))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full)
+    // the merge actually happened: both chains share one min label…
+    assert(inc(11L) === 1L && inc(3L) === 1L)
+    // …new-in-delta vertices appear, and untouched components persist
+    assert(inc(30L) === 30L && inc(31L) === 30L && inc(20L) === 20L)
+  }
+
   test("sync label propagation finds the two planted cliques") {
     import spark.implicits._
     // two 4-cliques bridged by one edge: LPA should settle on one label
