@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.{GraphFixtures, Tables}
-import graft.operators.{ConnectedComponents, Multimodal, SummaryAggregations, Traversals, Triangles}
+import graft.operators.{ConnectedComponents, Multimodal, SpanningForest, SummaryAggregations, Traversals, Triangles}
 import graft.functions.{Dedup, Similarity, TextStats}
 
 /** Driver contract (SURVEY §2.9): every `queries` entry that also has an
@@ -1818,6 +1818,45 @@ object SparkEntry {
       val tag = pmod(pmod(pmod(col("src"), t31) * 31 + col("dst"), t31)
         * lit(2654435761L), t31) % 10
       Triangles.deltaTriangles(e.where(tag =!= 7), e.where(tag === 7))
+    }),
+    // Borůvka minimum spanning forest — STRUCTURE check: per component
+    // of the co-purchase graph, the MSF must contribute exactly
+    // n_vertices − 1 edges touching every vertex (spanning + acyclic +
+    // component-correct, all hash-checked against the CC oracle);
+    // minimality itself is spec-pinned ≡ in-JVM Kruskal and
+    // hash-checked by q189's threshold identity
+    "q188_msf_structure" -> ((s, dir) => {
+      val e = GraphFixtures.coPurchase10(s, dir)
+      val t31 = lit(2147483648L)
+      val ew = e.select(col("src"), col("dst"),
+        pmod(pmod(col("src") % t31 * 31 + col("dst"), t31)
+          * lit(2654435761L), t31).as("weight"))
+      val msf = SpanningForest.boruvka(ew)
+      val cc = ConnectedComponents.iterative(e)
+      val nv = cc.groupBy("component").agg(count("*").as("n_vertices"))
+      val me = msf.join(cc, msf("u") === cc("id"))
+        .groupBy("component").agg(count("*").as("e_cnt"))
+      val mv = msf.select(explode(array(col("u"), col("v"))).as("id"))
+        .join(cc, Seq("id"))
+        .groupBy("component").agg(countDistinct(col("id")).as("v_cnt"))
+      nv.join(me, Seq("component"), "left").join(mv, Seq("component"), "left")
+        .select(col("component"), col("n_vertices"),
+          coalesce(col("e_cnt"), lit(0L)).as("n_msf_edges"),
+          coalesce(col("v_cnt"), lit(0L)).as("n_msf_vertices"))
+    }),
+    // single-linkage clustering at τ through the MSF: clusters of
+    // "merge at weight ≤ τ" ≡ CC of the ORIGINAL edges with w ≤ τ —
+    // the defining connectivity-at-every-threshold property of a
+    // minimum spanning forest, so the oracle (which never sees the
+    // forest) hash-checks the MSF's CONTENT, not just its shape
+    "q189_single_linkage" -> ((s, dir) => {
+      val e = GraphFixtures.coPurchase10(s, dir)
+      val t31 = lit(2147483648L)
+      val ew = e.select(col("src"), col("dst"),
+        pmod(pmod(col("src") % t31 * 31 + col("dst"), t31)
+          * lit(2654435761L), t31).as("weight"))
+      val msf = SpanningForest.boruvka(ew)
+      SpanningForest.singleLinkage(ew, msf, 1073741824L)
     }),
   )
 
@@ -3779,6 +3818,35 @@ object SparkEntry {
           "JOIN c e2 ON e2.x = e1.y JOIN c e3 ON e3.x = e1.x AND e3.y = e2.y) " +
           "SELECT CAST(n_old AS BIGINT) AS n_old, CAST(n_total - n_old AS BIGINT) AS n_new, " +
           "CAST(n_total AS BIGINT) AS n_total FROM told, tfull"),
+      // MSF structure: a spanning forest of component C has exactly
+      // |C|−1 edges touching all |C| vertices — the oracle needs only
+      // the components (no singleton vertices exist in a co-purchase
+      // projection: every vertex arrives via an edge)
+      "q188_msf_structure" ->
+        (s"WITH RECURSIVE c AS ($copurchase10), " +
+          "sym AS (SELECT x AS a, y AS b FROM c UNION SELECT y, x FROM c), " +
+          "lbl(v, l) AS (SELECT DISTINCT a, a FROM sym " +
+          "UNION SELECT s.b, lbl.l FROM sym s JOIN lbl ON lbl.v = s.a AND lbl.l < s.b), " +
+          "comp AS (SELECT v, MIN(l) AS component FROM lbl GROUP BY v) " +
+          "SELECT component, COUNT(*) AS n_vertices, " +
+          "COUNT(*) - 1 AS n_msf_edges, COUNT(*) AS n_msf_vertices " +
+          "FROM comp GROUP BY component"),
+      // single-linkage ≡ CC over the weight-filtered ORIGINAL edges
+      // (the oracle replays the integer weight hash and never sees the
+      // Spark-side forest); isolated-at-τ vertices cluster as themselves
+      "q189_single_linkage" ->
+        (s"WITH RECURSIVE e0 AS ($copurchase10), " +
+          "c AS (SELECT x, y FROM e0 WHERE " +
+          "((((x % 2147483648) * 31 + y) % 2147483648) * 2654435761) % 2147483648 <= 1073741824), " +
+          "sym AS (SELECT x AS a, y AS b FROM c UNION SELECT y, x FROM c), " +
+          "lbl(v, l) AS (SELECT DISTINCT a, a FROM sym " +
+          "UNION SELECT s.b, lbl.l FROM sym s JOIN lbl ON lbl.v = s.a AND lbl.l < s.b), " +
+          "comp AS (SELECT v AS id, MIN(l) AS cluster FROM lbl GROUP BY v), " +
+          // explicit DISTINCT: inside a RECURSIVE with-clause DuckDB
+          // runs a plain UNION here with ALL semantics
+          "verts AS (SELECT DISTINCT id FROM (SELECT x AS id FROM e0 UNION ALL SELECT y FROM e0)) " +
+          "SELECT verts.id, COALESCE(comp.cluster, verts.id) AS cluster " +
+          "FROM verts LEFT JOIN comp ON comp.id = verts.id"),
       // streaming complete-mode leaderboard ≡ batch top-5 by count
       "q184_streaming_topk" ->
         ("WITH c AS (SELECT user_id, COUNT(*) AS n_events FROM events " +

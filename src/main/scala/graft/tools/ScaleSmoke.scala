@@ -707,6 +707,30 @@ object ScaleSmoke {
       }
     }
 
+    if (mode == "tier2msf") {
+      // Borůvka MSF on the uniform 10M-edge / 1M-vertex graph, verified
+      // AT SCALE by the τ=∞ single-linkage identity: the components of
+      // the forest must equal the components of the full graph — a
+      // non-spanning or cross-component forest fails loud here
+      val gw = g.withColumn("weight",
+        pmod(xxhash64(col("src"), col("dst")), lit(2147483648L)))
+      val msf = tm("boruvka MSF (10M edges)") {
+        val m = graft.operators.SpanningForest.boruvka(gw).localCheckpoint(true)
+        println(s"[smoke] msf edges: ${m.count()}")
+        m
+      }
+      tm("tau=inf identity: CC(MSF) == CC(G)") {
+        val a = graft.operators.SpanningForest
+          .singleLinkage(gw, msf, Long.MaxValue).toDF("id", "ca")
+        val b = graft.operators.ConnectedComponents.iterative(g).toDF("id", "cb")
+        val joined = a.join(b, Seq("id"), "full")
+        val bad = joined.where(col("ca").isNull || col("cb").isNull ||
+          col("ca") =!= col("cb")).count()
+        println(s"[smoke] vertices=${a.count()} mismatched=$bad")
+        require(bad == 0, s"single-linkage identity violated on $bad vertices")
+      }
+    }
+
     if (mode == "all" || mode == "graph") {
       t("bfsDepths (10M edges)")(
         graft.operators.Traversals.bfsDepths(g, 0L).count())
