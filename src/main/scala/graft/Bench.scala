@@ -90,6 +90,11 @@ object Bench {
     // explicit SPARK_GRAFT_BENCH_OUT (scratch/dev output) writes
     // unconditionally — it is not the canonical record.
     val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    // a SPARK_GRAFT_ONLY dev run covers a PARTIAL query set: it must
+    // never touch the canonical snapshot (the "changed query set
+    // replaces" rule below would otherwise let a 3-query dev run
+    // clobber the full-set record — observed once)
+    if (only.nonEmpty && benchOut.isEmpty) { spark.stop(); return }
     val sidecarPath = java.nio.file.Paths.get(
       benchOut.getOrElse("BENCH_SIDECAR.json"))
     val qNames = results.keySet
@@ -127,7 +132,10 @@ object Bench {
     if (only.isEmpty && benchOut.isEmpty) {
       val loadEnd = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
-      val hist = s"""{"started":"$startedAt","load_start":$loadStart,"load_end":$loadEnd,""" +
+      // cpus is load-bearing for cross-run comparison: round-heavy
+      // queries are scheduler-latency-bound, so an 8-thread dev run is
+      // not comparable to the canonical 32-thread one
+      val hist = s"""{"started":"$startedAt","load_start":$loadStart,"load_end":$loadEnd,"cpus":$cpus,""" +
         line.stripPrefix("{")
       // path relative to the working directory (overridable), not a
       // hard-coded absolute checkout location

@@ -143,6 +143,19 @@ object SparkEntry {
       GraphFixtures.directedParts(s, dir))
       .coalesce(s.sparkContext.defaultParallelism))
 
+  // q188 + q189: both consume ONE Borůvka forest of the weighted C10
+  // graph (structure summary and single-linkage cut respectively) — the
+  // forest is ≤|V|−1 rows and a union of per-round checkpoint frames,
+  // so coalesce before the memo's eager checkpoint (q163/q164's rule)
+  private val msfMemo = new CrossQueryMemo(2, (s, dir) => {
+    val e = GraphFixtures.coPurchase10(s, dir)
+    val t31 = lit(2147483648L)
+    val ew = e.select(col("src"), col("dst"),
+      pmod(pmod(col("src") % t31 * 31 + col("dst"), t31)
+        * lit(2654435761L), t31).as("weight"))
+    SpanningForest.boruvka(ew).coalesce(s.sparkContext.defaultParallelism)
+  })
+
   private def c10Adjacency(s: SparkSession, dir: String): DataFrame =
     c10AdjMemo(s, dir)
 
@@ -1827,11 +1840,7 @@ object SparkEntry {
     // hash-checked by q189's threshold identity
     "q188_msf_structure" -> ((s, dir) => {
       val e = GraphFixtures.coPurchase10(s, dir)
-      val t31 = lit(2147483648L)
-      val ew = e.select(col("src"), col("dst"),
-        pmod(pmod(col("src") % t31 * 31 + col("dst"), t31)
-          * lit(2654435761L), t31).as("weight"))
-      val msf = SpanningForest.boruvka(ew)
+      val msf = msfMemo(s, dir)
       val cc = ConnectedComponents.iterative(e)
       val nv = cc.groupBy("component").agg(count("*").as("n_vertices"))
       val me = msf.join(cc, msf("u") === cc("id"))
@@ -1850,13 +1859,10 @@ object SparkEntry {
     // minimum spanning forest, so the oracle (which never sees the
     // forest) hash-checks the MSF's CONTENT, not just its shape
     "q189_single_linkage" -> ((s, dir) => {
-      val e = GraphFixtures.coPurchase10(s, dir)
-      val t31 = lit(2147483648L)
-      val ew = e.select(col("src"), col("dst"),
-        pmod(pmod(col("src") % t31 * 31 + col("dst"), t31)
-          * lit(2654435761L), t31).as("weight"))
-      val msf = SpanningForest.boruvka(ew)
-      SpanningForest.singleLinkage(ew, msf, 1073741824L)
+      // the edges arg supplies only the vertex set; the weights live in
+      // the memoized forest
+      SpanningForest.singleLinkage(
+        GraphFixtures.coPurchase10(s, dir), msfMemo(s, dir), 1073741824L)
     }),
   )
 
