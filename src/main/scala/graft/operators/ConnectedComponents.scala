@@ -127,4 +127,59 @@ object ConnectedComponents {
     iterative(stars.unionByName(delta.select(col("src").cast("long"),
       col("dst").cast("long"))), maxIter)
   }
+
+  /** DECREMENTAL connected components — the retraction half of the
+    * daily-update path ([[incremental]] handles inserts; takedowns and
+    * re-crawls DELETE): given the previous labels, the previous edge
+    * set and a set of deleted edges, produce the labels of the shrunk
+    * graph by recomputing ONLY the components a deletion touches.
+    *
+    * Deleting an edge can only SPLIT its own component (connectivity
+    * elsewhere is untouched), so: (1) components containing a deleted
+    * edge are "affected"; (2) unaffected vertices keep their labels
+    * verbatim; (3) affected components re-run [[iterative]] over their
+    * induced surviving edges, with vertices isolated by the deletion
+    * falling back to themselves. Edge identity is direction-insensitive
+    * — (a,b) deletes (b,a) — and deleting an absent edge is a no-op.
+    *
+    * Relabel caveat: an affected component's pieces get fresh min-member
+    * labels, which for the piece NOT containing the old min differ from
+    * any label the insert-only path could produce — that is the correct
+    * min-label contract, hash-checked by the q191 oracle (full CC over
+    * E∖D). Spec pins the bridge-split and cycle-edge-no-op cases.
+    *
+    * Cost: one relabel pass over the old edges to carve out the
+    * affected induced subgraphs, then CC work ∝ affected |V|+|E| only.
+    * At 100 TB the old edge set is stored partitioned by component
+    * label (the natural layout after a CC run), so the carve-out is a
+    * partition-pruned read of the affected components, not a full scan.
+    */
+  def decremental(labels: DataFrame, oldEdges: DataFrame, deleted: DataFrame,
+                  maxIter: Int = 50): DataFrame = {
+    def norm(e: DataFrame): DataFrame = e.select(
+      least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+      greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val lab = labels.select(col("id").cast("long").as("id"),
+      col("component").cast("long").as("component"))
+    val e = norm(oldEdges).cutLineage()
+    val d = norm(deleted).cutLineage()
+    // components with a deleted edge (both endpoints share a component
+    // by the CC contract, so keying on one endpoint suffices)
+    val affected = d.join(lab, d("a") === lab("id"))
+      .select(col("component")).distinct().cutLineage()
+    val affVerts = lab.join(affected, Seq("component"), "left_semi")
+      .select("id").cutLineage()
+    // induced surviving edges of the affected components
+    val subE = e.join(d, Seq("a", "b"), "left_anti")
+      .join(lab.toDF("a", "ca"), Seq("a"))
+      .join(affected.toDF("ca"), Seq("ca"), "left_semi")
+      .select(col("a").as("src"), col("b").as("dst"))
+    val recc = iterative(subE, maxIter).toDF("id", "newc")
+    val reassigned = affVerts.join(recc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("newc"), col("id")).as("component"))
+    lab.join(affected, Seq("component"), "left_anti")
+      .select("id", "component")
+      .unionByName(reassigned)
+  }
 }

@@ -87,18 +87,35 @@ object Scc {
       }
 
       if (liveCount > 0) {
-        // fused fwd/bwd min-label fixpoint with pointer jumping
+        // fused fwd/bwd min-label fixpoint with pointer jumping. BOTH
+        // directions ride ONE tagged edge table and ONE melted label
+        // table per round, so a round is 2 joins + 2 aggregations
+        // instead of 4 joins + 2 aggregations + 2 more joins — the
+        // same per-round-latency fusion that cut the coloring rounds
+        // (each inner round is scheduler-latency-bound at sf, and the
+        // join count multiplies every round at every scale).
+        val er = e.select(col("u").as("s"), col("v").as("t"), lit(true).as("fwd"))
+          .unionByName(e.select(col("v").as("s"), col("u").as("t"),
+            lit(false).as("fwd")))
+          .cutLineage()
         var lab = live.select(col("id"), col("id").as("f"), col("id").as("b"))
           .cutLineage()
         def step(in: DataFrame): DataFrame = {
-          val nf = e.join(in.select(col("id").as("u"), col("f").as("fu")), Seq("u"))
-            .groupBy(col("v").as("id")).agg(min(col("fu")).as("nf"))
-          val nb = e.join(in.select(col("id").as("v"), col("b").as("bv")), Seq("v"))
-            .groupBy(col("u").as("id")).agg(min(col("bv")).as("nb"))
-          val prop = in.join(nf, Seq("id"), "left").join(nb, Seq("id"), "left")
+          // propagate: fwd rows read f at the edge source, bwd rows b —
+          // one join + one groupBy advances both labels
+          val prop0 = er.join(in.select(col("id").as("s"), col("f"), col("b")), Seq("s"))
+            .groupBy(col("t").as("id"))
+            .agg(min(when(col("fwd"), col("f"))).as("nf"),
+              min(when(!col("fwd"), col("b"))).as("nb"))
+          val prop = in.join(prop0, Seq("id"), "left")
             .select(col("id"),
               least(col("f"), coalesce(col("nf"), col("f"))).as("f"),
               least(col("b"), coalesce(col("nb"), col("b"))).as("b"))
+          // jump: two narrow self-joins keyed on f and b. (A melt-and-
+          // pivot single-join form was tried and measured SLOWER at
+          // sf0.1 — it trades the two N-row key-joins for a 2N-row
+          // melted join PLUS a 2N-row pivot aggregation, a net extra
+          // exchange per round.)
           val jf = prop.select(col("id").as("jid"), col("f").as("jf"))
           val jb = prop.select(col("id").as("kid"), col("b").as("kb"))
           prop

@@ -98,10 +98,11 @@ object SpanningForest {
           sel.select(col("m.u").as("u"), col("m.v").as("v"), col("m.w").as("w"))
             .distinct()).cutLineage()
 
-        // 3. contract: min-label CC over the component graph (c — o)
-        val comp = ConnectedComponents.iterative(
-          sel.select(col("c").as("src"), col("m.o").as("dst")))
-        val relabel = comp.toDF("oldl", "newl")
+        // 3. contract: the selected-edge pointer graph is a pseudoforest
+        // with only 2-cycles (header proof) — root election + pointer
+        // jumping replaces the general CC's hook/neighbor-min machinery
+        val relabel = contractPseudoforest(
+          sel.select(col("c"), col("m.o").as("p"))).toDF("oldl", "newl")
         labels = labels.join(relabel, labels("l") === col("oldl"), "left")
           .select(col("id"), coalesce(col("newl"), col("l")).as("l"))
           .cutLineage()
@@ -112,6 +113,76 @@ object SpanningForest {
     require(remaining == 0,
       s"boruvka did not converge in $maxRounds rounds ($remaining inter-component edges left)")
     msf
+  }
+
+  /** INCREMENTAL minimum spanning forest — the daily-update path:
+    * given the PREVIOUS forest `(u, v, w)` and a DELTA of new weighted
+    * edges `(src, dst, weight)`, produce the forest of the grown graph
+    * WITHOUT re-reading the old edge set.
+    *
+    * Correctness: the classic MSF composition identity
+    * MSF(G ∪ Δ) = MSF(MSF(G) ∪ Δ) — any old edge outside MSF(G) is the
+    * maximum of some cycle in G (the red rule), remains the maximum of
+    * that same cycle in G ∪ Δ, and so is outside MSF(G ∪ Δ) too. Under
+    * the deterministic total order (w, u, v) the "weights" are
+    * effectively distinct and IDENTICAL across both runs, so the
+    * composed forest is bit-equal to the full-graph forest — which is
+    * exactly what the q190 oracle hash-checks (q186's equivalence
+    * pattern). Cost: one [[boruvka]] over ≤|V|−1+|Δ| edges instead of
+    * |E|+|Δ| — on a graph where edges outnumber vertices 100:1, the
+    * daily recompute drops by that factor.
+    */
+  def boruvkaDelta(forest: DataFrame, delta: DataFrame,
+                   maxRounds: Int = 40): DataFrame =
+    boruvka(
+      forest.select(col("u").as("src"), col("v").as("dst"),
+          col("w").as("weight"))
+        .unionByName(delta.select(col("src").cast("long"),
+          col("dst").cast("long"), col("weight").cast("long"))),
+      maxRounds)
+
+  /** Contraction labels for Borůvka's selected-edge pointer graph.
+    * Input `(c, p)`: one row per component, p = the other endpoint
+    * component of c's selected minimum edge. Following p strictly
+    * decreases the total edge order (w, u, v) except at mutual minima,
+    * so the graph is a functional pseudoforest whose only cycles are
+    * 2-cycles — which makes the general CC machinery (neighbor-min
+    * join + hook step, ~4 shuffles + 1 action per round) overkill:
+    *
+    *  1. root election: ONE self-join finds p(p(c)); a 2-cycle member
+    *     (p(p(c)) == c) takes min(c, p) — the merged group's root —
+    *     as its label, every other node takes p (one hop rootward);
+    *  2. pointer jumping: l ← l(l) until fixpoint — one self-join and
+    *     one changed-count action per round, O(log chain) rounds.
+    *
+    * The root's label is itself (min of its own 2-cycle), so it is a
+    * fixpoint and every chain collapses onto it. Output `(c, l)` = the
+    * (old label → merged min label) relabel table, ≤|components| rows.
+    */
+  private[operators] def contractPseudoforest(ptr: DataFrame,
+                                              maxRounds: Int = 40): DataFrame = {
+    val p2 = ptr.toDF("c2", "p2")
+    var lab = ptr.join(p2, ptr("p") === col("c2"), "left")
+      .select(ptr("c"),
+        when(col("p2") === ptr("c"), least(ptr("c"), ptr("p")))
+          .otherwise(coalesce(col("p2"), ptr("p"))).as("l"))
+      .cutLineage()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val rhs = lab.toDF("c2", "l2")
+      val jumped = lab.join(rhs, lab("l") === col("c2"), "left")
+        .select(lab("c"), lab("l").as("lo"),
+          coalesce(col("l2"), lab("l")).as("l"))
+        .cutLineage()
+      converged = jumped.where(col("lo") =!= col("l")).limit(1).isEmpty
+      lab = jumped.select("c", "l")
+      round += 1
+    }
+    require(converged,
+      s"pseudoforest contraction did not converge in $maxRounds rounds — " +
+        "the pointer graph was not the 2-cycle pseudoforest Borůvka produces")
+    lab
   }
 
   /** Single-linkage clustering at threshold τ through the MSF: the

@@ -166,6 +166,48 @@ object Triangles {
         (col("n_old") + col("n_new")).as("n_total"))
   }
 
+  /** DECREMENTAL triangle maintenance — [[deltaTriangles]]' retraction
+    * half (the deletion sibling of [[graft.operators
+    * .ConnectedComponents.decremental]]): count the triangles an edge
+    * DELETION destroys by wedge-closing each deleted edge through the
+    * OLD graph — a destroyed triangle is exactly an old triangle
+    * containing ≥ 1 deleted edge, it surfaces once per deleted edge it
+    * contains, and the canonical-triple `distinct` collapses it to one
+    * row, so the count is exact (triangles with 2–3 deleted edges are
+    * not double-counted). Deleting an absent edge destroys nothing
+    * (semi-join drop). Work ∝ Σ_deleted (deg(x) + deg(y)) + the
+    * candidate dedup — never a re-enumeration of surviving triangles.
+    * Output one row: `(n_old, n_destroyed, n_remaining)` with
+    * n_remaining ≡ the triangle count of E∖D — the identity the q194
+    * oracle hash-checks by recounting both edge sets.
+    */
+  def decrementalTriangles(oldEdges: DataFrame, deleted: DataFrame): DataFrame = {
+    def canon(df: DataFrame) = df.select(
+        least(col("src"), col("dst")).cast("long").as("x"),
+        greatest(col("src"), col("dst")).cast("long").as("y"))
+      .where(col("x") =!= col("y")).distinct()
+    val o = canon(oldEdges).cutLineage()
+    val d = canon(deleted).join(o, Seq("x", "y"), "left_semi").cutLineage()
+    val sym = o.select(col("x").as("a"), col("y").as("b"))
+      .unionByName(o.select(col("y").as("a"), col("x").as("b")))
+    val cands = d
+      .join(sym.toDF("x", "w"), Seq("x"))
+      .join(sym.toDF("y", "w"), Seq("y", "w"))
+    val tri = cands
+      .select(least(col("x"), col("y"), col("w")).as("ta"),
+        (col("x") + col("y") + col("w")
+          - least(col("x"), col("y"), col("w"))
+          - greatest(col("x"), col("y"), col("w"))).as("tb"),
+        greatest(col("x"), col("y"), col("w")).as("tc"))
+      .distinct()
+    val nDel = tri.agg(count(lit(1)).as("n_destroyed"))
+    val nOld = globalCount(o.select(col("x").as("src"), col("y").as("dst")))
+      .select(col("triangles").as("n_old"))
+    nOld.crossJoin(nDel)
+      .select(col("n_old"), col("n_destroyed"),
+        (col("n_old") - col("n_destroyed")).as("n_remaining"))
+  }
+
   /** Per-vertex triangle counts, vertices with ≥1 triangle. */
   def perVertexCounts(c: DataFrame): DataFrame =
     perVertexCountsFrom(withAdjacency(c))

@@ -95,6 +95,45 @@ class MsfSpec extends SparkTestBase {
     }
   }
 
+  test("boruvkaDelta: composed forest ≡ full-graph forest on a random multigraph") {
+    // MSF(G ∪ Δ) = MSF(MSF(G) ∪ Δ) — split the pseudo-random multigraph
+    // 90/10 by the same deterministic hash the queries use; the
+    // incremental forest must be BIT-EQUAL to the full-graph one
+    val es = for {
+      i <- 0L until 300L
+      b = i % 3
+      u = b * 1000L + (i * 37L) % 50L
+      v = b * 1000L + (i * 61L + 13L) % 50L
+      w = (i * 2654435761L) % 16L
+    } yield (u, v, w)
+    val (old, delta) = es.partition { case (u, v, _) =>
+      ((u * 31 + v) * 2654435761L) % 10L != 7L }
+    assert(delta.nonEmpty && old.nonEmpty)
+    val oldForest = SpanningForest.boruvka(wEdgeDf(old))
+    val composed = collectMsf(SpanningForest.boruvkaDelta(oldForest, wEdgeDf(delta)))
+    assert(composed == collectMsf(SpanningForest.boruvka(wEdgeDf(es))))
+  }
+
+  test("boruvkaDelta: component merge and weight displacement") {
+    // old graph: two components {1,2,3} (path) and {10,11}; the delta
+    // (a) MERGES the components via 3–10 and (b) DISPLACES old forest
+    // edge 2–3 (w=5) with the lighter cycle-closing 1–3 (w=2)
+    val old = Seq((1L, 2L, 1L), (2L, 3L, 5L), (10L, 11L, 4L))
+    val oldForest = SpanningForest.boruvka(wEdgeDf(old))
+    assert(collectMsf(oldForest) == old.toSet)
+    val delta = Seq((3L, 10L, 7L), (1L, 3L, 2L))
+    val composed = collectMsf(SpanningForest.boruvkaDelta(oldForest, wEdgeDf(delta)))
+    assert(composed == Set((1L, 2L, 1L), (1L, 3L, 2L), (3L, 10L, 7L), (10L, 11L, 4L)))
+    assert(composed == kruskal(old ++ delta))
+  }
+
+  test("boruvkaDelta: empty delta is the identity") {
+    val old = Seq((1L, 2L, 1L), (2L, 3L, 5L), (10L, 11L, 4L))
+    val oldForest = SpanningForest.boruvka(wEdgeDf(old))
+    assert(collectMsf(SpanningForest.boruvkaDelta(oldForest, wEdgeDf(Seq.empty)))
+      == old.toSet)
+  }
+
   test("boruvka: empty and single-edge graphs") {
     assert(SpanningForest.boruvka(wEdgeDf(Seq.empty)).count() == 0)
     assert(collectMsf(SpanningForest.boruvka(wEdgeDf(Seq((7L, 3L, 5L)))))

@@ -125,6 +125,73 @@ class SummarySpec extends SparkTestBase {
     assert(inc(30L) === 30L && inc(31L) === 30L && inc(20L) === 20L)
   }
 
+  test("decremental CC: bridge deletion splits, cycle deletion is a no-op") {
+    import spark.implicits._
+    // component A: a 4-cycle 1-2-3-4 plus bridge 4-5 to a tail {5,6};
+    // component B: pair {10,11}; deleting the bridge splits A, deleting
+    // a cycle edge does not, and B must pass through untouched verbatim
+    val old = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 5L), (5L, 6L),
+      (10L, 11L)).toDF("src", "dst")
+    val labels = ConnectedComponents.iterative(old)
+    def full(deleted: Seq[(Long, Long)]): Map[Long, Long] = {
+      val d = deleted.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val kept = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 5L), (5L, 6L), (10L, 11L))
+        .filterNot(e => d.contains(e))
+      val cc = ConnectedComponents.iterative(kept.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (1L to 6L).map(v => v -> cc.getOrElse(v, v)).toMap ++
+        Seq(10L, 11L).map(v => v -> cc.getOrElse(v, v))
+    }
+    def dec(deleted: Seq[(Long, Long)]): Map[Long, Long] =
+      ConnectedComponents.decremental(labels, old, deleted.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bridge split: {1..4} keep label 1, {5,6} re-root at 5 — direction
+    // of the delete row is intentionally flipped vs the stored edge
+    val split = dec(Seq((5L, 4L)))
+    assert(split === full(Seq((4L, 5L))))
+    assert(split(5L) === 5L && split(6L) === 5L && split(4L) === 1L)
+    // cycle edge: connectivity unchanged, labels identical to before
+    val noop = dec(Seq((2L, 3L)))
+    assert(noop === full(Seq((2L, 3L))))
+    assert(noop === labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // deleting an absent edge touches nothing
+    assert(dec(Seq((1L, 99L))) === labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // isolating deletion: dropping BOTH tail edges leaves 5 and 6 as
+    // their own singletons
+    val iso = dec(Seq((4L, 5L), (5L, 6L)))
+    assert(iso === full(Seq((4L, 5L), (5L, 6L))))
+    assert(iso(5L) === 5L && iso(6L) === 6L)
+  }
+
+  test("decremental CC equals full recompute on random graphs and deltas") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 8) {
+      val n = 4 + rnd.nextInt(20)
+      val edges = (0 until (n * 2)).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        val deleted = edges.filter(_ => rnd.nextBoolean())
+        val old = edgeDf(edges)
+        val labels = ConnectedComponents.iterative(old)
+        val dec = ConnectedComponents.decremental(labels, old, edgeDf(deleted))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val dset = deleted.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+        val kept = edges.filterNot { case (a, b) =>
+          dset.contains((math.min(a, b), math.max(a, b))) }
+        val cc =
+          if (kept.isEmpty) Map.empty[Long, Long]
+          else ConnectedComponents.iterative(edgeDf(kept))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val verts = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        val want = verts.map(v => v -> cc.getOrElse(v, v)).toMap
+        assert(dec === want, s"trial $trial edges=$edges deleted=$deleted")
+      }
+    }
+  }
+
   test("sync label propagation finds the two planted cliques") {
     import spark.implicits._
     // two 4-cliques bridged by one edge: LPA should settle on one label

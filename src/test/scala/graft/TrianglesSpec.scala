@@ -222,4 +222,28 @@ class TrianglesSpec extends SparkTestBase {
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
     assert(run(k4, Seq((3L, 4L))) === ((2L, 2L, 4L)))
   }
+
+  test("decrementalTriangles: exact destroyed count, multi-deleted dedup, absent-delete no-op") {
+    import spark.implicits._
+    def run(old: Seq[(Long, Long)], del: Seq[(Long, Long)]) = {
+      val r = Triangles.decrementalTriangles(
+        old.toDF("src", "dst"), del.toDF("src", "dst")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    // deleting one edge of the only triangle destroys it
+    assert(run(tri, Seq((1L, 3L))) === ((1L, 1L, 0L)))
+    // deleting TWO of its edges still destroys exactly one triangle
+    assert(run(tri, Seq((1L, 3L), (2L, 3L))) === ((1L, 1L, 0L)))
+    // deleting all three (direction-flipped rows) destroys exactly one
+    assert(run(tri, Seq((3L, 1L), (3L, 2L), (2L, 1L))) === ((1L, 1L, 0L)))
+    // deleting an absent edge destroys nothing
+    assert(run(tri, Seq((1L, 99L))) === ((1L, 0L, 1L)))
+    // full K4 (4 triangles): deleting edge 3-4 destroys the 2 triangles
+    // through it, the 2 others survive — n_remaining ≡ count(E∖D)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(run(k4, Seq((3L, 4L))) === ((4L, 2L, 2L)))
+    // empty deletion is the identity
+    assert(run(k4, Seq.empty[(Long, Long)]) === ((4L, 0L, 4L)))
+  }
 }
