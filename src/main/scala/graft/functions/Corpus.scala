@@ -493,9 +493,86 @@ object Corpus {
     * explode, no shuffle, no UDF; at 100 TB this runs at scan speed
     * next to the other per-doc gates.
     */
+  /** TRAINED quality/language classifier — the missing half of
+    * [[qualityModelScores]] (whose weights are a deterministic stub):
+    * a BATCH perceptron over the same hashing-trick feature space,
+    * exact-integer and epoch-unrolled so a SQL oracle can replay the
+    * whole training loop (q138's unrolled-merge pattern applied to
+    * learning).
+    *
+    * Batch (not sequential) perceptron on purpose: the classic
+    * per-example update is order-dependent and unreplayable in
+    * set-oriented SQL, while the batch rule
+    * `w ← w + Σ_{misclassified d} y_d · x_d` (gradient of the
+    * perceptron loss) is a pure aggregation per epoch — deterministic
+    * under any partitioning, convergent on separable data (spec-pinned),
+    * and every quantity is an exact integer.
+    *
+    * Features: md5-bucketed whitespace unigrams + adjacent bigrams WITH
+    * multiplicity (`x_d[b]` = occurrences of bucket b in doc d). Label:
+    * y = +1 for lang = 'en', −1 otherwise (a real learnable signal on
+    * the documents fixture — content n-grams predict language). Epoch
+    * margin rule: a doc with `y · score ≤ 0` is misclassified, so the
+    * zero-weight first epoch updates on every doc.
+    *
+    * Scale shape: the feature table is one explode + count groupBy over
+    * the corpus; weights are ≤`buckets` rows (broadcast-sized by
+    * construction); each epoch is one broadcast join + two
+    * aggregations — per-epoch cost ∝ Σ features, never concentrating
+    * state. Output `(doc_id, y, score, pred)` under the FINAL weights.
+    */
+  def perceptronQualityScores(docs: DataFrame, buckets: Int = 512,
+                              epochs: Int = 4): DataFrame = {
+    require(buckets > 0 && epochs >= 1,
+      s"need buckets > 0 and epochs >= 1; got $buckets, $epochs")
+    import graft.Lineage.CutOps
+    val toksC = filter(split(coalesce(col("text"), lit("")), " "), t => t =!= "")
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        toksC.as("toks"))
+      .withColumn("bigrams",
+        when(size(col("toks")) >= 2,
+          zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>")))
+    val feats = base
+      .select(col("doc_id"), col("y"),
+        explode(concat(col("toks"), col("bigrams"))).as("t"))
+      .select(col("doc_id"), col("y"), featBucket(col("t"), buckets).as("bucket"))
+      .groupBy("doc_id", "y", "bucket").agg(count(lit(1)).as("cnt"))
+      .cutLineage() // consumed twice per epoch + once for final scores
+    var w = feats.select(col("bucket")).limit(0).withColumn("w", lit(0L))
+    for (_ <- 1 to epochs) {
+      val scored = feats.join(w, Seq("bucket"), "left")
+        .groupBy("doc_id", "y")
+        .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("score"))
+      val mis = scored.where(col("y") * col("score") <= 0).select("doc_id")
+      val upd = feats.join(mis, Seq("doc_id"), "left_semi")
+        .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("dw"))
+      w = w.join(upd, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          (coalesce(col("w"), lit(0L)) + coalesce(col("dw"), lit(0L))).as("w"))
+        .cutLineage()
+    }
+    val fin = feats.join(w, Seq("bucket"), "left")
+      .groupBy("doc_id", "y")
+      .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("score"))
+    base.select(col("doc_id"), col("y")).distinct()
+      .join(fin, Seq("doc_id", "y"), "left")
+      .select(col("doc_id"), col("y"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .withColumn("pred", when(col("score") >= 0, 1L).otherwise(-1L))
+  }
+
   def qualityModelScores(docs: DataFrame, buckets: Int = 4096): DataFrame = {
     require(buckets > 0, s"buckets must be positive; got $buckets")
-    val toksC = filter(split(col("text"), " "), t => t =!= "")
+    // null text ≡ empty doc (n_feats 0, score 0, keep 1) in BOTH engines
+    // — without the coalesce, Spark's size(null) = -1 yields n_feats -2
+    // and a NULL score while DuckDB yields NULL n_feats / score 0, a
+    // silent cross-engine divergence on degenerate input
+    val toksC = filter(split(coalesce(col("text"), lit("")), " "), t => t =!= "")
     val uni = transform(col("toks"), t => bucketWeight(featBucket(t, buckets)))
     val big = transform(col("bigrams"), t => bucketWeight(featBucket(t, buckets)))
     val sumArr = (a: org.apache.spark.sql.Column) =>

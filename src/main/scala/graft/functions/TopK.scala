@@ -92,7 +92,13 @@ object TopK {
     val spark = df.sparkSession
     import spark.implicits._
     val agg = new TopKAgg(k)
+    // CONTRACT: null group/key/id rows are dropped up front. The typed
+    // deserializer below would otherwise crash on a null key/id with an
+    // opaque "null value in non-nullable field" while a null group
+    // silently grouped — dropping all three makes the degenerate-input
+    // behavior uniform and intentional (rank only fully-keyed rows).
     df.select(col(group).cast("string"), col(key).cast("long"), col(id).cast("long"))
+      .na.drop("any")
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .mapValues(r => (r._2, r._3))

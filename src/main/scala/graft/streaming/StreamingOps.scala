@@ -959,7 +959,7 @@ object StreamingOps {
         .toDF("user_id", "last_tu", "last_event_id", "last_cents", "n_events")
     } finally {
       q.stop()
-      spark.catalog.dropTempView(name)
+      stream.catalog.dropTempView(name)
     }
   }
 
@@ -1007,7 +1007,7 @@ object StreamingOps {
         .toDF("user_id", "rnk", "n_events")
     } finally {
       q.stop()
-      spark.catalog.dropTempView(name)
+      stream.catalog.dropTempView(name)
     }
   }
 
@@ -1126,6 +1126,113 @@ object StreamingOps {
       val sh = graft.functions.Dedup.shingles(docs, n).localCheckpoint(true)
       val counts = sh.groupBy(col("doc_id")).agg(count("*").as("n_sh"))
       graft.functions.Dedup.jaccardOfPairs(candsDF, sh, counts, threshold)
+    } finally {
+      q.stop()
+      stream.catalog.dropTempView(name)
+    }
+  }
+
+  /** THE streaming ANN-index-maintenance operator: random-hyperplane
+    * LSH bucket membership held in `flatMapGroupsWithState` keyed
+    * state — [[streamingMinhashCandidates]]'s machinery generalized
+    * from MinHash band buckets to embedding hyperplane tables, closing
+    * the "index the stream as it arrives" story for the batch PQ/IVF/
+    * LSH family. Each arriving vector lands in its `nTables` signature
+    * buckets (the signature projection is pure per-row codegen — no
+    * shuffle before the bucket key); each trigger emits exactly the
+    * candidate pairs its batch-new vectors close, against the bucket's
+    * accumulated members and among themselves. After ANY stream prefix
+    * the emitted union equals the batch candidate set of
+    * [[graft.functions.Similarity.cosinePairsBucketed]] at the same
+    * (planes, tables, dim) — same seed-42+t plane family — so a
+    * downstream exact-cosine verify reproduces the batch answer
+    * exactly. Bucket state is vec_ids only (8 B/member), never vectors.
+    */
+  def streamingLshCandidates(vecs: DataFrame, nTables: Int, nPlanes: Int,
+                             dim: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs.select(col("vec_id").cast("long").as("vec_id"),
+        posexplode(graft.functions.Similarity.signatures(
+          col("embedding").cast("array<double>"), nTables, nPlanes, dim)))
+      .toDF("vec_id", "tbl", "sig")
+      .as[(Long, Int, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), it: Iterator[(Long, Int, Long)], state: GroupState[Array[Long]]) =>
+          val old = state.getOption.getOrElse(Array.emptyLongArray)
+          val oldSet = old.toSet
+          val fresh = it.map(_._1).filter(d => !oldSet.contains(d)).toSet.toArray.sorted
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            state.update((old ++ fresh).sorted)
+            val out = Array.newBuilder[(Long, Long)]
+            var i = 0
+            while (i < fresh.length) {
+              val d = fresh(i)
+              old.foreach(o => out += ((math.min(o, d), math.max(o, d))))
+              var j = i + 1
+              while (j < fresh.length) { out += ((d, fresh(j))); j += 1 }
+              i += 1
+            }
+            out.result().iterator
+          }
+      }.toDF("vec_a", "vec_b")
+  }
+
+  /** Correctness-gate harness for streaming ANN maintenance: replay the
+    * embeddings in vec_id order across `nBatches` triggers of
+    * [[streamingLshCandidates]] (near-dup pairs split across triggers
+    * exercise the cross-batch bucket state), sized exactly as the batch
+    * operator sizes itself ([[graft.functions.Similarity.lshSizing]] at
+    * the same row count and threshold), then batch-verify the
+    * accumulated candidates with exact cosine at the same 6-dp
+    * rounding. The result must equal the one-shot batch
+    * [[graft.functions.Similarity.cosinePairsBucketed]] answer — and
+    * therefore pass q122's recall gate against the exact all-pairs
+    * audit. Only the (tiny) candidate id set crosses the driver between
+    * the streaming and batch halves.
+    */
+  def replayLshPairs(corpus: DataFrame, threshold: Double,
+                     nBatches: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import graft.functions.Similarity
+    val rows = corpus.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    rows.sortInPlaceBy(_._1)
+    val dim = rows.collectFirst { case (_, e) if e != null => e.length }.getOrElse(1)
+    val (nPlanes, nTables) = Similarity.lshSizing(rows.length.toLong, threshold)
+    val stream = pinnedShuffleSession(spark, 8)
+    implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Double])]
+    val name = "graft_replay_lsh_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = replayCkpt("graft-replay-lsh")
+    val q = streamingLshCandidates(ms.toDF().toDF("vec_id", "embedding"),
+        nTables, nPlanes, dim)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(name).start()
+    try {
+      val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+      val cands = stream.table(name)
+        .select(col("vec_a"), col("vec_b")).distinct()
+        .as[(Long, Long)].collect()
+      // verify on the CALLER's session with the exact formula —
+      // candidates ∝ true near-dups, tiny by design
+      val candsDF = spark.createDataset(cands.toIndexedSeq).toDF("vec_a", "vec_b")
+      val vecs = corpus.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+        .withColumn("nrm", Similarity.norm(col("e")))
+        .localCheckpoint(true)
+      candsDF
+        .join(vecs.toDF("vec_a", "ea", "na"), Seq("vec_a"))
+        .join(vecs.toDF("vec_b", "eb", "nb"), Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
+        .where(col("sim") >= threshold)
     } finally {
       q.stop()
       stream.catalog.dropTempView(name)

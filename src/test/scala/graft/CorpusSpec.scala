@@ -415,4 +415,42 @@ class CorpusSpec extends SparkTestBase {
     val plan = Corpus.qualityModelScores(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "quality scoring must not shuffle")
   }
+
+  test("perceptron: separable fixture converges, partition-invariant, degenerate input") {
+    import spark.implicits._
+    // disjoint vocabularies: 'en' docs speak vocab A, 'fr' docs vocab B
+    // — linearly separable in the bucket space, so the batch perceptron
+    // must classify every doc correctly after its 4 epochs
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma alpha"),
+      (2L, "en", "beta gamma delta"),
+      (3L, "en", "alpha delta delta gamma"),
+      (4L, "fr", "uno dos tres"),
+      (5L, "fr", "dos tres quattro uno"),
+      (6L, "fr", "uno quattro quattro"),
+      (7L, "fr", ""), // featureless: score 0, pred +1 BY the >= 0 rule
+      (8L, "en", null.asInstanceOf[String])) // null text ≡ empty
+      .toDF("doc_id", "lang", "text")
+    val out = Corpus.perceptronQualityScores(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size === 8)
+    for (id <- Seq(1L, 2L, 3L)) {
+      val (y, score, pred) = out(id)
+      assert(y === 1L && score > 0 && pred === 1L, s"doc $id: ${out(id)}")
+    }
+    for (id <- Seq(4L, 5L, 6L)) {
+      val (y, score, pred) = out(id)
+      assert(y === -1L && score < 0 && pred === -1L, s"doc $id: ${out(id)}")
+    }
+    // featureless docs score exactly 0 in both engines' contract
+    assert(out(7L) === ((-1L, 0L, 1L)) && out(8L) === ((1L, 0L, 1L)))
+    // batch (not sequential) updates: the result is partitioning- and
+    // order-independent
+    val repart = Corpus.perceptronQualityScores(
+      docs.repartition(7).sortWithinPartitions("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(repart === out)
+  }
 }

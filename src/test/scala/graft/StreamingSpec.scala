@@ -641,6 +641,33 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("replayed LSH candidates converge to the one-shot bucketed ANN pairs (q122 semantics)") {
+    // near-dup pairs STRADDLE triggers (vec_id order): 1/2 and 3/4 are
+    // near-identical but land in different replay chunks, so their
+    // candidate pairs are closed by cross-batch bucket state; the
+    // replay sizes itself exactly as the batch operator does, so the
+    // verified pair set must equal cosinePairsBucketed's — and (on this
+    // well-separated fixture) the exact audit's
+    import spark.implicits._
+    import graft.functions.Similarity
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.01, 0.0, 0.02)),
+      (2L, Seq(0.99, 0.0, 0.01, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.02, 0.01)),
+      (4L, Seq(0.01, 0.98, 0.0, 0.0)),
+      (5L, Seq(0.0, 0.0, 1.0, -0.9)),
+      (6L, Seq(-0.7, 0.0, 0.0, 0.9))).toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairSet(Similarity.cosinePairs(vecs, 0.5))
+    val batch = pairSet(Similarity.cosinePairsBucketed(vecs, 0.5))
+    assert(exact.nonEmpty && batch == exact, "fixture must be fully recalled by LSH")
+    for (nb <- Seq(2, 4)) {
+      val got = pairSet(StreamingOps.replayLshPairs(vecs, 0.5, nBatches = nb))
+      assert(got == batch, s"nBatches=$nb: $got != $batch")
+    }
+  }
+
   test("streaming top-k leaderboard: batch-split independent, ties by smaller key") {
     import spark.implicits._
     // purchase counts: u1=3, u2=3 (tie -> u1 first), u3=2, u4=1, u5=1,
