@@ -1864,6 +1864,68 @@ object SparkEntry {
       SpanningForest.singleLinkage(
         GraphFixtures.coPurchase10(s, dir), msfMemo(s, dir), 1073741824L)
     }),
+    // INCREMENTAL MSF (q186's pattern for the forest): Borůvka over the
+    // old 90%'s forest ∪ the 10% delta — MSF(G∪Δ) = MSF(MSF(G)∪Δ), one
+    // pass over ≤|V|−1+|Δ| edges instead of |E|. The output is the
+    // single-linkage cut of the INCREMENTALLY-built forest at a fresh
+    // τ, so the oracle (CC of the weight-filtered FULL edge set, which
+    // never sees any forest) hash-checks the composed forest's CONTENT
+    // — a dropped or displaced forest edge flips connectivity at τ
+    "q190_incremental_msf" -> ((s, dir) => {
+      val e = GraphFixtures.coPurchase10(s, dir)
+      val t31 = lit(2147483648L)
+      val w = pmod(pmod(col("src") % t31 * 31 + col("dst"), t31)
+        * lit(2654435761L), t31)
+      val ew = e.select(col("src"), col("dst"), w.as("weight"))
+      val tag = w % 10
+      val oldForest = SpanningForest.boruvka(ew.where(tag =!= 7))
+      val forest = SpanningForest.boruvkaDelta(oldForest, ew.where(tag === 7))
+      SpanningForest.singleLinkage(e, forest, 536870912L)
+    }),
+    // DECREMENTAL CC (the retraction half of q186): labels of the full
+    // graph + a 10% edge DELETION → labels of the shrunk graph,
+    // recomputing only the affected components; vertices isolated by
+    // the deletion keep themselves. The oracle is the full CC over
+    // E∖D with the full vertex set — the equivalence IS the hash check
+    "q191_decremental_cc" -> ((s, dir) => {
+      val e = GraphFixtures.edgeStream(s, dir).select("src", "dst")
+      val t31 = lit(2147483648L)
+      val tag = pmod(pmod(col("src") % t31 * 31 + col("dst"), t31)
+        * lit(2654435761L), t31) % 10
+      val labels = ConnectedComponents.iterative(e)
+      ConnectedComponents.decremental(labels, e, e.where(tag === 3))
+    }),
+    // TRAINED quality classifier (the missing half of q182's stub
+    // weights): exact-integer BATCH perceptron over md5-bucketed
+    // unigram+bigram features, 4 epochs, label = (lang = 'en') — the
+    // DuckDB oracle replays the ENTIRE training loop epoch by epoch
+    // (q138's unrolled-merge pattern applied to learning)
+    "q192_perceptron_quality" -> ((s, dir) =>
+      graft.functions.Corpus.perceptronQualityScores(Tables.documents(s, dir))),
+    // decremental triangle maintenance (q187's retraction half):
+    // triangles DESTROYED by a 10% edge deletion, found by wedge-
+    // closing each deleted edge through the OLD graph (work ∝ Σ_del
+    // deg); the oracle recounts old and surviving sets, so
+    // n_old − n_destroyed ≡ count(E∖D) is the hash-checked identity
+    "q194_decremental_triangles" -> ((s, dir) => {
+      val e = GraphFixtures.coPurchase10(s, dir)
+      val t31 = lit(2147483648L)
+      val tag = pmod(pmod(pmod(col("src"), t31) * 31 + col("dst"), t31)
+        * lit(2654435761L), t31) % 10
+      Triangles.decrementalTriangles(e, e.where(tag === 3))
+    }),
+    // streaming ANN index maintenance: LSH bucket membership in keyed
+    // state (q126's machinery on hyperplane signatures), replayed over
+    // 4 triggers, accumulated candidates batch-verified by exact
+    // cosine — must equal the one-shot bucketed answer and therefore
+    // pass q122's recall gate against the exact all-pairs audit
+    "q193_streaming_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      pairRecallGate(
+        Similarity.cosinePairs(emb, 0.3),
+        graft.streaming.StreamingOps.replayLshPairs(emb, 0.3),
+        Seq("vec_a", "vec_b"), 0.4)
+    }),
   )
 
   /** DuckDB oracle SQL — identical aliases/semantics as the Spark plans. */
@@ -3157,7 +3219,7 @@ object SparkEntry {
       "q182_quality_model" -> {
         val wfun = "CAST(((CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT) % 4096) " +
           "* 2654435761) % 2147483648 % 1001 AS BIGINT) - 500"
-        ("WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks " +
+        ("WITH d AS (SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks " +
           "FROM documents), " +
           "f AS (SELECT doc_id, toks, CASE WHEN len(toks) >= 2 THEN " +
           "list_transform(range(len(toks) - 1), i -> " +
@@ -3853,6 +3915,89 @@ object SparkEntry {
           "verts AS (SELECT DISTINCT id FROM (SELECT x AS id FROM e0 UNION ALL SELECT y FROM e0)) " +
           "SELECT verts.id, COALESCE(comp.cluster, verts.id) AS cluster " +
           "FROM verts LEFT JOIN comp ON comp.id = verts.id"),
+      // incremental MSF: single-linkage at τ through the DELTA-composed
+      // forest ≡ CC over the weight-filtered FULL edge set (q189's
+      // identity at a fresh τ — the oracle never sees either forest)
+      "q190_incremental_msf" ->
+        (s"WITH RECURSIVE e0 AS ($copurchase10), " +
+          "c AS (SELECT x, y FROM e0 WHERE " +
+          "((((x % 2147483648) * 31 + y) % 2147483648) * 2654435761) % 2147483648 <= 536870912), " +
+          "sym AS (SELECT x AS a, y AS b FROM c UNION SELECT y, x FROM c), " +
+          "lbl(v, l) AS (SELECT DISTINCT a, a FROM sym " +
+          "UNION SELECT s.b, lbl.l FROM sym s JOIN lbl ON lbl.v = s.a AND lbl.l < s.b), " +
+          "comp AS (SELECT v AS id, MIN(l) AS cluster FROM lbl GROUP BY v), " +
+          "verts AS (SELECT DISTINCT id FROM (SELECT x AS id FROM e0 UNION ALL SELECT y FROM e0)) " +
+          "SELECT verts.id, COALESCE(comp.cluster, verts.id) AS cluster " +
+          "FROM verts LEFT JOIN comp ON comp.id = verts.id"),
+      // decremental CC ≡ full CC over E∖D with the FULL vertex set
+      // (vertices isolated by the deletion cluster as themselves)
+      "q191_decremental_cc" ->
+        ("WITH RECURSIVE e0 AS (SELECT DISTINCT l_partkey AS x, l_suppkey + 1000000000 AS y FROM lineitem), " +
+          "c AS (SELECT x, y FROM e0 WHERE " +
+          "((((x % 2147483648) * 31 + y) % 2147483648) * 2654435761) % 2147483648 % 10 <> 3), " +
+          "sym AS (SELECT x AS a, y AS b FROM c UNION SELECT y, x FROM c), " +
+          "lbl(v, l) AS (SELECT DISTINCT a, a FROM sym " +
+          "UNION SELECT s.b, lbl.l FROM sym s JOIN lbl ON lbl.v = s.a AND lbl.l < s.b), " +
+          "comp AS (SELECT v AS id, MIN(l) AS component FROM lbl GROUP BY v), " +
+          "verts AS (SELECT DISTINCT id FROM (SELECT x AS id FROM e0 UNION ALL SELECT y FROM e0)) " +
+          "SELECT verts.id, COALESCE(comp.component, verts.id) AS component " +
+          "FROM verts LEFT JOIN comp ON comp.id = verts.id"),
+      // trained perceptron: the oracle replays the WHOLE 4-epoch batch
+      // training loop — features with multiplicity, zero-weight first
+      // epoch updating every doc, margin rule y·score ≤ 0 — then scores
+      // under the final weights (q138's unrolled-merge pattern)
+      "q192_perceptron_quality" -> {
+        val bkt = "CAST(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT) % 512 AS BIGINT)"
+        def epoch(k: Int): String =
+          s"s$k AS (SELECT f.doc_id, f.y, SUM(f.cnt * w$k.w) AS score " +
+            s"FROM feats f JOIN w$k USING(bucket) GROUP BY 1, 2), " +
+            s"u${k + 1} AS (SELECT bucket, SUM(y * cnt) AS dw FROM feats " +
+            s"WHERE doc_id IN (SELECT doc_id FROM s$k WHERE y * score <= 0) GROUP BY bucket), " +
+            s"w${k + 1} AS (SELECT w$k.bucket, w$k.w + COALESCE(u${k + 1}.dw, 0) AS w " +
+            s"FROM w$k LEFT JOIN u${k + 1} USING(bucket))"
+        ("WITH d AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, " +
+          "list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks FROM documents), " +
+          "f0 AS (SELECT doc_id, y, unnest(toks) AS t FROM d " +
+          "UNION ALL SELECT doc_id, y, unnest(CASE WHEN len(toks) >= 2 THEN " +
+          "list_transform(range(len(toks) - 1), i -> " +
+          "toks[CAST(i + 1 AS BIGINT)] || ' ' || toks[CAST(i + 2 AS BIGINT)]) " +
+          "ELSE CAST([] AS VARCHAR[]) END) FROM d), " +
+          s"feats AS (SELECT doc_id, y, $bkt AS bucket, COUNT(*) AS cnt FROM f0 GROUP BY 1, 2, 3), " +
+          // epoch 1 from zero weights: margin 0 everywhere → every doc
+          // updates, so w1 already holds every bucket any doc touches
+          // (later epochs' inner joins are therefore lossless)
+          "w1 AS (SELECT bucket, SUM(y * cnt) AS w FROM feats GROUP BY bucket), " +
+          epoch(1) + ", " + epoch(2) + ", " + epoch(3) + ", " +
+          "sf AS (SELECT f.doc_id, f.y, SUM(f.cnt * w4.w) AS score " +
+          "FROM feats f JOIN w4 USING(bucket) GROUP BY 1, 2) " +
+          "SELECT d2.doc_id, CAST(d2.y AS BIGINT) AS y, " +
+          "CAST(COALESCE(sf.score, 0) AS BIGINT) AS score, " +
+          "CAST(CASE WHEN COALESCE(sf.score, 0) >= 0 THEN 1 ELSE -1 END AS BIGINT) AS pred " +
+          "FROM (SELECT DISTINCT doc_id, y FROM d) d2 " +
+          "LEFT JOIN sf ON sf.doc_id = d2.doc_id AND sf.y = d2.y")
+      },
+      // decremental triangles: the oracle recounts the old and the
+      // surviving edge sets — n_destroyed must be exactly their
+      // difference (q187's identity pointed backwards)
+      "q194_decremental_triangles" ->
+        (s"WITH c AS MATERIALIZED ($copurchase10), " +
+          "k AS MATERIALIZED (SELECT x, y FROM c WHERE " +
+          "((((x % 2147483648) * 31 + y) % 2147483648) * 2654435761) % 2147483648 % 10 <> 3), " +
+          "told AS (SELECT COUNT(*) AS n_old FROM c e1 " +
+          "JOIN c e2 ON e2.x = e1.y JOIN c e3 ON e3.x = e1.x AND e3.y = e2.y), " +
+          "tkept AS (SELECT COUNT(*) AS n_kept FROM k e1 " +
+          "JOIN k e2 ON e2.x = e1.y JOIN k e3 ON e3.x = e1.x AND e3.y = e2.y) " +
+          "SELECT CAST(n_old AS BIGINT) AS n_old, " +
+          "CAST(n_old - n_kept AS BIGINT) AS n_destroyed, " +
+          "CAST(n_kept AS BIGINT) AS n_remaining FROM told, tkept"),
+      // streaming ANN gate: same contract as q122 — the streamed
+      // candidates' verify step applies the exact formula (no false
+      // positives by construction) and recall is the sizing calculus's
+      "q193_streaming_ann" ->
+        ("SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, " +
+          "CAST(0 AS BIGINT) AS n_false_pos, true AS recall_ok " +
+          "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+          "WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3"),
       // streaming complete-mode leaderboard ≡ batch top-5 by count
       "q184_streaming_topk" ->
         ("WITH c AS (SELECT user_id, COUNT(*) AS n_events FROM events " +
