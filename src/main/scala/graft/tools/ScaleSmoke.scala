@@ -731,6 +731,43 @@ object ScaleSmoke {
       }
     }
 
+    if (mode == "tier2scc") {
+      // directed SCC at the 10M-edge tier. No oracle exists at this
+      // scale, so correctness rides two structural identities:
+      //  (1) direction symmetry — SCC(G) must equal SCC(reverse(G))
+      //      label-for-label (mutual reachability is symmetric; the
+      //      reversed run takes a DIFFERENT execution path: trim peels
+      //      the opposite fringe first and fwd/bwd swap roles);
+      //  (2) refinement — every SCC must sit inside one weakly-
+      //      connected component (an SCC straddling weak components
+      //      is structurally impossible).
+      val scc = tm("scc (10M directed edges)") {
+        val s = graft.operators.Scc.stronglyConnectedComponents(g)
+          .localCheckpoint(true)
+        val n = s.select("scc").distinct().count()
+        val giant = s.groupBy("scc").count().agg(max("count")).head().getLong(0)
+        println(s"[smoke] sccs=$n giant=$giant of ${s.count()} vertices")
+        s
+      }
+      tm("direction symmetry: SCC(G) == SCC(reverse G)") {
+        val r = graft.operators.Scc.stronglyConnectedComponents(
+          g.select(col("dst").as("src"), col("src").as("dst")))
+        val bad = scc.toDF("id", "a").join(r.toDF("id", "b"), Seq("id"), "full")
+          .where(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
+          .count()
+        require(bad == 0, s"scc direction symmetry violated on $bad vertices")
+        println(s"[smoke] mismatched=$bad")
+      }
+      tm("refinement: each SCC within one weak component") {
+        val cc = graft.operators.ConnectedComponents.iterative(g)
+        val bad = scc.toDF("id", "s").join(cc.toDF("id", "c"), Seq("id"))
+          .groupBy("s").agg(countDistinct("c").as("nc"))
+          .where(col("nc") =!= 1).count()
+        require(bad == 0, s"$bad SCCs straddle weak components")
+        println(s"[smoke] straddling=$bad")
+      }
+    }
+
     if (mode == "all" || mode == "graph") {
       t("bfsDepths (10M edges)")(
         graft.operators.Traversals.bfsDepths(g, 0L).count())
