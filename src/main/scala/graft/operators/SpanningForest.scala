@@ -64,8 +64,11 @@ object SpanningForest {
       .groupBy("u", "v").agg(min("w").as("w"))
       .cutLineage()
 
-    // label(vertex) = current component id (min member id, maintained
-    // by the inner CC's min-label contract)
+    // label(vertex) = current component id. ANY consistent labeling
+    // works here (labels only partition vertices and key the min-edge
+    // groups; the forest rows carry vertex ids, never labels) — after
+    // contraction the id is the merged group's terminal-2-cycle root,
+    // canonical but not necessarily the group's min member
     var labels = e.select(col("u").as("id")).union(e.select(col("v")))
       .distinct().withColumn("l", col("id")).cutLineage()
 
@@ -157,7 +160,11 @@ object SpanningForest {
     *
     * The root's label is itself (min of its own 2-cycle), so it is a
     * fixpoint and every chain collapses onto it. Output `(c, l)` = the
-    * (old label → merged min label) relabel table, ≤|components| rows.
+    * (old label → merged label) relabel table, ≤|components| rows. The
+    * merged label is the terminal 2-cycle's min — a CANONICAL id for
+    * the group, not necessarily its global min member (an interior
+    * chain component may carry a smaller id); Borůvka only needs the
+    * labeling to be consistent, never minimal, so this is free.
     */
   private[operators] def contractPseudoforest(ptr: DataFrame,
                                               maxRounds: Int = 40): DataFrame = {
