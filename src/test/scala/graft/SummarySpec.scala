@@ -164,6 +164,40 @@ class SummarySpec extends SparkTestBase {
     assert(iso(5L) === 5L && iso(6L) === 6L)
   }
 
+  test("decrementalPartitioned: identical labels via a partition-pruned carve-out") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two components: a 6-cycle-with-tail and a pair; delete the tail
+    // bridge (splits) and a cycle edge (no-op)
+    val old = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 5L), (5L, 6L),
+      (10L, 11L)).toDF("src", "dst")
+    val labels = ConnectedComponents.iterative(old)
+    val deleted = Seq((5L, 4L), (2L, 3L)).toDF("src", "dst")
+    // deployment layout: edges tagged with their component, one hive
+    // directory per component (the natural post-CC layout)
+    val tagged = old.join(labels.toDF("src", "component"), Seq("src"))
+    val path = java.nio.file.Files.createTempDirectory("graft-cc-layout").toString
+    graft.sources.Sources.writePartitioned(tagged, path, "component",
+      orderCols = Seq("src", "dst"))
+    val byComp = spark.read.parquet(path)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val part = toMap(ConnectedComponents.decrementalPartitioned(labels, byComp, deleted))
+    val plain = toMap(ConnectedComponents.decremental(labels, old, deleted))
+    assert(part === plain)
+    // the carve-out read is DIRECTORY-pruned: the operator pushes the
+    // affected ids as a static isin on the partition column — assert
+    // the mechanism on the identical read pattern
+    val affectedIds = deleted.join(labels.toDF("src", "c"), Seq("src"))
+      .select("c").distinct().as[Long].collect()
+    val pruned = byComp.where(col("component").isin(affectedIds.map(Long.box): _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    // only the affected component's directory is listed in the scan
+    val leaves = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!leaves.contains("component=10"), leaves.take(300))
+  }
+
   test("decremental CC equals full recompute on random graphs and deltas") {
     import spark.implicits._
     val rnd = new scala.util.Random(77)
