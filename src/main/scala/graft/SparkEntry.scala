@@ -1902,6 +1902,14 @@ object SparkEntry {
     // (q138's unrolled-merge pattern applied to learning)
     "q192_perceptron_quality" -> ((s, dir) =>
       graft.functions.Corpus.perceptronQualityScores(Tables.documents(s, dir))),
+    // AVERAGED perceptron (Freund & Schapire 1999): same training
+    // trajectory, scores under the integer SUM of the epoch weight
+    // snapshots — sign-equivalent to the average, so it replays with
+    // no division; the classic variance reduction when epochs
+    // oscillate on non-separable data
+    "q195_perceptron_averaged" -> ((s, dir) =>
+      graft.functions.Corpus.perceptronQualityScores(Tables.documents(s, dir),
+        averaged = true)),
     // decremental triangle maintenance (q187's retraction half):
     // triangles DESTROYED by a 10% edge deletion, found by wedge-
     // closing each deleted edge through the OLD graph (work ∝ Σ_del
@@ -1927,6 +1935,54 @@ object SparkEntry {
         Seq("vec_a", "vec_b"), 0.4)
     }),
   )
+
+  /** DuckDB replay of the ENTIRE 4-epoch batch-perceptron training
+    * loop (q138's unrolled-merge pattern applied to learning): features
+    * with multiplicity, zero-weight first epoch updating every doc,
+    * margin rule y·score ≤ 0, then scores under the final weights —
+    * or, for the AVERAGED variant, under the integer sum of the four
+    * epoch weight snapshots (sign-equivalent to the average).
+    */
+  private def perceptronOracle(averaged: Boolean): String = {
+    val bkt = "CAST(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT) % 512 AS BIGINT)"
+    def epoch(k: Int): String =
+      s"s$k AS (SELECT f.doc_id, f.y, SUM(f.cnt * w$k.w) AS score " +
+        s"FROM feats f JOIN w$k USING(bucket) GROUP BY 1, 2), " +
+        s"u${k + 1} AS (SELECT bucket, SUM(y * cnt) AS dw FROM feats " +
+        s"WHERE doc_id IN (SELECT doc_id FROM s$k WHERE y * score <= 0) GROUP BY bucket), " +
+        s"w${k + 1} AS (SELECT w$k.bucket, w$k.w + COALESCE(u${k + 1}.dw, 0) AS w " +
+        s"FROM w$k LEFT JOIN u${k + 1} USING(bucket))"
+    // w2..w4 derive from w1 by LEFT JOIN, so all snapshots share w1's
+    // bucket set and the averaged sum's inner joins are lossless
+    val scoreCte =
+      if (averaged)
+        "wavg AS (SELECT w1.bucket, w1.w + w2.w + w3.w + w4.w AS w FROM w1 " +
+          "JOIN w2 USING(bucket) JOIN w3 USING(bucket) JOIN w4 USING(bucket)), " +
+          "sf AS (SELECT f.doc_id, f.y, SUM(f.cnt * wavg.w) AS score " +
+          "FROM feats f JOIN wavg USING(bucket) GROUP BY 1, 2) "
+      else
+        "sf AS (SELECT f.doc_id, f.y, SUM(f.cnt * w4.w) AS score " +
+          "FROM feats f JOIN w4 USING(bucket) GROUP BY 1, 2) "
+    "WITH d AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, " +
+      "list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks FROM documents), " +
+      "f0 AS (SELECT doc_id, y, unnest(toks) AS t FROM d " +
+      "UNION ALL SELECT doc_id, y, unnest(CASE WHEN len(toks) >= 2 THEN " +
+      "list_transform(range(len(toks) - 1), i -> " +
+      "toks[CAST(i + 1 AS BIGINT)] || ' ' || toks[CAST(i + 2 AS BIGINT)]) " +
+      "ELSE CAST([] AS VARCHAR[]) END) FROM d), " +
+      s"feats AS (SELECT doc_id, y, $bkt AS bucket, COUNT(*) AS cnt FROM f0 GROUP BY 1, 2, 3), " +
+      // epoch 1 from zero weights: margin 0 everywhere → every doc
+      // updates, so w1 already holds every bucket any doc touches
+      // (later epochs' inner joins are therefore lossless)
+      "w1 AS (SELECT bucket, SUM(y * cnt) AS w FROM feats GROUP BY bucket), " +
+      epoch(1) + ", " + epoch(2) + ", " + epoch(3) + ", " +
+      scoreCte +
+      "SELECT d2.doc_id, CAST(d2.y AS BIGINT) AS y, " +
+      "CAST(COALESCE(sf.score, 0) AS BIGINT) AS score, " +
+      "CAST(CASE WHEN COALESCE(sf.score, 0) >= 0 THEN 1 ELSE -1 END AS BIGINT) AS pred " +
+      "FROM (SELECT DISTINCT doc_id, y FROM d) d2 " +
+      "LEFT JOIN sf ON sf.doc_id = d2.doc_id AND sf.y = d2.y"
+  }
 
   /** DuckDB oracle SQL — identical aliases/semantics as the Spark plans. */
   def oracleSql: Map[String, String] = {
@@ -3946,36 +4002,11 @@ object SparkEntry {
       // training loop — features with multiplicity, zero-weight first
       // epoch updating every doc, margin rule y·score ≤ 0 — then scores
       // under the final weights (q138's unrolled-merge pattern)
-      "q192_perceptron_quality" -> {
-        val bkt = "CAST(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT) % 512 AS BIGINT)"
-        def epoch(k: Int): String =
-          s"s$k AS (SELECT f.doc_id, f.y, SUM(f.cnt * w$k.w) AS score " +
-            s"FROM feats f JOIN w$k USING(bucket) GROUP BY 1, 2), " +
-            s"u${k + 1} AS (SELECT bucket, SUM(y * cnt) AS dw FROM feats " +
-            s"WHERE doc_id IN (SELECT doc_id FROM s$k WHERE y * score <= 0) GROUP BY bucket), " +
-            s"w${k + 1} AS (SELECT w$k.bucket, w$k.w + COALESCE(u${k + 1}.dw, 0) AS w " +
-            s"FROM w$k LEFT JOIN u${k + 1} USING(bucket))"
-        ("WITH d AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, " +
-          "list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks FROM documents), " +
-          "f0 AS (SELECT doc_id, y, unnest(toks) AS t FROM d " +
-          "UNION ALL SELECT doc_id, y, unnest(CASE WHEN len(toks) >= 2 THEN " +
-          "list_transform(range(len(toks) - 1), i -> " +
-          "toks[CAST(i + 1 AS BIGINT)] || ' ' || toks[CAST(i + 2 AS BIGINT)]) " +
-          "ELSE CAST([] AS VARCHAR[]) END) FROM d), " +
-          s"feats AS (SELECT doc_id, y, $bkt AS bucket, COUNT(*) AS cnt FROM f0 GROUP BY 1, 2, 3), " +
-          // epoch 1 from zero weights: margin 0 everywhere → every doc
-          // updates, so w1 already holds every bucket any doc touches
-          // (later epochs' inner joins are therefore lossless)
-          "w1 AS (SELECT bucket, SUM(y * cnt) AS w FROM feats GROUP BY bucket), " +
-          epoch(1) + ", " + epoch(2) + ", " + epoch(3) + ", " +
-          "sf AS (SELECT f.doc_id, f.y, SUM(f.cnt * w4.w) AS score " +
-          "FROM feats f JOIN w4 USING(bucket) GROUP BY 1, 2) " +
-          "SELECT d2.doc_id, CAST(d2.y AS BIGINT) AS y, " +
-          "CAST(COALESCE(sf.score, 0) AS BIGINT) AS score, " +
-          "CAST(CASE WHEN COALESCE(sf.score, 0) >= 0 THEN 1 ELSE -1 END AS BIGINT) AS pred " +
-          "FROM (SELECT DISTINCT doc_id, y FROM d) d2 " +
-          "LEFT JOIN sf ON sf.doc_id = d2.doc_id AND sf.y = d2.y")
-      },
+      "q192_perceptron_quality" -> perceptronOracle(averaged = false),
+      // averaged perceptron: identical training trajectory; the final
+      // scores use the positive-scale-equivalent integer SUM of the
+      // four epoch weight snapshots (sign unchanged vs the average)
+      "q195_perceptron_averaged" -> perceptronOracle(averaged = true),
       // decremental triangles: the oracle recounts the old and the
       // surviving edge sets — n_destroyed must be exactly their
       // difference (q187's identity pointed backwards)

@@ -522,7 +522,7 @@ object Corpus {
     * state. Output `(doc_id, y, score, pred)` under the FINAL weights.
     */
   def perceptronQualityScores(docs: DataFrame, buckets: Int = 512,
-                              epochs: Int = 4): DataFrame = {
+                              epochs: Int = 4, averaged: Boolean = false): DataFrame = {
     require(buckets > 0 && epochs >= 1,
       s"need buckets > 0 and epochs >= 1; got $buckets, $epochs")
     import graft.Lineage.CutOps
@@ -543,7 +543,14 @@ object Corpus {
       .select(col("doc_id"), col("y"), featBucket(col("t"), buckets).as("bucket"))
       .groupBy("doc_id", "y", "bucket").agg(count(lit(1)).as("cnt"))
       .cutLineage() // consumed twice per epoch + once for final scores
+    // `w` = current weights; `wSum` = running sum of the per-epoch
+    // weight SNAPSHOTS — the AVERAGED perceptron (Freund & Schapire
+    // 1999) scores under avg_k w_k, and since the prediction is a sign,
+    // the positive-scale-equivalent integer sum Σ_k w_k replays exactly
+    // (no division anywhere; classic variance reduction on data the
+    // epochs oscillate over)
     var w = feats.select(col("bucket")).limit(0).withColumn("w", lit(0L))
+    var wSum = w
     for (_ <- 1 to epochs) {
       val scored = feats.join(w, Seq("bucket"), "left")
         .groupBy("doc_id", "y")
@@ -555,8 +562,14 @@ object Corpus {
         .select(col("bucket"),
           (coalesce(col("w"), lit(0L)) + coalesce(col("dw"), lit(0L))).as("w"))
         .cutLineage()
+      if (averaged)
+        wSum = wSum.toDF("bucket", "ws").join(w, Seq("bucket"), "full_outer")
+          .select(col("bucket"),
+            (coalesce(col("ws"), lit(0L)) + coalesce(col("w"), lit(0L))).as("w"))
+          .cutLineage()
     }
-    val fin = feats.join(w, Seq("bucket"), "left")
+    val scoreW = if (averaged) wSum else w
+    val fin = feats.join(scoreW, Seq("bucket"), "left")
       .groupBy("doc_id", "y")
       .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("score"))
     base.select(col("doc_id"), col("y")).distinct()

@@ -452,5 +452,17 @@ class CorpusSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(repart === out)
+    // AVERAGED variant: same separable fixture stays fully correct, and
+    // on a separable run where later epochs stop updating, the summed-
+    // snapshot score is larger in magnitude but identical in sign
+    val avg = Corpus.perceptronQualityScores(docs, averaged = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for (id <- 1L to 6L) {
+      val (_, s0, p0) = out(id)
+      val (_, sa, pa) = avg(id)
+      assert(pa === p0 && math.abs(sa) >= math.abs(s0), s"doc $id: $sa vs $s0")
+    }
+    assert(avg(7L) === ((-1L, 0L, 1L)) && avg(8L) === ((1L, 0L, 1L)))
   }
 }
