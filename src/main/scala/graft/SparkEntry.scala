@@ -1934,6 +1934,30 @@ object SparkEntry {
         graft.streaming.StreamingOps.replayLshPairs(emb, 0.3),
         Seq("vec_a", "vec_b"), 0.4)
     }),
+    // greedy densest-subgraph peel (Bahmani et al. 2012): drop every
+    // vertex with deg ≤ (11/10)·avg per round — geometric shrink, ≤
+    // log_{1.1} n rounds — and flag the round maximizing m/n by exact
+    // cross-multiplied compare; the oracle replays every peel round
+    "q196_densest_subgraph" -> ((s, dir) =>
+      Traversals.densestSubgraph(GraphFixtures.coPurchase10(s, dir))),
+    // CDC latest-per-key WITH RETRACTIONS (q181's missing delete half):
+    // op = delete iff event_id % 7 == 0; keyed tombstone state replayed
+    // over 4 triggers must equal the batch argmax with its alive flag
+    "q197_cdc_tombstones" -> ((s, dir) =>
+      graft.streaming.StreamingOps.replayLatestPerKeyCdc(Tables.events(s, dir))),
+    // exact-integer BM25 top-10 per fixed query (k1=6/5, b=3/4 →
+    // micro-unit integer arithmetic after one idf ROUND, the q77
+    // discipline); query terms broadcast-prune the postings first
+    "q198_bm25_topk" -> ((s, dir) =>
+      graft.functions.Bm25.topK(Tables.documents(s, dir))),
+    // time-respecting earliest-arrival BFS over the temporal
+    // co-purchase events from the minimum part id — static BFS is
+    // WRONG on temporal graphs; rounds relax only improved frontiers
+    "q199_temporal_bfs" -> ((s, dir) => {
+      val te = GraphFixtures.coPurchaseTemporal(s, dir)
+      val src = te.agg(min(col("src")).cast("long")).collect()(0).getLong(0)
+      Traversals.temporalBfs(te, src)
+    }),
   )
 
   /** DuckDB replay of the ENTIRE 4-epoch batch-perceptron training
@@ -2373,6 +2397,64 @@ object SparkEntry {
         "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
         s"WHERE EXISTS (SELECT 1 FROM h$R a JOIN h${R - 1} b " +
         "ON a.id = b.id AND a.h <> b.h)"
+    }
+    // greedy densest-subgraph peel replayed round by round (8 rounds at
+    // sf0.01, 16 = 2× margin; extra rounds peel nothing and emit no
+    // stats row); HUGEINT for the threshold and density cross-products
+    // (the operator's DECIMAL(38,0) argument), sentinel if edges remain
+    val densestSql = {
+      val R = 16
+      val base = s"WITH c AS MATERIALIZED ($copurchase10), " +
+        "e0 AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION ALL SELECT y, x FROM c), " +
+        "s0 AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n, " +
+        "CAST(COUNT(*) AS BIGINT) AS ms FROM e0), "
+      val rounds = (1 to R).map { r =>
+        val p = r - 1
+        s"k$r AS MATERIALIZED (SELECT u FROM e$p GROUP BY u " +
+          s"HAVING CAST(COUNT(*) AS HUGEINT) * 10 * (SELECT n FROM s$p) " +
+          s"> CAST(11 AS HUGEINT) * (SELECT ms FROM s$p)), " +
+          s"e$r AS MATERIALIZED (SELECT e.u, e.v FROM e$p e " +
+          s"JOIN k$r a ON a.u = e.u JOIN k$r b ON b.u = e.v), " +
+          s"s$r AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n, " +
+          s"CAST(COUNT(*) AS BIGINT) AS ms FROM e$r)"
+      }.mkString(", ")
+      val statsUnion = (0 to R).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS r, n, ms FROM s$r WHERE ms > 0").mkString(" UNION ALL ")
+      base + rounds + s", st AS MATERIALIZED ($statsUnion) " +
+        "SELECT r AS round, n AS n_vertices, CAST(ms // 2 AS BIGINT) AS n_edges, " +
+        "CAST(CAST(ms AS HUGEINT) * 500000 // n AS BIGINT) AS density_micro, " +
+        "CAST(CASE WHEN NOT EXISTS (SELECT 1 FROM st b WHERE " +
+        "CAST(b.ms AS HUGEINT) * a.n > CAST(a.ms AS HUGEINT) * b.n " +
+        "OR (CAST(b.ms AS HUGEINT) * a.n = CAST(a.ms AS HUGEINT) * b.n AND b.r < a.r)) " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS is_best FROM st a " +
+        "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), " +
+        s"CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) WHERE EXISTS (SELECT 1 FROM e$R)"
+    }
+    // time-respecting earliest arrival replayed by unrolled min-relax
+    // rounds (9 at sf0.01, 18 = 2× margin); sentinel on any value OR
+    // membership difference between the last two rounds
+    val temporalBfsSql = {
+      val R = 18
+      val ctSql = "SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y, " +
+        "epoch(o.o_orderdate) AS t FROM lineitem a " +
+        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "JOIN orders o ON o.o_orderkey = a.l_orderkey WHERE a.l_orderkey % 2 = 0"
+      val base = s"WITH ct AS MATERIALIZED ($ctSql), " +
+        "sym AS MATERIALIZED (SELECT x AS u, y AS v, t FROM ct " +
+        "UNION ALL SELECT y, x, t FROM ct), " +
+        "a0 AS MATERIALIZED (SELECT (SELECT MIN(x) FROM ct) AS id, CAST(-1 AS BIGINT) AS a), "
+      val rounds = (1 to R).map { r =>
+        val p = r - 1
+        s"n$r AS MATERIALIZED (SELECT s.v AS id, MIN(s.t) AS na FROM sym s " +
+          s"JOIN a$p p ON p.id = s.u AND s.t >= p.a GROUP BY s.v), " +
+          s"a$r AS MATERIALIZED (SELECT id, MIN(a) AS a FROM " +
+          s"(SELECT id, a FROM a$p UNION ALL SELECT id, na FROM n$r) GROUP BY id)"
+      }.mkString(", ")
+      base + rounds + s" SELECT CAST(id AS BIGINT) AS id, CAST(a AS BIGINT) AS arrival FROM a$R " +
+        "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
+        s"WHERE EXISTS (SELECT 1 FROM a$R x JOIN a${R - 1} y ON x.id = y.id AND x.a <> y.a) " +
+        s"OR EXISTS (SELECT 1 FROM a$R x WHERE NOT EXISTS " +
+        s"(SELECT 1 FROM a${R - 1} y WHERE y.id = x.id))"
     }
     // double-sweep diameter: two chained depth-capped recursive BFS CTEs
     // (the q59 pattern); the far vertex is the deterministic
@@ -4007,6 +4089,42 @@ object SparkEntry {
       // scores use the positive-scale-equivalent integer SUM of the
       // four epoch weight snapshots (sign unchanged vs the average)
       "q195_perceptron_averaged" -> perceptronOracle(averaged = true),
+      "q196_densest_subgraph" -> densestSql,
+      // q181's oracle with the deterministic delete op and alive flag
+      "q197_cdc_tombstones" ->
+        ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu, " +
+          "CAST(ROUND(value * 100) AS BIGINT) AS cents, " +
+          "CASE WHEN event_id % 7 = 0 THEN 0 ELSE 1 END AS alv FROM events), " +
+          "r AS (SELECT user_id, event_id, tu, cents, alv, " +
+          "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tu DESC, event_id DESC) AS rn, " +
+          "COUNT(*) OVER (PARTITION BY user_id) AS n FROM e) " +
+          "SELECT user_id, CAST(tu AS BIGINT) AS last_tu, event_id AS last_event_id, " +
+          "cents AS last_cents, CAST(alv AS BIGINT) AS alive, " +
+          "CAST(n AS BIGINT) AS n_events FROM r WHERE rn = 1"),
+      // BM25: one idf ROUND (the q77 LN discipline), then HUGEINT
+      // integer arithmetic mirroring the operator's DECIMAL(38,0)
+      "q198_bm25_topk" ->
+        ("WITH tok AS (SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS token FROM documents), " +
+          "t AS (SELECT doc_id, token FROM tok WHERE token <> ''), " +
+          "tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2), " +
+          "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY 1), " +
+          "cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tt FROM dl), " +
+          "qt AS (SELECT * FROM (VALUES (1, 'spark'), (1, 'join'), (1, 'window'), " +
+          "(2, 'fast'), (2, 'merge'), (3, 'customer'), (3, 'table'), (3, 'scan')) v(query_id, token)), " +
+          "df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf " +
+          "WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1), " +
+          "idf AS (SELECT token, CAST(ROUND(1000000.0 * LN(1 + ((SELECT n FROM cs) - df + 0.5) / (df + 0.5))) AS BIGINT) AS idf_micro FROM df), " +
+          "c AS (SELECT q.query_id, tf.doc_id, " +
+          "CAST(CAST(idf.idf_micro AS HUGEINT) * 22 * tf.tf * (SELECT tt FROM cs) // " +
+          "(CAST(tf.tf AS HUGEINT) * 10 * (SELECT tt FROM cs) + 3 * (SELECT tt FROM cs) " +
+          "+ CAST(dl.dl AS HUGEINT) * 9 * (SELECT n FROM cs)) AS BIGINT) AS s " +
+          "FROM tf JOIN qt q ON q.token = tf.token " +
+          "JOIN idf ON idf.token = tf.token JOIN dl ON dl.doc_id = tf.doc_id), " +
+          "sc AS (SELECT query_id, doc_id, SUM(s) AS score_micro, " +
+          "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY SUM(s) DESC, doc_id ASC) AS rnk FROM c GROUP BY 1, 2) " +
+          "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk, " +
+          "doc_id, CAST(score_micro AS BIGINT) AS score_micro FROM sc WHERE rnk <= 10"),
+      "q199_temporal_bfs" -> temporalBfsSql,
       // decremental triangles: the oracle recounts the old and the
       // surviving edge sets — n_destroyed must be exactly their
       // difference (q187's identity pointed backwards)

@@ -358,4 +358,122 @@ object Traversals {
     }
     reached.groupBy(col("s").as("id")).agg(count(lit(1)).as("ego_size"))
   }
+
+  /** Greedy densest-subgraph peel (Bahmani, Kumar & Vassilvitskii 2012,
+    * the MapReduce formulation of Charikar's greedy): starting from the
+    * whole graph, each round drops EVERY vertex whose degree is at most
+    * (1+ε)·avg — here ε = 1/10, i.e. drop v iff 10·deg(v)·n ≤ 11·m_sym —
+    * and records the surviving subgraph's size. The round maximizing
+    * m/n (cross-multiplied exact-integer compare, earliest round on
+    * ties) is a 2(1+ε)-approximation of the densest subgraph.
+    *
+    * Scale shape: each round is one degree aggregation + two semi-joins
+    * (the [[kcore]] plan), all keyed by vertex id; since every kept
+    * vertex has degree strictly above (11/10)·avg, at most 10/11 of the
+    * vertices survive a round, so rounds ≤ log_{11/10} n (~40 at 10⁶
+    * vertices) — geometric, never the O(n) of one-at-a-time peeling.
+    * The per-vertex threshold product 10·deg·n is computed in
+    * DECIMAL(38,0): deg ≤ 10⁹ times n ≤ 10¹² overflows 64-bit at the
+    * 100 TB target, and the loop-control stats (n, m_sym per round —
+    * driver scalars) use BigInt for the cross-round density argmax.
+    *
+    * Output: one row per non-empty round —
+    * `(round, n_vertices, n_edges, density_micro, is_best)` with
+    * n_edges = m_sym/2 (undirected) and density_micro = 10⁶·m/n
+    * truncated. Fails loud if edges remain after `maxRounds` (a
+    * truncated peel could silently miss the best round).
+    */
+  def densestSubgraph(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    var sym = symmetrize(edges).cutLineage()
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var r = 0L
+    var msym = sym.count()
+    while (msym > 0 && r < maxRounds) {
+      val n = sym.select(col("u")).distinct().count()
+      stats += ((r, n, msym))
+      val keep = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .where(col("d").cast("decimal(38,0)") * lit(10L * n) > lit(11L * msym))
+        .select(col("u").as("kid"))
+      sym = sym
+        .join(keep, sym("u") === keep("kid"), "left_semi")
+        .join(keep, sym("v") === keep("kid"), "left_semi")
+        .cutLineage()
+      msym = sym.count()
+      r += 1
+    }
+    require(msym == 0,
+      s"densestSubgraph: $msym arcs remain after $maxRounds rounds — " +
+        "raise maxRounds; a truncated peel may miss the densest prefix")
+    // density argmax by cross-multiplication (m_sym/2n ordering equals
+    // m_sym/n ordering); BigInt: m_sym·n products exceed 64-bit at scale
+    val bestRound = stats.reduceLeft { (a, b) =>
+      val cmp = BigInt(a._3) * BigInt(b._2) - BigInt(b._3) * BigInt(a._2)
+      if (cmp > 0 || (cmp == 0 && a._1 < b._1)) a else b
+    }._1
+    val rows = stats.toSeq.map { case (rd, n, ms) =>
+      (rd, n, ms / 2, (BigInt(ms) * 500000L / n).toLong,
+        if (rd == bestRound) 1L else 0L)
+    }
+    import spark.implicits._
+    rows.toDF("round", "n_vertices", "n_edges", "density_micro", "is_best")
+  }
+
+  /** Time-respecting earliest-arrival BFS over TEMPORAL edge events
+    * `(src, dst, t)` (undirected view): a path may only traverse an
+    * edge event whose time is ≥ the arrival time at its tail, and the
+    * arrival at a vertex is the minimum over such paths of the last
+    * edge's time. The source starts at arrival `startT` (any event is
+    * usable from it). This is the temporal reachability primitive —
+    * "what could this vertex have influenced, respecting time order" —
+    * that static BFS gets WRONG on temporal graphs (a later edge cannot
+    * forward information received after it fired).
+    *
+    * Iterates Bellman-Ford-style rounds to the unique fixpoint (arrival
+    * times are monotone non-increasing per vertex, bounded below), with
+    * the frontier discipline of [[coreness]]: only edges out of
+    * vertices whose arrival IMPROVED last round are re-relaxed — one
+    * semi-join + one keyed join + one min-aggregate per round. Rounds ≤
+    * the longest minimal time-respecting path (hop count); fails loud at
+    * `maxRounds` — a truncated relaxation is not the earliest arrival.
+    *
+    * Output: `(id, arrival)` for every temporally-reachable vertex.
+    */
+  def temporalBfs(tedges: DataFrame, source: Long, startT: Long = -1L,
+                  maxRounds: Int = 64,
+                  trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+    val spark = tedges.sparkSession
+    import spark.implicits._
+    val sym = tedges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"), col("t").cast("long"))
+      .union(tedges.select(col("dst").cast("long"), col("src").cast("long"),
+        col("t").cast("long")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .cutLineage()
+    var arr = Seq((source, startT)).toDF("id", "a").cutLineage()
+    var changed = arr.select(col("id"))
+    var moved = 1L
+    var r = 0
+    while (moved > 0 && r < maxRounds) {
+      val cand = sym.join(changed.toDF("u"), Seq("u"), "left_semi")
+        .join(arr.toDF("u", "au"), Seq("u"))
+        .where(col("t") >= col("au"))
+        .groupBy(col("v").as("id")).agg(min(col("t")).as("na"))
+      val next = arr.join(cand, Seq("id"), "full")
+        .select(col("id"),
+          least(coalesce(col("a"), col("na")), coalesce(col("na"), col("a"))).as("a"),
+          (col("a").isNull || (col("na").isNotNull && col("na") < col("a"))).as("ch"))
+        .cutLineage()
+      changed = next.where(col("ch")).select("id")
+      moved = changed.count()
+      trace.foreach(_ += moved)
+      arr = next.select("id", "a")
+      r += 1
+    }
+    require(moved == 0,
+      s"temporalBfs: $moved arrivals still improving after $maxRounds rounds — " +
+        "raise maxRounds; a truncated relaxation is not the earliest arrival")
+    arr.select(col("id"), col("a").as("arrival"))
+  }
 }

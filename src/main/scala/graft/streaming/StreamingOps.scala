@@ -963,6 +963,94 @@ object StreamingOps {
     }
   }
 
+  /** Per-key CDC state under an upsert/delete changelog: the latest
+    * (event time, event id) observation's value, whether that latest
+    * operation was a delete (`alive = false`), and the running operation
+    * count — still a fixed ~33 B/key. A deleted key keeps its tombstone
+    * state (so a later upsert resurrects it with correct ordering and
+    * the count never resets), exactly how a compacted changelog topic
+    * behaves.
+    */
+  final case class KeyCdc(tu: Long, eventId: Long, cents: Long,
+                          alive: Boolean, n: Long)
+
+  /** CDC latest-per-key WITH RETRACTIONS — the missing half of
+    * [[streamingLatestPerKey]]'s upsert-only model: each event carries
+    * `del` (1 = delete, 0 = upsert); the keyed state tracks the
+    * (tu, event_id)-latest operation per key, and a key whose latest
+    * operation is a delete reports `alive = 0` (its value columns hold
+    * that delete's payload — deterministic, no nulls). Update-mode
+    * emission per touched key, state O(live ∪ tombstoned keys). Input
+    * columns: (user_id, event_id, tu, cents, del).
+    */
+  def streamingLatestPerKeyCdc(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("tu").cast("long"), col("cents").cast("long"), col("del").cast("long"))
+      .as[(Long, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Long, Long)],
+         state: GroupState[KeyCdc]) =>
+          var st = state.getOption.getOrElse(
+            KeyCdc(Long.MinValue, Long.MinValue, 0L, alive = false, 0L))
+          rows.foreach { case (_, eid, tu, cents, del) =>
+            val newer = tu > st.tu || (tu == st.tu && eid > st.eventId)
+            st =
+              if (newer) KeyCdc(tu, eid, cents, alive = del == 0L, st.n + 1)
+              else st.copy(n = st.n + 1)
+          }
+          state.update(st)
+          Iterator.single((user, st.tu, st.eventId, st.cents,
+            if (st.alive) 1L else 0L, st.n))
+      }
+      .toDF("user_id", "last_tu", "last_event_id", "last_cents", "alive", "n_events")
+  }
+
+  /** Correctness-gate harness for [[streamingLatestPerKeyCdc]] — the
+    * [[replayLatestPerKey]] replay (event-time order, `nBatches`
+    * triggers, final update row per key) with the delete op derived
+    * deterministically from the data: `del = (event_id % 7 == 0)`.
+    * The final changelog row per key must equal the batch
+    * argmax-by-(ts, event_id) answer with its alive flag.
+    */
+  def replayLatestPerKeyCdc(events: DataFrame, nBatches: Int = 4): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        expr("ts_ns div 1000").as("tu"),
+        round(col("value") * 100).cast("long").as("cents"),
+        (col("event_id") % 7 === 0).cast("long").as("del"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    rows.sortInPlaceBy(r => (r._3, r._2))
+    val stream = pinnedShuffleSession(spark, 8)
+    implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long, Long, Long)]
+    val name = "graft_replay_cdc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = replayCkpt("graft-replay-cdc")
+    val q = streamingLatestPerKeyCdc(
+        ms.toDF().toDF("user_id", "event_id", "tu", "cents", "del"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(name).start()
+    try {
+      val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      val fin = stream.table(name)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      spark.createDataset(fin.toIndexedSeq)
+        .toDF("user_id", "last_tu", "last_event_id", "last_cents", "alive", "n_events")
+    } finally {
+      q.stop()
+      stream.catalog.dropTempView(name)
+    }
+  }
+
   /** Streaming top-k by running count, COMPLETE output mode — the one
     * mode where Structured Streaming permits a global sort + limit over
     * a streaming aggregate, so the sink holds the FULL current ranking

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe (Test / runMain graft.ProbeMain) — round counts and raw
+  * output of in-progress operators at small SFs; not part of any gate.
+  */
+object ProbeMain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]").appName("probe")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.ui.enabled", false).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf"
+      val ds = graft.operators.Traversals.densestSubgraph(
+        graft.model.GraphFixtures.coPurchase10(spark, dir))
+      val rows = ds.orderBy("round").collect()
+      println(s"== $sf densest rounds=${rows.length}")
+      rows.foreach(r => println("  " + r))
+      val te = graft.model.GraphFixtures.coPurchaseTemporal(spark, dir)
+      val src = te.agg(min(col("src")).cast("long")).collect()(0).getLong(0)
+      val tr = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val tb = graft.operators.Traversals.temporalBfs(te, src, -1L, 64, Some(tr))
+      val n = tb.count()
+      println(s"== $sf temporalBfs src=$src reached=$n rounds=${tr.length} trace=${tr.mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -710,4 +710,34 @@ class StreamingSpec extends SparkTestBase {
       assert(got == expected, s"nBatches=$nb: $got")
     }
   }
+
+  test("cdc tombstones: delete wins, resurrect works, batch-split independent") {
+    import spark.implicits._
+    // delete op = event_id % 7 == 0 (the replay's derivation).
+    // key 1: upsert then DELETE (eid 14) latest → alive 0, payload =
+    //   the delete's; key 2: delete then later upsert RESURRECTS;
+    // key 3: ts tie at 2000 → higher event id (a delete) wins;
+    // key 4: never deleted
+    val ev = Seq(
+      (10L, 1L, 1000L, 5.00), (14L, 1L, 2000L, 6.00),
+      (21L, 2L, 1000L, 8.00), (22L, 2L, 2000L, 9.00),
+      (28L, 3L, 2000L, 1.00), (30L, 3L, 2000L, 2.00),
+      (35L, 3L, 2000L, 3.00),
+      (40L, 4L, 1500L, 4.00))
+      .toDF("event_id", "user_id", "tu", "value")
+      .withColumn("ts_ns", col("tu") * 1000L)
+    val expected = Map(
+      1L -> (2000L, 14L, 600L, 0L, 2L),
+      2L -> (2000L, 22L, 900L, 1L, 2L),
+      3L -> (2000L, 35L, 300L, 0L, 3L),
+      4L -> (1500L, 40L, 400L, 1L, 1L))
+    for (nb <- Seq(1, 3, 7)) {
+      val got = StreamingOps.replayLatestPerKeyCdc(ev, nBatches = nb)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+      assert(got == expected, s"nBatches=$nb: $got")
+    }
+  }
 }

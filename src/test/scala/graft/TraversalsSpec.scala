@@ -452,4 +452,47 @@ class TraversalsSpec extends SparkTestBase {
       assert(byCoreness == byPeel, s"coreness>=$k vs $k-core mismatch")
     }
   }
+
+  test("densestSubgraph peels to the clique and flags the best round") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    // K5 + pendant path 5-10-11: round 0 = whole graph (n=7, m=12,
+    // avg=24/7, (11/10)avg≈3.77 → 10 and 11 peel, clique survives);
+    // round 1 = K5 (n=5, m=10, all deg 4 ≤ 4.4 → empty). Density
+    // 10/5 = 2 > 12/7 → round 1 is best
+    val g = (clique(Seq(1L, 2L, 3L, 4L, 5L)) ++ Seq((5L, 10L), (10L, 11L)))
+      .toDF("src", "dst")
+    val rows = graft.operators.Traversals.densestSubgraph(g)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (0L, 7L, 12L, 12000000L / 7L, 0L),
+      (1L, 5L, 10L, 2000000L, 1L)), s"got ${rows.toSeq}")
+    // fail-loud contract: a round budget too small to finish throws
+    intercept[IllegalArgumentException] {
+      graft.operators.Traversals.densestSubgraph(g, maxRounds = 1)
+    }
+  }
+
+  test("temporalBfs respects time order and propagates improvements") {
+    import spark.implicits._
+    // 2-3 fires (t=3) BEFORE information reaches 2 (t=5) → 3 is NOT
+    // temporally reachable even though it is statically connected.
+    // 5 is first settled at t=7 via the short path 1-2-4-5 (round 3),
+    // then IMPROVED to t=2 by the longer early path 1-8-9-10-5
+    // (round 4) — which must REOPEN 5-6 (t=6 ≥ 2), an edge the first
+    // relaxation correctly rejected (6 < 7)
+    val te = Seq(
+      (1L, 2L, 5L), (2L, 3L, 3L), (2L, 4L, 7L),
+      (4L, 5L, 7L), (5L, 6L, 6L),
+      (1L, 8L, 1L), (8L, 9L, 1L), (9L, 10L, 2L), (10L, 5L, 2L))
+      .toDF("src", "dst", "t")
+    val got = graft.operators.Traversals.temporalBfs(te, 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> -1L, 2L -> 5L, 4L -> 7L, 5L -> 2L, 6L -> 6L,
+      8L -> 1L, 9L -> 1L, 10L -> 2L), s"got $got")
+    intercept[IllegalArgumentException] {
+      graft.operators.Traversals.temporalBfs(te, 1L, maxRounds = 1)
+    }
+  }
 }
