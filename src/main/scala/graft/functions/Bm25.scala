@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.Lineage.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -48,8 +49,15 @@ object Bm25 {
     val tok = docs.select(col("doc_id"),
         explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
       .where(col("token") =!= "")
+    // tf is materialized ONCE (checkpoint): every downstream branch —
+    // df, dl, corpus stats, postings — reads the compact (doc, token,
+    // tf) table instead of re-tokenizing the corpus; without this the
+    // optimizer pushes the per-branch term filters below the aggregate
+    // and the text column (the dominant 100 TB cost) is scanned three
+    // times. dl = Σ_token tf, so no second tokenize pass exists at all.
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .cutLineage()
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     // corpus scalars: docs with ≥1 token (tokenizable corpus) and Σ dl
     val Seq(nDocs, totTok) = {
       val r = dl.agg(count(lit(1)), sum(col("dl"))).collect()(0)
