@@ -1958,6 +1958,25 @@ object SparkEntry {
       val src = te.agg(min(col("src")).cast("long")).collect()(0).getLong(0)
       Traversals.temporalBfs(te, src)
     }),
+    // bucketed point-in-interval range join: bin expansion turns the
+    // O(|P|·|I|) BroadcastNestedLoop theta-join into one equi-join on
+    // the bin key + an exact post-filter; 14-day promo windows from
+    // every 20th order counting every 10th order's shipments
+    "q200_range_join" -> ((s, dir) => {
+      val iv = Tables.orders(s, dir).where(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey").cast("long").as("i_id"),
+          unix_timestamp(col("o_orderdate")).as("lo"),
+          (unix_timestamp(col("o_orderdate")) + 1209600L).as("hi"))
+      val pts = Tables.lineitem(s, dir).where(col("l_orderkey") % 10 === 0)
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("p_id"),
+          unix_timestamp(col("l_shipdate")).as("p"))
+      graft.operators.RangeJoin.countPerInterval(pts, iv, 1209600L)
+    }),
+    // directed reciprocity over the D fixture — fraction of arcs whose
+    // reverse exists; one reversed-key self-semi-join, exact integers
+    "q201_reciprocity" -> ((s, dir) =>
+      graft.operators.DegreeMetrics.reciprocity(
+        GraphFixtures.directedParts(s, dir))),
   )
 
   /** DuckDB replay of the ENTIRE 4-epoch batch-perceptron training
@@ -4125,6 +4144,23 @@ object SparkEntry {
           "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk, " +
           "doc_id, CAST(score_micro AS BIGINT) AS score_micro FROM sc WHERE rnk <= 10"),
       "q199_temporal_bfs" -> temporalBfsSql,
+      // the oracle states containment directly (DuckDB plans the
+      // inequality join natively); the operator's binning must be
+      // invisible in the result
+      "q200_range_join" ->
+        ("WITH iv AS (SELECT o_orderkey AS i_id, epoch(o_orderdate) AS lo, " +
+          "epoch(o_orderdate) + 1209600 AS hi FROM orders WHERE o_orderkey % 20 = 0), " +
+          "p AS (SELECT l_orderkey * 10 + l_linenumber AS p_id, epoch(l_shipdate) AS p " +
+          "FROM lineitem WHERE l_orderkey % 10 = 0) " +
+          "SELECT CAST(iv.i_id AS BIGINT) AS i_id, CAST(COUNT(p.p_id) AS BIGINT) AS n_points " +
+          "FROM iv LEFT JOIN p ON p.p >= iv.lo AND p.p < iv.hi GROUP BY iv.i_id"),
+      "q201_reciprocity" ->
+        (s"WITH $directedCtes, " +
+          "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d), " +
+          "rc AS (SELECT CAST(COUNT(*) AS BIGINT) AS r FROM d a " +
+          "JOIN d b ON b.src = a.dst AND b.dst = a.src) " +
+          "SELECT st.n AS n_edges, rc.r AS n_reciprocal, " +
+          "CAST(rc.r * 1000000 // st.n AS BIGINT) AS reciprocity_micro FROM st, rc"),
       // decremental triangles: the oracle recounts the old and the
       // surviving edge sets — n_destroyed must be exactly their
       // difference (q187's identity pointed backwards)

@@ -42,4 +42,25 @@ object DegreeMetrics {
         (col("m") * col("s_j2") - col("s_j") * col("s_j")).cast("double"), 6)
         .as("assortativity"))
   }
+
+  /** DIRECTED reciprocity — the fraction of arcs whose reverse arc also
+    * exists (Garlaschelli & Loffredo 2004's raw r), the first-order
+    * "is this network conversational or broadcast" statistic of
+    * directed analytics. One row `(n_edges, n_reciprocal,
+    * reciprocity_micro)`; exact integers, truncating micro-unit
+    * division. Plan: one self-join of the arc table on the reversed
+    * key (a single shuffle keyed on (src, dst)) + one global count —
+    * each reciprocal arc counts itself once via its own reverse probe.
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst")).distinct().cutLineage()
+    val rec = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_reciprocal"))
+    e.agg(count(lit(1)).as("n_edges")).crossJoin(rec)
+      .select(col("n_edges"), col("n_reciprocal"),
+        expr("n_reciprocal * 1000000 div n_edges").as("reciprocity_micro"))
+  }
 }

@@ -768,6 +768,82 @@ object ScaleSmoke {
       }
     }
 
+    if (mode == "tier2dense") {
+      // densest-subgraph peel at the 10M-edge tier with a PLANTED dense
+      // core: 200k extra edges among vertices 0..999 (~hundreds avg
+      // degree inside vs ~20 outside). No oracle at this scale, so
+      // correctness rides the approximation guarantee itself: the
+      // peel's best density must be ≥ planted-core density / 2.2
+      // (OPT ≥ the planted core, best ≥ OPT/2.2) — a broken threshold
+      // or argmax fails this loudly. Plus the geometric round bound.
+      val dense = spark.range(200000).select(
+        pmod(xxhash64(col("id"), lit(7)), lit(1000L)).as("src"),
+        pmod(xxhash64(col("id"), lit(8)), lit(1000L)).as("dst"))
+      val gd = g.select("src", "dst").unionByName(dense).localCheckpoint(true)
+      // planted-core density in the COMBINED graph (distinct undirected
+      // edges, self-loops dropped — symmetrize's normalization)
+      val core = gd.where(col("src") < 1000L && col("dst") < 1000L)
+        .where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+      val mP = core.count()
+      val nP = core.select(explode(array(col("a"), col("b")))).distinct().count()
+      println(s"[smoke] planted core: $mP edges / $nP vertices (density ${mP / math.max(nP, 1)})")
+      val stats = tm("densestSubgraph (10.2M edges)") {
+        graft.operators.Traversals.densestSubgraph(gd, maxRounds = 200)
+          .orderBy("round").collect()
+      }
+      val rounds = stats.length
+      val best = stats.find(_.getLong(4) == 1L).get
+      println(s"[smoke] rounds=$rounds best=round ${best.getLong(0)} " +
+        s"n=${best.getLong(1)} m=${best.getLong(2)} density_mu=${best.getLong(3)}")
+      val n0 = stats.head.getLong(1)
+      val bound = math.ceil(math.log(n0.toDouble) / math.log(1.1)).toLong
+      require(rounds <= bound, s"rounds $rounds exceed the log_{1.1} bound $bound")
+      // 2.2-approx: best m/n >= (mP/nP)/2.2  <=>  10*best_m*nP >= ... use BigInt
+      val lhs = BigInt(best.getLong(2)) * 22 * nP
+      val rhs = BigInt(mP) * 10 * best.getLong(1)
+      require(lhs >= rhs,
+        s"approximation guarantee violated: best ${best.getLong(2)}/${best.getLong(1)} " +
+          s"vs planted $mP/$nP — peel or argmax is broken")
+    }
+
+    if (mode == "tier2temporal") {
+      // time-respecting earliest arrival at the 10M-edge tier, edge
+      // times from a 0..999 range. No oracle, so the fixpoint is
+      // certified structurally: (1) every reached vertex except the
+      // source has a WITNESS edge event (u,v,t) with t == arrival(v)
+      // and arrival(u) <= t — an unwitnessed arrival means the relax
+      // loop invented a value; (2) temporal reachability ⊆ static
+      // reachability (a temporally-reached vertex unreachable by plain
+      // BFS is impossible).
+      val gt = g.select(col("src"), col("dst"),
+        pmod(xxhash64(col("src"), col("dst"), lit(4)), lit(1000L)).as("t"))
+        .localCheckpoint(true)
+      val arr = tm("temporalBfs (10M edge events)") {
+        val a = graft.operators.Traversals
+          .temporalBfs(gt, 0L, -1L, maxRounds = 200).localCheckpoint(true)
+        println(s"[smoke] temporally reached: ${a.count()} vertices")
+        a
+      }
+      tm("witness certification + static-subset check") {
+        val sym = gt.select(col("src").as("u"), col("dst").as("v"), col("t"))
+          .unionByName(gt.select(col("dst").as("u"), col("src").as("v"), col("t")))
+        val au = arr.toDF("u", "au")
+        val witnessed = sym.join(au, Seq("u"))
+          .where(col("t") >= col("au"))
+          .groupBy(col("v")).agg(min(col("t")).as("wt"))
+        val bad = arr.where(col("id") =!= 0L)
+          .join(witnessed.withColumnRenamed("v", "id"), Seq("id"), "left")
+          .where(col("wt").isNull || col("wt") =!= col("arrival")).count()
+        require(bad == 0, s"$bad arrivals lack a consistent witness edge")
+        val static = graft.operators.Traversals.bfsDepths(g, 0L).select("id")
+        val escaped = arr.join(static, Seq("id"), "left_anti").count()
+        require(escaped == 0, s"$escaped temporally-reached vertices are statically unreachable")
+        println(s"[smoke] witnessed all, static-subset ok")
+      }
+    }
+
     if (mode == "all" || mode == "graph") {
       t("bfsDepths (10M edges)")(
         graft.operators.Traversals.bfsDepths(g, 0L).count())
