@@ -1977,6 +1977,12 @@ object SparkEntry {
     "q201_reciprocity" -> ((s, dir) =>
       graft.operators.DegreeMetrics.reciprocity(
         GraphFixtures.directedParts(s, dir))),
+    // streaming HLL distinct parity: per-lang approx_count_distinct
+    // maintained in update-mode state across 4 triggers — register
+    // max-merge is split-invariant, so streaming must equal the batch
+    // sketch BIT-FOR-BIT (plus q57's 5·rsd exact-count gate)
+    "q202_streaming_hll" -> ((s, dir) =>
+      graft.streaming.StreamingOps.replayHllDistinct(Tables.documents(s, dir))),
   )
 
   /** DuckDB replay of the ENTIRE 4-epoch batch-perceptron training
@@ -4161,6 +4167,12 @@ object SparkEntry {
           "JOIN d b ON b.src = a.dst AND b.dst = a.src) " +
           "SELECT st.n AS n_edges, rc.r AS n_reciprocal, " +
           "CAST(rc.r * 1000000 // st.n AS BIGINT) AS reciprocity_micro FROM st, rc"),
+      // both gate flags are the hash-checked CLAIM (q57's pattern):
+      // the 5·rsd tolerance and the streaming≡batch sketch parity
+      "q202_streaming_hll" ->
+        ("WITH lt AS (SELECT lang, unnest(string_split(COALESCE(text, ''), ' ')) AS token FROM documents) " +
+          "SELECT lang, COUNT(DISTINCT token) AS n_exact, true AS within_tol, " +
+          "true AS stream_eq_batch FROM lt WHERE token <> '' GROUP BY lang"),
       // decremental triangles: the oracle recounts the old and the
       // surviving edge sets — n_destroyed must be exactly their
       // difference (q187's identity pointed backwards)

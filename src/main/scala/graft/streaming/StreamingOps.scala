@@ -1051,6 +1051,71 @@ object StreamingOps {
     }
   }
 
+  /** Streaming HLL++ distinct-count parity — the sketch-as-streaming-
+    * state primitive: per-language `approx_count_distinct` maintained
+    * across triggers in update mode. HLL registers merge by register-
+    * wise MAX — commutative, associative, idempotent — so for a fixed
+    * hash family the final estimate is IDENTICAL under any batch split,
+    * including the one-shot batch: the replay's last row per language
+    * must equal the batch estimate BIT-FOR-BIT, not within tolerance.
+    * (Exact `countDistinct` is disallowed on streams — unbounded
+    * distinct state; the sketch is precisely the streaming-legal
+    * answer, carrying fixed-size registers per key.)
+    *
+    * Output: (lang, n_exact, within_tol, stream_eq_batch) — batch exact
+    * count, the q57 5·rsd gate, and the streaming≡batch parity flag.
+    */
+  def replayHllDistinct(docs: DataFrame, nBatches: Int = 4,
+                        rsd: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val batch = graft.functions.Sketches.hllDistinctGate(docs, rsd)
+    val batchApprox = docs
+      .select(col("lang"), explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("lang").agg(approx_count_distinct(col("token"), rsd).as("n_approx_batch"))
+    val rows = docs.select(col("doc_id").cast("long"), col("lang"),
+        coalesce(col("text"), lit("")))
+      .as[(Long, String, String)].collect()
+    rows.sortInPlaceBy(_._1)
+    val stream = pinnedShuffleSession(spark, 8)
+    implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val name = "graft_replay_hll_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = replayCkpt("graft-replay-hll")
+    val agg = ms.toDF().toDF("doc_id", "lang", "text")
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("lang")
+      .agg(approx_count_distinct(col("token"), rsd).as("n_approx"),
+        count(lit(1)).as("n_tok"))
+    val q = agg.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(name).start()
+    try {
+      val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+      // last update per lang = the row with the maximal running token
+      // count (strictly increasing per touched lang)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_tok").desc)
+      val fin = stream.table(name)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("lang"), col("n_approx"))
+        .as[(String, Long)].collect()
+      val streamed = spark.createDataset(fin.toIndexedSeq)
+        .toDF("lang", "n_approx_stream")
+      batch.join(batchApprox, Seq("lang"))
+        .join(streamed, Seq("lang"))
+        .select(col("lang"), col("n_exact"), col("within_tol"),
+          (col("n_approx_stream") === col("n_approx_batch")).as("stream_eq_batch"))
+    } finally {
+      q.stop()
+      stream.catalog.dropTempView(name)
+    }
+  }
+
   /** Streaming top-k by running count, COMPLETE output mode — the one
     * mode where Structured Streaming permits a global sort + limit over
     * a streaming aggregate, so the sink holds the FULL current ranking

@@ -740,4 +740,31 @@ class StreamingSpec extends SparkTestBase {
       assert(got == expected, s"nBatches=$nb: $got")
     }
   }
+
+  test("streaming HLL parity: sketch equals batch under every split") {
+    import spark.implicits._
+    // 40 docs over 2 langs, overlapping vocab; a null-text doc rides
+    // along (must not crash or count)
+    val docs = ((0 until 40).map { i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de",
+        s"tok${i % 7} tok${i % 11} shared tok${i % 3}")
+    } :+ ((40L, "en", null.asInstanceOf[String])))
+      .toDF("doc_id", "lang", "text")
+    // exact per-lang distinct computed independently of the operator
+    val exact = docs.where(col("text").isNotNull)
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("lang").agg(countDistinct("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (nb <- Seq(1, 3, 7)) {
+      val got = StreamingOps.replayHllDistinct(docs, nBatches = nb)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2), r.getBoolean(3))))
+        .toMap
+      assert(got.keySet == Set("en", "de"), s"nBatches=$nb: ${got.keySet}")
+      got.foreach { case (lang, (nExact, tol, eq)) =>
+        assert(nExact == exact(lang), s"nBatches=$nb $lang exact $nExact vs ${exact(lang)}")
+        assert(tol && eq, s"nBatches=$nb $lang: within_tol=$tol stream_eq_batch=$eq")
+      }
+    }
+  }
 }
