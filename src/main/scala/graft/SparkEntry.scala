@@ -1983,6 +1983,16 @@ object SparkEntry {
     // sketch BIT-FOR-BIT (plus q57's 5·rsd exact-count gate)
     "q202_streaming_hll" -> ((s, dir) =>
       graft.streaming.StreamingOps.replayHllDistinct(Tables.documents(s, dir))),
+    // bloom-gated decontamination: benchmark fingerprints become a
+    // broadcast (word, bits) Bloom table; only might-contain train
+    // shingles reach the exact verify — output EXACTLY the q83-style
+    // anti-join survivors (Bloom has no false negatives)
+    "q203_bloom_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.Corpus.bloomDecontaminate(
+        docs.where(col("doc_id") % 10 =!= 7),
+        docs.where(col("doc_id") % 10 === 7))
+    }),
   )
 
   /** DuckDB replay of the ENTIRE 4-epoch batch-perceptron training
@@ -4173,6 +4183,19 @@ object SparkEntry {
         ("WITH lt AS (SELECT lang, unnest(string_split(COALESCE(text, ''), ' ')) AS token FROM documents) " +
           "SELECT lang, COUNT(DISTINCT token) AS n_exact, true AS within_tol, " +
           "true AS stream_eq_batch FROM lt WHERE token <> '' GROUP BY lang"),
+      // the oracle is the PLAIN anti-join — the bloom prefilter must be
+      // invisible in the result (q83's shingle CTEs, survivors side)
+      "q203_bloom_decontam" ->
+        ("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+          "sh AS (SELECT DISTINCT doc_id, sg FROM (SELECT doc_id, " +
+          "unnest(list_transform(range(1, len(t) - 3), " +
+          "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS sg " +
+          "FROM tk WHERE len(t) >= 5) u), " +
+          "bench AS (SELECT DISTINCT sg FROM sh WHERE doc_id % 10 = 7), " +
+          "dirty AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON b.sg = s.sg " +
+          "WHERE s.doc_id % 10 <> 7) " +
+          "SELECT d.doc_id FROM documents d WHERE d.doc_id % 10 <> 7 " +
+          "AND d.doc_id NOT IN (SELECT doc_id FROM dirty)"),
       // decremental triangles: the oracle recounts the old and the
       // surviving edge sets — n_destroyed must be exactly their
       // difference (q187's identity pointed backwards)

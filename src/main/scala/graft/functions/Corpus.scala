@@ -112,6 +112,72 @@ object Corpus {
       .groupBy("doc_id").agg(count("*").as("n_hits"))
   }
 
+  /** Bloom-gated decontamination — the 100 TB shape of the q83
+    * anti-join: train documents whose 5-gram fingerprints NEVER touch
+    * the benchmark set survive; instead of joining every train shingle
+    * against the benchmark fingerprints, a Bloom filter over the
+    * benchmark is probed first and only MIGHT-CONTAIN candidates reach
+    * the exact verify join. A Bloom "no" is definitive (no false
+    * negatives), so the output is EXACTLY the plain anti-join — the
+    * filter can only admit extra candidates, never drop a true one —
+    * and the oracle therefore states the anti-join directly.
+    *
+    * The filter is a (word, bits) TABLE, not a driver bitset: benchmark
+    * fingerprints scatter k = `probes` Kirsch–Mitzenmacher positions
+    * (h + i·h₂ mod m, h₂ odd-forced) whose 64-bit words OR-aggregate
+    * distributively (`bit_or`); train shingles test membership via k
+    * broadcast joins + shift/mask column arithmetic — no UDF, no
+    * driver collection, everything codegen. Broadcasting m/64 words
+    * (10 bits/key ⇒ ~1.25 bytes/fingerprint) beats broadcasting the
+    * fingerprint set itself ~6×, and the exact verify join shrinks
+    * from |trainSh| to the candidates. Fenced at `maxBits` — past
+    * that, rebalance bitsPerKey or shard the filter.
+    *
+    * Output: (doc_id) — surviving train documents (shingle-less short
+    * docs survive trivially).
+    */
+  def bloomDecontaminate(train: DataFrame, benchmark: DataFrame, n: Int = 5,
+                         bitsPerKey: Int = 10, probes: Int = 7,
+                         maxBits: Long = 1L << 26): DataFrame = {
+    val trainSh = graft.functions.Dedup.shingles(train, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val benchSh = graft.functions.Dedup.shingles(benchmark, n)
+      .select(xxhash64(col("shingle")).as("h")).distinct().cutLineage()
+    val nBench = benchSh.count()
+    val m = math.max(64L, ((nBench * bitsPerKey + 63) / 64) * 64)
+    require(m <= maxBits,
+      s"bloom of $m bits exceeds cap $maxBits — lower bitsPerKey or shard the filter")
+    // Kirsch–Mitzenmacher double hashing with both hashes pre-reduced
+    // mod m (≤ 2²⁶), so position arithmetic stays far from 64-bit
+    // overflow under ANSI; the step hash derives via a salted xxhash64
+    // rather than a wraparound multiply (ANSI rejects the overflow)
+    def pos(h: org.apache.spark.sql.Column, i: Int) =
+      pmod(pmod(h, lit(m)) + lit(i.toLong) *
+        pmod(xxhash64(h, lit(911)), lit(m)).bitwiseOR(lit(1L)), lit(m))
+    val words = (0 until probes).map(i => benchSh.select(pos(col("h"), i).as("p")))
+      .reduce(_ unionByName _)
+      .select(expr("p div 64").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))").as("mask"))
+      .groupBy("w").agg(expr("bit_or(mask)").as("bits"))
+      .cutLineage()
+    var cur = trainSh
+    for (i <- 0 until probes) {
+      cur = cur.withColumn(s"p$i", pos(col("h"), i))
+        .withColumn("w", expr(s"p$i div 64"))
+        .join(broadcast(words.withColumnRenamed("bits", s"b$i")), Seq("w"), "left")
+        .drop("w")
+    }
+    val might = (0 until probes).map(i =>
+      expr(s"(shiftright(coalesce(b$i, CAST(0 AS BIGINT)), " +
+        s"CAST(pmod(p$i, 64) AS INT)) & 1) = 1")).reduce(_ && _)
+    val candDocs = cur.where(might).select("doc_id").distinct()
+    val dirty = trainSh.join(candDocs, Seq("doc_id"), "left_semi")
+      .join(benchSh, Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    train.select(col("doc_id"))
+      .join(dirty, Seq("doc_id"), "left_anti")
+  }
+
   /** Deterministic exact-k per-source sample — the stratified counterpart
     * of [[sampleBySource]]'s fractional quotas: each source keeps its k
     * lowest-priority docs under the engine-portable multiplicative hash

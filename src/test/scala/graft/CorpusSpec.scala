@@ -465,4 +465,31 @@ class CorpusSpec extends SparkTestBase {
     }
     assert(avg(7L) === ((-1L, 0L, 1L)) && avg(8L) === ((1L, 0L, 1L)))
   }
+
+  test("bloom decontamination equals the exact anti-join exactly") {
+    import spark.implicits._
+    // doc 1 shares a full 5-gram with the benchmark (dirty); doc 2 is
+    // clean; doc 3 is too short to shingle (survives trivially);
+    // doc 4 shares only 4 consecutive tokens (clean at n=5)
+    val train = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "p q r s t u v"),
+      (3L, "a b c"),
+      (4L, "z b c d e x y"))
+      .toDF("doc_id", "text")
+    val bench = Seq((7L, "a b c d e zz ww")).toDF("doc_id", "text")
+    val got = Corpus.bloomDecontaminate(train, bench)
+      .collect().map(_.getLong(0)).toSet
+    // independent exact anti-join
+    def sh(df: org.apache.spark.sql.DataFrame) =
+      graft.functions.Dedup.shingles(df, 5)
+    val dirty = sh(train).join(sh(bench).select("shingle"), Seq("shingle"), "left_semi")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val expect = Set(1L, 2L, 3L, 4L) -- dirty
+    assert(got == expect && got == Set(2L, 3L, 4L), s"got $got dirty $dirty")
+    // the filter-size fence fails loud
+    intercept[IllegalArgumentException] {
+      Corpus.bloomDecontaminate(train, bench, maxBits = 32L)
+    }
+  }
 }
