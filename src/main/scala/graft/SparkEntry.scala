@@ -1993,6 +1993,14 @@ object SparkEntry {
         docs.where(col("doc_id") % 10 =!= 7),
         docs.where(col("doc_id") % 10 === 7))
     }),
+    // aspect-ratio bucketing through the REAL decoder: variable-dim
+    // PNGs (dims formula-recomputable) decode with ImageIO, bucket by
+    // exact cross-multiplied ratio, pack into pixel-budget batches;
+    // the oracle replays the dims formula — the decode round-trip IS
+    // the check (q88's pattern)
+    "q204_aspect_buckets" -> ((s, dir) =>
+      Multimodal.aspectBuckets(
+        Multimodal.syntheticImagesVar(Tables.documents(s, dir)).toDF())),
   )
 
   /** DuckDB replay of the ENTIRE 4-epoch batch-perceptron training
@@ -4196,6 +4204,18 @@ object SparkEntry {
           "WHERE s.doc_id % 10 <> 7) " +
           "SELECT d.doc_id FROM documents d WHERE d.doc_id % 10 <> 7 " +
           "AND d.doc_id NOT IN (SELECT doc_id FROM dirty)"),
+      // dims replayed from the generator formula; the Spark side reads
+      // them through the REAL ImageIO decode — round-trip equality
+      "q204_aspect_buckets" ->
+        ("WITH d AS (SELECT doc_id, 8 + (doc_id % 5) * 4 AS w, " +
+          "8 + (doc_id % 3) * 8 AS h FROM documents), " +
+          "b AS (SELECT CASE WHEN w * 3 >= h * 4 THEN 'landscape' " +
+          "WHEN h * 3 >= w * 4 THEN 'portrait' ELSE 'square' END AS bucket, " +
+          "w * h AS px FROM d) " +
+          "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_images, " +
+          "CAST(SUM(px) AS BIGINT) AS sum_px, " +
+          "CAST((SUM(px) + 65535) // 65536 AS BIGINT) AS n_batches " +
+          "FROM b GROUP BY bucket"),
       // decremental triangles: the oracle recounts the old and the
       // surviving edge sets — n_destroyed must be exactly their
       // difference (q187's identity pointed backwards)

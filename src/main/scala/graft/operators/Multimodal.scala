@@ -162,6 +162,55 @@ object Multimodal {
     }
   }
 
+  /** Variable-dimension REAL image corpus: w = 8 + (doc_id mod 5)·4,
+    * h = 8 + (doc_id mod 3)·8 — formula-recomputable dims so the
+    * decode round-trip stays hash-verifiable while the aspect mix
+    * (8×8 .. 24×24, 1:3 .. 3:1) exercises ratio-dependent pipeline
+    * stages. Pixel formula as [[syntheticImages]].
+    */
+  def syntheticImagesVar(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = 8 + (id % 5).toInt * 4
+        val h = 8 + (id % 3).toInt * 8
+        val gray = Array.tabulate(w * h)(i => (((id * 31 + i) % 256) + 256).toInt % 256)
+        MediaRow(id, "image", encodeGrayPng(DecodedImage(w, h, gray)),
+          Map("w" -> w.toString, "h" -> h.toString))
+      }
+    }
+  }
+
+  /** Aspect-ratio bucketing — the multimodal batch-packing primitive
+    * (vision-training pipelines group images by aspect so a batch
+    * shares one padded shape): dims come from the REAL decoder (never
+    * the metadata — a corrupt payload must not silently bucket), the
+    * bucket rule is exact cross-multiplied integers (landscape iff
+    * 3w ≥ 4h, portrait iff 3h ≥ 4w, else square), and each bucket
+    * reports its image count, total pixels, and the number of
+    * `pxBudget`-pixel batches it packs into (ceil division). One
+    * mapPartitions decode pass + one small aggregation — decode cost
+    * dominates, exactly as at 100 TB.
+    */
+  def aspectBuckets(media: DataFrame, pxBudget: Long = 65536L): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      decodeGray(r.content).map { img =>
+        val bucket =
+          if (img.width * 3 >= img.height * 4) "landscape"
+          else if (img.height * 3 >= img.width * 4) "portrait"
+          else "square"
+        (bucket, img.width.toLong * img.height)
+      }
+    }.toDF("bucket", "px")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_images"), sum(col("px")).as("sum_px"))
+      .select(col("bucket"), col("n_images"), col("sum_px"),
+        expr(s"(sum_px + ${pxBudget - 1}) div $pxBudget").as("n_batches"))
+  }
+
   /** Exact integer pixel stats through the REAL decoder — the decode
     * correctness gate: (id, width, height, n_px, sum_lum, n_dark) with
     * sum/dark over band-0 luminance. Rows whose payload doesn't decode

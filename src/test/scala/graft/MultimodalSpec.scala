@@ -300,4 +300,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(img.gray.toSeq == expected)
     assert(resized.meta("resized") == "8x8")
   }
+
+  test("aspect buckets: real decode dims, boundary ratios, ceil batching") {
+    import spark.implicits._
+    // doc_id mod (5,3) → (w,h): id 0 → 8×8 square; id 1 → 12×16
+    // (3h=48 ≥ 4w=48: portrait AT the 3:4 boundary); id 2 → 16×24
+    // portrait; id 3 → 20×8 landscape; id 4 → 24×16 landscape
+    val docs = (0L to 4L).toDF("doc_id")
+    val media = Multimodal.syntheticImagesVar(docs).toDF()
+    // the decoder, not the metadata, must supply dims
+    val dims = Multimodal.imageStats(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dims == Map(0L -> ((8L, 8L)), 1L -> ((12L, 16L)),
+      2L -> ((16L, 24L)), 3L -> ((20L, 8L)), 4L -> ((24L, 16L))), s"$dims")
+    val got = Multimodal.aspectBuckets(media, pxBudget = 400L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // portrait px: 192 + 384 = 576 → ceil(576/400) = 2 batches;
+    // landscape px: 160 + 384 = 544 → 2; square px: 64 → 1
+    assert(got == Map(
+      "square" -> ((1L, 64L, 1L)),
+      "portrait" -> ((2L, 576L, 2L)),
+      "landscape" -> ((2L, 544L, 2L))), s"$got")
+  }
 }
