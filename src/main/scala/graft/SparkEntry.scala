@@ -2001,6 +2001,12 @@ object SparkEntry {
     "q204_aspect_buckets" -> ((s, dir) =>
       Multimodal.aspectBuckets(
         Multimodal.syntheticImagesVar(Tables.documents(s, dir)).toDF())),
+    // streaming count-min parity: the global CMS aggregate maintained
+    // in update-mode state across 4 triggers — counter addition
+    // commutes, so the streamed sketch BYTES must equal the one-shot
+    // batch sketch exactly; q56's heavy-hitter gate rides along
+    "q205_streaming_cms" -> ((s, dir) =>
+      graft.streaming.StreamingOps.replayCmsHeavyHitters(Tables.documents(s, dir))),
   )
 
   /** DuckDB replay of the ENTIRE 4-epoch batch-perceptron training
@@ -4206,6 +4212,13 @@ object SparkEntry {
           "AND d.doc_id NOT IN (SELECT doc_id FROM dirty)"),
       // dims replayed from the generator formula; the Spark side reads
       // them through the REAL ImageIO decode — round-trip equality
+      // q56's gate rows + the byte-parity flag as hash-checked claims
+      "q205_streaming_cms" ->
+        ("WITH tc AS (SELECT token, COUNT(*) AS cnt FROM " +
+          "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) t " +
+          "WHERE token <> '' GROUP BY token) " +
+          "SELECT token, cnt AS exact_cnt, true AS within_bound, " +
+          "true AS stream_eq_batch FROM tc ORDER BY cnt DESC, token LIMIT 10"),
       "q204_aspect_buckets" ->
         ("WITH d AS (SELECT doc_id, 8 + (doc_id % 5) * 4 AS w, " +
           "8 + (doc_id % 3) * 8 AS h FROM documents), " +

@@ -43,7 +43,8 @@ object Bm25 {
     * terms; ties broken by doc_id ascending. Output:
     * `(query_id, rnk, doc_id, score_micro)`.
     */
-  def topK(docs: DataFrame, k: Int = 10): DataFrame = {
+  def topK(docs: DataFrame, k: Int = 10,
+           queries: Seq[(Long, Seq[String])] = Queries): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val tok = docs.select(col("doc_id"),
@@ -63,7 +64,7 @@ object Bm25 {
       val r = dl.agg(count(lit(1)), sum(col("dl"))).collect()(0)
       Seq(r.getLong(0), r.getLong(1))
     }
-    val qterms = Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+    val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("query_id", "token")
     val df = tf.join(broadcast(qterms.select("token").distinct()), Seq("token"), "left_semi")
       .groupBy("token").agg(count(lit(1)).as("df"))

@@ -1116,6 +1116,55 @@ object StreamingOps {
     }
   }
 
+  /** Streaming count-min-sketch parity — [[replayHllDistinct]]'s
+    * pattern for the OTHER mergeable sketch: a global
+    * `count_min_sketch` aggregate maintained in update-mode streaming
+    * state. Counter addition commutes and associates, so for a fixed
+    * seed the final sketch BYTES after any trigger split must equal
+    * the one-shot batch sketch exactly — compared byte-for-byte, the
+    * strongest possible parity. Output: q56's heavy-hitter gate rows
+    * plus the parity flag — (token, exact_cnt, within_bound,
+    * stream_eq_batch).
+    */
+  def replayCmsHeavyHitters(docs: DataFrame, k: Int = 10, eps: Double = 0.001,
+                            nBatches: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val gate = graft.functions.Sketches.cmsHeavyHitters(docs, k, eps)
+    val cmsAgg = s"count_min_sketch(token, cast($eps as double), cast(0.99 as double), 42)"
+    val batchBytes = docs
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+      .where(col("token") =!= "")
+      .agg(expr(cmsAgg)).head().getAs[Array[Byte]](0)
+    val rows = docs.select(col("doc_id").cast("long"), coalesce(col("text"), lit("")))
+      .as[(Long, String)].collect()
+    rows.sortInPlaceBy(_._1)
+    val stream = pinnedShuffleSession(spark, 8)
+    implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val name = "graft_replay_cms_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = replayCkpt("graft-replay-cms")
+    val agg = ms.toDF().toDF("doc_id", "text")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+      .agg(expr(cmsAgg).as("sketch"), count(lit(1)).as("n_tok"))
+    val q = agg.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(name).start()
+    try {
+      val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+      val streamedBytes = stream.table(name)
+        .orderBy(col("n_tok").desc).limit(1)
+        .head().getAs[Array[Byte]](0)
+      val eq = java.util.Arrays.equals(batchBytes, streamedBytes)
+      gate.withColumn("stream_eq_batch", lit(eq))
+    } finally {
+      q.stop()
+      stream.catalog.dropTempView(name)
+    }
+  }
+
   /** Streaming top-k by running count, COMPLETE output mode — the one
     * mode where Structured Streaming permits a global sort + limit over
     * a streaming aggregate, so the sink holds the FULL current ranking

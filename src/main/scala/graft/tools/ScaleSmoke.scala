@@ -768,6 +768,52 @@ object ScaleSmoke {
       }
     }
 
+    if (mode == "tier2text") {
+      // BM25 + bloom decontamination at the 1M-doc tier (30 tokens/doc
+      // from a 10k vocab → 30M tokens, ~26M distinct 5-gram train
+      // shingles). Bloom correctness at scale = set equality with the
+      // exact anti-join (both directions EXCEPT), required; bench =
+      // every 50th doc, so the expected dirty set is ~the bench docs
+      // themselves (random 5-grams collide only by duplication).
+      val nD = 1000000L
+      val tokenCols2 = (0 until 30).map(p =>
+        concat(lit("w"), pmod(xxhash64(col("id"), lit(p)), lit(10000))))
+      val corpus = spark.range(nD).select(col("id").as("doc_id"),
+        concat_ws(" ", tokenCols2: _*).as("text")).localCheckpoint(true)
+      println(s"[smoke] corpus: ${corpus.count()} docs")
+      tm("bm25 topK (1M docs, 3 queries)") {
+        val qs = Seq(1L -> Seq("w17", "w333", "w4242"), 2L -> Seq("w1", "w9999"),
+          3L -> Seq("w777", "w42"))
+        val r = graft.functions.Bm25.topK(corpus, 10, qs).collect()
+        println(s"[smoke] bm25 rows: ${r.length} " +
+          s"(top q1: ${r.filter(_.getLong(0) == 1L).take(2).mkString(" ")})")
+      }
+      // bench OVERLAPS train (the realistic leak: benchmark text copied
+      // into the crawl), so the expected dirty set is exactly the 20k
+      // bench docs — the bloom's positive path (candidate → exact
+      // verify) is exercised at scale, not just the reject path
+      val train = corpus
+      val bench = corpus.where(col("doc_id") % 50 === 0)
+      val surv = tm("bloomDecontaminate (1M train / 20k leaked bench)") {
+        val s0 = graft.functions.Corpus.bloomDecontaminate(train, bench)
+          .localCheckpoint(true)
+        println(s"[smoke] survivors: ${s0.count()} of ${train.count()}")
+        s0
+      }
+      tm("exact anti-join equality (both EXCEPTs empty)") {
+        val sh = graft.functions.Dedup.shingles(train, 5)
+          .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+        val bsh = graft.functions.Dedup.shingles(bench, 5)
+          .select(xxhash64(col("shingle")).as("h")).distinct()
+        val dirty = sh.join(bsh, Seq("h"), "left_semi").select("doc_id").distinct()
+        val exact = train.select("doc_id").join(dirty, Seq("doc_id"), "left_anti")
+        val d1 = surv.exceptAll(exact).count()
+        val d2 = exact.exceptAll(surv).count()
+        require(d1 == 0 && d2 == 0, s"bloom path diverged: +$d1 / -$d2 docs")
+        println(s"[smoke] bloom ≡ exact anti-join (${exact.count()} docs)")
+      }
+    }
+
     if (mode == "tier2dense") {
       // densest-subgraph peel at the 10M-edge tier with a PLANTED dense
       // core: 200k extra edges among vertices 0..999 (~hundreds avg

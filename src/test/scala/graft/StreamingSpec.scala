@@ -741,6 +741,23 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming CMS parity: sketch bytes equal batch under every split") {
+    import spark.implicits._
+    val docs = (0 until 30).map { i =>
+      (i.toLong, s"alpha tok${i % 5} beta tok${i % 3}")
+    }.toDF("doc_id", "text")
+    for (nb <- Seq(1, 3, 7)) {
+      val got = StreamingOps.replayCmsHeavyHitters(docs, k = 3, nBatches = nb)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+      // alpha and beta appear 30× each; tok0 appears in i%5==0 (6) and
+      // i%3==0 (10) draws = 16 occurrences; ties break lexicographically
+      assert(got.map(t => (t._1, t._2)).toSeq ==
+        Seq(("alpha", 30L), ("beta", 30L), ("tok0", 16L)), s"nb=$nb: ${got.toSeq}")
+      assert(got.forall(t => t._3 && t._4), s"nb=$nb gate/parity: ${got.toSeq}")
+    }
+  }
+
   test("streaming HLL parity: sketch equals batch under every split") {
     import spark.implicits._
     // 40 docs over 2 langs, overlapping vocab; a null-text doc rides
