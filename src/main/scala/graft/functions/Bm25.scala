@@ -59,9 +59,11 @@ object Bm25 {
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       .cutLineage()
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    // corpus scalars: docs with ≥1 token (tokenizable corpus) and Σ dl
+    // corpus scalars: docs with ≥1 token (tokenizable corpus) and Σ dl;
+    // a token-less corpus has a NULL sum — coalesce to the empty result
+    // via totTok = 0 (no postings exist either) rather than an NPE
     val Seq(nDocs, totTok) = {
-      val r = dl.agg(count(lit(1)), sum(col("dl"))).collect()(0)
+      val r = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
       Seq(r.getLong(0), r.getLong(1))
     }
     val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }

@@ -59,8 +59,11 @@ object DegreeMetrics {
         e.select(col("dst").as("src"), col("src").as("dst")),
         Seq("src", "dst"), "left_semi")
       .agg(count(lit(1)).as("n_reciprocal"))
+    // arc-less input (e.g. loops only): reciprocity is undefined — a
+    // NULL ratio row, not an ANSI divide-by-zero
     e.agg(count(lit(1)).as("n_edges")).crossJoin(rec)
       .select(col("n_edges"), col("n_reciprocal"),
-        expr("n_reciprocal * 1000000 div n_edges").as("reciprocity_micro"))
+        expr("CASE WHEN n_edges = 0 THEN NULL " +
+          "ELSE n_reciprocal * 1000000 div n_edges END").as("reciprocity_micro"))
   }
 }

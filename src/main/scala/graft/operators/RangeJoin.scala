@@ -39,9 +39,11 @@ object RangeJoin {
     // past 2^53); values are epochs/offsets, non-negative by contract
     val iv = intervals.select(col("i_id"), col("lo").cast("long"), col("hi").cast("long"))
       .where(col("hi") > col("lo"))
-    val spanBins = iv
-      .agg(max(expr(s"(hi - 1) div $binSize - lo div $binSize + 1")))
-      .head().getLong(0)
+    // empty/degenerate interval sets: max() is NULL — no expansion to
+    // fence, the join below is correctly empty
+    val spanBins = Option(iv
+        .agg(max(expr(s"(hi - 1) div $binSize - lo div $binSize + 1")))
+        .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     require(spanBins <= maxBinsPerInterval,
       s"range join: an interval covers $spanBins bins of width $binSize " +
         s"(cap $maxBinsPerInterval) — rebin with a width near the typical span")

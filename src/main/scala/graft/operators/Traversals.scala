@@ -405,6 +405,13 @@ object Traversals {
     require(msym == 0,
       s"densestSubgraph: $msym arcs remain after $maxRounds rounds — " +
         "raise maxRounds; a truncated peel may miss the densest prefix")
+    if (stats.isEmpty) {
+      // edgeless input: no rounds, no densest subgraph — empty result,
+      // not a reduceLeft crash
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("round", "n_vertices", "n_edges", "density_micro", "is_best")
+    }
     // density argmax by cross-multiplication (m_sym/2n ordering equals
     // m_sym/n ordering); BigInt: m_sym·n products exceed 64-bit at scale
     val bestRound = stats.reduceLeft { (a, b) =>

@@ -1154,10 +1154,12 @@ object StreamingOps {
     try {
       val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
       rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
-      val streamedBytes = stream.table(name)
-        .orderBy(col("n_tok").desc).limit(1)
-        .head().getAs[Array[Byte]](0)
-      val eq = java.util.Arrays.equals(batchBytes, streamedBytes)
+      // a token-less corpus produces no sink rows: the parity claim is
+      // vacuously true (and the gate side is empty anyway)
+      val sinkRows = stream.table(name)
+        .orderBy(col("n_tok").desc).limit(1).collect()
+      val eq = sinkRows.isEmpty ||
+        java.util.Arrays.equals(batchBytes, sinkRows(0).getAs[Array[Byte]](0))
       gate.withColumn("stream_eq_batch", lit(eq))
     } finally {
       q.stop()

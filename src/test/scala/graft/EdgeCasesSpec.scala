@@ -170,4 +170,35 @@ class EdgeCasesSpec extends SparkTestBase {
     val noWf = Seq.empty[(String, Long)].toDF("word", "cnt")
     assert(graft.functions.Bpe.learnMergesFrom(noWf, 3).isEmpty)
   }
+
+  test("r9 second-session operators on degenerate inputs") {
+    import spark.implicits._
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    // densest subgraph of an edgeless graph: empty stats, no crash
+    assert(graft.operators.Traversals.densestSubgraph(noEdges).count() == 0L)
+    // temporal BFS from an isolated source: just the source at startT
+    val noTe = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "t")
+    val tb = graft.operators.Traversals.temporalBfs(noTe, 5L).collect()
+    assert(tb.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, -1L)))
+    // range join with no intervals / no points: empty, zero counts
+    val noIv = Seq.empty[(Long, Long, Long)].toDF("i_id", "lo", "hi")
+    val somePts = Seq((1L, 10L)).toDF("p_id", "p")
+    assert(graft.operators.RangeJoin.countPerInterval(somePts, noIv, 10L).count() == 0L)
+    val someIv = Seq((1L, 0L, 10L)).toDF("i_id", "lo", "hi")
+    val noPts = Seq.empty[(Long, Long)].toDF("p_id", "p")
+    assert(graft.operators.RangeJoin.countPerInterval(noPts, someIv, 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 0L)))
+    // bm25 / bloom / sketch replays over a token-less corpus: empty
+    // results, vacuous parity, no NPE
+    val blank = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(graft.functions.Bm25.topK(blank).count() == 0L)
+    assert(graft.functions.Corpus.bloomDecontaminate(blank, blank.limit(0))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(graft.streaming.StreamingOps.replayCmsHeavyHitters(blank).count() == 0L)
+    // reciprocity needs >= 1 arc by contract; loops-only input divides
+    // by zero nowhere because the loop row is dropped BEFORE the count
+    val loops = Seq((1L, 1L)).toDF("src", "dst")
+    val rr = graft.operators.DegreeMetrics.reciprocity(loops).collect()
+    assert(rr.length == 1 && rr(0).isNullAt(2), s"${rr.toSeq}")
+  }
 }
