@@ -2007,6 +2007,15 @@ object SparkEntry {
     // batch sketch exactly; q56's heavy-hitter gate rides along
     "q205_streaming_cms" -> ((s, dir) =>
       graft.streaming.StreamingOps.replayCmsHeavyHitters(Tables.documents(s, dir))),
+    // latest-departure temporal reachability (q199's dual): lt(v) =
+    // latest time information may leave v and still reach the target
+    // time-respectingly by the deadline — max-relax with the frontier
+    // rule flipped; increases REOPEN previously-rejected edges
+    "q206_temporal_departure" -> ((s, dir) => {
+      val te = GraphFixtures.coPurchaseTemporal(s, dir)
+      val tgt = te.agg(min(col("src")).cast("long")).collect()(0).getLong(0)
+      Traversals.temporalDeparture(te, tgt, 4102444800L)
+    }),
   )
 
   /** DuckDB replay of the ENTIRE 4-epoch batch-perceptron training
@@ -2500,6 +2509,32 @@ object SparkEntry {
           s"(SELECT id, a FROM a$p UNION ALL SELECT id, na FROM n$r) GROUP BY id)"
       }.mkString(", ")
       base + rounds + s" SELECT CAST(id AS BIGINT) AS id, CAST(a AS BIGINT) AS arrival FROM a$R " +
+        "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
+        s"WHERE EXISTS (SELECT 1 FROM a$R x JOIN a${R - 1} y ON x.id = y.id AND x.a <> y.a) " +
+        s"OR EXISTS (SELECT 1 FROM a$R x WHERE NOT EXISTS " +
+        s"(SELECT 1 FROM a${R - 1} y WHERE y.id = x.id))"
+    }
+    // latest-departure dual: unrolled MAX-relax (12 rounds at sf0.01,
+    // 24 = 2× margin), edges into the improved set usable iff t ≤ lt
+    val temporalDepartureSql = {
+      val R = 24
+      val ctSql = "SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y, " +
+        "epoch(o.o_orderdate) AS t FROM lineitem a " +
+        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "JOIN orders o ON o.o_orderkey = a.l_orderkey WHERE a.l_orderkey % 2 = 0"
+      val base = s"WITH ct AS MATERIALIZED ($ctSql), " +
+        "sym AS MATERIALIZED (SELECT x AS u, y AS v, t FROM ct " +
+        "UNION ALL SELECT y, x, t FROM ct), " +
+        "a0 AS MATERIALIZED (SELECT (SELECT MIN(x) FROM ct) AS id, " +
+        "CAST(4102444800 AS BIGINT) AS a), "
+      val rounds = (1 to R).map { r =>
+        val p = r - 1
+        s"n$r AS MATERIALIZED (SELECT s.u AS id, MAX(s.t) AS na FROM sym s " +
+          s"JOIN a$p p ON p.id = s.v AND s.t <= p.a GROUP BY s.u), " +
+          s"a$r AS MATERIALIZED (SELECT id, MAX(a) AS a FROM " +
+          s"(SELECT id, a FROM a$p UNION ALL SELECT id, na FROM n$r) GROUP BY id)"
+      }.mkString(", ")
+      base + rounds + s" SELECT CAST(id AS BIGINT) AS id, CAST(a AS BIGINT) AS departure FROM a$R " +
         "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
         s"WHERE EXISTS (SELECT 1 FROM a$R x JOIN a${R - 1} y ON x.id = y.id AND x.a <> y.a) " +
         s"OR EXISTS (SELECT 1 FROM a$R x WHERE NOT EXISTS " +
@@ -4174,6 +4209,7 @@ object SparkEntry {
           "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk, " +
           "doc_id, CAST(score_micro AS BIGINT) AS score_micro FROM sc WHERE rnk <= 10"),
       "q199_temporal_bfs" -> temporalBfsSql,
+      "q206_temporal_departure" -> temporalDepartureSql,
       // the oracle states containment directly (DuckDB plans the
       // inequality join natively); the operator's binning must be
       // invisible in the result

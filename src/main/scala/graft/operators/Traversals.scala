@@ -446,6 +446,58 @@ object Traversals {
     *
     * Output: `(id, arrival)` for every temporally-reachable vertex.
     */
+  /** LATEST-DEPARTURE temporal reachability — the dual of
+    * [[temporalBfs]]: for a fixed `target` and `deadline`, lt(v) is the
+    * latest time information may LEAVE v and still reach the target
+    * time-respectingly (each edge time ≥ the previous, arriving while
+    * its tail's budget allows): lt(target) = deadline, and
+    * lt(v) = max over edge events (v, u, t) with t ≤ lt(u) of t.
+    * Values are monotone non-decreasing per vertex and bounded by the
+    * deadline, so the max-relax fixpoint is unique; the frontier rule
+    * mirrors [[temporalBfs]] with the inequality flipped — an INCREASE
+    * at u reopens edges into v that an earlier round correctly
+    * rejected. Output: `(id, departure)` for vertices that can reach
+    * the target at all.
+    */
+  def temporalDeparture(tedges: DataFrame, target: Long, deadline: Long,
+                        maxRounds: Int = 64,
+                        trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+    val spark = tedges.sparkSession
+    import spark.implicits._
+    val sym = tedges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"), col("t").cast("long"))
+      .union(tedges.select(col("dst").cast("long"), col("src").cast("long"),
+        col("t").cast("long")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .cutLineage()
+    var lt = Seq((target, deadline)).toDF("id", "a").cutLineage()
+    var changed = lt.select(col("id"))
+    var moved = 1L
+    var r = 0
+    while (moved > 0 && r < maxRounds) {
+      // edges INTO an improved vertex u: (v, u, t) usable iff t ≤ lt(u)
+      val cand = sym.join(changed.toDF("v"), Seq("v"), "left_semi")
+        .join(lt.toDF("v", "av"), Seq("v"))
+        .where(col("t") <= col("av"))
+        .groupBy(col("u").as("id")).agg(max(col("t")).as("na"))
+      val next = lt.join(cand, Seq("id"), "full")
+        .select(col("id"),
+          greatest(coalesce(col("a"), col("na")), coalesce(col("na"), col("a"))).as("a"),
+          (col("a").isNull || (col("na").isNotNull && col("na") > col("a"))).as("ch"))
+        .cutLineage()
+      changed = next.where(col("ch")).select("id")
+      moved = changed.count()
+      trace.foreach(_ += moved)
+      lt = next.select("id", "a")
+      r += 1
+    }
+    require(moved == 0,
+      s"temporalDeparture: $moved budgets still improving after $maxRounds rounds — " +
+        "raise maxRounds; a truncated relaxation is not the latest departure")
+    lt.select(col("id"), col("a").as("departure"))
+  }
+
   def temporalBfs(tedges: DataFrame, source: Long, startT: Long = -1L,
                   maxRounds: Int = 64,
                   trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {

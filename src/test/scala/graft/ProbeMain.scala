@@ -14,17 +14,11 @@ object ProbeMain {
     spark.sparkContext.setLogLevel("ERROR")
     for (sf <- Seq("sf0.001", "sf0.01")) {
       val dir = s"/root/testdata/$sf"
-      val ds = graft.operators.Traversals.densestSubgraph(
-        graft.model.GraphFixtures.coPurchase10(spark, dir))
-      val rows = ds.orderBy("round").collect()
-      println(s"== $sf densest rounds=${rows.length}")
-      rows.foreach(r => println("  " + r))
       val te = graft.model.GraphFixtures.coPurchaseTemporal(spark, dir)
-      val src = te.agg(min(col("src")).cast("long")).collect()(0).getLong(0)
+      val tgt = te.agg(min(col("src")).cast("long")).collect()(0).getLong(0)
       val tr = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val tb = graft.operators.Traversals.temporalBfs(te, src, -1L, 64, Some(tr))
-      val n = tb.count()
-      println(s"== $sf temporalBfs src=$src reached=$n rounds=${tr.length} trace=${tr.mkString(",")}")
+      val td = graft.operators.Traversals.temporalDeparture(te, tgt, 4102444800L, 64, Some(tr))
+      println(s"== $sf temporalDeparture tgt=$tgt reached=${td.count()} rounds=${tr.length} trace=${tr.mkString(",")}")
     }
     spark.stop()
   }

@@ -495,4 +495,23 @@ class TraversalsSpec extends SparkTestBase {
       graft.operators.Traversals.temporalBfs(te, 1L, maxRounds = 1)
     }
   }
+
+  test("temporalDeparture: max-relax dual, increases reopen edges") {
+    import spark.implicits._
+    // target 1, deadline 100. 5 first settles LOW (lt=1 via the early
+    // chain 5-6-1, round 2), then INCREASES to 7 via the long late
+    // chain 5-4-3-2-1 (round 4) — which must reopen (7,5,4), an edge
+    // round 3 correctly rejected (4 > 1)
+    val te = Seq(
+      (2L, 1L, 10L), (3L, 2L, 9L), (4L, 3L, 8L), (5L, 4L, 7L),
+      (6L, 1L, 2L), (5L, 6L, 1L), (7L, 5L, 4L))
+      .toDF("src", "dst", "t")
+    val got = graft.operators.Traversals.temporalDeparture(te, 1L, 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 100L, 2L -> 10L, 3L -> 9L, 4L -> 8L,
+      5L -> 7L, 6L -> 2L, 7L -> 4L), s"got $got")
+    intercept[IllegalArgumentException] {
+      graft.operators.Traversals.temporalDeparture(te, 1L, 100L, maxRounds = 1)
+    }
+  }
 }
