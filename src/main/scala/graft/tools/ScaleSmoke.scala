@@ -814,6 +814,41 @@ object ScaleSmoke {
       }
     }
 
+    if (mode == "tier2range") {
+      // bucketed range join at the 10M-point / 1M-interval tier —
+      // the naive theta-join is 10^13 comparisons (BroadcastNestedLoop
+      // would never finish); bin expansion makes it linear. Correctness
+      // at scale: a 1000-interval sample recounted by direct filtering
+      // must match the bucketed counts exactly, `require`d.
+      val pts = spark.range(10000000L).select(col("id").as("p_id"),
+        pmod(xxhash64(col("id"), lit(11)), lit(1000000000L)).as("p"))
+        .localCheckpoint(true)
+      val ivs = spark.range(1000000L).select(col("id").as("i_id"),
+        pmod(xxhash64(col("id"), lit(12)), lit(1000000000L)).as("lo"))
+        .withColumn("hi", col("lo") + lit(500L) + pmod(xxhash64(col("i_id"), lit(13)), lit(1000L)))
+        .localCheckpoint(true)
+      println(s"[smoke] ${pts.count()} points × ${ivs.count()} intervals")
+      val counts = tm("range join countPerInterval (10M × 1M)") {
+        val c = graft.operators.RangeJoin.countPerInterval(pts, ivs, 1000L)
+          .localCheckpoint(true)
+        val tot = c.agg(sum("n_points"), max("n_points")).head()
+        println(s"[smoke] total matches=${tot.getLong(0)} max/interval=${tot.getLong(1)}")
+        c
+      }
+      tm("1000-interval direct-filter recount") {
+        val sample = ivs.where(col("i_id") % 1000L === 0L)
+        val direct = sample.crossJoin(pts)
+          .where(col("p") >= col("lo") && col("p") < col("hi"))
+          .groupBy("i_id").agg(count(lit(1)).as("nd"))
+        val bad = sample.select("i_id")
+          .join(direct, Seq("i_id"), "left")
+          .join(counts, Seq("i_id"))
+          .where(coalesce(col("nd"), lit(0L)) =!= col("n_points")).count()
+        require(bad == 0, s"$bad sampled intervals disagree with the direct recount")
+        println(s"[smoke] sample recount exact")
+      }
+    }
+
     if (mode == "tier2dense") {
       // densest-subgraph peel at the 10M-edge tier with a PLANTED dense
       // core: 200k extra edges among vertices 0..999 (~hundreds avg
