@@ -2016,6 +2016,38 @@ object SparkEntry {
       val tgt = te.agg(min(col("src")).cast("long")).collect()(0).getLong(0)
       Traversals.temporalDeparture(te, tgt, 4102444800L)
     }),
+    // time-series gap-fill: per user, HOURLY event counts over the
+    // user's own [first, last] activity span with EMPTY hours
+    // materialized as zero rows (sequence+explode left-join — the
+    // resampling primitive; a downstream model must see the silence,
+    // not skip it); spans are per-user so no global dense grid
+    "q207_gapfill" -> ((s, dir) => {
+      val hours = Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          expr("ts_ns div 3600000000000").cast("long").as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val spans = hours.groupBy("user_id")
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      spans.select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"))).as("h"))
+        .join(hours, Seq("user_id", "h"), "left")
+        .select(col("user_id"), (col("h") * 3600).as("win"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+    }),
+    // trailing 3-hour moving average OVER THE GAP-FILLED series (the
+    // zeros matter: a rolling mean over only-observed rows silently
+    // skips the silence) — exact integer micro-units, short head
+    // windows divide by their true length
+    "q208_rolling_counts" -> ((s, dir) => {
+      val filled = queries("q207_gapfill")(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("win").rowsBetween(-2, 0)
+      filled.select(col("user_id"), col("win"), col("cnt"),
+          sum(col("cnt")).over(w).as("c3"),
+          count(lit(1)).over(w).as("n3"))
+        .select(col("user_id"), col("win"), col("cnt"),
+          expr("c3 * 1000000 div n3").as("ma_micro"))
+    }),
   )
 
   /** DuckDB replay of the ENTIRE 4-epoch batch-perceptron training
@@ -4210,6 +4242,26 @@ object SparkEntry {
           "doc_id, CAST(score_micro AS BIGINT) AS score_micro FROM sc WHERE rnk <= 10"),
       "q199_temporal_bfs" -> temporalBfsSql,
       "q206_temporal_departure" -> temporalDepartureSql,
+      // generate_series replays the per-user dense hour grid
+      "q207_gapfill" ->
+        ("WITH h AS (SELECT user_id, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h, " +
+          "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+          "sp AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM h GROUP BY 1), " +
+          "grid AS (SELECT sp.user_id, unnest(generate_series(sp.h0, sp.h1)) AS h FROM sp) " +
+          "SELECT g.user_id, CAST(g.h * 3600 AS BIGINT) AS win, " +
+          "CAST(COALESCE(h.cnt, 0) AS BIGINT) AS cnt " +
+          "FROM grid g LEFT JOIN h ON h.user_id = g.user_id AND h.h = g.h"),
+      "q208_rolling_counts" ->
+        ("WITH h AS (SELECT user_id, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h, " +
+          "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+          "sp AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM h GROUP BY 1), " +
+          "grid AS (SELECT sp.user_id, unnest(generate_series(sp.h0, sp.h1)) AS h FROM sp), " +
+          "f AS (SELECT g.user_id, g.h * 3600 AS win, COALESCE(h.cnt, 0) AS cnt " +
+          "FROM grid g LEFT JOIN h ON h.user_id = g.user_id AND h.h = g.h) " +
+          "SELECT user_id, CAST(win AS BIGINT) AS win, CAST(cnt AS BIGINT) AS cnt, " +
+          "CAST(SUM(cnt) OVER w * 1000000 // COUNT(*) OVER w AS BIGINT) AS ma_micro " +
+          "FROM f WINDOW w AS (PARTITION BY user_id ORDER BY win " +
+          "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"),
       // the oracle states containment directly (DuckDB plans the
       // inequality join natively); the operator's binning must be
       // invisible in the result

@@ -33,4 +33,29 @@ class PlanAuditSpec extends SparkTestBase {
       docs.where(col("doc_id") % 10 =!= 7), docs.where(col("doc_id") % 10 === 7))
     assert(!plan(df).contains("NestedLoop"))
   }
+
+  test("gap-fill grid is contiguous, conserves counts; rolling head windows divide by true length") {
+    val filled = SparkEntry.queries("q207_gapfill")(spark, sf)
+    // per user: the win set is a dense hourly grid over [min, max]
+    val bad = filled.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min("win").as("w0"), max("win").as("w1"),
+        sum("cnt").as("total"))
+      .where(col("n") =!= (col("w1") - col("w0")) / 3600 + 1)
+      .count()
+    assert(bad == 0, s"$bad users have holes in the filled grid")
+    // zero rows must actually exist (else the fill is vacuous here)
+    assert(filled.where(col("cnt") === 0).count() > 0)
+    // count conservation: filling adds zeros, never moves events
+    val evTotal = graft.model.Tables.events(spark, sf).count()
+    val filledTotal = filled.agg(sum("cnt")).head().getLong(0)
+    assert(filledTotal == evTotal, s"$filledTotal != $evTotal")
+    // each user's FIRST rolling row averages over exactly 1 element
+    val roll = SparkEntry.queries("q208_rolling_counts")(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("win")
+    val firstBad = roll
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .where(col("ma_micro") =!= col("cnt") * 1000000L).count()
+    assert(firstBad == 0, s"$firstBad head windows divided by a padded length")
+  }
 }
