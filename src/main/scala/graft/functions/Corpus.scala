@@ -118,9 +118,14 @@ object Corpus {
     * against the benchmark fingerprints, a Bloom filter over the
     * benchmark is probed first and only MIGHT-CONTAIN candidates reach
     * the exact verify join. A Bloom "no" is definitive (no false
-    * negatives), so the output is EXACTLY the plain anti-join — the
-    * filter can only admit extra candidates, never drop a true one —
-    * and the oracle therefore states the anti-join directly.
+    * negatives), so the output equals the plain anti-join ON THE
+    * 64-BIT FINGERPRINT DOMAIN — the filter can only admit extra
+    * candidates, never drop a true one — and the oracle therefore
+    * states the anti-join directly. Like [[contaminationHits]], the
+    * exact verify compares xxhash64 fingerprints, not shingle strings:
+    * a cross-shingle hash collision (~n²/2⁶⁴) could mark a clean doc
+    * dirty; at fingerprint counts where that is no longer negligible,
+    * verify on the strings themselves.
     *
     * The filter is a (word, bits) TABLE, not a driver bitset: benchmark
     * fingerprints scatter k = `probes` Kirsch–Mitzenmacher positions

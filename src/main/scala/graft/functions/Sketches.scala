@@ -36,7 +36,15 @@ object Sketches {
     * touches only the final ~KB sketch and k tokens (model state, like
     * IVF centroids).
     */
-  def cmsHeavyHitters(docs: DataFrame, k: Int = 10, eps: Double = 0.001): DataFrame = {
+  def cmsHeavyHitters(docs: DataFrame, k: Int = 10, eps: Double = 0.001): DataFrame =
+    cmsGateWithSketch(docs, k, eps)._1
+
+  /** The gate rows TOGETHER WITH the serialized sketch they were
+    * checked against — so callers needing both (the streaming-parity
+    * replay) pay for one tokenize + one sketch aggregation, not two.
+    */
+  private[graft] def cmsGateWithSketch(docs: DataFrame, k: Int = 10,
+                                       eps: Double = 0.001): (DataFrame, Array[Byte]) = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -60,12 +68,13 @@ object Sketches {
     val cms = org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
 
-    topK.toSeq.map { case (tok, cnt) =>
+    val gate = topK.toSeq.map { case (tok, cnt) =>
       // the SQL agg hashes the UTF-8 bytes of each string, so probe with
       // the same representation
       val est = cms.estimateCount(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       (tok, cnt, est >= cnt && est <= cnt + bound)
     }.toDF("token", "exact_cnt", "within_bound")
+    (gate, sketchBytes)
   }
 
   /** HLL++ distinct-token count per language next to the exact count,

@@ -173,8 +173,10 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { id =>
-        val w = 8 + (id % 5).toInt * 4
-        val h = 8 + (id % 3).toInt * 8
+        // mod normalized like the pixel formula below and the sibling
+        // generators — a negative id must not yield non-positive dims
+        val w = 8 + (((id % 5) + 5) % 5).toInt * 4
+        val h = 8 + (((id % 3) + 3) % 3).toInt * 8
         val gray = Array.tabulate(w * h)(i => (((id * 31 + i) % 256) + 256).toInt % 256)
         MediaRow(id, "image", encodeGrayPng(DecodedImage(w, h, gray)),
           Map("w" -> w.toString, "h" -> h.toString))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Lineage.CutOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -36,9 +37,13 @@ object RangeJoin {
                       maxBinsPerInterval: Int = 64): DataFrame = {
     require(binSize > 0, "binSize must be positive")
     // integer `div` (exact at any magnitude — double floor loses ulps
-    // past 2^53); values are epochs/offsets, non-negative by contract
+    // past 2^53); values are epochs/offsets, non-negative by contract.
+    // iv is checkpointed: the spanBins fence below is an ACTION over
+    // it, and without the cut the join side would re-run the whole
+    // interval scan (the embeddingContamination discipline)
     val iv = intervals.select(col("i_id"), col("lo").cast("long"), col("hi").cast("long"))
       .where(col("hi") > col("lo"))
+      .cutLineage()
     // empty/degenerate interval sets: max() is NULL — no expansion to
     // fence, the join below is correctly empty
     val spanBins = Option(iv

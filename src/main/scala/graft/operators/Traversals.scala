@@ -426,26 +426,20 @@ object Traversals {
     rows.toDF("round", "n_vertices", "n_edges", "density_micro", "is_best")
   }
 
-  /** Time-respecting earliest-arrival BFS over TEMPORAL edge events
-    * `(src, dst, t)` (undirected view): a path may only traverse an
-    * edge event whose time is ≥ the arrival time at its tail, and the
-    * arrival at a vertex is the minimum over such paths of the last
-    * edge's time. The source starts at arrival `startT` (any event is
-    * usable from it). This is the temporal reachability primitive —
-    * "what could this vertex have influenced, respecting time order" —
-    * that static BFS gets WRONG on temporal graphs (a later edge cannot
-    * forward information received after it fired).
-    *
-    * Iterates Bellman-Ford-style rounds to the unique fixpoint (arrival
-    * times are monotone non-increasing per vertex, bounded below), with
-    * the frontier discipline of [[coreness]]: only edges out of
-    * vertices whose arrival IMPROVED last round are re-relaxed — one
-    * semi-join + one keyed join + one min-aggregate per round. Rounds ≤
-    * the longest minimal time-respecting path (hop count); fails loud at
-    * `maxRounds` — a truncated relaxation is not the earliest arrival.
-    *
-    * Output: `(id, arrival)` for every temporally-reachable vertex.
+  /** Undirected view of temporal edge EVENTS `(src, dst, t)` — the
+    * [[symmetrize]] contract carrying the event time: both directions,
+    * self-loops dropped, exact-duplicate events merged. Shared by both
+    * temporal relaxations so their edge normalization cannot diverge.
     */
+  private def symmetrizeTemporal(tedges: DataFrame): DataFrame =
+    tedges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"), col("t").cast("long"))
+      .union(tedges.select(col("dst").cast("long"), col("src").cast("long"),
+        col("t").cast("long")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .cutLineage()
+
   /** LATEST-DEPARTURE temporal reachability — the dual of
     * [[temporalBfs]]: for a fixed `target` and `deadline`, lt(v) is the
     * latest time information may LEAVE v and still reach the target
@@ -464,13 +458,7 @@ object Traversals {
                         trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
     val spark = tedges.sparkSession
     import spark.implicits._
-    val sym = tedges.select(col("src").cast("long").as("u"),
-        col("dst").cast("long").as("v"), col("t").cast("long"))
-      .union(tedges.select(col("dst").cast("long"), col("src").cast("long"),
-        col("t").cast("long")))
-      .where(col("u") =!= col("v"))
-      .distinct()
-      .cutLineage()
+    val sym = symmetrizeTemporal(tedges)
     var lt = Seq((target, deadline)).toDF("id", "a").cutLineage()
     var changed = lt.select(col("id"))
     var moved = 1L
@@ -498,18 +486,32 @@ object Traversals {
     lt.select(col("id"), col("a").as("departure"))
   }
 
+  /** Time-respecting earliest-arrival BFS over TEMPORAL edge events
+    * `(src, dst, t)` (undirected view): a path may only traverse an
+    * edge event whose time is ≥ the arrival time at its tail, and the
+    * arrival at a vertex is the minimum over such paths of the last
+    * edge's time. The source starts at arrival `startT` (any event is
+    * usable from it). This is the temporal reachability primitive —
+    * "what could this vertex have influenced, respecting time order" —
+    * that static BFS gets WRONG on temporal graphs (a later edge cannot
+    * forward information received after it fired).
+    *
+    * Iterates Bellman-Ford-style rounds to the unique fixpoint (arrival
+    * times are monotone non-increasing per vertex, bounded below), with
+    * the frontier discipline of [[coreness]]: only edges out of
+    * vertices whose arrival IMPROVED last round are re-relaxed — one
+    * semi-join + one keyed join + one min-aggregate per round. Rounds ≤
+    * the longest minimal time-respecting path (hop count); fails loud at
+    * `maxRounds` — a truncated relaxation is not the earliest arrival.
+    *
+    * Output: `(id, arrival)` for every temporally-reachable vertex.
+    */
   def temporalBfs(tedges: DataFrame, source: Long, startT: Long = -1L,
                   maxRounds: Int = 64,
                   trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
     val spark = tedges.sparkSession
     import spark.implicits._
-    val sym = tedges.select(col("src").cast("long").as("u"),
-        col("dst").cast("long").as("v"), col("t").cast("long"))
-      .union(tedges.select(col("dst").cast("long"), col("src").cast("long"),
-        col("t").cast("long")))
-      .where(col("u") =!= col("v"))
-      .distinct()
-      .cutLineage()
+    val sym = symmetrizeTemporal(tedges)
     var arr = Seq((source, startT)).toDF("id", "a").cutLineage()
     var changed = arr.select(col("id"))
     var moved = 1L

@@ -1130,12 +1130,11 @@ object StreamingOps {
                             nBatches: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val gate = graft.functions.Sketches.cmsHeavyHitters(docs, k, eps)
+    // ONE tokenize + ONE sketch aggregation serves both the gate rows
+    // and the parity reference (it is the identical sketch by
+    // construction — same eps/confidence/seed)
+    val (gate, batchBytes) = graft.functions.Sketches.cmsGateWithSketch(docs, k, eps)
     val cmsAgg = s"count_min_sketch(token, cast($eps as double), cast(0.99 as double), 42)"
-    val batchBytes = docs
-      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
-      .where(col("token") =!= "")
-      .agg(expr(cmsAgg)).head().getAs[Array[Byte]](0)
     val rows = docs.select(col("doc_id").cast("long"), coalesce(col("text"), lit("")))
       .as[(Long, String)].collect()
     rows.sortInPlaceBy(_._1)
