@@ -143,11 +143,12 @@ object SparkEntry {
       GraphFixtures.directedParts(s, dir))
       .coalesce(s.sparkContext.defaultParallelism))
 
-  // q188 + q189: both consume ONE Borůvka forest of the weighted C10
-  // graph (structure summary and single-linkage cut respectively) — the
-  // forest is ≤|V|−1 rows and a union of per-round checkpoint frames,
-  // so coalesce before the memo's eager checkpoint (q163/q164's rule)
-  private val msfMemo = new CrossQueryMemo(2, (s, dir) => {
+  // q188 + q189 + q209: three consumers of ONE Borůvka forest of the
+  // weighted C10 graph (structure summary, single-linkage cut, and the
+  // decremental update's old forest respectively) — the forest is
+  // ≤|V|−1 rows and a union of per-round checkpoint frames, so coalesce
+  // before the memo's eager checkpoint (q163/q164's rule)
+  private val msfMemo = new CrossQueryMemo(3, (s, dir) => {
     val e = GraphFixtures.coPurchase10(s, dir)
     val t31 = lit(2147483648L)
     val ew = e.select(col("src"), col("dst"),
@@ -2047,6 +2048,28 @@ object SparkEntry {
           count(lit(1)).over(w).as("n3"))
         .select(col("user_id"), col("win"), col("cnt"),
           expr("c3 * 1000000 div n3").as("ma_micro"))
+    }),
+    // DECREMENTAL MSF (q191's retraction pattern for the forest,
+    // completing the maintenance matrix CC ✓✓ / triangles ✓✓ / MSF ✓✓):
+    // the full graph's forest + a 10% edge DELETION → the shrunk
+    // graph's forest, recomputing Borůvka only inside the components a
+    // FOREST-edge deletion touches (non-forest deletions provably
+    // change nothing — red rule). Output = single-linkage cut of the
+    // decrementally-maintained forest at a fresh τ, so the oracle (CC
+    // of the weight-filtered SURVIVING edge set, which never sees any
+    // forest) hash-checks the maintained forest's CONTENT: a missing
+    // replacement edge or a stale pass-through flips connectivity at τ
+    "q209_decremental_msf" -> ((s, dir) => {
+      val e = GraphFixtures.coPurchase10(s, dir)
+      val t31 = lit(2147483648L)
+      val w = pmod(pmod(col("src") % t31 * 31 + col("dst"), t31)
+        * lit(2654435761L), t31)
+      val ew = e.select(col("src"), col("dst"), w.as("weight"))
+      val deleted = ew.where(col("weight") % 10 === 3).select("src", "dst")
+      val forest = SpanningForest.boruvkaDecremental(
+        msfMemo(s, dir), ew, deleted)
+      SpanningForest.singleLinkage(
+        ew.where(col("weight") % 10 =!= 3), forest, 268435456L)
     }),
   )
 
@@ -4262,6 +4285,22 @@ object SparkEntry {
           "CAST(SUM(cnt) OVER w * 1000000 // COUNT(*) OVER w AS BIGINT) AS ma_micro " +
           "FROM f WINDOW w AS (PARTITION BY user_id ORDER BY win " +
           "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"),
+      // decremental MSF: single-linkage at τ through the maintained
+      // forest ≡ CC over the weight-filtered SURVIVING edge set (q189's
+      // identity on E∖D — the oracle never sees either forest; the
+      // vertex set is the surviving graph's, matching the Spark side)
+      "q209_decremental_msf" ->
+        (s"WITH RECURSIVE e0 AS ($copurchase10), " +
+          "surv AS (SELECT x, y, ((((x % 2147483648) * 31 + y) % 2147483648) * 2654435761) % 2147483648 AS w " +
+          "FROM e0 WHERE ((((x % 2147483648) * 31 + y) % 2147483648) * 2654435761) % 2147483648 % 10 <> 3), " +
+          "c AS (SELECT x, y FROM surv WHERE w <= 268435456), " +
+          "sym AS (SELECT x AS a, y AS b FROM c UNION SELECT y, x FROM c), " +
+          "lbl(v, l) AS (SELECT DISTINCT a, a FROM sym " +
+          "UNION SELECT s.b, lbl.l FROM sym s JOIN lbl ON lbl.v = s.a AND lbl.l < s.b), " +
+          "comp AS (SELECT v AS id, MIN(l) AS cluster FROM lbl GROUP BY v), " +
+          "verts AS (SELECT DISTINCT id FROM (SELECT x AS id FROM surv UNION ALL SELECT y FROM surv)) " +
+          "SELECT verts.id, COALESCE(comp.cluster, verts.id) AS cluster " +
+          "FROM verts LEFT JOIN comp ON comp.id = verts.id"),
       // the oracle states containment directly (DuckDB plans the
       // inequality join natively); the operator's binning must be
       // invisible in the result

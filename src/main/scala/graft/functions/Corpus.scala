@@ -175,8 +175,13 @@ object Corpus {
     val might = (0 until probes).map(i =>
       expr(s"(shiftright(coalesce(b$i, CAST(0 AS BIGINT)), " +
         s"CAST(pmod(p$i, 64) AS INT)) & 1) = 1")).reduce(_ && _)
-    val candDocs = cur.where(might).select("doc_id").distinct()
-    val dirty = trainSh.join(candDocs, Seq("doc_id"), "left_semi")
+    val candDocs = cur.where(might).select("doc_id").distinct().cutLineage()
+    // exact verify: re-shingle ONLY the candidate docs (the semi-join
+    // sits BELOW the explode, so the second pass over the corpus text
+    // is candidate-sized, never a full re-tokenization of the train set)
+    val dirty = graft.functions.Dedup.shingles(
+        train.join(candDocs, Seq("doc_id"), "left_semi"), n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .join(benchSh, Seq("h"), "left_semi")
       .select("doc_id").distinct()
     train.select(col("doc_id"))
@@ -555,15 +560,6 @@ object Corpus {
   private def bucketWeight(b: org.apache.spark.sql.Column) =
     pmod(b * 2654435761L, lit(2147483648L)) % 1001L - 500L
 
-  /** Model-based quality scoring (the fastText classifier shape used by
-    * CCNet/LLaMA-style curation): whitespace unigrams + adjacent-pair
-    * bigrams are hashed into `buckets` feature slots; the document score
-    * is the exact integer sum of the slot weights and `keep` is the
-    * score's sign (the logistic threshold at p=0.5). Pure per-document
-    * projection built from codegen'd higher-order functions — no
-    * explode, no shuffle, no UDF; at 100 TB this runs at scan speed
-    * next to the other per-doc gates.
-    */
   /** TRAINED quality/language classifier — the missing half of
     * [[qualityModelScores]] (whose weights are a deterministic stub):
     * a BATCH perceptron over the same hashing-trick feature space,
@@ -650,6 +646,15 @@ object Corpus {
       .withColumn("pred", when(col("score") >= 0, 1L).otherwise(-1L))
   }
 
+  /** Model-based quality scoring (the fastText classifier shape used by
+    * CCNet/LLaMA-style curation): whitespace unigrams + adjacent-pair
+    * bigrams are hashed into `buckets` feature slots; the document score
+    * is the exact integer sum of the slot weights and `keep` is the
+    * score's sign (the logistic threshold at p=0.5). Pure per-document
+    * projection built from codegen'd higher-order functions — no
+    * explode, no shuffle, no UDF; at 100 TB this runs at scan speed
+    * next to the other per-doc gates.
+    */
   def qualityModelScores(docs: DataFrame, buckets: Int = 4096): DataFrame = {
     require(buckets > 0, s"buckets must be positive; got $buckets")
     // null text ≡ empty doc (n_feats 0, score 0, keep 1) in BOTH engines

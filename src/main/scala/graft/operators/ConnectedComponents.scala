@@ -185,18 +185,33 @@ object ConnectedComponents {
     * into PartitionFilters — directory pruning, not a full scan
     * (spec-asserted on the physical plan). Everything downstream is
     * [[decremental]]'s machinery and returns identical labels.
+    *
+    * Mass-retraction fence: a takedown wave touching millions of
+    * components would inflate the plan with a million-literal `isin`
+    * (plan-size blowup, not a data problem), so past `maxIsinLiterals`
+    * the affected set stays distributed and prunes via a BROADCAST
+    * left-semi join on the partition column instead — no plan-size
+    * cliff, and the scan still skips unaffected partitions at runtime
+    * through dynamic partition pruning / the broadcast filter. Both
+    * paths return identical labels (spec-pinned).
     */
   def decrementalPartitioned(labels: DataFrame, edgesByComponent: DataFrame,
-                             deleted: DataFrame, maxIter: Int = 50): DataFrame = {
+                             deleted: DataFrame, maxIter: Int = 50,
+                             maxIsinLiterals: Int = 10000): DataFrame = {
     val lab = labels.select(col("id").cast("long").as("id"),
       col("component").cast("long").as("component"))
     val d = normEdges(deleted).cutLineage()
     val affected = d.join(lab, d("a") === lab("id"))
       .select(col("component")).distinct().cutLineage()
-    val ids = affected.collect().map(_.getLong(0))
-    val subE = normEdges(
-        edgesByComponent.where(col("component").isin(ids.map(Long.box): _*)))
-      .join(d, Seq("a", "b"), "left_anti")
+    val nAffected = affected.count()
+    val pruned =
+      if (nAffected <= maxIsinLiterals) {
+        val ids = affected.collect().map(_.getLong(0))
+        edgesByComponent.where(col("component").isin(ids.map(Long.box): _*))
+      } else {
+        edgesByComponent.join(broadcast(affected), Seq("component"), "left_semi")
+      }
+    val subE = normEdges(pruned).join(d, Seq("a", "b"), "left_anti")
     reassemble(lab, affected, subE, maxIter)
   }
 

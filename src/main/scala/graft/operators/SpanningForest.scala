@@ -144,6 +144,78 @@ object SpanningForest {
           col("dst").cast("long"), col("weight").cast("long"))),
       maxRounds)
 
+  /** DECREMENTAL minimum spanning forest — the retraction half of the
+    * daily-update path ([[boruvkaDelta]] handles inserts; takedowns
+    * DELETE): given the previous forest, the previous edge set and a
+    * set of deleted edges, produce the forest of the shrunk graph by
+    * re-running Borůvka ONLY over the components a forest-edge deletion
+    * touches.
+    *
+    * Correctness, under the deterministic total order (w, u, v) that
+    * makes the MSF unique:
+    *  - deleting a NON-forest edge never changes the forest (the red
+    *    rule: MSF(G) is still a spanning forest of G∖{e} — removing a
+    *    non-tree edge can't disconnect — and any forest of G∖{e} is a
+    *    forest of G, so the minimum is unchanged and, being unique,
+    *    bit-equal);
+    *  - deleting a FOREST edge can only change the forest INSIDE its
+    *    own component (MSF decomposes per connected component), so
+    *    affected components re-run [[boruvka]] over their induced
+    *    surviving edges — finding the replacement edge across the cut
+    *    if one exists, or the split forests if not — while unaffected
+    *    components' forest edges pass through verbatim.
+    * The union is therefore bit-equal to the full Borůvka over E∖D,
+    * which is exactly what the q209 oracle hash-checks (q190/q191's
+    * equivalence pattern). Deleting an absent edge is a no-op; edge
+    * identity is direction-insensitive ((a,b) deletes (b,a)).
+    *
+    * Cost: one CC over the ≤|V|−1 forest edges for component labels
+    * (the ∝V class, never ∝E), one relabel pass over the old edges to
+    * carve out the affected induced subgraphs — at 100 TB the old edge
+    * set is stored partitioned by component label (the layout
+    * [[graft.operators.ConnectedComponents.decrementalPartitioned]]
+    * reads), so this is a partition-pruned read, not a full scan —
+    * then Borůvka work ∝ affected |V|+|E| only.
+    */
+  def boruvkaDecremental(forest: DataFrame, oldEdges: DataFrame,
+                         deleted: DataFrame, maxRounds: Int = 40): DataFrame = {
+    val f = forest.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v"), col("w").cast("long").as("w"))
+      .cutLineage()
+    val d = deleted.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct().cutLineage()
+    // affected = components whose FOREST lost an edge (forest rows are
+    // already canonical u < v, so endpoint-normalized deletion keys
+    // match directly; non-forest deletions never change the MSF)
+    val delF = f.join(d, f("u") === d("a") && f("v") === d("b"), "left_semi")
+    // component labels from the forest itself (≤|V|−1 edges — the
+    // forest is connectivity-equivalent to the old graph by definition)
+    val labels = ConnectedComponents.iterative(
+        f.select(col("u").as("src"), col("v").as("dst")))
+      .toDF("id", "component").cutLineage()
+    val affected = delF.join(labels, delF("u") === labels("id"))
+      .select("component").distinct().cutLineage()
+    // induced surviving edges of the affected components (old edges
+    // never cross old components, so keying one endpoint suffices)
+    val e = oldEdges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"),
+        col("weight").cast("long").as("w"))
+      .where(col("a") =!= col("b"))
+    val subE = e.join(d, Seq("a", "b"), "left_anti")
+      .join(labels.toDF("a", "ca"), Seq("a"))
+      .join(affected.toDF("ca"), Seq("ca"), "left_semi")
+      .select(col("a").as("src"), col("b").as("dst"), col("w").as("weight"))
+    val recomputed = boruvka(subE, maxRounds)
+    val passThrough = f.join(labels.toDF("u", "cu"), Seq("u"))
+      .join(affected.toDF("cu"), Seq("cu"), "left_anti")
+      .select("u", "v", "w")
+    passThrough.unionByName(recomputed)
+  }
+
   /** Contraction labels for Borůvka's selected-edge pointer graph.
     * Input `(c, p)`: one row per component, p = the other endpoint
     * component of c's selected minimum edge. Following p strictly
@@ -154,7 +226,9 @@ object SpanningForest {
     *
     *  1. root election: ONE self-join finds p(p(c)); a 2-cycle member
     *     (p(p(c)) == c) takes min(c, p) — the merged group's root —
-    *     as its label, every other node takes p (one hop rootward);
+    *     as its label, every other node takes p(p(c)) (TWO hops
+    *     rootward, falling back to p when p has no pointer row) —
+    *     halving chain depth before the jumping even starts;
     *  2. pointer jumping: l ← l(l) until fixpoint — one self-join and
     *     one changed-count action per round, O(log chain) rounds.
     *

@@ -370,8 +370,13 @@ object Traversals {
     * Scale shape: each round is one degree aggregation + two semi-joins
     * (the [[kcore]] plan), all keyed by vertex id; since every kept
     * vertex has degree strictly above (11/10)·avg, at most 10/11 of the
-    * vertices survive a round, so rounds ≤ log_{11/10} n (~40 at 10⁶
-    * vertices) — geometric, never the O(n) of one-at-a-time peeling.
+    * vertices survive a round, so rounds ≤ log_{11/10} n (~145 at 10⁶
+    * vertices, ~290 at 10¹²) — geometric, never the O(n) of
+    * one-at-a-time peeling. The default `maxRounds` = 320 covers the
+    * worst-case bound past 10¹² vertices, so the fail-loud `require`
+    * below only fires on a genuine non-termination bug, never on a
+    * legitimately deep peel (real graphs peel far faster — ScaleSmoke's
+    * planted-core probe finishes 10M edges in a few dozen rounds).
     * The per-vertex threshold product 10·deg·n is computed in
     * DECIMAL(38,0): deg ≤ 10⁹ times n ≤ 10¹² overflows 64-bit at the
     * 100 TB target, and the loop-control stats (n, m_sym per round —
@@ -383,7 +388,7 @@ object Traversals {
     * truncated. Fails loud if edges remain after `maxRounds` (a
     * truncated peel could silently miss the best round).
     */
-  def densestSubgraph(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+  def densestSubgraph(edges: DataFrame, maxRounds: Int = 320): DataFrame = {
     val spark = edges.sparkSession
     var sym = symmetrize(edges).cutLineage()
     val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]

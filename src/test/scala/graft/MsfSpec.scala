@@ -134,6 +134,69 @@ class MsfSpec extends SparkTestBase {
       == old.toSet)
   }
 
+  test("boruvkaDecremental: forest-edge delete finds the replacement edge") {
+    // square 1-2(1), 2-3(2), 3-4(3), 4-1(10): MSF drops the heaviest
+    // cycle edge 4-1. Deleting forest edge 2-3 forces the replacement
+    // search across the cut {1,2}|{3,4} — the survivor 4-1(10) re-enters
+    val old = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (4L, 1L, 10L))
+    val oldForest = SpanningForest.boruvka(wEdgeDf(old))
+    assert(collectMsf(oldForest) == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L)))
+    import spark.implicits._
+    val got = collectMsf(SpanningForest.boruvkaDecremental(
+      oldForest, wEdgeDf(old), Seq((3L, 2L)).toDF("src", "dst")))
+    assert(got == Set((1L, 2L, 1L), (3L, 4L, 3L), (1L, 4L, 10L)))
+    assert(got == kruskal(old.filterNot(e => (e._1, e._2) == ((2L, 3L)))))
+  }
+
+  test("boruvkaDecremental: bridge delete splits with no replacement") {
+    // path 1-2-3 plus disjoint 10-11; deleting bridge 2-3 splits its
+    // component (no replacement exists) while 10-11 passes through
+    val old = Seq((1L, 2L, 1L), (2L, 3L, 5L), (10L, 11L, 4L))
+    val oldForest = SpanningForest.boruvka(wEdgeDf(old))
+    import spark.implicits._
+    val got = collectMsf(SpanningForest.boruvkaDecremental(
+      oldForest, wEdgeDf(old), Seq((2L, 3L)).toDF("src", "dst")))
+    assert(got == Set((1L, 2L, 1L), (10L, 11L, 4L)))
+  }
+
+  test("boruvkaDecremental: non-forest and absent deletes are no-ops") {
+    val old = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (4L, 1L, 10L),
+      (10L, 11L, 4L))
+    val oldForest = SpanningForest.boruvka(wEdgeDf(old))
+    import spark.implicits._
+    // 4-1(10) is outside the forest (red rule: deleting it changes
+    // nothing); (100,200) was never an edge; direction-insensitivity
+    // exercised by stating 1,4 in reverse
+    val got = collectMsf(SpanningForest.boruvkaDecremental(
+      oldForest, wEdgeDf(old),
+      Seq((1L, 4L), (100L, 200L)).toDF("src", "dst")))
+    assert(got == collectMsf(oldForest))
+  }
+
+  test("boruvkaDecremental: maintained forest ≡ full Borůvka over E∖D") {
+    // pseudo-random multigraph with duplicate weights; delete a
+    // hash-selected ~10% slice (forest AND non-forest edges mixed);
+    // the maintained forest must be BIT-EQUAL to the full recompute
+    val es = for {
+      i <- 0L until 300L
+      b = i % 3
+      u = b * 1000L + (i * 37L) % 50L
+      v = b * 1000L + (i * 61L + 13L) % 50L
+      w = (i * 2654435761L) % 16L
+    } yield (u, v, w)
+    val delKeys = es.map { case (s, d, _) => (math.min(s, d), math.max(s, d)) }
+      .distinct.filter { case (u, v) => ((u * 31 + v) * 2654435761L) % 10L == 3L }
+    assert(delKeys.nonEmpty)
+    val surviving = es.filterNot { case (s, d, _) =>
+      delKeys.contains((math.min(s, d), math.max(s, d))) }
+    val oldForest = SpanningForest.boruvka(wEdgeDf(es))
+    import spark.implicits._
+    val got = collectMsf(SpanningForest.boruvkaDecremental(
+      oldForest, wEdgeDf(es), delKeys.toDF("src", "dst")))
+    assert(got == collectMsf(SpanningForest.boruvka(wEdgeDf(surviving))))
+    assert(got == kruskal(surviving))
+  }
+
   test("boruvka: empty and single-edge graphs") {
     assert(SpanningForest.boruvka(wEdgeDf(Seq.empty)).count() == 0)
     assert(collectMsf(SpanningForest.boruvka(wEdgeDf(Seq((7L, 3L, 5L)))))

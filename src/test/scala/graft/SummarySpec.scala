@@ -196,6 +196,12 @@ class SummarySpec extends SparkTestBase {
     // only the affected component's directory is listed in the scan
     val leaves = pruned.queryExecution.executedPlan.collectLeaves().head.toString
     assert(!leaves.contains("component=10"), leaves.take(300))
+    // mass-retraction fence: past maxIsinLiterals the affected set stays
+    // distributed (broadcast left-semi on the partition column — no
+    // plan-size cliff) and the labels are identical to the isin path
+    val fallback = toMap(ConnectedComponents.decrementalPartitioned(
+      labels, byComp, deleted, maxIsinLiterals = 0))
+    assert(fallback === plain)
   }
 
   test("decremental CC equals full recompute on random graphs and deltas") {
