@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Lineage.CutOps
 import graft.model.{GraphFixtures, Tables}
 import graft.operators.{ConnectedComponents, Multimodal, SpanningForest, SummaryAggregations, Traversals, Triangles}
 import graft.functions.{Dedup, Similarity, TextStats}
@@ -159,6 +160,31 @@ object SparkEntry {
 
   private def c10Adjacency(s: SparkSession, dir: String): DataFrame =
     c10AdjMemo(s, dir)
+
+  /** q191's deterministic edge tag (0..9), replayable cross-engine. */
+  private def edgeTag: org.apache.spark.sql.Column = {
+    val t31 = lit(2147483648L)
+    pmod(pmod(col("src") % t31 * 31 + col("dst"), t31)
+      * lit(2654435761L), t31) % 10
+  }
+
+  /** CDC changelog fixture over a tag-annotated edge set (shared by
+    * q210/q211): tag 3 → tombstone (final dead); tag 4 → upsert then
+    * tombstone (final dead); tag 8 → upsert of a NEW edge (final
+    * alive); tag 9 → tombstone then upsert (RESURRECTION — final
+    * alive, net no-op on the graph). Tags 0–7∖{3,4} never appear in
+    * the changelog. `seq` strictly orders the ops per edge, so the
+    * streamed latest-wins state is batch-split independent.
+    */
+  private def cdcChangelog(tagged: DataFrame): DataFrame = {
+    def ops(t: Long, seq: Long, del: Long) =
+      tagged.where(col("tag") === t).select(col("src"), col("dst"),
+        lit(seq).as("seq"), lit(del).as("del"))
+    ops(3, 1, 1)
+      .unionByName(ops(4, 1, 0)).unionByName(ops(4, 2, 1))
+      .unionByName(ops(8, 1, 0))
+      .unionByName(ops(9, 1, 1)).unionByName(ops(9, 2, 0))
+  }
 
   /** Deterministic provenance URLs for the documents fixture (it ships
     * a `source` tag but no URL): every 10th doc gets an uppercase
@@ -2070,6 +2096,47 @@ object SparkEntry {
         msfMemo(s, dir), ew, deleted)
       SpanningForest.singleLinkage(
         ew.where(col("weight") % 10 =!= 3), forest, 268435456L)
+    }),
+    // CDC-DRIVEN MAINTENANCE END-TO-END — the actual daily-refresh
+    // pipeline the maintenance operators exist for: an edge changelog
+    // (upserts, tombstones, a resurrection) replays through keyed CDC
+    // state (q197's machinery keyed on the EDGE); the final state's
+    // alive keys drive the INCREMENTAL insert path and its tombstoned
+    // keys the DECREMENTAL delete path. The maintained labels must
+    // hash-equal a full CC recompute of the final graph — the oracle
+    // never sees the changelog, only the net edge set
+    "q210_cdc_maintained_cc" -> ((s, dir) => {
+      val te = GraphFixtures.edgeStream(s, dir).select("src", "dst")
+        .distinct().withColumn("tag", edgeTag).cutLineage()
+      val fin = graft.streaming.StreamingOps.replayEdgeCdc(cdcChangelog(te))
+      val inserts = fin.where(col("alive") === 1).select("src", "dst")
+      val deletes = fin.where(col("alive") === 0).select("src", "dst")
+      val base = te.where(col("tag") =!= 8).select("src", "dst")
+      val labels0 = ConnectedComponents.iterative(base)
+      val labels1 = ConnectedComponents.incremental(labels0, inserts)
+      ConnectedComponents.decremental(labels1,
+        base.unionByName(inserts), deletes)
+    }),
+    // the triangle twin of q210 over the co-purchase graph: the SAME
+    // changelog-resolved insert/delete sets drive deltaTriangles
+    // (wedge-close inserts through the grown graph) and
+    // decrementalTriangles (wedge-close deletes through it); the
+    // composed counts must hash-equal full recounts of the base,
+    // grown, and final edge sets
+    "q211_cdc_maintained_triangles" -> ((s, dir) => {
+      val te = GraphFixtures.coPurchase10(s, dir)
+        .withColumn("tag", edgeTag).cutLineage()
+      val fin = graft.streaming.StreamingOps.replayEdgeCdc(cdcChangelog(te))
+      val inserts = fin.where(col("alive") === 1).select("src", "dst")
+      val deletes = fin.where(col("alive") === 0).select("src", "dst")
+      val base = te.where(col("tag") =!= 8).select("src", "dst")
+      val grown = Triangles.deltaTriangles(base, inserts)
+      val after = Triangles.decrementalTriangles(
+        base.unionByName(inserts).distinct(), deletes)
+      grown.select(col("n_old").as("n_base"), col("n_new").as("n_created"),
+          col("n_total").as("n_grown"))
+        .crossJoin(after.select(col("n_destroyed"),
+          col("n_remaining").as("n_final")))
     }),
   )
 
@@ -4301,6 +4368,42 @@ object SparkEntry {
           "verts AS (SELECT DISTINCT id FROM (SELECT x AS id FROM surv UNION ALL SELECT y FROM surv)) " +
           "SELECT verts.id, COALESCE(comp.cluster, verts.id) AS cluster " +
           "FROM verts LEFT JOIN comp ON comp.id = verts.id"),
+      // CDC-driven maintenance: the oracle replays only the NET effect
+      // of the changelog — final edges = tags ∉ {3,4} (tag 8 inserted,
+      // tag 9 resurrected, tags 3/4 tombstoned) — with the full vertex
+      // set; the streamed CDC resolution + incremental/decremental
+      // composition on the Spark side must land on the same labels
+      "q210_cdc_maintained_cc" ->
+        ("WITH RECURSIVE e0 AS (SELECT DISTINCT l_partkey AS x, l_suppkey + 1000000000 AS y FROM lineitem), " +
+          "c AS (SELECT x, y FROM e0 WHERE " +
+          "((((x % 2147483648) * 31 + y) % 2147483648) * 2654435761) % 2147483648 % 10 NOT IN (3, 4)), " +
+          "sym AS (SELECT x AS a, y AS b FROM c UNION SELECT y, x FROM c), " +
+          "lbl(v, l) AS (SELECT DISTINCT a, a FROM sym " +
+          "UNION SELECT s.b, lbl.l FROM sym s JOIN lbl ON lbl.v = s.a AND lbl.l < s.b), " +
+          "comp AS (SELECT v AS id, MIN(l) AS component FROM lbl GROUP BY v), " +
+          "verts AS (SELECT DISTINCT id FROM (SELECT x AS id FROM e0 UNION ALL SELECT y FROM e0)) " +
+          "SELECT verts.id, COALESCE(comp.component, verts.id) AS component " +
+          "FROM verts LEFT JOIN comp ON comp.id = verts.id"),
+      // triangle twin: full recounts of base (tag ≠ 8), grown (all
+      // edges — tag-9 resurrections are already members), and final
+      // (tags ∉ {3,4}); created/destroyed are the differences
+      "q211_cdc_maintained_triangles" ->
+        (s"WITH c AS MATERIALIZED ($copurchase10), " +
+          "b AS MATERIALIZED (SELECT x, y FROM c WHERE " +
+          "((((x % 2147483648) * 31 + y) % 2147483648) * 2654435761) % 2147483648 % 10 <> 8), " +
+          "f AS MATERIALIZED (SELECT x, y FROM c WHERE " +
+          "((((x % 2147483648) * 31 + y) % 2147483648) * 2654435761) % 2147483648 % 10 NOT IN (3, 4)), " +
+          "tb AS (SELECT COUNT(*) AS n_base FROM b e1 " +
+          "JOIN b e2 ON e2.x = e1.y JOIN b e3 ON e3.x = e1.x AND e3.y = e2.y), " +
+          "tg AS (SELECT COUNT(*) AS n_grown FROM c e1 " +
+          "JOIN c e2 ON e2.x = e1.y JOIN c e3 ON e3.x = e1.x AND e3.y = e2.y), " +
+          "tf AS (SELECT COUNT(*) AS n_final FROM f e1 " +
+          "JOIN f e2 ON e2.x = e1.y JOIN f e3 ON e3.x = e1.x AND e3.y = e2.y) " +
+          "SELECT CAST(n_base AS BIGINT) AS n_base, " +
+          "CAST(n_grown - n_base AS BIGINT) AS n_created, " +
+          "CAST(n_grown AS BIGINT) AS n_grown, " +
+          "CAST(n_grown - n_final AS BIGINT) AS n_destroyed, " +
+          "CAST(n_final AS BIGINT) AS n_final FROM tb, tg, tf"),
       // the oracle states containment directly (DuckDB plans the
       // inequality join natively); the operator's binning must be
       // invisible in the result

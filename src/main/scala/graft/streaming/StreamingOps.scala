@@ -1051,6 +1051,84 @@ object StreamingOps {
     }
   }
 
+  /** Per-EDGE CDC state — [[streamingLatestPerKeyCdc]]'s contract keyed
+    * on the edge (src, dst): each op carries a strictly-ordering `seq`
+    * and `del` (1 = tombstone, 0 = upsert); the keyed state keeps the
+    * max-seq op per edge, so the FINAL state is independent of arrival
+    * order and batch split by construction (latest-wins over a total
+    * `seq` order is a max — commutative, associative, idempotent).
+    * Emits (src, dst, alive, n_ops) per touched edge in update mode;
+    * state is 17 B/edge. This is the changelog head a daily graph-
+    * maintenance pass consumes: alive keys are the insert delta,
+    * tombstoned keys the delete set.
+    */
+  final case class EdgeCdcState(seq: Long, alive: Boolean, n: Long)
+
+  def streamingEdgeCdc(ops: DataFrame): DataFrame = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+    ops.select(col("src").cast("long"), col("dst").cast("long"),
+        col("seq").cast("long"), col("del").cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: (Long, Long), rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[EdgeCdcState]) =>
+          var st = state.getOption.getOrElse(
+            EdgeCdcState(Long.MinValue, alive = false, 0L))
+          rows.foreach { case (_, _, seq, del) =>
+            st =
+              if (seq > st.seq) EdgeCdcState(seq, alive = del == 0L, st.n + 1)
+              else st.copy(n = st.n + 1)
+          }
+          state.update(st)
+          Iterator.single((k._1, k._2, if (st.alive) 1L else 0L, st.n))
+      }
+      .toDF("src", "dst", "alive", "n_ops")
+  }
+
+  /** Replay harness for [[streamingEdgeCdc]] (the harness, not the
+    * operator: collect/addData feed the MemoryStream; the keyed state
+    * is the thing under test): the changelog (src, dst, seq, del) is
+    * replayed in (seq, src, dst) order over `nBatches` triggers and the
+    * FINAL per-edge state returns as a batch DataFrame on the PARENT
+    * session — the bridge the q210/q211 CDC-driven maintenance queries
+    * consume. The last update per edge is the row with the maximal
+    * running op count (strictly increasing per touched key).
+    */
+  def replayEdgeCdc(changelog: DataFrame, nBatches: Int = 4): DataFrame = {
+    val spark = changelog.sparkSession
+    import spark.implicits._
+    val rows = changelog.select(col("src").cast("long"), col("dst").cast("long"),
+        col("seq").cast("long"), col("del").cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    rows.sortInPlaceBy(r => (r._3, r._1, r._2))
+    val stream = pinnedShuffleSession(spark, 8)
+    implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long, Long)]
+    val name = "graft_replay_ecdc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = replayCkpt("graft-replay-ecdc")
+    val q = streamingEdgeCdc(ms.toDF().toDF("src", "dst", "seq", "del"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(name).start()
+    try {
+      val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("src", "dst").orderBy(col("n_ops").desc)
+      val fin = stream.table(name)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+        .as[(Long, Long, Long, Long)].collect()
+      spark.createDataset(fin.toIndexedSeq)
+        .toDF("src", "dst", "alive", "n_ops")
+    } finally {
+      q.stop()
+      stream.catalog.dropTempView(name)
+    }
+  }
+
   /** Streaming HLL++ distinct-count parity — the sketch-as-streaming-
     * state primitive: per-language `approx_count_distinct` maintained
     * across triggers in update mode. HLL registers merge by register-

@@ -741,6 +741,48 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("edge CDC maintenance: changelog-driven CC equals full recompute at 1/3/7 triggers") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    // base graph: path 1-2-3-4, pair 10-11, triangle 20-21-22.
+    // Changelog: delete 2-3 (splits the path); upsert-then-delete 10-11
+    //   (final dead — the pair dissolves to singletons); upsert NEW
+    //   edge 4-20 (merges {4} side into the triangle component);
+    //   delete-then-upsert 21-22 (RESURRECTION — net no-op)
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("src", "dst")
+    val changelog = Seq(
+      (2L, 3L, 1L, 1L),
+      (10L, 11L, 1L, 0L), (10L, 11L, 2L, 1L),
+      (4L, 20L, 1L, 0L),
+      (21L, 22L, 1L, 1L), (21L, 22L, 2L, 0L))
+      .toDF("src", "dst", "seq", "del")
+    val finalEdges = Seq((1L, 2L), (3L, 4L), (4L, 20L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("src", "dst")
+    // full-recompute reference with the maintained vertex universe
+    // (isolated 10/11 fall back to themselves)
+    val ref = ConnectedComponents.iterative(finalEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val verts = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L, 22L)
+    val expected = verts.map(v => v -> ref.getOrElse(v, v)).toMap
+    for (nb <- Seq(1, 3, 7)) {
+      val fin = StreamingOps.replayEdgeCdc(changelog, nBatches = nb)
+      // CDC resolution: tombstones dead, upserts + resurrections alive
+      val st = fin.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(st == Map((2L, 3L) -> 0L, (10L, 11L) -> 0L,
+        (4L, 20L) -> 1L, (21L, 22L) -> 1L), s"nBatches=$nb: $st")
+      val inserts = fin.where(col("alive") === 1).select("src", "dst")
+      val deletes = fin.where(col("alive") === 0).select("src", "dst")
+      val labels1 = ConnectedComponents.incremental(
+        ConnectedComponents.iterative(base), inserts)
+      val got = ConnectedComponents.decremental(labels1,
+          base.unionByName(inserts), deletes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"nBatches=$nb: $got")
+    }
+  }
+
   test("streaming CMS parity: sketch bytes equal batch under every split") {
     import spark.implicits._
     val docs = (0 until 30).map { i =>
