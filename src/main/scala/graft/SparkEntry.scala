@@ -2138,7 +2138,51 @@ object SparkEntry {
         .crossJoin(after.select(col("n_destroyed"),
           col("n_remaining").as("n_final")))
     }),
+    // ANN INDEX LIFECYCLE — build once, query many (the shape a
+    // 10⁹-vector deployment runs, closing q162's rebuild-per-query
+    // gap): fit + encode, PERSIST codes as a vec_id-bucketed catalog
+    // table and codebooks as a tiny table, then serve the SAME
+    // recall-gated top-k from the index RELOADED IN A FRESH SESSION
+    // (shared catalog) — the served plan scans the bucketed codes
+    // table, never re-encodes the corpus (plan-asserted in the spec)
+    "q212_ann_pq_persisted" -> ((s, dir) => {
+      val model = graft.functions.PQ.fit(Tables.embeddings(s, dir))
+      graft.functions.PQ.save(model,
+        graft.functions.PQ.index(Tables.embeddings(s, dir), model),
+        "graft_pq_idx")
+      val fresh = s.newSession()
+      val (m2, codes) = graft.functions.PQ.load(fresh, "graft_pq_idx")
+      val emb = Tables.embeddings(fresh, dir)
+      val q = emb.where(col("vec_id") <= 9)
+      recallGate(Similarity.bruteForceTopK(emb, q, 5),
+        graft.functions.PQ.topK(codes, emb, q, m2, 5, shortlist = 64), 0.5)
+    }),
+    // BYTE-LEVEL BPE (q138's GPT-2/LLaMA-class sibling): merges learned
+    // over UTF-8 BYTES (2-hex-digit symbols, 256-value base vocab —
+    // byte fallback by construction) on a fixture whose tail is
+    // non-whitespace-delimited CJK glued to a per-doc digit and a
+    // special token with NO surrounding whitespace — the fence splits
+    // segments BEFORE word segmentation, so no merge crosses it; the
+    // oracle replays learning as an unrolled hex-replace chain
+    "q213_bpe_bytes_vocab" -> ((s, dir) =>
+      graft.functions.Bpe.learnedVocabBytes(s, byteBpeDocs(s, dir), 10, "<EOD>")),
+    // per-doc byte-level token counts under the learned merges (q139's
+    // sibling): broadcast word→tokens dictionary, one corpus pass
+    "q214_bpe_bytes_tokens" -> ((s, dir) =>
+      graft.functions.Bpe.docTokenCountsBytes(byteBpeDocs(s, dir), 10, "<EOD>")),
   )
+
+  /** Byte-level BPE fixture: the documents table with a deterministic
+    * multibyte, NON-WHITESPACE-DELIMITED tail — a CJK phrase glued to a
+    * per-doc digit, then a special token with no surrounding spaces,
+    * then another CJK word — exercising byte merges inside multibyte
+    * characters and the special-token fence. The DuckDB oracles
+    * rebuild the identical strings.
+    */
+  private def byteBpeDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat(coalesce(col("text"), lit("")), lit(" 数据集№"),
+        (col("doc_id") % 5).cast("string"), lit("<EOD>端到端")).as("text"))
 
   /** DuckDB replay of the ENTIRE 4-epoch batch-perceptron training
     * loop (q138's unrolled-merge pattern applied to learning): features
@@ -2305,6 +2349,48 @@ object SparkEntry {
       "ORDER BY (((doc_id % 2147483648) * 2654435761) % 2147483648) ASC, doc_id ASC) AS cum_tokens FROM pd) " +
       "SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, " +
       "CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c WHERE cum_tokens <= 3000"
+    // BYTE-LEVEL BPE oracles (q213/q214): the q138 unroll with byte
+    // initial symbols — w0's repr decomposes each word into 2-hex-digit
+    // byte symbols via hex(encode(word)) (uppercase in both engines);
+    // the corpus is the documents table with the deterministic
+    // multibyte tail, segmented on the <EOD> special BEFORE words
+    val byteBpeText =
+      "COALESCE(text, '') || ' 数据集№' || CAST(doc_id % 5 AS VARCHAR) || '<EOD>端到端'"
+    val byteBpeWordsFrom =
+      s"(SELECT doc_id, unnest(string_split(seg, ' ')) AS word FROM " +
+        s"(SELECT doc_id, unnest(string_split(replace($byteBpeText, '|', ''), '<EOD>')) AS seg " +
+        "FROM documents)) WHERE word <> ''"
+    val byteBpeLearnCtes: String = {
+      val sb = new StringBuilder
+      sb ++= ("words AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM " +
+        s"(SELECT word FROM $byteBpeWordsFrom) GROUP BY word), ")
+      sb ++= ("w0 AS MATERIALIZED (SELECT word, '|' || array_to_string(" +
+        "list_transform(range(len(hex(encode(word))) // 2), " +
+        "i -> substr(hex(encode(word)), CAST(2*i + 1 AS INT), 2)), '|') || '|' AS repr, " +
+        "cnt FROM words)")
+      for (i <- 1 to bpeK) {
+        sb ++= (s", p$i AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b, SUM(cnt) AS pc " +
+          s"FROM (SELECT string_split(trim(repr, '|'), '|') AS syms, cnt FROM w${i - 1}) s, " +
+          "UNNEST(generate_series(1, len(s.syms) - 1)) AS t(i) GROUP BY 1, 2)")
+        sb ++= (s", m$i AS MATERIALIZED (SELECT a, b, pc FROM p$i " +
+          "ORDER BY pc DESC, a ASC, b ASC LIMIT 1)")
+        sb ++= (s", w$i AS MATERIALIZED (SELECT word, replace(repr, " +
+          s"'|' || (SELECT a FROM m$i) || '|' || (SELECT b FROM m$i) || '|', " +
+          s"'|' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || '|') AS repr, cnt FROM w${i - 1})")
+      }
+      sb.toString
+    }
+    val byteBpeVocabSql = "WITH " + byteBpeLearnCtes + " SELECT * FROM (" +
+      (1 to bpeK).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, " +
+          s"CAST(pc AS BIGINT) AS pair_count FROM m$i").mkString(" UNION ALL ") + ")"
+    val byteBpeTokensSql = "WITH " + byteBpeLearnCtes +
+      s", dict AS MATERIALIZED (SELECT word, " +
+      s"CAST(len(string_split(trim(repr, '|'), '|')) AS BIGINT) AS word_tokens FROM w$bpeK), " +
+      s"tok AS (SELECT doc_id, word FROM $byteBpeWordsFrom) " +
+      "SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, " +
+      "CAST(SUM(d.word_tokens) AS BIGINT) AS n_bpe_tokens " +
+      "FROM tok t JOIN dict d ON d.word = t.word GROUP BY t.doc_id"
     // fixed-point PageRank: iterations unrolled as sequential CTEs (DuckDB
     // forbids aggregation inside a recursive term). Integer micro-units +
     // integer division at every step make the result bit-identical to the
@@ -3182,6 +3268,10 @@ object SparkEntry {
       "q138_bpe_vocab" -> bpeVocabSql,
       "q139_bpe_tokens" -> bpeTokensSql,
       "q140_bpe_token_budget" -> bpeBudgetSql,
+      // byte-level siblings: the same unroll over 2-hex-digit byte
+      // symbols, fenced at <EOD>, on the multibyte-tail fixture
+      "q213_bpe_bytes_vocab" -> byteBpeVocabSql,
+      "q214_bpe_bytes_tokens" -> byteBpeTokensSql,
       "q59_bfs" -> bfsSql,
       "q118_stress_centrality" -> stressSql,
       "q125_betweenness" -> btwSql,
@@ -3909,6 +3999,8 @@ object SparkEntry {
           "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"),
       "q36_ann_ivf" -> annGateSql,
       "q162_ann_pq" -> annGateSql,
+      // persisted-index lifecycle serves the identical recall-gate row
+      "q212_ann_pq_persisted" -> annGateSql,
       "q26_embedding_neardup" ->
         ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
           "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim " +

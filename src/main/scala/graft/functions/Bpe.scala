@@ -125,7 +125,8 @@ object Bpe {
     * width (spec/diagnostics hook, the greedyColoring trace pattern).
     */
   def learnMergesFrom(wf: DataFrame, k: Int, maxBatch: Int = 64,
-                      batchTrace: Option[scala.collection.mutable.Buffer[Int]] = None)
+                      batchTrace: Option[scala.collection.mutable.Buffer[Int]] = None,
+                      byteLevel: Boolean = false)
       : Array[(String, String, Long)] = {
     val spark = wf.sparkSession
     val sc = spark.sparkContext
@@ -145,7 +146,10 @@ object Bpe {
     val vocabRows = wf.count()
     val parts = math.max(1, math.min(sc.defaultParallelism,
       (vocabRows / 250000L).toInt))
-    var enc = wf.select(BpeEncode.column(col("word"), Array.empty).as("s"), col("cnt"))
+    val sym0 =
+      if (byteLevel) byteSyms(col("word"))
+      else BpeEncode.column(col("word"), Array.empty)
+    var enc = wf.select(sym0.as("s"), col("cnt"))
       .where(size(col("s")) >= 2)
       .coalesce(parts)
       .cutLineage()
@@ -298,6 +302,86 @@ object Bpe {
   def docTokenCounts(docs: DataFrame, k: Int): DataFrame = {
     val dict = tokenDict(docs, k)
     docs.select(col("doc_id"), explode(words(docs)).as("word"))
+      .where(col("word") =!= "")
+      .join(broadcast(dict), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("word_tokens")).as("n_bpe_tokens"))
+  }
+
+  // -----------------------------------------------------------------
+  // BYTE-LEVEL BPE (the GPT-2/LLaMA-class tokenizer shape): base
+  // vocabulary = the 256 UTF-8 byte values, rendered as 2-hex-digit
+  // symbols — portable to any engine as hex(encode(word)) — with byte
+  // FALLBACK by construction (every string of every script decomposes
+  // into base symbols; OOV is impossible), plus SPECIAL-TOKEN FENCING:
+  // text splits on the special literal BEFORE word segmentation, so a
+  // merge can never cross a special-token boundary even when the
+  // special is glued to surrounding text without whitespace.
+  // Whitespace still separates words WITHIN a segment, but a no-space
+  // script (CJK) arrives as one long word whose subwords the merges
+  // build from bytes — exactly the case the char-level whitespace
+  // pretokenizer (q138) cannot segment at all. Learning, batching and
+  // application reuse [[learnMergesFrom]]/[[graft.expressions
+  // .BpeMergeOnce]] unchanged (both are symbol-agnostic); only the
+  // INITIAL symbolization differs.
+  // -----------------------------------------------------------------
+
+  /** 2-hex-digit byte symbols of a word (uppercase — Spark
+    * hex(encode(w,'UTF-8')) ≡ DuckDB hex(encode(w)) bit-for-bit).
+    * Words are non-empty by contract (an empty input would make the
+    * sequence bound 0 and DESCEND — the pairsOf guard's rule).
+    */
+  private[functions] def byteSyms(word: Column): Column = {
+    val h = hex(encode(word, "UTF-8"))
+    transform(sequence(lit(1), floor(length(h) / 2).cast("int")),
+      i => h.substr(i * 2 - 1, lit(2)))
+  }
+
+  /** Distinct words with frequencies under byte-level segmentation:
+    * strip the `|` delimiter, split on the special token (the fence),
+    * then on single spaces — one corpus-sized shuffle, as
+    * [[wordFrequencies]].
+    */
+  def byteWordFrequencies(docs: DataFrame, special: String): DataFrame =
+    docs.select(explode(split(
+        translate(coalesce(col("text"), lit("")), "|", ""),
+        java.util.regex.Pattern.quote(special))).as("seg"))
+      .select(explode(split(col("seg"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Byte-level learned vocabulary: (merge_rank, left_sym, right_sym,
+    * pair_count) over byte symbols — [[learnedVocab]]'s sibling with
+    * byte initial symbols (q213; oracle = the unrolled hex-replace
+    * chain).
+    */
+  def learnedVocabBytes(spark: SparkSession, docs: DataFrame, k: Int,
+                        special: String): DataFrame = {
+    import spark.implicits._
+    learnMergesFrom(byteWordFrequencies(docs, special).cutLineage(), k,
+        byteLevel = true)
+      .zipWithIndex
+      .map { case ((a, b, c), i) => (i + 1L, a, b, c) }.toSeq
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** Per-document byte-level token counts: [[docTokenCounts]]'s
+    * broadcast-dictionary discipline under byte merges (q214). The
+    * rank-ordered [[graft.expressions.BpeMergeOnce]] fold over the
+    * byte symbols is BY CONSTRUCTION identical to re-encoding under
+    * all rules (the one-pass-unit argument in [[learnMergesFrom]]).
+    */
+  def docTokenCountsBytes(docs: DataFrame, k: Int, special: String): DataFrame = {
+    val wf = byteWordFrequencies(docs, special).cutLineage()
+    val rules = learnMergesFrom(wf, k, byteLevel = true)
+    val dict = wf.select(col("word"),
+      size(rules.foldLeft(byteSyms(col("word"))) {
+        case (s, (a, b, _)) => BpeMergeOnce.column(s, a, b)
+      }).cast("long").as("word_tokens"))
+    docs.select(col("doc_id"), explode(split(
+        translate(coalesce(col("text"), lit("")), "|", ""),
+        java.util.regex.Pattern.quote(special))).as("seg"))
+      .select(col("doc_id"), explode(split(col("seg"), " ")).as("word"))
       .where(col("word") =!= "")
       .join(broadcast(dict), Seq("word"))
       .groupBy("doc_id")

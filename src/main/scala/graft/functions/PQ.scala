@@ -174,4 +174,59 @@ object PQ {
     val model = fit(corpus, m, ks)
     topK(index(corpus, model), corpus, queries, model, k, shortlist)
   }
+
+  /** Persist the index for the build-once / query-many lifecycle a
+    * 10⁹-vector deployment actually runs: the CODES as a
+    * vec_id-bucketed catalog table ([[graft.sources.Sources
+    * .writeBucketed]] — the searched artifact, M small ints/vector,
+    * scanned Exchange-free on reload) and the CODEBOOKS — model state,
+    * M×Ks×dsub doubles — as a tiny single-file catalog table
+    * (m, cid, pos, mu). Overwrite semantics; both tables live in the
+    * shared catalog, so ANY session of the deployment (not just the
+    * builder's) can [[load]] and serve.
+    */
+  def save(model: Model, indexed: DataFrame, name: String,
+           nBuckets: Int = 8): Unit = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    // idempotent across PROCESSES, not just sessions: a managed-table
+    // location left by a previous JVM (whose in-memory catalog died
+    // with it) makes saveAsTable throw LOCATION_ALREADY_EXISTS even in
+    // overwrite mode — drop the catalog entry AND any stale directory
+    Seq(s"${name}_codes", s"${name}_codebooks").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    graft.sources.Sources.writeBucketed(indexed, s"${name}_codes",
+      "vec_id", nBuckets, sortCols = Seq("vec_id"))
+    val rows = for {
+      (mat, m) <- model.codebooks.zipWithIndex.toIndexedSeq
+      (cent, cid) <- mat.zipWithIndex.toIndexedSeq
+      (mu, pos) <- cent.zipWithIndex.toIndexedSeq
+    } yield (m, cid, pos, mu)
+    spark.createDataset(rows).toDF("m", "cid", "pos", "mu")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_codebooks")
+  }
+
+  /** Reload a [[save]]d index: (model, codes). The codes DataFrame IS
+    * the bucketed table scan — serving re-encodes NOTHING (spec asserts
+    * the plan reads `name_codes` and contains no corpus-side encoder);
+    * a fresh session sees both tables through the shared catalog.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           name: String): (Model, DataFrame) = {
+    val rows = spark.table(s"${name}_codebooks").collect()
+    require(rows.nonEmpty, s"no codebooks found in table ${name}_codebooks")
+    val m = rows.map(_.getInt(0)).max + 1
+    val ks = rows.map(_.getInt(1)).max + 1
+    val dsub = rows.map(_.getInt(2)).max + 1
+    val cb = Array.fill(m, ks, dsub)(0.0)
+    rows.foreach(r => cb(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+    (Model(cb), spark.table(s"${name}_codes"))
+  }
 }

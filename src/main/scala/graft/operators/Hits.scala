@@ -77,21 +77,27 @@ object Hits {
     // ignores absent zeros). q127's hash is the regression gate.
     var hubs = verts.withColumn("h", lit(Scale))
     var auths = verts.limit(0).withColumn("a", lit(0L))
-    for (k <- 1 to iters) {
+    for (_ <- 1 to iters) {
+      // each RAW table feeds TWO consumers — its one-row normalizing
+      // max and the normalize projection — so it must materialize
+      // EAGERLY: left lazy, the plan tree references it twice and the
+      // doubling nests round over round (×4 per round, ×64 between the
+      // old every-3-rounds cuts — measured 20.6 s at sf0.1; eager
+      // per-round cuts land the same bit-identical scores at a
+      // fraction of that). The join+agg runs exactly once per half-
+      // round; everything downstream is a projection over its blocks.
       val araw = eByU.join(hubs, eByU("u") === hubs("id"))
         .groupBy(col("v").as("id")).agg(sum("h").as("r"))
+        .cutLineage()
       val asum = araw.agg(max("r").as("t"))
       auths = araw.crossJoin(broadcast(asum))
         .select(col("id"), expr("(r * " + Scale + ") div t").as("a"))
       val hraw = eByV.join(auths, eByV("v") === auths("id"))
         .groupBy(col("u").as("id")).agg(sum("a").as("r"))
+        .cutLineage()
       val hsum = hraw.agg(max("r").as("t"))
       hubs = hraw.crossJoin(broadcast(hsum))
         .select(col("id"), expr("(r * " + Scale + ") div t").as("h"))
-      if (k % 3 == 0 || k == iters) {
-        auths = auths.cutLineage()
-        hubs = hubs.cutLineage()
-      }
     }
     verts.join(hubs, Seq("id"), "left").join(auths, Seq("id"), "left")
       .select(col("id"), coalesce(col("h"), lit(0L)).as("hub_mu"),

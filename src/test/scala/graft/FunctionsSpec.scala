@@ -475,6 +475,34 @@ class FunctionsSpec extends SparkTestBase {
     assert(out3 == Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("byte-level BPE: byte symbols, special-token fence, CJK subwords, token counts") {
+    import spark.implicits._
+    import graft.functions.Bpe
+    // héllo = 68 C3 A9 6C 6C 6F (6 bytes); 端到端 = E7 AB AF E5 88 B0
+    // E7 AB AF (9 bytes, NO whitespace anywhere — the char-level
+    // whitespace pretokenizer would treat it as one opaque word with
+    // no subword structure); the special glues to text with no spaces
+    val docs = Seq(
+      (1L, "héllo héllo<EOD>端到端", "s"),
+      (2L, "héllo<EOD>端到端", "s")).toDF("doc_id", "text", "source")
+    // fencing: the unspaced "héllo<EOD>端到端" splits into héllo + 端到端
+    val wf = Bpe.byteWordFrequencies(docs, "<EOD>")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wf == Map("héllo" -> 3L, "端到端" -> 2L))
+    // hand-derived merge sequence: (AB,AF,4) beats (E7,AB,4) on lex
+    // tie-break; merge 2 = the chained (E7,ABAF,4); merge 3 falls to
+    // the héllo pairs at count 3, lex-min (68,C3)
+    val vocab = Bpe.learnedVocabBytes(spark, docs, 3, "<EOD>")
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(vocab.toSeq == Seq(("AB", "AF", 4L), ("E7", "ABAF", 4L), ("68", "C3", 3L)))
+    // token counts under those merges: héllo → [68C3 A9 6C 6C 6F] = 5,
+    // 端到端 → [E7ABAF E5 88 B0 E7ABAF] = 5
+    val counts = Bpe.docTokenCountsBytes(docs, 3, "<EOD>")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(counts == Map(1L -> ((3L, 15L)), 2L -> ((2L, 10L))))
+  }
+
   test("BPE learning stops gracefully when the pair space exhausts before k merges") {
     import spark.implicits._
     import graft.functions.Bpe

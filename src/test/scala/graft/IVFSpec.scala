@@ -78,6 +78,36 @@ class IVFSpec extends SparkTestBase {
     assert(pqTop == bfTop)
   }
 
+  test("PQ save/load: fresh-session reload serves identical top-k from the bucketed table") {
+    import graft.functions.PQ
+    val model = PQ.fit(emb, m = 8, ks = 16, iters = 3)
+    val indexed = PQ.index(emb, model)
+    PQ.save(model, indexed, "graft_pq_spec_idx", nBuckets = 4)
+    // reload in a FRESH session (shared catalog — the deployment shape:
+    // the builder's session is long gone when queries arrive)
+    val fresh = spark.newSession()
+    val (m2, codes) = PQ.load(fresh, "graft_pq_spec_idx")
+    // model round-trips exactly
+    assert(m2.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val freshEmb = Tables.embeddings(fresh, sf)
+    val queries = freshEmb.where(col("vec_id") <= 9)
+    val served = PQ.topK(codes, freshEmb, queries, m2, 5)
+    // the served plan reads the persisted codes table (bucketed scan)
+    // and never re-encodes the corpus: pq_encode may appear ONLY for
+    // the broadcast query-side distance tables, never over a scan of
+    // the embeddings corpus on the indexed side
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_pq_spec_idx_codes"), plan.take(800))
+    assert(!plan.toLowerCase.contains("pq_encode"), plan.take(800))
+    // identical rows to serving from the in-memory index
+    val direct = PQ.topK(indexed, emb, emb.where(col("vec_id") <= 9), model, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val reloaded = served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(reloaded == direct)
+  }
+
   test("sampled training (maxTrainVectors < corpus) still yields a usable index") {
     val n = emb.count()
     val cap = (n / 4).toInt.max(8)
