@@ -598,6 +598,125 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  // ------------------------------------------------------------------
+  // OUT-OF-ORDER replay under a NONZERO watermark — the divergence
+  // contract the ascending-ts parity gates never exercise (SURVEY
+  // §2.2): these three specs feed deliberately shuffled event times and
+  // pin EXACTLY which late rows drop vs which are absorbed, per
+  // operator family. If Spark's late-data handling or our
+  // watermark-on-partial-max discipline drifts, these fail.
+  // ------------------------------------------------------------------
+
+  test("out-of-order dedup under nonzero watermark: sub-watermark rows drop, in-horizon dupes suppress, evicted keys readmit") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, String, String)] // (doc_id, secs, lang, text)
+    val docs = ms.toDF().toDF("doc_id", "secs", "lang", "text")
+      .withColumn("ts", timestamp_seconds(col("secs"))).drop("secs")
+    val ckpt = Files.createTempDirectory("dedup-ooo-ckpt").toString
+    val q = StreamingOps.streamingDedupWithinWatermark(docs, "30 seconds")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("dedupooo").start()
+    try {
+      def emitted: Set[Long] =
+        spark.table("dedupooo").select("doc_id").as[Long].collect().toSet
+      ms.addData(Seq((1L, 1000L, "en", "alpha"), (2L, 1100L, "en", "beta")))
+      q.processAllAvailable()
+      assert(emitted == Set(1L, 2L)) // watermark now 1100 - 30 = 1070
+      // LATE row with FRESH content drops (3: ts 1050 < wm 1070 — the
+      // watermark gate is on event time, not novelty); an in-horizon
+      // out-of-order duplicate suppresses (5: beta alive until 1130)
+      ms.addData(Seq((3L, 1050L, "en", "gamma"), (5L, 1090L, "en", "beta")))
+      q.processAllAvailable()
+      assert(emitted == Set(1L, 2L))
+      // advance: wm -> 1170; alpha's state (expires 1030) is evicted
+      ms.addData(Seq((6L, 1200L, "en", "delta")))
+      q.processAllAvailable()
+      assert(emitted == Set(1L, 2L, 6L))
+      // readmission after eviction (7: fresh ts, alpha forgotten) vs a
+      // late FRESH-content row still dropping (8: 1150 < wm 1170)
+      ms.addData(Seq((7L, 1180L, "en", "alpha"), (8L, 1150L, "en", "epsilon")))
+      q.processAllAvailable()
+      assert(emitted == Set(1L, 2L, 6L, 7L))
+    } finally q.stop()
+  }
+
+  test("out-of-order windowed degrees under nonzero watermark: in-horizon late absorbed, sub-watermark late dropped") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Double, Long)]
+    val ckpt = Files.createTempDirectory("windeg-ooo-ckpt").toString
+    val q = StreamingOps.windowedDegrees(
+        GraphStream(edgesFrom(ms)), "60 seconds", "30 seconds")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("windegooo").start()
+    try {
+      def rows: Set[(Long, Long, Long)] = spark.table("windegooo")
+        .as[(Long, Long, Long)].collect().toSet
+      // t=10 -> win0, t=70 -> win60; wm := 70 - 30 = 40; nothing closes
+      ms.addData(Seq((1L, 2L, 1.0, 10L), (3L, 4L, 1.0, 70L)))
+      q.processAllAvailable()
+      assert(rows == Set.empty)
+      // OUT-OF-ORDER t=50 is late but >= wm 40 -> ABSORBED into win0;
+      // t=130 pushes wm to 100 >= 60 -> win0 closes WITH the late edge
+      ms.addData(Seq((1L, 5L, 1.0, 50L), (3L, 6L, 1.0, 130L)))
+      q.processAllAvailable()
+      assert(rows == Set((0L, 1L, 2L), (0L, 2L, 1L), (0L, 5L, 1L)))
+      // t=55 < wm 100 -> DROPPED (win0 stays closed, win60 unaffected);
+      // t=190 pushes wm to 160 >= 120 -> win60 closes holding only the
+      // t=70 edge (t=130 sits in win120, still open at wm 160)
+      ms.addData(Seq((2L, 7L, 1.0, 55L), (8L, 9L, 1.0, 190L)))
+      q.processAllAvailable()
+      assert(rows == Set((0L, 1L, 2L), (0L, 2L, 1L), (0L, 5L, 1L),
+        (60L, 3L, 1L), (60L, 4L, 1L)))
+    } finally q.stop()
+  }
+
+  test("out-of-order running CC TTL: solo-late partial drops, bundled late edge absorbs with mortal seen stamp") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long)] // (src, dst, secs)
+    val edges = ms.toDF().toDF("src", "dst", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs"))).drop("secs")
+    val ckpt = Files.createTempDirectory("ccttl-ooo-ckpt").toString
+    val last = new java.util.concurrent.atomic.AtomicReference[Map[Long, Long]](Map.empty)
+    val q = StreamingOps.runningConnectedComponentsTtl(edges, "30 seconds")
+      .toDF("id", "component")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val snap = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        if (snap.nonEmpty) last.set(snap)
+      }
+      .start()
+    try {
+      ms.addData(Seq((1L, 2L, 1000L)))
+      q.processAllAvailable()
+      assert(last.get == Map(1L -> 1L, 2L -> 1L)) // wm := 970
+      // a SOLO late edge forms a partial whose maxTs 900 < wm 970 — it
+      // never reaches the state (or its vertices die in-trigger): 3
+      // must not appear, 1-2 must stay intact
+      ms.addData(Seq((1L, 3L, 900L)))
+      q.processAllAvailable()
+      assert(last.get == Map(1L -> 1L, 2L -> 1L))
+      assert(!last.get.contains(3L))
+      // a late edge BUNDLED with a fresh one rides the partition max
+      // (maxTs 1040 >= wm 970): 4 unions into 1-2's component — but its
+      // seen stamp stays 905 < horizon 970, so it is evicted IN the
+      // same trigger; the union evidence survives for live vertices
+      ms.addData(Seq((4L, 2L, 905L), (5L, 6L, 1040L)))
+      q.processAllAvailable()
+      assert(last.get == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+      // wm := 1010; the next trigger evicts 1 and 2 (seen 1000 < 1010)
+      // on schedule — TTL'd state never outlives its horizon + 1 trigger
+      ms.addData(Seq((8L, 9L, 1200L)))
+      q.processAllAvailable()
+      assert(last.get == Map(5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
+    } finally q.stop()
+  }
+
   test("streaming minhash band keys are bit-identical to the batch signature banding") {
     import spark.implicits._
     val docs = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox leaps"),
