@@ -2170,6 +2170,52 @@ object SparkEntry {
     // sibling): broadcast word→tokens dictionary, one corpus pass
     "q214_bpe_bytes_tokens" -> ((s, dir) =>
       graft.functions.Bpe.docTokenCountsBytes(byteBpeDocs(s, dir), 10, "<EOD>")),
+    // the MSF leg of the CDC wiring — completing CDC × {CC, triangles,
+    // MSF}: the same changelog resolution drives boruvkaDelta (alive
+    // keys as the insert delta) then boruvkaDecremental (tombstoned
+    // keys as the delete set); output = single-linkage cut of the
+    // twice-maintained forest at a fresh τ, so the oracle (CC of the
+    // weight-filtered NET edge set — q189's identity) hash-checks the
+    // composed maintenance chain's CONTENT end to end
+    "q215_cdc_maintained_msf" -> ((s, dir) => {
+      val t31 = lit(2147483648L)
+      val w = pmod(pmod(col("src") % t31 * 31 + col("dst"), t31)
+        * lit(2654435761L), t31)
+      val te = GraphFixtures.coPurchase10(s, dir)
+        .select(col("src"), col("dst"), w.as("weight"))
+        .withColumn("tag", edgeTag).cutLineage()
+      val fin = graft.streaming.StreamingOps.replayEdgeCdc(cdcChangelog(te))
+      val wByKey = te.select(col("src"), col("dst"), col("weight"))
+      val inserts = fin.where(col("alive") === 1).select("src", "dst")
+        .join(wByKey, Seq("src", "dst"))
+      val deletes = fin.where(col("alive") === 0).select("src", "dst")
+      val base = te.where(col("tag") =!= 8)
+        .select("src", "dst", "weight")
+      val f1 = SpanningForest.boruvka(base)
+      val f2 = SpanningForest.boruvkaDelta(f1, inserts)
+      val f3 = SpanningForest.boruvkaDecremental(f2,
+        base.unionByName(inserts), deletes)
+      SpanningForest.singleLinkage(
+        te.where(col("tag") =!= 3 && col("tag") =!= 4)
+          .select("src", "dst", "weight"), f3, 429496729L)
+    }),
+    // IVF persisted-index lifecycle (q212's sibling for the
+    // cell-probing family): cells persisted as a cid-PARTITIONED
+    // catalog table (probe = partition-pruned read of nprobe/k of the
+    // corpus), centroids as a tiny table; reloaded in a fresh session
+    // and served through q36's recall gate
+    "q216_ann_ivf_persisted" -> ((s, dir) => {
+      val model = graft.functions.IVF.fit(Tables.embeddings(s, dir), 16)
+      graft.functions.IVF.save(model,
+        graft.functions.IVF.index(Tables.embeddings(s, dir), model),
+        "graft_ivf_idx")
+      val fresh = s.newSession()
+      val (m2, cells) = graft.functions.IVF.load(fresh, "graft_ivf_idx")
+      val emb = Tables.embeddings(fresh, dir)
+      val q = emb.where(col("vec_id") <= 9)
+      recallGate(Similarity.bruteForceTopK(emb, q, 5),
+        graft.functions.IVF.topK(cells, q, m2, 5, nprobe = 4), 0.4)
+    }),
   )
 
   /** Byte-level BPE fixture: the documents table with a deterministic
@@ -4001,6 +4047,7 @@ object SparkEntry {
       "q162_ann_pq" -> annGateSql,
       // persisted-index lifecycle serves the identical recall-gate row
       "q212_ann_pq_persisted" -> annGateSql,
+      "q216_ann_ivf_persisted" -> annGateSql,
       "q26_embedding_neardup" ->
         ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
           "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim " +
@@ -4496,6 +4543,21 @@ object SparkEntry {
           "CAST(n_grown AS BIGINT) AS n_grown, " +
           "CAST(n_grown - n_final AS BIGINT) AS n_destroyed, " +
           "CAST(n_final AS BIGINT) AS n_final FROM tb, tg, tf"),
+      // CDC-maintained MSF ≡ CC of the weight-filtered NET edge set
+      // (q189's identity; net = tags ∉ {3,4} — inserted tag 8 present,
+      // resurrected tag 9 present, tombstoned 3/4 absent)
+      "q215_cdc_maintained_msf" ->
+        (s"WITH RECURSIVE e0 AS ($copurchase10), " +
+          "surv AS (SELECT x, y, ((((x % 2147483648) * 31 + y) % 2147483648) * 2654435761) % 2147483648 AS w " +
+          "FROM e0 WHERE ((((x % 2147483648) * 31 + y) % 2147483648) * 2654435761) % 2147483648 % 10 NOT IN (3, 4)), " +
+          "c AS (SELECT x, y FROM surv WHERE w <= 429496729), " +
+          "sym AS (SELECT x AS a, y AS b FROM c UNION SELECT y, x FROM c), " +
+          "lbl(v, l) AS (SELECT DISTINCT a, a FROM sym " +
+          "UNION SELECT s.b, lbl.l FROM sym s JOIN lbl ON lbl.v = s.a AND lbl.l < s.b), " +
+          "comp AS (SELECT v AS id, MIN(l) AS cluster FROM lbl GROUP BY v), " +
+          "verts AS (SELECT DISTINCT id FROM (SELECT x AS id FROM surv UNION ALL SELECT y FROM surv)) " +
+          "SELECT verts.id, COALESCE(comp.cluster, verts.id) AS cluster " +
+          "FROM verts LEFT JOIN comp ON comp.id = verts.id"),
       // the oracle states containment directly (DuckDB plans the
       // inequality join natively); the operator's binning must be
       // invisible in the result

@@ -131,4 +131,45 @@ object IVF {
     val model = fit(corpus, nCells)
     topK(index(corpus, model), queries, model, k, nprobe)
   }
+
+  /** Persist the index for the build-once / query-many lifecycle
+    * ([[graft.functions.PQ.save]]'s sibling for the cell-probing
+    * family): the indexed corpus as a catalog table PARTITIONED BY
+    * CELL — one hive directory per cell, the layout under which a
+    * probe of nprobe cells is a partition-pruned read of nprobe/k of
+    * the corpus, never a full scan — and the centroids (model state,
+    * k×dim doubles) as a tiny table (cid, pos, mu). Overwrite
+    * semantics, idempotent across JVMs.
+    */
+  def save(model: Model, indexed: DataFrame, name: String): Unit = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    Seq(s"${name}_cells", s"${name}_centroids")
+      .foreach(graft.sources.Sources.dropManagedTable(spark, _))
+    indexed.write.mode("overwrite").format("parquet")
+      .partitionBy("cid").saveAsTable(s"${name}_cells")
+    val rows = for {
+      (cent, cid) <- model.centroids.zipWithIndex.toIndexedSeq
+      (mu, pos) <- cent.zipWithIndex.toIndexedSeq
+    } yield (cid, pos, mu)
+    spark.createDataset(rows).toDF("cid", "pos", "mu")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_centroids")
+  }
+
+  /** Reload a [[save]]d index: (model, cells). The cells DataFrame IS
+    * the partitioned table scan — serving re-assigns nothing; a fresh
+    * session sees both tables through the shared catalog.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           name: String): (Model, DataFrame) = {
+    val rows = spark.table(s"${name}_centroids").collect()
+    require(rows.nonEmpty, s"no centroids found in table ${name}_centroids")
+    val k = rows.map(_.getInt(0)).max + 1
+    val dim = rows.map(_.getInt(1)).max + 1
+    val cents = Array.fill(k, dim)(0.0)
+    rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    (Model(cents), spark.table(s"${name}_cells"))
+  }
 }

@@ -189,17 +189,10 @@ object PQ {
            nBuckets: Int = 8): Unit = {
     val spark = indexed.sparkSession
     import spark.implicits._
-    // idempotent across PROCESSES, not just sessions: a managed-table
-    // location left by a previous JVM (whose in-memory catalog died
-    // with it) makes saveAsTable throw LOCATION_ALREADY_EXISTS even in
-    // overwrite mode — drop the catalog entry AND any stale directory
-    Seq(s"${name}_codes", s"${name}_codebooks").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val p = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    // idempotent across PROCESSES, not just sessions (stale-location
+    // contract in [[graft.sources.Sources.dropManagedTable]])
+    Seq(s"${name}_codes", s"${name}_codebooks")
+      .foreach(graft.sources.Sources.dropManagedTable(spark, _))
     graft.sources.Sources.writeBucketed(indexed, s"${name}_codes",
       "vec_id", nBuckets, sortCols = Seq("vec_id"))
     val rows = for {

@@ -170,15 +170,32 @@ object SpanningForest {
     * identity is direction-insensitive ((a,b) deletes (b,a)).
     *
     * Cost: one CC over the ≤|V|−1 forest edges for component labels
-    * (the ∝V class, never ∝E), one relabel pass over the old edges to
-    * carve out the affected induced subgraphs — at 100 TB the old edge
-    * set is stored partitioned by component label (the layout
-    * [[graft.operators.ConnectedComponents.decrementalPartitioned]]
-    * reads), so this is a partition-pruned read, not a full scan —
-    * then Borůvka work ∝ affected |V|+|E| only.
+    * (the ∝V class, never ∝E — or FREE when the nightly run's stored
+    * decomposition is passed via `labels`), one relabel pass over the
+    * old edges to carve out the affected induced subgraphs — at 100 TB
+    * the old edge set is stored partitioned by component label (the
+    * layout [[graft.operators.ConnectedComponents
+    * .decrementalPartitioned]] reads), so this is a partition-pruned
+    * read, not a full scan — then Borůvka work ∝ affected |V|+|E| only.
+    *
+    * REGIME (tier2msfdec, SCALE.md): the win is proportional to the
+    * UNAFFECTED fraction. On a single-giant-component graph any forest
+    * deletion marks the whole graph affected and the "maintenance"
+    * degenerates to the full recompute plus carve-out overhead —
+    * measured SLOWER than plain [[boruvka]] over E∖D there. The
+    * deployment shape this operator exists for is the many-small-
+    * components regime (dedup/cluster forests: millions of components,
+    * daily deltas touching few), where the recompute slice is the
+    * affected components only.
+    *
+    * `labels`: the forest's component decomposition, if the deployment
+    * already stores one (id, component; any CONSISTENT per-component
+    * labeling works — the values are grouping keys only and never reach
+    * the output). Omitted, it is derived from the forest.
     */
   def boruvkaDecremental(forest: DataFrame, oldEdges: DataFrame,
-                         deleted: DataFrame, maxRounds: Int = 40): DataFrame = {
+                         deleted: DataFrame, maxRounds: Int = 40,
+                         labels: Option[DataFrame] = None): DataFrame = {
     val f = forest.select(col("u").cast("long").as("u"),
       col("v").cast("long").as("v"), col("w").cast("long").as("w"))
       .cutLineage()
@@ -191,12 +208,17 @@ object SpanningForest {
     // already canonical u < v, so endpoint-normalized deletion keys
     // match directly; non-forest deletions never change the MSF)
     val delF = f.join(d, f("u") === d("a") && f("v") === d("b"), "left_semi")
-    // component labels from the forest itself (≤|V|−1 edges — the
-    // forest is connectivity-equivalent to the old graph by definition)
-    val labels = ConnectedComponents.iterative(
-        f.select(col("u").as("src"), col("v").as("dst")))
-      .toDF("id", "component").cutLineage()
-    val affected = delF.join(labels, delF("u") === labels("id"))
+    // component labels: the caller's stored decomposition, or derived
+    // from the forest itself (≤|V|−1 edges — the forest is
+    // connectivity-equivalent to the old graph by definition)
+    val lab = labels
+      .map(_.select(col("id").cast("long").as("id"),
+        col("component").cast("long").as("component")))
+      .getOrElse(ConnectedComponents.iterative(
+          f.select(col("u").as("src"), col("v").as("dst")))
+        .toDF("id", "component"))
+      .cutLineage()
+    val affected = delF.join(lab, delF("u") === lab("id"))
       .select("component").distinct().cutLineage()
     // induced surviving edges of the affected components (old edges
     // never cross old components, so keying one endpoint suffices)
@@ -206,11 +228,11 @@ object SpanningForest {
         col("weight").cast("long").as("w"))
       .where(col("a") =!= col("b"))
     val subE = e.join(d, Seq("a", "b"), "left_anti")
-      .join(labels.toDF("a", "ca"), Seq("a"))
+      .join(lab.toDF("a", "ca"), Seq("a"))
       .join(affected.toDF("ca"), Seq("ca"), "left_semi")
       .select(col("a").as("src"), col("b").as("dst"), col("w").as("weight"))
     val recomputed = boruvka(subE, maxRounds)
-    val passThrough = f.join(labels.toDF("u", "cu"), Seq("u"))
+    val passThrough = f.join(lab.toDF("u", "cu"), Seq("u"))
       .join(affected.toDF("cu"), Seq("cu"), "left_anti")
       .select("u", "v", "w")
     passThrough.unionByName(recomputed)

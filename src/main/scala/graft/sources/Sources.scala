@@ -222,6 +222,20 @@ object Sources {
     * `.parquet(path)` writes lose the bucket metadata. The no-Exchange
     * contract is spec-certified (SourcesSpec).
     */
+  /** Drop a managed table AND any stale warehouse directory a previous
+    * JVM left behind (its in-memory catalog died with it, but the
+    * location survives and makes saveAsTable throw
+    * LOCATION_ALREADY_EXISTS even in overwrite mode). Idempotent.
+    */
+  def dropManagedTable(spark: org.apache.spark.sql.SparkSession,
+                       table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive; got $nBuckets")

@@ -731,6 +731,119 @@ object ScaleSmoke {
       }
     }
 
+    if (mode == "tier2msfdec") {
+      // decremental MSF at the 10M-edge tier: delete a hash-selected
+      // ~10% slice (forest AND non-forest edges mixed), maintain the
+      // forest via the q209 carve-out, and verify AT SCALE by the
+      // τ=∞ single-linkage identity on the SURVIVING graph — plus an
+      // A/B against the full Borůvka over E∖D the maintenance avoids
+      // canonicalize orientation BEFORE tagging: the deletion set and
+      // the survivor filter must agree on edge identity with the
+      // operator's normalized (least, greatest) keys — a pair present
+      // in both orientations would otherwise be deleted on one side
+      // and survive on the other (found by the block-graph probe below)
+      val gw = g.select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+        .withColumn("weight",
+          pmod(xxhash64(col("src"), col("dst")), lit(2147483648L)))
+        .localCheckpoint(true)
+      val delTag = pmod(xxhash64(col("src"), col("dst"), lit(9)), lit(10L))
+      val surviving = gw.where(delTag =!= 3).localCheckpoint(true)
+      val deleted = gw.where(delTag === 3).select("src", "dst").localCheckpoint(true)
+      println(s"[smoke] deleting ${deleted.count()} of ${gw.count()} edges")
+      val oldForest = tm("boruvka MSF of the FULL graph (build)") {
+        val m = graft.operators.SpanningForest.boruvka(gw).localCheckpoint(true)
+        println(s"[smoke] old forest edges: ${m.count()}")
+        m
+      }
+      val dec = tm("boruvkaDecremental (maintain)") {
+        val m = graft.operators.SpanningForest
+          .boruvkaDecremental(oldForest, gw, deleted).localCheckpoint(true)
+        println(s"[smoke] maintained forest edges: ${m.count()}")
+        m
+      }
+      val full = tm("boruvka over E-minus-D (the avoided recompute)") {
+        val m = graft.operators.SpanningForest.boruvka(surviving)
+          .localCheckpoint(true)
+        println(s"[smoke] recomputed forest edges: ${m.count()}")
+        m
+      }
+      tm("bit-equality: maintained == full recompute") {
+        // marker columns: a USING full-outer coalesces the key cols, so
+        // asymmetry shows as a null MARKER, never a null key
+        val bad = dec.toDF("u", "v", "w").withColumn("l", lit(1))
+          .join(full.toDF("u", "v", "w").withColumn("r", lit(1)),
+            Seq("u", "v", "w"), "full")
+          .where(col("l").isNull || col("r").isNull).count()
+        val n1 = dec.count(); val n2 = full.count()
+        println(s"[smoke] maintained=$n1 recomputed=$n2 asymmetric=$bad")
+        require(n1 == n2 && bad == 0, s"decremental forest diverged ($bad rows)")
+      }
+      tm("tau=inf identity: CC(maintained MSF) == CC(E minus D)") {
+        val a = graft.operators.SpanningForest
+          .singleLinkage(surviving, dec, Long.MaxValue).toDF("id", "ca")
+        val b = graft.operators.ConnectedComponents
+          .iterative(surviving.select("src", "dst")).toDF("id", "cb")
+        val bad = a.join(b, Seq("id"), "full")
+          .where(col("ca").isNull || col("cb").isNull || col("ca") =!= col("cb"))
+          .count()
+        println(s"[smoke] vertices=${a.count()} mismatched=$bad")
+        require(bad == 0, s"single-linkage identity violated on $bad vertices")
+      }
+
+      // ---- the operator's ACTUAL regime: many small components +
+      // small delta + STORED labels (the dedup-cluster forest shape:
+      // the giant-component case above is the documented worst case,
+      // where maintenance degenerates to recompute + overhead)
+      val nBlocks = 1000000L
+      val bg = spark.range(nEdges).select(
+          (pmod(xxhash64(col("id"), lit(6)), lit(nBlocks)) * 10
+            + pmod(xxhash64(col("id"), lit(4)), lit(10))).as("s0"),
+          (pmod(xxhash64(col("id"), lit(6)), lit(nBlocks)) * 10
+            + pmod(xxhash64(col("id"), lit(5)), lit(10))).as("d0"))
+        .select(least(col("s0"), col("d0")).as("src"),
+          greatest(col("s0"), col("d0")).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+        .withColumn("weight",
+          pmod(xxhash64(col("src"), col("dst")), lit(2147483648L)))
+        .localCheckpoint(true)
+      val bTag = pmod(xxhash64(col("src"), col("dst"), lit(11)), lit(1000L))
+      val bDel = bg.where(bTag === 3).select("src", "dst").localCheckpoint(true)
+      val bSurv = bg.where(bTag =!= 3).localCheckpoint(true)
+      println(s"[smoke] block graph: ${bg.count()} edges, ~$nBlocks components, " +
+        s"deleting ${bDel.count()} (~0.1%)")
+      val bForest = tm("block graph: nightly forest (build)") {
+        graft.operators.SpanningForest.boruvka(bg).localCheckpoint(true)
+      }
+      val bLabels = tm("block graph: nightly labels (stored byproduct)") {
+        graft.operators.ConnectedComponents.iterative(
+            bForest.select(col("u").as("src"), col("v").as("dst")))
+          .localCheckpoint(true)
+      }
+      val bDec = tm("boruvkaDecremental (0.1% delta, stored labels)") {
+        val m = graft.operators.SpanningForest
+          .boruvkaDecremental(bForest, bg, bDel, labels = Some(bLabels))
+          .localCheckpoint(true)
+        println(s"[smoke] maintained forest edges: ${m.count()}")
+        m
+      }
+      val bFull = tm("block graph: full recompute over E-minus-D") {
+        val m = graft.operators.SpanningForest.boruvka(bSurv)
+          .localCheckpoint(true)
+        println(s"[smoke] recomputed forest edges: ${m.count()}")
+        m
+      }
+      tm("block graph bit-equality") {
+        val bad = bDec.toDF("u", "v", "w").withColumn("l", lit(1))
+          .join(bFull.toDF("u", "v", "w").withColumn("r", lit(1)),
+            Seq("u", "v", "w"), "full")
+          .where(col("l").isNull || col("r").isNull).count()
+        println(s"[smoke] asymmetric=$bad")
+        require(bad == 0, s"block-graph decremental forest diverged ($bad rows)")
+      }
+    }
+
     if (mode == "tier2scc") {
       // directed SCC at the 10M-edge tier. No oracle exists at this
       // scale, so correctness rides two structural identities:

@@ -108,6 +108,26 @@ class IVFSpec extends SparkTestBase {
     assert(reloaded == direct)
   }
 
+  test("IVF save/load: fresh-session reload serves identical top-k from the cell-partitioned table") {
+    val model = IVF.fit(emb, k = 8, iters = 3)
+    val indexed = IVF.index(emb, model)
+    IVF.save(model, indexed, "graft_ivf_spec_idx")
+    val fresh = spark.newSession()
+    val (m2, cells) = IVF.load(fresh, "graft_ivf_spec_idx")
+    assert(m2.centroids.map(_.toSeq).toSeq == model.centroids.map(_.toSeq).toSeq)
+    val queries = Tables.embeddings(fresh, sf).where(col("vec_id") <= 9)
+    val served = IVF.topK(cells, queries, m2, 5, nprobe = 4)
+    // the served plan reads the persisted cid-partitioned table — the
+    // layout whose probe is a partition-pruned read — never re-assigns
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ivf_spec_idx_cells"), plan.take(800))
+    val direct = IVF.topK(indexed, emb.where(col("vec_id") <= 9), model, 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val reloaded = served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(reloaded == direct)
+  }
+
   test("sampled training (maxTrainVectors < corpus) still yields a usable index") {
     val n = emb.count()
     val cap = (n / 4).toInt.max(8)
