@@ -2216,6 +2216,30 @@ object SparkEntry {
       recallGate(Similarity.bruteForceTopK(emb, q, 5),
         graft.functions.IVF.topK(cells, q, m2, 5, nprobe = 4), 0.4)
     }),
+    // deterministic random walks (DeepWalk corpus generation): 8 steps
+    // from every C10 vertex, successor = argmin of the portable
+    // step-keyed hash over neighbors — the oracle replays the walk
+    // step by step, so every emitted (start, step, vertex) is pinned
+    "q217_random_walks" -> ((s, dir) =>
+      graft.operators.Walks.deterministicWalks(
+        GraphFixtures.coPurchase10(s, dir), 8)),
+    // BM25 INDEX MAINTENANCE (the maintenance matrix applied to the
+    // retrieval index): remove every doc_id % 10 == 3, add shifted
+    // copies of doc_id % 10 == 8 with ' spark merge' appended (so the
+    // delta visibly moves the query-term scores); the maintained
+    // compact (doc, token, tf) table — one anti-join + a tokenize of
+    // the ADDED docs only, the old text never re-scanned — must serve
+    // scores bit-equal to a full rebuild of the final corpus
+    "q218_bm25_maintained" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val removed = docs.where(col("doc_id") % 10 === 3).select("doc_id")
+      val added = docs.where(col("doc_id") % 10 === 8)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(coalesce(col("text"), lit("")), lit(" spark merge")).as("text"))
+      graft.functions.Bm25.topKFrom(
+        graft.functions.Bm25.maintain(
+          graft.functions.Bm25.index(docs), added, removed))
+    }),
   )
 
   /** Byte-level BPE fixture: the documents table with a deterministic
@@ -2437,6 +2461,50 @@ object SparkEntry {
       "SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, " +
       "CAST(SUM(d.word_tokens) AS BIGINT) AS n_bpe_tokens " +
       "FROM tok t JOIN dict d ON d.word = t.word GROUP BY t.doc_id"
+    // exact-integer BM25 (HUGEINT mirror of the DECIMAL(38,0) operator
+    // arithmetic) over a parametrized corpus relation — shared by q198
+    // (the raw documents table) and q218 (the maintained NET corpus)
+    def bm25Sql(corpusFrom: String): String =
+      s"WITH tok AS (SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS token FROM ($corpusFrom)), " +
+        "t AS (SELECT doc_id, token FROM tok WHERE token <> ''), " +
+        "tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY 1), " +
+        "cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tt FROM dl), " +
+        "qt AS (SELECT * FROM (VALUES (1, 'spark'), (1, 'join'), (1, 'window'), " +
+        "(2, 'fast'), (2, 'merge'), (3, 'customer'), (3, 'table'), (3, 'scan')) v(query_id, token)), " +
+        "df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf " +
+        "WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1), " +
+        "idf AS (SELECT token, CAST(ROUND(1000000.0 * LN(1 + ((SELECT n FROM cs) - df + 0.5) / (df + 0.5))) AS BIGINT) AS idf_micro FROM df), " +
+        "c AS (SELECT q.query_id, tf.doc_id, " +
+        "CAST(CAST(idf.idf_micro AS HUGEINT) * 22 * tf.tf * (SELECT tt FROM cs) // " +
+        "(CAST(tf.tf AS HUGEINT) * 10 * (SELECT tt FROM cs) + 3 * (SELECT tt FROM cs) " +
+        "+ CAST(dl.dl AS HUGEINT) * 9 * (SELECT n FROM cs)) AS BIGINT) AS s " +
+        "FROM tf JOIN qt q ON q.token = tf.token " +
+        "JOIN idf ON idf.token = tf.token JOIN dl ON dl.doc_id = tf.doc_id), " +
+        "sc AS (SELECT query_id, doc_id, SUM(s) AS score_micro, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY SUM(s) DESC, doc_id ASC) AS rnk FROM c GROUP BY 1, 2) " +
+        "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk, " +
+        "doc_id, CAST(score_micro AS BIGINT) AS score_micro FROM sc WHERE rnk <= 10"
+    // deterministic random walks: the walk unrolled step by step —
+    // per step, join the walker table to the symmetric adjacency and
+    // keep the hash-argmin neighbor (ROW_NUMBER ORDER BY h, v ≡ the
+    // Spark min(struct(h, n)) with the same tie-break)
+    val walksSql = {
+      val steps = (1 to 8).map { t =>
+        s"n$t AS (SELECT s.start_id, sym.v, " +
+          s"((((((s.cur % 2147483648) * 31 + $t) % 2147483648) * 31 + sym.v) % 2147483648) * 2654435761) % 2147483648 AS h " +
+          s"FROM s${t - 1} s JOIN sym ON sym.u = s.cur), " +
+          s"s$t AS (SELECT start_id, v AS cur FROM (SELECT start_id, v, " +
+          s"ROW_NUMBER() OVER (PARTITION BY start_id ORDER BY h ASC, v ASC) AS rn FROM n$t) WHERE rn = 1)"
+      }.mkString(", ")
+      val emits = (0 to 8).map(t =>
+        s"SELECT start_id, CAST($t AS BIGINT) AS step, cur AS vertex FROM s$t")
+        .mkString(" UNION ALL ")
+      s"WITH c AS MATERIALIZED ($copurchase10), " +
+        "sym AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
+        "s0 AS (SELECT DISTINCT u AS start_id, u AS cur FROM sym), " +
+        steps + " " + emits
+    }
     // fixed-point PageRank: iterations unrolled as sequential CTEs (DuckDB
     // forbids aggregation inside a recursive term). Integer micro-units +
     // integer division at every step make the result bit-identical to the
@@ -4048,6 +4116,7 @@ object SparkEntry {
       // persisted-index lifecycle serves the identical recall-gate row
       "q212_ann_pq_persisted" -> annGateSql,
       "q216_ann_ivf_persisted" -> annGateSql,
+      "q217_random_walks" -> walksSql,
       "q26_embedding_neardup" ->
         ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
           "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim " +
@@ -4448,27 +4517,15 @@ object SparkEntry {
           "CAST(n AS BIGINT) AS n_events FROM r WHERE rn = 1"),
       // BM25: one idf ROUND (the q77 LN discipline), then HUGEINT
       // integer arithmetic mirroring the operator's DECIMAL(38,0)
-      "q198_bm25_topk" ->
-        ("WITH tok AS (SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS token FROM documents), " +
-          "t AS (SELECT doc_id, token FROM tok WHERE token <> ''), " +
-          "tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2), " +
-          "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY 1), " +
-          "cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tt FROM dl), " +
-          "qt AS (SELECT * FROM (VALUES (1, 'spark'), (1, 'join'), (1, 'window'), " +
-          "(2, 'fast'), (2, 'merge'), (3, 'customer'), (3, 'table'), (3, 'scan')) v(query_id, token)), " +
-          "df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf " +
-          "WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1), " +
-          "idf AS (SELECT token, CAST(ROUND(1000000.0 * LN(1 + ((SELECT n FROM cs) - df + 0.5) / (df + 0.5))) AS BIGINT) AS idf_micro FROM df), " +
-          "c AS (SELECT q.query_id, tf.doc_id, " +
-          "CAST(CAST(idf.idf_micro AS HUGEINT) * 22 * tf.tf * (SELECT tt FROM cs) // " +
-          "(CAST(tf.tf AS HUGEINT) * 10 * (SELECT tt FROM cs) + 3 * (SELECT tt FROM cs) " +
-          "+ CAST(dl.dl AS HUGEINT) * 9 * (SELECT n FROM cs)) AS BIGINT) AS s " +
-          "FROM tf JOIN qt q ON q.token = tf.token " +
-          "JOIN idf ON idf.token = tf.token JOIN dl ON dl.doc_id = tf.doc_id), " +
-          "sc AS (SELECT query_id, doc_id, SUM(s) AS score_micro, " +
-          "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY SUM(s) DESC, doc_id ASC) AS rnk FROM c GROUP BY 1, 2) " +
-          "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk, " +
-          "doc_id, CAST(score_micro AS BIGINT) AS score_micro FROM sc WHERE rnk <= 10"),
+      "q198_bm25_topk" -> bm25Sql("SELECT doc_id, text FROM documents"),
+      // maintained index ≡ full rebuild of the NET corpus (the oracle
+      // never sees the old index — it re-derives everything from the
+      // final doc set, so a stale df/N/T or a surviving removed
+      // posting flips the hash)
+      "q218_bm25_maintained" -> bm25Sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3 " +
+          "UNION ALL SELECT doc_id + 1000000, COALESCE(text, '') || ' spark merge' " +
+          "FROM documents WHERE doc_id % 10 = 8"),
       "q199_temporal_bfs" -> temporalBfsSql,
       "q206_temporal_departure" -> temporalDepartureSql,
       // generate_series replays the per-user dense hour grid

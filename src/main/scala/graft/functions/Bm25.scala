@@ -39,25 +39,54 @@ object Bm25 {
     2L -> Seq("fast", "merge"),
     3L -> Seq("customer", "table", "scan"))
 
+  /** The retrieval INDEX: the compact (doc_id, token, tf) table — the
+    * artifact every downstream branch (df, dl, corpus stats, postings)
+    * reads instead of re-tokenizing the corpus. Materialized eagerly:
+    * without the checkpoint the optimizer pushes per-branch term
+    * filters below the aggregate and the text column (the dominant
+    * 100 TB cost) is scanned three times. dl = Σ_token tf, so no
+    * second tokenize pass exists at all. This is also the MAINTAINED
+    * artifact — see [[maintain]].
+    */
+  def index(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .cutLineage()
+
+  /** INDEX MAINTENANCE — the daily-refresh path for the retrieval
+    * index (the q210 story applied to postings): per-doc tf rows are
+    * independent, so the maintained index is exactly
+    * `tf ∖ removed ∪ index(added)` — one anti-join on the COMPACT
+    * table plus a tokenize of the ADDED docs only; the old corpus text
+    * is never re-scanned. Everything derived (dl, N, T, df, idf) is
+    * recomputed from the maintained compact table, so the scores are
+    * bit-equal to a full rebuild of the final corpus — which is what
+    * the q218 oracle hash-checks. Contract: `added` doc_ids must not
+    * collide with surviving ids (an in-place UPDATE = list the id in
+    * `removed` AND ship the new text in `added`).
+    */
+  def maintain(tf: DataFrame, added: DataFrame,
+               removed: DataFrame): DataFrame =
+    tf.join(removed.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(index(added))
+
   /** Top-`k` documents per benchmark query by summed BM25 over its
     * terms; ties broken by doc_id ascending. Output:
     * `(query_id, rnk, doc_id, score_micro)`.
     */
   def topK(docs: DataFrame, k: Int = 10,
-           queries: Seq[(Long, Seq[String])] = Queries): DataFrame = {
-    val spark = docs.sparkSession
+           queries: Seq[(Long, Seq[String])] = Queries): DataFrame =
+    topKFrom(index(docs), k, queries)
+
+  /** [[topK]] over an already-built (doc_id, token, tf) index — the
+    * entry the maintained path serves from.
+    */
+  def topKFrom(tf: DataFrame, k: Int = 10,
+               queries: Seq[(Long, Seq[String])] = Queries): DataFrame = {
+    val spark = tf.sparkSession
     import spark.implicits._
-    val tok = docs.select(col("doc_id"),
-        explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
-      .where(col("token") =!= "")
-    // tf is materialized ONCE (checkpoint): every downstream branch —
-    // df, dl, corpus stats, postings — reads the compact (doc, token,
-    // tf) table instead of re-tokenizing the corpus; without this the
-    // optimizer pushes the per-branch term filters below the aggregate
-    // and the text column (the dominant 100 TB cost) is scanned three
-    // times. dl = Σ_token tf, so no second tokenize pass exists at all.
-    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .cutLineage()
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     // corpus scalars: docs with ≥1 token (tokenizable corpus) and Σ dl;
     // a token-less corpus has a NULL sum — coalesce to the empty result

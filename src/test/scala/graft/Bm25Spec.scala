@@ -45,4 +45,35 @@ class Bm25Spec extends SparkTestBase {
     // the multi-term doc must outrank the single-term doc
     assert(expected(0)._4 > expected(1)._4)
   }
+
+  test("maintained index serves scores bit-equal to a full rebuild (remove/add/update)") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "spark join window spark"),
+      (2L, "spark the the the"),
+      (3L, "fast merge merge"),
+      (4L, "customer table scan"))
+      .toDF("doc_id", "text")
+    // remove 3; UPDATE 2 (remove + re-add with new text); add fresh 10
+    val removed = Seq(3L, 2L).toDF("doc_id")
+    val added = Seq(
+      (2L, "spark join fast"),
+      (10L, "merge merge window"))
+      .toDF("doc_id", "text")
+    val finalCorpus = Seq(
+      (1L, "spark join window spark"),
+      (2L, "spark join fast"),
+      (4L, "customer table scan"),
+      (10L, "merge merge window"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val maintained = rows(Bm25.topKFrom(
+      Bm25.maintain(Bm25.index(old), added, removed)))
+    assert(maintained == rows(Bm25.topK(finalCorpus)))
+    // empty delta is the identity
+    val idle = rows(Bm25.topKFrom(Bm25.maintain(Bm25.index(old),
+      added.limit(0), removed.limit(0))))
+    assert(idle == rows(Bm25.topK(old)))
+  }
 }
