@@ -150,23 +150,35 @@ object SparkEntry {
   // ≤|V|−1 rows and a union of per-round checkpoint frames, so coalesce
   // before the memo's eager checkpoint (q163/q164's rule)
   private val msfMemo = new CrossQueryMemo(3, (s, dir) => {
-    val e = GraphFixtures.coPurchase10(s, dir)
-    val t31 = lit(2147483648L)
-    val ew = e.select(col("src"), col("dst"),
-      pmod(pmod(col("src") % t31 * 31 + col("dst"), t31)
-        * lit(2654435761L), t31).as("weight"))
+    val ew = GraphFixtures.coPurchase10(s, dir)
+      .select(col("src"), col("dst"), edgeWeight.as("weight"))
     SpanningForest.boruvka(ew).coalesce(s.sparkContext.defaultParallelism)
   })
 
   private def c10Adjacency(s: SparkSession, dir: String): DataFrame =
     c10AdjMemo(s, dir)
 
-  /** q191's deterministic edge tag (0..9), replayable cross-engine. */
-  private def edgeTag: org.apache.spark.sql.Column = {
+  // q211 + q215: both resolve the IDENTICAL changelog over the tagged
+  // C10 edge set (cdcChangelog reads only src/dst/tag) — ONE 4-trigger
+  // keyed-state replay, two maintenance consumers (triangles and MSF)
+  private val c10CdcMemo = new CrossQueryMemo(2, (s, dir) =>
+    graft.streaming.StreamingOps.replayEdgeCdc(cdcChangelog(
+      GraphFixtures.coPurchase10(s, dir).withColumn("tag", edgeTag))))
+
+  /** THE multiplicative edge hash (q191's family) — the one definition
+    * every weighted/tagged fixture derives from, so the cross-query
+    * and cross-engine agreement (msfMemo weights ≡ q209's deletion
+    * selector ≡ the oracle strings) is structural, not five hand-kept
+    * copies.
+    */
+  private def edgeWeight: org.apache.spark.sql.Column = {
     val t31 = lit(2147483648L)
     pmod(pmod(col("src") % t31 * 31 + col("dst"), t31)
-      * lit(2654435761L), t31) % 10
+      * lit(2654435761L), t31)
   }
+
+  /** q191's deterministic edge tag (0..9), replayable cross-engine. */
+  private def edgeTag: org.apache.spark.sql.Column = edgeWeight % 10
 
   /** CDC changelog fixture over a tag-annotated edge set (shared by
     * q210/q211): tag 3 → tombstone (final dead); tag 4 → upsert then
@@ -1900,11 +1912,8 @@ object SparkEntry {
     // — a dropped or displaced forest edge flips connectivity at τ
     "q190_incremental_msf" -> ((s, dir) => {
       val e = GraphFixtures.coPurchase10(s, dir)
-      val t31 = lit(2147483648L)
-      val w = pmod(pmod(col("src") % t31 * 31 + col("dst"), t31)
-        * lit(2654435761L), t31)
-      val ew = e.select(col("src"), col("dst"), w.as("weight"))
-      val tag = w % 10
+      val ew = e.select(col("src"), col("dst"), edgeWeight.as("weight"))
+      val tag = edgeTag
       val oldForest = SpanningForest.boruvka(ew.where(tag =!= 7))
       val forest = SpanningForest.boruvkaDelta(oldForest, ew.where(tag === 7))
       SpanningForest.singleLinkage(e, forest, 536870912L)
@@ -1916,9 +1925,7 @@ object SparkEntry {
     // E∖D with the full vertex set — the equivalence IS the hash check
     "q191_decremental_cc" -> ((s, dir) => {
       val e = GraphFixtures.edgeStream(s, dir).select("src", "dst")
-      val t31 = lit(2147483648L)
-      val tag = pmod(pmod(col("src") % t31 * 31 + col("dst"), t31)
-        * lit(2654435761L), t31) % 10
+      val tag = edgeTag
       val labels = ConnectedComponents.iterative(e)
       ConnectedComponents.decremental(labels, e, e.where(tag === 3))
     }),
@@ -2086,11 +2093,8 @@ object SparkEntry {
     // forest) hash-checks the maintained forest's CONTENT: a missing
     // replacement edge or a stale pass-through flips connectivity at τ
     "q209_decremental_msf" -> ((s, dir) => {
-      val e = GraphFixtures.coPurchase10(s, dir)
-      val t31 = lit(2147483648L)
-      val w = pmod(pmod(col("src") % t31 * 31 + col("dst"), t31)
-        * lit(2654435761L), t31)
-      val ew = e.select(col("src"), col("dst"), w.as("weight"))
+      val ew = GraphFixtures.coPurchase10(s, dir)
+        .select(col("src"), col("dst"), edgeWeight.as("weight"))
       val deleted = ew.where(col("weight") % 10 === 3).select("src", "dst")
       val forest = SpanningForest.boruvkaDecremental(
         msfMemo(s, dir), ew, deleted)
@@ -2126,7 +2130,7 @@ object SparkEntry {
     "q211_cdc_maintained_triangles" -> ((s, dir) => {
       val te = GraphFixtures.coPurchase10(s, dir)
         .withColumn("tag", edgeTag).cutLineage()
-      val fin = graft.streaming.StreamingOps.replayEdgeCdc(cdcChangelog(te))
+      val fin = c10CdcMemo(s, dir)
       val inserts = fin.where(col("alive") === 1).select("src", "dst")
       val deletes = fin.where(col("alive") === 0).select("src", "dst")
       val base = te.where(col("tag") =!= 8).select("src", "dst")
@@ -2178,13 +2182,10 @@ object SparkEntry {
     // weight-filtered NET edge set — q189's identity) hash-checks the
     // composed maintenance chain's CONTENT end to end
     "q215_cdc_maintained_msf" -> ((s, dir) => {
-      val t31 = lit(2147483648L)
-      val w = pmod(pmod(col("src") % t31 * 31 + col("dst"), t31)
-        * lit(2654435761L), t31)
       val te = GraphFixtures.coPurchase10(s, dir)
-        .select(col("src"), col("dst"), w.as("weight"))
+        .select(col("src"), col("dst"), edgeWeight.as("weight"))
         .withColumn("tag", edgeTag).cutLineage()
-      val fin = graft.streaming.StreamingOps.replayEdgeCdc(cdcChangelog(te))
+      val fin = c10CdcMemo(s, dir)
       val wByKey = te.select(col("src"), col("dst"), col("weight"))
       val inserts = fin.where(col("alive") === 1).select("src", "dst")
         .join(wByKey, Seq("src", "dst"))

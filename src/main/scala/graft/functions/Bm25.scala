@@ -69,8 +69,12 @@ object Bm25 {
     */
   def maintain(tf: DataFrame, added: DataFrame,
                removed: DataFrame): DataFrame =
+    // materialized like index(): topKFrom's branches (dl scalar, df,
+    // postings tf+dl legs) would otherwise re-execute the anti-join
+    // plan once each
     tf.join(removed.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .unionByName(index(added))
+      .cutLineage()
 
   /** Top-`k` documents per benchmark query by summed BM25 over its
     * terms; ties broken by doc_id ascending. Output:

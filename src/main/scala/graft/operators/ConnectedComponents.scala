@@ -203,14 +203,14 @@ object ConnectedComponents {
     val d = normEdges(deleted).cutLineage()
     val affected = d.join(lab, d("a") === lab("id"))
       .select(col("component")).distinct().cutLineage()
-    val nAffected = affected.count()
+    // ONE driver job decides the fence AND supplies the literals: a
+    // (cap+1)-row collect proves "over the cap" as well as a count does
+    val ids = affected.limit(maxIsinLiterals + 1).collect().map(_.getLong(0))
     val pruned =
-      if (nAffected <= maxIsinLiterals) {
-        val ids = affected.collect().map(_.getLong(0))
+      if (ids.length <= maxIsinLiterals)
         edgesByComponent.where(col("component").isin(ids.map(Long.box): _*))
-      } else {
+      else
         edgesByComponent.join(broadcast(affected), Seq("component"), "left_semi")
-      }
     val subE = normEdges(pruned).join(d, Seq("a", "b"), "left_anti")
     reassemble(lab, affected, subE, maxIter)
   }

@@ -197,6 +197,28 @@ class MsfSpec extends SparkTestBase {
     assert(got == kruskal(surviving))
   }
 
+  test("boruvkaDecremental: stored labels give the same forest as derived labels") {
+    import spark.implicits._
+    val es = for {
+      i <- 0L until 200L
+      u = (i * 37L) % 40L
+      v = (i * 61L + 13L) % 40L
+      w = (i * 2654435761L) % 16L
+    } yield (u, v, w)
+    val oldForest = SpanningForest.boruvka(wEdgeDf(es))
+    val deleted = Seq((3L, 24L), (1L, 14L), (0L, 13L)).toDF("src", "dst")
+    val derived = collectMsf(SpanningForest.boruvkaDecremental(
+      oldForest, wEdgeDf(es), deleted))
+    // the deployment path: labels from the nightly CC run — and the
+    // contract says ANY consistent labeling works, so shift the ids
+    val stored = ConnectedComponents.iterative(
+        oldForest.select(col("u").as("src"), col("v").as("dst")))
+      .select(col("id"), (col("component") + 1000000L).as("component"))
+    val viaStored = collectMsf(SpanningForest.boruvkaDecremental(
+      oldForest, wEdgeDf(es), deleted, labels = Some(stored)))
+    assert(viaStored == derived)
+  }
+
   test("boruvka: empty and single-edge graphs") {
     assert(SpanningForest.boruvka(wEdgeDf(Seq.empty)).count() == 0)
     assert(collectMsf(SpanningForest.boruvka(wEdgeDf(Seq((7L, 3L, 5L)))))
