@@ -844,6 +844,37 @@ object ScaleSmoke {
       }
     }
 
+    if (mode == "tier2walks") {
+      // deterministic walks at the 10M-edge tier: ~1M walkers × 8
+      // steps; verified AT SCALE by transition validity (every
+      // consecutive (v_t, v_{t+1}) pair must be an edge of the
+      // symmetric adjacency — a wrong argmin or a frontier mix-up
+      // surfaces as an invalid transition) and by per-step cardinality
+      // (every walker advances every step — no dead ends on the
+      // symmetrized view)
+      val walks = tm("deterministicWalks (10M edges, 8 steps)") {
+        graft.operators.Walks.deterministicWalks(g, 8).localCheckpoint(true)
+      }
+      tm("validity: every transition is an edge; every walker advances") {
+        val n = walks.count()
+        val starts = walks.where(col("step") === 0).count()
+        require(n == starts * 9, s"expected ${starts}×9 rows, got $n")
+        val half = g.select(col("src").cast("long").as("u"),
+          col("dst").cast("long").as("v"))
+        val sym = half.union(half.select(col("v"), col("u")))
+          .where(col("u") =!= col("v")).distinct()
+        val steps = walks.toDF("sid", "step", "a")
+        val next = walks.toDF("sid", "step2", "b")
+          .withColumn("step", col("step2") - 1).drop("step2")
+        val bad = steps.join(next, Seq("sid", "step"))
+          .join(sym, steps("a") === sym("u") && next("b") === sym("v"),
+            "left_anti")
+          .count()
+        println(s"[smoke] walkers=$starts rows=$n invalid_transitions=$bad")
+        require(bad == 0, s"$bad invalid walk transitions")
+      }
+    }
+
     if (mode == "tier2scc") {
       // directed SCC at the 10M-edge tier. No oracle exists at this
       // scale, so correctness rides two structural identities:
