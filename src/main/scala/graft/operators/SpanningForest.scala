@@ -238,6 +238,59 @@ object SpanningForest {
     passThrough.unionByName(recomputed)
   }
 
+  /** [[boruvkaDecremental]] over a component-PARTITIONED edge layout —
+    * the deployment shape its scaladoc promises, mirroring
+    * [[ConnectedComponents.decrementalPartitioned]]: after the nightly
+    * MSF + CC run, the edge set is laid out by component
+    * (`Sources.writePartitioned(edgesWithComponent, path, "component")`
+    * with columns (src, dst, weight, component)), and the daily
+    * deletion pass READS only the affected components' directories —
+    * a static `isin` filter the parquet source turns into
+    * PartitionFilters (spec-asserted), with the same
+    * `maxIsinLiterals` fence + broadcast left-semi fallback for mass
+    * retractions. `labels` is the stored decomposition (id,
+    * component) matching the layout's partition values. Returns
+    * labels identical to the plain operator (spec-pinned).
+    */
+  def boruvkaDecrementalPartitioned(forest: DataFrame, labels: DataFrame,
+                                    edgesByComponent: DataFrame,
+                                    deleted: DataFrame, maxRounds: Int = 40,
+                                    maxIsinLiterals: Int = 10000): DataFrame = {
+    val f = forest.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v"), col("w").cast("long").as("w"))
+      .cutLineage()
+    val d = deleted.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct().cutLineage()
+    val delF = f.join(d, f("u") === d("a") && f("v") === d("b"), "left_semi")
+    val lab = labels.select(col("id").cast("long").as("id"),
+      col("component").cast("long").as("component")).cutLineage()
+    val affected = delF.join(lab, delF("u") === lab("id"))
+      .select("component").distinct().cutLineage()
+    // ONE driver job decides the fence AND supplies the isin literals
+    // (the ConnectedComponents.decrementalPartitioned discipline)
+    val ids = affected.limit(maxIsinLiterals + 1).collect().map(_.getLong(0))
+    val pruned =
+      if (ids.length <= maxIsinLiterals)
+        edgesByComponent.where(col("component").isin(ids.map(Long.box): _*))
+      else
+        edgesByComponent.join(broadcast(affected), Seq("component"), "left_semi")
+    val subE = pruned.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"),
+        col("weight").cast("long").as("w"))
+      .where(col("a") =!= col("b"))
+      .join(d, Seq("a", "b"), "left_anti")
+      .select(col("a").as("src"), col("b").as("dst"), col("w").as("weight"))
+    val recomputed = boruvka(subE, maxRounds)
+    val passThrough = f.join(lab.toDF("u", "cu"), Seq("u"))
+      .join(affected.toDF("cu"), Seq("cu"), "left_anti")
+      .select("u", "v", "w")
+    passThrough.unionByName(recomputed)
+  }
+
   /** Contraction labels for Borůvka's selected-edge pointer graph.
     * Input `(c, p)`: one row per component, p = the other endpoint
     * component of c's selected minimum edge. Following p strictly

@@ -219,6 +219,45 @@ class MsfSpec extends SparkTestBase {
     assert(viaStored == derived)
   }
 
+  test("boruvkaDecrementalPartitioned: identical forest via a partition-pruned carve-out") {
+    import spark.implicits._
+    // two components: a weighted square-with-chord and a pair; delete
+    // forest edge 2-3 (replacement search) and non-forest 4-1 (no-op)
+    val es = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (4L, 1L, 10L),
+      (1L, 3L, 9L), (10L, 11L, 4L))
+    val old = wEdgeDf(es)
+    val forest = SpanningForest.boruvka(old)
+    val labels = ConnectedComponents.iterative(
+      forest.select(col("u").as("src"), col("v").as("dst")))
+    val deleted = Seq((2L, 3L), (4L, 1L)).toDF("src", "dst")
+    // deployment layout: edges tagged with their component, one hive
+    // directory per component (the nightly run's natural byproduct)
+    val tagged = old.join(labels.toDF("src", "component"), Seq("src"))
+    val path = java.nio.file.Files.createTempDirectory("graft-msf-layout").toString
+    graft.sources.Sources.writePartitioned(tagged, path, "component",
+      orderCols = Seq("src", "dst"))
+    val byComp = spark.read.parquet(path)
+    val part = collectMsf(SpanningForest.boruvkaDecrementalPartitioned(
+      forest, labels, byComp, deleted))
+    val plain = collectMsf(SpanningForest.boruvkaDecremental(
+      forest, old, deleted))
+    assert(part == plain)
+    assert(part == kruskal(es.filterNot(e => (e._1, e._2) == ((2L, 3L)))))
+    // the carve-out read is DIRECTORY-pruned (static isin on the
+    // partition column → PartitionFilters; the pair's dir untouched)
+    val affectedIds = deleted.join(labels.toDF("src", "c"), Seq("src"))
+      .select("c").distinct().as[Long].collect()
+    val pruned = byComp.where(col("component").isin(affectedIds.map(Long.box): _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    val leaves = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!leaves.contains("component=10"), leaves.take(300))
+    // mass-retraction fence: the broadcast fallback lands the same forest
+    val fallback = collectMsf(SpanningForest.boruvkaDecrementalPartitioned(
+      forest, labels, byComp, deleted, maxIsinLiterals = 0))
+    assert(fallback == plain)
+  }
+
   test("boruvka: empty and single-edge graphs") {
     assert(SpanningForest.boruvka(wEdgeDf(Seq.empty)).count() == 0)
     assert(collectMsf(SpanningForest.boruvka(wEdgeDf(Seq((7L, 3L, 5L)))))
