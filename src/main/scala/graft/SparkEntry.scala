@@ -2224,6 +2224,32 @@ object SparkEntry {
     "q217_random_walks" -> ((s, dir) =>
       graft.operators.Walks.deterministicWalks(
         GraphFixtures.coPurchase10(s, dir), 8)),
+    // STREAMING INGEST into the PERSISTED PQ index — the full index
+    // lifecycle loop (build → persist → stream-append → reload →
+    // serve): the model trains on the 90% base snapshot, its codes
+    // persist as the bucketed catalog table, the remaining 10% streams
+    // through the FROZEN codebooks appending per trigger, and a fresh
+    // session serves the recall gate against the WHOLE corpus — with
+    // completeness folded into the gate flag (a lost append shrinks
+    // the reloaded index and flips recall_ok even if recall survives)
+    "q219_ann_pq_stream_ingest" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.where(col("vec_id") % 10 =!= 7)
+      val model = graft.functions.PQ.fit(base)
+      graft.functions.PQ.save(model,
+        graft.functions.PQ.index(base, model), "graft_pq_stream_idx")
+      graft.streaming.StreamingOps.replayPqIngest(
+        emb.where(col("vec_id") % 10 === 7), model, "graft_pq_stream_idx")
+      val fresh = s.newSession()
+      val (m2, codes) = graft.functions.PQ.load(fresh, "graft_pq_stream_idx")
+      val all = Tables.embeddings(fresh, dir)
+      val q = all.where(col("vec_id") <= 9)
+      val complete = codes.count() == all.count()
+      recallGate(Similarity.bruteForceTopK(all, q, 5),
+          graft.functions.PQ.topK(codes, all, q, m2, 5, shortlist = 64), 0.5)
+        .select(col("n_queries"), col("n_exact"),
+          (col("recall_ok") && lit(complete)).as("recall_ok"))
+    }),
     // BM25 INDEX MAINTENANCE (the maintenance matrix applied to the
     // retrieval index): remove every doc_id % 10 == 3, add shifted
     // copies of doc_id % 10 == 8 with ' spark merge' appended (so the
@@ -4118,6 +4144,8 @@ object SparkEntry {
       "q212_ann_pq_persisted" -> annGateSql,
       "q216_ann_ivf_persisted" -> annGateSql,
       "q217_random_walks" -> walksSql,
+      // the stream-ingested persisted index serves the same gate row
+      "q219_ann_pq_stream_ingest" -> annGateSql,
       "q26_embedding_neardup" ->
         ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
           "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim " +

@@ -1129,6 +1129,48 @@ object StreamingOps {
     }
   }
 
+  /** Streaming ingest into the PERSISTED PQ index — q193's streaming
+    * ANN state taken to its deployment conclusion (build once, persist,
+    * ingest continuously, serve from the reloaded table): new vectors
+    * stream through the FROZEN codebooks ([[graft.functions.PQ.index]]'s
+    * encode projection — the model is never retrained in-stream, the
+    * standard IVF/PQ ingest contract) and each trigger APPENDS its
+    * codes to the persisted bucketed catalog table via foreachBatch.
+    * foreachBatch appends are at-least-once under failure/retry — a
+    * production deployment dedups on vec_id at read or writes
+    * per-epoch partitions; the harness replay is exactly-once by
+    * construction. The collect/addData feed is the harness, not the
+    * operator (the encode projection and the append are the things
+    * under test).
+    */
+  def replayPqIngest(newVecs: DataFrame, model: graft.functions.PQ.Model,
+                     name: String, nBatches: Int = 3): Unit = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val rows = newVecs.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    rows.sortInPlaceBy(_._1)
+    val stream = pinnedShuffleSession(spark, 8)
+    implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val ckpt = replayCkpt("graft-replay-pqingest")
+    val q = graft.functions.PQ.index(
+        ms.toDF().toDF("vec_id", "embedding"), model)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").format("parquet")
+          .bucketBy(8, "vec_id").sortBy("vec_id")
+          .saveAsTable(s"${name}_codes")
+      }
+      .start()
+    try {
+      val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+  }
+
   /** Streaming HLL++ distinct-count parity — the sketch-as-streaming-
     * state primitive: per-language `approx_count_distinct` maintained
     * across triggers in update mode. HLL registers merge by register-
