@@ -233,19 +233,22 @@ object StreamingOps {
       // reach the stateful operator itself (without one,
       // getCurrentWatermarkMs throws "watermark not set").
       //
-      // LATE-DATA GRANULARITY (coarser than per-row tagging, on
-      // purpose): per-row watermark tagging would drop an
-      // individually-late edge BEFORE the stateful operator; bundling
-      // it into a partial whose maxTs is fresh carries it through, so
-      // a late edge can still union two live vertices within its
-      // arrival trigger (its endpoints' `seen` stamps stay old and
-      // expire on schedule). This is strictly LESS lossy than per-row
-      // dropping, one-sided (late data is admitted, never fresh data
-      // dropped), and consistent with the eviction rule below, which
-      // also runs at trigger granularity (the previous trigger's
-      // watermark). The replay oracle feeds ascending-ts batches, where
-      // the two granularities coincide — the contract here governs
-      // out-of-order production streams.
+      // LATE-DATA CONTRACT (spec-pinned by the out-of-order replays):
+      // flatMapGroupsWithState under NoTimeout applies NO late-input
+      // filter — Structured Streaming only late-filters stateful
+      // operators that own event-time semantics (aggregations, dedup,
+      // event-time-timeout state), so EVERY partial reaches the state
+      // regardless of its maxTs vs the watermark. Late edges are
+      // therefore always ABSORBED: an arbitrarily-late edge can union
+      // two live vertices (or, in the parity sibling, close an odd
+      // cycle — the absorbing flag observes it) within its arrival
+      // trigger, while its endpoints' `seen` stamps stay old and
+      // expire on schedule against the PREVIOUS trigger's watermark.
+      // One-sided by construction: late data is admitted, fresh data
+      // is never dropped. The watermark declared here exists to drive
+      // the TTL eviction horizon, not to gate input. The replay oracle
+      // feeds ascending-ts batches, where lateness cannot occur — this
+      // contract governs out-of-order production streams.
       .withWatermark("maxTs", ttl)
       .groupByKey(_ => 0)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {

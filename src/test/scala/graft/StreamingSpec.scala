@@ -695,17 +695,19 @@ class StreamingSpec extends SparkTestBase {
       ms.addData(Seq((1L, 2L, 1000L)))
       q.processAllAvailable()
       assert(last.get == Map(1L -> 1L, 2L -> 1L)) // wm := 970
-      // a SOLO late edge forms a partial whose maxTs 900 < wm 970 — it
-      // never reaches the state (or its vertices die in-trigger): 3
-      // must not appear, 1-2 must stay intact
+      // a SOLO late edge IS absorbed (no late-input filter on fMGWS —
+      // the StreamingOps contract; the bipartiteness OOO spec proves
+      // the absorption via its absorbing flag), but 3's seen stamp 900
+      // sits below the horizon 970, so 3 evicts IN the same trigger:
+      // absent from the snapshot, 1-2 intact, union evidence harmless
       ms.addData(Seq((1L, 3L, 900L)))
       q.processAllAvailable()
       assert(last.get == Map(1L -> 1L, 2L -> 1L))
       assert(!last.get.contains(3L))
-      // a late edge BUNDLED with a fresh one rides the partition max
-      // (maxTs 1040 >= wm 970): 4 unions into 1-2's component — but its
-      // seen stamp stays 905 < horizon 970, so it is evicted IN the
-      // same trigger; the union evidence survives for live vertices
+      // same mechanics with a fresh co-rider: 4 unions into 1-2's
+      // component — but its seen stamp stays 905 < horizon 970, so it
+      // is evicted IN the same trigger; the union evidence survives
+      // for live vertices
       ms.addData(Seq((4L, 2L, 905L), (5L, 6L, 1040L)))
       q.processAllAvailable()
       assert(last.get == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
@@ -714,6 +716,44 @@ class StreamingSpec extends SparkTestBase {
       ms.addData(Seq((8L, 9L, 1200L)))
       q.processAllAvailable()
       assert(last.get == Map(5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
+    } finally q.stop()
+  }
+
+  test("out-of-order bipartiteness TTL: solo-late odd-closer drops, bundled one flips the ABSORBING verdict") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long)] // (src, dst, secs)
+    val edges = ms.toDF().toDF("src", "dst", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs"))).drop("secs")
+    val ckpt = Files.createTempDirectory("bipttl-ooo-ckpt").toString
+    val last = new java.util.concurrent.atomic.AtomicReference[Option[Boolean]](None)
+    val q = StreamingOps.runningBipartitenessTtl(edges, "30 seconds")
+      .toDF("bipartite")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val snap = df.collect().map(_.getBoolean(0))
+        if (snap.nonEmpty) last.set(Some(snap.last))
+      }
+      .start()
+    try {
+      // path 1-2-3: 2-colorable → true; wm := 1010 - 30 = 980
+      ms.addData(Seq((1L, 2L, 1000L), (2L, 3L, 1010L)))
+      q.processAllAvailable()
+      assert(last.get.contains(true))
+      // a SOLO late odd-closer (1,3 at t=900 < wm 980) is ABSORBED —
+      // fMGWS under NoTimeout applies no late-input filter (the
+      // StreamingOps late-data contract), and the parity evidence of
+      // 1/2/3 is still live, so the odd cycle is OBSERVED: lateness
+      // affects eviction stamps, never observation
+      ms.addData(Seq((1L, 3L, 900L)))
+      q.processAllAvailable()
+      assert(last.get.contains(false))
+      // ABSORBING: long after every parity witness expires, the
+      // verdict stays false (expiry must never quietly un-observe)
+      ms.addData(Seq((10L, 11L, 2000L)))
+      q.processAllAvailable()
+      assert(last.get.contains(false))
     } finally q.stop()
   }
 
