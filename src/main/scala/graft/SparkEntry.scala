@@ -2267,6 +2267,32 @@ object SparkEntry {
         graft.functions.Bm25.maintain(
           graft.functions.Bm25.index(docs), added, removed))
     }),
+    // HyperBall (Boldi & Vigna 2013): per-vertex ball-size estimates
+    // |B(v,t)| for t=1..3 from mergeable HLL registers in exact
+    // integer arithmetic — the 100 TB distance-distribution /
+    // effective-diameter primitive (q74's double-sweep bounds ONE
+    // eccentricity; this estimates ALL of them in k register rounds).
+    // The oracle replays hash, rank, 3 register-max rounds, and the
+    // floor-division estimator bit-for-bit
+    "q220_hyperball" -> ((s, dir) =>
+      graft.operators.HyperBall.ballSizes(GraphFixtures.coPurchase10(s, dir), 3)),
+    // node2vec-biased walks (q217's second-order sibling): successor
+    // argmin over hash·factor with the factor picked by d(prev, n) ∈
+    // {0,1,2} — the return/stay/move-away classification is one join
+    // against the edge list per step; the oracle unrolls all 8 steps
+    // with the identical CASE
+    "q221_node2vec_walks" -> ((s, dir) =>
+      graft.operators.Walks.biasedWalks(GraphFixtures.coPurchase10(s, dir), 8)),
+    // layout quality: exact replication factor + edge balance of 1D
+    // hash vs 2D grid edge partitioning at P=64 — the numbers that
+    // pick the physical layout before any iterative operator runs
+    "q222_partition_quality" -> ((s, dir) =>
+      graft.operators.Partitioning.layoutQuality(
+        GraphFixtures.coPurchase10(s, dir), 64)),
+    // systematic PPS sampling: 200 token-weighted draws via the
+    // two-level distributed prefix sum; Σ n_hits = 200 exactly
+    "q223_pps_sample" -> ((s, dir) =>
+      graft.functions.Corpus.ppsSample(Tables.documents(s, dir), 200)),
   )
 
   /** Byte-level BPE fixture: the documents table with a deterministic
@@ -2532,6 +2558,99 @@ object SparkEntry {
         "s0 AS (SELECT DISTINCT u AS start_id, u AS cur FROM sym), " +
         steps + " " + emits
     }
+    // node2vec-biased walks: q217's unroll with prev tracking and the
+    // class factor — return (v = prev) ×4, prev-adjacent ×1 (one LEFT
+    // JOIN against sym), else ×2 — multiplying the SAME step-keyed hash
+    val node2vecSql = {
+      def hh(t: Int, cur: String, v: String) =
+        s"(((((($cur % 2147483648) * 31 + $t) % 2147483648) * 31 + $v) % 2147483648) * 2654435761) % 2147483648"
+      val step1 =
+        s"n1 AS (SELECT s.start_id, sym.v, ${hh(1, "s.cur", "sym.v")} AS h " +
+          "FROM s0 s JOIN sym ON sym.u = s.cur), " +
+          "s1 AS (SELECT start_id, start_id AS prev, v AS cur FROM (SELECT start_id, v, " +
+          "ROW_NUMBER() OVER (PARTITION BY start_id ORDER BY h ASC, v ASC) AS rn FROM n1) WHERE rn = 1)"
+      val steps = (2 to 8).map { t =>
+        s"n$t AS (SELECT s.start_id, s.cur, sym.v, " +
+          s"(${hh(t, "s.cur", "sym.v")}) * (CASE WHEN sym.v = s.prev THEN 4 " +
+          "WHEN a.u IS NOT NULL THEN 1 ELSE 2 END) AS pri " +
+          s"FROM s${t - 1} s JOIN sym ON sym.u = s.cur " +
+          "LEFT JOIN sym a ON a.u = s.prev AND a.v = sym.v), " +
+          s"s$t AS (SELECT start_id, cur AS prev, v AS cur FROM (SELECT start_id, cur, v, " +
+          s"ROW_NUMBER() OVER (PARTITION BY start_id ORDER BY pri ASC, v ASC) AS rn FROM n$t) WHERE rn = 1)"
+      }.mkString(", ")
+      val emits = (0 to 8).map(t =>
+        s"SELECT start_id, CAST($t AS BIGINT) AS step, cur AS vertex FROM s$t")
+        .mkString(" UNION ALL ")
+      s"WITH c AS MATERIALIZED ($copurchase10), " +
+        "sym AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
+        "s0 AS (SELECT DISTINCT u AS start_id, u AS cur FROM sym), " +
+        step1 + ", " + steps + " " + emits
+    }
+    // HyperBall registers replayed exactly: portable hash → (bucket,
+    // rank via length(bin(y)) with the y=0 guard), 3 element-wise
+    // register-max rounds over 16 columns, then the raw HLL estimator
+    // as floor division of exact integers
+    val hyperballSql = {
+      val regs = (0 until 16).map(j => s"r$j")
+      val g0cols = (0 until 16).map(j =>
+        s"CASE WHEN b = $j THEN rho ELSE 0 END AS r$j").mkString(", ")
+      def round(t: Int): String = {
+        val maxes = regs.map(r => s"MAX($r) AS $r").mkString(", ")
+        val pull = regs.map(r => s"g.$r").mkString(", ")
+        s"g$t AS MATERIALIZED (SELECT id, $maxes FROM (" +
+          s"SELECT id, ${regs.mkString(", ")} FROM g${t - 1} " +
+          s"UNION ALL SELECT e.u AS id, $pull FROM sym e JOIN g${t - 1} g ON g.id = e.v) z GROUP BY id)"
+      }
+      val denom = regs.map(r => s"(1::BIGINT << (28 - $r))").mkString(" + ")
+      val emits = (1 to 3).map(t =>
+        s"SELECT id, CAST($t AS BIGINT) AS t, " +
+          s"CAST(46246722929 // ($denom) AS BIGINT) AS est FROM g$t")
+        .mkString(" UNION ALL ")
+      s"WITH c AS MATERIALIZED ($copurchase10), " +
+        "sym AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
+        "vv AS (SELECT DISTINCT u AS id FROM sym), " +
+        "h0 AS (SELECT id, ((id % 2147483648) * 2654435761) % 2147483648 AS h FROM vv), " +
+        "rr AS (SELECT id, h % 16 AS b, CASE WHEN h // 16 = 0 THEN 28 " +
+        "ELSE 28 - length(bin(h // 16)) END AS rho FROM h0), " +
+        s"g0 AS MATERIALIZED (SELECT id, $g0cols FROM rr), " +
+        (1 to 3).map(round).mkString(", ") + " " + emits
+    }
+    // layout quality: both strategies' replication factors and edge
+    // balance in exact integers over the SAME portable hash
+    val partitionQualitySql = {
+      def block(name: String, pexpr: String) =
+        s"p_$name AS MATERIALIZED (SELECT u, v, $pexpr AS p FROM hp), " +
+          s"r_$name AS (SELECT vtx, COUNT(DISTINCT p) AS r FROM (" +
+          s"SELECT u AS vtx, p FROM p_$name UNION ALL SELECT v, p FROM p_$name) z GROUP BY vtx), " +
+          s"ra_$name AS (SELECT COUNT(*) AS n_verts, SUM(r) AS repl_sum, MAX(r) AS repl_max FROM r_$name), " +
+          s"ba_$name AS (SELECT MAX(cnt) AS max_part_edges, SUM(cnt) AS n_edges FROM (" +
+          s"SELECT p, COUNT(*) AS cnt FROM p_$name GROUP BY p) z)"
+      s"WITH c AS MATERIALIZED ($copurchase10), " +
+        "hp AS (SELECT x AS u, y AS v, ((x % 2147483648) * 2654435761) % 2147483648 AS hu, " +
+        "((y % 2147483648) * 2654435761) % 2147483648 AS hv FROM c), " +
+        block("hash1d", "hu % 64") + ", " +
+        block("grid2d", "(hu % 8) * 8 + (hv % 8)") + " " +
+        Seq("hash1d", "grid2d").map(n =>
+          s"SELECT '$n' AS strategy, CAST(n_verts AS BIGINT) AS n_verts, " +
+            s"CAST(repl_sum AS BIGINT) AS repl_sum, CAST(repl_max AS BIGINT) AS repl_max, " +
+            s"CAST(repl_sum * 1000000 // n_verts AS BIGINT) AS repl_avg_micro, " +
+            s"CAST(max_part_edges AS BIGINT) AS max_part_edges, " +
+            s"CAST(max_part_edges * 64 * 1000000 // n_edges AS BIGINT) AS balance_micro " +
+            s"FROM ra_$n, ba_$n").mkString(" UNION ALL ")
+    }
+    // systematic PPS: ONE global window here (the oracle's job is the
+    // answer, not the layout) — the Spark side's bucketed two-level
+    // prefix sum must land on the identical cumulative axis
+    val ppsSql =
+      ("WITH b AS (SELECT doc_id, CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS w, " +
+        "((doc_id % 2147483648) * 2654435761) % 2147483648 AS pri FROM documents), " +
+        "t AS (SELECT SUM(w) AS wt FROM b), " +
+        "cm AS (SELECT doc_id, w, SUM(w) OVER (ORDER BY pri ASC, doc_id ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b) " +
+        "SELECT doc_id, w AS n_tokens, " +
+        "CAST(LEAST(cum // s.step, 200) - LEAST((cum - w) // s.step, 200) AS BIGINT) AS n_hits " +
+        "FROM cm, (SELECT wt // 200 AS step FROM t) s " +
+        "WHERE LEAST(cum // s.step, 200) - LEAST((cum - w) // s.step, 200) >= 1")
     // fixed-point PageRank: iterations unrolled as sequential CTEs (DuckDB
     // forbids aggregation inside a recursive term). Integer micro-units +
     // integer division at every step make the result bit-identical to the
@@ -4144,6 +4263,10 @@ object SparkEntry {
       "q212_ann_pq_persisted" -> annGateSql,
       "q216_ann_ivf_persisted" -> annGateSql,
       "q217_random_walks" -> walksSql,
+      "q220_hyperball" -> hyperballSql,
+      "q221_node2vec_walks" -> node2vecSql,
+      "q222_partition_quality" -> partitionQualitySql,
+      "q223_pps_sample" -> ppsSql,
       // the stream-ingested persisted index serves the same gate row
       "q219_ann_pq_stream_ingest" -> annGateSql,
       "q26_embedding_neardup" ->

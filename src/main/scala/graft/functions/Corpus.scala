@@ -232,6 +232,64 @@ object Corpus {
       .select("doc_id", "source", "n_tokens", "cum_tokens")
   }
 
+  /** Systematic PPS (probability-proportional-to-size) sampling — the
+    * industrial weighted sampler (public: Madow 1949 systematic
+    * selection; the standard PPS design in every survey-sampling text):
+    * k tokens-weighted draws from the corpus, a document's selection
+    * count proportional to its token mass. Unlike uniform doc sampling,
+    * PPS makes the SAMPLE's token distribution match the CORPUS's —
+    * the property a "what is my training mix" audit needs.
+    *
+    * Determinized and engine-portable: documents are laid on a line in
+    * the unique total order ([[graft.Portable.prio31]], doc_id
+    * tiebreak), each occupying its token-count interval of the
+    * cumulative axis; the k thresholds are the FIRST k multiples of
+    * step = W div k (W = total tokens; the cap matters — W div step
+    * alone can reach 2k−1 multiples when W mod k is large), and a
+    * document is drawn once per threshold inside its interval —
+    * n_hits = least(cum div step, k) − least((cum − w) div step, k),
+    * exact integer arithmetic the DuckDB oracle replays with one
+    * window. A doc heavier than `step` is drawn multiple times (real
+    * PPS semantics, not a bug).
+    *
+    * 100 TB shape — the global running sum is NOT one window task: the
+    * priority axis is range-bucketed (bucket = prio31 div width, which
+    * is monotone in the sort key, so buckets tile the global order
+    * contiguously); per-bucket subtotals roll up into a ≤`buckets`-row
+    * prefix-offset table (the only serial window, trivially small),
+    * broadcast back, and each bucket computes its local cumsum in
+    * parallel — the classic two-level distributed prefix sum.
+    *
+    * Output: (doc_id, n_tokens, n_hits) for drawn docs (n_hits ≥ 1);
+    * Σ n_hits = k exactly. Fails loud when W < k (step would be 0).
+    */
+  def ppsSample(docs: DataFrame, k: Int, buckets: Int = 256): DataFrame = {
+    require(k >= 1, s"pps sample size must be >= 1, got $k")
+    val width = (2147483648L + buckets - 1) / buckets
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("w"))
+      .withColumn("pri", graft.Portable.prio31(col("doc_id")))
+      .withColumn("bkt", expr(s"pri div $width"))
+    val offs = base.groupBy("bkt").agg(sum(col("w")).as("bw"))
+    val owin = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val prefix = offs.select(col("bkt"),
+      coalesce(sum(col("bw")).over(owin), lit(0L)).as("off"))
+    val total = offs.agg(coalesce(sum(col("bw")), lit(0L))).head().getLong(0)
+    require(total >= k,
+      s"ppsSample: corpus has $total tokens < k=$k draws — step would be 0")
+    val step = total / k
+    val lwin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("pri").asc, col("doc_id").asc)
+    base.join(broadcast(prefix), Seq("bkt"))
+      .withColumn("cum", col("off") + sum(col("w")).over(lwin))
+      .select(col("doc_id"), col("w").as("n_tokens"),
+        expr(s"least(cum div $step, $k) - least((cum - w) div $step, $k)")
+          .as("n_hits"))
+      .where(col("n_hits") >= 1)
+  }
+
   /** Temperature-rebalanced mixture sampling at T = 2 (α = 0.5) — the
     * standard multi-source rebalancing (multilingual corpora, source
     * mixing): source s keeps fraction ∝ n_s^(α−1) = √(n_max/n_s),

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.Lineage.CutOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HyperBall — per-vertex ball-cardinality estimates |B(v, t)| for
+  * t = 1..k via mergeable HyperLogLog registers (public: Boldi & Vigna
+  * 2013, "In-Core Computation of Geometric Centralities with
+  * HyperBall"; Palmer et al. 2002's ANF is the flowering ancestor).
+  * THE standard way to get distance distributions / effective diameter
+  * / closeness on graphs far too large for all-pairs BFS: state is
+  * O(|V| · m) register bytes, and one round is one edge join + an
+  * element-wise register max — never a frontier explosion.
+  *
+  * Register discipline (exact-integer, engine-portable — the q191
+  * multiplicative-hash family, so DuckDB replays it bit-for-bit):
+  *   h(v)   = ((v mod 2³¹) · 2654435761) mod 2³¹      (31 usable bits)
+  *   bucket = h mod 16                                 (m = 16)
+  *   y      = h div 16                                 (27-bit field)
+  *   ρ(y)   = 28 − bitlen(y), with ρ(0) = 28           (leading-zero rank)
+  * Round t: R_t(v)[j] = max(R_{t−1}(v)[j], max over neighbors u of
+  * R_{t−1}(u)[j]) — register max is associative/commutative/idempotent,
+  * so the union of two balls is the element-wise max of their sketches
+  * (the property the whole algorithm rests on).
+  *
+  * The emitted estimate is the RAW HLL estimator in exact integer
+  * arithmetic: est = round(α₁₆·m²·2²⁸) div Σ_j 2^(28−R[j]) — floor
+  * division of two exact integers, so both engines produce the SAME
+  * number (this is a deterministic statistic of the register state; no
+  * small-range/bias correction is applied, and none is needed for the
+  * parity check). Registers live as 16 separate INT columns r0..r15 —
+  * 16 plain `max` aggregates per round, whole-stage codegen, no
+  * explode/collect of arrays.
+  *
+  * 100 TB shape: per round ONE join of the (static, pre-checkpointed)
+  * symmetric edge list against the |V|-row register table keyed on
+  * vertex id, then ONE vertex-keyed aggregation with map-side partial
+  * max — the same shuffle profile as one degree computation, k times.
+  * Nothing iterates per-distance-pair; nothing concentrates on the
+  * driver.
+  *
+  * Output: (id, t, est) for every vertex and t = 1..k, est ≈ |B(v,t)|
+  * including v itself.
+  */
+object HyperBall {
+
+  private val M = 16
+  // round(0.673 * 16^2 * 2^28) — the alpha_16 HLL constant pre-scaled
+  // onto the 2^28 register-term grid, pinned identically in the oracle
+  private val AlphaScaled = 46246722929L
+
+  private def regCols: Seq[String] = (0 until M).map(i => s"r$i")
+
+  /** Per-vertex ball-size estimates for radii 1..k over the undirected
+    * graph of `edges` (src, dst).
+    */
+  def ballSizes(edges: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 16, s"hyperball k=$k out of the sane 1..16 range")
+    val e = edges.select(col("src").cast("long").as("u"),
+      col("dst").cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+    val sym = e.union(e.select(col("v"), col("u"))).distinct()
+      .cutLineage()
+
+    // h, bucket, rank — exact integers; bitlen via length(bin(y)) with
+    // the y=0 guard (bin(0) = "0" has length 1, not 0)
+    val init = sym.select(col("u").as("id")).distinct()
+      .withColumn("h", pmod(pmod(col("id"), lit(2147483648L)) * lit(2654435761L),
+        lit(2147483648L)))
+      .withColumn("b", (col("h") % M).cast("int"))
+      .withColumn("y", expr("h div 16"))
+      .withColumn("rho",
+        when(col("y") === 0, lit(28))
+          .otherwise(lit(28) - length(bin(col("y")))).cast("int"))
+    var state = init.select(
+      col("id") +: (0 until M).map(j =>
+        when(col("b") === j, col("rho")).otherwise(lit(0)).cast("int").as(s"r$j")): _*)
+      .cutLineage()
+
+    val estCol: Column = {
+      val denom = regCols.map(c => s"shiftleft(CAST(1 AS BIGINT), 28 - $c)")
+        .mkString(" + ")
+      expr(s"CAST($AlphaScaled AS BIGINT) div ($denom)")
+    }
+
+    val perRadius = (1 to k).map { t =>
+      val pulled = sym.join(state, sym("v") === state("id"))
+        .select(col("u").as("id") +: regCols.map(col): _*)
+      state = state.unionByName(pulled)
+        .groupBy("id")
+        .agg(max(col("r0")).as("r0"),
+          regCols.tail.map(c => max(col(c)).as(c)): _*)
+        .cutLineage()
+      state.select(col("id"), lit(t.toLong).as("t"), estCol.as("est"))
+    }
+    perRadius.reduce(_ unionByName _)
+  }
+}

@@ -10,19 +10,24 @@ import org.apache.spark.sql.functions._
   * shape).
   *
   * Round structure (O(log |V|) rounds — component count at least
-  * halves every round because every component hooks to a neighbor):
-  *   1. relabel every edge by its endpoints' current component labels,
-  *      keep inter-component edges only (the edge table SHRINKS
-  *      monotonically — intra-component edges are dropped for good);
-  *   2. per component, pick the minimum outgoing edge by the TOTAL
-  *      lexicographic order (w, u, v) — a deterministic tie-break that
-  *      makes the chosen forest unique even with duplicate weights
-  *      (it is exactly the MSF of the perturbed distinct weights, so
-  *      still minimum); `min(struct(...))` is a plain catalyst min —
-  *      map-side partial aggregation, skew-safe by construction;
-  *   3. contract: the selected edges connect components; the new label
-  *      of a merged group is its min old label, computed by the
-  *      existing pointer-jumping CC over the ≤C-row component graph.
+  * halves every round because every component hooks to a neighbor).
+  * The edge table itself CARRIES its endpoints' current component
+  * labels (cu, cv) — there is no separate vertex→label table, because
+  * the output is forest edges (original ids), never labels:
+  *   1. per component, pick the minimum incident inter-component edge
+  *      by the TOTAL lexicographic order (w, u, v) — a deterministic
+  *      tie-break that makes the chosen forest unique even with
+  *      duplicate weights (it is exactly the MSF of the perturbed
+  *      distinct weights, so still minimum); `min(struct(...))` is a
+  *      plain catalyst min — map-side partial aggregation, skew-safe
+  *      by construction;
+  *   2. contract: the selected edges connect components; the merged
+  *      group's label comes from the pointer-jumping contraction over
+  *      the ≤C-row component graph, and the RELABEL TABLE (old label →
+  *      merged label, ≤C rows, shrinking geometrically) joins back
+  *      against the edge table's (cu, cv) — edges whose endpoints land
+  *      in the same merged component are dropped FOR GOOD, so the edge
+  *      table shrinks monotonically.
   *
   * Under the total order, following selected min-edges strictly
   * decreases (w, u, v), so the component pointer graph has only
@@ -30,11 +35,18 @@ import org.apache.spark.sql.functions._
   * and the inner CC converges in O(log chain) rounds on a table whose
   * size is the CURRENT component count, not |E|.
   *
-  * 100 TB shape: per round two vertex-keyed relabel joins over the
-  * shrinking inter-component edge set, one component-keyed min
-  * aggregation (partial-agg, no skew concentration), and an inner CC
-  * over ≤|components| rows. Nothing ever concentrates on the driver
-  * except the per-round loop-control `count()` (the audited class).
+  * Per-round selected edges accumulate lazily (each round's selection
+  * is already materialized for the contraction join) and union into
+  * the forest ONCE after convergence — one final dedup instead of a
+  * per-round re-materialization of the growing forest.
+  *
+  * 100 TB shape: per round two relabel joins of the shrinking edge set
+  * against the ≤C-row relabel table (AQE broadcasts it as soon as it
+  * fits — after the first contraction C has at least halved), one
+  * component-keyed min aggregation (partial-agg, no skew
+  * concentration), and an inner CC over ≤C rows. Nothing ever
+  * concentrates on the driver except the per-round loop-control
+  * `count()` (the audited class).
   *
   * Output: the MSF edge set `(u, v, w)` with u < v.
   *
@@ -55,6 +67,12 @@ object SpanningForest {
     */
   def boruvka(edges: DataFrame, maxRounds: Int = 40): DataFrame = {
     val spark = edges.sparkSession
+    // canonical dedup'd edges, each row carrying its endpoints' CURRENT
+    // component labels (cu, cv) — initially the vertices themselves.
+    // ANY consistent labeling works (labels only key the min-edge
+    // groups; forest rows carry vertex ids, never labels) — after a
+    // contraction the label is the merged group's terminal-2-cycle
+    // root, canonical but not necessarily the group's min member
     var e = edges
       .select(
         least(col("src"), col("dst")).cast("long").as("u"),
@@ -62,60 +80,56 @@ object SpanningForest {
         col("weight").cast("long").as("w"))
       .where(col("u") =!= col("v"))
       .groupBy("u", "v").agg(min("w").as("w"))
+      .select(col("u"), col("v"), col("w"),
+        col("u").as("cu"), col("v").as("cv"))
       .cutLineage()
 
-    // label(vertex) = current component id. ANY consistent labeling
-    // works here (labels only partition vertices and key the min-edge
-    // groups; the forest rows carry vertex ids, never labels) — after
-    // contraction the id is the merged group's terminal-2-cycle root,
-    // canonical but not necessarily the group's min member
-    var labels = e.select(col("u").as("id")).union(e.select(col("v")))
-      .distinct().withColumn("l", col("id")).cutLineage()
-
-    var msf = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      e.schema)
+    // each round's selection is already checkpointed for the
+    // contraction join — accumulate the frames and union once at the
+    // end (a selected edge becomes intra-component the same round, so
+    // cross-round duplicates are impossible; within-round mutual-minima
+    // duplicates fall to the single final distinct)
+    val picked = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
     var round = 0
     var remaining = e.count()
     while (remaining > 0 && round < maxRounds) {
-      // 1. relabel; keep inter-component edges only
-      val lu = labels.toDF("id", "lu")
-      val lv = labels.toDF("id2", "lv")
-      val el = e.join(lu, e("u") === lu("id"))
-        .join(lv, e("v") === lv("id2"))
-        .where(col("lu") =!= col("lv"))
-        .select(col("u"), col("v"), col("w"), col("lu"), col("lv"))
+      // 1. min incident edge per component under total order (w,u,v)
+      val out = e.select(col("cu").as("c"),
+          struct(col("w"), col("u"), col("v"), col("cv").as("o")).as("cand"))
+        .union(e.select(col("cv"),
+          struct(col("w"), col("u"), col("v"), col("cu").as("o"))))
+      val sel = out.groupBy("c").agg(min("cand").as("m")).cutLineage()
+      picked += sel.select(col("m.u").as("u"), col("m.v").as("v"),
+        col("m.w").as("w"))
+
+      // 2. contract: the selected-edge pointer graph is a pseudoforest
+      // with only 2-cycles (header proof) — root election + pointer
+      // jumping replaces the general CC's hook/neighbor-min machinery.
+      // The ≤C-row relabel table joins the edge table's component keys
+      // directly (no vertex→label table exists to maintain); AQE
+      // broadcasts it once it fits under the threshold
+      val relabel = contractPseudoforest(
+        sel.select(col("c"), col("m.o").as("p")))
+      e = e.join(relabel.toDF("cu", "ncu"), Seq("cu"), "left")
+        .join(relabel.toDF("cv", "ncv"), Seq("cv"), "left")
+        .select(col("u"), col("v"), col("w"),
+          coalesce(col("ncu"), col("cu")).as("cu"),
+          coalesce(col("ncv"), col("cv")).as("cv"))
+        .where(col("cu") =!= col("cv"))
         .cutLineage()
-
-      remaining = el.count()
-      if (remaining > 0) {
-        // 2. min outgoing edge per component under total order (w,u,v)
-        val out = el.select(col("lu").as("c"),
-            struct(col("w"), col("u"), col("v"), col("lv").as("o")).as("cand"))
-          .union(el.select(col("lv"),
-            struct(col("w"), col("u"), col("v"), col("lu").as("o"))))
-        val sel = out.groupBy("c").agg(min("cand").as("m")).cutLineage()
-
-        msf = msf.union(
-          sel.select(col("m.u").as("u"), col("m.v").as("v"), col("m.w").as("w"))
-            .distinct()).cutLineage()
-
-        // 3. contract: the selected-edge pointer graph is a pseudoforest
-        // with only 2-cycles (header proof) — root election + pointer
-        // jumping replaces the general CC's hook/neighbor-min machinery
-        val relabel = contractPseudoforest(
-          sel.select(col("c"), col("m.o").as("p"))).toDF("oldl", "newl")
-        labels = labels.join(relabel, labels("l") === col("oldl"), "left")
-          .select(col("id"), coalesce(col("newl"), col("l")).as("l"))
-          .cutLineage()
-        e = el.select("u", "v", "w").cutLineage()
-      }
+      remaining = e.count()
       round += 1
     }
     require(remaining == 0,
       s"boruvka did not converge in $maxRounds rounds ($remaining inter-component edges left)")
-    msf
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.LongType))))
+    picked.foldLeft(empty)(_ union _).distinct()
   }
 
   /** INCREMENTAL minimum spanning forest — the daily-update path:

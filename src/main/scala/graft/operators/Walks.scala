@@ -26,8 +26,8 @@ import org.apache.spark.sql.functions._
   * adjacency is the big, co-located side; the frontier is the small
   * shuffling side) + one min(struct) argmin per walker — map-side
   * partial aggregation, work ∝ Σ deg(cur) per round, no driver action
-  * in the loop. A biased (node2vec p/q) variant is the same plan with
-  * the hash comparison domain weighted; uniform here.
+  * in the loop. [[biasedWalks]] is the node2vec p/q variant — same
+  * plan with the hash comparison domain weighted; uniform here.
   */
 object Walks {
 
@@ -49,6 +49,87 @@ object Walks {
         .groupBy("start_id")
         .agg(min(struct(h.as("h"), col("v").as("n"))).as("m"))
         .select(col("start_id"), col("m.n").as("cur"))
+        .cutLineage()
+      frames += cur.select(col("start_id"), lit(t.toLong).as("step"),
+        col("cur").as("vertex"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  /** SECOND-ORDER biased walks — the node2vec shape (Grover & Leskovec
+    * 2016): the step-t successor of cur depends on where the walk came
+    * FROM. Each candidate neighbor n of cur falls into one of three
+    * classes by its distance to prev — d(prev,n)=0 (the return),
+    * d=1 (prev's neighbor: BFS-ish stay-local), d=2 (everything else:
+    * DFS-ish move-away) — and node2vec weights them 1/p, 1, 1/q.
+    *
+    * Determinization: the successor is the argmin of
+    * `h(cur, t, n) · factor(class)` under the same portable step-keyed
+    * hash as [[deterministicWalks]], factors (fReturn, fNear, fFar)
+    * playing 1/p, 1, 1/q — a SMALLER factor compresses the class's
+    * priority range toward 0 and so wins the argmin more often,
+    * reproducing the bias direction exactly replayably (pure 64-bit
+    * integer arithmetic; the DuckDB oracle unrolls step by step with
+    * the identical CASE). The defaults (4, 1, 2) mirror the classic
+    * p=4, q=2 "discourage backtrack, prefer locality" setting. This is
+    * a deterministic corpus generator BIASED LIKE node2vec, not a
+    * sampler of its exact distribution — the property that matters for
+    * replayable training data.
+    *
+    * The d(prev,n) classification is the distributed-systems crux of
+    * node2vec: it needs edge-existence lookups (prev,n) per candidate.
+    * Here it is ONE left-semi-shaped join of the candidate set against
+    * the symmetric edge list per step — work ∝ Σ deg(cur) per round,
+    * the same profile as the uniform walk plus one join; no adjacency
+    * sets are ever collected to memory.
+    *
+    * Step 1 has no prev and is uniform (= [[deterministicWalks]]'s
+    * coin); from step 2 on, prev is live. Output: (start_id, step,
+    * vertex), step 0..len.
+    */
+  def biasedWalks(edges: DataFrame, len: Int,
+                  fReturn: Long = 4L, fNear: Long = 1L,
+                  fFar: Long = 2L): DataFrame = {
+    require(len >= 0, s"walk length must be non-negative, got $len")
+    require(fReturn > 0 && fNear > 0 && fFar > 0, "bias factors must be positive")
+    val half = edges.select(col("src").cast("long").as("u"),
+      col("dst").cast("long").as("v"))
+    val sym = half.union(half.select(col("v"), col("u")))
+      .where(col("u") =!= col("v")).distinct().cutLineage()
+    val t31 = lit(2147483648L)
+    def h(t: Int) = pmod(pmod(pmod(col("cur") % t31 * 31 + lit(t.toLong), t31) * 31
+      + col("v"), t31) * lit(2654435761L), t31)
+
+    var cur = sym.select(col("u").as("start_id")).distinct()
+      .withColumn("cur", col("start_id")).cutLineage()
+    val frames = scala.collection.mutable.ArrayBuffer(
+      cur.select(col("start_id"), lit(0L).as("step"), col("cur").as("vertex")))
+    // step 1: uniform coin, prev = start
+    if (len >= 1) {
+      cur = cur.join(sym, cur("cur") === sym("u"))
+        .groupBy("start_id")
+        .agg(min(struct(h(1).as("h"), col("v").as("n"))).as("m"))
+        .select(col("start_id"), col("start_id").as("prev"),
+          col("m.n").as("cur"))
+        .cutLineage()
+      frames += cur.select(col("start_id"), lit(1L).as("step"),
+        col("cur").as("vertex"))
+    }
+    for (t <- 2 to len) {
+      val cands = cur.join(sym, cur("cur") === sym("u"))
+        .select(col("start_id"), col("prev"), col("cur"), col("v"), h(t).as("hv"))
+      // d(prev, n) = 1 iff (prev, n) is an edge — one join against the
+      // static symmetric edge list, flagging candidates
+      val adj = sym.select(col("u").as("prev"), col("v"), lit(1).as("near"))
+      val classed = cands.join(adj, Seq("prev", "v"), "left")
+        .select(col("start_id"), col("v"),
+          (col("hv") * when(col("v") === col("prev"), lit(fReturn))
+            .when(col("near").isNotNull, lit(fNear))
+            .otherwise(lit(fFar))).as("pri"))
+      cur = classed.groupBy("start_id")
+        .agg(min(struct(col("pri"), col("v").as("n"))).as("m"))
+        .join(cur.select(col("start_id"), col("cur").as("pc")), Seq("start_id"))
+        .select(col("start_id"), col("pc").as("prev"), col("m.n").as("cur"))
         .cutLineage()
       frames += cur.select(col("start_id"), lit(t.toLong).as("step"),
         col("cur").as("vertex"))

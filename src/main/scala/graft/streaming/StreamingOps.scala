@@ -1533,22 +1533,38 @@ object StreamingOps {
     val stream = pinnedShuffleSession(spark, 8)
     implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Double])]
-    val name = "graft_replay_lsh_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = replayCkpt("graft-replay-lsh")
+    // candidates sink to tmpfs parquet via foreachBatch, NOT the driver
+    // memory sink: a pair colliding in several of the ~dozens of tables
+    // is emitted once PER TABLE (state is keyed (tbl, sig) — cross-table
+    // dedup can't happen in state), so the memory sink used to
+    // accumulate the multiplied stream on the driver and the final
+    // distinct().collect() hauled it all back again — measured as
+    // nearly all of q193's wall. Executor-side appends + a path-based
+    // re-read keep every pair off the driver; the caller session reads
+    // the path directly (no cross-session table, no collect)
+    val outDir = replayCkpt("graft-replay-lsh-out") + "/pairs"
+    val empty = stream.createDataFrame(
+      stream.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("vec_b", org.apache.spark.sql.types.LongType))))
+    empty.write.mode("overwrite").parquet(outDir) // schema anchor: zero candidates still read
     val q = streamingLshCandidates(ms.toDF().toDF("vec_id", "embedding"),
         nTables, nPlanes, dim)
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
-      .format("memory").queryName(name).start()
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(outDir)
+      }.start()
     try {
       val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
       rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
-      val cands = stream.table(name)
-        .select(col("vec_a"), col("vec_b")).distinct()
-        .as[(Long, Long)].collect()
       // verify on the CALLER's session with the exact formula —
       // candidates ∝ true near-dups, tiny by design
-      val candsDF = spark.createDataset(cands.toIndexedSeq).toDF("vec_a", "vec_b")
+      val candsDF = spark.read.parquet(outDir)
+        .select(col("vec_a"), col("vec_b")).distinct()
+        .localCheckpoint(true)
       val vecs = corpus.select(col("vec_id"),
           col("embedding").cast("array<double>").as("e"))
         .withColumn("nrm", Similarity.norm(col("e")))
@@ -1561,7 +1577,9 @@ object StreamingOps {
         .where(col("sim") >= threshold)
     } finally {
       q.stop()
-      stream.catalog.dropTempView(name)
+      // the candidate set is checkpointed off the files — safe to clean
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(outDir).getParentFile)
     }
   }
 

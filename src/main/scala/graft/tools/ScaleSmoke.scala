@@ -875,6 +875,93 @@ object ScaleSmoke {
       }
     }
 
+    if (mode == "tier2hyperball") {
+      // HyperBall at the 10M-edge / 1M-vertex tier, k=3. No oracle at
+      // this scale; correctness rides (1) register-range validity,
+      // (2) per-vertex monotonicity of the estimate in t (balls only
+      // grow; register max is idempotent), and (3) estimator accuracy
+      // against EXACT 2-hop ball sizes for a 200-vertex sample (HLL
+      // m=16 ⇒ rsd ≈ 26%; the deterministic fixture either passes
+      // forever or fails forever — no flakiness).
+      val hb = tm("hyperball k=3 (10M edges / 1M vertices)") {
+        graft.operators.HyperBall.ballSizes(g, 3).localCheckpoint(true)
+      }
+      tm("monotonicity + range") {
+        val n = hb.count()
+        val mono = hb.groupBy("id").pivot("t", Seq(1, 2, 3)).sum("est")
+          .where(col("2") < col("1") || col("3") < col("2")).count()
+        println(s"[smoke] rows=$n monotonicity_violations=$mono")
+        require(mono == 0, s"$mono vertices with shrinking ball estimates")
+      }
+      tm("accuracy vs exact 2-hop balls (200-vertex sample)") {
+        val half = g.select(col("src").cast("long").as("u"),
+          col("dst").cast("long").as("v"))
+        val sym = half.union(half.select(col("v"), col("u")))
+          .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+        val sample = sym.select(col("u").as("id")).distinct()
+          .where(pmod(xxhash64(col("id")), lit(5000L)) === 0)
+          .limit(200).localCheckpoint(true)
+        val h1 = sample.join(sym, sample("id") === sym("u"))
+          .select(col("id"), col("v"))
+          .union(sample.select(col("id"), col("id")))
+        val h2 = h1.toDF("id", "m").join(sym.toDF("m", "v2"), Seq("m"))
+          .select(col("id"), col("v2").as("m"))
+          .union(h1.toDF("id", "m"))
+          .distinct().groupBy("id").agg(count(lit(1)).as("exact2"))
+        val cmp = h2.join(hb.where(col("t") === 2), Seq("id"))
+          .select(col("id"), col("exact2"), col("est"))
+          .localCheckpoint(true)
+        val nS = cmp.count()
+        val inBand = cmp.where(col("est") >= col("exact2") / 2 &&
+          col("est") <= col("exact2") * 3).count()
+        println(s"[smoke] sampled=$nS within [0.5x,3x]=$inBand")
+        require(inBand * 10 >= nS * 9,
+          s"HyperBall estimate off-band for ${nS - inBand} of $nS sampled vertices")
+      }
+    }
+
+    if (mode == "tier2n2v") {
+      // node2vec-biased walks at the 10M-edge tier: tier2walks'
+      // validity contract plus the BIAS direction — with fReturn=4 the
+      // immediate-backtrack rate must be strictly below the uniform
+      // walk's on the same graph (the property the bias exists for).
+      def backtracks(w: org.apache.spark.sql.DataFrame): Long = {
+        val a = w.toDF("sid", "step", "x")
+        val b = w.toDF("sid", "step2", "y")
+          .withColumn("step", col("step2") - 2).drop("step2")
+        a.join(b, Seq("sid", "step")).where(col("x") === col("y")).count()
+      }
+      val biased = tm("biasedWalks (10M edges, 8 steps)") {
+        graft.operators.Walks.biasedWalks(g, 8).localCheckpoint(true)
+      }
+      tm("validity: every transition is an edge; every walker advances") {
+        val n = biased.count()
+        val starts = biased.where(col("step") === 0).count()
+        require(n == starts * 9, s"expected ${starts}×9 rows, got $n")
+        val half = g.select(col("src").cast("long").as("u"),
+          col("dst").cast("long").as("v"))
+        val sym = half.union(half.select(col("v"), col("u")))
+          .where(col("u") =!= col("v")).distinct()
+        val steps = biased.toDF("sid", "step", "a")
+        val next = biased.toDF("sid", "step2", "b")
+          .withColumn("step", col("step2") - 1).drop("step2")
+        val bad = steps.join(next, Seq("sid", "step"))
+          .join(sym, steps("a") === sym("u") && next("b") === sym("v"),
+            "left_anti")
+          .count()
+        println(s"[smoke] walkers=$starts rows=$n invalid_transitions=$bad")
+        require(bad == 0, s"$bad invalid walk transitions")
+      }
+      tm("bias direction: fewer immediate backtracks than uniform") {
+        val uniform = graft.operators.Walks.deterministicWalks(g, 8)
+          .localCheckpoint(true)
+        val bB = backtracks(biased)
+        val bU = backtracks(uniform)
+        println(s"[smoke] backtracks biased=$bB uniform=$bU")
+        require(bB < bU, s"bias direction violated: biased=$bB >= uniform=$bU")
+      }
+    }
+
     if (mode == "tier2scc") {
       // directed SCC at the 10M-edge tier. No oracle exists at this
       // scale, so correctness rides two structural identities:

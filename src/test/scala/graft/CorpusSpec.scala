@@ -492,4 +492,40 @@ class CorpusSpec extends SparkTestBase {
       Corpus.bloomDecontaminate(train, bench, maxBits = 32L)
     }
   }
+
+  test("ppsSample: exact k draws, PPS weighting, bucketed = global cumsum") {
+    import spark.implicits._
+    val T = 2147483648L
+    def hash(v: Long): Long = ((v % T) * 2654435761L) % T
+    // 60 docs with varied token masses, incl. one whale heavier than
+    // the sampling step (must be drawn multiple times)
+    val docs = (1L to 60L).map { i =>
+      val n = if (i == 17L) 500 else (hash(i) % 9 + 1).toInt
+      (i, Seq.fill(n)("tok").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val k = 20
+    val got = Corpus.ppsSample(df, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._3).sum == k, s"sum of draws must be exactly $k")
+    // in-JVM replay with ONE global cumsum — the bucketed two-level
+    // prefix sum must land on the identical axis
+    val ws = docs.map { case (id, t) => (id, t.split(" ", -1).length.toLong) }
+    val total = ws.map(_._2).sum
+    val step = total / k
+    var cum = 0L
+    val expected = ws.sortBy { case (id, _) => (hash(id), id) }.flatMap {
+      case (id, w) =>
+        val lo = cum; cum += w
+        val hits = math.min(cum / step, k.toLong) - math.min(lo / step, k.toLong)
+        if (hits >= 1) Some((id, w, hits)) else None
+    }
+    assert(got.toSet == expected.toSet)
+    // the whale outweighs the step → multiple draws
+    assert(got.find(_._1 == 17L).exists(_._3 >= 2))
+    // degenerate: fewer tokens than draws fails loud
+    intercept[IllegalArgumentException] {
+      Corpus.ppsSample(Seq((1L, "a b")).toDF("doc_id", "text"), 5)
+    }
+  }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.HyperBall
+
+/** HyperBall checks: the distributed register rounds must equal a plain
+  * in-JVM replay (BFS balls → bucket/rank registers → the exact-integer
+  * estimator), estimates are monotone in t, and degenerate inputs hold.
+  */
+class HyperBallSpec extends SparkTestBase {
+
+  private val T = 2147483648L
+  private def hash(v: Long): Long = ((v % T) * 2654435761L) % T
+  private def rho(y: Long): Int =
+    if (y == 0) 28 else 28 - (64 - java.lang.Long.numberOfLeadingZeros(y))
+
+  private def jvmEst(adj: Map[Long, Set[Long]], k: Int): Set[(Long, Long, Long)] = {
+    val verts = adj.keySet
+    verts.flatMap { v =>
+      var ball = Set(v)
+      (1 to k).map { t =>
+        ball = ball ++ ball.flatMap(u => adj.getOrElse(u, Set.empty))
+        val regs = Array.fill(16)(0)
+        ball.foreach { u =>
+          val h = hash(u); val b = (h % 16).toInt; val r = rho(h / 16)
+          if (r > regs(b)) regs(b) = r
+        }
+        val denom = regs.map(r => 1L << (28 - r)).sum
+        (v, t.toLong, 46246722929L / denom)
+      }
+    }
+  }
+
+  test("ball sizes equal the in-JVM BFS-ball register replay") {
+    import spark.implicits._
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (2L, 6L),
+      (7L, 8L), (20L, 21L), (21L, 22L))
+    val edges = es.toDF("src", "dst")
+    val got = HyperBall.ballSizes(edges, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sym = (es ++ es.map(e => (e._2, e._1))).filter(e => e._1 != e._2)
+    val adj = sym.groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+    assert(got == jvmEst(adj, 3))
+  }
+
+  test("estimates are monotone nondecreasing in t") {
+    import spark.implicits._
+    val es = (1L to 30L).map(i => (i, i % 30 + 1)) // a 30-cycle
+    val got = HyperBall.ballSizes(es.toDF("src", "dst"), 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val byT = rows.sortBy(_._2).map(_._3).toList
+      byT.sliding(2).foreach { case List(a, b) => assert(b >= a) case _ => () }
+    }
+  }
+
+  test("degenerate inputs: empty graph and self-loops-only") {
+    import spark.implicits._
+    assert(HyperBall.ballSizes(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), 2).count() == 0)
+    assert(HyperBall.ballSizes(
+      Seq((5L, 5L)).toDF("src", "dst"), 2).count() == 0)
+  }
+}
