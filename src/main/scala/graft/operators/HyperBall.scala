@@ -53,9 +53,15 @@ object HyperBall {
   private def regCols: Seq[String] = (0 until M).map(i => s"r$i")
 
   /** Per-vertex ball-size estimates for radii 1..k over the undirected
-    * graph of `edges` (src, dst).
+    * graph of `edges` (src, dst). `includeZero` additionally emits the
+    * t = 0 row (the estimator over the single-element initial sketch) —
+    * the base the centrality differences ([[harmonicCentrality]]) sit
+    * on. Estimates are monotone nondecreasing in t: registers only
+    * grow, so the denominator Σ2^(28−R) only shrinks, and the floor
+    * quotient only rises.
     */
-  def ballSizes(edges: DataFrame, k: Int = 3): DataFrame = {
+  def ballSizes(edges: DataFrame, k: Int = 3,
+                includeZero: Boolean = false): DataFrame = {
     require(k >= 1 && k <= 16, s"hyperball k=$k out of the sane 1..16 range")
     val e = edges.select(col("src").cast("long").as("u"),
       col("dst").cast("long").as("v"))
@@ -84,6 +90,10 @@ object HyperBall {
       expr(s"CAST($AlphaScaled AS BIGINT) div ($denom)")
     }
 
+    val zero =
+      if (includeZero)
+        Seq(state.select(col("id"), lit(0L).as("t"), estCol.as("est")))
+      else Seq.empty
     val perRadius = (1 to k).map { t =>
       val pulled = sym.join(state, sym("v") === state("id"))
         .select(col("u").as("id") +: regCols.map(col): _*)
@@ -94,6 +104,30 @@ object HyperBall {
         .cutLineage()
       state.select(col("id"), lit(t.toLong).as("t"), estCol.as("est"))
     }
-    perRadius.reduce(_ unionByName _)
+    (zero ++ perRadius).reduce(_ unionByName _)
+  }
+
+  /** Approximate harmonic centrality — the application HyperBall exists
+    * for (Boldi & Vigna 2013 compute exactly this on billion-edge
+    * graphs): HC(v) ≈ Σ_{t=1..k} (|B(v,t)| − |B(v,t−1)|) / t, i.e. the
+    * vertices first reached at distance t contribute 1/t each,
+    * estimated from the ball-size differences (truncated at radius k —
+    * a documented lower bound; q128's exact harmonic closeness is the
+    * small-graph reference). Differences are nonnegative by the
+    * monotonicity argument on [[ballSizes]]. Emitted in exact integer
+    * micro-units — ((estₜ − estₜ₋₁)·10⁶) div t summed — so the DuckDB
+    * oracle reproduces every row bit-for-bit.
+    *
+    * Output: (id, hc_micro).
+    */
+  def harmonicCentrality(edges: DataFrame, k: Int = 3): DataFrame = {
+    val balls = ballSizes(edges, k, includeZero = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("t")
+    balls.withColumn("prev", lag(col("est"), 1).over(w))
+      .where(col("t") >= 1)
+      .select(col("id"),
+        expr("(est - prev) * 1000000 div t").as("term"))
+      .groupBy("id").agg(sum(col("term")).as("hc_micro"))
   }
 }

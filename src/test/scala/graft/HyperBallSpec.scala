@@ -53,6 +53,37 @@ class HyperBallSpec extends SparkTestBase {
     }
   }
 
+  test("harmonic centrality equals the in-JVM ball-difference replay") {
+    import spark.implicits._
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (2L, 6L),
+      (7L, 8L))
+    val got = HyperBall.harmonicCentrality(es.toDF("src", "dst"), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sym = (es ++ es.map(e => (e._2, e._1))).filter(e => e._1 != e._2)
+    val adj = sym.groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+    def estOf(ball: Set[Long]): Long = {
+      val regs = Array.fill(16)(0)
+      ball.foreach { u =>
+        val h = hash(u); val b = (h % 16).toInt; val r = rho(h / 16)
+        if (r > regs(b)) regs(b) = r
+      }
+      46246722929L / regs.map(r => 1L << (28 - r)).sum
+    }
+    val expected = adj.keySet.map { v =>
+      var ball = Set(v)
+      var prev = estOf(ball)
+      var hc = 0L
+      (1 to 3).foreach { t =>
+        ball = ball ++ ball.flatMap(u => adj.getOrElse(u, Set.empty))
+        val e = estOf(ball)
+        hc += (e - prev) * 1000000L / t
+        prev = e
+      }
+      (v, hc)
+    }
+    assert(got == expected)
+  }
+
   test("degenerate inputs: empty graph and self-loops-only") {
     import spark.implicits._
     assert(HyperBall.ballSizes(
