@@ -145,6 +145,12 @@ object SparkEntry {
   private def c10Fixture(s: SparkSession, dir: String): DataFrame =
     c10Memo(s, dir)
 
+  // q225 + q226: the landmark distance index is built once (the
+  // build-once/query-many lifecycle — q212's discipline for distances)
+  private val landmarkMemo = new CrossQueryMemo(2, (s, dir) =>
+    graft.operators.Traversals.landmarkDistances(c10Fixture(s, dir), 8)
+      .coalesce(s.sparkContext.defaultParallelism))
+
   // q14 + q15: two statistics over one oriented+adjacency relation
   private val c10AdjMemo = new CrossQueryMemo(2,
     (s, dir) => Triangles.adjacency(GraphFixtures.coPurchase(s, dir)))
@@ -2313,6 +2319,23 @@ object SparkEntry {
     // the small-graph reference; this is its 100 TB path)
     "q224_hyperball_closeness" -> ((s, dir) =>
       graft.operators.HyperBall.harmonicCentrality(c10Fixture(s, dir), 3)),
+    // landmark distance index: ONE multi-source BFS from the 8
+    // highest-degree vertices — all landmark trees advance in the same
+    // round (one frontier join per round total); the index is what a
+    // 100 TB deployment precomputes instead of per-query BFS
+    "q225_landmark_index" -> ((s, dir) => landmarkMemo(s, dir)),
+    // distance estimates SERVED from the index: d̂(a,b) = min over
+    // landmarks of d(a,lm)+d(lm,b) for a deterministic hash-class pair
+    // sample — two index joins + a min, no BFS at query time
+    "q226_landmark_distances" -> ((s, dir) => {
+      val e = c10Fixture(s, dir)
+      val verts = e.select(col("src").as("id")).union(e.select(col("dst")))
+        .distinct()
+      val cls = graft.Portable.prio31(col("id")) % 29
+      graft.operators.Traversals.landmarkEstimates(landmarkMemo(s, dir),
+        verts.where(cls === 1).select(col("id").as("a"))
+          .crossJoin(verts.where(cls === 2).select(col("id").as("b"))))
+    }),
   )
 
   /** Byte-level BPE fixture: the documents table with a deterministic
@@ -2666,6 +2689,38 @@ object SparkEntry {
             s"CAST(max_part_edges AS BIGINT) AS max_part_edges, " +
             s"CAST(max_part_edges * 64 * 1000000 // n_edges AS BIGINT) AS balance_micro " +
             s"FROM ra_$n, ba_$n").mkString(" UNION ALL ")
+    }
+    // landmark index + served estimates: multi-source BFS as ONE
+    // recursive CTE carrying the landmark id through the state; UNION
+    // dedups (lm, id, dist) states so cycles terminate; depth cap 30
+    // (~5× the measured C10 eccentricity) with the sentinel-row fence
+    val (landmarkIdxSql, landmarkEstSql) = {
+      val prefix =
+        s"WITH RECURSIVE c AS MATERIALIZED ($copurchase10), " +
+          "sym AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
+          "deg AS (SELECT u AS id, COUNT(*) AS d FROM sym GROUP BY u), " +
+          "lms AS (SELECT id AS lm FROM deg ORDER BY d DESC, id ASC LIMIT 8), " +
+          "st(lm, id, dist) AS (SELECT lm, lm, 0 FROM lms " +
+          "UNION SELECT st.lm, s.v, st.dist + 1 FROM st JOIN sym s ON s.u = st.id WHERE st.dist < 30), " +
+          "idx AS MATERIALIZED (SELECT lm, id, MIN(dist) AS dist FROM st GROUP BY lm, id)"
+      val sentinel =
+        "EXISTS (SELECT 1 FROM idx WHERE dist >= 30)"
+      val idxSql = prefix +
+        " SELECT lm, id, CAST(dist AS BIGINT) AS dist FROM idx " +
+        "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
+        s"WHERE $sentinel"
+      val cls = "((id % 2147483648) * 2654435761) % 2147483648 % 29"
+      val estSql = prefix + ", " +
+        "vv AS (SELECT DISTINCT u AS id FROM sym), " +
+        s"pa AS (SELECT id AS a FROM vv WHERE $cls = 1), " +
+        s"pb AS (SELECT id AS b FROM vv WHERE $cls = 2) " +
+        "SELECT pa.a, pb.b, CAST(MIN(ia.dist + ib.dist) AS BIGINT) AS est_dist " +
+        "FROM pa CROSS JOIN pb " +
+        "JOIN idx ia ON ia.id = pa.a JOIN idx ib ON ib.lm = ia.lm AND ib.id = pb.b " +
+        "GROUP BY pa.a, pb.b " +
+        "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
+        s"WHERE $sentinel"
+      (idxSql, estSql)
     }
     // systematic PPS: ONE global window here (the oracle's job is the
     // answer, not the layout) — the Spark side's bucketed two-level
@@ -4297,6 +4352,8 @@ object SparkEntry {
       "q221_node2vec_walks" -> node2vecSql,
       "q222_partition_quality" -> partitionQualitySql,
       "q223_pps_sample" -> ppsSql,
+      "q225_landmark_index" -> landmarkIdxSql,
+      "q226_landmark_distances" -> landmarkEstSql,
       // the stream-ingested persisted index serves the same gate row
       "q219_ann_pq_stream_ingest" -> annGateSql,
       "q26_embedding_neardup" ->

@@ -73,6 +73,71 @@ object Traversals {
     frontiers.map(_.select(col("id"), col("dist"))).reduce(_ union _)
   }
 
+  /** Landmark distance index — MULTI-SOURCE BFS in one pass (the
+    * standard distance-oracle build, e.g. Potamias et al. 2009 "Fast
+    * Shortest Path Distance Estimation in Large Networks"): distances
+    * from the `nLandmarks` highest-degree vertices (ties by min id —
+    * deterministic) to every reachable vertex. At 100 TB nobody
+    * answers d(u,w) with a per-query BFS; they precompute this index
+    * and serve d̂(u,w) = min over landmarks of d(u,lm)+d(lm,w) — an
+    * upper bound, exact when a landmark lies on a shortest path.
+    *
+    * The frontier machinery is [[bfsFromSym]]'s with the landmark id
+    * carried through the state key: ALL landmark BFS trees advance in
+    * the SAME round — one frontier⋈edges join per round total, not per
+    * landmark — and each (lm, id) level is materialized exactly once
+    * (the settled anti-join reads the lazy union of past levels, so
+    * total writes are O(nLandmarks·|V|), not ·eccentricity).
+    *
+    * Output: (lm, id, dist) for every reachable (landmark, vertex)
+    * pair.
+    */
+  def landmarkDistances(edges: DataFrame, nLandmarks: Int = 8,
+                        maxIter: Int = 100): DataFrame = {
+    val sym = symmetrize(edges).cutLineage()
+    val lms = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("id").asc).limit(nLandmarks)
+      .select(col("id").as("lm")).cutLineage()
+    var frontiers = List(
+      lms.select(col("lm"), col("lm").as("id"), lit(0L).as("dist")).cutLineage())
+    var depth = 0L
+    var done = false
+    while (depth < maxIter && !done) {
+      depth += 1
+      val settled = frontiers.map(_.select(col("lm"), col("id")))
+        .reduce(_ union _)
+      val head = frontiers.head
+      val next = head.join(sym, head("id") === sym("u"))
+        .select(col("lm"), col("v").as("id"))
+        .distinct()
+        .join(settled, Seq("lm", "id"), "left_anti")
+        .withColumn("dist", lit(depth))
+        .cutLineage()
+      if (next.isEmpty) done = true else frontiers ::= next
+    }
+    frontiers.map(_.select(col("lm"), col("id"), col("dist")))
+      .reduce(_ union _)
+  }
+
+  /** Distance estimates SERVED from a landmark index ([[
+    * landmarkDistances]]' output): for each query pair,
+    * d̂(a, b) = min over landmarks of d(a, lm) + d(lm, b) — two joins
+    * against the index and a min-aggregation, never a BFS at query
+    * time. Pairs where either side reaches no landmark drop (they are
+    * in landmark-free components; the index cannot speak for them).
+    * Output: (a, b, est_dist) — an upper bound on the true distance,
+    * exact when some landmark lies on a shortest a–b path.
+    */
+  def landmarkEstimates(index: DataFrame, pairs: DataFrame): DataFrame = {
+    val ia = index.select(col("lm"), col("id").as("a"), col("dist").as("da"))
+    val ib = index.select(col("lm"), col("id").as("b"), col("dist").as("db"))
+    pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .join(ia, Seq("a"))
+      .join(ib, Seq("lm", "b"))
+      .groupBy("a", "b")
+      .agg(min(col("da") + col("db")).as("est_dist"))
+  }
+
   /** Double-sweep diameter estimation: BFS from `start`, then BFS again
     * from the farthest vertex found (ties broken by min id — fully
     * deterministic). The second sweep's maximum distance is the classic

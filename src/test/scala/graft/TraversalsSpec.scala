@@ -514,4 +514,46 @@ class TraversalsSpec extends SparkTestBase {
       graft.operators.Traversals.temporalDeparture(te, 1L, 100L, maxRounds = 1)
     }
   }
+
+  test("landmarkDistances: multi-source BFS equals per-landmark BFS") {
+    import spark.implicits._
+    // two components: a 6-cycle with a chord (hub 2) and a path 10-11-12
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L),
+      (2L, 5L), (10L, 11L), (11L, 12L))
+    val edges = es.toDF("src", "dst")
+    val idx = graft.operators.Traversals.landmarkDistances(edges, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // landmarks = top-3 by symmetric degree, ties by min id
+    val sym = (es ++ es.map(e => (e._2, e._1))).distinct
+    val deg = sym.groupBy(_._1).map { case (u, vs) => u -> vs.size }
+    val lms = deg.toSeq.sortBy { case (id, d) => (-d, id) }.take(3).map(_._1)
+    val adj = sym.groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+    val expected = lms.flatMap { lm =>
+      var dist = Map(lm -> 0L)
+      var frontier = Set(lm)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj(_)).diff(dist.keySet)
+        val d = dist(frontier.head) + 1
+        dist ++= next.map(_ -> d)
+        frontier = next
+      }
+      dist.map { case (v, d) => (lm, v, d) }
+    }.toSet
+    assert(idx == expected)
+    // served estimates: upper bound, exact when a landmark is on a
+    // shortest path; pairs outside landmark components drop
+    val est = graft.operators.Traversals.landmarkEstimates(
+        graft.operators.Traversals.landmarkDistances(edges, 3),
+        Seq((1L, 4L), (3L, 6L), (1L, 10L)).toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // all 3 landmarks land in the 6-cycle component (degrees 2-4 vs the
+    // path's 1-2), so (1,10) has no shared landmark and drops
+    assert(est.map(t => (t._1, t._2)) == Set((1L, 4L), (3L, 6L)))
+    est.foreach { case (a, b, d) =>
+      // true distances: d(1,4)=2 via hub 2->5? 1-2-5-4 is 3; 1-2-3-4 is 3;
+      // cycle 1-6-5-4 is 3 — shortest is 3. d(3,6): 3-2-1-6 =3, 3-4-5-6=3,
+      // 3-2-5-6=3 — shortest 3. Estimates must be >= the true distance.
+      assert(d >= 3 && d <= 6, s"estimate out of band: ($a,$b,$d)")
+    }
+  }
 }
