@@ -2336,6 +2336,14 @@ object SparkEntry {
         verts.where(cls === 1).select(col("id").as("a"))
           .crossJoin(verts.where(cls === 2).select(col("id").as("b"))))
     }),
+    // STREAMING HyperBall register maintenance: update-mode max-agg
+    // over per-endpoint sketch contributions across 4 triggers — max
+    // is split-invariant AND replay-absorbing (at-least-once-safe), so
+    // the streamed (id, est) must equal the batch t=1 round bit-for-
+    // bit; the oracle IS the batch g1 SQL. Decremental registers are
+    // impossible by construction (max cannot retract — documented)
+    "q227_streaming_hyperball" -> ((s, dir) =>
+      graft.streaming.StreamingOps.replayHyperballT1(c10Fixture(s, dir))),
   )
 
   /** Byte-level BPE fixture: the documents table with a deterministic
@@ -2633,7 +2641,7 @@ object SparkEntry {
     // rank via length(bin(y)) with the y=0 guard), 3 element-wise
     // register-max rounds over 16 columns, then the raw HLL estimator
     // as floor division of exact integers
-    val (hyperballSql, hyperballHcSql) = {
+    val (hyperballSql, hyperballHcSql, hyperballT1Sql) = {
       val regs = (0 until 16).map(j => s"r$j")
       val g0cols = (0 until 16).map(j =>
         s"CASE WHEN b = $j THEN rho ELSE 0 END AS r$j").mkString(", ")
@@ -2665,7 +2673,11 @@ object SparkEntry {
         "dd AS (SELECT id, t, est - LAG(est) OVER (PARTITION BY id ORDER BY t) AS diff FROM eb) " +
         "SELECT id, CAST(SUM((diff * 1000000) // t) AS BIGINT) AS hc_micro " +
         "FROM dd WHERE t >= 1 GROUP BY id"
-      (balls, hc)
+      // the streamed register maintenance must land on the batch g1
+      // round exactly (register max is split-invariant)
+      val t1 = prefix +
+        s" SELECT id, CAST(46246722929 // ($denom) AS BIGINT) AS est FROM g1"
+      (balls, hc, t1)
     }
     // layout quality: both strategies' replication factors and edge
     // balance in exact integers over the SAME portable hash
@@ -4354,6 +4366,7 @@ object SparkEntry {
       "q223_pps_sample" -> ppsSql,
       "q225_landmark_index" -> landmarkIdxSql,
       "q226_landmark_distances" -> landmarkEstSql,
+      "q227_streaming_hyperball" -> hyperballT1Sql,
       // the stream-ingested persisted index serves the same gate row
       "q219_ann_pq_stream_ingest" -> annGateSql,
       "q26_embedding_neardup" ->

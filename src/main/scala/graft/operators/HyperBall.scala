@@ -52,6 +52,29 @@ object HyperBall {
 
   private def regCols: Seq[String] = (0 until M).map(i => s"r$i")
 
+  /** The 16 register columns contributed by ONE vertex id `v` — the
+    * single-element sketch (bucket gets rho, the rest 0). Shared with
+    * the streaming register-maintenance parity harness, which must be
+    * bit-compatible with the batch rounds.
+    */
+  private[graft] def regColsOf(v: Column): Seq[Column] = {
+    val h = pmod(pmod(v.cast("long"), lit(2147483648L)) * lit(2654435761L),
+      lit(2147483648L))
+    val b = (h % M).cast("int")
+    val y = shiftright(h, 4) // = h div 16 for the nonnegative 31-bit h
+    val rho = when(y === 0, lit(28))
+      .otherwise(lit(28) - length(bin(y))).cast("int")
+    (0 until M).map(j => when(b === j, rho).otherwise(lit(0)).cast("int").as(s"r$j"))
+  }
+
+  /** The exact-integer raw HLL estimator over register columns r0..r15
+    * (floor division — both engines agree). */
+  private[graft] def estimator: Column = {
+    val denom = regCols.map(c => s"shiftleft(CAST(1 AS BIGINT), 28 - $c)")
+      .mkString(" + ")
+    expr(s"CAST($AlphaScaled AS BIGINT) div ($denom)")
+  }
+
   /** Per-vertex ball-size estimates for radii 1..k over the undirected
     * graph of `edges` (src, dst). `includeZero` additionally emits the
     * t = 0 row (the estimator over the single-element initial sketch) —

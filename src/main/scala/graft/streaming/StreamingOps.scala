@@ -1583,6 +1583,67 @@ object StreamingOps {
     }
   }
 
+  /** STREAMING HyperBall register maintenance (radius-1) —
+    * [[replayHllDistinct]]'s pattern for the GRAPH sketch: the t = 1
+    * ball registers of vertex v are the element-wise max of the
+    * single-element sketches of {v} ∪ N(v), and register max is
+    * associative/commutative/idempotent — so an update-mode streaming
+    * max-aggregation over the edge stream's per-endpoint contributions
+    * (u ← sketch(v), u ← sketch(u), both directions) maintains EXACTLY
+    * the batch registers regardless of trigger split or duplicate
+    * delivery (max absorbs replays — the at-least-once-safe class).
+    * The emitted (id, est) rows must therefore hash-equal the batch
+    * [[graft.operators.HyperBall.ballSizes]] t = 1 slice, which is
+    * what the q227 oracle checks (the batch SQL's g1 round). A
+    * DECREMENTAL variant is impossible by construction — max cannot
+    * retract (the known HLL limitation); deletions require a register
+    * rebuild of the touched vertices.
+    */
+  def replayHyperballT1(edges: DataFrame, nBatches: Int = 4): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val rows = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    rows.sortInPlaceBy(identity)
+    val stream = pinnedShuffleSession(spark, 8)
+    implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val name = "graft_replay_hb_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = replayCkpt("graft-replay-hb")
+    val e = ms.toDF().toDF("src", "dst").where(col("src") =!= col("dst"))
+    val contrib = e.select(col("src").as("id"), col("dst").as("n"))
+      .unionByName(e.select(col("dst").as("id"), col("src").as("n")))
+      .unionByName(e.select(col("src").as("id"), col("src").as("n")))
+      .unionByName(e.select(col("dst").as("id"), col("dst").as("n")))
+    val withRegs = contrib.select(
+      col("id") +: graft.operators.HyperBall.regColsOf(col("n")): _*)
+    val regNames = (0 until 16).map(j => s"r$j")
+    val agg = withRegs.groupBy("id")
+      .agg(max(col("r0")).as("r0"),
+        regNames.tail.map(c => max(col(c)).as(c)) :+ count(lit(1)).as("nc"): _*)
+    val q = agg.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(name).start()
+    try {
+      val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+      // last update per id = the row with the maximal running
+      // contribution count (strictly increasing per touched id)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("nc").desc)
+      val fin = stream.table(name)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("id"),
+          graft.operators.HyperBall.estimator.as("est"))
+        .as[(Long, Long)].collect()
+      spark.createDataset(fin.toIndexedSeq).toDF("id", "est")
+    } finally {
+      q.stop()
+      stream.catalog.dropTempView(name)
+    }
+  }
+
   /** Correctness-gate harness for the continuous globalAggregate (O15):
     * replay the edge VALUES through a MemoryStream across `nBatches`
     * complete-mode triggers of the running histogram; the final table

@@ -827,6 +827,25 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming HyperBall registers: split-invariant and replay-absorbing") {
+    import spark.implicits._
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L), (9L, 10L))
+    val edges = es.toDF("src", "dst")
+    def estSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = estSet(graft.operators.HyperBall
+      .ballSizes(edges, 1).select("id", "est"))
+    // any trigger split lands on the batch registers
+    for (nb <- Seq(1, 2, 4)) {
+      val got = estSet(StreamingOps.replayHyperballT1(edges, nBatches = nb))
+      assert(got == batch, s"nBatches=$nb: $got != $batch")
+    }
+    // at-least-once: duplicate delivery of every edge is absorbed by
+    // the register max — bit-identical result
+    val dup = (es ++ es).toDF("src", "dst")
+    assert(estSet(StreamingOps.replayHyperballT1(dup, nBatches = 3)) == batch)
+  }
+
   test("streaming top-k leaderboard: batch-split independent, ties by smaller key") {
     import spark.implicits._
     // purchase counts: u1=3, u2=3 (tie -> u1 first), u3=2, u4=1, u5=1,
