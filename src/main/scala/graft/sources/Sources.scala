@@ -309,4 +309,20 @@ object Sources {
     */
   def foreachBatchSink(df: DataFrame)(handler: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.foreachBatch(handler)
+
+  /** EXACTLY-ONCE path sink for foreachBatch: each micro-batch
+    * OVERWRITES its own `batch=<id>` directory instead of appending to
+    * a shared one — a retried batch (Structured Streaming re-delivers
+    * the same batchId after failure, the at-least-once caveat
+    * documented on the PQ stream-ingest path) replaces its previous
+    * partial/complete write rather than duplicating it, so the read
+    * view `spark.read.parquet(dir)` is idempotent under any retry
+    * pattern. This is the standard transactional-sink recipe when the
+    * store is a filesystem path (a table with MERGE keys is the other
+    * one); the batchId IS the transaction id, courtesy of the
+    * checkpoint's offset log.
+    */
+  def idempotentBatchWriter(dir: String): (DataFrame, Long) => Unit =
+    (df: DataFrame, batchId: Long) =>
+      df.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
 }
