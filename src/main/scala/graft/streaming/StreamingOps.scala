@@ -1434,27 +1434,39 @@ object StreamingOps {
     val stream = pinnedShuffleSession(spark, 8)
     implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-    val name = "graft_replay_minhash_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = replayCkpt("graft-replay-minhash")
+    // q193's sink discipline: a pair colliding in several of the 8
+    // bands is emitted once PER BAND (state is (band, key)-keyed), so
+    // candidates sink executor-side to tmpfs parquet via foreachBatch
+    // instead of accumulating multiplied on the driver memory sink +
+    // collect; the caller session reads the PATH (no cross-session
+    // table, no collect)
+    val outDir = replayCkpt("graft-replay-minhash-out") + "/pairs"
+    val empty = stream.createDataFrame(
+      stream.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_b", org.apache.spark.sql.types.LongType))))
+    empty.write.mode("overwrite").parquet(outDir) // schema anchor
     val q = streamingMinhashCandidates(ms.toDF().toDF("doc_id", "text"), n)
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
-      .format("memory").queryName(name).start()
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(outDir)
+      }.start()
     try {
       val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
       rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
-      val cands = stream.table(name)
+      val candsDF = spark.read.parquet(outDir)
         .select(col("doc_a"), col("doc_b")).distinct()
-        .as[(Long, Long)].collect()
-      // verify on the CALLER's session (the memory sink lives on the
-      // pinned clone); candidates ∝ true near-dups, tiny by design
-      val candsDF = spark.createDataset(cands.toIndexedSeq).toDF("doc_a", "doc_b")
+        .localCheckpoint(true)
       val sh = graft.functions.Dedup.shingles(docs, n).localCheckpoint(true)
       val counts = sh.groupBy(col("doc_id")).agg(count("*").as("n_sh"))
       graft.functions.Dedup.jaccardOfPairs(candsDF, sh, counts, threshold)
     } finally {
       q.stop()
-      stream.catalog.dropTempView(name)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(outDir).getParentFile)
     }
   }
 
