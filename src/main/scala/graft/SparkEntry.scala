@@ -2344,6 +2344,17 @@ object SparkEntry {
     // impossible by construction (max cannot retract — documented)
     "q227_streaming_hyperball" -> ((s, dir) =>
       graft.streaming.StreamingOps.replayHyperballT1(c10Fixture(s, dir))),
+    // corpus-overlap pre-flight by HLL register algebra: |A∩B| ≈
+    // est(A)+est(B)−est(A∪B), three register banks from ONE
+    // aggregation over one pass of each corpus — the sizing check a
+    // 100 TB pipeline runs BEFORE committing to the exact
+    // decontamination join (q203's split reused: bench = doc_id%10==7)
+    "q228_corpus_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.Sketches.tokenOverlap(
+        docs.where(col("doc_id") % 10 =!= 7),
+        docs.where(col("doc_id") % 10 === 7))
+    }),
   )
 
   /** Byte-level BPE fixture: the documents table with a deterministic
@@ -2733,6 +2744,37 @@ object SparkEntry {
         "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
         s"WHERE $sentinel"
       (idxSql, estSql)
+    }
+    // corpus overlap: the q220 register discipline over md5-prefixed
+    // token integers, three conditional register banks in one GROUP BY,
+    // inclusion–exclusion on the floor-division estimates
+    val corpusOverlapSql = {
+      val names = (0 until 16).map(j => s"r$j")
+      val gcols = (0 until 16).map(j =>
+        s"CASE WHEN b = $j THEN rho ELSE 0 END AS r$j").mkString(", ")
+      val bankCols = (
+        names.map(c => s"MAX(CASE WHEN s = 0 THEN $c ELSE 0 END) AS a_$c") ++
+          names.map(c => s"MAX(CASE WHEN s = 1 THEN $c ELSE 0 END) AS b_$c") ++
+          names.map(c => s"MAX($c) AS u_$c") ++
+          Seq("SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS n_a",
+            "SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n_b")).mkString(", ")
+      def est(p: String, guard: String) = {
+        val denom = names.map(c => s"(1::BIGINT << (28 - ${p}_$c))").mkString(" + ")
+        s"CAST(CASE WHEN $guard = 0 THEN 0 ELSE 46246722929 // ($denom) END AS BIGINT)"
+      }
+      "WITH tok AS (SELECT lang, CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END AS s, " +
+        "unnest(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')) AS token " +
+        "FROM documents), " +
+        "hh AS (SELECT lang, s, ((CAST(CAST('0x' || substr(md5(token), 1, 8) AS UBIGINT) " +
+        "% 2147483648 AS BIGINT) % 2147483648) * 2654435761) % 2147483648 AS h FROM tok), " +
+        "rr AS (SELECT lang, s, h % 16 AS b, CASE WHEN h // 16 = 0 THEN 28 " +
+        "ELSE 28 - length(bin(h // 16)) END AS rho FROM hh), " +
+        s"g AS (SELECT lang, s, $gcols FROM rr), " +
+        s"banks AS (SELECT lang, $bankCols FROM g GROUP BY lang), " +
+        s"ests AS (SELECT lang, ${est("a", "n_a")} AS est_a, ${est("b", "n_b")} AS est_b, " +
+        s"${est("u", "n_a + n_b")} AS est_union FROM banks) " +
+        "SELECT lang, est_a, est_b, est_union, " +
+        "est_a + est_b - est_union AS overlap_est FROM ests"
     }
     // systematic PPS: ONE global window here (the oracle's job is the
     // answer, not the layout) — the Spark side's bucketed two-level
@@ -4367,6 +4409,7 @@ object SparkEntry {
       "q225_landmark_index" -> landmarkIdxSql,
       "q226_landmark_distances" -> landmarkEstSql,
       "q227_streaming_hyperball" -> hyperballT1Sql,
+      "q228_corpus_overlap" -> corpusOverlapSql,
       // the stream-ingested persisted index serves the same gate row
       "q219_ann_pq_stream_ingest" -> annGateSql,
       "q26_embedding_neardup" ->

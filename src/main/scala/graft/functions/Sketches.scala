@@ -98,4 +98,62 @@ object Sketches {
         (abs(col("n_approx") - col("n_exact")) <=
           col("n_exact") * lit(5 * rsd)).as("within_tol"))
   }
+
+  /** Corpus OVERLAP estimation by HLL register algebra — sizing the
+    * train∩bench token overlap per language WITHOUT the join/anti-join
+    * a full decontamination pays: |A∩B| ≈ est(A) + est(B) − est(A∪B)
+    * (inclusion–exclusion; the union sketch is the element-wise max of
+    * the two register banks — the mergeability that makes the whole
+    * estimate one aggregation over one pass of each corpus). The
+    * standard pre-flight before committing to an exact decontamination
+    * run at 100 TB: if the overlap estimate is ~0, skip the join.
+    *
+    * Engine-portable and exact-integer end to end: token → 31-bit
+    * integer via the md5-hex prefix (the q192 bucket trick both engines
+    * compute identically) → the q220 register discipline
+    * (multiplicative hash, 16 bucket/rank INT registers, floor-division
+    * estimator). ONE aggregation computes all three register banks —
+    * per-side banks via conditional max, the union bank via plain max —
+    * so each corpus is scanned once. The overlap estimate can be
+    * slightly negative at tiny cardinalities (estimator noise);
+    * emitted as-is, deterministically.
+    *
+    * Output: (lang, est_a, est_b, est_union, overlap_est) for every
+    * lang present in either side.
+    */
+  def tokenOverlap(a: DataFrame, b: DataFrame): DataFrame = {
+    def tokens(df: DataFrame, side: Int) = df
+      .select(col("lang"), lit(side).as("s"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+      .where(col("token") =!= "")
+    val both = tokens(a, 0).unionByName(tokens(b, 1))
+      // md5-hex prefix → 31-bit integer, then the q220 register columns
+      .withColumn("x",
+        expr("conv(substring(md5(token), 1, 8), 16, 10)").cast("long")
+          % lit(2147483648L))
+    val withRegs = both.select(
+      col("lang") +: col("s") +:
+        graft.operators.HyperBall.regColsOf(col("x")): _*)
+    val names = (0 until 16).map(j => s"r$j")
+    val aggs =
+      names.map(c => max(when(col("s") === 0, col(c)).otherwise(0)).as(s"a_$c")) ++
+        names.map(c => max(when(col("s") === 1, col(c)).otherwise(0)).as(s"b_$c")) ++
+        names.map(c => max(col(c)).as(s"u_$c")) ++
+        Seq(sum(when(col("s") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("s") === 1, 1L).otherwise(0L)).as("n_b"))
+    val banks = withRegs.groupBy("lang").agg(aggs.head, aggs.tail: _*)
+    // a side with zero tokens for the lang reports 0, not the empty
+    // sketch's estimator floor (~10)
+    def est(prefix: String, guard: String) = {
+      val denom = names.map(c =>
+        s"shiftleft(CAST(1 AS BIGINT), 28 - ${prefix}_$c)").mkString(" + ")
+      expr(s"CASE WHEN $guard = 0 THEN CAST(0 AS BIGINT) " +
+        s"ELSE CAST(46246722929 AS BIGINT) div ($denom) END")
+    }
+    banks.select(col("lang"),
+      est("a", "n_a").as("est_a"), est("b", "n_b").as("est_b"),
+      est("u", "n_a + n_b").as("est_union"))
+      .withColumn("overlap_est",
+        col("est_a") + col("est_b") - col("est_union"))
+  }
 }

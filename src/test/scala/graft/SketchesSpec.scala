@@ -38,4 +38,29 @@ class SketchesSpec extends SparkTestBase {
     assert(rows(2L) == ((2L, 1L, 1.0)))
     assert(rows(3L) == ((3L, 1L, 0.333333)))
   }
+
+  test("tokenOverlap: identical corpora share everything, disjoint share ~0") {
+    import spark.implicits._
+    def corpus(prefix: String, n: Int) = (1 to 50).map(i =>
+      (i.toLong, "en", (0 until n).map(j => s"$prefix${(i * 7 + j) % 300}").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val a = corpus("w", 20)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // identical: union registers == each side's → overlap == est
+    val same = rows(graft.functions.Sketches.tokenOverlap(a, a))("en")
+    assert(same._1 == same._2 && same._3 == same._1 && same._4 == same._1)
+    // disjoint vocabularies: union ≈ sum → overlap ≈ 0 (estimator
+    // noise bounded: m=16 ⇒ |overlap| well under half of either side)
+    val disj = rows(graft.functions.Sketches.tokenOverlap(a, corpus("z", 20)))("en")
+    assert(math.abs(disj._4) < disj._1 / 2,
+      s"disjoint corpora overlap estimate too large: $disj")
+    // a lang absent from one side reports est 0 there, not the empty
+    // sketch's estimator floor
+    val b2 = Seq((1L, "fr", "bonjour le monde")).toDF("doc_id", "lang", "text")
+    val only = rows(graft.functions.Sketches.tokenOverlap(a, b2))
+    assert(only("fr")._1 == 0L && only("fr")._2 > 0L)
+    assert(only("en")._2 == 0L && only("en")._1 > 0L)
+  }
 }
