@@ -266,11 +266,16 @@ object Corpus {
   def ppsSample(docs: DataFrame, k: Int, buckets: Int = 256): DataFrame = {
     require(k >= 1, s"pps sample size must be >= 1, got $k")
     val width = (2147483648L + buckets - 1) / buckets
+    // ONE corpus scan: base feeds both the bucket subtotals and the
+    // final join (the two-consumer eager-cut rule), and the ≤`buckets`-
+    // row offs frame feeds both the prefix window and the total
+    import graft.Lineage.CutOps
     val base = docs.select(col("doc_id").cast("long").as("doc_id"),
         size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("w"))
       .withColumn("pri", graft.Portable.prio31(col("doc_id")))
       .withColumn("bkt", expr(s"pri div $width"))
-    val offs = base.groupBy("bkt").agg(sum(col("w")).as("bw"))
+      .cutLineage()
+    val offs = base.groupBy("bkt").agg(sum(col("w")).as("bw")).cutLineage()
     val owin = org.apache.spark.sql.expressions.Window
       .orderBy(col("bkt"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

@@ -92,26 +92,15 @@ object HyperBall {
     val sym = e.union(e.select(col("v"), col("u"))).distinct()
       .cutLineage()
 
-    // h, bucket, rank — exact integers; bitlen via length(bin(y)) with
-    // the y=0 guard (bin(0) = "0" has length 1, not 0)
-    val init = sym.select(col("u").as("id")).distinct()
-      .withColumn("h", pmod(pmod(col("id"), lit(2147483648L)) * lit(2654435761L),
-        lit(2147483648L)))
-      .withColumn("b", (col("h") % M).cast("int"))
-      .withColumn("y", expr("h div 16"))
-      .withColumn("rho",
-        when(col("y") === 0, lit(28))
-          .otherwise(lit(28) - length(bin(col("y")))).cast("int"))
-    var state = init.select(
-      col("id") +: (0 until M).map(j =>
-        when(col("b") === j, col("rho")).otherwise(lit(0)).cast("int").as(s"r$j")): _*)
+    // initial state = every vertex's single-element sketch — THE shared
+    // register contract ([[regColsOf]]/[[estimator]]), not an inline
+    // copy, so the q227 streaming parity and q228 overlap sketch can
+    // never drift from the batch rounds
+    var state = sym.select(col("u").as("id")).distinct()
+      .select(col("id") +: regColsOf(col("id")): _*)
       .cutLineage()
 
-    val estCol: Column = {
-      val denom = regCols.map(c => s"shiftleft(CAST(1 AS BIGINT), 28 - $c)")
-        .mkString(" + ")
-      expr(s"CAST($AlphaScaled AS BIGINT) div ($denom)")
-    }
+    val estCol: Column = estimator
 
     val zero =
       if (includeZero)

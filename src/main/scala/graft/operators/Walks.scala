@@ -31,25 +31,45 @@ import org.apache.spark.sql.functions._
   */
 object Walks {
 
-  def deterministicWalks(edges: DataFrame, len: Int): DataFrame = {
-    require(len >= 0, s"walk length must be non-negative, got $len")
+  /** Symmetrized, dedup'd, self-loop-free, checkpointed edge view —
+    * ONE definition for both walk variants (drift here silently breaks
+    * the documented step-1 equivalence between them).
+    */
+  private def symOf(edges: DataFrame): DataFrame = {
     val half = edges.select(col("src").cast("long").as("u"),
       col("dst").cast("long").as("v"))
-    val sym = half.union(half.select(col("v"), col("u")))
+    half.union(half.select(col("v"), col("u")))
       .where(col("u") =!= col("v")).distinct().cutLineage()
+  }
+
+  /** The portable step-keyed coin h(cur, t, v) — the ONE hash both walk
+    * variants and both oracles unroll.
+    */
+  private def stepHash(t: Int): org.apache.spark.sql.Column = {
     val t31 = lit(2147483648L)
+    pmod(pmod(pmod(col("cur") % t31 * 31 + lit(t.toLong), t31) * 31
+      + col("v"), t31) * lit(2654435761L), t31)
+  }
+
+  /** One UNIFORM step: every walker moves to the argmin-hash neighbor
+    * of its current vertex. Returns (start_id, cur). Shared verbatim by
+    * [[deterministicWalks]] (every step) and [[biasedWalks]] (step 1).
+    */
+  private def uniformStep(cur: DataFrame, sym: DataFrame, t: Int): DataFrame =
+    cur.join(sym, cur("cur") === sym("u"))
+      .groupBy("start_id")
+      .agg(min(struct(stepHash(t).as("h"), col("v").as("n"))).as("m"))
+      .select(col("start_id"), col("m.n").as("cur"))
+
+  def deterministicWalks(edges: DataFrame, len: Int): DataFrame = {
+    require(len >= 0, s"walk length must be non-negative, got $len")
+    val sym = symOf(edges)
     var cur = sym.select(col("u").as("start_id")).distinct()
       .withColumn("cur", col("start_id")).cutLineage()
     val frames = scala.collection.mutable.ArrayBuffer(
       cur.select(col("start_id"), lit(0L).as("step"), col("cur").as("vertex")))
     for (t <- 1 to len) {
-      val h = pmod(pmod(pmod(col("cur") % t31 * 31 + lit(t.toLong), t31) * 31
-        + col("v"), t31) * lit(2654435761L), t31)
-      cur = cur.join(sym, cur("cur") === sym("u"))
-        .groupBy("start_id")
-        .agg(min(struct(h.as("h"), col("v").as("n"))).as("m"))
-        .select(col("start_id"), col("m.n").as("cur"))
-        .cutLineage()
+      cur = uniformStep(cur, sym, t).cutLineage()
       frames += cur.select(col("start_id"), lit(t.toLong).as("step"),
         col("cur").as("vertex"))
     }
@@ -92,32 +112,24 @@ object Walks {
                   fFar: Long = 2L): DataFrame = {
     require(len >= 0, s"walk length must be non-negative, got $len")
     require(fReturn > 0 && fNear > 0 && fFar > 0, "bias factors must be positive")
-    val half = edges.select(col("src").cast("long").as("u"),
-      col("dst").cast("long").as("v"))
-    val sym = half.union(half.select(col("v"), col("u")))
-      .where(col("u") =!= col("v")).distinct().cutLineage()
-    val t31 = lit(2147483648L)
-    def h(t: Int) = pmod(pmod(pmod(col("cur") % t31 * 31 + lit(t.toLong), t31) * 31
-      + col("v"), t31) * lit(2654435761L), t31)
-
+    val sym = symOf(edges)
     var cur = sym.select(col("u").as("start_id")).distinct()
       .withColumn("cur", col("start_id")).cutLineage()
     val frames = scala.collection.mutable.ArrayBuffer(
       cur.select(col("start_id"), lit(0L).as("step"), col("cur").as("vertex")))
-    // step 1: uniform coin, prev = start
+    // step 1: THE uniform coin ([[uniformStep]] — shared, not copied),
+    // prev = start
     if (len >= 1) {
-      cur = cur.join(sym, cur("cur") === sym("u"))
-        .groupBy("start_id")
-        .agg(min(struct(h(1).as("h"), col("v").as("n"))).as("m"))
-        .select(col("start_id"), col("start_id").as("prev"),
-          col("m.n").as("cur"))
+      cur = uniformStep(cur, sym, 1)
+        .select(col("start_id"), col("start_id").as("prev"), col("cur"))
         .cutLineage()
       frames += cur.select(col("start_id"), lit(1L).as("step"),
         col("cur").as("vertex"))
     }
     for (t <- 2 to len) {
       val cands = cur.join(sym, cur("cur") === sym("u"))
-        .select(col("start_id"), col("prev"), col("cur"), col("v"), h(t).as("hv"))
+        .select(col("start_id"), col("prev"), col("cur"), col("v"),
+          stepHash(t).as("hv"))
       // d(prev, n) = 1 iff (prev, n) is an edge — one join against the
       // static symmetric edge list, flagging candidates
       val adj = sym.select(col("u").as("prev"), col("v"), lit(1).as("near"))

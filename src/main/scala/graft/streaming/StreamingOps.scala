@@ -1437,23 +1437,22 @@ object StreamingOps {
     val ckpt = replayCkpt("graft-replay-minhash")
     // q193's sink discipline: a pair colliding in several of the 8
     // bands is emitted once PER BAND (state is (band, key)-keyed), so
-    // candidates sink executor-side to tmpfs parquet via foreachBatch
-    // instead of accumulating multiplied on the driver memory sink +
-    // collect; the caller session reads the PATH (no cross-session
-    // table, no collect)
+    // candidates sink executor-side to tmpfs parquet via the
+    // exactly-once per-batch writer instead of accumulating multiplied
+    // on the driver memory sink + collect; the caller session reads
+    // the PATH (no cross-session table, no collect)
     val outDir = replayCkpt("graft-replay-minhash-out") + "/pairs"
+    val sink = graft.sources.Sources.idempotentBatchWriter(outDir)
     val empty = stream.createDataFrame(
       stream.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_a", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("doc_b", org.apache.spark.sql.types.LongType))))
-    empty.write.mode("overwrite").parquet(outDir) // schema anchor
+    sink(empty, -1L) // schema anchor in its own batch dir
     val q = streamingMinhashCandidates(ms.toDF().toDF("doc_id", "text"), n)
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        df.write.mode("append").parquet(outDir)
-      }.start()
+      .foreachBatch(sink).start()
     try {
       val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
       rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
@@ -1552,23 +1551,24 @@ object StreamingOps {
     // dedup can't happen in state), so the memory sink used to
     // accumulate the multiplied stream on the driver and the final
     // distinct().collect() hauled it all back again — measured as
-    // nearly all of q193's wall. Executor-side appends + a path-based
-    // re-read keep every pair off the driver; the caller session reads
-    // the path directly (no cross-session table, no collect)
+    // nearly all of q193's wall. Executor-side per-batch OVERWRITE
+    // directories (Sources.idempotentBatchWriter — exactly-once under
+    // retry) + a path-based re-read keep every pair off the driver;
+    // the caller session reads the path directly (no cross-session
+    // table, no collect)
     val outDir = replayCkpt("graft-replay-lsh-out") + "/pairs"
+    val sink = graft.sources.Sources.idempotentBatchWriter(outDir)
     val empty = stream.createDataFrame(
       stream.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_a", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("vec_b", org.apache.spark.sql.types.LongType))))
-    empty.write.mode("overwrite").parquet(outDir) // schema anchor: zero candidates still read
+    sink(empty, -1L) // schema anchor in its own batch dir: zero candidates still read
     val q = streamingLshCandidates(ms.toDF().toDF("vec_id", "embedding"),
         nTables, nPlanes, dim)
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        df.write.mode("append").parquet(outDir)
-      }.start()
+      .foreachBatch(sink).start()
     try {
       val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
       rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
