@@ -73,8 +73,6 @@ object Bench {
       .mkString("{", ",", "}")
     val fj = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
-    println(line)
     // sidecar copy: the driver's BENCH_r{N}.json keeps only the last
     // ~2 KB of stdout, which truncates the per-query map past ~60
     // queries — persist the complete line so every query stays
@@ -90,11 +88,6 @@ object Bench {
     // explicit SPARK_GRAFT_BENCH_OUT (scratch/dev output) writes
     // unconditionally — it is not the canonical record.
     val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-    // a SPARK_GRAFT_ONLY dev run covers a PARTIAL query set: it must
-    // never touch the canonical snapshot (the "changed query set
-    // replaces" rule below would otherwise let a 3-query dev run
-    // clobber the full-set record — observed once)
-    if (only.nonEmpty && benchOut.isEmpty) { spark.stop(); return }
     val sidecarPath = java.nio.file.Paths.get(
       benchOut.getOrElse("BENCH_SIDECAR.json"))
     val qNames = results.keySet
@@ -110,11 +103,29 @@ object Bench {
           for (vv <- v; nn <- names; ss <- sf) yield (vv, nn, ss)
         }
       } catch { case _: Throwable => None }
-    val keepPrev = benchOut.isEmpty && parsePrev(sidecarPath).exists {
+    val prev = parsePrev(sidecarPath)
+    val keepPrev = benchOut.isEmpty && only.isEmpty && prev.exists {
       case (prevTotal, prevNames, prevSf) =>
         prevNames == qNames && prevSf == sfDir &&
           (failed.nonEmpty || prevTotal <= total)
     }
+    // when the best-of guard keeps a faster prior record, say so IN the
+    // round artifact itself: a reader of BENCH_rN.json alone would
+    // otherwise see only the slowest window of a multi-run spread and
+    // have to dig the sidecar/history for the canonical floor
+    // (VERDICT r10 "what's wrong" #4)
+    val keptField = prev match {
+      case Some((prevTotal, _, _)) if keepPrev =>
+        s""","kept_floor":$prevTotal,"kept_floor_note":"canonical BENCH_SIDECAR.json keeps the faster same-set run""""
+      case _ => ""
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"$keptField}"""
+    println(line)
+    // a SPARK_GRAFT_ONLY dev run covers a PARTIAL query set: it must
+    // never touch the canonical snapshot (the "changed query set
+    // replaces" rule below would otherwise let a 3-query dev run
+    // clobber the full-set record — observed once)
+    if (only.nonEmpty && benchOut.isEmpty) { spark.stop(); return }
     if (keepPrev)
       System.err.println(s"[bench] sidecar kept: prior run over the same " +
         s"query set is faster (this run $total s)")

@@ -86,11 +86,22 @@ object SparkEntry {
       new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, Int)]()
     private val uses =
       new java.util.concurrent.ConcurrentHashMap[(Int, String), Integer]()
+    // checkpoints retired by maxUses expiry whose blocks a NON-sweeping
+    // harness would otherwise leak until app end (ADVICE r10): the
+    // unpersist is deferred to the next rebuild for the same key — the
+    // expiring consumer's plan still reads the blocks, so an immediate
+    // unpersist would break it — bounding the leak to ONE retired
+    // checkpoint per key instead of one per expiry
+    private val retired =
+      new java.util.concurrent.ConcurrentHashMap[(Int, String), Integer]()
 
     def apply(s: SparkSession, dir: String): DataFrame = {
       val sid = System.identityHashCode(s)
       val key = (sid, dir)
       val (df, cpId) = cache.computeIfAbsent(key, _ => {
+        Option(retired.remove(key)).foreach(old =>
+          s.sparkContext.getPersistentRDDs.get(old.intValue)
+            .foreach(_.unpersist(false)))
         val before = s.sparkContext.getPersistentRDDs.keySet
         val cp = build(s, dir).localCheckpoint(true)
         // pin the checkpoint's OWN rdd, read off its LogicalRDD plan — no
@@ -117,6 +128,7 @@ object SparkEntry {
           override def onApplicationEnd(
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
             cache.remove(key); uses.remove(key); pinned.remove((sid, id))
+            retired.remove(key)
           }
         })
         (cp, id)
@@ -127,6 +139,7 @@ object SparkEntry {
         cache.remove(key)
         uses.remove(key)
         pinned.remove((sid, cpId))
+        retired.put(key, Int.box(cpId))
       }
       df
     }

@@ -46,8 +46,12 @@ import org.apache.spark.sql.functions._
 object HyperBall {
 
   private val M = 16
-  // round(0.673 * 16^2 * 2^28) — the alpha_16 HLL constant pre-scaled
-  // onto the 2^28 register-term grid, pinned identically in the oracle
+  // the alpha_16 HLL constant pre-scaled onto the 2^28 register-term
+  // grid, PINNED AS-IS: the oracle SQL and every spec carry this exact
+  // literal, which is what the parity rests on. It is NOT re-derivable
+  // as round(0.673 * 16^2 * 2^28) — that gives 46248207843, ~0.003%
+  // off; do not "fix" one side without changing oracle + specs in the
+  // same commit (ADVICE r10)
   private val AlphaScaled = 46246722929L
 
   private def regCols: Seq[String] = (0 until M).map(i => s"r$i")

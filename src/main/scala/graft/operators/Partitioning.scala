@@ -61,12 +61,19 @@ object Partitioning {
       val bal = ep.groupBy("p").agg(count(lit(1)).as("pe"))
         .agg(max(col("pe")).as("max_part_edges"),
           sum(col("pe")).as("n_edges"))
+      // degenerate (edgeless) input: the global aggs produce one row of
+      // n_verts = 0 with NULL sum/max — emit fully-typed zeros instead
+      // of NULL metrics that would NPE a getLong reader (ADVICE r10)
       repl.crossJoin(bal).select(
         lit(name).as("strategy"),
-        col("n_verts"), col("repl_sum"), col("repl_max"),
-        expr("repl_sum * 1000000 div n_verts").as("repl_avg_micro"),
-        col("max_part_edges"),
-        expr(s"max_part_edges * $parts * 1000000 div n_edges").as("balance_micro"))
+        col("n_verts"),
+        coalesce(col("repl_sum"), lit(0L)).as("repl_sum"),
+        coalesce(col("repl_max"), lit(0L)).as("repl_max"),
+        expr("CASE WHEN n_verts = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE repl_sum * 1000000 div n_verts END").as("repl_avg_micro"),
+        coalesce(col("max_part_edges"), lit(0L)).as("max_part_edges"),
+        expr(s"CASE WHEN coalesce(n_edges, 0) = 0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE max_part_edges * $parts * 1000000 div n_edges END").as("balance_micro"))
     }.reduce(_ unionByName _)
   }
 }

@@ -115,6 +115,12 @@ object Traversals {
         .cutLineage()
       if (next.isEmpty) done = true else frontiers ::= next
     }
+    // fail loud, never truncate silently (the boruvka/coreness
+    // convention): a graph with eccentricity past maxIter would
+    // otherwise hand callers a silently incomplete index (ADVICE r10)
+    require(done,
+      s"landmarkDistances: frontier still non-empty after $maxIter rounds — " +
+        "raise maxIter; a truncated index under-serves every query")
     frontiers.map(_.select(col("lm"), col("id"), col("dist")))
       .reduce(_ union _)
   }

@@ -43,10 +43,16 @@ class PartitioningSpec extends SparkTestBase {
     assert(rows("grid2d") <= 15)
   }
 
-  test("empty input yields the two strategy rows with zero vertices") {
+  test("empty input yields two FULLY-TYPED zero rows (no NULL metrics)") {
     import spark.implicits._
     val rows = Partitioning.layoutQuality(
       Seq.empty[(Long, Long)].toDF("src", "dst"), 64).collect()
-    assert(rows.length == 2 && rows.forall(_.getLong(1) == 0L))
+    assert(rows.length == 2)
+    // every metric column must be a readable 0, not NULL — a getLong
+    // reader of the degenerate row must not NPE (ADVICE r10)
+    rows.foreach { r =>
+      (1 to 6).foreach(i => assert(!r.isNullAt(i), s"col $i NULL in $r"))
+      (1 to 6).foreach(i => assert(r.getLong(i) == 0L))
+    }
   }
 }
