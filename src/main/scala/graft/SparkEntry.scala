@@ -2357,6 +2357,32 @@ object SparkEntry {
     // impossible by construction (max cannot retract — documented)
     "q227_streaming_hyperball" -> ((s, dir) =>
       graft.streaming.StreamingOps.replayHyperballT1(c10Fixture(s, dir))),
+    // ANN INDEX DELETION — the takedown half completing the index
+    // lifecycle matrix (build q162 / persist q212 / stream-ingest q219
+    // / DELETE here): the model trains on the FULL corpus, its codes
+    // persist, then every vec_id % 10 == 3 is tombstoned out of the
+    // bucketed codes table by a broadcast anti-join (no re-encode, no
+    // re-train — codebooks untouched), and a FRESH session serves the
+    // recall gate from the shrunken index against the NET vector set.
+    // Completeness is folded into the gate flag: a surviving tombstone
+    // OR an over-delete flips the count check even if recall holds
+    "q229_ann_pq_deleted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.functions.PQ.fit(emb)
+      graft.functions.PQ.save(model,
+        graft.functions.PQ.index(emb, model), "graft_pq_del_idx")
+      graft.functions.PQ.delete(s, "graft_pq_del_idx",
+        emb.where(col("vec_id") % 10 === 3).select("vec_id"))
+      val fresh = s.newSession()
+      val (m2, codes) = graft.functions.PQ.load(fresh, "graft_pq_del_idx")
+      val net = Tables.embeddings(fresh, dir).where(col("vec_id") % 10 =!= 3)
+      val q = net.where(col("vec_id") <= 9)
+      val complete = codes.count() == net.count()
+      recallGate(Similarity.bruteForceTopK(net, q, 5),
+          graft.functions.PQ.topK(codes, net, q, m2, 5, shortlist = 64), 0.5)
+        .select(col("n_queries"), col("n_exact"),
+          (col("recall_ok") && lit(complete)).as("recall_ok"))
+    }),
     // corpus-overlap pre-flight by HLL register algebra: |A∩B| ≈
     // est(A)+est(B)−est(A∪B), three register banks from ONE
     // aggregation over one pass of each corpus — the sizing check a
@@ -4425,6 +4451,12 @@ object SparkEntry {
       "q228_corpus_overlap" -> corpusOverlapSql,
       // the stream-ingested persisted index serves the same gate row
       "q219_ann_pq_stream_ingest" -> annGateSql,
+      // deletion gate: the query set and exact side both live in the
+      // NET (tombstone-free) vector universe
+      "q229_ann_pq_deleted" ->
+        ("SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries, " +
+          "CAST(COUNT(DISTINCT vec_id) * 5 AS BIGINT) AS n_exact, " +
+          "true AS recall_ok FROM embeddings WHERE vec_id <= 9 AND vec_id % 10 <> 3"),
       "q26_embedding_neardup" ->
         ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
           "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim " +

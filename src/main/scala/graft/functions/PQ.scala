@@ -206,6 +206,45 @@ object PQ {
       .saveAsTable(s"${name}_codebooks")
   }
 
+  /** DELETE maintenance for a [[save]]d index — the takedown /
+    * right-to-erasure half of the lifecycle ([[save]] builds,
+    * [[graft.streaming.StreamingOps.replayPqIngest]] appends, this
+    * removes). PQ codes are strictly per-vector rows, so deletion is
+    * EXACT removal — unlike HLL registers, nothing here needs a
+    * rebuild: the tombstoned vec_ids leave via ONE anti-join against
+    * the persisted bucketed codes table (tombstone sets are tiny by
+    * nature — broadcast — so the scan side never shuffles), the
+    * codebooks are untouched, and NO surviving vector is re-encoded
+    * (re-training on deletion would change every code and every
+    * cached query's distance table for no accuracy gain).
+    *
+    * This harness-scale writer rewrites the whole codes table
+    * (copy-on-write). At 10⁹ vectors, partition the codes table by
+    * bucket id on top of the bucketBy layout and rewrite ONLY the
+    * buckets the tombstones hash into (partition-pruned read +
+    * targeted overwrite), or keep a merge-on-read tombstone side
+    * table that serving anti-joins and a compaction job folds in —
+    * both read paths are this same anti-join, just scheduled
+    * differently.
+    *
+    * Idempotent: deleting an absent vec_id is a no-op; a replayed
+    * delete finds nothing left to remove.
+    */
+  def delete(spark: org.apache.spark.sql.SparkSession, name: String,
+             tombstones: DataFrame, nBuckets: Int = 8): Unit = {
+    val codes = spark.table(s"${name}_codes")
+    // pin the survivors off the table's storage BEFORE the overwrite
+    // drops it (Spark refuses to overwrite a table from a plan that
+    // reads it; the eager localCheckpoint cuts that cycle)
+    val kept = codes.join(
+        broadcast(tombstones.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    graft.sources.Sources.dropManagedTable(spark, s"${name}_codes")
+    graft.sources.Sources.writeBucketed(kept, s"${name}_codes",
+      "vec_id", nBuckets, sortCols = Seq("vec_id"))
+  }
+
   /** Reload a [[save]]d index: (model, codes). The codes DataFrame IS
     * the bucketed table scan — serving re-encodes NOTHING (spec asserts
     * the plan reads `name_codes` and contains no corpus-side encoder);

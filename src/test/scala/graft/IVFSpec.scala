@@ -128,6 +128,49 @@ class IVFSpec extends SparkTestBase {
     assert(reloaded == direct)
   }
 
+  test("PQ delete: tombstones leave exactly, absent-delete is a no-op, ingest re-adds") {
+    import graft.functions.PQ
+    val model = PQ.fit(emb, m = 8, ks = 16, iters = 3)
+    PQ.save(model, PQ.index(emb, model), "graft_pq_del_spec")
+    val n = emb.count()
+    val tombVecs = emb.where(col("vec_id") % 7 === 2)
+    val tomb = tombVecs.select("vec_id")
+    val nTomb = tomb.count()
+    assert(nTomb > 0 && nTomb < n)
+    PQ.delete(spark, "graft_pq_del_spec", tomb)
+    val fresh = spark.newSession()
+    val (m2, codes) = PQ.load(fresh, "graft_pq_del_spec")
+    // deletion never touches the model
+    assert(m2.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // exact removal: count, no tombstone survives, and every SURVIVOR's
+    // codes are bit-identical to a fresh encode (nothing was re-encoded
+    // or perturbed by the rewrite)
+    assert(codes.count() == n - nTomb)
+    assert(codes.join(tomb, Seq("vec_id"), "left_semi").count() == 0)
+    def codeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSet
+    val expected = codeSet(
+      PQ.index(emb.join(tomb, Seq("vec_id"), "left_anti"), model))
+    assert(codeSet(codes) == expected)
+    // serving the shrunken index never surfaces a deleted neighbor
+    val net = Tables.embeddings(fresh, sf).where(col("vec_id") % 7 =!= 2)
+    val served = PQ.topK(codes, net, net.where(col("vec_id") <= 9), m2, 5)
+      .collect().map(_.getLong(2)).toSet
+    assert(served.forall(_ % 7 != 2))
+    // absent-delete (replayed takedown) is a no-op
+    PQ.delete(spark, "graft_pq_del_spec", tomb)
+    assert(codeSet(spark.table("graft_pq_del_spec_codes")) == expected)
+    // the stream-ingest path re-adds through the FROZEN codebooks and
+    // the index is whole again
+    graft.streaming.StreamingOps.replayPqIngest(
+      tombVecs, model, "graft_pq_del_spec", nBatches = 2)
+    // read through a fresh session: the appends came from another
+    // session, and this one's cached table relation would be stale
+    assert(codeSet(spark.newSession().table("graft_pq_del_spec_codes")) ==
+      codeSet(PQ.index(emb, model)))
+  }
+
   test("sampled training (maxTrainVectors < corpus) still yields a usable index") {
     val n = emb.count()
     val cap = (n / 4).toInt.max(8)
