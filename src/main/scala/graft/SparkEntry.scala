@@ -158,9 +158,9 @@ object SparkEntry {
   private def c10Fixture(s: SparkSession, dir: String): DataFrame =
     c10Memo(s, dir)
 
-  // q225 + q226: the landmark distance index is built once (the
+  // q225 + q226 + q230: the landmark distance index is built once (the
   // build-once/query-many lifecycle — q212's discipline for distances)
-  private val landmarkMemo = new CrossQueryMemo(2, (s, dir) =>
+  private val landmarkMemo = new CrossQueryMemo(3, (s, dir) =>
     graft.operators.Traversals.landmarkDistances(c10Fixture(s, dir), 8)
       .coalesce(s.sparkContext.defaultParallelism))
 
@@ -2357,6 +2357,42 @@ object SparkEntry {
     // impossible by construction (max cannot retract — documented)
     "q227_streaming_hyperball" -> ((s, dir) =>
       graft.streaming.StreamingOps.replayHyperballT1(c10Fixture(s, dir))),
+    // LANDMARK INDEX PERSISTED + SERVED FROM A FRESH SESSION (q212's
+    // lifecycle discipline applied to distances, closing the q225/q226
+    // same-session gap): the index persists as an id-bucketed catalog
+    // table and a fresh session answers a DIFFERENT deterministic pair
+    // sample from the table alone — the serving plan is two index
+    // joins + a min-agg over the bucketed scan, no BFS at query time
+    // (plan-asserted in the spec)
+    "q230_landmark_persisted" -> ((s, dir) => {
+      graft.operators.Traversals.saveLandmarkIndex(
+        landmarkMemo(s, dir), "graft_lm_idx")
+      val fresh = s.newSession()
+      val idx = graft.operators.Traversals.loadLandmarkIndex(fresh, "graft_lm_idx")
+      val e = c10Fixture(s, dir)
+      val verts = e.select(col("src").as("id")).union(e.select(col("dst")))
+        .distinct()
+      val cls = graft.Portable.prio31(col("id")) % 29
+      graft.operators.Traversals.landmarkEstimates(idx,
+        verts.where(cls === 3).select(col("id").as("a"))
+          .crossJoin(verts.where(cls === 4).select(col("id").as("b"))))
+    }),
+    // INSERT MAINTENANCE of the landmark index — the monotone half of
+    // the distance lifecycle: the index builds on the base graph
+    // (tag ≠ 8), the tag-8 edges arrive as the insert delta, and
+    // label-correcting relaxation seeded at the delta endpoints brings
+    // every stored distance down to the grown graph's truth WITHOUT a
+    // fresh BFS. The oracle runs the full BFS over the grown graph
+    // from the SAME base-picked landmarks — a missed propagation or a
+    // stale pass-through flips the hash
+    "q231_landmark_maintained" -> ((s, dir) => {
+      val e = c10Fixture(s, dir).withColumn("tag", edgeTag).cutLineage()
+      val base = e.where(col("tag") =!= 8).select("src", "dst")
+      val inserts = e.where(col("tag") === 8).select("src", "dst")
+      graft.operators.Traversals.landmarkMaintainInserts(
+        graft.operators.Traversals.landmarkDistances(base, 8),
+        e.select("src", "dst"), inserts)
+    }),
     // ANN INDEX DELETION — the takedown half completing the index
     // lifecycle matrix (build q162 / persist q212 / stream-ingest q219
     // / DELETE here): the model trains on the FULL corpus, its codes
@@ -2756,7 +2792,7 @@ object SparkEntry {
     // recursive CTE carrying the landmark id through the state; UNION
     // dedups (lm, id, dist) states so cycles terminate; depth cap 30
     // (~5× the measured C10 eccentricity) with the sentinel-row fence
-    val (landmarkIdxSql, landmarkEstSql) = {
+    val (landmarkIdxSql, landmarkEstSql, landmarkEstSqlPersisted, landmarkMaintSql) = {
       val prefix =
         s"WITH RECURSIVE c AS MATERIALIZED ($copurchase10), " +
           "sym AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
@@ -2772,17 +2808,39 @@ object SparkEntry {
         "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
         s"WHERE $sentinel"
       val cls = "((id % 2147483648) * 2654435761) % 2147483648 % 29"
-      val estSql = prefix + ", " +
+      // served estimates for a deterministic (class-ca × class-cb) pair
+      // sample — q226 serves the in-session index on classes (1, 2),
+      // q230 the PERSISTED one on (3, 4), so the two gates are
+      // independently evidenced rows, not one output relabeled
+      def estSql(ca: Int, cb: Int) = prefix + ", " +
         "vv AS (SELECT DISTINCT u AS id FROM sym), " +
-        s"pa AS (SELECT id AS a FROM vv WHERE $cls = 1), " +
-        s"pb AS (SELECT id AS b FROM vv WHERE $cls = 2) " +
+        s"pa AS (SELECT id AS a FROM vv WHERE $cls = $ca), " +
+        s"pb AS (SELECT id AS b FROM vv WHERE $cls = $cb) " +
         "SELECT pa.a, pb.b, CAST(MIN(ia.dist + ib.dist) AS BIGINT) AS est_dist " +
         "FROM pa CROSS JOIN pb " +
         "JOIN idx ia ON ia.id = pa.a JOIN idx ib ON ib.lm = ia.lm AND ib.id = pb.b " +
         "GROUP BY pa.a, pb.b " +
         "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
         s"WHERE $sentinel"
-      (idxSql, estSql)
+      // INSERT-maintained index: landmarks picked on the BASE graph's
+      // degrees (tag ≠ 8 — maintenance never re-picks landmarks), BFS
+      // distances over the GROWN graph (all edges); the Spark side must
+      // land here by relaxation alone, never a fresh full BFS
+      val tagX = "((((x % 2147483648) * 31 + y) % 2147483648) * 2654435761) % 2147483648 % 10"
+      val maintSql =
+        s"WITH RECURSIVE c AS MATERIALIZED ($copurchase10), " +
+          s"bs AS MATERIALIZED (SELECT x, y FROM c WHERE $tagX <> 8), " +
+          "bsym AS MATERIALIZED (SELECT x AS u, y AS v FROM bs UNION SELECT y, x FROM bs), " +
+          "gsym AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
+          "deg AS (SELECT u AS id, COUNT(*) AS d FROM bsym GROUP BY u), " +
+          "lms AS (SELECT id AS lm FROM deg ORDER BY d DESC, id ASC LIMIT 8), " +
+          "st(lm, id, dist) AS (SELECT lm, lm, 0 FROM lms " +
+          "UNION SELECT st.lm, s.v, st.dist + 1 FROM st JOIN gsym s ON s.u = st.id WHERE st.dist < 30), " +
+          "gidx AS MATERIALIZED (SELECT lm, id, MIN(dist) AS dist FROM st GROUP BY lm, id) " +
+          "SELECT lm, id, CAST(dist AS BIGINT) AS dist FROM gidx " +
+          "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
+          "WHERE EXISTS (SELECT 1 FROM gidx WHERE dist >= 30)"
+      (idxSql, estSql(1, 2), estSql(3, 4), maintSql)
     }
     // corpus overlap: the q220 register discipline over md5-prefixed
     // token integers, three conditional register banks in one GROUP BY,
@@ -4447,6 +4505,8 @@ object SparkEntry {
       "q223_pps_sample" -> ppsSql,
       "q225_landmark_index" -> landmarkIdxSql,
       "q226_landmark_distances" -> landmarkEstSql,
+      "q230_landmark_persisted" -> landmarkEstSqlPersisted,
+      "q231_landmark_maintained" -> landmarkMaintSql,
       "q227_streaming_hyperball" -> hyperballT1Sql,
       "q228_corpus_overlap" -> corpusOverlapSql,
       // the stream-ingested persisted index serves the same gate row

@@ -144,6 +144,103 @@ object Traversals {
       .agg(min(col("da") + col("db")).as("est_dist"))
   }
 
+  /** Persist a [[landmarkDistances]] index as an id-bucketed catalog
+    * table — [[graft.functions.PQ.save]]'s build-once / query-many
+    * discipline for distances: serving ([[landmarkEstimates]]) joins
+    * the index on the query vertex id twice, so bucketing on `id`
+    * makes BOTH probe sides Exchange-free scans, and ANY session of
+    * the deployment reloads through the shared catalog — no BFS ever
+    * runs at query time. Overwrite semantics, idempotent across
+    * processes (the stale-location contract in
+    * [[graft.sources.Sources.dropManagedTable]]).
+    */
+  def saveLandmarkIndex(index: DataFrame, name: String,
+                        nBuckets: Int = 8): Unit = {
+    graft.sources.Sources.dropManagedTable(index.sparkSession, name)
+    graft.sources.Sources.writeBucketed(
+      index.select(col("lm"), col("id"), col("dist")),
+      name, "id", nBuckets, sortCols = Seq("id", "lm"))
+  }
+
+  /** Reload a [[saveLandmarkIndex]]ed index: the returned DataFrame IS
+    * the bucketed table scan (spec-asserted: the serving plan reads the
+    * catalog table and contains no BFS iteration).
+    */
+  def loadLandmarkIndex(spark: org.apache.spark.sql.SparkSession,
+                        name: String): DataFrame =
+    spark.table(name)
+
+  /** INSERT maintenance for a landmark index — the monotone half of the
+    * distance lifecycle (deletions can only INCREASE distances and need
+    * affected-tree rebuilds; insertions only DECREASE them, so the
+    * index relaxes forward without ever re-running a full BFS):
+    * label-correcting relaxation over the GROWN graph seeded at the new
+    * edges' endpoints. Landmarks stay FIXED at build-time selection —
+    * re-picking landmarks is a rebuild decision, not maintenance (the
+    * PQ.delete "no re-train" contract applied to distances).
+    *
+    * Correctness: any (lm, v) whose true distance decreased (or became
+    * finite) has a shortest path in the grown graph using ≥ 1 inserted
+    * edge; induct along that path from the landmark — every prefix
+    * endpoint's improved distance is found before the next relaxation
+    * extends it, exactly Bellman–Ford with a seeded queue on unit
+    * weights. Vertices untouched by any improving path keep their
+    * stored distance, which remains exact. The maintained index is
+    * therefore row-equal to a fresh [[landmarkDistances]]-style BFS
+    * over the grown graph from the SAME landmarks — what the q231
+    * oracle hash-checks.
+    *
+    * Cost: the seed is one index⋈Δ join; each round relaxes ONLY the
+    * just-improved frontier against the edge table (work ∝ affected
+    * neighborhoods, the BFS frontier discipline) and min-merges into
+    * the ≤ nLandmarks·|V| state. Rounds ≤ the grown eccentricity;
+    * fail-loud if `maxIter` is outlived (the [[landmarkDistances]]
+    * convention).
+    */
+  def landmarkMaintainInserts(index: DataFrame, grownEdges: DataFrame,
+                              inserts: DataFrame,
+                              maxIter: Int = 100): DataFrame = {
+    val sym = symmetrize(grownEdges).cutLineage()
+    val dsym = symmetrize(inserts).cutLineage()
+    var cur = index.select(col("lm").cast("long"), col("id").cast("long"),
+      col("dist").cast("long")).cutLineage()
+    // candidate improvements THROUGH a new edge: d(lm, u) + 1 offered to
+    // v for every inserted arc (u, v) — both directions via dsym
+    def improvements(offers: DataFrame): DataFrame =
+      offers.groupBy("lm", "id").agg(min(col("dist")).as("dist"))
+        .join(cur.select(col("lm"), col("id"), col("dist").as("old")),
+          Seq("lm", "id"), "left")
+        .where(col("old").isNull || col("dist") < col("old"))
+        .select("lm", "id", "dist")
+    var frontier = improvements(
+      cur.join(dsym, cur("id") === dsym("u"))
+        .select(col("lm"), dsym("v").as("id"), (col("dist") + 1).as("dist")))
+      .cutLineage()
+    var iter = 0
+    var done = frontier.isEmpty
+    while (iter < maxIter && !done) {
+      iter += 1
+      cur = cur
+        .join(frontier.select(col("lm"), col("id"), col("dist").as("nd")),
+          Seq("lm", "id"), "full_outer")
+        .select(col("lm"), col("id"),
+          least(coalesce(col("dist"), col("nd")),
+            coalesce(col("nd"), col("dist"))).as("dist"))
+        .cutLineage()
+      // relax the just-improved vertices over the FULL grown edge set —
+      // improvements propagate through old edges too
+      frontier = improvements(
+        frontier.join(sym, frontier("id") === sym("u"))
+          .select(col("lm"), sym("v").as("id"), (col("dist") + 1).as("dist")))
+        .cutLineage()
+      done = frontier.isEmpty
+    }
+    require(done,
+      s"landmarkMaintainInserts: improvements still propagating after $maxIter " +
+        "rounds — raise maxIter; a truncated relaxation leaves stale distances")
+    cur
+  }
+
   /** Double-sweep diameter estimation: BFS from `start`, then BFS again
     * from the farthest vertex found (ties broken by min id — fully
     * deterministic). The second sweep's maximum distance is the classic

@@ -556,4 +556,83 @@ class TraversalsSpec extends SparkTestBase {
       assert(d >= 3 && d <= 6, s"estimate out of band: ($a,$b,$d)")
     }
   }
+
+  /** In-JVM multi-source BFS over a symmetric adjacency — the expected
+    * value for the landmark persist/maintain specs.
+    */
+  private def bfsIndex(es: Seq[(Long, Long)], lms: Seq[Long]): Set[(Long, Long, Long)] = {
+    val sym = (es ++ es.map(e => (e._2, e._1))).filter(e => e._1 != e._2).distinct
+    val adj = sym.groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    lms.flatMap { lm =>
+      var dist = Map(lm -> 0L)
+      var frontier = Set(lm)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj(_)).diff(dist.keySet)
+        val d = dist(frontier.head) + 1
+        dist ++= next.map(_ -> d)
+        frontier = next
+      }
+      dist.map { case (v, d) => (lm, v, d) }
+    }.toSet
+  }
+
+  test("landmark index persist/load: fresh-session serving from the table, no BFS") {
+    import spark.implicits._
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L),
+      (2L, 5L), (10L, 11L), (11L, 12L))
+    val idx = graft.operators.Traversals.landmarkDistances(es.toDF("src", "dst"), 3)
+    graft.operators.Traversals.saveLandmarkIndex(idx, "graft_lm_spec_idx", nBuckets = 4)
+    val fresh = spark.newSession()
+    val loaded = graft.operators.Traversals.loadLandmarkIndex(fresh, "graft_lm_spec_idx")
+    // round-trips exactly
+    val got = loaded.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = idx.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == direct)
+    // serving reads the catalog table — no frontier iteration anywhere
+    // in the plan (a table scan + two joins + one aggregate). Pairs are
+    // built IN the fresh session (cross-session plans cannot join)
+    val served = graft.operators.Traversals.landmarkEstimates(
+      loaded, fresh.sql(
+        "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b " +
+          "FROM VALUES (1, 4), (3, 6) AS t(a, b)"))
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_lm_spec_idx"), plan.take(800))
+    val inMem = graft.operators.Traversals.landmarkEstimates(
+        idx, Seq((1L, 4L), (3L, 6L)).toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == inMem)
+  }
+
+  test("landmarkMaintainInserts: relaxation equals a fresh BFS over the grown graph") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L),
+      (2L, 5L), (10L, 11L), (11L, 12L))
+    val edges = base.toDF("src", "dst")
+    val idx = graft.operators.Traversals.landmarkDistances(edges, 3)
+    // landmarks of the BASE graph (fixed under maintenance)
+    val lms = idx.where($"dist" === 0).select("lm").collect().map(_.getLong(0)).toSeq
+    // the delta exercises every maintenance mode: a shortcut inside the
+    // indexed component (1,4), a bridge that makes the 10-11-12 path
+    // REACHABLE from the cycle landmarks (6,10), a new leaf hanging off
+    // the newly-reached path (12,13), and a disconnected island (20,21)
+    // that must stay absent
+    val delta = Seq((1L, 4L), (6L, 10L), (12L, 13L), (20L, 21L))
+    val grown = base ++ delta
+    val maintained = graft.operators.Traversals.landmarkMaintainInserts(
+        idx, grown.toDF("src", "dst"), delta.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(maintained == bfsIndex(grown, lms))
+    // a no-op delta (re-inserting existing edges) changes nothing
+    val noop = graft.operators.Traversals.landmarkMaintainInserts(
+        idx, edges, Seq((1L, 2L), (3L, 4L)).toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(noop == bfsIndex(base, lms))
+    // fail-loud when the relaxation budget is outlived mid-propagation
+    intercept[IllegalArgumentException] {
+      graft.operators.Traversals.landmarkMaintainInserts(
+        idx, grown.toDF("src", "dst"), delta.toDF("src", "dst"), maxIter = 1)
+    }
+  }
 }
