@@ -190,10 +190,11 @@ object SparkEntry {
   private def c10Adjacency(s: SparkSession, dir: String): DataFrame =
     c10AdjMemo(s, dir)
 
-  // q211 + q215: both resolve the IDENTICAL changelog over the tagged
-  // C10 edge set (cdcChangelog reads only src/dst/tag) — ONE 4-trigger
-  // keyed-state replay, two maintenance consumers (triangles and MSF)
-  private val c10CdcMemo = new CrossQueryMemo(2, (s, dir) =>
+  // q211 + q215 + q232: all resolve the IDENTICAL changelog over the
+  // tagged C10 edge set (cdcChangelog reads only src/dst/tag) — ONE
+  // 4-trigger keyed-state replay, three maintenance consumers
+  // (triangles, MSF, coreness)
+  private val c10CdcMemo = new CrossQueryMemo(3, (s, dir) =>
     graft.streaming.StreamingOps.replayEdgeCdc(cdcChangelog(
       c10Fixture(s, dir).withColumn("tag", edgeTag))))
 
@@ -2357,6 +2358,24 @@ object SparkEntry {
     // impossible by construction (max cannot retract — documented)
     "q227_streaming_hyperball" -> ((s, dir) =>
       graft.streaming.StreamingOps.replayHyperballT1(c10Fixture(s, dir))),
+    // CDC-MAINTAINED CORENESS — the maintenance matrix extended to
+    // DECOMPOSITIONS (q147 was full-recompute only): the shared
+    // changelog resolution drives corenessMaintain with the alive keys
+    // as inserts and tombstoned keys as deletes against the base
+    // (tag ≠ 8) decomposition; the maintained values must hash-equal a
+    // full h-index fixpoint over the NET edge set (the oracle replays
+    // that fixpoint and never sees the changelog). Certification pays
+    // the base coreness + the maintenance; production pays maintenance
+    // against the stored decomposition only
+    "q232_cdc_maintained_coreness" -> ((s, dir) => {
+      val te = c10Fixture(s, dir).withColumn("tag", edgeTag).cutLineage()
+      val fin = c10CdcMemo(s, dir)
+      val inserts = fin.where(col("alive") === 1).select("src", "dst")
+      val deletes = fin.where(col("alive") === 0).select("src", "dst")
+      val base = te.where(col("tag") =!= 8).select("src", "dst")
+      graft.operators.Traversals.corenessMaintain(
+        graft.operators.Traversals.coreness(base), base, inserts, deletes)
+    }),
     // LANDMARK INDEX PERSISTED + SERVED FROM A FRESH SESSION (q212's
     // lifecycle discipline applied to distances, closing the q225/q226
     // same-session gap): the index persists as an id-bucketed catalog
@@ -3142,9 +3161,12 @@ object SparkEntry {
     // neighbor-value join, a per-vertex descending rank, and the count
     // of positions r with value_r >= r (invariant to tie order); the
     // last two rounds must agree or the sentinel fails the hash loudly
-    val corenessSql = {
+    // the h-index fixpoint replay, parameterized by the edge CTE — one
+    // definition serves the full decomposition (q147, C10) and the
+    // CDC-maintained one (q232, the NET edge set)
+    def corenessSqlFor(cSql: String) = {
       val R = CorenessRounds
-      val base = s"WITH c AS MATERIALIZED ($copurchase10), " +
+      val base = s"WITH c AS MATERIALIZED ($cSql), " +
         "sym AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
         "h0 AS MATERIALIZED (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS h FROM sym GROUP BY u), "
       val rounds = (1 to R).map { r =>
@@ -3159,6 +3181,12 @@ object SparkEntry {
         s"WHERE EXISTS (SELECT 1 FROM h$R a JOIN h${R - 1} b " +
         "ON a.id = b.id AND a.h <> b.h)"
     }
+    val corenessSql = corenessSqlFor(copurchase10)
+    // maintained coreness: the oracle sees only the changelog's NET
+    // effect (tags ∉ {3,4} — the q210/q215 identity), never the deltas
+    val corenessMaintSql = corenessSqlFor(
+      s"SELECT x, y FROM ($copurchase10) z WHERE " +
+        "((((x % 2147483648) * 31 + y) % 2147483648) * 2654435761) % 2147483648 % 10 NOT IN (3, 4)")
     // greedy densest-subgraph peel replayed round by round (8 rounds at
     // sf0.01, 16 = 2× margin; extra rounds peel nothing and emit no
     // stats row); HUGEINT for the threshold and density cross-products
@@ -4507,6 +4535,7 @@ object SparkEntry {
       "q226_landmark_distances" -> landmarkEstSql,
       "q230_landmark_persisted" -> landmarkEstSqlPersisted,
       "q231_landmark_maintained" -> landmarkMaintSql,
+      "q232_cdc_maintained_coreness" -> corenessMaintSql,
       "q227_streaming_hyperball" -> hyperballT1Sql,
       "q228_corpus_overlap" -> corpusOverlapSql,
       // the stream-ingested persisted index serves the same gate row

@@ -458,6 +458,120 @@ object Traversals {
     c.select(col("id"), col("h").as("coreness"))
   }
 
+  /** MAINTAINED core decomposition — the incremental/decremental leg of
+    * the maintenance matrix for [[coreness]] (CC, triangles, MSF and
+    * BM25 all have theirs; decompositions were the gap): given the
+    * previous decomposition `(id, coreness)`, the previous edges, and
+    * insert/delete deltas, produce the NET graph's coreness without
+    * recomputing unaffected components.
+    *
+    * Soundness of the carve-out: coreness decomposes per connected
+    * component, and a vertex whose coreness CHANGES always lies in a
+    * component of the SUPERGRAPH (old ∪ inserts) containing a touched
+    * endpoint — for inserts, a risen vertex v sits in the grown
+    * (k+1)-core whose component must contain an inserted edge (else
+    * that whole k+1-core component existed in the old graph and v had
+    * already risen); for deletes, a fallen vertex sits in an old
+    * k-core component that lost an edge, by the symmetric argument.
+    * Unaffected components therefore pass their rows through verbatim.
+    *
+    * Recompute seed inside affected components: c₀(v) =
+    * min(deg_net(v), old(v) + bIns) where bIns = |inserted undirected
+    * edges| — an upper bound on the net coreness (one insertion raises
+    * any coreness by at most 1, Sarıyüce et al. 2013; deletions never
+    * raise it), so the pure-decremental case seeds at min(deg, old) —
+    * far below the from-degrees start. The iteration is the
+    * [[coreness]] h-index frontier loop made CAPPED-MONOTONE
+    * (c ← min(c, H(c))): from any pointwise upper bound it decreases
+    * monotonically to a state with c ≤ H(c), and any such state has
+    * every level set {c ≥ k} inducing a k-core (each member keeps ≥ k
+    * neighbors at ≥ k), hence c ≤ coreness; with the invariant
+    * c ≥ coreness preserved by monotone H, the fixpoint IS the
+    * coreness. The q232 oracle is the full h-index replay over the
+    * net edge set — a stale pass-through or a truncated recompute
+    * flips the hash.
+    *
+    * REGIME (the tier2msfdec caveat, SCALE.md): the win is the
+    * unaffected fraction. On a single-giant-component graph every
+    * delta marks everything affected and this degenerates to the full
+    * recompute plus carve-out overhead; multi-tenant / per-domain
+    * graphs with many components are where the maintenance pays.
+    *
+    * `labels`: the supergraph's stored CC decomposition `(id,
+    * component)` if the deployment keeps one (the q210 pattern);
+    * computed fresh when absent. `trace`, when given, records the
+    * affected-vertex count (the delta-confinement spec's probe).
+    */
+  def corenessMaintain(oldCore: DataFrame, oldEdges: DataFrame,
+                       inserts: DataFrame, deletes: DataFrame,
+                       labels: Option[DataFrame] = None,
+                       maxRounds: Int = 200,
+                       trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val oldSym = symmetrize(oldEdges)
+    val insSym = symmetrize(inserts)
+    val superSym = oldSym.unionByName(insSym).distinct().cutLineage()
+    val netSym = superSym
+      .join(symmetrize(deletes), Seq("u", "v"), "left_anti")
+      .cutLineage()
+    val lbl = labels.getOrElse(ConnectedComponents.iterative(
+        superSym.select(col("u").as("src"), col("v").as("dst"))))
+      .select(col("id"), col("component"))
+    val touched = inserts.select(col("src").cast("long").as("id"))
+      .unionByName(inserts.select(col("dst").cast("long").as("id")))
+      .unionByName(deletes.select(col("src").cast("long").as("id")))
+      .unionByName(deletes.select(col("dst").cast("long").as("id")))
+      .distinct()
+    val affComps = lbl.join(touched, Seq("id"), "left_semi")
+      .select(col("component")).distinct()
+    val affVerts = lbl.join(affComps, Seq("component"), "left_semi")
+      .select(col("id")).cutLineage()
+    trace.foreach(_ += affVerts.count())
+    val passThrough = oldCore
+      .select(col("id").cast("long").as("id"), col("coreness").cast("long"))
+      .join(affVerts, Seq("id"), "left_anti")
+    // the affected induced subgraph is component-closed in the NET
+    // graph (net components refine super components), so one endpoint
+    // test suffices
+    val subSym = netSym.join(affVerts.toDF("u"), Seq("u"), "left_semi")
+      .cutLineage()
+    val bIns = insSym.where(col("u") < col("v")).count()
+    val oldByIns = oldCore.select(col("id").cast("long").as("id"),
+      (col("coreness").cast("long") + bIns).as("cap"))
+    var c = subSym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+      .join(oldByIns, Seq("id"), "left")
+      .select(col("id"), least(col("deg"),
+        coalesce(col("cap"), col("deg"))).as("h"))
+      .cutLineage()
+    var changed = c.select(col("id"))
+    var moved = if (changed.isEmpty) 0L else 1L
+    var r = 0
+    while (moved > 0 && r < maxRounds) {
+      val cand = subSym.join(changed.toDF("v"), Seq("v"), "left_semi")
+        .select(col("u")).distinct()
+      val nv = subSym.join(cand, Seq("u"), "left_semi")
+        .join(c.toDF("v", "cv"), Seq("v"))
+        .select(col("u"), col("cv"))
+      val upd = nv.withColumn("r", row_number().over(
+          Window.partitionBy("u").orderBy(col("cv").desc)))
+        .where(col("cv") >= col("r"))
+        .groupBy(col("u").as("id")).agg(count(lit(1)).as("nh"))
+      val next = c.join(upd, Seq("id"), "left")
+        .select(col("id"),
+          least(col("h"), coalesce(col("nh"), col("h"))).as("nxt"),
+          (col("nh").isNotNull && col("nh") < col("h")).as("ch"))
+        .cutLineage()
+      changed = next.where(col("ch")).select("id")
+      moved = changed.count()
+      c = next.select(col("id"), col("nxt").as("h"))
+      r += 1
+    }
+    require(moved == 0,
+      s"corenessMaintain: $moved vertices still changing after $maxRounds " +
+        "rounds — raise maxRounds; a truncated decomposition is not the coreness")
+    passThrough.unionByName(c.select(col("id"), col("h").as("coreness")))
+  }
+
   /** Deterministic hash walks — the graph-embedding / neighborhood-
     * sampling primitive (node2vec-style walks) made engine-reproducible:
     * at step t the walk at vertex u moves to the neighbor minimizing the

@@ -453,6 +453,62 @@ class TraversalsSpec extends SparkTestBase {
     }
   }
 
+  test("corenessMaintain: delta-confined maintenance equals the full recompute") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    // three components: A = triangle 1-2-3 with tail 3-4, B = 4-clique
+    // 10..13 (untouched — the pass-through probe), C = path 20-21-22
+    val compA = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val compB = clique(Seq(10L, 11L, 12L, 13L))
+    val compC = Seq((20L, 21L), (21L, 22L))
+    val base = (compA ++ compB ++ compC).toDF("src", "dst")
+    val oldCore = Traversals.coreness(base)
+    // delta: close A's tail into a 4-cycle (1,4) — coreness rises —
+    // attach a brand-new vertex (4,5), and delete C's edge (20,21)
+    val inserts = Seq((1L, 4L), (4L, 5L)).toDF("src", "dst")
+    val deletes = Seq((20L, 21L)).toDF("src", "dst")
+    val net = (compA ++ compB ++ Seq((21L, 22L), (1L, 4L), (4L, 5L)))
+      .toDF("src", "dst")
+    val trace = scala.collection.mutable.Buffer.empty[Long]
+    val got = Traversals.corenessMaintain(oldCore, base, inserts, deletes,
+        trace = Some(trace))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Traversals.coreness(net).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full, s"got $got, want $full")
+    // vertex 20 lost its only edge and leaves the decomposition; the
+    // new vertex 5 enters at coreness 1; A rose to 2 everywhere
+    assert(!got.contains(20L) && got(5L) == 1L && got(4L) == 2L)
+    // DELTA CONFINEMENT: the recompute touched supergraph components
+    // A∪{5} (5 verts) and C (3 verts) — never B's 4
+    assert(trace.head == 8L, s"affected count ${trace.head} — B leaked in")
+    // empty delta: pure pass-through, zero affected vertices
+    val t2 = scala.collection.mutable.Buffer.empty[Long]
+    val noop = Traversals.corenessMaintain(oldCore, base,
+        Seq.empty[(Long, Long)].toDF("src", "dst"),
+        Seq.empty[(Long, Long)].toDF("src", "dst"), trace = Some(t2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noop == Traversals.coreness(base).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(t2.head == 0L)
+    // pure-decremental: dismantle the 4-clique edge by edge — values
+    // only fall, seeds start at min(deg, old) with bIns = 0
+    val del2 = Seq((10L, 11L), (12L, 13L)).toDF("src", "dst")
+    val net2 = (compA ++ clique(Seq(10L, 11L, 12L, 13L))
+      .filterNot(e => e == (10L, 11L) || e == (12L, 13L)) ++ compC)
+      .toDF("src", "dst")
+    val got2 = Traversals.corenessMaintain(oldCore, base,
+        Seq.empty[(Long, Long)].toDF("src", "dst"), del2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Traversals.coreness(net2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // fail-loud on an exhausted round budget
+    intercept[IllegalArgumentException] {
+      Traversals.corenessMaintain(oldCore, base, inserts, deletes,
+        maxRounds = 0)
+    }
+  }
+
   test("densestSubgraph peels to the clique and flags the best round") {
     import spark.implicits._
     def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
