@@ -2358,6 +2358,13 @@ object SparkEntry {
     // impossible by construction (max cannot retract — documented)
     "q227_streaming_hyperball" -> ((s, dir) =>
       graft.streaming.StreamingOps.replayHyperballT1(c10Fixture(s, dir))),
+    // DISTANCE DISTRIBUTION / EFFECTIVE DIAMETER — the one-row corpus
+    // deliverable HyperBall exists to produce (Boldi & Vigna 2013):
+    // ball-size sums S_t over the q220 register rounds, then median
+    // distance, mean distance, and the 0.9 effective diameter by exact
+    // integer interpolation (radius-3 horizon, documented truncation)
+    "q233_distance_distribution" -> ((s, dir) =>
+      graft.operators.HyperBall.distanceDistribution(c10Fixture(s, dir), 3)),
     // CDC-MAINTAINED CORENESS — the maintenance matrix extended to
     // DECOMPOSITIONS (q147 was full-recompute only): the shared
     // changelog resolution drives corenessMaintain with the alive keys
@@ -2746,7 +2753,7 @@ object SparkEntry {
     // rank via length(bin(y)) with the y=0 guard), 3 element-wise
     // register-max rounds over 16 columns, then the raw HLL estimator
     // as floor division of exact integers
-    val (hyperballSql, hyperballHcSql, hyperballT1Sql) = {
+    val (hyperballSql, hyperballHcSql, hyperballT1Sql, hyperballDistSql) = {
       val regs = (0 until 16).map(j => s"r$j")
       val g0cols = (0 until 16).map(j =>
         s"CASE WHEN b = $j THEN rho ELSE 0 END AS r$j").mkString(", ")
@@ -2782,7 +2789,36 @@ object SparkEntry {
       // round exactly (register max is split-invariant)
       val t1 = prefix +
         s" SELECT id, CAST(46246722929 // ($denom) AS BIGINT) AS est FROM g1"
-      (balls, hc, t1)
+      // distance distribution: ball-size sums S_t, then the q233
+      // integer interpolations — HUGEINT mirror of the operator's
+      // DECIMAL(38,0) arithmetic, `//` ≡ Spark `div` on nonnegatives
+      val dist = {
+        val k = 3
+        val pivots = (0 to k).map(t =>
+          s"MAX(CASE WHEN t = $t THEN s END) AS d$t").mkString(", ")
+        val rch = s"(d$k - d0)"
+        val avgNum = s"(($k * d$k ${(0 until k).map(t => s"- d$t").mkString(" ")}) * 1000000)"
+        def effBranch(t: Int) =
+          s"CAST(${(t - 1).toLong * 1000000L} + " +
+            s"($rch * 9 - (d${t - 1} - d0) * 10) * 1000000 // " +
+            s"((d$t - d${t - 1}) * 10) AS BIGINT)"
+        prefix + ", eb AS (" + (0 to k).map(emit).mkString(" UNION ALL ") + "), " +
+          "ss AS (SELECT t, CAST(SUM(est) AS HUGEINT) AS s FROM eb GROUP BY t), " +
+          s"p AS (SELECT $pivots FROM ss) " +
+          s"SELECT CAST($k AS BIGINT) AS k, CAST(d0 AS BIGINT) AS s0, " +
+          s"CAST(d$k AS BIGINT) AS sk, CAST($rch AS BIGINT) AS reach_est, " +
+          s"CASE WHEN $rch = 0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE CAST($avgNum // $rch AS BIGINT) END AS avg_dist_micro, " +
+          s"CASE WHEN $rch = 0 THEN CAST(0 AS BIGINT) " +
+          (1 until k).map(t =>
+            s"WHEN (d$t - d0) * 2 >= $rch THEN CAST($t AS BIGINT) ").mkString +
+          s"ELSE CAST($k AS BIGINT) END AS median_dist, " +
+          s"CASE WHEN $rch = 0 THEN CAST(0 AS BIGINT) " +
+          (1 until k).map(t =>
+            s"WHEN (d$t - d0) * 10 >= $rch * 9 THEN ${effBranch(t)} ").mkString +
+          s"ELSE ${effBranch(k)} END AS eff_diam90_micro FROM p"
+      }
+      (balls, hc, t1, dist)
     }
     // layout quality: both strategies' replication factors and edge
     // balance in exact integers over the SAME portable hash
@@ -4536,6 +4572,7 @@ object SparkEntry {
       "q230_landmark_persisted" -> landmarkEstSqlPersisted,
       "q231_landmark_maintained" -> landmarkMaintSql,
       "q232_cdc_maintained_coreness" -> corenessMaintSql,
+      "q233_distance_distribution" -> hyperballDistSql,
       "q227_streaming_hyperball" -> hyperballT1Sql,
       "q228_corpus_overlap" -> corpusOverlapSql,
       // the stream-ingested persisted index serves the same gate row

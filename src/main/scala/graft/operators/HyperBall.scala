@@ -146,4 +146,68 @@ object HyperBall {
         expr("(est - prev) * 1000000 div t").as("term"))
       .groupBy("id").agg(sum(col("term")).as("hc_micro"))
   }
+
+  /** Distance distribution + effective diameter — the ONE-ROW corpus
+    * deliverables Boldi & Vigna run HyperBall for (median distance,
+    * effective diameter at 0.9, mean distance), computed from the
+    * ball-size sums in exact integer arithmetic both engines replay.
+    * S_t = Σ_v |B(v,t)| estimates the number of ordered pairs within
+    * distance t (self-pairs included, so S_0 ≈ |V|); then over the
+    * radius-k horizon:
+    *   - reach_est       = S_k − S_0 (pairs at distance 1..k)
+    *   - avg_dist_micro  = 10⁶ · Σ t·(S_t − S_{t−1}) / reach, via the
+    *                       Abel form k·S_k − Σ_{t<k} S_t
+    *   - median_dist     = min t with 2·(S_t − S_0) ≥ reach
+    *   - eff_diam90_micro = Boldi–Vigna linear interpolation at α=0.9:
+    *     for the smallest t with 10·(S_t − S_0) ≥ 9·reach,
+    *     (t−1)·10⁶ + 10⁶·(9·reach − 10·(S_{t−1}−S_0)) / (10·(S_t−S_{t−1}))
+    * all divisions floor over nonnegative integers (Spark `div` ≡
+    * DuckDB `//`), products in DECIMAL(38,0) — S_t reaches ~10¹⁸ on a
+    * 10⁹-vertex graph, where the ·10⁶ micro products overflow BIGINT.
+    * Truncation at radius k is the documented horizon: distances
+    * beyond k are invisible (reach and every statistic are "within
+    * k"), the standard HyperBall stopping trade-off.
+    *
+    * Output: one row (k, s0, sk, reach_est, avg_dist_micro,
+    * median_dist, eff_diam90_micro); all-zero metrics on an edgeless
+    * input.
+    */
+  def distanceDistribution(edges: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 16, s"hyperball k=$k out of the sane 1..16 range")
+    val sums = ballSizes(edges, k, includeZero = true)
+      .groupBy("t").agg(sum(col("est")).as("s"))
+    val row = sums.agg(
+      coalesce(max(when(col("t") === 0, col("s"))), lit(0L)).as("s0"),
+      (1 to k).map(t =>
+        coalesce(max(when(col("t") === t, col("s"))), lit(0L)).as(s"s$t")): _*)
+    // every product and comparison in DECIMAL(38,0) (the d$t copies)
+    // with floor via the `div` operator — the Bm25 discipline: Spark
+    // `div` ≡ DuckDB `//` on nonnegative operands, while a decimal
+    // cast would ROUND and silently break parity
+    val staged = row.select(
+      (0 to k).map(t => col(s"s$t")) ++
+        (0 to k).map(t => col(s"s$t").cast("decimal(38,0)").as(s"d$t")): _*)
+    val rch = s"(d$k - d0)"
+    val avgNum = s"(($k * d$k ${(0 until k).map(t => s"- d$t").mkString(" ")}) * 1000000)"
+    val avgSql =
+      s"CASE WHEN $rch = 0 THEN CAST(0 AS BIGINT) " +
+        s"ELSE CAST($avgNum div $rch AS BIGINT) END"
+    val medSql = s"CASE WHEN $rch = 0 THEN CAST(0 AS BIGINT) " +
+      (1 until k).map(t =>
+        s"WHEN (d$t - d0) * 2 >= $rch THEN CAST($t AS BIGINT) ").mkString +
+      s"ELSE CAST($k AS BIGINT) END"
+    def effBranch(t: Int): String =
+      s"CAST(${(t - 1).toLong * 1000000L} + " +
+        s"(($rch * 9 - (d${t - 1} - d0) * 10) * 1000000) div " +
+        s"((d$t - d${t - 1}) * 10) AS BIGINT)"
+    val effSql = s"CASE WHEN $rch = 0 THEN CAST(0 AS BIGINT) " +
+      (1 until k).map(t =>
+        s"WHEN (d$t - d0) * 10 >= $rch * 9 THEN ${effBranch(t)} ").mkString +
+      s"ELSE ${effBranch(k)} END"
+    staged.select(lit(k.toLong).as("k"), col("s0"), col(s"s$k").as("sk"),
+      (col(s"s$k") - col("s0")).as("reach_est"),
+      expr(avgSql).as("avg_dist_micro"),
+      expr(medSql).as("median_dist"),
+      expr(effSql).as("eff_diam90_micro"))
+  }
 }

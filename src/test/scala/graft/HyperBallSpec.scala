@@ -84,6 +84,52 @@ class HyperBallSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("distance distribution equals the in-JVM sum/interpolation replay") {
+    import spark.implicits._
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (2L, 6L),
+      (7L, 8L), (20L, 21L), (21L, 22L))
+    val k = 3
+    val got = HyperBall.distanceDistribution(es.toDF("src", "dst"), k)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    // in-JVM: exact BFS balls → registers → estimator sums → the same
+    // integer interpolations
+    val sym = (es ++ es.map(e => (e._2, e._1))).filter(e => e._1 != e._2)
+    val adj = sym.groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+    def estOf(ball: Set[Long]): Long = {
+      val regs = Array.fill(16)(0)
+      ball.foreach { u =>
+        val h = hash(u); val b = (h % 16).toInt; val rr = rho(h / 16)
+        if (rr > regs(b)) regs(b) = rr
+      }
+      46246722929L / regs.map(x => 1L << (28 - x)).sum
+    }
+    val s = Array.fill(k + 1)(0L)
+    adj.keySet.foreach { v =>
+      var ball = Set(v)
+      s(0) += estOf(ball)
+      (1 to k).foreach { t =>
+        ball = ball ++ ball.flatMap(u => adj.getOrElse(u, Set.empty))
+        s(t) += estOf(ball)
+      }
+    }
+    val reach = s(k) - s(0)
+    assert(r.getLong(1) == s(0) && r.getLong(2) == s(k) && r.getLong(3) == reach)
+    val avg = ((k * s(k) - s.take(k).sum) * 1000000L) / reach
+    assert(r.getLong(4) == avg, s"avg: got ${r.getLong(4)} want $avg")
+    val med = (1 to k).find(t => (s(t) - s(0)) * 2 >= reach).get
+    assert(r.getLong(5) == med)
+    val tStar = (1 to k).find(t => (s(t) - s(0)) * 10 >= reach * 9).get
+    val eff = (tStar - 1) * 1000000L +
+      ((reach * 9 - (s(tStar - 1) - s(0)) * 10) * 1000000L) / ((s(tStar) - s(tStar - 1)) * 10)
+    assert(r.getLong(6) == eff, s"eff: got ${r.getLong(6)} want $eff")
+    // edgeless input: one fully-typed zero row, no division blowups
+    val z = HyperBall.distanceDistribution(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), k).collect()
+    assert(z.length == 1 && (1 to 6).forall(i => z.head.getLong(i) == 0L))
+  }
+
   test("degenerate inputs: empty graph and self-loops-only") {
     import spark.implicits._
     assert(HyperBall.ballSizes(
