@@ -2358,6 +2358,16 @@ object SparkEntry {
     // impossible by construction (max cannot retract — documented)
     "q227_streaming_hyperball" -> ((s, dir) =>
       graft.streaming.StreamingOps.replayHyperballT1(c10Fixture(s, dir))),
+    // STREAMING HyperBall BEYOND RADIUS 1 (q227 carries t=1 in
+    // update-mode state; t ≥ 2 needs neighbors' t−1 registers, which
+    // later edges keep growing): register TABLES are the state —
+    // per-trigger incremental R1 fold + periodic batch rounds 2..k
+    // from the persisted R1 over the accumulated edges, all through
+    // exactly-once per-batch overwrite dirs. The final tables must
+    // equal the batch g1..g2 register rounds bit-for-bit
+    "q234_streaming_hyperball_r2" -> ((s, dir) =>
+      graft.streaming.StreamingOps.replayHyperballRounds(
+        c10Fixture(s, dir), 2)),
     // DISTANCE DISTRIBUTION / EFFECTIVE DIAMETER — the one-row corpus
     // deliverable HyperBall exists to produce (Boldi & Vigna 2013):
     // ball-size sums S_t over the q220 register rounds, then median
@@ -2753,7 +2763,8 @@ object SparkEntry {
     // rank via length(bin(y)) with the y=0 guard), 3 element-wise
     // register-max rounds over 16 columns, then the raw HLL estimator
     // as floor division of exact integers
-    val (hyperballSql, hyperballHcSql, hyperballT1Sql, hyperballDistSql) = {
+    val (hyperballSql, hyperballHcSql, hyperballT1Sql, hyperballDistSql,
+         hyperballR2Sql) = {
       val regs = (0 until 16).map(j => s"r$j")
       val g0cols = (0 until 16).map(j =>
         s"CASE WHEN b = $j THEN rho ELSE 0 END AS r$j").mkString(", ")
@@ -2818,7 +2829,11 @@ object SparkEntry {
             s"WHEN (d$t - d0) * 10 >= $rch * 9 THEN ${effBranch(t)} ").mkString +
           s"ELSE ${effBranch(k)} END AS eff_diam90_micro FROM p"
       }
-      (balls, hc, t1, dist)
+      // streamed register-table rounds must land on the batch g1..g2
+      // rounds exactly (R1 is complete at the final trigger; rounds ≥ 2
+      // are recomputed from it there)
+      val r2 = prefix + " " + (1 to 2).map(emit).mkString(" UNION ALL ")
+      (balls, hc, t1, dist, r2)
     }
     // layout quality: both strategies' replication factors and edge
     // balance in exact integers over the SAME portable hash
@@ -4573,6 +4588,7 @@ object SparkEntry {
       "q231_landmark_maintained" -> landmarkMaintSql,
       "q232_cdc_maintained_coreness" -> corenessMaintSql,
       "q233_distance_distribution" -> hyperballDistSql,
+      "q234_streaming_hyperball_r2" -> hyperballR2Sql,
       "q227_streaming_hyperball" -> hyperballT1Sql,
       "q228_corpus_overlap" -> corpusOverlapSql,
       // the stream-ingested persisted index serves the same gate row

@@ -1656,6 +1656,114 @@ object StreamingOps {
     }
   }
 
+  /** STREAMING HyperBall beyond radius 1 — the honest lifecycle for
+    * radii the update-mode max-agg cannot carry ([[replayHyperballT1]]
+    * maintains t = 1 because a NEW edge's contribution is local; a t ≥ 2
+    * register depends on NEIGHBORS' t−1 registers, which later edges
+    * keep growing — no per-row contribution stream can express that):
+    * REGISTER TABLES ARE THE STATE. Each trigger's foreachBatch
+    *   1. appends its edge chunk to the accumulated edge table
+    *      (idempotent per-batch overwrite directory — the exactly-once
+    *      writer's layout, a replayed batch rewrites its own dir),
+    *   2. folds ONLY the new edges' endpoint/self sketches into the
+    *      persisted t=1 register table (register max is monotone, so
+    *      R1 maintenance is incremental — one small-side union + max),
+    *   3. runs the periodic BATCH rounds t = 2..k against the current
+    *      R1 and the full accumulated edge set, persisting each radius'
+    *      register table.
+    * Because R1 is complete after the final trigger and rounds 2..k are
+    * recomputed FROM it there, the final tables equal the batch
+    * [[graft.operators.HyperBall.ballSizes]] registers exactly — the
+    * q234 oracle replays the batch g1..gk rounds. At 100 TB the step-3
+    * recompute is the knob: run it every N triggers (the tables are
+    * persistent, so staleness is bounded and visible), while step 2
+    * stays per-trigger cheap.
+    *
+    * Output: (id, t, est) for t = 1..k from the final persisted
+    * register tables. The collect/addData feed is the harness; the
+    * registers never touch the driver.
+    */
+  def replayHyperballRounds(edges: DataFrame, k: Int = 2,
+                            nBatches: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 16, s"hyperball k=$k out of the sane 1..16 range")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val rows = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    rows.sortInPlaceBy(identity)
+    val stream = pinnedShuffleSession(spark, 8)
+    implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val ckpt = replayCkpt("graft-replay-hbr")
+    val stateRoot = replayCkpt("graft-replay-hbr-state")
+    val regNames = (0 until 16).map(j => s"r$j")
+    // latest persisted register-table paths, advanced per trigger —
+    // deployment state lives in a catalog; the paths are its harness twin
+    @volatile var latest: Map[Int, String] = Map.empty
+    val q = ms.toDF().toDF("src", "dst")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val ss = df.sparkSession
+        val e = df.where(col("src") =!= col("dst"))
+          .select(col("src").as("u"), col("dst").as("v")).distinct()
+          .localCheckpoint(true)
+        // 1. exactly-once edge append: per-batch overwrite dir
+        e.write.mode("overwrite").parquet(s"$stateRoot/acc/batch=$batchId")
+        // 2. incremental R1 fold: new edges' contributions only
+        val contrib = e.select(col("u").as("id"), col("v").as("n"))
+          .unionByName(e.select(col("v").as("id"), col("u").as("n")))
+          .unionByName(e.select(col("u").as("id"), col("u").as("n")))
+          .unionByName(e.select(col("v").as("id"), col("v").as("n")))
+          .select(col("id") +:
+            graft.operators.HyperBall.regColsOf(col("n")): _*)
+        val r1 = latest.get(1)
+          .map(p => ss.read.parquet(p).unionByName(contrib))
+          .getOrElse(contrib)
+          .groupBy("id")
+          .agg(max(col("r0")).as("r0"),
+            regNames.tail.map(c => max(col(c)).as(c)): _*)
+          .localCheckpoint(true)
+        r1.write.mode("overwrite").parquet(s"$stateRoot/regs1/batch=$batchId")
+        latest += 1 -> s"$stateRoot/regs1/batch=$batchId"
+        // 3. periodic batch rounds 2..k from the maintained R1 over the
+        // accumulated edge set
+        val acc = ss.read.parquet(s"$stateRoot/acc")
+          .select(col("u"), col("v"))
+        val accSym = acc.unionByName(acc.select(col("v").as("u"), col("u").as("v")))
+          .distinct().localCheckpoint(true)
+        var state = r1
+        (2 to k).foreach { t =>
+          val pulled = accSym.join(state, accSym("v") === state("id"))
+            .select(col("u").as("id") +: regNames.map(col): _*)
+          state = state.unionByName(pulled)
+            .groupBy("id")
+            .agg(max(col("r0")).as("r0"),
+              regNames.tail.map(c => max(col(c)).as(c)): _*)
+            .localCheckpoint(true)
+          state.write.mode("overwrite")
+            .parquet(s"$stateRoot/regs$t/batch=$batchId")
+          latest += t -> s"$stateRoot/regs$t/batch=$batchId"
+        }
+        ()
+      }
+      .start()
+    try {
+      val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+      val fin = (1 to k).map { t =>
+        stream.read.parquet(latest(t))
+          .select(col("id"), lit(t.toLong).as("t"),
+            graft.operators.HyperBall.estimator.as("est"))
+      }.reduce(_ unionByName _)
+        .as[(Long, Long, Long)].collect()
+      spark.createDataset(fin.toIndexedSeq).toDF("id", "t", "est")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateRoot))
+    }
+  }
+
   /** Correctness-gate harness for the continuous globalAggregate (O15):
     * replay the edge VALUES through a MemoryStream across `nBatches`
     * complete-mode triggers of the running histogram; the final table

@@ -846,6 +846,26 @@ class StreamingSpec extends SparkTestBase {
     assert(estSet(StreamingOps.replayHyperballT1(dup, nBatches = 3)) == batch)
   }
 
+  test("streaming HyperBall radius-2: persisted register tables land on the batch rounds") {
+    import spark.implicits._
+    // a path + a square + an isolated pair: radius-2 balls differ from
+    // radius-1 everywhere on the path, so a broken round-2 is visible
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L), (20L, 21L))
+    val edges = es.toDF("src", "dst")
+    def estSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = estSet(graft.operators.HyperBall.ballSizes(edges, 2))
+    for (nb <- Seq(1, 3)) {
+      val got = estSet(StreamingOps.replayHyperballRounds(edges, 2, nBatches = nb))
+      assert(got == batch, s"nBatches=$nb: $got != $batch")
+    }
+    // duplicate delivery absorbed (the R1 fold and the round maxes are
+    // both idempotent)
+    val dup = (es ++ es).toDF("src", "dst")
+    assert(estSet(StreamingOps.replayHyperballRounds(dup, 2, nBatches = 2)) == batch)
+  }
+
   test("streaming top-k leaderboard: batch-split independent, ties by smaller key") {
     import spark.implicits._
     // purchase counts: u1=3, u2=3 (tie -> u1 first), u3=2, u4=1, u5=1,
