@@ -34,6 +34,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan(df).contains("NestedLoop"))
   }
 
+  test("bloom decontamination verify branch re-reads train text ONLY below the candidate semi-join") {
+    // the probe pass (tokenize + shingle of the FULL train side) runs
+    // once, eagerly, inside the candidate checkpoint; the RETURNED plan
+    // may scan the train text a second time only candidate-filtered —
+    // exactly one text-reading scan, sitting under a LeftSemi against
+    // the checkpointed candidates (VERDICT r10 "what's wrong" #1)
+    val docs = graft.model.Tables.documents(spark, sf)
+    val df = graft.functions.Corpus.bloomDecontaminate(
+      docs.where(col("doc_id") % 10 =!= 7), docs.where(col("doc_id") % 10 === 7))
+    val p = plan(df)
+    val textScans = "ReadSchema:[^\\n]*text".r.findAllIn(p).size
+    assert(textScans == 1,
+      s"expected exactly 1 text-reading scan in the served plan, got $textScans:\n${p.take(1200)}")
+    assert(p.contains("LeftSemi"), s"candidate semi-join missing:\n${p.take(1200)}")
+  }
+
   test("gap-fill grid is contiguous, conserves counts; rolling head windows divide by true length") {
     val filled = SparkEntry.queries("q207_gapfill")(spark, sf)
     // per user: the win set is a dense hourly grid over [min, max]
