@@ -501,6 +501,13 @@ object Traversals {
     * component)` if the deployment keeps one (the q210 pattern);
     * computed fresh when absent. `trace`, when given, records the
     * affected-vertex count (the delta-confinement spec's probe).
+    *
+    * Delta precedence: deletes apply to the POST-insert graph — an
+    * edge appearing in both sets is dead (net = (old ∪ inserts) ∖
+    * deletes). A CDC changelog resolution never produces such overlap
+    * (latest-wins per key), but ad-hoc callers composing their own
+    * deltas get the tombstone-wins contract, caught live by the
+    * tier2coremaint probe when its generators collided on one edge.
     */
   def corenessMaintain(oldCore: DataFrame, oldEdges: DataFrame,
                        inserts: DataFrame, deletes: DataFrame,

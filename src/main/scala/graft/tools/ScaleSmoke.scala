@@ -844,6 +844,105 @@ object ScaleSmoke {
       }
     }
 
+    if (mode == "tier2coremaint") {
+      // maintained coreness at the 10M-edge tier, in the operator's
+      // ACTUAL regime (the tier2msfdec block-graph shape: ~1M small
+      // components, 0.1% delta, stored nightly labels). The
+      // giant-component degenerate case is documented on the operator.
+      val nBlocks = 1000000L
+      def blockEdges(salt: Int) = spark.range(nEdges).select(
+          (pmod(xxhash64(col("id"), lit(6)), lit(nBlocks)) * 10
+            + pmod(xxhash64(col("id"), lit(salt)), lit(10))).as("s0"),
+          (pmod(xxhash64(col("id"), lit(6)), lit(nBlocks)) * 10
+            + pmod(xxhash64(col("id"), lit(salt + 1)), lit(10))).as("d0"))
+        .select(least(col("s0"), col("d0")).as("src"),
+          greatest(col("s0"), col("d0")).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+      val base = blockEdges(4).localCheckpoint(true)
+      val tag = pmod(xxhash64(col("src"), col("dst"), lit(11)), lit(1000L))
+      // deletes: a 0.1% slice of REAL base edges
+      val dels = base.where(tag === 3).select("src", "dst").localCheckpoint(true)
+      // inserts: a fresh 0.1% slice from an independent salt (stays
+      // inside blocks, so the many-component regime holds); excluded
+      // from base AND from the deletes — the operator's tombstone-wins
+      // precedence would otherwise kill an insert that collides with a
+      // delete (observed: exactly one such collision at this scale)
+      val ins = blockEdges(40)
+        .where(pmod(xxhash64(col("src"), col("dst"), lit(13)), lit(1000L)) === 7)
+        .join(base, Seq("src", "dst"), "left_anti")
+        .join(dels, Seq("src", "dst"), "left_anti").localCheckpoint(true)
+      println(s"[smoke] block graph: ${base.count()} base edges, " +
+        s"+${ins.count()} / -${dels.count()} delta")
+      val oldCore = tm("nightly coreness (build)") {
+        graft.operators.Traversals.coreness(base).localCheckpoint(true)
+      }
+      val labels = tm("nightly supergraph labels (stored byproduct)") {
+        graft.operators.ConnectedComponents.iterative(
+          base.unionByName(ins)).localCheckpoint(true)
+      }
+      val trace = scala.collection.mutable.Buffer.empty[Long]
+      val maint = tm("corenessMaintain (0.1% delta, stored labels)") {
+        graft.operators.Traversals.corenessMaintain(oldCore, base, ins, dels,
+          labels = Some(labels), trace = Some(trace)).localCheckpoint(true)
+      }
+      println(s"[smoke] affected vertices: ${trace.head} of ${oldCore.count()}")
+      val net = base.join(dels, Seq("src", "dst"), "left_anti")
+        .unionByName(ins).localCheckpoint(true)
+      val full = tm("full coreness over the net graph (the avoided recompute)") {
+        graft.operators.Traversals.coreness(net).localCheckpoint(true)
+      }
+      tm("bit-equality: maintained == full recompute") {
+        val bad = maint.toDF("id", "a").join(full.toDF("id", "b"), Seq("id"), "full")
+          .where(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
+          .count()
+        println(s"[smoke] vertices=${full.count()} mismatched=$bad")
+        require(bad == 0, s"maintained coreness diverged on $bad vertices")
+      }
+    }
+
+    if (mode == "tier2lmmaint") {
+      // landmark-index insert maintenance at the 10M-edge tier on the
+      // giant random graph: build on a 90% base, relax in the 10%
+      // delta, verify bit-equality against per-landmark BFS over the
+      // grown graph from the SAME base-picked landmarks, and A/B the
+      // avoided full rebuild
+      val tag = pmod(xxhash64(col("src"), col("dst"), lit(17)), lit(10L))
+      val ge = g.select("src", "dst")
+      val base = ge.where(tag =!= 3).localCheckpoint(true)
+      val ins = ge.where(tag === 3).localCheckpoint(true)
+      println(s"[smoke] base ${base.count()} edges, +${ins.count()} inserts")
+      val idx = tm("landmarkDistances on the base (build)") {
+        val i = graft.operators.Traversals.landmarkDistances(base, 8)
+          .localCheckpoint(true)
+        println(s"[smoke] index rows: ${i.count()}")
+        i
+      }
+      val maint = tm("landmarkMaintainInserts (10% delta)") {
+        val m = graft.operators.Traversals.landmarkMaintainInserts(idx, ge, ins)
+          .localCheckpoint(true)
+        println(s"[smoke] maintained rows: ${m.count()}")
+        m
+      }
+      val rebuilt = tm("full rebuild over the grown graph (the avoided cost)") {
+        graft.operators.Traversals.landmarkDistances(ge, 8).localCheckpoint(true)
+      }
+      tm("bit-equality vs per-landmark BFS from the base landmarks") {
+        val lms = idx.where(col("dist") === 0).select("lm")
+          .collect().map(_.getLong(0))
+        val exact = lms.map(lm =>
+            graft.operators.Traversals.bfsDepths(ge, lm)
+              .select(lit(lm).as("lm"), col("id"), col("dist")))
+          .reduce(_ unionByName _).localCheckpoint(true)
+        val bad = maint.toDF("lm", "id", "a")
+          .join(exact.toDF("lm", "id", "b"), Seq("lm", "id"), "full")
+          .where(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
+          .count()
+        println(s"[smoke] index rows=${exact.count()} mismatched=$bad " +
+          s"(rebuilt-for-timing rows=${rebuilt.count()})")
+        require(bad == 0, s"maintained landmark index diverged on $bad rows")
+      }
+    }
+
     if (mode == "tier2walks") {
       // deterministic walks at the 10M-edge tier: ~1M walkers × 8
       // steps; verified AT SCALE by transition validity (every

@@ -502,6 +502,13 @@ class TraversalsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2 == Traversals.coreness(net2).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // tombstone-wins precedence: an edge in BOTH deltas is dead
+    // (net = (old ∪ inserts) ∖ deletes)
+    val both = Seq((1L, 4L)).toDF("src", "dst")
+    val got3 = Traversals.corenessMaintain(oldCore, base, both, both)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3 == Traversals.coreness(base).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
     // fail-loud on an exhausted round budget
     intercept[IllegalArgumentException] {
       Traversals.corenessMaintain(oldCore, base, inserts, deletes,
