@@ -2455,6 +2455,29 @@ object SparkEntry {
         .select(col("n_queries"), col("n_exact"),
           (col("recall_ok") && lit(complete)).as("recall_ok"))
     }),
+    // the IVF leg of the deletion matrix (q229's sibling): the
+    // cid-PARTITIONED cells layout makes the delete genuinely
+    // partition-pruned — one broadcast semi-join finds the affected
+    // cids, ONLY those hive partitions are read and rewritten (dynamic
+    // partition overwrite; fully-emptied cells dropped by DDL) —
+    // centroids untouched, nothing re-assigned
+    "q235_ann_ivf_deleted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.functions.IVF.fit(emb, 16)
+      graft.functions.IVF.save(model,
+        graft.functions.IVF.index(emb, model), "graft_ivf_del_idx")
+      graft.functions.IVF.delete(s, "graft_ivf_del_idx",
+        emb.where(col("vec_id") % 10 === 3).select("vec_id"))
+      val fresh = s.newSession()
+      val (m2, cells) = graft.functions.IVF.load(fresh, "graft_ivf_del_idx")
+      val net = Tables.embeddings(fresh, dir).where(col("vec_id") % 10 =!= 3)
+      val q = net.where(col("vec_id") <= 9)
+      val complete = cells.count() == net.count()
+      recallGate(Similarity.bruteForceTopK(net, q, 5),
+          graft.functions.IVF.topK(cells, q, m2, 5, nprobe = 4), 0.4)
+        .select(col("n_queries"), col("n_exact"),
+          (col("recall_ok") && lit(complete)).as("recall_ok"))
+    }),
     // corpus-overlap pre-flight by HLL register algebra: |A∩B| ≈
     // est(A)+est(B)−est(A∪B), three register banks from ONE
     // aggregation over one pass of each corpus — the sizing check a
@@ -3624,6 +3647,11 @@ object SparkEntry {
       ("SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries, " +
         "CAST(COUNT(DISTINCT vec_id) * 5 AS BIGINT) AS n_exact, " +
         "true AS recall_ok FROM embeddings WHERE vec_id <= 9")
+    // its NET-universe twin for the deletion gates (q229/q235)
+    val annGateNetSql =
+      ("SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries, " +
+        "CAST(COUNT(DISTINCT vec_id) * 5 AS BIGINT) AS n_exact, " +
+        "true AS recall_ok FROM embeddings WHERE vec_id <= 9 AND vec_id % 10 <> 3")
     // 3 unrolled sync-LPA rounds (mode with min-label tie-break) — the
     // shared prefix of q110 (labels) and q111 (community stats)
     val lpaPrefix = {
@@ -4593,12 +4621,10 @@ object SparkEntry {
       "q228_corpus_overlap" -> corpusOverlapSql,
       // the stream-ingested persisted index serves the same gate row
       "q219_ann_pq_stream_ingest" -> annGateSql,
-      // deletion gate: the query set and exact side both live in the
+      // deletion gates: the query set and exact side both live in the
       // NET (tombstone-free) vector universe
-      "q229_ann_pq_deleted" ->
-        ("SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries, " +
-          "CAST(COUNT(DISTINCT vec_id) * 5 AS BIGINT) AS n_exact, " +
-          "true AS recall_ok FROM embeddings WHERE vec_id <= 9 AND vec_id % 10 <> 3"),
+      "q229_ann_pq_deleted" -> annGateNetSql,
+      "q235_ann_ivf_deleted" -> annGateNetSql,
       "q26_embedding_neardup" ->
         ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
           "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim " +

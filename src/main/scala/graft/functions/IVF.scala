@@ -158,6 +158,47 @@ object IVF {
       .saveAsTable(s"${name}_centroids")
   }
 
+  /** DELETE maintenance for a [[save]]d index — the IVF leg of the
+    * takedown half ([[graft.functions.PQ.delete]] is the PQ leg, which
+    * rewrites the whole bucketed table): the cid-PARTITIONED cells
+    * layout makes deletion genuinely partition-pruned, the 100 TB
+    * shape — (1) one broadcast semi-join finds the cids the tombstones
+    * live in (a tiny driver list, ≤ k), (2) ONLY those hive partitions
+    * are read (PartitionFilters — spec-asserted) and rewritten through
+    * dynamic partition overwrite, (3) a partition whose every vector
+    * is tombstoned is dropped by DDL (dynamic overwrite cannot touch a
+    * partition it writes no rows into). Centroids untouched, no
+    * re-assignment, idempotent for absent/replayed deletes.
+    */
+  def delete(spark: org.apache.spark.sql.SparkSession, name: String,
+             tombstones: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    val cells = spark.table(s"${name}_cells")
+    val tomb = broadcast(tombstones.select(col("vec_id")).distinct())
+    val affCids = cells.join(tomb, Seq("vec_id"), "left_semi")
+      .select(col("cid")).distinct().collect().map(_.getInt(0))
+    if (affCids.isEmpty) return
+    val kept = cells.where(col("cid").isin(affCids.map(Integer.valueOf): _*))
+      .join(tomb, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    val emptied = affCids.toSet --
+      kept.select(col("cid")).distinct().collect().map(_.getInt(0)).toSet
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // insertInto resolves columns BY POSITION against the table
+      // schema (partition column last in the on-disk layout)
+      val cols = spark.table(s"${name}_cells").columns
+      kept.select(cols.map(col): _*)
+        .write.mode("overwrite").insertInto(s"${name}_cells")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    emptied.foreach(c => spark.sql(
+      s"ALTER TABLE ${name}_cells DROP IF EXISTS PARTITION (cid = $c)"))
+  }
+
   /** Reload a [[save]]d index: (model, cells). The cells DataFrame IS
     * the partitioned table scan — serving re-assigns nothing; a fresh
     * session sees both tables through the shared catalog.

@@ -171,6 +171,50 @@ class IVFSpec extends SparkTestBase {
       codeSet(PQ.index(emb, model)))
   }
 
+  test("IVF delete: partition-pruned rewrite, emptied-cell drop, absent-delete no-op") {
+    val model = IVF.fit(emb, k = 8, iters = 3)
+    IVF.save(model, IVF.index(emb, model), "graft_ivf_del_spec")
+    val n = emb.count()
+    def cellsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cid"))).toSet
+    val before = cellsOf(spark.table("graft_ivf_del_spec_cells"))
+    // tombstones: every vector of ONE cell (forces the DDL drop path)
+    // plus a slice of another (forces the dynamic-overwrite path)
+    val cids = before.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val dropCid = cids.keys.min
+    val sliceCid = cids.keys.max
+    val tombIds = cids(dropCid) ++ cids(sliceCid).take(3)
+    import spark.implicits._
+    val tomb = tombIds.toSeq.toDF("vec_id")
+    // unaffected partitions must not be rewritten: capture their file
+    // mtimes and names before the delete
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    def partState(cid: Int): Set[(String, Long)] = {
+      val d = new java.io.File(wh, s"graft_ivf_del_spec_cells/cid=$cid")
+      if (!d.isDirectory) Set.empty
+      else d.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified)).toSet
+    }
+    val untouched = cids.keys.filter(c => c != dropCid && c != sliceCid).toSeq
+    val statesBefore = untouched.map(c => c -> partState(c)).toMap
+    IVF.delete(spark, "graft_ivf_del_spec", tomb)
+    val fresh = spark.newSession()
+    val (m2, cells) = IVF.load(fresh, "graft_ivf_del_spec")
+    assert(m2.centroids.map(_.toSeq).toSeq == model.centroids.map(_.toSeq).toSeq)
+    val after = cellsOf(cells)
+    assert(after == before.filterNot(t => tombIds.contains(t._1)))
+    assert(after.size == n - tombIds.size)
+    // the emptied cell is GONE (DDL drop), not a stale survivor
+    assert(!after.exists(_._2 == dropCid))
+    // unaffected partitions were never rewritten (same files, same mtimes)
+    untouched.foreach(c =>
+      assert(partState(c) == statesBefore(c), s"cid=$c was rewritten"))
+    // absent-delete (replayed takedown) is a no-op
+    IVF.delete(spark, "graft_ivf_del_spec", tomb)
+    assert(cellsOf(spark.newSession().table("graft_ivf_del_spec_cells")) == after)
+  }
+
   test("sampled training (maxTrainVectors < corpus) still yields a usable index") {
     val n = emb.count()
     val cap = (n / 4).toInt.max(8)
