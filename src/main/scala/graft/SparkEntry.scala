@@ -158,9 +158,9 @@ object SparkEntry {
   private def c10Fixture(s: SparkSession, dir: String): DataFrame =
     c10Memo(s, dir)
 
-  // q225 + q226 + q230: the landmark distance index is built once (the
-  // build-once/query-many lifecycle — q212's discipline for distances)
-  private val landmarkMemo = new CrossQueryMemo(3, (s, dir) =>
+  // q225 + q226 + q230 + q236: the landmark distance index is built
+  // once (build-once/query-many — q212's discipline for distances)
+  private val landmarkMemo = new CrossQueryMemo(4, (s, dir) =>
     graft.operators.Traversals.landmarkDistances(c10Fixture(s, dir), 8)
       .coalesce(s.sparkContext.defaultParallelism))
 
@@ -2429,6 +2429,20 @@ object SparkEntry {
         graft.operators.Traversals.landmarkDistances(base, 8),
         e.select("src", "dst"), inserts)
     }),
+    // DELETE MAINTENANCE of the landmark index — the non-monotone half
+    // completing the distance lifecycle (q231 relaxes inserts downward;
+    // deletions can only INCREASE distances): cascade invalidation of
+    // entries whose support chains died through a deleted edge, then
+    // boundary repair by the shared relaxation — never a fresh BFS.
+    // The oracle replays the full BFS over the SHRUNK graph from the
+    // ORIGINAL full-graph landmarks; a stale survivor or an over-kept
+    // entry flips the hash
+    "q236_landmark_maintained_del" -> ((s, dir) => {
+      val e = c10Fixture(s, dir).withColumn("tag", edgeTag).cutLineage()
+      graft.operators.Traversals.landmarkMaintainDeletes(
+        landmarkMemo(s, dir), e.select("src", "dst"),
+        e.where(col("tag") === 3).select("src", "dst"))
+    }),
     // ANN INDEX DELETION — the takedown half completing the index
     // lifecycle matrix (build q162 / persist q212 / stream-ingest q219
     // / DELETE here): the model trains on the FULL corpus, its codes
@@ -2885,7 +2899,8 @@ object SparkEntry {
     // recursive CTE carrying the landmark id through the state; UNION
     // dedups (lm, id, dist) states so cycles terminate; depth cap 30
     // (~5× the measured C10 eccentricity) with the sentinel-row fence
-    val (landmarkIdxSql, landmarkEstSql, landmarkEstSqlPersisted, landmarkMaintSql) = {
+    val (landmarkIdxSql, landmarkEstSql, landmarkEstSqlPersisted,
+         landmarkMaintSql, landmarkMaintDelSql) = {
       val prefix =
         s"WITH RECURSIVE c AS MATERIALIZED ($copurchase10), " +
           "sym AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
@@ -2933,7 +2948,24 @@ object SparkEntry {
           "SELECT lm, id, CAST(dist AS BIGINT) AS dist FROM gidx " +
           "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
           "WHERE EXISTS (SELECT 1 FROM gidx WHERE dist >= 30)"
-      (idxSql, estSql(1, 2), estSql(3, 4), maintSql)
+      // DELETE-maintained index: landmarks from the FULL graph's
+      // degrees (the build-time pick), BFS over the SHRUNK graph
+      // (tag ≠ 3); the Spark side must land here by cascade
+      // invalidation + boundary repair, never a fresh BFS
+      val maintDelSql =
+        s"WITH RECURSIVE c AS MATERIALIZED ($copurchase10), " +
+          "sym AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
+          "deg AS (SELECT u AS id, COUNT(*) AS d FROM sym GROUP BY u), " +
+          "lms AS (SELECT id AS lm FROM deg ORDER BY d DESC, id ASC LIMIT 8), " +
+          s"ss AS MATERIALIZED (SELECT x, y FROM c WHERE $tagX <> 3), " +
+          "ssym AS MATERIALIZED (SELECT x AS u, y AS v FROM ss UNION SELECT y, x FROM ss), " +
+          "st(lm, id, dist) AS (SELECT lm, lm, 0 FROM lms " +
+          "UNION SELECT st.lm, s.v, st.dist + 1 FROM st JOIN ssym s ON s.u = st.id WHERE st.dist < 30), " +
+          "didx AS MATERIALIZED (SELECT lm, id, MIN(dist) AS dist FROM st GROUP BY lm, id) " +
+          "SELECT lm, id, CAST(dist AS BIGINT) AS dist FROM didx " +
+          "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
+          "WHERE EXISTS (SELECT 1 FROM didx WHERE dist >= 30)"
+      (idxSql, estSql(1, 2), estSql(3, 4), maintSql, maintDelSql)
     }
     // corpus overlap: the q220 register discipline over md5-prefixed
     // token integers, three conditional register banks in one GROUP BY,
@@ -4614,6 +4646,7 @@ object SparkEntry {
       "q226_landmark_distances" -> landmarkEstSql,
       "q230_landmark_persisted" -> landmarkEstSqlPersisted,
       "q231_landmark_maintained" -> landmarkMaintSql,
+      "q236_landmark_maintained_del" -> landmarkMaintDelSql,
       "q232_cdc_maintained_coreness" -> corenessMaintSql,
       "q233_distance_distribution" -> hyperballDistSql,
       "q234_streaming_hyperball_r2" -> hyperballR2Sql,

@@ -202,20 +202,35 @@ object Traversals {
                               maxIter: Int = 100): DataFrame = {
     val sym = symmetrize(grownEdges).cutLineage()
     val dsym = symmetrize(inserts).cutLineage()
-    var cur = index.select(col("lm").cast("long"), col("id").cast("long"),
+    val cur = index.select(col("lm").cast("long"), col("id").cast("long"),
       col("dist").cast("long")).cutLineage()
     // candidate improvements THROUGH a new edge: d(lm, u) + 1 offered to
     // v for every inserted arc (u, v) — both directions via dsym
+    val seed = cur.join(dsym, cur("id") === dsym("u"))
+      .select(col("lm"), dsym("v").as("id"), (col("dist") + 1).as("dist"))
+    relaxFrom(cur, sym, seed, maxIter, "landmarkMaintainInserts")
+  }
+
+  /** The shared label-correcting relaxation loop ([[
+    * landmarkMaintainInserts]] seeds it through the new edges,
+    * [[landmarkMaintainDeletes]] from the valid boundary into the
+    * invalidated region): adopt every offered (lm, id, dist) that beats
+    * the current entry (or fills an absence), then re-offer from the
+    * just-improved frontier over the full edge set until no offer
+    * improves anything. Distances per (lm, id) strictly decrease from
+    * +∞, so the loop terminates in ≤ eccentricity rounds; fail-loud on
+    * an exhausted budget.
+    */
+  private def relaxFrom(index: DataFrame, sym: DataFrame, seed: DataFrame,
+                        maxIter: Int, opName: String): DataFrame = {
+    var cur = index
     def improvements(offers: DataFrame): DataFrame =
       offers.groupBy("lm", "id").agg(min(col("dist")).as("dist"))
         .join(cur.select(col("lm"), col("id"), col("dist").as("old")),
           Seq("lm", "id"), "left")
         .where(col("old").isNull || col("dist") < col("old"))
         .select("lm", "id", "dist")
-    var frontier = improvements(
-      cur.join(dsym, cur("id") === dsym("u"))
-        .select(col("lm"), dsym("v").as("id"), (col("dist") + 1).as("dist")))
-      .cutLineage()
+    var frontier = improvements(seed).cutLineage()
     var iter = 0
     var done = frontier.isEmpty
     while (iter < maxIter && !done) {
@@ -227,7 +242,7 @@ object Traversals {
           least(coalesce(col("dist"), col("nd")),
             coalesce(col("nd"), col("dist"))).as("dist"))
         .cutLineage()
-      // relax the just-improved vertices over the FULL grown edge set —
+      // relax the just-improved vertices over the FULL edge set —
       // improvements propagate through old edges too
       frontier = improvements(
         frontier.join(sym, frontier("id") === sym("u"))
@@ -236,9 +251,101 @@ object Traversals {
       done = frontier.isEmpty
     }
     require(done,
-      s"landmarkMaintainInserts: improvements still propagating after $maxIter " +
+      s"$opName: improvements still propagating after $maxIter " +
         "rounds — raise maxIter; a truncated relaxation leaves stale distances")
     cur
+  }
+
+  /** DELETE maintenance for a landmark index — the non-monotone half
+    * ([[landmarkMaintainInserts]] relaxes downward; deletions can only
+    * INCREASE distances, so stale entries must first be found and
+    * evicted, then the hole re-derived): the classic two-phase
+    * delete-repair on BFS trees, set-oriented.
+    *
+    * Phase 1 — CASCADE INVALIDATION. A surviving entry d(lm, v) is
+    * CERTIFIED by a support: a neighbor u in the shrunk graph with
+    * d(lm, u) = d(lm, v) − 1 that itself survives (d = 0 ⇔ v = lm is
+    * self-certified). Initial suspects are exactly the pairs that lost
+    * a potential support through a deleted edge (d(v) = d(u) + 1
+    * across a deleted (u, v)); each round evicts suspects with no
+    * surviving support and re-suspects their dependents (neighbors one
+    * level further out) — invalidation flows strictly upward in dist,
+    * so total work ∝ Σ deg over the invalidated region.
+    *
+    * Phase 2 — BOUNDARY REPAIR. Every surviving entry is EXACT
+    * (support chains induct down to the landmark: a path of length d
+    * exists in the shrunk graph, and deletions can't shorten
+    * distances); relaxation seeded from surviving entries adjacent to
+    * the invalidated region re-derives each evicted pair's new
+    * distance — any shortest path to an evicted vertex leaves the
+    * surviving set exactly once, at its last surviving vertex, whose
+    * entry the seed offers. Pairs with no path left stay evicted
+    * (unreachable — correctly absent). Offers can never disturb a
+    * surviving entry (it is already minimal), so the shared
+    * [[relaxFrom]] loop is reused verbatim.
+    *
+    * The maintained index is row-equal to a fresh BFS over the shrunk
+    * graph from the SAME build-time landmarks — what the q236 oracle
+    * hash-checks. Deleting an absent edge is a no-op; landmarks are
+    * never re-picked (the rebuild-vs-maintain contract shared with
+    * [[graft.functions.PQ.delete]]).
+    */
+  def landmarkMaintainDeletes(index: DataFrame, oldEdges: DataFrame,
+                              deletes: DataFrame,
+                              maxIter: Int = 100): DataFrame = {
+    val dsym = symmetrize(deletes).cutLineage()
+    val symS = symmetrize(oldEdges).join(dsym, Seq("u", "v"), "left_anti")
+      .cutLineage()
+    var cur = index.select(col("lm").cast("long"), col("id").cast("long"),
+      col("dist").cast("long")).cutLineage()
+    // suspects: pairs whose dist rode a now-deleted edge
+    var frontier = dsym
+      .join(cur.select(col("lm"), col("id").as("u"), col("dist").as("du")),
+        Seq("u"))
+      .join(cur.select(col("lm"), col("id").as("v"), col("dist").as("dv")),
+        Seq("lm", "v"))
+      .where(col("dv") === col("du") + 1)
+      .select(col("lm"), col("v").as("id"), col("dv").as("dist")).distinct()
+      .cutLineage()
+    val nbrs = symS.select(col("u").as("id"), col("v").as("nb"))
+    var iter = 0
+    while (iter < maxIter && !frontier.isEmpty) {
+      iter += 1
+      val supported = frontier
+        .join(nbrs, Seq("id"))
+        .join(cur.select(col("lm"), col("id").as("nb"), col("dist").as("dn")),
+          Seq("lm", "nb"))
+        .where(col("dn") === col("dist") - 1)
+        .select(col("lm"), col("id")).distinct()
+      val invalid = frontier.select(col("lm"), col("id"), col("dist"))
+        .join(supported, Seq("lm", "id"), "left_anti")
+        .cutLineage()
+      if (invalid.isEmpty) {
+        frontier = invalid // empty — cascade settled
+      } else {
+        // dependents one level out re-test against the shrunk index
+        cur = cur.join(invalid.select("lm", "id"), Seq("lm", "id"), "left_anti")
+          .cutLineage()
+        frontier = invalid
+          .join(nbrs, Seq("id"))
+          .join(cur.select(col("lm"), col("id").as("nb"), col("dist").as("dn")),
+            Seq("lm", "nb"))
+          .where(col("dn") === col("dist") + 1)
+          .select(col("lm"), col("nb").as("id"), col("dn").as("dist")).distinct()
+          .cutLineage()
+      }
+    }
+    require(frontier.isEmpty,
+      s"landmarkMaintainDeletes: invalidation still cascading after $maxIter " +
+        "rounds — raise maxIter; stale distances would survive")
+    // repair: offers from the surviving set into the evicted region
+    val lost = index.select(col("lm").cast("long"), col("id").cast("long"))
+      .join(cur.select("lm", "id"), Seq("lm", "id"), "left_anti")
+      .cutLineage()
+    val seed = cur.join(nbrs, Seq("id"))
+      .select(col("lm"), col("nb").as("id"), (col("dist") + 1).as("dist"))
+      .join(lost, Seq("lm", "id"), "left_semi")
+    relaxFrom(cur, symS, seed, maxIter, "landmarkMaintainDeletes")
   }
 
   /** Double-sweep diameter estimation: BFS from `start`, then BFS again

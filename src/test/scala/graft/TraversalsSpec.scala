@@ -698,4 +698,47 @@ class TraversalsSpec extends SparkTestBase {
         idx, grown.toDF("src", "dst"), delta.toDF("src", "dst"), maxIter = 1)
     }
   }
+
+  test("landmarkMaintainDeletes: cascade + repair equals a fresh BFS over the shrunk graph") {
+    import spark.implicits._
+    // a long path 1-..-6 hanging off a 3-cycle 1-2-7, plus a square
+    // 10-11-12-13 with a diagonal, plus a pendant pair 20-21 attached
+    // to the path at 3 — built so deletions exercise every mode below
+    val base = Seq((1L, 2L), (2L, 7L), (7L, 1L),
+      (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (3L, 20L), (20L, 21L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L), (10L, 12L))
+    val edges = base.toDF("src", "dst")
+    val idx = graft.operators.Traversals.landmarkDistances(edges, 3)
+    val lms = idx.where($"dist" === 0).select("lm").collect().map(_.getLong(0)).toSeq
+    def maintained(dels: Seq[(Long, Long)]): Set[(Long, Long, Long)] =
+      graft.operators.Traversals.landmarkMaintainDeletes(
+          idx, edges, dels.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def fresh(dels: Seq[(Long, Long)]): Set[(Long, Long, Long)] =
+      bfsIndex(base.filterNot(e =>
+        dels.contains(e) || dels.contains((e._2, e._1))), lms)
+    // deep cascade: cutting (2,3) re-routes the whole tail 4-5-6 AND
+    // the pendant pair — distances grow by the detour or vanish
+    assert(maintained(Seq((2L, 3L))) == fresh(Seq((2L, 3L))))
+    // disconnection: cutting both (3,20) and... cutting (3,20) strands
+    // 20-21 entirely — their rows must DROP
+    val m2 = maintained(Seq((3L, 20L)))
+    assert(m2 == fresh(Seq((3L, 20L))))
+    assert(!m2.exists(t => t._2 == 20L || t._2 == 21L))
+    // alternate equal-length path: the square's diagonal (10,12) is
+    // redundant for unit distances — nothing changes
+    assert(maintained(Seq((10L, 12L))) == fresh(Seq((10L, 12L))))
+    // absent-edge delete: pure no-op
+    assert(maintained(Seq((1L, 99L))) ==
+      idx.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // multi-delete touching several landmarks' trees at once
+    val multi = Seq((2L, 3L), (13L, 10L))
+    assert(maintained(multi) == fresh(multi))
+    // fail-loud on an exhausted cascade/relaxation budget
+    intercept[IllegalArgumentException] {
+      graft.operators.Traversals.landmarkMaintainDeletes(
+        idx, edges, Seq((2L, 3L)).toDF("src", "dst"), maxIter = 1)
+    }
+  }
 }
