@@ -190,11 +190,11 @@ object SparkEntry {
   private def c10Adjacency(s: SparkSession, dir: String): DataFrame =
     c10AdjMemo(s, dir)
 
-  // q211 + q215 + q232: all resolve the IDENTICAL changelog over the
-  // tagged C10 edge set (cdcChangelog reads only src/dst/tag) — ONE
-  // 4-trigger keyed-state replay, three maintenance consumers
-  // (triangles, MSF, coreness)
-  private val c10CdcMemo = new CrossQueryMemo(3, (s, dir) =>
+  // q211 + q215 + q232 + q237: all resolve the IDENTICAL changelog over
+  // the tagged C10 edge set (cdcChangelog reads only src/dst/tag) — ONE
+  // 4-trigger keyed-state replay, four maintenance consumers
+  // (triangles, MSF, coreness, trussness)
+  private val c10CdcMemo = new CrossQueryMemo(4, (s, dir) =>
     graft.streaming.StreamingOps.replayEdgeCdc(cdcChangelog(
       c10Fixture(s, dir).withColumn("tag", edgeTag))))
 
@@ -2393,6 +2393,21 @@ object SparkEntry {
       graft.operators.Traversals.corenessMaintain(
         graft.operators.Traversals.coreness(base), base, inserts, deletes)
     }),
+    // CDC-MAINTAINED TRUSSNESS — the edge-keyed decomposition leg
+    // (q232 is the vertex-keyed one): the shared changelog resolution
+    // drives trussnessMaintain; unaffected supergraph components pass
+    // through verbatim (trussness is per-component — triangles never
+    // cross), affected ones re-peel on their induced net edges. The
+    // oracle replays the full peel over the NET edge set
+    "q237_cdc_maintained_trussness" -> ((s, dir) => {
+      val te = c10Fixture(s, dir).withColumn("tag", edgeTag).cutLineage()
+      val fin = c10CdcMemo(s, dir)
+      val inserts = fin.where(col("alive") === 1).select("src", "dst")
+      val deletes = fin.where(col("alive") === 0).select("src", "dst")
+      val base = te.where(col("tag") =!= 8).select("src", "dst")
+      Triangles.trussnessMaintain(
+        Triangles.trussness(base), base, inserts, deletes)
+    }),
     // LANDMARK INDEX PERSISTED + SERVED FROM A FRESH SESSION (q212's
     // lifecycle discipline applied to distances, closing the q225/q226
     // same-session gap): the index persists as an id-bucketed catalog
@@ -3548,10 +3563,13 @@ object SparkEntry {
     // edges are labeled k-1, kMax survivors labeled kMax ("6+"); one
     // sentinel per level fails the hash loudly if a peel outlives its
     // unroll
-    val trussnessSql = {
+    // the successive-peel replay, parameterized by the edge CTE — one
+    // definition serves the full decomposition (q152) and the
+    // CDC-maintained one (q237, the NET edge set)
+    def trussnessSqlFor(cSql: String) = {
       val kMax = 6; val R = 10
       val sb = new StringBuilder
-      sb ++= s"WITH f2 AS MATERIALIZED ($copurchase10), "
+      sb ++= s"WITH f2 AS MATERIALIZED ($cSql), "
       for (k <- 3 to kMax) {
         sb ++= s"e${k}_0 AS MATERIALIZED (SELECT x, y FROM f${k - 1}), "
         for (r <- 1 to R) {
@@ -3583,6 +3601,10 @@ object SparkEntry {
         s"WHERE $sentinels")
       sb.toString
     }
+    val trussnessSql = trussnessSqlFor(copurchase10)
+    val trussnessMaintSql = trussnessSqlFor(
+      s"SELECT x, y FROM ($copurchase10) z WHERE " +
+        "((((x % 2147483648) * 31 + y) % 2147483648) * 2654435761) % 2147483648 % 10 NOT IN (3, 4)")
     // Adamic–Adar: wedge join over centers with degree >= 2; each
     // center's 1/ln(deg) weight is rounded to integer micro-units FIRST
     // so the per-pair sum is order-independent (the q32/q54 pattern)
@@ -4648,6 +4670,7 @@ object SparkEntry {
       "q231_landmark_maintained" -> landmarkMaintSql,
       "q236_landmark_maintained_del" -> landmarkMaintDelSql,
       "q232_cdc_maintained_coreness" -> corenessMaintSql,
+      "q237_cdc_maintained_trussness" -> trussnessMaintSql,
       "q233_distance_distribution" -> hyperballDistSql,
       "q234_streaming_hyperball_r2" -> hyperballR2Sql,
       "q227_streaming_hyperball" -> hyperballT1Sql,

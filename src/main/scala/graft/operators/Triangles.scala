@@ -462,6 +462,65 @@ object Triangles {
     parts.reduce(_ unionByName _)
   }
 
+  /** MAINTAINED truss decomposition — the edge-keyed leg of the
+    * maintenance matrix ([[Traversals.corenessMaintain]] is the
+    * vertex-keyed one): given the previous decomposition
+    * `(src, dst, trussness)`, the previous edges, and insert/delete
+    * deltas, produce the NET graph's trussness recomputing ONLY the
+    * affected components.
+    *
+    * Soundness: trussness is a per-component statistic (triangles
+    * never cross components), and a component of the SUPERGRAPH
+    * (old ∪ inserts) untouched by any delta endpoint has an identical
+    * edge set in the old and net graphs — its rows pass through
+    * verbatim. Components are closed under both endpoints, so one
+    * endpoint-membership test classifies an edge. Affected components
+    * re-run the [[trussness]] peel on their induced net edges —
+    * certification cost ∝ affected |E|, the
+    * [[ConnectedComponents.decremental]] carve-out discipline. Same
+    * REGIME caveat as corenessMaintain: a single-giant-component graph
+    * degenerates to the full peel plus carve-out overhead.
+    *
+    * Delta precedence: tombstone-wins (net = (old ∪ inserts) ∖
+    * deletes), the CDC model. Edge identity is direction-insensitive.
+    * `labels`: the supergraph's stored CC decomposition when the
+    * deployment keeps one; computed fresh when absent. `trace`
+    * records the affected-edge count.
+    */
+  def trussnessMaintain(oldTruss: DataFrame, oldEdges: DataFrame,
+                        inserts: DataFrame, deletes: DataFrame,
+                        labels: Option[DataFrame] = None, kMax: Int = 6,
+                        trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df.select(
+        least(col("src"), col("dst")).cast("long").as("src"),
+        greatest(col("src"), col("dst")).cast("long").as("dst"))
+      .where(col("src") < col("dst")).distinct()
+    val oldE = canon(oldEdges)
+    val insE = canon(inserts)
+    val delE = canon(deletes)
+    val superE = oldE.unionByName(insE).distinct().cutLineage()
+    val netE = superE.join(delE, Seq("src", "dst"), "left_anti").cutLineage()
+    val lbl = labels.getOrElse(ConnectedComponents.iterative(superE))
+      .select(col("id"), col("component"))
+    val touched = insE.unionByName(delE)
+      .select(col("src").as("id")).unionByName(
+        insE.unionByName(delE).select(col("dst").as("id")))
+      .distinct()
+    val affComps = lbl.join(touched, Seq("id"), "left_semi")
+      .select(col("component")).distinct()
+    val affVerts = lbl.join(affComps, Seq("component"), "left_semi")
+      .select(col("id")).cutLineage()
+    // components are endpoint-closed: testing src suffices
+    val affNet = netE.join(affVerts.toDF("src"), Seq("src"), "left_semi")
+      .cutLineage()
+    trace.foreach(_ += affNet.count())
+    val passThrough = oldTruss.select(
+        col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+        col("trussness").cast("long").as("trussness"))
+      .join(affVerts.toDF("src"), Seq("src"), "left_anti")
+    passThrough.unionByName(trussness(affNet, kMax))
+  }
+
   /** Full-recount k-truss — the r2 baseline kept for the ScaleSmoke A/B
     * against the incremental [[ktruss]]: every round re-enumerates ALL
     * triangles of the surviving graph. Wins when the peel converges in

@@ -149,6 +149,44 @@ class TrianglesSpec extends SparkTestBase {
     assert(byClass == byPeel)
   }
 
+  test("trussnessMaintain: component carve-out equals the full re-peel") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    def tmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // three components: A = 4-clique 1..4 with pendant 4-5, B = 5-clique
+    // 10..14 (untouched — the pass-through probe), C = triangle 20-21-22
+    val compA = clique(Seq(1L, 2L, 3L, 4L)) :+ (4L, 5L)
+    val compB = clique(Seq(10L, 11L, 12L, 13L, 14L))
+    val compC = Seq((20L, 21L), (21L, 22L), (20L, 22L))
+    val base = (compA ++ compB ++ compC).toDF("src", "dst")
+    val oldT = Triangles.trussness(base)
+    // delta: close the pendant into triangles (1,5),(2,5) — A's truss
+    // classes rise — and break C's triangle by deleting (21,22)
+    val ins = Seq((1L, 5L), (2L, 5L)).toDF("src", "dst")
+    val del = Seq((22L, 21L)).toDF("src", "dst") // reversed: identity is undirected
+    val net = (compA ++ compB ++ Seq((20L, 21L), (20L, 22L), (1L, 5L), (2L, 5L)))
+      .toDF("src", "dst")
+    val trace = scala.collection.mutable.Buffer.empty[Long]
+    val got = tmap(Triangles.trussnessMaintain(oldT, base, ins, del,
+      trace = Some(trace)))
+    assert(got == tmap(Triangles.trussness(net)), s"got $got")
+    // confinement: affected components are A (9 net edges: the clique's
+    // 6 + the pendant + 2 inserts) and C (2 survivors) — B's 10 edges
+    // never re-peel
+    assert(trace.head == 11L, s"affected edges ${trace.head} — B leaked in")
+    // tombstone-wins: inserting and deleting the same edge nets to dead
+    val both = Seq((1L, 5L)).toDF("src", "dst")
+    assert(tmap(Triangles.trussnessMaintain(oldT, base, both, both)) ==
+      tmap(Triangles.trussness(base)))
+    // empty delta: pure pass-through, zero affected edges
+    val t2 = scala.collection.mutable.Buffer.empty[Long]
+    val e = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(tmap(Triangles.trussnessMaintain(oldT, base, e, e,
+      trace = Some(t2))) == tmap(oldT))
+    assert(t2.head == 0L)
+  }
+
   test("butterflies: exact 2x2 biclique count, side-invariant, zero on a star") {
     import spark.implicits._
     // K(2,3): left {1,2} x right {10,20,30} — butterflies = C(3,2) = 3
