@@ -190,6 +190,14 @@ object SparkEntry {
   private def c10Adjacency(s: SparkSession, dir: String): DataFrame =
     c10AdjMemo(s, dir)
 
+  // q232 + q237: both maintenance carve-outs consult the SAME
+  // supergraph decomposition (base ∪ alive-inserts = the full C10 —
+  // the stored-labels production path the operators' `labels` param
+  // exists for, the q209 msfMemo discipline)
+  private val c10SuperLabelsMemo = new CrossQueryMemo(2, (s, dir) =>
+    ConnectedComponents.iterative(c10Fixture(s, dir))
+      .coalesce(s.sparkContext.defaultParallelism))
+
   // q211 + q215 + q232 + q237: all resolve the IDENTICAL changelog over
   // the tagged C10 edge set (cdcChangelog reads only src/dst/tag) — ONE
   // 4-trigger keyed-state replay, four maintenance consumers
@@ -2391,7 +2399,8 @@ object SparkEntry {
       val deletes = fin.where(col("alive") === 0).select("src", "dst")
       val base = te.where(col("tag") =!= 8).select("src", "dst")
       graft.operators.Traversals.corenessMaintain(
-        graft.operators.Traversals.coreness(base), base, inserts, deletes)
+        graft.operators.Traversals.coreness(base), base, inserts, deletes,
+        labels = Some(c10SuperLabelsMemo(s, dir)))
     }),
     // CDC-MAINTAINED TRUSSNESS — the edge-keyed decomposition leg
     // (q232 is the vertex-keyed one): the shared changelog resolution
@@ -2406,7 +2415,8 @@ object SparkEntry {
       val deletes = fin.where(col("alive") === 0).select("src", "dst")
       val base = te.where(col("tag") =!= 8).select("src", "dst")
       Triangles.trussnessMaintain(
-        Triangles.trussness(base), base, inserts, deletes)
+        Triangles.trussness(base), base, inserts, deletes,
+        labels = Some(c10SuperLabelsMemo(s, dir)))
     }),
     // LANDMARK INDEX PERSISTED + SERVED FROM A FRESH SESSION (q212's
     // lifecycle discipline applied to distances, closing the q225/q226
