@@ -79,6 +79,15 @@ object SparkEntry {
     * reclaims the blocks (a memo left resident GC-pressures every later
     * query — measured on q50: 5.8 s isolated vs 16.5 s with a resident
     * memo).
+    *
+    * SEQUENCING CONTRACT (review finding r11): the deferred-retire
+    * unpersist assumes the expiring (maxUses-th) consumer fully
+    * EXECUTES its plan before any later apply() for the same key
+    * triggers a rebuild — true for the strictly sequential
+    * Verify/Bench harnesses this serves. Keep one use of SLACK when
+    * sizing maxUses for small memos (the pin then outlives the last
+    * consumer until app end, which a ~MB-scale memo can afford) so an
+    * added consumer can never land exactly on the retire edge.
     */
   private final class CrossQueryMemo(maxUses: Int,
       build: (SparkSession, String) => DataFrame) {
@@ -158,9 +167,10 @@ object SparkEntry {
   private def c10Fixture(s: SparkSession, dir: String): DataFrame =
     c10Memo(s, dir)
 
-  // q225 + q226 + q230 + q236: the landmark distance index is built
-  // once (build-once/query-many — q212's discipline for distances)
-  private val landmarkMemo = new CrossQueryMemo(4, (s, dir) =>
+  // q225 + q226 + q230 + q236 (+1 slack per the sequencing contract):
+  // the landmark distance index is built once (build-once/query-many —
+  // q212's discipline for distances)
+  private val landmarkMemo = new CrossQueryMemo(5, (s, dir) =>
     graft.operators.Traversals.landmarkDistances(c10Fixture(s, dir), 8)
       .coalesce(s.sparkContext.defaultParallelism))
 
@@ -190,21 +200,38 @@ object SparkEntry {
   private def c10Adjacency(s: SparkSession, dir: String): DataFrame =
     c10AdjMemo(s, dir)
 
-  // q232 + q237: both maintenance carve-outs consult the SAME
+  // q232 + q237 (+1 slack): both maintenance carve-outs consult the SAME
   // supergraph decomposition (base ∪ alive-inserts = the full C10 —
   // the stored-labels production path the operators' `labels` param
   // exists for, the q209 msfMemo discipline)
-  private val c10SuperLabelsMemo = new CrossQueryMemo(2, (s, dir) =>
+  private val c10SuperLabelsMemo = new CrossQueryMemo(3, (s, dir) =>
     ConnectedComponents.iterative(c10Fixture(s, dir))
       .coalesce(s.sparkContext.defaultParallelism))
 
-  // q211 + q215 + q232 + q237: all resolve the IDENTICAL changelog over
-  // the tagged C10 edge set (cdcChangelog reads only src/dst/tag) — ONE
-  // 4-trigger keyed-state replay, four maintenance consumers
-  // (triangles, MSF, coreness, trussness)
-  private val c10CdcMemo = new CrossQueryMemo(4, (s, dir) =>
+  // q211 + q215 + q232 + q237 (+1 slack per the sequencing contract):
+  // all resolve the IDENTICAL changelog over the tagged C10 edge set
+  // (cdcChangelog reads only src/dst/tag) — ONE 4-trigger keyed-state
+  // replay, four maintenance consumers (triangles, MSF, coreness,
+  // trussness)
+  private val c10CdcMemo = new CrossQueryMemo(5, (s, dir) =>
     graft.streaming.StreamingOps.replayEdgeCdc(cdcChangelog(
       c10Fixture(s, dir).withColumn("tag", edgeTag))))
+
+  /** The shared changelog-resolution preamble of the C10 maintenance
+    * family (q211/q232/q237): (base, inserts, deletes) per the
+    * q210/q215 identity — base = tag ≠ 8 edges, the resolved
+    * changelog's alive keys insert, its tombstoned keys delete. ONE
+    * definition so the convention can never silently diverge across
+    * consumers (review finding r11).
+    */
+  private def c10CdcSplits(s: SparkSession,
+                           dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val te = c10Fixture(s, dir).withColumn("tag", edgeTag).cutLineage()
+    val fin = c10CdcMemo(s, dir)
+    (te.where(col("tag") =!= 8).select("src", "dst"),
+      fin.where(col("alive") === 1).select("src", "dst"),
+      fin.where(col("alive") === 0).select("src", "dst"))
+  }
 
   /** THE multiplicative edge hash (q191's family) — the one definition
     * every weighted/tagged fixture derives from, so the cross-query
@@ -357,6 +384,19 @@ object SparkEntry {
       "(CASE WHEN doc_id % 17 = 0 THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') " +
       "|| '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') " +
       "|| '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)"
+
+  /** vec_id MEMBERSHIP equality — the deletion gates' completeness
+    * check (q229/q235). A row-count comparison would accept
+    * compensating errors (one surviving tombstone + one dropped
+    * survivor nets to equal counts — review finding r11); the marker
+    * full-outer catches any asymmetry.
+    */
+  private def idSetEq(a: DataFrame, b: DataFrame): Boolean =
+    a.select(col("vec_id")).withColumn("l", lit(1))
+      .join(b.select(col("vec_id")).withColumn("r", lit(1)),
+        Seq("vec_id"), "full")
+      .where(col("l").isNull || col("r").isNull)
+      .isEmpty
 
   /** Driver-visible recall gate for ANN operators whose raw top-k output
     * is hash-family-dependent: computes recall of `approx` against the
@@ -2169,12 +2209,7 @@ object SparkEntry {
     // composed counts must hash-equal full recounts of the base,
     // grown, and final edge sets
     "q211_cdc_maintained_triangles" -> ((s, dir) => {
-      val te = c10Fixture(s, dir)
-        .withColumn("tag", edgeTag).cutLineage()
-      val fin = c10CdcMemo(s, dir)
-      val inserts = fin.where(col("alive") === 1).select("src", "dst")
-      val deletes = fin.where(col("alive") === 0).select("src", "dst")
-      val base = te.where(col("tag") =!= 8).select("src", "dst")
+      val (base, inserts, deletes) = c10CdcSplits(s, dir)
       val grown = Triangles.deltaTriangles(base, inserts)
       val after = Triangles.decrementalTriangles(
         base.unionByName(inserts).distinct(), deletes)
@@ -2393,11 +2428,7 @@ object SparkEntry {
     // the base coreness + the maintenance; production pays maintenance
     // against the stored decomposition only
     "q232_cdc_maintained_coreness" -> ((s, dir) => {
-      val te = c10Fixture(s, dir).withColumn("tag", edgeTag).cutLineage()
-      val fin = c10CdcMemo(s, dir)
-      val inserts = fin.where(col("alive") === 1).select("src", "dst")
-      val deletes = fin.where(col("alive") === 0).select("src", "dst")
-      val base = te.where(col("tag") =!= 8).select("src", "dst")
+      val (base, inserts, deletes) = c10CdcSplits(s, dir)
       graft.operators.Traversals.corenessMaintain(
         graft.operators.Traversals.coreness(base), base, inserts, deletes,
         labels = Some(c10SuperLabelsMemo(s, dir)))
@@ -2409,11 +2440,7 @@ object SparkEntry {
     // cross), affected ones re-peel on their induced net edges. The
     // oracle replays the full peel over the NET edge set
     "q237_cdc_maintained_trussness" -> ((s, dir) => {
-      val te = c10Fixture(s, dir).withColumn("tag", edgeTag).cutLineage()
-      val fin = c10CdcMemo(s, dir)
-      val inserts = fin.where(col("alive") === 1).select("src", "dst")
-      val deletes = fin.where(col("alive") === 0).select("src", "dst")
-      val base = te.where(col("tag") =!= 8).select("src", "dst")
+      val (base, inserts, deletes) = c10CdcSplits(s, dir)
       Triangles.trussnessMaintain(
         Triangles.trussness(base), base, inserts, deletes,
         labels = Some(c10SuperLabelsMemo(s, dir)))
@@ -2475,8 +2502,9 @@ object SparkEntry {
     // bucketed codes table by a broadcast anti-join (no re-encode, no
     // re-train — codebooks untouched), and a FRESH session serves the
     // recall gate from the shrunken index against the NET vector set.
-    // Completeness is folded into the gate flag: a surviving tombstone
-    // OR an over-delete flips the count check even if recall holds
+    // Completeness is folded into the gate flag as vec_id MEMBERSHIP
+    // equality: a surviving tombstone or a dropped survivor — even a
+    // compensating pair of both — flips it even if recall holds
     "q229_ann_pq_deleted" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val model = graft.functions.PQ.fit(emb)
@@ -2488,7 +2516,7 @@ object SparkEntry {
       val (m2, codes) = graft.functions.PQ.load(fresh, "graft_pq_del_idx")
       val net = Tables.embeddings(fresh, dir).where(col("vec_id") % 10 =!= 3)
       val q = net.where(col("vec_id") <= 9)
-      val complete = codes.count() == net.count()
+      val complete = idSetEq(codes, net)
       recallGate(Similarity.bruteForceTopK(net, q, 5),
           graft.functions.PQ.topK(codes, net, q, m2, 5, shortlist = 64), 0.5)
         .select(col("n_queries"), col("n_exact"),
@@ -2511,7 +2539,7 @@ object SparkEntry {
       val (m2, cells) = graft.functions.IVF.load(fresh, "graft_ivf_del_idx")
       val net = Tables.embeddings(fresh, dir).where(col("vec_id") % 10 =!= 3)
       val q = net.where(col("vec_id") <= 9)
-      val complete = cells.count() == net.count()
+      val complete = idSetEq(cells, net)
       recallGate(Similarity.bruteForceTopK(net, q, 5),
           graft.functions.IVF.topK(cells, q, m2, 5, nprobe = 4), 0.4)
         .select(col("n_queries"), col("n_exact"),

@@ -188,8 +188,7 @@ object IVF {
     try {
       // insertInto resolves columns BY POSITION against the table
       // schema (partition column last in the on-disk layout)
-      val cols = spark.table(s"${name}_cells").columns
-      kept.select(cols.map(col): _*)
+      kept.select(cells.columns.map(col): _*)
         .write.mode("overwrite").insertInto(s"${name}_cells")
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)

@@ -233,6 +233,16 @@ object PQ {
   def delete(spark: org.apache.spark.sql.SparkSession, name: String,
              tombstones: DataFrame, nBuckets: Int = 8): Unit = {
     val codes = spark.table(s"${name}_codes")
+    // the rewrite must PRESERVE the saved layout: read the table's own
+    // bucket spec rather than trusting this call's default — a delete
+    // against an index saved with a different bucket count would
+    // otherwise silently degrade the Exchange-free-scan contract
+    // (review finding r11); `nBuckets` is only the fallback for a
+    // spec-less table
+    val actualBuckets = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser
+        .parseTableIdentifier(s"${name}_codes"))
+      .bucketSpec.map(_.numBuckets).getOrElse(nBuckets)
     // pin the survivors off the table's storage BEFORE the overwrite
     // drops it (Spark refuses to overwrite a table from a plan that
     // reads it; the eager localCheckpoint cuts that cycle)
@@ -242,7 +252,7 @@ object PQ {
       .localCheckpoint(true)
     graft.sources.Sources.dropManagedTable(spark, s"${name}_codes")
     graft.sources.Sources.writeBucketed(kept, s"${name}_codes",
-      "vec_id", nBuckets, sortCols = Seq("vec_id"))
+      "vec_id", actualBuckets, sortCols = Seq("vec_id"))
   }
 
   /** Reload a [[save]]d index: (model, codes). The codes DataFrame IS

@@ -117,10 +117,24 @@ object Traversals {
     }
     // fail loud, never truncate silently (the boruvka/coreness
     // convention): a graph with eccentricity past maxIter would
-    // otherwise hand callers a silently incomplete index (ADVICE r10)
-    require(done,
-      s"landmarkDistances: frontier still non-empty after $maxIter rounds — " +
-        "raise maxIter; a truncated index under-serves every query")
+    // otherwise hand callers a silently incomplete index (ADVICE r10).
+    // Eccentricity EXACTLY maxIter is complete — the depth-maxIter
+    // frontier was appended before the loop exited — so probe whether
+    // the final frontier would expand before declaring truncation
+    // (review finding r11: the plain require spuriously aborted the
+    // ecc == maxIter boundary)
+    if (!done) {
+      val settled = frontiers.map(_.select(col("lm"), col("id")))
+        .reduce(_ union _)
+      val head = frontiers.head
+      val more = !head.join(sym, head("id") === sym("u"))
+        .select(col("lm"), col("v").as("id"))
+        .join(settled, Seq("lm", "id"), "left_anti")
+        .isEmpty
+      require(!more,
+        s"landmarkDistances: frontier still non-empty after $maxIter rounds — " +
+          "raise maxIter; a truncated index under-serves every query")
+    }
     frontiers.map(_.select(col("lm"), col("id"), col("dist")))
       .reduce(_ union _)
   }
@@ -338,11 +352,18 @@ object Traversals {
     require(frontier.isEmpty,
       s"landmarkMaintainDeletes: invalidation still cascading after $maxIter " +
         "rounds — raise maxIter; stale distances would survive")
-    // repair: offers from the surviving set into the evicted region
+    // repair: offers from the surviving set into the evicted region —
+    // restrict the adjacency to arcs LANDING on an evicted id BEFORE
+    // joining the full index, so the seed costs ∝ the evicted boundary
+    // (the lm-independent id superset prunes first; the unrestricted
+    // form paid |index|·avg-degree for an arbitrarily small delete —
+    // review finding r11), then keep only true (lm, id) losses
     val lost = index.select(col("lm").cast("long"), col("id").cast("long"))
       .join(cur.select("lm", "id"), Seq("lm", "id"), "left_anti")
       .cutLineage()
-    val seed = cur.join(nbrs, Seq("id"))
+    val intoLost = nbrs.join(
+      lost.select(col("id").as("nb")).distinct(), Seq("nb"), "left_semi")
+    val seed = cur.join(intoLost, Seq("id"))
       .select(col("lm"), col("nb").as("id"), (col("dist") + 1).as("dist"))
       .join(lost, Seq("lm", "id"), "left_semi")
     relaxFrom(cur, symS, seed, maxIter, "landmarkMaintainDeletes")

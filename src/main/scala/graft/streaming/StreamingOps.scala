@@ -1691,6 +1691,11 @@ object StreamingOps {
     val rows = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].collect()
     rows.sortInPlaceBy(identity)
+    // empty stream: no trigger ever fires, so no register table exists —
+    // the batch sibling's empty-graph answer, not a missing-path crash
+    // (review finding r11)
+    if (rows.isEmpty)
+      return spark.emptyDataset[(Long, Long, Long)].toDF("id", "t", "est")
     val stream = pinnedShuffleSession(spark, 8)
     implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
