@@ -103,14 +103,33 @@ object SparkEntry {
     // checkpoint per key instead of one per expiry
     private val retired =
       new java.util.concurrent.ConcurrentHashMap[(Int, String), Integer]()
+    // belt-and-braces on the SEQUENCING CONTRACT (ADVICE r11): the
+    // deferred-retire unpersist is only safe when each key is used by
+    // exactly one strictly-sequential caller. Record the first thread
+    // to touch a key; if any OTHER thread ever touches it, taint the
+    // key — a tainted key's retired checkpoint is left resident (a
+    // bounded one-checkpoint leak) instead of being yanked from under
+    // a concurrent consumer whose plan may not have executed yet.
+    private val owner =
+      new java.util.concurrent.ConcurrentHashMap[(Int, String), Thread]()
+    private val tainted =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
 
     def apply(s: SparkSession, dir: String): DataFrame = {
       val sid = System.identityHashCode(s)
       val key = (sid, dir)
+      val prevOwner = owner.putIfAbsent(key, Thread.currentThread())
+      if (prevOwner != null && (prevOwner ne Thread.currentThread()) &&
+          tainted.add(key))
+        System.err.println(
+          "[graft] CrossQueryMemo: concurrent use observed for key " +
+            s"$key — deferred-retire unpersist disabled for it " +
+            "(bounded leak chosen over a possibly-broken reader)")
       val (df, cpId) = cache.computeIfAbsent(key, _ => {
         Option(retired.remove(key)).foreach(old =>
-          s.sparkContext.getPersistentRDDs.get(old.intValue)
-            .foreach(_.unpersist(false)))
+          if (!tainted.contains(key))
+            s.sparkContext.getPersistentRDDs.get(old.intValue)
+              .foreach(_.unpersist(false)))
         val before = s.sparkContext.getPersistentRDDs.keySet
         val cp = build(s, dir).localCheckpoint(true)
         // pin the checkpoint's OWN rdd, read off its LogicalRDD plan — no
@@ -2457,9 +2476,15 @@ object SparkEntry {
         landmarkMemo(s, dir), "graft_lm_idx")
       val fresh = s.newSession()
       val idx = graft.operators.Traversals.loadLandmarkIndex(fresh, "graft_lm_idx")
-      val e = c10Fixture(s, dir)
-      val verts = e.select(col("src").as("id")).union(e.select(col("dst")))
-        .distinct()
+      // the pair sample is derived from the index INSIDE the fresh
+      // session (ADVICE r11: the old shape joined a fresh-session scan
+      // against the original session's memoized fixture, which worked
+      // only because the memo is checkpoint-backed). Index ids are the
+      // landmark-reachable vertices — exactly the ids
+      // landmarkEstimates can answer for; pairs over any wider vertex
+      // set produce the identical rows (the unreachable side never
+      // joins), so this is hash-equal to the edge-derived sample
+      val verts = idx.select(col("id")).distinct()
       val cls = graft.Portable.prio31(col("id")) % 29
       graft.operators.Traversals.landmarkEstimates(idx,
         verts.where(cls === 3).select(col("id").as("a"))

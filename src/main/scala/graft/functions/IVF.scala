@@ -165,10 +165,12 @@ object IVF {
     * shape — (1) one broadcast semi-join finds the cids the tombstones
     * live in (a tiny driver list, ≤ k), (2) ONLY those hive partitions
     * are read (PartitionFilters — spec-asserted) and rewritten through
-    * dynamic partition overwrite, (3) a partition whose every vector
-    * is tombstoned is dropped by DDL (dynamic overwrite cannot touch a
-    * partition it writes no rows into). Centroids untouched, no
-    * re-assignment, idempotent for absent/replayed deletes.
+    * dynamic partition overwrite, after (3) any partition whose every
+    * vector is tombstoned is dropped by DDL UP FRONT (dynamic
+    * overwrite cannot touch a partition it writes no rows into, and
+    * dropping first means no crash point leaves a fully-tombstoned
+    * cell still being served). Centroids untouched, no re-assignment,
+    * idempotent for absent/replayed deletes.
     */
   def delete(spark: org.apache.spark.sql.SparkSession, name: String,
              tombstones: DataFrame): Unit = {
@@ -183,6 +185,15 @@ object IVF {
       .localCheckpoint(true)
     val emptied = affCids.toSet --
       kept.select(col("cid")).distinct().collect().map(_.getInt(0)).toSet
+    // drop fully-emptied cells FIRST (review finding r11): the dynamic
+    // overwrite writes no rows into them, so ordering the DDL ahead of
+    // it closes the crash window where tombstoned vectors kept being
+    // served from a stale partition with nothing recording the delete —
+    // a failure after these drops but before the overwrite leaves the
+    // emptied cells already gone and the partially-tombstoned cells
+    // intact, and a replayed delete heals the rest
+    emptied.foreach(c => spark.sql(
+      s"ALTER TABLE ${name}_cells DROP IF EXISTS PARTITION (cid = $c)"))
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
@@ -194,8 +205,6 @@ object IVF {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    emptied.foreach(c => spark.sql(
-      s"ALTER TABLE ${name}_cells DROP IF EXISTS PARTITION (cid = $c)"))
   }
 
   /** Reload a [[save]]d index: (model, cells). The cells DataFrame IS

@@ -227,11 +227,22 @@ object PQ {
     * both read paths are this same anti-join, just scheduled
     * differently.
     *
+    * CRASH SAFETY (review finding r11 — the old shape dropped the
+    * codes table BEFORE writing survivors, so a crash in between lost
+    * the whole index): survivors are written to a `_codes_swap` table
+    * FIRST, then the old table is dropped and the swap renamed into
+    * place. A complete codes table therefore exists on disk at every
+    * instant; the only crash window leaves a finished `_codes_swap`
+    * beside (or instead of) the old `_codes`, and [[healSwap]] —
+    * invoked by both [[delete]] and [[load]] — completes the rename on
+    * the next touch.
+    *
     * Idempotent: deleting an absent vec_id is a no-op; a replayed
     * delete finds nothing left to remove.
     */
   def delete(spark: org.apache.spark.sql.SparkSession, name: String,
              tombstones: DataFrame, nBuckets: Int = 8): Unit = {
+    healSwap(spark, name)
     val codes = spark.table(s"${name}_codes")
     // the rewrite must PRESERVE the saved layout: read the table's own
     // bucket spec rather than trusting this call's default — a delete
@@ -243,17 +254,30 @@ object PQ {
       .getTableMetadata(spark.sessionState.sqlParser
         .parseTableIdentifier(s"${name}_codes"))
       .bucketSpec.map(_.numBuckets).getOrElse(nBuckets)
-    // pin the survivors off the table's storage BEFORE the overwrite
-    // drops it (Spark refuses to overwrite a table from a plan that
-    // reads it; the eager localCheckpoint cuts that cycle)
+    // write survivors to the swap table first — the read side is the
+    // live `_codes` scan (no overwrite-read cycle, so no checkpoint
+    // pin), and the live table stays intact until the swap is complete
     val kept = codes.join(
-        broadcast(tombstones.select(col("vec_id")).distinct()),
-        Seq("vec_id"), "left_anti")
-      .localCheckpoint(true)
-    graft.sources.Sources.dropManagedTable(spark, s"${name}_codes")
-    graft.sources.Sources.writeBucketed(kept, s"${name}_codes",
+      broadcast(tombstones.select(col("vec_id")).distinct()),
+      Seq("vec_id"), "left_anti")
+    graft.sources.Sources.dropManagedTable(spark, s"${name}_codes_swap")
+    graft.sources.Sources.writeBucketed(kept, s"${name}_codes_swap",
       "vec_id", actualBuckets, sortCols = Seq("vec_id"))
+    graft.sources.Sources.dropManagedTable(spark, s"${name}_codes")
+    spark.sql(s"ALTER TABLE ${name}_codes_swap RENAME TO ${name}_codes")
   }
+
+  /** Complete a [[delete]] interrupted between its drop and rename: if
+    * the swap table exists, it is a FINISHED survivor set — rename it
+    * into place (dropping any half-state old table first). No swap →
+    * no-op.
+    */
+  private def healSwap(spark: org.apache.spark.sql.SparkSession,
+                       name: String): Unit =
+    if (spark.catalog.tableExists(s"${name}_codes_swap")) {
+      graft.sources.Sources.dropManagedTable(spark, s"${name}_codes")
+      spark.sql(s"ALTER TABLE ${name}_codes_swap RENAME TO ${name}_codes")
+    }
 
   /** Reload a [[save]]d index: (model, codes). The codes DataFrame IS
     * the bucketed table scan — serving re-encodes NOTHING (spec asserts
@@ -262,6 +286,7 @@ object PQ {
     */
   def load(spark: org.apache.spark.sql.SparkSession,
            name: String): (Model, DataFrame) = {
+    healSwap(spark, name)
     val rows = spark.table(s"${name}_codebooks").collect()
     require(rows.nonEmpty, s"no codebooks found in table ${name}_codebooks")
     val m = rows.map(_.getInt(0)).max + 1
