@@ -193,6 +193,16 @@ object SparkEntry {
     graft.operators.Traversals.landmarkDistances(c10Fixture(s, dir), 8)
       .coalesce(s.sparkContext.defaultParallelism))
 
+  // q231 + q239 (+1 slack): the BASE-graph (tag ≠ 8) landmark index is
+  // the shared starting point of both insert-maintenance legs — the
+  // ad-hoc-delta one and the changelog-driven one
+  private val baseLandmarkMemo = new CrossQueryMemo(3, (s, dir) => {
+    val e = c10Fixture(s, dir).withColumn("tag", edgeTag).cutLineage()
+    graft.operators.Traversals.landmarkDistances(
+      e.where(col("tag") =!= 8).select("src", "dst"), 8)
+      .coalesce(s.sparkContext.defaultParallelism)
+  })
+
   // q14 + q15: two statistics over one oriented+adjacency relation
   private val c10AdjMemo = new CrossQueryMemo(2,
     (s, dir) => Triangles.adjacency(GraphFixtures.coPurchase(s, dir)))
@@ -219,20 +229,20 @@ object SparkEntry {
   private def c10Adjacency(s: SparkSession, dir: String): DataFrame =
     c10AdjMemo(s, dir)
 
-  // q232 + q237 (+1 slack): both maintenance carve-outs consult the SAME
-  // supergraph decomposition (base ∪ alive-inserts = the full C10 —
-  // the stored-labels production path the operators' `labels` param
-  // exists for, the q209 msfMemo discipline)
-  private val c10SuperLabelsMemo = new CrossQueryMemo(3, (s, dir) =>
+  // q232 + q237 + q238 (+1 slack): the three maintenance carve-outs
+  // consult the SAME supergraph decomposition (base ∪ alive-inserts =
+  // the full C10 — the stored-labels production path the operators'
+  // `labels` param exists for, the q209 msfMemo discipline)
+  private val c10SuperLabelsMemo = new CrossQueryMemo(4, (s, dir) =>
     ConnectedComponents.iterative(c10Fixture(s, dir))
       .coalesce(s.sparkContext.defaultParallelism))
 
-  // q211 + q215 + q232 + q237 (+1 slack per the sequencing contract):
-  // all resolve the IDENTICAL changelog over the tagged C10 edge set
-  // (cdcChangelog reads only src/dst/tag) — ONE 4-trigger keyed-state
-  // replay, four maintenance consumers (triangles, MSF, coreness,
-  // trussness)
-  private val c10CdcMemo = new CrossQueryMemo(5, (s, dir) =>
+  // q211 + q215 + q232 + q237 + q238 + q239 (+1 slack per the
+  // sequencing contract): all resolve the IDENTICAL changelog over the
+  // tagged C10 edge set (cdcChangelog reads only src/dst/tag) — ONE
+  // 4-trigger keyed-state replay, six maintenance consumers
+  // (triangles, MSF, coreness, trussness, communities, landmarks)
+  private val c10CdcMemo = new CrossQueryMemo(7, (s, dir) =>
     graft.streaming.StreamingOps.replayEdgeCdc(cdcChangelog(
       c10Fixture(s, dir).withColumn("tag", edgeTag))))
 
@@ -2500,11 +2510,77 @@ object SparkEntry {
     // stale pass-through flips the hash
     "q231_landmark_maintained" -> ((s, dir) => {
       val e = c10Fixture(s, dir).withColumn("tag", edgeTag).cutLineage()
-      val base = e.where(col("tag") =!= 8).select("src", "dst")
       val inserts = e.where(col("tag") === 8).select("src", "dst")
       graft.operators.Traversals.landmarkMaintainInserts(
-        graft.operators.Traversals.landmarkDistances(base, 8),
-        e.select("src", "dst"), inserts)
+        baseLandmarkMemo(s, dir), e.select("src", "dst"), inserts)
+    }),
+    // CDC-WIRED LANDMARK MAINTENANCE — the landmark legs driven
+    // end-to-end by the RESOLVED CHANGELOG (q231/q236 take ad-hoc
+    // tag-sliced deltas; this is the q210/q232/q237 identity applied
+    // to distances): the shared 4-trigger keyed-state replay resolves
+    // the changelog, its alive keys relax the base index downward over
+    // the grown graph (a resurrection key already present in the base
+    // is a no-op — its distances are already exact), then its
+    // tombstoned keys cascade-invalidate and boundary-repair over the
+    // shrunk graph. The oracle replays a full multi-source BFS over
+    // the NET graph from the BASE-picked landmarks and never sees the
+    // changelog — a missed relaxation, a stale survivor, or an
+    // over-kept entry flips the hash
+    "q239_cdc_maintained_landmark" -> ((s, dir) => {
+      val (_, inserts, deletes) = c10CdcSplits(s, dir)
+      // grown graph = base ∪ alive-inserts = the full tagged fixture
+      val grown = c10Fixture(s, dir).select("src", "dst")
+      val afterIns = graft.operators.Traversals.landmarkMaintainInserts(
+        baseLandmarkMemo(s, dir), grown, inserts)
+      graft.operators.Traversals.landmarkMaintainDeletes(
+        afterIns, grown, deletes)
+    }),
+    // CDC-MAINTAINED COMMUNITIES — the decomposition family's LAST
+    // maintenance leg (coreness q232 and trussness q237 have theirs):
+    // the shared changelog resolution drives louvainMaintain against
+    // the base (tag ≠ 8) labeling. The operator is the COMPONENT-LOCAL
+    // Louvain (each component uses its own edge mass in gain and gate
+    // — the decomposable objective; on a connected graph it equals
+    // classic Louvain), because with global m ANY delta re-couples
+    // every component through the gain denominator and nothing could
+    // ever pass through verbatim. Certification pays the base labeling
+    // + the maintenance; the oracle replays the full per-component
+    // 2-level unroll over the NET edge set and never sees the
+    // changelog. Emitted as the final communities' exact-integer
+    // modularity ingredients over the net graph (q124's shape)
+    "q238_cdc_maintained_communities" -> ((s, dir) => {
+      val (base, inserts, deletes) = c10CdcSplits(s, dir)
+      // distinct: the alive-insert set overlaps base on resurrection
+      // keys (tag 9), and communityStats counts edge ROWS
+      val netEdges = base.unionByName(inserts).distinct()
+        .join(deletes, Seq("src", "dst"), "left_anti")
+      graft.operators.Communities.communityStats(netEdges,
+        graft.operators.Communities.louvainMaintain(
+          graft.operators.Communities.louvainByComponent(base, 2, 2)
+            .toDF("id", "community"),
+          base, inserts, deletes,
+          labels = Some(c10SuperLabelsMemo(s, dir)))
+          .toDF("id", "label"))
+    }),
+    // WARM-START INCREMENTAL PAGERANK — the centrality family joins
+    // the maintenance matrix: q54's integer fixed point runs 10
+    // uniform-start rounds on the BASE (tag ≠ 8) graph (the stored
+    // nightly ranks), then the NET (tag ∉ {3,4}) graph iterates 5
+    // rounds SEEDED from those ranks instead of restarting uniform.
+    // The oracle replays the whole pipeline — base rounds, seed, warm
+    // rounds — bit-for-bit; the fewer-rounds-to-stationarity WIN is
+    // proven by the Δ-sentinel spec and the tier-2 probe (integer
+    // truncation makes stationary states non-unique, so bit-equality
+    // to a cold recompute is not the contract — see
+    // PageRank.fixedPointFrom's scaladoc for the measured evidence)
+    "q240_pagerank_warm" -> ((s, dir) => {
+      val e = c10Fixture(s, dir).withColumn("tag", edgeTag).cutLineage()
+      def sym(df: DataFrame) = df.unionByName(
+        df.select(col("dst").as("src"), col("src").as("dst")))
+      val base = e.where(col("tag") =!= 8).select("src", "dst")
+      val net = e.where(!col("tag").isin(3, 4)).select("src", "dst")
+      val prev = graft.operators.PageRank.fixedPoint(sym(base), 10)
+      graft.operators.PageRank.fixedPointFrom(sym(net), prev, 5)
     }),
     // DELETE MAINTENANCE of the landmark index — the non-monotone half
     // completing the distance lifecycle (q231 relaxes inserts downward;
@@ -2978,7 +3054,7 @@ object SparkEntry {
     // dedups (lm, id, dist) states so cycles terminate; depth cap 30
     // (~5× the measured C10 eccentricity) with the sentinel-row fence
     val (landmarkIdxSql, landmarkEstSql, landmarkEstSqlPersisted,
-         landmarkMaintSql, landmarkMaintDelSql) = {
+         landmarkMaintSql, landmarkMaintDelSql, landmarkCdcSql) = {
       val prefix =
         s"WITH RECURSIVE c AS MATERIALIZED ($copurchase10), " +
           "sym AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
@@ -3043,7 +3119,27 @@ object SparkEntry {
           "SELECT lm, id, CAST(dist AS BIGINT) AS dist FROM didx " +
           "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
           "WHERE EXISTS (SELECT 1 FROM didx WHERE dist >= 30)"
-      (idxSql, estSql(1, 2), estSql(3, 4), maintSql, maintDelSql)
+      // CDC-maintained index (q239): landmarks from the BASE graph's
+      // (tag ≠ 8) degrees — maintenance never re-picks landmarks — and
+      // BFS distances over the NET graph (tag ∉ {3, 4}: the changelog's
+      // tombstoned keys gone, its alive keys in, resurrections kept);
+      // the Spark side must land here by insert relaxation + delete
+      // cascade/repair alone, never a fresh BFS
+      val cdcSql =
+        s"WITH RECURSIVE c AS MATERIALIZED ($copurchase10), " +
+          s"bs AS MATERIALIZED (SELECT x, y FROM c WHERE $tagX <> 8), " +
+          "bsym AS MATERIALIZED (SELECT x AS u, y AS v FROM bs UNION SELECT y, x FROM bs), " +
+          s"ns AS MATERIALIZED (SELECT x, y FROM c WHERE $tagX NOT IN (3, 4)), " +
+          "nsym AS MATERIALIZED (SELECT x AS u, y AS v FROM ns UNION SELECT y, x FROM ns), " +
+          "deg AS (SELECT u AS id, COUNT(*) AS d FROM bsym GROUP BY u), " +
+          "lms AS (SELECT id AS lm FROM deg ORDER BY d DESC, id ASC LIMIT 8), " +
+          "st(lm, id, dist) AS (SELECT lm, lm, 0 FROM lms " +
+          "UNION SELECT st.lm, s.v, st.dist + 1 FROM st JOIN nsym s ON s.u = st.id WHERE st.dist < 30), " +
+          "nidx AS MATERIALIZED (SELECT lm, id, MIN(dist) AS dist FROM st GROUP BY lm, id) " +
+          "SELECT lm, id, CAST(dist AS BIGINT) AS dist FROM nidx " +
+          "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
+          "WHERE EXISTS (SELECT 1 FROM nidx WHERE dist >= 30)"
+      (idxSql, estSql(1, 2), estSql(3, 4), maintSql, maintDelSql, cdcSql)
     }
     // corpus overlap: the q220 register discipline over md5-prefixed
     // token integers, three conditional register banks in one GROUP BY,
@@ -3107,6 +3203,37 @@ object SparkEntry {
           "ON s.id = verts.id)"
       }.mkString(", ")
       base + iters + " SELECT id, \"rank\" FROM r10"
+    }
+    // warm-start PageRank (q240): the oracle replays the WHOLE
+    // maintenance pipeline — 10 uniform-start rounds on the base
+    // (tag ≠ 8) graph, the warm seed (prev rank; SCALE for vertices
+    // new in net), then 5 rounds on the net (tag ∉ {3,4}) graph — in
+    // the same integer micro-units. The Spark side must land here by
+    // seeding alone; a uniform restart on net diverges immediately
+    val pagerankWarmSql = {
+      val tagX = "((((x % 2147483648) * 31 + y) % 2147483648) * 2654435761) % 2147483648 % 10"
+      def rounds(pfx: String, g: String, n: Int, from: String) = (1 to n).map { k =>
+        val p = if (k == 1) from else s"$pfx${k - 1}"
+        s"$pfx$k AS (SELECT verts.id, CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS \"rank\" " +
+          s"FROM ${g}verts verts LEFT JOIN (SELECT e.v AS id, SUM(r.\"rank\" // d.outdeg) AS c " +
+          s"FROM ${g}sym e JOIN $p r ON r.id = e.u JOIN ${g}deg d ON d.u = e.u GROUP BY e.v) s " +
+          "ON s.id = verts.id)"
+      }.mkString(", ")
+      s"WITH c AS ($copurchase10), " +
+        s"bsedge AS (SELECT x, y FROM c WHERE $tagX <> 8), " +
+        "bsym AS MATERIALIZED (SELECT x AS u, y AS v FROM bsedge UNION SELECT y, x FROM bsedge), " +
+        "bdeg AS MATERIALIZED (SELECT u, COUNT(*) AS outdeg FROM bsym GROUP BY u), " +
+        "bverts AS (SELECT u AS id FROM bdeg), " +
+        "b0 AS (SELECT id, CAST(1000000 AS BIGINT) AS \"rank\" FROM bverts), " +
+        rounds("b", "b", 10, "b0") + ", " +
+        s"nsedge AS (SELECT x, y FROM c WHERE $tagX NOT IN (3, 4)), " +
+        "nsym AS MATERIALIZED (SELECT x AS u, y AS v FROM nsedge UNION SELECT y, x FROM nsedge), " +
+        "ndeg AS MATERIALIZED (SELECT u, COUNT(*) AS outdeg FROM nsym GROUP BY u), " +
+        "nverts AS (SELECT u AS id FROM ndeg), " +
+        "w0 AS (SELECT nverts.id, COALESCE(b10.\"rank\", CAST(1000000 AS BIGINT)) AS \"rank\" " +
+        "FROM nverts LEFT JOIN b10 ON b10.id = nverts.id), " +
+        rounds("w", "n", 5, "w0") +
+        " SELECT id, \"rank\" FROM w5"
     }
     // BFS from C10's min vertex: recursive frontier expansion with a
     // depth cap (measured eccentricity is 5 at sf0.01, 4 at sf0.001;
@@ -3894,6 +4021,106 @@ object SparkEntry {
     val louvainMLSql = louvainSqlGen(leiden = false)
     val louvainLeidenSql = louvainSqlGen(leiden = true)
     val louvainWeightedSql = louvainSqlGen(leiden = false, weighted = true)
+    // per-COMPONENT multi-level Louvain replay (q238): the louvainSqlGen
+    // unroll with the two global scalars (m, gate) keyed by connected
+    // component — components from a recursive min-label CC over the NET
+    // (tag ∉ {3,4}) edge set, each component carrying its own edge mass
+    // in the gain and accepting/rejecting each pass independently. The
+    // oracle never sees the changelog; the Spark side must land here by
+    // pass-through + affected-component recompute alone
+    val louvainCompSql = {
+      val L = 2; val P = 2
+      val tagX = "((((x % 2147483648) * 31 + y) % 2147483648) * 2654435761) % 2147483648 % 10"
+      def pass(t: String, g: String, vc: String, inL: String, outL: String,
+               parity: Int): String =
+        s"sym$t AS MATERIALIZED (SELECT u AS p, v AS o, w FROM $g WHERE u <> v " +
+          s"UNION ALL SELECT v, u, w FROM $g WHERE u <> v), " +
+          s"deg$t AS MATERIALIZED (SELECT id, CAST(SUM(w) AS BIGINT) AS k FROM " +
+          s"(SELECT u AS id, w FROM $g WHERE u <> v UNION ALL SELECT v, w FROM $g WHERE u <> v " +
+          s"UNION ALL SELECT u, 2 * w FROM $g WHERE u = v) sub GROUP BY 1), " +
+          s"stot$t AS MATERIALIZED (SELECT l.label, MIN(vc.cmp) AS cmp, " +
+          s"CAST(SUM(d.k) AS BIGINT) AS stot " +
+          s"FROM $inL l JOIN deg$t d ON d.id = l.id JOIN $vc vc ON vc.id = l.id GROUP BY 1), " +
+          s"kic$t AS MATERIALIZED (SELECT s.p AS u, l.label AS lv, " +
+          s"CAST(SUM(s.w) AS BIGINT) AS kc FROM sym$t s JOIN $inL l ON l.id = s.o GROUP BY 1, 2), " +
+          s"cur$t AS MATERIALIZED (SELECT l.id AS u, l.label AS lu, d.k, st.stot AS stotd, " +
+          s"COALESCE(kd.kc, 0) AS kd, mm.m FROM $inL l JOIN deg$t d ON d.id = l.id " +
+          s"JOIN stot$t st ON st.label = l.label " +
+          s"JOIN $vc vc ON vc.id = l.id JOIN mm ON mm.cmp = vc.cmp " +
+          s"LEFT JOIN kic$t kd ON kd.u = l.id AND kd.lv = l.label), " +
+          s"best$t AS MATERIALIZED (SELECT u, lv FROM (SELECT cur$t.u, kic$t.lv, " +
+          s"ROW_NUMBER() OVER (PARTITION BY cur$t.u ORDER BY " +
+          s"2 * cur$t.m * (kic$t.kc - cur$t.kd) " +
+          s"- cur$t.k * (st.stot - cur$t.stotd + cur$t.k) DESC, kic$t.lv) AS rn " +
+          s"FROM cur$t JOIN kic$t ON kic$t.u = cur$t.u AND kic$t.lv <> cur$t.lu " +
+          s"JOIN stot$t st ON st.label = kic$t.lv " +
+          s"WHERE cur$t.u % 2 = $parity AND 2 * cur$t.m * (kic$t.kc - cur$t.kd) " +
+          s"- cur$t.k * (st.stot - cur$t.stotd + cur$t.k) > 0) sub WHERE rn = 1), " +
+          s"cand$t AS MATERIALIZED (SELECT l.id, COALESCE(b.lv, l.label) AS label " +
+          s"FROM $inL l LEFT JOIN best$t b ON b.u = l.id), " +
+          s"stc$t AS MATERIALIZED (SELECT l.label, MIN(vc.cmp) AS cmp, " +
+          s"CAST(SUM(d.k) AS BIGINT) AS stot " +
+          s"FROM cand$t l JOIN deg$t d ON d.id = l.id JOIN $vc vc ON vc.id = l.id GROUP BY 1), " +
+          s"qi$t AS MATERIALIZED (SELECT mm.cmp, 4 * mm.m * COALESCE(i.iw, 0) - COALESCE(s.s2, 0) AS q " +
+          s"FROM mm LEFT JOIN (SELECT vc.cmp, CAST(SUM(g.w) AS BIGINT) AS iw FROM $g g " +
+          s"JOIN $inL a ON a.id = g.u JOIN $inL b ON b.id = g.v JOIN $vc vc ON vc.id = g.u " +
+          s"WHERE a.label = b.label GROUP BY 1) i ON i.cmp = mm.cmp " +
+          s"LEFT JOIN (SELECT cmp, SUM(stot * stot) AS s2 FROM stot$t GROUP BY 1) s ON s.cmp = mm.cmp), " +
+          s"qc$t AS MATERIALIZED (SELECT mm.cmp, 4 * mm.m * COALESCE(i.iw, 0) - COALESCE(s.s2, 0) AS q " +
+          s"FROM mm LEFT JOIN (SELECT vc.cmp, CAST(SUM(g.w) AS BIGINT) AS iw FROM $g g " +
+          s"JOIN cand$t a ON a.id = g.u JOIN cand$t b ON b.id = g.v JOIN $vc vc ON vc.id = g.u " +
+          s"WHERE a.label = b.label GROUP BY 1) i ON i.cmp = mm.cmp " +
+          s"LEFT JOIN (SELECT cmp, SUM(stot * stot) AS s2 FROM stc$t GROUP BY 1) s ON s.cmp = mm.cmp), " +
+          s"acc$t AS MATERIALIZED (SELECT qi$t.cmp, (qc$t.q >= qi$t.q) AS acc " +
+          s"FROM qi$t JOIN qc$t ON qc$t.cmp = qi$t.cmp), " +
+          s"$outL AS MATERIALIZED (SELECT cd.id, CASE WHEN a.acc THEN cd.label ELSE l.label END AS label " +
+          s"FROM cand$t cd JOIN $inL l ON l.id = cd.id JOIN $vc vc ON vc.id = cd.id " +
+          s"JOIN acc$t a ON a.cmp = vc.cmp), "
+      val sb = new StringBuilder
+      sb ++= s"WITH RECURSIVE c AS MATERIALIZED ($copurchase10), "
+      sb ++= (s"g1 AS MATERIALIZED (SELECT x AS u, y AS v, CAST(1 AS BIGINT) AS w " +
+        s"FROM c WHERE $tagX NOT IN (3, 4)), ")
+      sb ++= ("symcc AS MATERIALIZED (SELECT u AS a, v AS b FROM g1 UNION SELECT v, u FROM g1), " +
+        "lblcc(v, l) AS (SELECT DISTINCT a, a FROM symcc " +
+        "UNION SELECT s.b, lblcc.l FROM symcc s JOIN lblcc ON lblcc.v = s.a AND lblcc.l < s.b), " +
+        "vc1 AS MATERIALIZED (SELECT v AS id, MIN(l) AS cmp FROM lblcc GROUP BY v), " +
+        "mm AS MATERIALIZED (SELECT vc.cmp, CAST(SUM(g.w) AS BIGINT) AS m " +
+        "FROM g1 g JOIN vc1 vc ON vc.id = g.u GROUP BY 1), ")
+      sb ++= ("l1_0 AS MATERIALIZED (SELECT u AS id, u AS label FROM " +
+        "(SELECT DISTINCT u FROM (SELECT u FROM g1 UNION ALL SELECT v AS u FROM g1) s1) s2), ")
+      sb ++= "map1 AS MATERIALIZED (SELECT id, id AS cur FROM l1_0), "
+      for (lvl <- 1 to L) {
+        for (p <- 1 to P)
+          sb ++= pass(s"_$lvl$p", s"g$lvl", s"vc$lvl",
+            s"l${lvl}_${p - 1}", s"l${lvl}_$p", p % 2)
+        val fin = s"l${lvl}_$P"
+        sb ++= (s"map${lvl + 1} AS MATERIALIZED (SELECT mp.id, lb.label AS cur " +
+          s"FROM map$lvl mp JOIN $fin lb ON lb.id = mp.cur), ")
+        if (lvl < L) {
+          sb ++= (s"g${lvl + 1} AS MATERIALIZED (SELECT LEAST(a.label, b.label) AS u, " +
+            s"GREATEST(a.label, b.label) AS v, CAST(SUM(g.w) AS BIGINT) AS w FROM g$lvl g " +
+            s"JOIN $fin a ON a.id = g.u JOIN $fin b ON b.id = g.v GROUP BY 1, 2), ")
+          sb ++= s"l${lvl + 1}_0 AS MATERIALIZED (SELECT DISTINCT label AS id, label FROM $fin), "
+          sb ++= (s"vc${lvl + 1} AS MATERIALIZED (SELECT DISTINCT l.label AS id, vc.cmp " +
+            s"FROM $fin l JOIN vc$lvl vc ON vc.id = l.id), ")
+        }
+      }
+      sb ++= s"lab AS MATERIALIZED (SELECT id, cur AS label FROM map${L + 1}), "
+      sb ++= (s"ce AS (SELECT x, y FROM c WHERE $tagX NOT IN (3, 4)), " +
+        "int_e AS (SELECT la.label, COUNT(*) AS internal_edges FROM ce " +
+        "JOIN lab la ON la.id = ce.x JOIN lab lb ON lb.id = ce.y " +
+        "WHERE la.label = lb.label GROUP BY 1), " +
+        "degc AS (SELECT la.label, COUNT(*) AS total_degree FROM " +
+        "(SELECT x AS id FROM ce UNION ALL SELECT y AS id FROM ce) s " +
+        "JOIN lab la ON la.id = s.id GROUP BY 1), " +
+        "nv AS (SELECT label, COUNT(*) AS n_vertices FROM lab GROUP BY label) " +
+        "SELECT nv.label, nv.n_vertices, " +
+        "COALESCE(int_e.internal_edges, 0) AS internal_edges, " +
+        "COALESCE(degc.total_degree, 0) AS total_degree " +
+        "FROM nv LEFT JOIN int_e ON int_e.label = nv.label " +
+        "LEFT JOIN degc ON degc.label = nv.label")
+      sb.toString
+    }
     // Sound 2-colorability oracle for BOTH graphs (q17 + q90): label
     // components (min-id root per component), then BFS parity from each
     // root; a graph is bipartite iff no vertex acquires both parities.
@@ -4732,6 +4959,7 @@ object SparkEntry {
       "q230_landmark_persisted" -> landmarkEstSqlPersisted,
       "q231_landmark_maintained" -> landmarkMaintSql,
       "q236_landmark_maintained_del" -> landmarkMaintDelSql,
+      "q239_cdc_maintained_landmark" -> landmarkCdcSql,
       "q232_cdc_maintained_coreness" -> corenessMaintSql,
       "q237_cdc_maintained_trussness" -> trussnessMaintSql,
       "q233_distance_distribution" -> hyperballDistSql,
@@ -4926,6 +5154,7 @@ object SparkEntry {
       "q124_louvain_multilevel" -> louvainMLSql,
       "q141_louvain_leiden" -> louvainLeidenSql,
       "q148_louvain_weighted" -> louvainWeightedSql,
+      "q238_cdc_maintained_communities" -> louvainCompSql,
       "q112_louvain_refine" -> (lpaPrefix + ", " +
         "deg AS MATERIALIZED (SELECT u AS id, COUNT(*) AS k FROM sym GROUP BY 1), " +
         "mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM c), " +
@@ -5356,6 +5585,7 @@ object SparkEntry {
           "GROUP BY l_orderkey, o_orderdate " +
           "ORDER BY revenue DESC, orderkey LIMIT 10"),
       "q54_pagerank_fixed" -> pagerankSql,
+      "q240_pagerank_warm" -> pagerankWarmSql,
       // sketch gates: the oracle recomputes the exact side and expects the
       // (deterministic, fixed-seed) sketch guarantee to hold
       "q56_cms_heavy_hitters" ->

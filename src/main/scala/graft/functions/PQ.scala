@@ -243,7 +243,15 @@ object PQ {
   def delete(spark: org.apache.spark.sql.SparkSession, name: String,
              tombstones: DataFrame, nBuckets: Int = 8): Unit = {
     healSwap(spark, name)
-    val codes = spark.table(s"${name}_codes")
+    // fold any streamed-ingest partitions into the rewrite (compaction
+    // at takedown): the swap then carries the WHOLE surviving index,
+    // and completing the swap drops the folded ingest table
+    val codesBase = spark.table(s"${name}_codes")
+    val codes =
+      if (spark.catalog.tableExists(s"${name}_codes_ingest"))
+        codesBase.unionByName(
+          spark.table(s"${name}_codes_ingest").drop("ingest_batch"))
+      else codesBase
     // the rewrite must PRESERVE the saved layout: read the table's own
     // bucket spec rather than trusting this call's default — a delete
     // against an index saved with a different bucket count would
@@ -265,24 +273,77 @@ object PQ {
       "vec_id", actualBuckets, sortCols = Seq("vec_id"))
     graft.sources.Sources.dropManagedTable(spark, s"${name}_codes")
     spark.sql(s"ALTER TABLE ${name}_codes_swap RENAME TO ${name}_codes")
+    graft.sources.Sources.dropManagedTable(spark, s"${name}_codes_ingest")
   }
 
   /** Complete a [[delete]] interrupted between its drop and rename: if
-    * the swap table exists, it is a FINISHED survivor set — rename it
-    * into place (dropping any half-state old table first). No swap →
-    * no-op.
+    * the swap table exists, it is a FINISHED survivor set (with any
+    * ingest rows already folded in) — rename it into place, dropping
+    * any half-state old table and the now-folded ingest table. No swap
+    * → no-op.
     */
   private def healSwap(spark: org.apache.spark.sql.SparkSession,
                        name: String): Unit =
     if (spark.catalog.tableExists(s"${name}_codes_swap")) {
       graft.sources.Sources.dropManagedTable(spark, s"${name}_codes")
       spark.sql(s"ALTER TABLE ${name}_codes_swap RENAME TO ${name}_codes")
+      graft.sources.Sources.dropManagedTable(spark, s"${name}_codes_ingest")
     }
 
+  /** Create the EXACTLY-ONCE streaming-append side table for a [[save]]d
+    * index if it does not exist: `<name>_codes_ingest`, the codes schema
+    * plus an `ingest_batch` hive partition column. Each trigger lands in
+    * its own partition via [[ingestBatch]], so a replayed/duplicated
+    * trigger rewrites ITS OWN partition with identical rows — the write
+    * IS the commit, nothing is appended twice (the q234
+    * per-batch-overwrite discipline applied to the catalog). Serving
+    * ([[load]]) unions this table with the base codes; [[delete]]
+    * compacts it away.
+    */
+  def ensureIngestTable(spark: org.apache.spark.sql.SparkSession,
+                        name: String): Unit =
+    if (!spark.catalog.tableExists(s"${name}_codes_ingest")) {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("codes", ArrayType(IntegerType)),
+        StructField("ingest_batch", LongType)))
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          schema)
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("ingest_batch")
+        .saveAsTable(s"${name}_codes_ingest")
+    }
+
+  /** Idempotent per-trigger append: write `codes` (vec_id, codes) into
+    * the ingest table's `ingest_batch = batchId` partition through
+    * dynamic partition overwrite. Re-delivery of a batch (failure/retry
+    * replay — Structured Streaming's at-least-once foreachBatch
+    * contract) overwrites the same partition with the same rows, so the
+    * stored state is bit-identical however many times a trigger fires:
+    * effectively exactly-once without a transaction log.
+    */
+  def ingestBatch(codes: DataFrame, name: String, batchId: Long): Unit = {
+    val spark = codes.sparkSession
+    val t = s"${name}_codes_ingest"
+    val cols = spark.table(t).columns
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try codes.withColumn("ingest_batch", lit(batchId))
+      .select(cols.map(col): _*)
+      .write.mode("overwrite").insertInto(t)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Reload a [[save]]d index: (model, codes). The codes DataFrame IS
-    * the bucketed table scan — serving re-encodes NOTHING (spec asserts
-    * the plan reads `name_codes` and contains no corpus-side encoder);
-    * a fresh session sees both tables through the shared catalog.
+    * the bucketed table scan — unioned with the exactly-once ingest
+    * table's partitions when one exists — and serving re-encodes
+    * NOTHING (spec asserts the plan reads `name_codes` and contains no
+    * corpus-side encoder); a fresh session sees the tables through the
+    * shared catalog.
     */
   def load(spark: org.apache.spark.sql.SparkSession,
            name: String): (Model, DataFrame) = {
@@ -294,6 +355,12 @@ object PQ {
     val dsub = rows.map(_.getInt(2)).max + 1
     val cb = Array.fill(m, ks, dsub)(0.0)
     rows.foreach(r => cb(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
-    (Model(cb), spark.table(s"${name}_codes"))
+    val codes = spark.table(s"${name}_codes")
+    val served =
+      if (spark.catalog.tableExists(s"${name}_codes_ingest"))
+        codes.unionByName(
+          spark.table(s"${name}_codes_ingest").drop("ingest_batch"))
+      else codes
+    (Model(cb), served)
   }
 }

@@ -394,6 +394,251 @@ object Communities {
                                          movesPerLevel: Int): (DataFrame, Seq[Long]) =
     louvainCore(unitGraph(edges), levels, movesPerLevel, leiden = true)
 
+  /** COMPONENT-LOCAL multi-level Louvain — [[louvain]]'s dynamics with
+    * modularity evaluated PER CONNECTED COMPONENT (each component uses
+    * its own edge mass m_c in the gain and in the gate, and each
+    * component accepts or rejects its pass independently). On a
+    * connected graph this IS [[louvain]] (m_c = m); on a multi-
+    * component graph it removes the classic cross-component coupling —
+    * global-m modularity makes whether two communities merge in
+    * component X depend on how many edges component Y has (the
+    * resolution-limit artifact, Fortunato & Barthélemy 2007) — and in
+    * exchange the objective becomes DECOMPOSABLE: each component's
+    * result is a pure function of its own induced edges. That is the
+    * property the maintenance leg ([[louvainMaintain]]) is built on,
+    * and the reason the maintained result can be bit-equal to this
+    * full recompute: with global m, ANY delta re-couples every
+    * component through the gain denominator and nothing can pass
+    * through verbatim.
+    *
+    * All other contracts are [[louvain]]'s: exact-integer arithmetic,
+    * fixed unroll (levels × parity-alternating gated passes), smallest-
+    * label tie-breaks, labels in the original vertex-id space. The
+    * per-component gate still yields global monotonicity (global Q is
+    * the weighted sum of component terms, each non-decreasing).
+    *
+    * Plan: one CC decomposition up front (min-label; the measured
+    * single-pass/iterative crossover), then the [[louvain]] per-pass
+    * shape with every scalar (m, gate) turned into a component-keyed
+    * |C|-sized table — no driver-side per-pass actions at all, where
+    * the global version paid two scalar collects per pass.
+    */
+  def louvainByComponent(edges: DataFrame, levels: Int = 2,
+                         movesPerLevel: Int = 2): DataFrame =
+    louvainCompCore(unitGraph(edges), levels, movesPerLevel)
+
+  /** CDC-MAINTAINED communities — the maintenance-matrix leg for the
+    * decomposition family's last member (coreness and trussness have
+    * theirs; communities were the gap): given the previous
+    * [[louvainByComponent]] labeling, the previous edges and
+    * insert/delete deltas, produce the NET graph's labeling without
+    * recomputing unaffected components.
+    *
+    * Soundness of the carve-out: [[louvainByComponent]]'s result on a
+    * component is a pure function of the component's induced edge set
+    * (that is exactly what component-local modularity buys — see the
+    * scaladoc there for why the global-m variant CANNOT be maintained
+    * this way). A supergraph (old ∪ inserts ∪ deletes) component
+    * untouched by any delta endpoint has an identical induced net edge
+    * set, and net components refine supergraph components, so its
+    * stored labels pass through verbatim. Affected components re-run
+    * the FULL fixed unroll from the singleton start on their induced
+    * net edges — Louvain's labeling is seed-sensitive (unlike the
+    * coreness fixpoint, which re-converges from capped seeds), so a
+    * fresh start inside the affected region is what bit-equality with
+    * the full recompute requires; the q238 oracle replays that full
+    * recompute over the net edge set and never sees the changelog.
+    *
+    * Delta precedence: tombstone wins — net = (old ∪ inserts) ∖
+    * deletes, the shared contract of the C10 maintenance family.
+    * Vertices isolated by the delta drop with their components'
+    * recompute (the fresh run only speaks for edge endpoints), exactly
+    * as the full recompute would drop them.
+    *
+    * REGIME (the tier2coremaint caveat): on a single-giant-component
+    * graph every delta affects everything and this degenerates to the
+    * full recompute plus carve-out overhead — the honest certification
+    * case; the win is the unaffected fraction on multi-component
+    * (multi-tenant / per-domain) graphs, measured at tier 2.
+    *
+    * `labels`: the supergraph's stored CC decomposition (id,
+    * component) if the deployment keeps one; computed fresh when
+    * absent. `trace`, when given, records the affected-vertex count.
+    */
+  def louvainMaintain(oldLabels: DataFrame, oldEdges: DataFrame,
+                      inserts: DataFrame, deletes: DataFrame,
+                      levels: Int = 2, movesPerLevel: Int = 2,
+                      labels: Option[DataFrame] = None,
+                      trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+    def canon(df: DataFrame) = df
+      .select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val oldC = canon(oldEdges).cutLineage()
+    val insC = canon(inserts).cutLineage()
+    val delC = canon(deletes).cutLineage()
+    val netC = oldC.unionByName(insC).distinct()
+      .join(delC, Seq("u", "v"), "left_anti")
+      .cutLineage()
+    val lbl = labels.getOrElse(ConnectedComponents.iterative(
+        oldC.unionByName(insC).distinct()
+          .select(col("u").as("src"), col("v").as("dst"))))
+      .select(col("id"), col("component"))
+    val touched = insC.select(col("u").as("id"))
+      .unionByName(insC.select(col("v").as("id")))
+      .unionByName(delC.select(col("u").as("id")))
+      .unionByName(delC.select(col("v").as("id")))
+      .distinct()
+    val affComps = lbl.join(touched, Seq("id"), "left_semi")
+      .select(col("component")).distinct()
+    val affVerts = lbl.join(affComps, Seq("component"), "left_semi")
+      .select(col("id")).cutLineage()
+    trace.foreach(_ += affVerts.count())
+    val passThrough = oldLabels
+      .select(col("id").cast("long").as("id"), col("community").cast("long"))
+      .join(affVerts, Seq("id"), "left_anti")
+    // the affected induced subgraph is component-closed in the NET
+    // graph (net ⊆ old ∪ inserts, so net components refine supergraph
+    // components): one endpoint test suffices
+    val sub = netC.join(affVerts.toDF("u"), Seq("u"), "left_semi")
+    val recomputed = louvainCompCore(
+      sub.select(col("u"), col("v"), lit(1L).as("w")).cutLineage(),
+      levels, movesPerLevel)
+    passThrough.unionByName(recomputed.toDF("id", "community"))
+  }
+
+  /** The component-keyed multi-level loop behind [[louvainByComponent]]
+    * and [[louvainMaintain]]: [[louvainCore]]'s structure with the two
+    * per-pass driver scalars (m and the modularity gate) replaced by
+    * |components|-sized keyed tables. Takes the canonical weighted
+    * graph (u < v, integer w); returns (id, community) in the original
+    * vertex-id space.
+    */
+  private def louvainCompCore(g0: DataFrame, levels: Int,
+                              movesPerLevel: Int): DataFrame = {
+    var g = g0.cutLineage()
+    val ccEdges = g.where(col("u") =!= col("v"))
+      .select(col("u").as("src"), col("v").as("dst"))
+    val verts0 = g.select(explode(array(col("u"), col("v"))).as("id")).distinct()
+      .cutLineage()
+    // min-label components; the measured single-pass/iterative
+    // crossover ([[connectivityRefine]]'s rule)
+    val nV = verts0.count()
+    var vcomp = (if (nV <= 10000000L) ConnectedComponents.singlePass(ccEdges)
+                 else ConnectedComponents.iterative(ccEdges))
+      .toDF("id", "cmp").cutLineage()
+    // per-component edge mass — constant across levels (coarsening
+    // preserves each component's total weight)
+    val mTbl = g.join(vcomp.toDF("u", "cmp"), Seq("u"))
+      .groupBy("cmp").agg(sum("w").as("m")).cutLineage()
+    var mapping = verts0.select(col("id"), col("id").as("cur")).cutLineage()
+    // per-component running Q of the CURRENT labeling, carried across
+    // passes AND levels (coarsening preserves per-component Q exactly,
+    // the [[louvainCore]] memo turned into a keyed table)
+    var curQ: DataFrame = null
+    for (lvl <- 1 to levels) {
+      var labels = g.select(explode(array(col("u"), col("v"))).as("id")).distinct()
+        .select(col("id"), col("id").as("label")).cutLineage()
+      if (lvl == 1) curQ = modularityByComp(g, labels, vcomp, mTbl).cutLineage()
+      for (p <- 1 to movesPerLevel) {
+        val cand = movePassByComp(g, labels, vcomp, mTbl, p % 2)
+        val candQ = modularityByComp(g, cand, vcomp, mTbl)
+        val gate = curQ.toDF("cmp", "qi")
+          .join(candQ.toDF("cmp", "qc"), Seq("cmp"))
+          .select(col("cmp"), (col("qc") >= col("qi")).as("acc"),
+            when(col("qc") >= col("qi"), col("qc")).otherwise(col("qi")).as("q"))
+          .cutLineage()
+        labels = labels.join(vcomp, Seq("id"))
+          .join(gate.select("cmp", "acc"), Seq("cmp"))
+          .join(cand.toDF("id", "cl"), Seq("id"))
+          .select(col("id"),
+            when(col("acc"), col("cl")).otherwise(col("label")).as("label"))
+          .cutLineage()
+        curQ = gate.select(col("cmp"), col("q")).cutLineage()
+      }
+      mapping = mapping.join(labels.toDF("cur", "nl"), Seq("cur"))
+        .select(col("id"), col("nl").as("cur"))
+        .cutLineage()
+      if (lvl < levels) {
+        g = g.join(labels.toDF("u", "la"), Seq("u"))
+          .join(labels.toDF("v", "lb"), Seq("v"))
+          .select(least(col("la"), col("lb")).as("u"),
+            greatest(col("la"), col("lb")).as("v"), col("w"))
+          .groupBy("u", "v").agg(sum("w").as("w"))
+          .cutLineage()
+        // a coarse vertex (named by a label) inherits its members'
+        // component — communities never span components
+        vcomp = labels.join(vcomp, Seq("id"))
+          .select(col("label").as("id"), col("cmp")).distinct()
+          .cutLineage()
+      }
+    }
+    mapping.toDF("id", "community")
+  }
+
+  /** Per-component exact integer modularity: (cmp, 4·m_c·in_c −
+    * Σ_{communities in c} stot²) — [[weightedModularity]] as a keyed
+    * table instead of a driver scalar.
+    */
+  private def modularityByComp(g: DataFrame, labels: DataFrame,
+                               vcomp: DataFrame, mTbl: DataFrame): DataFrame = {
+    val internal = g
+      .join(labels.toDF("u", "la"), Seq("u"))
+      .join(labels.toDF("v", "lb"), Seq("v"))
+      .where(col("la") === col("lb"))
+      .join(vcomp.toDF("u", "cmp"), Seq("u"))
+      .groupBy("cmp").agg(sum("w").as("inw"))
+    val s2 = labels.join(weightedDegrees(g), Seq("id"))
+      .join(vcomp, Seq("id"))
+      .groupBy("cmp", "label").agg(sum("k").as("stot"))
+      .groupBy("cmp").agg(sum(col("stot") * col("stot")).as("s2"))
+    mTbl.join(internal, Seq("cmp"), "left")
+      .join(s2, Seq("cmp"), "left")
+      .select(col("cmp"),
+        (lit(4L) * col("m") * coalesce(col("inw"), lit(0L))
+          - coalesce(col("s2"), lit(0L))).as("q"))
+  }
+
+  /** One gated synchronous move pass with COMPONENT-LOCAL m —
+    * [[weightedMovePass]] with the gain's 2m factor joined per vertex
+    * from the component mass table. Returns the CANDIDATE labeling;
+    * the caller gates it per component.
+    */
+  private def movePassByComp(g: DataFrame, l0: DataFrame, vcomp: DataFrame,
+                             mTbl: DataFrame, parity: Int): DataFrame = {
+    val e = g.where(col("u") =!= col("v"))
+    val sym = e.select(col("u").as("p"), col("v").as("o"), col("w"))
+      .unionByName(e.select(col("v").as("p"), col("u").as("o"), col("w")))
+    val deg = weightedDegrees(g)
+    val stot = l0.join(deg, Seq("id")).groupBy("label").agg(sum("k").as("stot"))
+    val kic = sym.join(l0.toDF("o", "lv"), Seq("o"))
+      .groupBy(col("p").as("u"), col("lv")).agg(sum("w").as("kc"))
+    val mOf = vcomp.join(mTbl, Seq("cmp"))
+      .select(col("id").as("u"), col("m"))
+    val cur = l0.select(col("id").as("u"), col("label").as("lu"))
+      .join(deg.toDF("u", "k"), Seq("u"))
+      .join(stot.toDF("lu", "stotd"), Seq("lu"))
+      .join(kic.toDF("u", "lu", "kd"), Seq("u", "lu"), "left")
+      .join(mOf, Seq("u"))
+      .select(col("u"), col("lu"), col("k"), col("stotd"),
+        coalesce(col("kd"), lit(0L)).as("kd"), col("m"))
+    val best = cur.join(kic, Seq("u"))
+      .where(col("lv") =!= col("lu") && pmod(col("u"), lit(2L)) === parity)
+      .join(stot.toDF("lv", "stotc"), Seq("lv"))
+      .select(col("u"), col("lv"),
+        (lit(2L) * col("m") * (col("kc") - col("kd"))
+          - col("k") * (col("stotc") - col("stotd") + col("k"))).as("gain"))
+      .where(col("gain") > 0)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("u").orderBy(col("gain").desc, col("lv").asc)))
+      .where(col("rn") === 1)
+      .select(col("u").as("id"), col("lv").as("new_label"))
+    l0.join(best, Seq("id"), "left")
+      .select(col("id"), coalesce(col("new_label"), col("label")).as("label"))
+      .cutLineage()
+  }
+
   /** Weighted degrees over a canonical weighted graph (u ≤ v, integer
     * w, self-loops allowed): k_i = Σ_{j≠i} w(i,j) + 2·w(i,i) — the
     * self-loop counts both endpoints, preserving Σk = 2m.

@@ -63,6 +63,69 @@ object PageRank {
     ranks
   }
 
+  /** WARM-START maintenance for [[fixedPoint]] — the incremental leg of
+    * the centrality family (the walk-maintenance view is Bahmani,
+    * Chowdhury & Goel 2012; this is its simpler deterministic cousin,
+    * the warm restart every production ranking pipeline runs on a
+    * delta): the SAME integer round map over the NET graph, seeded
+    * from the previous deployment's ranks instead of the uniform
+    * start. Vertices new to the graph seed at SCALE; vanished vertices
+    * drop with their rows. The output contract is the seeded
+    * iteration's exact integer state after `iters` rounds — a pure
+    * function of (net edges, prev ranks, iters) that the q240 oracle
+    * replays bit-for-bit (base rounds → seed → warm rounds).
+    *
+    * WHY the contract is NOT "equals a cold recompute": integer
+    * truncation gives the round map many stationary states — measured
+    * on the C10 CDC fixture, warm and cold both go stationary but 83
+    * vertices apart at sf0.001, and the cold iteration 2-cycles
+    * forever at sf0.01 — so no round count makes the two bit-equal.
+    * What warm-starting buys, and what the spec + tier-2 probe PROVE
+    * with the per-round max-|Δ| sentinel (`trace`), is reaching any
+    * stationarity tolerance in far fewer rounds after a small delta:
+    * the previous ranks already sit within O(‖delta‖) of a stationary
+    * state, while the uniform start must re-mix the whole graph.
+    *
+    * Passing an EMPTY `prev` reproduces [[fixedPoint]] exactly (every
+    * seed coalesces to SCALE) — the spec's cold baseline arm.
+    * `trace`, when given, records max per-vertex |Δrank| after each
+    * round (micro-units; one extra action per round, certification
+    * only — production leaves it None and pays no per-round barrier).
+    */
+  def fixedPointFrom(edges: DataFrame, prev: DataFrame, iters: Int = 5,
+                     trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+    val deg = e.groupBy("u").agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(deg, "u").repartition(col("u")).cutLineage()
+    val verts = e.select(col("u").as("id")).union(e.select(col("v")))
+      .distinct().cutLineage()
+
+    var ranks = verts
+      .join(prev.select(col("id"), col("rank").as("pr")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("pr"), lit(Scale)).as("rank"))
+      .cutLineage()
+    for (k <- 1 to iters) {
+      val contrib = eDeg
+        .join(ranks, eDeg("u") === ranks("id"))
+        .select(col("v").as("id"), expr("rank div outdeg").as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+      val next = verts
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(15L * Scale / 100) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+      if (trace.isDefined) {
+        val nx = next.cutLineage()
+        trace.foreach(_ += nx.toDF("id", "nr")
+          .join(ranks.toDF("id", "or"), Seq("id"))
+          .agg(coalesce(max(abs(col("nr") - col("or"))), lit(0L)))
+          .head().getLong(0))
+        ranks = nx
+      } else ranks = if (k % 3 == 0 || k == iters) next.cutLineage() else next
+    }
+    ranks
+  }
+
   /** Weighted PageRank: each out-edge carries mass proportional to its
     * integer weight (`value` cast to BIGINT) instead of 1/outdeg. Same
     * micro-unit determinism contract — the per-edge share

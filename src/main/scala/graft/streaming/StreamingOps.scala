@@ -1137,14 +1137,20 @@ object StreamingOps {
     * ingest continuously, serve from the reloaded table): new vectors
     * stream through the FROZEN codebooks ([[graft.functions.PQ.index]]'s
     * encode projection — the model is never retrained in-stream, the
-    * standard IVF/PQ ingest contract) and each trigger APPENDS its
-    * codes to the persisted bucketed catalog table via foreachBatch.
-    * foreachBatch appends are at-least-once under failure/retry — a
-    * production deployment dedups on vec_id at read or writes
-    * per-epoch partitions; the harness replay is exactly-once by
-    * construction. The collect/addData feed is the harness, not the
-    * operator (the encode projection and the append are the things
-    * under test).
+    * standard IVF/PQ ingest contract) and each trigger lands its codes
+    * in the `ingest_batch = batchId` partition of the
+    * `<name>_codes_ingest` side table through dynamic partition
+    * overwrite ([[graft.functions.PQ.ingestBatch]]). foreachBatch is
+    * at-least-once under failure/retry, but a re-delivered trigger
+    * REWRITES its own partition with the identical rows — the write is
+    * the commit, so the stored state is EXACTLY-ONCE however many
+    * times a batch fires (the r11 at-least-once caveat closed;
+    * [[replayHyperballRounds]]' per-batch-overwrite discipline applied
+    * to a catalog table). Serving unions the side table through
+    * [[graft.functions.PQ.load]]; [[graft.functions.PQ.delete]]
+    * compacts it back into the bucketed base. The collect/addData feed
+    * is the harness, not the operator (the encode projection and the
+    * idempotent append are the things under test).
     */
   def replayPqIngest(newVecs: DataFrame, model: graft.functions.PQ.Model,
                      name: String, nBatches: Int = 3): Unit = {
@@ -1154,6 +1160,7 @@ object StreamingOps {
         col("embedding").cast("array<double>"))
       .as[(Long, Seq[Double])].collect()
     rows.sortInPlaceBy(_._1)
+    graft.functions.PQ.ensureIngestTable(spark, name)
     val stream = pinnedShuffleSession(spark, 8)
     implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
@@ -1162,10 +1169,8 @@ object StreamingOps {
         ms.toDF().toDF("vec_id", "embedding"), model)
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        df.write.mode("append").format("parquet")
-          .bucketBy(8, "vec_id").sortBy("vec_id")
-          .saveAsTable(s"${name}_codes")
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        graft.functions.PQ.ingestBatch(df, name, batchId)
       }
       .start()
     try {

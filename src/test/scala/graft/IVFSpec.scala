@@ -162,11 +162,32 @@ class IVFSpec extends SparkTestBase {
     PQ.delete(spark, "graft_pq_del_spec", tomb)
     assert(codeSet(spark.table("graft_pq_del_spec_codes")) == expected)
     // the stream-ingest path re-adds through the FROZEN codebooks and
-    // the index is whole again
+    // the index is whole again — served as base ∪ ingest partitions
+    // through load (the exactly-once side table, not raw appends)
     graft.streaming.StreamingOps.replayPqIngest(
       tombVecs, model, "graft_pq_del_spec", nBatches = 2)
     // read through a fresh session: the appends came from another
     // session, and this one's cached table relation would be stale
+    assert(codeSet(PQ.load(spark.newSession(), "graft_pq_del_spec")._2) ==
+      codeSet(PQ.index(emb, model)))
+    // a re-delivered trigger rewrites its own partition with identical
+    // rows: re-running ingestBatch for an already-landed batch id
+    // leaves the served state bit-identical (the exactly-once contract)
+    val batchIds = spark.table("graft_pq_del_spec_codes_ingest")
+      .select("ingest_batch").distinct().collect().map(_.getLong(0))
+    assert(batchIds.nonEmpty)
+    val beforeReplay = codeSet(PQ.load(spark.newSession(), "graft_pq_del_spec")._2)
+    PQ.ingestBatch(
+      spark.table("graft_pq_del_spec_codes_ingest")
+        .where(col("ingest_batch") === batchIds.min)
+        .drop("ingest_batch"),
+      "graft_pq_del_spec", batchIds.min)
+    assert(codeSet(PQ.load(spark.newSession(), "graft_pq_del_spec")._2) ==
+      beforeReplay)
+    // a SECOND delete compacts the ingest partitions back into the
+    // bucketed base and drops the side table
+    PQ.delete(spark, "graft_pq_del_spec", tomb.limit(0))
+    assert(!spark.catalog.tableExists("graft_pq_del_spec_codes_ingest"))
     assert(codeSet(spark.newSession().table("graft_pq_del_spec_codes")) ==
       codeSet(PQ.index(emb, model)))
   }

@@ -83,6 +83,38 @@ class PageRankSpec extends SparkTestBase {
     assert(p == Map(1L -> PageRank.Scale, 2L -> PageRank.Scale))
   }
 
+  test("warm start (q240): empty prev reproduces the cold loop; seeding is provably closer to stationary") {
+    val c = graft.model.GraphFixtures.coPurchase10(spark, sf)
+    def sym(df: org.apache.spark.sql.DataFrame) = df.unionByName(
+      df.select(col("dst").as("src"), col("src").as("dst")))
+    val tag = pmod(pmod(pmod(col("src") % 2147483648L * 31 + col("dst"),
+      lit(2147483648L)) * 2654435761L, lit(2147483648L)), lit(10L))
+    val base = sym(c.where(tag =!= 8))
+    val net = sym(c.where(!tag.isin(3, 4)))
+    // contract identity: fixedPointFrom with an EMPTY prev is the cold
+    // fixedPoint, bit for bit (every seed coalesces to SCALE)
+    val cold5 = PageRank.fixedPoint(net, 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val fromEmpty = PageRank.fixedPointFrom(net,
+        PageRank.fixedPoint(net, 1).limit(0), 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(fromEmpty == cold5)
+    // the maintenance win, proven with the Δ-sentinel: after the same
+    // 5 net rounds, the warm-started iteration sits strictly closer to
+    // stationarity than the cold restart (final-round max |Δrank|)
+    val prev = PageRank.fixedPoint(base, 10)
+    val warmTrace = scala.collection.mutable.Buffer.empty[Long]
+    val coldTrace = scala.collection.mutable.Buffer.empty[Long]
+    val warm = PageRank.fixedPointFrom(net, prev, 5, Some(warmTrace))
+    PageRank.fixedPointFrom(net, prev.limit(0), 5, Some(coldTrace))
+    assert(warmTrace.last < coldTrace.last,
+      s"warm $warmTrace vs cold $coldTrace")
+    // determinism of the seeded loop under repartitioning
+    val w2 = PageRank.fixedPointFrom(net.repartition(13), prev, 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(warm.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap == w2)
+  }
+
   test("rank mass never exceeds the initial total (dropped dangling mass)") {
     val edges = edgeDf(Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)))
     val r = PageRank.fixedPoint(edges, 10)

@@ -741,4 +741,36 @@ class TraversalsSpec extends SparkTestBase {
         idx, edges, Seq((2L, 3L)).toDF("src", "dst"), maxIter = 1)
     }
   }
+
+  test("CDC composition (q239): insert relaxation then delete cascade equals a fresh BFS over the net graph") {
+    import spark.implicits._
+    // cycle + tail + island, landmarks picked on the BASE graph
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L),
+      (2L, 5L), (10L, 11L), (11L, 12L))
+    val idx = graft.operators.Traversals.landmarkDistances(base.toDF("src", "dst"), 3)
+    val lms = idx.where($"dist" === 0).select("lm").collect().map(_.getLong(0)).toSeq
+    // resolved changelog: alive keys include a RESURRECTION (1,2) that
+    // is already in the base (must be a no-op), a bridge (6,10) and a
+    // leaf (12,13); tombstoned keys cut the shortcut (2,5) and strand
+    // nothing. alive ∩ tombstoned = ∅ (latest-wins resolution)
+    val ins = Seq((1L, 2L), (6L, 10L), (12L, 13L))
+    val dels = Seq((2L, 5L), (3L, 4L))
+    val grown = (base ++ ins).distinct
+    val net = grown.filterNot(e => dels.contains(e) || dels.contains(e.swap))
+    val afterIns = graft.operators.Traversals.landmarkMaintainInserts(
+      idx, grown.toDF("src", "dst"), ins.toDF("src", "dst"))
+    val fin = graft.operators.Traversals.landmarkMaintainDeletes(
+        afterIns, grown.toDF("src", "dst"), dels.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fin == bfsIndex(net, lms))
+    // empty delta: both legs compose to the identity
+    val same = graft.operators.Traversals.landmarkMaintainDeletes(
+        graft.operators.Traversals.landmarkMaintainInserts(
+          idx, base.toDF("src", "dst"),
+          spark.emptyDataset[(Long, Long)].toDF("src", "dst")),
+        base.toDF("src", "dst"),
+        spark.emptyDataset[(Long, Long)].toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(same == bfsIndex(base, lms))
+  }
 }
