@@ -190,8 +190,11 @@ object PQ {
     val spark = indexed.sparkSession
     import spark.implicits._
     // idempotent across PROCESSES, not just sessions (stale-location
-    // contract in [[graft.sources.Sources.dropManagedTable]])
-    Seq(s"${name}_codes", s"${name}_codebooks")
+    // contract in [[graft.sources.Sources.dropManagedTable]]); a fresh
+    // save also clears any prior ingest/swap state — stale streamed
+    // partitions must never survive into a rebuilt index
+    Seq(s"${name}_codes", s"${name}_codebooks",
+        s"${name}_codes_ingest", s"${name}_codes_swap")
       .foreach(graft.sources.Sources.dropManagedTable(spark, _))
     graft.sources.Sources.writeBucketed(indexed, s"${name}_codes",
       "vec_id", nBuckets, sortCols = Seq("vec_id"))
@@ -304,6 +307,10 @@ object PQ {
                         name: String): Unit =
     if (!spark.catalog.tableExists(s"${name}_codes_ingest")) {
       import org.apache.spark.sql.types._
+      // a location left behind by a previous PROCESS (the catalog is
+      // per-JVM, the warehouse directory is not) blocks the create —
+      // the dropManagedTable stale-location contract clears it
+      graft.sources.Sources.dropManagedTable(spark, s"${name}_codes_ingest")
       val schema = StructType(Seq(
         StructField("vec_id", LongType),
         StructField("codes", ArrayType(IntegerType)),

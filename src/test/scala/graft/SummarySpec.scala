@@ -409,6 +409,79 @@ class SummarySpec extends SparkTestBase {
     labDf.unpersist()
   }
 
+  test("component-local Louvain: equals classic Louvain on connected graphs, decomposes on disjoint ones") {
+    import spark.implicits._
+    import graft.operators.Communities
+    def lm(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // connected graph: per-component m IS the global m — bit-equal
+    val c10 = graft.model.GraphFixtures.coPurchase10(spark, sf)
+    assert(lm(Communities.louvainByComponent(c10, 2, 2)) ==
+      lm(Communities.louvain(c10, 2, 2)))
+    // disjoint union: each component's result equals running it alone
+    // (the decomposability classic global-m Louvain does NOT have)
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val partA = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((4L, 10L))
+    val partB = clique(Seq(30L, 31L, 32L)) ++ Seq((32L, 33L), (33L, 34L))
+    val both = lm(Communities.louvainByComponent((partA ++ partB).toDF("src", "dst"), 2, 2))
+    val aloneA = lm(Communities.louvainByComponent(partA.toDF("src", "dst"), 2, 2))
+    val aloneB = lm(Communities.louvainByComponent(partB.toDF("src", "dst"), 2, 2))
+    assert(both == aloneA ++ aloneB)
+  }
+
+  test("louvainMaintain: rise/fall/merge/empty deltas equal the full per-component recompute") {
+    import spark.implicits._
+    import graft.operators.Communities
+    def lm(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    // three components: two bridged 4-cliques, a triangle+tail, a path
+    val compA = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((4L, 10L))
+    val compB = clique(Seq(30L, 31L, 32L)) ++ Seq((32L, 33L), (33L, 34L))
+    val compC = Seq((50L, 51L), (51L, 52L), (52L, 53L))
+    val old = (compA ++ compB ++ compC).toDF("src", "dst")
+    val oldLabels = Communities.louvainByComponent(old, 2, 2)
+    def check(ins: Seq[(Long, Long)], dels: Seq[(Long, Long)],
+              expectUntouched: Seq[Long]): Unit = {
+      val net = ((compA ++ compB ++ compC ++ ins).distinct
+        .filterNot(e => dels.contains(e) || dels.contains(e.swap))).toDF("src", "dst")
+      val trace = scala.collection.mutable.Buffer.empty[Long]
+      val maint = lm(Communities.louvainMaintain(oldLabels, old,
+        ins.toDF("src", "dst"), dels.toDF("src", "dst"), trace = Some(trace)))
+      val full = lm(Communities.louvainByComponent(net, 2, 2))
+      assert(maint == full, s"ins=$ins dels=$dels\nmaint=$maint\nfull=$full")
+      // untouched components pass through verbatim
+      val oldM = lm(oldLabels)
+      expectUntouched.foreach(id => assert(maint(id) == oldM(id)))
+      ()
+    }
+    // RISE inside one component (densify the triangle's tail)
+    check(Seq((30L, 33L), (30L, 34L)), Nil, Seq(1L, 13L, 50L, 53L))
+    // FALL inside one component (cut the clique bridge → split)
+    check(Nil, Seq((4L, 10L)), Seq(30L, 34L, 50L, 53L))
+    // MERGE two components (bridge B to C) — both recompute, A verbatim
+    check(Seq((34L, 50L)), Nil, Seq(1L, 4L, 10L, 13L))
+    // insert + delete colliding on one key: tombstone wins
+    check(Seq((30L, 33L)), Seq((30L, 33L), (52L, 53L)), Seq(1L, 13L))
+    // EMPTY delta: identity, zero affected vertices
+    val trace = scala.collection.mutable.Buffer.empty[Long]
+    val same = lm(Communities.louvainMaintain(oldLabels, old,
+      Seq.empty[(Long, Long)].toDF("src", "dst"),
+      Seq.empty[(Long, Long)].toDF("src", "dst"), trace = Some(trace)))
+    assert(same == lm(oldLabels))
+    assert(trace.head == 0L)
+    // a vertex fully isolated by deletes drops, exactly as in the full
+    // recompute (the path end 53 loses its only edge)
+    val m2 = lm(Communities.louvainMaintain(oldLabels, old,
+      Seq.empty[(Long, Long)].toDF("src", "dst"),
+      Seq((52L, 53L)).toDF("src", "dst")))
+    assert(!m2.contains(53L))
+    assert(m2 == lm(Communities.louvainByComponent(
+      (compA ++ compB ++ compC.filterNot(_ == (52L, 53L))).toDF("src", "dst"), 2, 2)))
+  }
+
   test("greedy coloring: proper, deterministic, equals the sequential greedy in priority order") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
