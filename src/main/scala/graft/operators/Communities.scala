@@ -522,10 +522,16 @@ object Communities {
       .select(col("u").as("src"), col("v").as("dst"))
     val verts0 = g.select(explode(array(col("u"), col("v"))).as("id")).distinct()
       .cutLineage()
-    // min-label components; the measured single-pass/iterative
-    // crossover ([[connectivityRefine]]'s rule)
+    // min-label components. Threshold BELOW connectivityRefine's 10M
+    // rule: the single-pass summary is a per-task O(|V|) union-find
+    // buffer, and tier2louvmaint's 8.3M-vertex block graph OOM'd it
+    // live (32 concurrent tasks × multi-M-entry typed buffers); the
+    // iterative path is shuffle-bound and converges in a few rounds on
+    // small-diameter components — the safe default at multi-million
+    // vertices. The maintenance path's affected subgraphs stay under
+    // the bar and keep the cheap single-pass.
     val nV = verts0.count()
-    var vcomp = (if (nV <= 10000000L) ConnectedComponents.singlePass(ccEdges)
+    var vcomp = (if (nV <= 2000000L) ConnectedComponents.singlePass(ccEdges)
                  else ConnectedComponents.iterative(ccEdges))
       .toDF("id", "cmp").cutLineage()
     // per-component edge mass — constant across levels (coarsening

@@ -552,8 +552,8 @@ object Traversals {
     * this `require` fail independently and loudly if either side's
     * budget is outlived; a silent one-sided truncation cannot happen.
     */
-  def coreness(edges: DataFrame, maxRounds: Int = 200): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def coreness(edges: DataFrame, maxRounds: Int = 200,
+               sortFree: Boolean = false): DataFrame = {
     val sym = symmetrize(edges).cutLineage()
     var c = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("h"))
       .cutLineage()
@@ -567,10 +567,7 @@ object Traversals {
       val nv = sym.join(cand, Seq("u"), "left_semi")
         .join(c.toDF("v", "cv"), Seq("v"))
         .select(col("u"), col("cv"))
-      val upd = nv.withColumn("r", row_number().over(
-          Window.partitionBy("u").orderBy(col("cv").desc)))
-        .where(col("cv") >= col("r"))
-        .groupBy(col("u").as("id")).agg(count(lit(1)).as("nh"))
+      val upd = hIndex(nv, sortFree)
       val next = c.join(upd, Seq("id"), "left")
         .select(col("id"), coalesce(col("nh"), col("h")).as("h"),
           (col("nh").isNotNull && col("nh") =!= col("h")).as("ch"))
@@ -584,6 +581,38 @@ object Traversals {
       s"coreness: $moved vertices still changing after $maxRounds rounds — " +
         "raise maxRounds; a truncated decomposition is not the coreness")
     c.select(col("id"), col("h").as("coreness"))
+  }
+
+  /** The h-index inner round shared by [[coreness]] and
+    * [[corenessMaintain]]: per candidate vertex u, H({cv of u's
+    * neighbors}) from the (u, cv) rows.
+    *
+    * Two value-identical formulations, A/B'd at tier 2 (tier2hindex):
+    *   - window (default): descending row_number, h = #ranks r with
+    *     cv_r ≥ r — one shuffle, but a 10⁷-degree hub's rows all sort
+    *     in ONE window task (the r11 verdict's watch item);
+    *   - sortFree: aggregate counts per (u, cv) FIRST (map-side
+    *     combine collapses the hub to its #distinct neighbor values),
+    *     then h = max over distinct values v of min(v, ge(v)) where
+    *     ge(v) = #neighbors with cv ≥ v (a running sum over the
+    *     distinct-value rows — the residual window task holds
+    *     #distinct values, not degree). The max is attained at an
+    *     observed value: between observed values ge is constant, so
+    *     min(v, ge) only grows toward the next observed v.
+    */
+  private def hIndex(nv: DataFrame, sortFree: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (sortFree)
+      nv.groupBy(col("u"), col("cv")).agg(count(lit(1)).as("n"))
+        .withColumn("ge", sum(col("n")).over(
+          Window.partitionBy("u").orderBy(col("cv").desc)))
+        .select(col("u"), least(col("cv"), col("ge")).as("hv"))
+        .groupBy(col("u").as("id")).agg(max(col("hv")).as("nh"))
+    else
+      nv.withColumn("r", row_number().over(
+          Window.partitionBy("u").orderBy(col("cv").desc)))
+        .where(col("cv") >= col("r"))
+        .groupBy(col("u").as("id")).agg(count(lit(1)).as("nh"))
   }
 
   /** MAINTAINED core decomposition — the incremental/decremental leg of
@@ -641,8 +670,8 @@ object Traversals {
                        inserts: DataFrame, deletes: DataFrame,
                        labels: Option[DataFrame] = None,
                        maxRounds: Int = 200,
-                       trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                       trace: Option[scala.collection.mutable.Buffer[Long]] = None,
+                       sortFree: Boolean = false): DataFrame = {
     val oldSym = symmetrize(oldEdges)
     val insSym = symmetrize(inserts)
     val superSym = oldSym.unionByName(insSym).distinct().cutLineage()
@@ -687,10 +716,7 @@ object Traversals {
       val nv = subSym.join(cand, Seq("u"), "left_semi")
         .join(c.toDF("v", "cv"), Seq("v"))
         .select(col("u"), col("cv"))
-      val upd = nv.withColumn("r", row_number().over(
-          Window.partitionBy("u").orderBy(col("cv").desc)))
-        .where(col("cv") >= col("r"))
-        .groupBy(col("u").as("id")).agg(count(lit(1)).as("nh"))
+      val upd = hIndex(nv, sortFree)
       val next = c.join(upd, Seq("id"), "left")
         .select(col("id"),
           least(col("h"), coalesce(col("nh"), col("h"))).as("nxt"),

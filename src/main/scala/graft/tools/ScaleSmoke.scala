@@ -1255,6 +1255,127 @@ object ScaleSmoke {
       }
     }
 
+    if (mode == "tier2louvmaint") {
+      // maintained communities at the 10M-edge tier in the operator's
+      // ACTUAL regime (the tier2coremaint block-graph shape: ~1M small
+      // components, 0.1% delta, stored nightly labels). The giant-
+      // component degenerate case is documented on the operator.
+      val nBlocks = 1000000L
+      def blockEdges(salt: Int) = spark.range(nEdges).select(
+          (pmod(xxhash64(col("id"), lit(6)), lit(nBlocks)) * 10
+            + pmod(xxhash64(col("id"), lit(salt)), lit(10))).as("s0"),
+          (pmod(xxhash64(col("id"), lit(6)), lit(nBlocks)) * 10
+            + pmod(xxhash64(col("id"), lit(salt + 1)), lit(10))).as("d0"))
+        .select(least(col("s0"), col("d0")).as("src"),
+          greatest(col("s0"), col("d0")).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+      val base = blockEdges(4).localCheckpoint(true)
+      val tag = pmod(xxhash64(col("src"), col("dst"), lit(11)), lit(1000L))
+      val dels = base.where(tag === 3).select("src", "dst").localCheckpoint(true)
+      val ins = blockEdges(40)
+        .where(pmod(xxhash64(col("src"), col("dst"), lit(13)), lit(1000L)) === 7)
+        .join(base, Seq("src", "dst"), "left_anti")
+        .join(dels, Seq("src", "dst"), "left_anti").localCheckpoint(true)
+      println(s"[smoke] block graph: ${base.count()} base edges, " +
+        s"+${ins.count()} / -${dels.count()} delta")
+      val oldLab = tm("nightly communities (louvainByComponent build)") {
+        graft.operators.Communities.louvainByComponent(base)
+          .localCheckpoint(true)
+      }
+      val labels = tm("nightly supergraph labels (stored byproduct)") {
+        graft.operators.ConnectedComponents.iterative(
+          base.unionByName(ins)).localCheckpoint(true)
+      }
+      val trace = scala.collection.mutable.Buffer.empty[Long]
+      val maint = tm("louvainMaintain (0.1% delta, stored labels)") {
+        graft.operators.Communities.louvainMaintain(oldLab, base, ins, dels,
+          labels = Some(labels), trace = Some(trace)).localCheckpoint(true)
+      }
+      println(s"[smoke] affected vertices: ${trace.head} of ${oldLab.count()}")
+      val net = base.join(dels, Seq("src", "dst"), "left_anti")
+        .unionByName(ins).localCheckpoint(true)
+      val full = tm("full louvainByComponent over the net graph (the avoided recompute)") {
+        graft.operators.Communities.louvainByComponent(net).localCheckpoint(true)
+      }
+      tm("bit-equality: maintained == full recompute") {
+        val bad = maint.toDF("id", "a").join(full.toDF("id", "b"), Seq("id"), "full")
+          .where(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
+          .count()
+        println(s"[smoke] vertices=${full.count()} mismatched=$bad")
+        require(bad == 0, s"maintained communities diverged on $bad vertices")
+      }
+    }
+
+    if (mode == "tier2grid") {
+      // the 2D grid layout APPLIED (q222 measures layout quality; this
+      // runs the iterative operators over each layout): write the
+      // 10M-edge graph hash1d- and grid2d-partitioned (q222's P=64
+      // spec over the portable multiplicative hash), read each back,
+      // run CC + coreness, record wall + shuffle, require identical
+      // results — the deployment A/B that turns the q222 metric into a
+      // layout decision
+      val side = 8
+      def ph(c: org.apache.spark.sql.Column) =
+        pmod(pmod(c, lit(2147483648L)) * lit(2654435761L), lit(2147483648L))
+      val root = "/tmp/graft_tier2grid"
+      val layouts = Seq(
+        "hash1d" -> (ph(col("src")) % (side * side)),
+        "grid2d" -> ((ph(col("src")) % side) * side + ph(col("dst")) % side))
+      val sums = layouts.map { case (nm, pcol) =>
+        val dir = s"$root/$nm"
+        tm(s"write $nm layout (64 parts)") {
+          g.withColumn("p", pcol.cast("int"))
+            .repartition(col("p"))
+            .write.mode("overwrite").partitionBy("p").parquet(dir)
+        }
+        val e = spark.read.parquet(dir).select("src", "dst")
+        val cc = tm(s"CC iterative over $nm") {
+          graft.operators.ConnectedComponents.iterative(e).localCheckpoint(true)
+        }
+        val ccSum = cc.agg(expr("bit_xor(xxhash64(id, component))"))
+          .head().getLong(0)
+        val core = tm(s"coreness over $nm") {
+          graft.operators.Traversals.coreness(e).localCheckpoint(true)
+        }
+        val coreSum = core.agg(expr("bit_xor(xxhash64(id, coreness))"))
+          .head().getLong(0)
+        println(s"[smoke] $nm checksums: cc=$ccSum core=$coreSum")
+        (ccSum, coreSum)
+      }
+      require(sums.distinct.size == 1,
+        s"layouts disagree on results: $sums — the layout must be invisible to the answer")
+    }
+
+    if (mode == "tier2hindex") {
+      // hub-skew A/B for the h-index inner round (r11 verdict watch
+      // item): a 3M-degree hub rides on a 2M-edge background graph.
+      // window form sorts the hub's 3M neighbor rows in ONE task per
+      // round; the sort-free form collapses them map-side to the
+      // #distinct-value rows first. Hashes must match bit for bit.
+      val hubDeg = 3000000L
+      val star = spark.range(hubDeg)
+        .select(lit(0L).as("src"), (col("id") + 10L).as("dst"))
+      val bg = spark.range(2000000)
+        .select((pmod(xxhash64(col("id"), lit(1)), lit(1000000L)) + 10L).as("src"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(1000000L)) + 10L).as("dst"))
+        .where(col("src") =!= col("dst"))
+      val e = star.unionByName(bg).localCheckpoint(true)
+      println(s"[smoke] star+background: ${e.count()} edges, hub degree $hubDeg")
+      val a = tm("coreness — window row_number h-index") {
+        graft.operators.Traversals.coreness(e).localCheckpoint(true)
+      }
+      val b = tm("coreness — sort-free conditional-count h-index") {
+        graft.operators.Traversals.coreness(e, sortFree = true).localCheckpoint(true)
+      }
+      tm("bit-equality across the two formulations") {
+        val bad = a.toDF("id", "x").join(b.toDF("id", "y"), Seq("id"), "full")
+          .where(col("x").isNull || col("y").isNull || col("x") =!= col("y"))
+          .count()
+        require(bad == 0, s"h-index formulations diverged on $bad vertices")
+        println(s"[smoke] identical on ${a.count()} vertices")
+      }
+    }
+
     if (mode == "all" || mode == "graph") {
       t("bfsDepths (10M edges)")(
         graft.operators.Traversals.bfsDepths(g, 0L).count())

@@ -451,6 +451,11 @@ class TraversalsSpec extends SparkTestBase {
         .select("id").collect().map(_.getLong(0)).toSet
       assert(byCoreness == byPeel, s"coreness>=$k vs $k-core mismatch")
     }
+    // the sort-free conditional-count h-index round (the tier2hindex
+    // hub-skew alternative) is value-identical to the window form
+    val cSortFree = Traversals.coreness(c10, sortFree = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cSortFree == cAll)
   }
 
   test("corenessMaintain: delta-confined maintenance equals the full recompute") {
