@@ -120,6 +120,13 @@ object PageRank {
           .join(ranks.toDF("id", "or"), Seq("id"))
           .agg(coalesce(max(abs(col("nr") - col("or"))), lit(0L)))
           .head().getLong(0))
+        // release the superseded round's checkpoint — the Δ above was
+        // its last reader, and a traced certification loop would
+        // otherwise pin O(iters) |V|-sized frames (OOM'd live in
+        // tier2prwarm at 2 × 30 rounds)
+        org.apache.spark.sql.graftbridge.PlanBridge.checkpointRddId(ranks)
+          .foreach(id => edges.sparkSession.sparkContext.getPersistentRDDs
+            .get(id).foreach(_.unpersist(false)))
         ranks = nx
       } else ranks = if (k % 3 == 0 || k == iters) next.cutLineage() else next
     }

@@ -1376,6 +1376,49 @@ object ScaleSmoke {
       }
     }
 
+    if (mode == "tier2prwarm") {
+      // warm-start PageRank at the 10M-edge tier: nightly near-
+      // stationary ranks on the 99% base, then a 1% insert delta —
+      // rounds-to-stationarity (max per-vertex |Δrank| ≤ τ micro) for
+      // the warm seed vs the uniform restart, then each arm re-run
+      // untraced at its own round count for the wall comparison
+      val tag = pmod(xxhash64(col("src"), col("dst"), lit(23)), lit(100L))
+      def sym(df: org.apache.spark.sql.DataFrame) = df.unionByName(
+        df.select(col("dst").as("src"), col("src").as("dst")))
+      val ge = g.select("src", "dst")
+      val bs = sym(ge.where(tag =!= 3)).localCheckpoint(true)
+      val ns = sym(ge).localCheckpoint(true)
+      println(s"[smoke] base ${bs.count() / 2} edges, net ${ns.count() / 2} (1% delta)")
+      val prev = tm("nightly ranks (base, 30 rounds — near-stationary)") {
+        graft.operators.PageRank.fixedPoint(bs, 30).localCheckpoint(true)
+      }
+      val tau = 1000L
+      val wt = scala.collection.mutable.Buffer.empty[Long]
+      val ct = scala.collection.mutable.Buffer.empty[Long]
+      tm("warm-seeded net iteration, 30 traced rounds") {
+        graft.operators.PageRank.fixedPointFrom(ns, prev, 30, Some(wt))
+          .write.format("noop").mode("overwrite").save()
+      }
+      tm("uniform-restart net iteration, 30 traced rounds") {
+        graft.operators.PageRank.fixedPointFrom(ns, prev.limit(0), 30, Some(ct))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val rw = wt.indexWhere(_ <= tau) + 1
+      val rc = ct.indexWhere(_ <= tau) + 1
+      println(s"[smoke] rounds to maxDelta<=$tau micro: warm=$rw cold=$rc " +
+        s"(warm trace ${wt.take(6).mkString(",")}..., cold ${ct.take(6).mkString(",")}...)")
+      require(rw > 0 && rc > 0, "neither arm reached tau in 30 rounds — raise the budget")
+      require(rw < rc, s"warm start needed $rw rounds vs cold $rc — no win")
+      tm(s"warm run at its own round count ($rw, untraced)") {
+        graft.operators.PageRank.fixedPointFrom(ns, prev, rw)
+          .write.format("noop").mode("overwrite").save()
+      }
+      tm(s"cold run at its own round count ($rc, untraced)") {
+        graft.operators.PageRank.fixedPoint(ns, rc)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
     if (mode == "all" || mode == "graph") {
       t("bfsDepths (10M edges)")(
         graft.operators.Traversals.bfsDepths(g, 0L).count())
