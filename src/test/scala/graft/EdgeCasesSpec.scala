@@ -201,4 +201,27 @@ class EdgeCasesSpec extends SparkTestBase {
     val rr = graft.operators.DegreeMetrics.reciprocity(loops).collect()
     assert(rr.length == 1 && rr(0).isNullAt(2), s"${rr.toSeq}")
   }
+
+  test("r12 operators on degenerate inputs: empty, no throw") {
+    import spark.implicits._
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    // component-local Louvain on an edgeless graph: empty mapping
+    assert(graft.operators.Communities.louvainByComponent(noEdges).isEmpty)
+    // a single edge: one two-vertex community (the move pass merges)
+    val one = graft.operators.Communities
+      .louvainByComponent(Seq((1L, 2L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one.keySet == Set(1L, 2L) && one.values.toSet.size == 1)
+    // self-loops-only input: no community rows (canonicalization drops
+    // loops, leaving an edgeless graph)
+    assert(graft.operators.Communities.louvainByComponent(
+      Seq((3L, 3L)).toDF("src", "dst")).isEmpty)
+    // maintenance with empty EVERYTHING: empty output, no crash
+    assert(graft.operators.Communities.louvainMaintain(
+      Seq.empty[(Long, Long)].toDF("id", "community"),
+      noEdges, noEdges, noEdges).isEmpty)
+    // warm-start PageRank from an empty prev over an empty graph
+    assert(graft.operators.PageRank.fixedPointFrom(
+      noEdges, Seq.empty[(Long, Long)].toDF("id", "rank"), 3).isEmpty)
+  }
 }
