@@ -229,20 +229,22 @@ object SparkEntry {
   private def c10Adjacency(s: SparkSession, dir: String): DataFrame =
     c10AdjMemo(s, dir)
 
-  // q232 + q237 + q238 (+1 slack): the three maintenance carve-outs
-  // consult the SAME supergraph decomposition (base ∪ alive-inserts =
-  // the full C10 — the stored-labels production path the operators'
-  // `labels` param exists for, the q209 msfMemo discipline)
-  private val c10SuperLabelsMemo = new CrossQueryMemo(4, (s, dir) =>
+  // q232 + q237 + q238 + q241 + q242 (+1 slack): the maintenance
+  // carve-outs and the component-local peel consult the SAME supergraph
+  // decomposition (base ∪ alive-inserts = the full C10 — the
+  // stored-labels production path the operators' `labels` param exists
+  // for, the q209 msfMemo discipline)
+  private val c10SuperLabelsMemo = new CrossQueryMemo(6, (s, dir) =>
     ConnectedComponents.iterative(c10Fixture(s, dir))
       .coalesce(s.sparkContext.defaultParallelism))
 
-  // q211 + q215 + q232 + q237 + q238 + q239 (+1 slack per the
+  // q211 + q215 + q232 + q237 + q238 + q239 + q242 (+1 slack per the
   // sequencing contract): all resolve the IDENTICAL changelog over the
   // tagged C10 edge set (cdcChangelog reads only src/dst/tag) — ONE
-  // 4-trigger keyed-state replay, six maintenance consumers
-  // (triangles, MSF, coreness, trussness, communities, landmarks)
-  private val c10CdcMemo = new CrossQueryMemo(7, (s, dir) =>
+  // 4-trigger keyed-state replay, seven maintenance consumers
+  // (triangles, MSF, coreness, trussness, communities, landmarks,
+  // densest)
+  private val c10CdcMemo = new CrossQueryMemo(8, (s, dir) =>
     graft.streaming.StreamingOps.replayEdgeCdc(cdcChangelog(
       c10Fixture(s, dir).withColumn("tag", edgeTag))))
 
@@ -2657,6 +2659,33 @@ object SparkEntry {
         docs.where(col("doc_id") % 10 =!= 7),
         docs.where(col("doc_id") % 10 === 7))
     }),
+    // COMPONENT-LOCAL densest-subgraph peel (q196's global peel made
+    // DECOMPOSABLE — each connected component peels against its own
+    // (1+ε)·avg-degree threshold, the louvainByComponent move from
+    // global m to m_c applied to density): per-component per-round
+    // stats with an exact-integer earliest-max argmax per component.
+    // The oracle replays the per-component unrolled peel over a
+    // recursive min-label CC
+    "q241_densest_by_component" -> ((s, dir) =>
+      graft.operators.Traversals.densestByComponent(c10Fixture(s, dir),
+        labels = Some(c10SuperLabelsMemo(s, dir)))),
+    // CDC-MAINTAINED densest subgraph — the density family joins the
+    // maintenance matrix (CC/triangles/MSF/coreness/trussness/
+    // communities/landmarks/PageRank/BM25/ANN have theirs): the shared
+    // changelog resolution drives densestMaintain against the base
+    // (tag ≠ 8) per-component stats; unaffected components' rows pass
+    // through VERBATIM (the peel is a pure function of the component's
+    // induced edges — what q241's decomposable threshold buys),
+    // affected supergraph components re-peel their induced net edges.
+    // The oracle replays the full per-component peel over the NET edge
+    // set and never sees the changelog
+    "q242_cdc_maintained_densest" -> ((s, dir) => {
+      val (base, inserts, deletes) = c10CdcSplits(s, dir)
+      graft.operators.Traversals.densestMaintain(
+        graft.operators.Traversals.densestByComponent(base),
+        base, inserts, deletes,
+        labels = Some(c10SuperLabelsMemo(s, dir)))
+    }),
   )
 
   /** Byte-level BPE fixture: the documents table with a deterministic
@@ -3530,6 +3559,56 @@ object SparkEntry {
         "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), " +
         s"CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) WHERE EXISTS (SELECT 1 FROM e$R)"
     }
+    // per-COMPONENT greedy peel (q241/q242): the densestSql unroll with
+    // the two loop scalars (n, ms) keyed by a recursive min-label CC —
+    // each component carries its own threshold and its own
+    // earliest-max best-round argmax. Same R = 16 margin (components
+    // peel no deeper than the global graph's geometric bound); same
+    // sentinel if edges survive the unroll
+    def densestCompSqlFor(edgeSql: String): String = {
+      val R = 16
+      val rounds = (1 to R).map { r =>
+        val p = r - 1
+        s"k$r AS MATERIALIZED (SELECT d.cmp, d.u FROM " +
+          s"(SELECT cmp, u, COUNT(*) AS dg FROM e$p GROUP BY 1, 2) d " +
+          s"JOIN s$p s ON s.cmp = d.cmp " +
+          s"WHERE CAST(d.dg AS HUGEINT) * 10 * s.n > CAST(11 AS HUGEINT) * s.ms), " +
+          s"e$r AS MATERIALIZED (SELECT e.cmp, e.u, e.v FROM e$p e " +
+          s"JOIN k$r a ON a.cmp = e.cmp AND a.u = e.u " +
+          s"JOIN k$r b ON b.cmp = e.cmp AND b.u = e.v), " +
+          s"s$r AS MATERIALIZED (SELECT cmp, CAST(COUNT(DISTINCT u) AS BIGINT) AS n, " +
+          s"CAST(COUNT(*) AS BIGINT) AS ms FROM e$r GROUP BY cmp)"
+      }.mkString(", ")
+      val statsUnion = (0 to R).map(r =>
+        s"SELECT cmp, CAST($r AS BIGINT) AS r, n, ms FROM s$r").mkString(" UNION ALL ")
+      s"WITH RECURSIVE c AS MATERIALIZED ($edgeSql), " +
+        "sym0 AS MATERIALIZED (SELECT x AS a, y AS b FROM c WHERE x <> y " +
+        "UNION SELECT y, x FROM c WHERE x <> y), " +
+        "lblcc(v, l) AS (SELECT DISTINCT a, a FROM sym0 " +
+        "UNION SELECT s.b, lblcc.l FROM sym0 s JOIN lblcc ON lblcc.v = s.a AND lblcc.l < s.b), " +
+        "vc AS MATERIALIZED (SELECT v AS id, MIN(l) AS cmp FROM lblcc GROUP BY v), " +
+        "e0 AS MATERIALIZED (SELECT vc.cmp, s.a AS u, s.b AS v FROM sym0 s " +
+        "JOIN vc ON vc.id = s.a), " +
+        "s0 AS MATERIALIZED (SELECT cmp, CAST(COUNT(DISTINCT u) AS BIGINT) AS n, " +
+        "CAST(COUNT(*) AS BIGINT) AS ms FROM e0 GROUP BY cmp), " +
+        rounds + s", st AS MATERIALIZED ($statsUnion) " +
+        "SELECT a.cmp AS component, a.r AS round, a.n AS n_vertices, " +
+        "CAST(a.ms // 2 AS BIGINT) AS n_edges, " +
+        "CAST(CAST(a.ms AS HUGEINT) * 500000 // a.n AS BIGINT) AS density_micro, " +
+        "CAST(CASE WHEN NOT EXISTS (SELECT 1 FROM st b WHERE b.cmp = a.cmp AND " +
+        "(CAST(b.ms AS HUGEINT) * a.n > CAST(a.ms AS HUGEINT) * b.n " +
+        "OR (CAST(b.ms AS HUGEINT) * a.n = CAST(a.ms AS HUGEINT) * b.n AND b.r < a.r))) " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS is_best FROM st a " +
+        "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), " +
+        s"CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
+        s"WHERE EXISTS (SELECT 1 FROM e$R)"
+    }
+    val densestCompSql = densestCompSqlFor(copurchase10)
+    // maintained densest: the oracle sees only the changelog's NET
+    // effect (tags ∉ {3,4} — the q210/q215 identity), never the deltas
+    val densestCompMaintSql = densestCompSqlFor(
+      s"SELECT x, y FROM ($copurchase10) z WHERE " +
+        "((((x % 2147483648) * 31 + y) % 2147483648) * 2654435761) % 2147483648 % 10 NOT IN (3, 4)")
     // time-respecting earliest arrival replayed by unrolled min-relax
     // rounds (9 at sf0.01, 18 = 2× margin); sentinel on any value OR
     // membership difference between the last two rounds
@@ -5360,6 +5439,8 @@ object SparkEntry {
       // four epoch weight snapshots (sign unchanged vs the average)
       "q195_perceptron_averaged" -> perceptronOracle(averaged = true),
       "q196_densest_subgraph" -> densestSql,
+      "q241_densest_by_component" -> densestCompSql,
+      "q242_cdc_maintained_densest" -> densestCompMaintSql,
       // q181's oracle with the deterministic delete op and alive flag
       "q197_cdc_tombstones" ->
         ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu, " +

@@ -874,6 +874,187 @@ object Traversals {
     rows.toDF("round", "n_vertices", "n_edges", "density_micro", "is_best")
   }
 
+  /** COMPONENT-LOCAL greedy densest-subgraph peel — [[densestSubgraph]]
+    * with the two global loop scalars (n, m_sym) replaced by
+    * |components|-keyed tables, the exact analogue of
+    * [[Communities.louvainByComponent]]'s move from global m to m_c:
+    * each connected component peels against ITS OWN (1+ε)·avg-degree
+    * threshold and records its own per-round stats, so a component's
+    * rows are a pure function of its induced edge set. That
+    * decomposability is what makes the result MAINTAINABLE under a
+    * changelog ([[densestMaintain]]) — with the global threshold, any
+    * delta re-couples every component through the average degree and
+    * nothing could pass through verbatim. On a connected graph the
+    * output is exactly [[densestSubgraph]]'s rows keyed by the single
+    * component (spec-checked).
+    *
+    * Approximation: per-component peeling carries the same
+    * 2(1+ε)-guarantee per component, and the densest subgraph of the
+    * whole graph lives inside one component — so the globally best
+    * `is_best` row (cross-component argmax by the same exact-integer
+    * compare, a post-hoc projection) is at least as good an answer as
+    * the global peel's, often strictly better (the global threshold
+    * can peel a small dense component away while a huge sparse one
+    * holds the average down).
+    *
+    * Scale shape: per round one (cmp,u)-keyed degree aggregation + one
+    * cmp-keyed stats aggregation + two semi-joins — the
+    * [[densestSubgraph]] plan with `cmp` added to the keys; rounds =
+    * max over components of the geometric bound, all components peel
+    * in the SAME pass (no per-component loop). The only driver scalar
+    * is the loop-control arc count. The final per-component argmax is
+    * a stats⋈stats self-join keyed by cmp in DECIMAL(38,0)
+    * cross-multiplication — the stats table holds ≤ rounds·|components|
+    * rows, never edges.
+    *
+    * Output: one row per (component, non-empty round) —
+    * `(component, round, n_vertices, n_edges, density_micro, is_best)`
+    * with component = the min-label CC id (the min vertex id in the
+    * component — the cross-engine label contract), density_micro =
+    * ⌊10⁶·m/n⌋ by two-step BIGINT floor division (ms·500000 alone
+    * overflows 64-bit at 10¹³ arcs), and is_best = 1 on exactly the
+    * component's earliest max-density round.
+    *
+    * `labels`: a stored `(id, component)` CC decomposition of this edge
+    * set if the deployment keeps one; computed fresh when absent.
+    */
+  def densestByComponent(edges: DataFrame, maxRounds: Int = 320,
+                         labels: Option[DataFrame] = None): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym0 = symmetrize(edges).cutLineage()
+    val emptySchema = Seq.empty[(Long, Long, Long, Long, Long, Long)]
+      .toDF("component", "round", "n_vertices", "n_edges", "density_micro", "is_best")
+    if (sym0.isEmpty) return emptySchema
+    val vcomp = labels.getOrElse(ConnectedComponents.iterative(
+        sym0.select(col("u").as("src"), col("v").as("dst"))))
+      .select(col("id"), col("component").as("cmp"))
+    var sym = sym0.join(vcomp.toDF("u", "cmp"), Seq("u"))
+      .select(col("cmp"), col("u"), col("v")).cutLineage()
+    val perRound = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var r = 0L
+    var arcs = sym.count()
+    while (arcs > 0 && r < maxRounds) {
+      val stats = sym.groupBy(col("cmp"))
+        .agg(countDistinct(col("u")).as("n"), count(lit(1)).as("ms"))
+        .cutLineage()
+      perRound += stats.withColumn("round", lit(r))
+      // keep v iff 10·deg(v)·n_c > 11·m_c — per-component threshold;
+      // DECIMAL(38,0) products (deg·n overflows 64-bit at the target)
+      val keep = sym.groupBy(col("cmp"), col("u")).agg(count(lit(1)).as("d"))
+        .join(stats, Seq("cmp"))
+        .where(col("d").cast("decimal(38,0)") * col("n") * lit(10L) >
+          col("ms").cast("decimal(38,0)") * lit(11L))
+        .select(col("u").as("kid"))
+      sym = sym
+        .join(keep, sym("u") === keep("kid"), "left_semi")
+        .join(keep, sym("v") === keep("kid"), "left_semi")
+        .cutLineage()
+      arcs = sym.count()
+      r += 1
+    }
+    require(arcs == 0,
+      s"densestByComponent: $arcs arcs remain after $maxRounds rounds — " +
+        "raise maxRounds; a truncated peel may miss the densest prefix")
+    val st = perRound.reduce(_ unionByName _).cutLineage()
+    // per-component earliest-max argmax by exact cross-multiplication:
+    // round a loses iff some round b of the SAME component has strictly
+    // greater density (ms_b·n_a > ms_a·n_b) or equal density and an
+    // earlier round. Stats-table self-join — rows ∝ rounds·components.
+    val beaten = st.toDF("cmp", "n", "ms", "round")
+      .join(st.toDF("cmp", "nb", "msb", "roundb"), Seq("cmp"))
+      .where(col("msb").cast("decimal(38,0)") * col("n") >
+          col("ms").cast("decimal(38,0)") * col("nb") ||
+        (col("msb").cast("decimal(38,0)") * col("n") ===
+          col("ms").cast("decimal(38,0)") * col("nb") &&
+          col("roundb") < col("round")))
+      .select(col("cmp"), col("round")).distinct()
+      .withColumn("beaten", lit(1L))
+    st.join(beaten, Seq("cmp", "round"), "left")
+      .select(col("cmp").as("component"), col("round"),
+        col("n").as("n_vertices"),
+        expr("ms div 2").as("n_edges"),
+        // ⌊ms·500000/n⌋ without the 64-bit overflow of the direct
+        // product: (ms div n)·500000 + ((ms % n)·500000) div n — exact
+        // for nonnegative integers, every intermediate ≤ 5·10¹⁷
+        (expr("ms div n") * lit(500000L) +
+          expr("(ms % n) * 500000 div n")).as("density_micro"),
+        when(col("beaten").isNull, lit(1L)).otherwise(lit(0L)).as("is_best"))
+  }
+
+  /** CDC-MAINTAINED densest subgraph — the maintenance-matrix leg for
+    * the density family: given the previous [[densestByComponent]]
+    * stats, the previous edges and insert/delete deltas, produce the
+    * NET graph's per-component peel WITHOUT recomputing unaffected
+    * components.
+    *
+    * Soundness (the [[Communities.louvainMaintain]] argument applied to
+    * stats rows): a component's rows are a pure function of its induced
+    * edge set (component-local thresholds — that is what
+    * [[densestByComponent]] buys). A supergraph (old ∪ inserts)
+    * component untouched by any delta endpoint has an identical induced
+    * net edge set, net components refine supergraph components, and its
+    * min-vertex label is unchanged — so its stored rows pass through
+    * verbatim (the component label IS a vertex id inside the component,
+    * which is exactly what the anti-join below tests). Affected
+    * components re-run the peel on their induced net edges; the peel is
+    * seed-free (a deterministic function of the edges), so the union is
+    * bit-equal to a fresh [[densestByComponent]] of the net graph
+    * (spec-checked).
+    *
+    * Delta precedence: tombstone wins — net = (old ∪ inserts) ∖
+    * deletes, the shared contract of the C10 maintenance family.
+    * REGIME: on a single-giant-component graph every delta affects
+    * everything and this degenerates to the full recompute plus
+    * carve-out overhead (the honest certification case); the win is the
+    * unaffected fraction on multi-component graphs, measured at tier 2.
+    *
+    * `labels`: the supergraph's stored `(id, component)` decomposition
+    * when the deployment keeps one; computed fresh when absent.
+    * `trace`, when given, records the affected-vertex count.
+    */
+  def densestMaintain(oldStats: DataFrame, oldEdges: DataFrame,
+                      inserts: DataFrame, deletes: DataFrame,
+                      maxRounds: Int = 320,
+                      labels: Option[DataFrame] = None,
+                      trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+    def canon(df: DataFrame) = df
+      .select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val oldC = canon(oldEdges).cutLineage()
+    val insC = canon(inserts).cutLineage()
+    val delC = canon(deletes).cutLineage()
+    val netC = oldC.unionByName(insC).distinct()
+      .join(delC, Seq("u", "v"), "left_anti")
+      .cutLineage()
+    val lbl = labels.getOrElse(ConnectedComponents.iterative(
+        oldC.unionByName(insC).distinct()
+          .select(col("u").as("src"), col("v").as("dst"))))
+      .select(col("id"), col("component"))
+    val touched = insC.select(col("u").as("id"))
+      .unionByName(insC.select(col("v").as("id")))
+      .unionByName(delC.select(col("u").as("id")))
+      .unionByName(delC.select(col("v").as("id")))
+      .distinct()
+    val affComps = lbl.join(touched, Seq("id"), "left_semi")
+      .select(col("component")).distinct()
+    val affVerts = lbl.join(affComps, Seq("component"), "left_semi")
+      .select(col("id")).cutLineage()
+    trace.foreach(_ += affVerts.count())
+    // an unaffected component's label is a vertex id INSIDE it, so one
+    // anti-join on the label column is the membership test
+    val passThrough = oldStats.join(
+      affVerts.toDF("component"), Seq("component"), "left_anti")
+    // the affected induced subgraph is component-closed in the NET
+    // graph (net ⊆ old ∪ inserts): one endpoint test suffices
+    val sub = netC.join(affVerts.toDF("u"), Seq("u"), "left_semi")
+    val recomputed = densestByComponent(
+      sub.select(col("u").as("src"), col("v").as("dst")), maxRounds)
+    passThrough.unionByName(recomputed)
+  }
+
   /** Undirected view of temporal edge EVENTS `(src, dst, t)` — the
     * [[symmetrize]] contract carrying the event time: both directions,
     * self-loops dropped, exact-duplicate events merged. Shared by both

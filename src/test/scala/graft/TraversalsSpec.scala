@@ -778,4 +778,77 @@ class TraversalsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(same == bfsIndex(base, lms))
   }
+
+  private def densestRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+
+  test("densestByComponent: per-component thresholds, connected ≡ global") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    // connected graph: component-local rows must be exactly the global
+    // peel's rows keyed by the single min-label component
+    val g1 = (clique(Seq(1L, 2L, 3L, 4L, 5L)) ++ Seq((5L, 10L), (10L, 11L)))
+      .toDF("src", "dst")
+    val global = graft.operators.Traversals.densestSubgraph(g1).collect()
+      .map(r => (1L, r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(densestRows(graft.operators.Traversals.densestByComponent(g1)) == global)
+    // two components: K4 on {1..4} + a 4-path on {20..23}, each judged
+    // against ITS OWN average degree. K4: deg 3, 10·3·4=120 ≤ 11·12=132
+    // → peels in one round, best = round 0 (density 6/4). Path: round 0
+    // keeps the interior {21,22} (10·2·4=80 > 11·6=66), round 1 drops
+    // them (10·1·2=20 ≤ 11·2=22); round 0's 3/4 beats round 1's 1/2.
+    val g2 = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      Seq((20L, 21L), (21L, 22L), (22L, 23L))).toDF("src", "dst")
+    val got = densestRows(graft.operators.Traversals.densestByComponent(g2))
+    assert(got == Set(
+      (1L, 0L, 4L, 6L, 1500000L, 1L),
+      (20L, 0L, 4L, 3L, 750000L, 1L),
+      (20L, 1L, 2L, 1L, 500000L, 0L)), s"got $got")
+    // edgeless input: empty result, not a crash
+    assert(graft.operators.Traversals.densestByComponent(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).isEmpty)
+    // fail-loud on an exhausted round budget
+    intercept[IllegalArgumentException] {
+      graft.operators.Traversals.densestByComponent(g1, maxRounds = 1)
+    }
+  }
+
+  test("densestMaintain: pass-through + recompute ≡ fresh peel of the net graph") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    def df(p: Seq[(Long, Long)]) = p.toDF("src", "dst")
+    def fresh(net: Seq[(Long, Long)]) =
+      densestRows(graft.operators.Traversals.densestByComponent(df(net)))
+    // three components: K5 {1..5}+pendant, K4 {20..23}, path {40..43}
+    val cA = clique(Seq(1L, 2L, 3L, 4L, 5L)) ++ Seq((5L, 10L), (10L, 11L))
+    val cB = clique(Seq(20L, 21L, 22L, 23L))
+    val cC = Seq((40L, 41L), (41L, 42L), (42L, 43L))
+    val base = cA ++ cB ++ cC
+    val old = graft.operators.Traversals.densestByComponent(df(base))
+    // RISE: densify the path component; only it should recompute
+    val ins = Seq((40L, 42L), (40L, 43L), (41L, 43L))
+    val trace = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val rise = graft.operators.Traversals.densestMaintain(
+      old, df(base), df(ins), df(Seq.empty), trace = Some(trace))
+    assert(densestRows(rise) == fresh(base ++ ins))
+    assert(trace.head == 4L, s"affected=${trace.head}") // only {40..43}
+    // FALL: delete inside the K4; K5 and path pass through
+    val fall = graft.operators.Traversals.densestMaintain(
+      old, df(base), df(Seq.empty), df(Seq((20L, 21L))))
+    assert(densestRows(fall) == fresh(base.filterNot(_ == (20L, 21L))))
+    // MERGE: an insert bridging K4 and the path affects BOTH
+    val merge = graft.operators.Traversals.densestMaintain(
+      old, df(base), df(Seq((23L, 40L))), df(Seq.empty))
+    assert(densestRows(merge) == fresh(base :+ (23L, 40L)))
+    // EMPTY delta: identity
+    val idem = graft.operators.Traversals.densestMaintain(
+      old, df(base), df(Seq.empty), df(Seq.empty))
+    assert(densestRows(idem) == densestRows(old))
+    // tombstone wins: the same key inserted AND deleted is dead
+    val both = graft.operators.Traversals.densestMaintain(
+      old, df(base), df(Seq((40L, 42L))), df(Seq((40L, 42L))))
+    assert(densestRows(both) == fresh(base))
+  }
 }
