@@ -2686,6 +2686,69 @@ object SparkEntry {
         base, inserts, deletes,
         labels = Some(c10SuperLabelsMemo(s, dir)))
     }),
+    // PERSISTED MinHash-LSH DEDUP INDEX (the q212 ANN lifecycle applied
+    // to the dedup family): the corpus (doc_id % 10 != 7) is signatured
+    // ONCE into the kp-PARTITIONED bucket table; a FRESH session probes
+    // the held-out batch (doc_id % 10 == 7) — partition-pruned
+    // candidate lookup + exact-Jaccard verify that re-shingles only the
+    // candidate corpus docs. Oracle = the exact cross-split Jaccard
+    // join (the q30 recall-by-construction gate: this corpus's true
+    // pairs sit at j ≥ 0.9 where an 8-band × 4-row miss is < 1e-4, and
+    // candidates are exact-verified, so false positives are impossible)
+    "q243_dedup_index_persisted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.DedupIndex.save(
+        docs.where(col("doc_id") % 10 =!= 7), "graft_dedup_idx")
+      val fresh = s.newSession()
+      val d2 = Tables.documents(fresh, dir)
+      graft.functions.DedupIndex.probe(fresh, "graft_dedup_idx",
+        d2.where(col("doc_id") % 10 === 7),
+        d2.where(col("doc_id") % 10 =!= 7), 0.5)
+    }),
+    // STREAMING INGEST into the persisted dedup index (q219's
+    // exactly-once loop for the LSH bucket table): the base corpus
+    // (doc_id % 10 ∉ {5,7}) is signatured and persisted, the % 10 == 5
+    // docs stream through the FROZEN persisted hash family appending
+    // per-trigger partitions, and a fresh session probes the held-out
+    // batch against the WHOLE corpus — a lost or duplicated append
+    // drops or keeps the (query, mod-5) pairs and flips the hash
+    "q244_dedup_index_ingested" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.DedupIndex.save(
+        docs.where(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 5),
+        "graft_dedup_ing_idx")
+      graft.streaming.StreamingOps.replayDedupIngest(
+        docs.where(col("doc_id") % 10 === 5), "graft_dedup_ing_idx")
+      val fresh = s.newSession()
+      val d2 = Tables.documents(fresh, dir)
+      graft.functions.DedupIndex.probe(fresh, "graft_dedup_ing_idx",
+        d2.where(col("doc_id") % 10 === 7),
+        d2.where(col("doc_id") % 10 =!= 7), 0.5)
+    }),
+    // DELETE maintenance of the persisted dedup index (q235's
+    // partition-pruned takedown applied to LSH buckets): every
+    // doc_id % 10 == 0 is tombstoned — its band keys RECOMPUTED from
+    // its text through the persisted family pin down the kp partitions
+    // its rows live in, and only those are rewritten — then a fresh
+    // session probes the shrunken index. The oracle joins against the
+    // NET corpus only; a surviving tombstone row would re-emit its
+    // pair and flip the hash
+    "q245_dedup_index_deleted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.DedupIndex.save(
+        docs.where(col("doc_id") % 10 =!= 7), "graft_dedup_del_idx")
+      graft.functions.DedupIndex.delete(s, "graft_dedup_del_idx",
+        docs.where(col("doc_id") % 10 === 0))
+      val fresh = s.newSession()
+      val d2 = Tables.documents(fresh, dir)
+      // the verify side keeps the tombstoned docs' text ON PURPOSE: a
+      // bucket row that survived the delete (the bug class) must reach
+      // verification and re-emit its pair — an excluded corpus would
+      // mask it in the semi-join
+      graft.functions.DedupIndex.probe(fresh, "graft_dedup_del_idx",
+        d2.where(col("doc_id") % 10 === 7),
+        d2.where(col("doc_id") % 10 =!= 7), 0.5)
+    }),
   )
 
   /** Byte-level BPE fixture: the documents table with a deterministic
@@ -2788,6 +2851,26 @@ object SparkEntry {
         "FROM pr JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b " +
         "WHERE ROUND(inter * 1.0 / (ca.n_sh + cb.n_sh - inter), 6) >= 0.5")
     val jaccardSql = s"WITH $jaccardCtes $jaccardSelect"
+    // persisted-dedup-index probes (q243/q244/q245): the exact
+    // cross-split Jaccard join — query docs (% 10 == 7) against the
+    // corpus predicate of each lifecycle stage. Same recall gate as
+    // q30 (true pairs at j ≥ 0.9, banding miss < 1e-4, candidates
+    // exact-verified), so the LSH probe must reproduce these pairs
+    def dedupProbeSqlFor(corpusPred: String): String =
+      s"WITH $jaccardCtes, " +
+        "qd AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7), " +
+        s"cd AS (SELECT doc_id FROM documents WHERE $corpusPred), " +
+        "prx AS (SELECT a.doc_id AS query_id, b.doc_id AS corpus_id, COUNT(*) AS inter " +
+        "FROM sh a JOIN qd ON qd.doc_id = a.doc_id " +
+        "JOIN sh b ON a.shingle = b.shingle " +
+        "JOIN cd ON cd.doc_id = b.doc_id GROUP BY 1, 2) " +
+        "SELECT query_id, corpus_id, " +
+        "ROUND(inter * 1.0 / (ca.n_sh + cb.n_sh - inter), 6) AS jac " +
+        "FROM prx JOIN cnt ca ON ca.doc_id = query_id " +
+        "JOIN cnt cb ON cb.doc_id = corpus_id " +
+        "WHERE ROUND(inter * 1.0 / (ca.n_sh + cb.n_sh - inter), 6) >= 0.5"
+    val dedupProbeSql = dedupProbeSqlFor("doc_id % 10 <> 7")
+    val dedupProbeDelSql = dedupProbeSqlFor("doc_id % 10 NOT IN (7, 0)")
     // the full near-dup pipeline: exact-verified pairs → 2-coloring-free
     // label propagation (same pattern as ccOracle) → every doc labeled by
     // its cluster's min doc_id (singletons label themselves)
@@ -5441,6 +5524,9 @@ object SparkEntry {
       "q196_densest_subgraph" -> densestSql,
       "q241_densest_by_component" -> densestCompSql,
       "q242_cdc_maintained_densest" -> densestCompMaintSql,
+      "q243_dedup_index_persisted" -> dedupProbeSql,
+      "q244_dedup_index_ingested" -> dedupProbeSql,
+      "q245_dedup_index_deleted" -> dedupProbeDelSql,
       // q181's oracle with the deterministic delete op and alive flag
       "q197_cdc_tombstones" ->
         ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu, " +

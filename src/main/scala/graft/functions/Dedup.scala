@@ -236,6 +236,27 @@ object Dedup {
     */
   private def minhash(s: Int): Column = min(xxhash64(lit(s), col("shingle")))
 
+  /** Banded LSH keys `(doc_id, band, key)` from a shingle table — the
+    * signature/banding core shared by [[minhashPairs]] (in-query
+    * candidate generation) and [[DedupIndex]] (the persisted-index
+    * lifecycle): `bands × rowsPerBand` seeded minhash functions, band
+    * key = 64-bit hash of the band's signature rows. The signature
+    * aggregation is materialized once — the banding takes `bands`
+    * column slices of it, and without the checkpoint every band branch
+    * would re-run the full minhash aggregation.
+    */
+  private[graft] def bandedFromShingles(sh: DataFrame, bands: Int,
+                                        rowsPerBand: Int): DataFrame = {
+    val nHashes = bands * rowsPerBand
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(minhash(0).as("mh0"), (1 until nHashes).map(s => minhash(s).as(s"mh$s")): _*)
+      .cutLineage()
+    (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      sig.select(col("doc_id"), lit(b).as("band"), xxhash64(rows: _*).as("key"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Near-duplicate pairs via MinHash LSH banding, verified with exact
     * Jaccard. `bands × rowsPerBand` hash functions; candidate pairs share
     * all rows of ≥1 band.
@@ -243,18 +264,7 @@ object Dedup {
   def minhashPairs(docs: DataFrame, n: Int, threshold: Double,
                    bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val sh = shingles(docs, n).cutLineage()
-    val nHashes = bands * rowsPerBand
-    // materialize the signature aggregation once: the banding below takes
-    // `bands` column slices of it and the self-join doubles each — without
-    // the checkpoint every band branch re-runs the full minhash agg
-    val sig = sh.groupBy(col("doc_id"))
-      .agg(minhash(0).as("mh0"), (1 until nHashes).map(s => minhash(s).as(s"mh$s")): _*)
-      .cutLineage()
-    // band key = hash of the band's minhash rows
-    val banded = (0 until bands).map { b =>
-      val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      sig.select(col("doc_id"), lit(b).as("band"), xxhash64(rows: _*).as("key"))
-    }.reduce(_ unionByName _)
+    val banded = bandedFromShingles(sh, bands, rowsPerBand)
     val cands = banded.toDF("doc_a", "band", "key")
       .join(banded.toDF("doc_b", "band", "key"), Seq("band", "key"))
       .where(col("doc_a") < col("doc_b"))

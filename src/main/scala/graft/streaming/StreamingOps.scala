@@ -1179,6 +1179,57 @@ object StreamingOps {
     } finally q.stop()
   }
 
+  /** Streaming ingest into the PERSISTED dedup index —
+    * [[replayPqIngest]]'s discipline applied to the MinHash-LSH bucket
+    * table: new documents stream in, each trigger ENCODES its batch
+    * through the index's persisted hash family
+    * ([[graft.functions.DedupIndex.encode]] with the `<name>_meta`
+    * parameters — the family is never re-derived in-stream) and lands
+    * the signature rows in the `ingest_batch = batchId` partition of
+    * `<name>_buckets_ingest` through dynamic partition overwrite. A
+    * re-delivered trigger rewrites its own partition with identical
+    * rows — exactly-once stored state without a transaction log.
+    * Serving unions the side table through
+    * [[graft.functions.DedupIndex.loadBuckets]];
+    * [[graft.functions.DedupIndex.delete]] prunes it by batch. The
+    * collect/addData feed is the harness, not the operator (the
+    * frozen-family encode and the idempotent append are the things
+    * under test).
+    */
+  def replayDedupIngest(newDocs: DataFrame, name: String,
+                        nBatches: Int = 3): Unit = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val (n, bands, rowsPerBand) =
+      graft.functions.DedupIndex.params(spark, name)
+    val rows = newDocs.select(col("doc_id").cast("long"),
+        coalesce(col("text"), lit("")))
+      .as[(Long, String)].collect()
+    rows.sortInPlaceBy(_._1)
+    graft.functions.DedupIndex.ensureIngestTable(spark, name)
+    val stream = pinnedShuffleSession(spark, 8)
+    implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ckpt = replayCkpt("graft-replay-dedupingest")
+    val q = ms.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        // the signature aggregation is a per-batch BATCH computation
+        // (foreachBatch hands us a plain DataFrame) — streaming-side
+        // state would be wrong here: a document's signature must come
+        // from its own shingles only, exactly as the bulk build's
+        graft.functions.DedupIndex.ingestBatch(
+          graft.functions.DedupIndex.encode(df, n, bands, rowsPerBand),
+          name, batchId)
+      }
+      .start()
+    try {
+      val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+  }
+
   /** Streaming HLL++ distinct-count parity — the sketch-as-streaming-
     * state primitive: per-language `approx_count_distinct` maintained
     * across triggers in update mode. HLL registers merge by register-
