@@ -2749,6 +2749,33 @@ object SparkEntry {
         d2.where(col("doc_id") % 10 === 7),
         d2.where(col("doc_id") % 10 =!= 7), 0.5)
     }),
+    // STREAMING INGEST into the persisted IVF index — the ingest leg
+    // that completed PQ's lifecycle (q219) applied to the cell-probing
+    // family, closing the lifecycle matrix for BOTH index families:
+    // the model trains on the 90% base, its cells persist
+    // cid-partitioned, the remaining 10% streams through the FROZEN
+    // centroids into per-trigger exactly-once partitions, and a fresh
+    // session serves the recall gate against the WHOLE corpus with
+    // completeness folded in (a lost append shrinks the reloaded index
+    // and flips recall_ok even if recall survives)
+    "q246_ann_ivf_stream_ingest" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.where(col("vec_id") % 10 =!= 7)
+      val model = graft.functions.IVF.fit(base, 16)
+      graft.functions.IVF.save(model,
+        graft.functions.IVF.index(base, model), "graft_ivf_stream_idx")
+      graft.streaming.StreamingOps.replayIvfIngest(
+        emb.where(col("vec_id") % 10 === 7), model, "graft_ivf_stream_idx")
+      val fresh = s.newSession()
+      val (m2, cells) = graft.functions.IVF.load(fresh, "graft_ivf_stream_idx")
+      val all = Tables.embeddings(fresh, dir)
+      val q = all.where(col("vec_id") <= 9)
+      val complete = cells.count() == all.count()
+      recallGate(Similarity.bruteForceTopK(all, q, 5),
+          graft.functions.IVF.topK(cells, q, m2, 5, nprobe = 4), 0.4)
+        .select(col("n_queries"), col("n_exact"),
+          (col("recall_ok") && lit(complete)).as("recall_ok"))
+    }),
   )
 
   /** Byte-level BPE fixture: the documents table with a deterministic
@@ -5130,6 +5157,7 @@ object SparkEntry {
       "q228_corpus_overlap" -> corpusOverlapSql,
       // the stream-ingested persisted index serves the same gate row
       "q219_ann_pq_stream_ingest" -> annGateSql,
+      "q246_ann_ivf_stream_ingest" -> annGateSql,
       // deletion gates: the query set and exact side both live in the
       // NET (tombstone-free) vector universe
       "q229_ann_pq_deleted" -> annGateNetSql,

@@ -73,7 +73,14 @@ object DedupIndex {
     import spark.implicits._
     Seq(s"${name}_buckets", s"${name}_meta", s"${name}_buckets_ingest")
       .foreach(graft.sources.Sources.dropManagedTable(spark, _))
+    // route rows to their kp owner before the write: the banding union
+    // has `bands` branches × shuffle-partitions tasks, and without the
+    // repartition EVERY task writes its own file into every kp
+    // directory it touches (~8 files/dir measured at sf0.001; at 100 TB
+    // a small-file storm). One hash shuffle on kp → one file per
+    // partition directory.
     encode(docs, n, bands, rowsPerBand)
+      .repartition(col("kp"))
       .write.mode("overwrite").format("parquet")
       .partitionBy("kp").saveAsTable(s"${name}_buckets")
     Seq((n, bands, rowsPerBand)).toDF("n", "bands", "rows_per_band")
@@ -207,8 +214,11 @@ object DedupIndex {
     val cols = spark.table(t).columns
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // one batch = one partition directory: collapse the banding
+    // union's task fan-out to a single file per trigger
     try rows.withColumn("ingest_batch", lit(batchId))
       .select(cols.map(col): _*)
+      .repartition(1)
       .write.mode("overwrite").insertInto(t)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
@@ -288,6 +298,7 @@ object DedupIndex {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try kept.select(full.columns.map(col): _*)
+      .repartition(col(pcol))
       .write.mode("overwrite").insertInto(table)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)

@@ -144,7 +144,10 @@ object IVF {
   def save(model: Model, indexed: DataFrame, name: String): Unit = {
     val spark = indexed.sparkSession
     import spark.implicits._
-    Seq(s"${name}_cells", s"${name}_centroids")
+    // a fresh save also clears any prior ingest state — stale streamed
+    // partitions must never survive into a rebuilt index (the PQ.save
+    // contract)
+    Seq(s"${name}_cells", s"${name}_centroids", s"${name}_cells_ingest")
       .foreach(graft.sources.Sources.dropManagedTable(spark, _))
     indexed.write.mode("overwrite").format("parquet")
       .partitionBy("cid").saveAsTable(s"${name}_cells")
@@ -179,37 +182,116 @@ object IVF {
     val tomb = broadcast(tombstones.select(col("vec_id")).distinct())
     val affCids = cells.join(tomb, Seq("vec_id"), "left_semi")
       .select(col("cid")).distinct().collect().map(_.getInt(0))
-    if (affCids.isEmpty) return
-    val kept = cells.where(col("cid").isin(affCids.map(Integer.valueOf): _*))
-      .join(tomb, Seq("vec_id"), "left_anti")
-      .localCheckpoint(true)
-    val emptied = affCids.toSet --
-      kept.select(col("cid")).distinct().collect().map(_.getInt(0)).toSet
-    // drop fully-emptied cells FIRST (review finding r11): the dynamic
-    // overwrite writes no rows into them, so ordering the DDL ahead of
-    // it closes the crash window where tombstoned vectors kept being
-    // served from a stale partition with nothing recording the delete —
-    // a failure after these drops but before the overwrite leaves the
-    // emptied cells already gone and the partially-tombstoned cells
-    // intact, and a replayed delete heals the rest
-    emptied.foreach(c => spark.sql(
-      s"ALTER TABLE ${name}_cells DROP IF EXISTS PARTITION (cid = $c)"))
+    if (affCids.nonEmpty) {
+      val kept = cells.where(col("cid").isin(affCids.map(Integer.valueOf): _*))
+        .join(tomb, Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
+      val emptied = affCids.toSet --
+        kept.select(col("cid")).distinct().collect().map(_.getInt(0)).toSet
+      // drop fully-emptied cells FIRST (review finding r11): the dynamic
+      // overwrite writes no rows into them, so ordering the DDL ahead of
+      // it closes the crash window where tombstoned vectors kept being
+      // served from a stale partition with nothing recording the delete —
+      // a failure after these drops but before the overwrite leaves the
+      // emptied cells already gone and the partially-tombstoned cells
+      // intact, and a replayed delete heals the rest
+      emptied.foreach(c => spark.sql(
+        s"ALTER TABLE ${name}_cells DROP IF EXISTS PARTITION (cid = $c)"))
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        // insertInto resolves columns BY POSITION against the table
+        // schema (partition column last in the on-disk layout)
+        kept.select(cells.columns.map(col): _*)
+          .write.mode("overwrite").insertInto(s"${name}_cells")
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    // the exactly-once ingest side table is pruned by ITS partition key
+    // (the batches the tombstones actually landed in — bounded by the
+    // trigger count between compactions), same rewrite discipline
+    if (spark.catalog.tableExists(s"${name}_cells_ingest")) {
+      val ing = spark.table(s"${name}_cells_ingest")
+      val affBatches = ing.join(tomb, Seq("vec_id"), "left_semi")
+        .select(col("ingest_batch")).distinct().collect().map(_.getLong(0))
+      if (affBatches.nonEmpty) {
+        val keptI = ing.where(col("ingest_batch")
+            .isin(affBatches.map(java.lang.Long.valueOf): _*))
+          .join(tomb, Seq("vec_id"), "left_anti")
+          .localCheckpoint(true)
+        val emptiedB = affBatches.toSet --
+          keptI.select(col("ingest_batch")).distinct().collect()
+            .map(_.getLong(0)).toSet
+        emptiedB.foreach(b => spark.sql(
+          s"ALTER TABLE ${name}_cells_ingest DROP IF EXISTS PARTITION (ingest_batch = $b)"))
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try keptI.select(ing.columns.map(col): _*)
+          .write.mode("overwrite").insertInto(s"${name}_cells_ingest")
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+    }
+  }
+
+  /** Create the EXACTLY-ONCE streaming-append side table for a [[save]]d
+    * index if absent: `<name>_cells_ingest`, the cells schema plus an
+    * `ingest_batch` hive partition column — the
+    * [[graft.functions.PQ.ensureIngestTable]] discipline for the
+    * cell-probing family. Serving unions it through [[load]]; the base
+    * stays cid-partition-pruned while the (small, recent) ingest delta
+    * is scanned whole — the standard LSM read shape; a periodic rebuild
+    * ([[save]] over the unioned corpus) is the compaction.
+    */
+  def ensureIngestTable(spark: org.apache.spark.sql.SparkSession,
+                        name: String): Unit =
+    if (!spark.catalog.tableExists(s"${name}_cells_ingest")) {
+      import org.apache.spark.sql.types._
+      graft.sources.Sources.dropManagedTable(spark, s"${name}_cells_ingest")
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("e", ArrayType(DoubleType)),
+        StructField("nn", DoubleType),
+        StructField("cid", IntegerType),
+        StructField("ingest_batch", LongType)))
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          schema)
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("ingest_batch")
+        .saveAsTable(s"${name}_cells_ingest")
+    }
+
+  /** Idempotent per-trigger append: write `indexed` ([[index]]ed rows
+    * through the FROZEN centroids) into the `ingest_batch = batchId`
+    * partition through dynamic partition overwrite — re-delivery
+    * rewrites the same partition with the same rows (exactly-once
+    * stored state, the [[graft.functions.PQ.ingestBatch]] contract).
+    */
+  def ingestBatch(indexed: DataFrame, name: String, batchId: Long): Unit = {
+    val spark = indexed.sparkSession
+    val t = s"${name}_cells_ingest"
+    val cols = spark.table(t).columns
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      // insertInto resolves columns BY POSITION against the table
-      // schema (partition column last in the on-disk layout)
-      kept.select(cells.columns.map(col): _*)
-        .write.mode("overwrite").insertInto(s"${name}_cells")
-    } finally prev match {
+    try indexed.withColumn("ingest_batch", lit(batchId))
+      .select(cols.map(col): _*)
+      .repartition(1)
+      .write.mode("overwrite").insertInto(t)
+    finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
 
   /** Reload a [[save]]d index: (model, cells). The cells DataFrame IS
-    * the partitioned table scan — serving re-assigns nothing; a fresh
-    * session sees both tables through the shared catalog.
+    * the partitioned table scan — unioned with the exactly-once ingest
+    * table's partitions when one exists — and serving re-assigns
+    * nothing; a fresh session sees the tables through the shared
+    * catalog.
     */
   def load(spark: org.apache.spark.sql.SparkSession,
            name: String): (Model, DataFrame) = {
@@ -219,6 +301,12 @@ object IVF {
     val dim = rows.map(_.getInt(1)).max + 1
     val cents = Array.fill(k, dim)(0.0)
     rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-    (Model(cents), spark.table(s"${name}_cells"))
+    val base = spark.table(s"${name}_cells")
+    val cells =
+      if (spark.catalog.tableExists(s"${name}_cells_ingest"))
+        base.unionByName(
+          spark.table(s"${name}_cells_ingest").drop("ingest_batch"))
+      else base
+    (Model(cents), cells)
   }
 }

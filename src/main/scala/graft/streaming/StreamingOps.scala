@@ -1179,6 +1179,46 @@ object StreamingOps {
     } finally q.stop()
   }
 
+  /** Streaming ingest into the PERSISTED IVF index —
+    * [[replayPqIngest]]'s loop for the cell-probing family: new vectors
+    * stream through the FROZEN centroids
+    * ([[graft.functions.IVF.index]]'s shuffle-free assignment
+    * projection — the model is never refit in-stream) and each trigger
+    * lands its assigned rows in the `ingest_batch = batchId` partition
+    * of `<name>_cells_ingest` through dynamic partition overwrite
+    * ([[graft.functions.IVF.ingestBatch]]) — exactly-once stored state
+    * under foreachBatch's at-least-once delivery. Serving unions the
+    * side table through [[graft.functions.IVF.load]];
+    * [[graft.functions.IVF.delete]] prunes it by batch. The
+    * collect/addData feed is the harness, not the operator.
+    */
+  def replayIvfIngest(newVecs: DataFrame, model: graft.functions.IVF.Model,
+                      name: String, nBatches: Int = 3): Unit = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val rows = newVecs.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    rows.sortInPlaceBy(_._1)
+    graft.functions.IVF.ensureIngestTable(spark, name)
+    val stream = pinnedShuffleSession(spark, 8)
+    implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val ckpt = replayCkpt("graft-replay-ivfingest")
+    val q = graft.functions.IVF.index(
+        ms.toDF().toDF("vec_id", "embedding"), model)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        graft.functions.IVF.ingestBatch(df, name, batchId)
+      }
+      .start()
+    try {
+      val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      rows.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+  }
+
   /** Streaming ingest into the PERSISTED dedup index —
     * [[replayPqIngest]]'s discipline applied to the MinHash-LSH bucket
     * table: new documents stream in, each trigger ENCODES its batch

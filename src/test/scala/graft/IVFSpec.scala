@@ -236,6 +236,47 @@ class IVFSpec extends SparkTestBase {
     assert(cellsOf(spark.newSession().table("graft_ivf_del_spec_cells")) == after)
   }
 
+  test("IVF stream-ingest: exactly-once side table, serving union, delete reaches batches") {
+    import spark.implicits._
+    val base = emb.where(col("vec_id") % 10 =!= 7)
+    val batch = emb.where(col("vec_id") % 10 === 7)
+    val model = IVF.fit(base, k = 8, iters = 3)
+    IVF.save(model, IVF.index(base, model), "graft_ivf_ing_spec")
+    graft.streaming.StreamingOps.replayIvfIngest(batch, model,
+      "graft_ivf_ing_spec", nBatches = 2)
+    def cellSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cid"))).toSet
+    // served state (fresh session — the appends came from another
+    // session) equals a one-shot index of the whole corpus under the
+    // SAME frozen model
+    val (m2, cells) = IVF.load(spark.newSession(), "graft_ivf_ing_spec")
+    assert(m2.centroids.map(_.toSeq).toSeq == model.centroids.map(_.toSeq).toSeq)
+    assert(cellSet(cells) == cellSet(IVF.index(emb, model)))
+    // re-delivering an already-landed batch id leaves the state
+    // bit-identical (the exactly-once contract)
+    val batchIds = spark.table("graft_ivf_ing_spec_cells_ingest")
+      .select("ingest_batch").distinct().collect().map(_.getLong(0))
+    assert(batchIds.length == 2)
+    val before = cellSet(IVF.load(spark.newSession(), "graft_ivf_ing_spec")._2)
+    IVF.ingestBatch(
+      spark.table("graft_ivf_ing_spec_cells_ingest")
+        .where(col("ingest_batch") === batchIds.min).drop("ingest_batch"),
+      "graft_ivf_ing_spec", batchIds.min)
+    assert(cellSet(IVF.load(spark.newSession(), "graft_ivf_ing_spec")._2) == before)
+    // delete reaches INGESTED vectors through the batch-pruned rewrite;
+    // an emptied batch partition is DDL-dropped
+    val tombIds = batch.select("vec_id").limit(3).collect().map(_.getLong(0))
+    IVF.delete(spark, "graft_ivf_ing_spec", tombIds.toSeq.toDF("vec_id"))
+    val after = cellSet(IVF.load(spark.newSession(), "graft_ivf_ing_spec")._2)
+    assert(after == before.filterNot(t => tombIds.contains(t._1)))
+    // deleting every remaining ingested vector empties (and drops) the
+    // batch partitions while the base cells stay intact
+    IVF.delete(spark, "graft_ivf_ing_spec", batch.select("vec_id"))
+    assert(spark.table("graft_ivf_ing_spec_cells_ingest").count() == 0)
+    assert(cellSet(IVF.load(spark.newSession(), "graft_ivf_ing_spec")._2) ==
+      cellSet(IVF.index(base, model)))
+  }
+
   test("sampled training (maxTrainVectors < corpus) still yields a usable index") {
     val n = emb.count()
     val cap = (n / 4).toInt.max(8)

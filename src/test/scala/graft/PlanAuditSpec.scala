@@ -79,4 +79,26 @@ class PlanAuditSpec extends SparkTestBase {
       .where(col("ma_micro") =!= col("cnt") * 1000000L).count()
     assert(firstBad == 0, s"$firstBad head windows divided by a padded length")
   }
+
+  test("dedup-index probe re-reads corpus text ONLY below the candidate semi-join") {
+    // the bloomDecontaminate confinement rule applied to the persisted
+    // LSH index: the served plan's only text-reading scan is the
+    // candidate-confined corpus verify (query shingles and candidates
+    // are checkpointed); a corpus-wide re-shingle would show up as a
+    // second scan. Private parquet copy for the same cached-table
+    // reason as the bloom test.
+    val dir = java.nio.file.Files.createTempDirectory("graft_didx_plan").toString
+    graft.model.Tables.documents(spark, sf).write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    graft.functions.DedupIndex.save(
+      docs.where(col("doc_id") % 10 =!= 7), "graft_didx_plan")
+    val df = graft.functions.DedupIndex.probe(spark, "graft_didx_plan",
+      docs.where(col("doc_id") % 10 === 7),
+      docs.where(col("doc_id") % 10 =!= 7), 0.5)
+    val p = plan(df)
+    val textScans = "ReadSchema:[^\\n]*text".r.findAllIn(p).size
+    assert(textScans == 1,
+      s"expected exactly 1 text-reading scan in the served plan, got $textScans:\n${p.take(1200)}")
+    assert(p.contains("LeftSemi"), s"candidate semi-join missing:\n${p.take(1200)}")
+  }
 }
