@@ -229,22 +229,22 @@ object SparkEntry {
   private def c10Adjacency(s: SparkSession, dir: String): DataFrame =
     c10AdjMemo(s, dir)
 
-  // q232 + q237 + q238 + q241 + q242 (+1 slack): the maintenance
-  // carve-outs and the component-local peel consult the SAME supergraph
-  // decomposition (base ∪ alive-inserts = the full C10 — the
-  // stored-labels production path the operators' `labels` param exists
-  // for, the q209 msfMemo discipline)
-  private val c10SuperLabelsMemo = new CrossQueryMemo(6, (s, dir) =>
+  // q232 + q237 + q238 + q241 + q242 + q248 (+1 slack): the
+  // maintenance carve-outs and the component-local operators consult
+  // the SAME supergraph decomposition (base ∪ alive-inserts = the full
+  // C10 — the stored-labels production path the operators' `labels`
+  // param exists for, the q209 msfMemo discipline)
+  private val c10SuperLabelsMemo = new CrossQueryMemo(7, (s, dir) =>
     ConnectedComponents.iterative(c10Fixture(s, dir))
       .coalesce(s.sparkContext.defaultParallelism))
 
-  // q211 + q215 + q232 + q237 + q238 + q239 + q242 (+1 slack per the
-  // sequencing contract): all resolve the IDENTICAL changelog over the
-  // tagged C10 edge set (cdcChangelog reads only src/dst/tag) — ONE
-  // 4-trigger keyed-state replay, seven maintenance consumers
+  // q211 + q215 + q232 + q237 + q238 + q239 + q242 + q248 (+1 slack
+  // per the sequencing contract): all resolve the IDENTICAL changelog
+  // over the tagged C10 edge set (cdcChangelog reads only src/dst/tag)
+  // — ONE 4-trigger keyed-state replay, eight maintenance consumers
   // (triangles, MSF, coreness, trussness, communities, landmarks,
-  // densest)
-  private val c10CdcMemo = new CrossQueryMemo(8, (s, dir) =>
+  // densest, bipartiteness)
+  private val c10CdcMemo = new CrossQueryMemo(9, (s, dir) =>
     graft.streaming.StreamingOps.replayEdgeCdc(cdcChangelog(
       c10Fixture(s, dir).withColumn("tag", edgeTag))))
 
@@ -2776,6 +2776,30 @@ object SparkEntry {
         .select(col("n_queries"), col("n_exact"),
           (col("recall_ok") && lit(complete)).as("recall_ok"))
     }),
+    // PER-COMPONENT bipartiteness (q17/q90 refined to the decomposable
+    // per-component verdict): the parity-pair propagation run to the
+    // GLOBAL fixpoint with one scalar driver action per round — no
+    // per-component driver map (iterativeByGroup's retirement is wrong
+    // at 10⁶ components) — then every component's verdict read out of
+    // the converged state in one aggregation; component = least(e, o)
+    // needs no separate CC pass
+    "q247_bipartiteness_by_component" -> ((s, dir) =>
+      graft.operators.Bipartiteness.bipartitenessByComponent(
+        c10Fixture(s, dir))),
+    // CDC-MAINTAINED bipartiteness — 2-colorability joins the
+    // maintenance matrix INCLUDING deletions (the classically hard
+    // direction: removing an odd cycle's last edge flips a component
+    // back to bipartite; the carve-out recomputes inside the affected
+    // component instead of un-merging parity state). Unaffected
+    // verdicts pass through verbatim; the oracle replays per-component
+    // parity reachability over the NET edge set
+    "q248_cdc_maintained_bipartiteness" -> ((s, dir) => {
+      val (base, inserts, deletes) = c10CdcSplits(s, dir)
+      graft.operators.Bipartiteness.bipartitenessMaintain(
+        graft.operators.Bipartiteness.bipartitenessByComponent(base),
+        base, inserts, deletes,
+        labels = Some(c10SuperLabelsMemo(s, dir)))
+    }),
   )
 
   /** Byte-level BPE fixture: the documents table with a deterministic
@@ -3716,9 +3740,30 @@ object SparkEntry {
     val densestCompSql = densestCompSqlFor(copurchase10)
     // maintained densest: the oracle sees only the changelog's NET
     // effect (tags ∉ {3,4} — the q210/q215 identity), never the deltas
-    val densestCompMaintSql = densestCompSqlFor(
+    val netCopurchase10 =
       s"SELECT x, y FROM ($copurchase10) z WHERE " +
-        "((((x % 2147483648) * 31 + y) % 2147483648) * 2654435761) % 2147483648 % 10 NOT IN (3, 4)")
+        "((((x % 2147483648) * 31 + y) % 2147483648) * 2654435761) % 2147483648 % 10 NOT IN (3, 4)"
+    val densestCompMaintSql = densestCompSqlFor(netCopurchase10)
+    // per-component bipartiteness (q247/q248): recursive min-label CC,
+    // parity reachability seeded at each component's root (its min
+    // vertex, parity 0), conflict = a vertex reachable at BOTH parities
+    // — the component holds an odd cycle
+    def bipCompSqlFor(edgeSql: String): String =
+      s"WITH RECURSIVE c AS MATERIALIZED ($edgeSql), " +
+        "sym AS MATERIALIZED (SELECT x AS a, y AS b FROM c UNION SELECT y, x FROM c), " +
+        "lblcc(v, l) AS (SELECT DISTINCT a, a FROM sym " +
+        "UNION SELECT s.b, lblcc.l FROM sym s JOIN lblcc ON lblcc.v = s.a AND lblcc.l < s.b), " +
+        "vc AS MATERIALIZED (SELECT v AS id, MIN(l) AS cmp FROM lblcc GROUP BY v), " +
+        "roots AS MATERIALIZED (SELECT DISTINCT cmp FROM vc), " +
+        "par(v, p) AS (SELECT cmp, 0 FROM roots " +
+        "UNION SELECT s.b, 1 - par.p FROM sym s JOIN par ON par.v = s.a), " +
+        "confl AS MATERIALIZED (SELECT DISTINCT vc.cmp FROM par a " +
+        "JOIN par b ON a.v = b.v AND a.p < b.p JOIN vc ON vc.id = a.v) " +
+        "SELECT CAST(r.cmp AS BIGINT) AS component, " +
+        "CAST(CASE WHEN confl.cmp IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_bipartite " +
+        "FROM roots r LEFT JOIN confl ON confl.cmp = r.cmp"
+    val bipCompSql = bipCompSqlFor(copurchase10)
+    val bipCompMaintSql = bipCompSqlFor(netCopurchase10)
     // time-respecting earliest arrival replayed by unrolled min-relax
     // rounds (9 at sf0.01, 18 = 2× margin); sentinel on any value OR
     // membership difference between the last two rounds
@@ -5555,6 +5600,8 @@ object SparkEntry {
       "q243_dedup_index_persisted" -> dedupProbeSql,
       "q244_dedup_index_ingested" -> dedupProbeSql,
       "q245_dedup_index_deleted" -> dedupProbeDelSql,
+      "q247_bipartiteness_by_component" -> bipCompSql,
+      "q248_cdc_maintained_bipartiteness" -> bipCompMaintSql,
       // q181's oracle with the deterministic delete op and alive flag
       "q197_cdc_tombstones" ->
         ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu, " +

@@ -149,4 +149,111 @@ object Bipartiteness {
     all.toSeq.sorted.map(gx => (gx, verdict.getOrElse(gx, true)))
       .toDF("g", "bipartite")
   }
+
+  /** PER-COMPONENT bipartiteness — `(component, is_bipartite)` for
+    * every connected component, component = the min-label CC id. A
+    * graph is bipartite iff every component is, so this is the
+    * decomposable refinement of [[iterative]]'s single boolean (the
+    * densestByComponent/louvainByComponent move applied to
+    * 2-colorability), and decomposability is what makes the result
+    * MAINTAINABLE under a changelog ([[bipartitenessMaintain]]) —
+    * including DELETIONS, the classically hard direction for
+    * incremental bipartiteness (removing an odd cycle's last edge
+    * flips a component back to bipartite; the carve-out handles it by
+    * in-component recompute instead of trying to un-merge parity
+    * state).
+    *
+    * Unlike [[iterativeByGroup]] (which retires groups through a
+    * per-group driver map — fine for a handful of fixture graphs,
+    * wrong for 10⁶ components), this runs the parity-pair propagation
+    * to the GLOBAL fixpoint with ONE scalar driver action per round
+    * (conflict count + convergence fingerprint), then reads every
+    * component's verdict out of the converged state in one aggregation.
+    * Rounds = O(max component diameter); labels are monotone
+    * non-increasing so the fingerprint converges. Self-loops are odd
+    * cycles and are KEPT (the [[iterative]] contract — symmetrize-style
+    * loop-dropping would silently mis-certify them).
+    *
+    * At the fixpoint every vertex's least(e, o) equals its component's
+    * min label (even∪odd walks cover the component), so the component
+    * key needs no separate CC pass; `labels` is accepted only for the
+    * maintenance path's carve-out consistency and ignored here.
+    */
+  def bipartitenessByComponent(edges: DataFrame, maxIter: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .union(edges.select(col("dst").cast("long"), col("src").cast("long")))
+      .distinct()
+      .cutLineage()
+    if (sym.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("component", "is_bipartite")
+    var state = sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("e"), lit(null).cast("long").as("o"))
+      .cutLineage()
+    var fingerprint = (-1L, -1L, -1L, -1L)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbr = sym.join(state, sym("v") === state("id"))
+        .groupBy(col("u")).agg(min(col("e")).as("ne"), min(col("o")).as("no"))
+      state = state.join(nbr, state("id") === nbr("u"), "left")
+        .select(col("id"),
+          least(col("e"), col("no")).as("e"), // least ignores nulls
+          least(col("o"), col("ne")).as("o"))
+        .cutLineage()
+      // ONE driver action per round: the convergence fingerprint (the
+      // conflict count is part of it — conflicts don't early-exit here,
+      // other components must keep converging)
+      val row = state.agg(
+        coalesce(sum(when(col("e") === col("o"), 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum("e"), lit(0L)), coalesce(sum("o"), lit(0L)), count("o")).head()
+      val fp = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      if (fp == fingerprint) converged = true
+      fingerprint = fp
+      iter += 1
+    }
+    require(converged,
+      s"bipartitenessByComponent: no fixpoint after $maxIter rounds — " +
+        "raise maxIter; an unconverged state could mis-certify a component")
+    state.groupBy(least(col("e"), coalesce(col("o"), col("e"))).as("component"))
+      .agg(when(coalesce(sum(when(col("e") === col("o"), 1L).otherwise(0L)),
+          lit(0L)) === 0L, 1L).otherwise(0L).as("is_bipartite"))
+  }
+
+  /** CDC-MAINTAINED per-component bipartiteness — the 2-colorability
+    * family joins the maintenance matrix, DELETIONS included: given
+    * the previous [[bipartitenessByComponent]] verdicts, the previous
+    * edges and insert/delete deltas, produce the NET graph's verdicts
+    * without recomputing unaffected components. Soundness is the
+    * [[Maintenance]] carve-out argument — a component's verdict is a
+    * pure function of its induced edges, an unaffected supergraph
+    * component keeps an identical induced net edge set AND its
+    * min-vertex label, so its row passes through verbatim; affected
+    * components re-run the parity fixpoint on their induced net edges.
+    *
+    * CONTRACT: the maintenance path operates on the CANONICAL
+    * self-loop-free edge model (the shared [[Maintenance.canonPairs]]
+    * resolution of the whole C10 maintenance family) — `oldVerdicts`
+    * must come from [[bipartitenessByComponent]] of the canonicalized
+    * old edges. A deployment whose deltas carry self-loops (odd cycles
+    * by definition) must resolve them upstream; the standalone
+    * [[bipartitenessByComponent]] certifies them directly.
+    */
+  def bipartitenessMaintain(oldVerdicts: DataFrame, oldEdges: DataFrame,
+                            inserts: DataFrame, deletes: DataFrame,
+                            maxIter: Int = 100,
+                            labels: Option[DataFrame] = None,
+                            trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+    val (netC, affVerts) =
+      Maintenance.carve(oldEdges, inserts, deletes, labels, trace)
+    // the component label is a vertex id inside the component — one
+    // anti-join is the membership test
+    val passThrough = oldVerdicts.join(
+      affVerts.toDF("component"), Seq("component"), "left_anti")
+    // component-closed in the net graph: one endpoint test suffices
+    val sub = netC.join(affVerts.toDF("u"), Seq("u"), "left_semi")
+    passThrough.unionByName(bipartitenessByComponent(
+      sub.select(col("u").as("src"), col("v").as("dst")), maxIter))
+  }
 }

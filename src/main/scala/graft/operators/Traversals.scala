@@ -1018,31 +1018,8 @@ object Traversals {
                       maxRounds: Int = 320,
                       labels: Option[DataFrame] = None,
                       trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
-    def canon(df: DataFrame) = df
-      .select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
-      .where(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .distinct()
-    val oldC = canon(oldEdges).cutLineage()
-    val insC = canon(inserts).cutLineage()
-    val delC = canon(deletes).cutLineage()
-    val netC = oldC.unionByName(insC).distinct()
-      .join(delC, Seq("u", "v"), "left_anti")
-      .cutLineage()
-    val lbl = labels.getOrElse(ConnectedComponents.iterative(
-        oldC.unionByName(insC).distinct()
-          .select(col("u").as("src"), col("v").as("dst"))))
-      .select(col("id"), col("component"))
-    val touched = insC.select(col("u").as("id"))
-      .unionByName(insC.select(col("v").as("id")))
-      .unionByName(delC.select(col("u").as("id")))
-      .unionByName(delC.select(col("v").as("id")))
-      .distinct()
-    val affComps = lbl.join(touched, Seq("id"), "left_semi")
-      .select(col("component")).distinct()
-    val affVerts = lbl.join(affComps, Seq("component"), "left_semi")
-      .select(col("id")).cutLineage()
-    trace.foreach(_ += affVerts.count())
+    val (netC, affVerts) =
+      Maintenance.carve(oldEdges, inserts, deletes, labels, trace)
     // an unaffected component's label is a vertex id INSIDE it, so one
     // anti-join on the label column is the membership test
     val passThrough = oldStats.join(

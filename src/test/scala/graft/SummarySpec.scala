@@ -107,6 +107,71 @@ class SummarySpec extends SparkTestBase {
     assert(!graft.operators.Bipartiteness.iterative(c).head.getBoolean(0))
   }
 
+  private def bipRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("per-component bipartiteness: mixed verdicts, self-loops, global consistency") {
+    import spark.implicits._
+    // three components: a 4-cycle (bipartite), a triangle (odd cycle),
+    // and a 2-path (bipartite)
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L), (21L, 22L)).toDF("src", "dst")
+    val got = bipRows(graft.operators.Bipartiteness.bipartitenessByComponent(g))
+    assert(got == Map(1L -> 1L, 10L -> 0L, 20L -> 1L), s"got $got")
+    // a self-loop is an odd cycle (the `iterative` contract)
+    val loop = Seq((30L, 30L), (40L, 41L)).toDF("src", "dst")
+    assert(bipRows(graft.operators.Bipartiteness.bipartitenessByComponent(loop))
+      == Map(30L -> 0L, 40L -> 1L))
+    // edgeless input: empty, not a crash
+    assert(graft.operators.Bipartiteness.bipartitenessByComponent(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).isEmpty)
+    // global consistency on seeded graphs: AND of per-component
+    // verdicts == the single-boolean operator
+    val rnd = new scala.util.Random(202)
+    for (trial <- 1 to 10) {
+      val edges = randomEdges(rnd, 3 + rnd.nextInt(25))
+      val df = edgeDf(edges)
+      val perComp = bipRows(
+        graft.operators.Bipartiteness.bipartitenessByComponent(df))
+      val global = graft.operators.Bipartiteness.iterative(df).head.getBoolean(0)
+      assert(perComp.values.forall(_ == 1L) == global, s"trial $trial edges=$edges")
+    }
+  }
+
+  test("bipartiteness maintenance: deletions can flip a verdict back; equals fresh recompute") {
+    import spark.implicits._
+    def df(p: Seq[(Long, Long)]) = p.toDF("src", "dst")
+    def fresh(net: Seq[(Long, Long)]) =
+      bipRows(graft.operators.Bipartiteness.bipartitenessByComponent(df(net)))
+    // base: triangle {1,2,3} (odd), 4-cycle {10..13} (even), path {20,21}
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L), (20L, 21L))
+    val old = graft.operators.Bipartiteness.bipartitenessByComponent(df(base))
+    // DELETE an edge of the triangle: the component flips back to
+    // bipartite — the direction incremental parity state cannot take
+    val trace = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val fall = graft.operators.Bipartiteness.bipartitenessMaintain(
+      old, df(base), df(Seq.empty), df(Seq((3L, 1L))), trace = Some(trace))
+    assert(bipRows(fall) == fresh(base.filterNot(_ == (3L, 1L))))
+    assert(bipRows(fall)(1L) == 1L) // the flip actually happened
+    assert(trace.head == 3L)        // only the triangle was touched
+    // INSERT a chord making the 4-cycle odd; triangle + path untouched
+    val rise = graft.operators.Bipartiteness.bipartitenessMaintain(
+      old, df(base), df(Seq((10L, 12L))), df(Seq.empty))
+    assert(bipRows(rise) == fresh(base :+ (10L, 12L)))
+    assert(bipRows(rise)(10L) == 0L)
+    // MERGE: bridge the triangle and the path — both recompute as one
+    val merge = graft.operators.Bipartiteness.bipartitenessMaintain(
+      old, df(base), df(Seq((3L, 20L))), df(Seq.empty))
+    assert(bipRows(merge) == fresh(base :+ (3L, 20L)))
+    // EMPTY delta: identity; tombstone wins on insert∧delete
+    assert(bipRows(graft.operators.Bipartiteness.bipartitenessMaintain(
+      old, df(base), df(Seq.empty), df(Seq.empty))) == bipRows(old))
+    assert(bipRows(graft.operators.Bipartiteness.bipartitenessMaintain(
+      old, df(base), df(Seq((10L, 12L))), df(Seq((10L, 12L))))) == fresh(base))
+  }
+
   test("incremental CC equals full recompute when the delta merges components") {
     import spark.implicits._
     // old graph: two separate chains {1-2-3} and {10-11}; a singleton 20
