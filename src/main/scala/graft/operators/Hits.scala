@@ -103,4 +103,72 @@ object Hits {
       .select(col("id"), coalesce(col("h"), lit(0L)).as("hub_mu"),
         coalesce(col("a"), lit(0L)).as("auth_mu"))
   }
+
+  /** WARM-START maintenance for [[fixedPoint]] —
+    * [[PageRank.fixedPointFrom]]'s contract for the second
+    * link-analysis scorer, completing the centrality family's
+    * maintenance legs: the SAME integer round map over the NET graph,
+    * with the HUB vector seeded from the previous deployment's scores
+    * instead of the uniform SCALE start. Only the hub seed matters —
+    * each round derives authorities from hubs first, so the hub vector
+    * IS the iteration state (the power-iteration view: h is the AAᵀ
+    * eigenvector iterate; a = f(h)). Vertices new to the net graph
+    * seed at SCALE, vanished vertices drop with their rows, and a
+    * previous hub of 0 (no out-edges in the old graph) seeds as the 0
+    * it was.
+    *
+    * The output contract is the q240 one: the seeded iteration's exact
+    * integer state after `iters` rounds — a pure function of
+    * (net edges, prev scores, iters) the oracle replays bit-for-bit
+    * (base rounds → seed → warm rounds); bit-equality to a cold
+    * recompute is NOT claimed (integer truncation makes stationary
+    * states non-unique — the measured q240 evidence). Passing an empty
+    * `prev` reproduces [[fixedPoint]] exactly (every seed coalesces to
+    * SCALE — the spec's cold arm). `trace`, when given, records the
+    * per-round max |Δhub| in micro-units (certification only;
+    * production passes None and pays no per-round barrier).
+    */
+  def fixedPointFrom(edges: DataFrame, prev: DataFrame, iters: Int = 3,
+                     trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+    val eByU = e.repartition(col("u")).cutLineage()
+    val eByV = e.repartition(col("v")).cutLineage()
+    val verts = e.select(col("u").as("id")).union(e.select(col("v")))
+      .distinct().cutLineage()
+
+    var hubs = verts
+      .join(prev.select(col("id"), col("hub_mu").as("ph")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("ph"), lit(Scale)).as("h"))
+      .cutLineage()
+    var auths = verts.limit(0).withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      val prevHubs = hubs
+      val araw = eByU.join(hubs, eByU("u") === hubs("id"))
+        .groupBy(col("v").as("id")).agg(sum("h").as("r"))
+        .cutLineage()
+      val asum = araw.agg(max("r").as("t"))
+      auths = araw.crossJoin(broadcast(asum))
+        .select(col("id"), expr("(r * " + Scale + ") div t").as("a"))
+      val hraw = eByV.join(auths, eByV("v") === auths("id"))
+        .groupBy(col("u").as("id")).agg(sum("a").as("r"))
+        .cutLineage()
+      val hsum = hraw.agg(max("r").as("t"))
+      hubs = hraw.crossJoin(broadcast(hsum))
+        .select(col("id"), expr("(r * " + Scale + ") div t").as("h"))
+      trace.foreach { buf =>
+        val nx = hubs.cutLineage()
+        // absent rows are zeros on either side: full join, zero-fill
+        buf += nx.toDF("id", "nh")
+          .join(prevHubs.select(col("id"), col("h").as("oh")), Seq("id"), "full")
+          .agg(coalesce(max(abs(coalesce(col("nh"), lit(0L)) -
+            coalesce(col("oh"), lit(0L)))), lit(0L)))
+          .head().getLong(0)
+        hubs = nx
+      }
+    }
+    verts.join(hubs, Seq("id"), "left").join(auths, Seq("id"), "left")
+      .select(col("id"), coalesce(col("h"), lit(0L)).as("hub_mu"),
+        coalesce(col("a"), lit(0L)).as("auth_mu"))
+  }
 }
