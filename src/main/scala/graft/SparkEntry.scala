@@ -2815,6 +2815,112 @@ object SparkEntry {
         graft.operators.Hits.fixedPoint(
           e.where(col("tag") =!= 8).select("src", "dst"), 5), 3)
     }),
+    // COMPACTION of the PQ index — the fold that closes the LSM
+    // lifecycle (build q212 / ingest q219 / COMPACT here / delete
+    // q229): the streamed delta folds into the vec_id-bucketed codes
+    // table through the swap-rename crash discipline, the ingest side
+    // table disappears, and a fresh session serves the full corpus
+    // from ONE Exchange-free bucketed scan. The gate folds in both
+    // halves of the fold contract: the ingest table is GONE and the
+    // compacted index's membership equals the whole corpus (a dropped
+    // or doubled ingested vector flips it even if recall survives)
+    "q250_ann_pq_compacted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.where(col("vec_id") % 10 =!= 7)
+      val model = graft.functions.PQ.fit(base)
+      graft.functions.PQ.save(model,
+        graft.functions.PQ.index(base, model), "graft_pq_cpt_idx")
+      graft.streaming.StreamingOps.replayPqIngest(
+        emb.where(col("vec_id") % 10 === 7), model, "graft_pq_cpt_idx")
+      graft.functions.PQ.compact(s, "graft_pq_cpt_idx")
+      val fresh = s.newSession()
+      val (m2, codes) = graft.functions.PQ.load(fresh, "graft_pq_cpt_idx")
+      val all = Tables.embeddings(fresh, dir)
+      val q = all.where(col("vec_id") <= 9)
+      val folded =
+        !fresh.catalog.tableExists("graft_pq_cpt_idx_codes_ingest") &&
+          idSetEq(codes, all)
+      recallGate(Similarity.bruteForceTopK(all, q, 5),
+          graft.functions.PQ.topK(codes, all, q, m2, 5, shortlist = 64), 0.5)
+        .select(col("n_queries"), col("n_exact"),
+          (col("recall_ok") && lit(folded)).as("recall_ok"))
+    }),
+    // the IVF leg of compaction (q250's sibling through the shared
+    // marker-scoped fold): ingest rows already carry their home cid,
+    // so the fold rewrites ONLY the affected cells (partition-pruned —
+    // unaffected cells' files untouched, spec-asserted) and drops the
+    // folded ingest partitions; serving returns to the purely
+    // cid-pruned scan. Gate = recall + ingest-emptied + membership
+    "q251_ann_ivf_compacted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.where(col("vec_id") % 10 =!= 7)
+      val model = graft.functions.IVF.fit(base, 16)
+      graft.functions.IVF.save(model,
+        graft.functions.IVF.index(base, model), "graft_ivf_cpt_idx")
+      graft.streaming.StreamingOps.replayIvfIngest(
+        emb.where(col("vec_id") % 10 === 7), model, "graft_ivf_cpt_idx")
+      graft.functions.IVF.compact(s, "graft_ivf_cpt_idx")
+      val fresh = s.newSession()
+      val (m2, cells) = graft.functions.IVF.load(fresh, "graft_ivf_cpt_idx")
+      val all = Tables.embeddings(fresh, dir)
+      val q = all.where(col("vec_id") <= 9)
+      val folded =
+        fresh.table("graft_ivf_cpt_idx_cells_ingest").isEmpty &&
+          idSetEq(cells, all)
+      recallGate(Similarity.bruteForceTopK(all, q, 5),
+          graft.functions.IVF.topK(cells, q, m2, 5, nprobe = 4), 0.4)
+        .select(col("n_queries"), col("n_exact"),
+          (col("recall_ok") && lit(folded)).as("recall_ok"))
+    }),
+    // the dedup-index leg of compaction (the same shared fold over the
+    // kp-partitioned LSH buckets): after ingest + compact, a fresh
+    // session's probe must serve the identical pair set the
+    // LSM-shaped index served in q244 — a row lost or doubled by the
+    // fold drops or duplicates a (query, mod-5) pair and flips the
+    // hash; the emptied ingest table and untouched unaffected
+    // partitions are spec-asserted
+    "q252_dedup_index_compacted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.DedupIndex.save(
+        docs.where(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 5),
+        "graft_dedup_cpt_idx")
+      graft.streaming.StreamingOps.replayDedupIngest(
+        docs.where(col("doc_id") % 10 === 5), "graft_dedup_cpt_idx")
+      graft.functions.DedupIndex.compact(s, "graft_dedup_cpt_idx")
+      val fresh = s.newSession()
+      val d2 = Tables.documents(fresh, dir)
+      graft.functions.DedupIndex.probe(fresh, "graft_dedup_cpt_idx",
+        d2.where(col("doc_id") % 10 === 7),
+        d2.where(col("doc_id") % 10 =!= 7), 0.5)
+    }),
+    // CDC-WIRED warm-start PageRank — q240's seeded fixed point driven
+    // by the RESOLVED changelog instead of ad-hoc tag deltas (the q239
+    // closure applied to the centrality family): the streamed
+    // latest-wins CDC state supplies the insert/tombstone sets, net =
+    // (base ∪ inserts) ∖ deletes under tombstone-wins, and the seeded
+    // iteration over it must land bit-equal to the oracle's replay of
+    // the same unroll over tags ∉ {3,4} — the end-to-end identity
+    // "changelog resolution ≡ tag predicate" that q210 certifies for
+    // CC, certified here for the warm-start leg
+    "q253_cdc_warm_pagerank" -> ((s, dir) => {
+      val (base, inserts, deletes) = c10CdcSplits(s, dir)
+      def sym(df: DataFrame) = df.unionByName(
+        df.select(col("dst").as("src"), col("src").as("dst")))
+      val net = base.unionByName(inserts).distinct()
+        .join(deletes, Seq("src", "dst"), "left_anti")
+      val prev = graft.operators.PageRank.fixedPoint(sym(base), 10)
+      graft.operators.PageRank.fixedPointFrom(sym(net), prev, 5)
+    }),
+    // the HITS twin (q249 through the resolved changelog): hub scores
+    // seeded from the base fixed point, net graph from the CDC state,
+    // bit-equal to the oracle's tag-predicate replay
+    "q254_cdc_warm_hits" -> ((s, dir) => {
+      val (base, inserts, deletes) = c10CdcSplits(s, dir)
+      val net = base.unionByName(inserts).distinct()
+        .join(deletes, Seq("src", "dst"), "left_anti")
+      graft.operators.Hits.fixedPointFrom(net,
+        graft.operators.Hits.fixedPoint(base, 5), 3)
+    }),
   )
 
   /** Byte-level BPE fixture: the documents table with a deterministic
@@ -4503,6 +4609,7 @@ object SparkEntry {
       "q125_betweenness" -> btwSql,
       "q127_hits" -> hitsSql,
       "q249_hits_warm" -> hitsWarmSql,
+      "q254_cdc_warm_hits" -> hitsWarmSql,
       "q128_harmonic_closeness" -> closenessSql,
       "q132_maximal_matching" -> matchingSql,
       "q133_edge_embeddedness" -> embeddednessSql,
@@ -5250,6 +5357,10 @@ object SparkEntry {
       // the stream-ingested persisted index serves the same gate row
       "q219_ann_pq_stream_ingest" -> annGateSql,
       "q246_ann_ivf_stream_ingest" -> annGateSql,
+      // compaction gates: full-universe recall + fold contract (ingest
+      // emptied, membership = whole corpus) folded into recall_ok
+      "q250_ann_pq_compacted" -> annGateSql,
+      "q251_ann_ivf_compacted" -> annGateSql,
       // deletion gates: the query set and exact side both live in the
       // NET (tombstone-free) vector universe
       "q229_ann_pq_deleted" -> annGateNetSql,
@@ -5646,6 +5757,9 @@ object SparkEntry {
       "q242_cdc_maintained_densest" -> densestCompMaintSql,
       "q243_dedup_index_persisted" -> dedupProbeSql,
       "q244_dedup_index_ingested" -> dedupProbeSql,
+      // compacted index must serve the identical pair set the LSM
+      // shape served (q244's oracle verbatim)
+      "q252_dedup_index_compacted" -> dedupProbeSql,
       "q245_dedup_index_deleted" -> dedupProbeDelSql,
       "q247_bipartiteness_by_component" -> bipCompSql,
       "q248_cdc_maintained_bipartiteness" -> bipCompMaintSql,
@@ -5875,6 +5989,9 @@ object SparkEntry {
           "ORDER BY revenue DESC, orderkey LIMIT 10"),
       "q54_pagerank_fixed" -> pagerankSql,
       "q240_pagerank_warm" -> pagerankWarmSql,
+      // CDC-wired warm starts: the changelog resolution must land on
+      // the tag-predicate replay (q210's identity for the seeded legs)
+      "q253_cdc_warm_pagerank" -> pagerankWarmSql,
       // sketch gates: the oracle recomputes the exact side and expects the
       // (deterministic, fixed-seed) sketch guarantee to hold
       "q56_cms_heavy_hitters" ->

@@ -103,6 +103,10 @@ object DedupIndex {
     * catalog.
     */
   def loadBuckets(spark: SparkSession, name: String): DataFrame = {
+    // heal any interrupted compact first — no probe ever serves the
+    // fold's duplicate window
+    graft.sources.Compaction.healFold(spark, s"${name}_buckets",
+      s"${name}_buckets_ingest", "kp", "doc_id")
     val base = spark.table(s"${name}_buckets")
     if (spark.catalog.tableExists(s"${name}_buckets_ingest"))
       base.unionByName(
@@ -159,20 +163,29 @@ object DedupIndex {
       .select("query_id", "corpus_id").distinct()
       .cutLineage()
     // verify candidates with exact Jaccard — corpus text confined to
-    // candidate documents BEFORE the shingle pass
+    // candidate documents BEFORE the shingle pass. The corpus doc's
+    // shingle count rides ON its shingle rows (one window over the
+    // candidate-confined rows), so csh has a SINGLE consumer: no
+    // checkpoint needed, and the served plan keeps the confinement
+    // auditable — its one text-reading scan sits below the candidate
+    // semi-join (plan-asserted in the spec; the old checkpointed csh
+    // hid the scan inside an ExistingRDD, so the single-scan contract
+    // could not be seen in the plan at all)
     val candCorpus = corpusDocs.join(
       cands.select(col("corpus_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_semi")
-    val csh = Dedup.shingles(candCorpus, n).cutLineage()
+    val csh = Dedup.shingles(candCorpus, n)
+      .withColumn("nb", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
     val inter = cands
       .join(qsh.toDF("query_id", "shingle"), Seq("query_id"))
-      .join(csh.toDF("corpus_id", "shingle"), Seq("corpus_id", "shingle"))
-      .groupBy("query_id", "corpus_id").agg(count(lit(1)).as("inter"))
+      .join(csh.select(col("doc_id").as("corpus_id"), col("shingle"), col("nb")),
+        Seq("corpus_id", "shingle"))
+      .groupBy("query_id", "corpus_id")
+      .agg(count(lit(1)).as("inter"), max(col("nb")).as("nb"))
     inter
       .join(qsh.groupBy("doc_id").agg(count(lit(1)).as("na"))
         .toDF("query_id", "na"), Seq("query_id"))
-      .join(csh.groupBy("doc_id").agg(count(lit(1)).as("nb"))
-        .toDF("corpus_id", "nb"), Seq("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jac"))
       .where(col("jac") >= threshold)
@@ -225,6 +238,22 @@ object DedupIndex {
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
+
+  /** COMPACTION — fold the streamed ingest delta into the
+    * kp-partitioned buckets table ([[graft.sources.Compaction]]'s
+    * marker-scoped, crash-safe, partition-pruned fold — the
+    * [[IVF.compact]] discipline for the LSH family): probes go back
+    * to a purely kp-pruned bucket scan with no whole-delta side read,
+    * and the per-trigger small files stop accumulating. Affected kp
+    * partitions are exactly those of the folded batches' rows (ingest
+    * rows were encoded through the persisted hash family, so they
+    * already carry their kp); unaffected partitions' files are
+    * untouched. The hash family never changes — compaction is a
+    * storage fold.
+    */
+  def compact(spark: SparkSession, name: String): Unit =
+    graft.sources.Compaction.foldIngest(spark, s"${name}_buckets",
+      s"${name}_buckets_ingest", "kp", "doc_id")
 
   /** DELETE maintenance — the takedown / right-to-erasure half of the
     * lifecycle, genuinely partition-pruned (the [[IVF.delete]] shape):

@@ -287,14 +287,33 @@ object IVF {
     }
   }
 
+  /** COMPACTION — fold the streamed ingest delta into the
+    * cid-partitioned cells table ([[graft.sources.Compaction]]'s
+    * marker-scoped, crash-safe, partition-pruned fold): serving goes
+    * back to a purely cid-pruned scan (no whole-delta side read on
+    * every probe) and the per-trigger small files stop accumulating.
+    * Affected cells are exactly the distinct cids of the folded
+    * batches (ingest rows were encoded through the frozen centroids,
+    * so they already carry their home cell); unaffected cells' files
+    * are untouched. Centroids never change — compaction is a storage
+    * fold, not a refit.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+              name: String): Unit =
+    graft.sources.Compaction.foldIngest(spark, s"${name}_cells",
+      s"${name}_cells_ingest", "cid", "vec_id")
+
   /** Reload a [[save]]d index: (model, cells). The cells DataFrame IS
     * the partitioned table scan — unioned with the exactly-once ingest
     * table's partitions when one exists — and serving re-assigns
     * nothing; a fresh session sees the tables through the shared
-    * catalog.
+    * catalog. Heals any interrupted [[compact]] first, so no reader
+    * ever serves the fold's duplicate window.
     */
   def load(spark: org.apache.spark.sql.SparkSession,
            name: String): (Model, DataFrame) = {
+    graft.sources.Compaction.healFold(spark, s"${name}_cells",
+      s"${name}_cells_ingest", "cid", "vec_id")
     val rows = spark.table(s"${name}_centroids").collect()
     require(rows.nonEmpty, s"no centroids found in table ${name}_centroids")
     val k = rows.map(_.getInt(0)).max + 1

@@ -251,10 +251,14 @@ object PQ {
     // and completing the swap drops the folded ingest table
     val codesBase = spark.table(s"${name}_codes")
     val codes =
-      if (spark.catalog.tableExists(s"${name}_codes_ingest"))
-        codesBase.unionByName(
-          spark.table(s"${name}_codes_ingest").drop("ingest_batch"))
-      else codesBase
+      if (spark.catalog.tableExists(s"${name}_codes_ingest")) {
+        // ingest-wins on vec_id (the [[compact]] precedence): a
+        // re-ingested vector's base codes must not survive the fold
+        val ingD = spark.table(s"${name}_codes_ingest").drop("ingest_batch")
+        codesBase.join(ingD.select(col("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+          .unionByName(ingD)
+      } else codesBase
     // the rewrite must PRESERVE the saved layout: read the table's own
     // bucket spec rather than trusting this call's default — a delete
     // against an index saved with a different bucket count would
@@ -274,9 +278,53 @@ object PQ {
     graft.sources.Sources.dropManagedTable(spark, s"${name}_codes_swap")
     graft.sources.Sources.writeBucketed(kept, s"${name}_codes_swap",
       "vec_id", actualBuckets, sortCols = Seq("vec_id"))
+    // the ingest table (already folded into the swap) drops BEFORE the
+    // old codes table: every crash window from here leaves the swap on
+    // disk, so healSwap completes the rename — the old ordering
+    // (rename first, ingest drop last) had a window where a crash left
+    // the folded ingest rows served TWICE (once from the renamed
+    // codes, once from the not-yet-dropped ingest table) with no swap
+    // left to trigger the heal
+    graft.sources.Sources.dropManagedTable(spark, s"${name}_codes_ingest")
     graft.sources.Sources.dropManagedTable(spark, s"${name}_codes")
     spark.sql(s"ALTER TABLE ${name}_codes_swap RENAME TO ${name}_codes")
+  }
+
+  /** COMPACTION — fold the streamed ingest delta into the
+    * vec_id-bucketed codes table: [[delete]] with an empty tombstone
+    * set, structurally — the same swap-rename crash discipline, the
+    * same layout preservation (the rewrite reads the table's own
+    * bucket spec), no anti-join. A bucketed table has no partition
+    * directories to fold into, so PQ's unit of atomicity is the
+    * whole-table rename ([[graft.sources.Compaction]] is the
+    * partition-pruned fold the cid/kp-partitioned families use);
+    * after the fold, serving is one Exchange-free bucketed scan again
+    * and the per-trigger ingest files are gone. Codebooks never
+    * change — compaction is a storage fold, not a re-encode.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, name: String,
+              nBuckets: Int = 8): Unit = {
+    healSwap(spark, name)
+    if (!spark.catalog.tableExists(s"${name}_codes_ingest")) return
+    val ing = spark.table(s"${name}_codes_ingest").drop("ingest_batch")
+    if (ing.isEmpty) return
+    val base = spark.table(s"${name}_codes")
+    // ingest-wins on vec_id: replay-idempotent however many times a
+    // crashed fold re-runs, and a re-ingested vector replaces its old
+    // codes instead of doubling
+    val kept = base.join(ing.select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      .unionByName(ing.select(base.columns.map(col): _*))
+    val actualBuckets = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser
+        .parseTableIdentifier(s"${name}_codes"))
+      .bucketSpec.map(_.numBuckets).getOrElse(nBuckets)
+    graft.sources.Sources.dropManagedTable(spark, s"${name}_codes_swap")
+    graft.sources.Sources.writeBucketed(kept, s"${name}_codes_swap",
+      "vec_id", actualBuckets, sortCols = Seq("vec_id"))
     graft.sources.Sources.dropManagedTable(spark, s"${name}_codes_ingest")
+    graft.sources.Sources.dropManagedTable(spark, s"${name}_codes")
+    spark.sql(s"ALTER TABLE ${name}_codes_swap RENAME TO ${name}_codes")
   }
 
   /** Complete a [[delete]] interrupted between its drop and rename: if
@@ -288,9 +336,12 @@ object PQ {
   private def healSwap(spark: org.apache.spark.sql.SparkSession,
                        name: String): Unit =
     if (spark.catalog.tableExists(s"${name}_codes_swap")) {
+      // same ordering as the writers: ingest (already folded into the
+      // swap) first, so no crash point inside the heal itself leaves
+      // folded rows served twice
+      graft.sources.Sources.dropManagedTable(spark, s"${name}_codes_ingest")
       graft.sources.Sources.dropManagedTable(spark, s"${name}_codes")
       spark.sql(s"ALTER TABLE ${name}_codes_swap RENAME TO ${name}_codes")
-      graft.sources.Sources.dropManagedTable(spark, s"${name}_codes_ingest")
     }
 
   /** Create the EXACTLY-ONCE streaming-append side table for a [[save]]d
