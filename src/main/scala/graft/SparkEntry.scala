@@ -229,22 +229,25 @@ object SparkEntry {
   private def c10Adjacency(s: SparkSession, dir: String): DataFrame =
     c10AdjMemo(s, dir)
 
-  // q232 + q237 + q238 + q241 + q242 + q248 (+1 slack): the
-  // maintenance carve-outs and the component-local operators consult
-  // the SAME supergraph decomposition (base ∪ alive-inserts = the full
-  // C10 — the stored-labels production path the operators' `labels`
-  // param exists for, the q209 msfMemo discipline)
-  private val c10SuperLabelsMemo = new CrossQueryMemo(7, (s, dir) =>
+  // q232 + q237 + q238 + q241 + q242 + q248 + q255 + q256 + q257 +
+  // q258 (+1 slack): the maintenance carve-outs and the
+  // component-local operators consult the SAME supergraph
+  // decomposition (base ∪ alive-inserts = the full C10 — the
+  // stored-labels production path the operators' `labels` param
+  // exists for, the q209 msfMemo discipline)
+  private val c10SuperLabelsMemo = new CrossQueryMemo(11, (s, dir) =>
     ConnectedComponents.iterative(c10Fixture(s, dir))
       .coalesce(s.sparkContext.defaultParallelism))
 
-  // q211 + q215 + q232 + q237 + q238 + q239 + q242 + q248 (+1 slack
-  // per the sequencing contract): all resolve the IDENTICAL changelog
-  // over the tagged C10 edge set (cdcChangelog reads only src/dst/tag)
-  // — ONE 4-trigger keyed-state replay, eight maintenance consumers
+  // q211 + q215 + q232 + q237 + q238 + q239 + q242 + q248 + q253 +
+  // q254 + q255 + q256 + q257 + q258 (+1 slack per the sequencing
+  // contract): all resolve the IDENTICAL changelog over the tagged
+  // C10 edge set (cdcChangelog reads only src/dst/tag) — ONE
+  // 4-trigger keyed-state replay, fourteen maintenance consumers
   // (triangles, MSF, coreness, trussness, communities, landmarks,
-  // densest, bipartiteness)
-  private val c10CdcMemo = new CrossQueryMemo(9, (s, dir) =>
+  // densest, bipartiteness, warm PageRank, warm HITS, HyperBall,
+  // distance distribution, harmonic, clustering)
+  private val c10CdcMemo = new CrossQueryMemo(15, (s, dir) =>
     graft.streaming.StreamingOps.replayEdgeCdc(cdcChangelog(
       c10Fixture(s, dir).withColumn("tag", edgeTag))))
 
@@ -2921,7 +2924,137 @@ object SparkEntry {
       graft.operators.Hits.fixedPointFrom(net,
         graft.operators.Hits.fixedPoint(base, 5), 3)
     }),
+    // CDC-MAINTAINED HYPERBALL — the maintenance matrix extended to
+    // the NEIGHBORHOOD-FUNCTION family (q220 was full-recompute only):
+    // balls never cross components and the register state is a
+    // deterministic pure function of the ball's member ids, so
+    // unaffected supergraph components' (id, t, est) rows pass through
+    // VERBATIM and only affected components re-run the k register
+    // rounds over their induced net edges. The maintained rows must
+    // hash-equal the oracle's full register replay over the NET edge
+    // set (tags ∉ {3,4}) — the oracle never sees the changelog
+    "q255_cdc_maintained_hyperball" -> ((s, dir) => {
+      val (base, inserts, deletes) = c10CdcSplits(s, dir)
+      graft.operators.HyperBall.ballSizesMaintain(
+        graft.operators.HyperBall.ballSizes(base, 3), base, inserts, deletes,
+        3, labels = Some(c10SuperLabelsMemo(s, dir)))
+    }),
+    // MAINTAINED DISTANCE DISTRIBUTION — the one-row corpus
+    // deliverable (q233) fed from the MAINTAINED register state
+    // instead of a cold run: the statistics are a pure aggregation of
+    // the per-vertex ball rows, and since the maintained balls are
+    // bit-equal to a cold net-graph run, so are median/mean/effective
+    // diameter. Production pays carve + affected-slice rounds +
+    // one aggregation; certification pays the base run in-query
+    "q256_cdc_maintained_distdist" -> ((s, dir) => {
+      val (base, inserts, deletes) = c10CdcSplits(s, dir)
+      graft.operators.HyperBall.distanceDistributionFrom(
+        graft.operators.HyperBall.ballSizesMaintain(
+          graft.operators.HyperBall.ballSizes(base, 3, includeZero = true),
+          base, inserts, deletes, 3, includeZero = true,
+          labels = Some(c10SuperLabelsMemo(s, dir))), 3)
+    }),
+    // MAINTAINED HARMONIC CENTRALITY — the third HyperBall deliverable
+    // (q224) fed from the maintained register state: hc_micro is a
+    // per-vertex window/difference over the ball rows, so it inherits
+    // the maintained balls' bit-equality to a cold net-graph run
+    "q257_cdc_maintained_harmonic" -> ((s, dir) => {
+      val (base, inserts, deletes) = c10CdcSplits(s, dir)
+      graft.operators.HyperBall.harmonicCentralityFrom(
+        graft.operators.HyperBall.ballSizesMaintain(
+          graft.operators.HyperBall.ballSizes(base, 3, includeZero = true),
+          base, inserts, deletes, 3, includeZero = true,
+          labels = Some(c10SuperLabelsMemo(s, dir))))
+    }),
+    // CDC-MAINTAINED LOCAL CLUSTERING — the q58 composition through
+    // the carve-out: degree and per-vertex triangle count are both
+    // component-pure, so unaffected components' (id, degree,
+    // triangles, coeff) rows pass through verbatim and affected ones
+    // recount over their induced net edges. The oracle replays the
+    // full composition over the NET edge set
+    "q258_cdc_maintained_clustering" -> ((s, dir) => {
+      val (base, inserts, deletes) = c10CdcSplits(s, dir)
+      Triangles.clusteringMaintain(
+        Triangles.clusteringCoefficients(base), base, inserts, deletes,
+        labels = Some(c10SuperLabelsMemo(s, dir)))
+    }),
+    // PERSISTED PERCEPTUAL-HASH IMAGE INDEX (the q243 dedup-index
+    // lifecycle applied to the MULTIMODAL family): the corpus images
+    // (doc_id % 10 != 7) decode + aHash ONCE into the cp-PARTITIONED
+    // chunk table; a FRESH session probes the held-out batch —
+    // partition-pruned candidate lookup + exact-popcount verify
+    // entirely on index rows (the corpus payload is never re-decoded).
+    // Pigeonhole banding is EXACT at Hamming ≤ 4, so the oracle is the
+    // plain cross-split popcount filter — no recall-gate argument
+    // needed, a missed candidate or surviving stale row flips the hash
+    "q259_phash_index_persisted" -> ((s, dir) => {
+      graft.functions.PhashIndex.save(
+        phashOf(s, dir, col("doc_id") % 10 =!= 7), "graft_ph_idx")
+      val fresh = s.newSession()
+      graft.functions.PhashIndex.probe(fresh, "graft_ph_idx",
+        phashOf(fresh, dir, col("doc_id") % 10 === 7))
+    }),
+    // STREAMING INGEST into the persisted phash index (q244's
+    // exactly-once loop for the multimodal family): the % 10 == 5
+    // images stream through the FROZEN persisted chunking, each
+    // trigger decoding + hashing only its own batch into its own
+    // ingest partition; a fresh session probes the held-out batch
+    // against the WHOLE corpus — a lost or duplicated append drops or
+    // keeps the (query, mod-5) pairs and flips the hash
+    "q260_phash_index_ingested" -> ((s, dir) => {
+      graft.functions.PhashIndex.save(
+        phashOf(s, dir, col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 5),
+        "graft_ph_ing_idx")
+      graft.streaming.StreamingOps.replayPhashIngest(
+        Tables.documents(s, dir).where(col("doc_id") % 10 === 5),
+        "graft_ph_ing_idx")
+      val fresh = s.newSession()
+      graft.functions.PhashIndex.probe(fresh, "graft_ph_ing_idx",
+        phashOf(fresh, dir, col("doc_id") % 10 === 7))
+    }),
+    // DELETE maintenance of the persisted phash index (q245's
+    // partition-pruned takedown): every doc_id % 10 == 3 image is
+    // tombstoned — its chunk rows RECOMPUTED from its hash through the
+    // persisted chunking pin down the cp partitions its rows live in,
+    // and only those are rewritten — then a fresh session probes the
+    // shrunken index. The oracle joins the NET corpus only; a
+    // surviving tombstone row re-emits its pair and flips the hash
+    "q261_phash_index_deleted" -> ((s, dir) => {
+      graft.functions.PhashIndex.save(
+        phashOf(s, dir, col("doc_id") % 10 =!= 7), "graft_ph_del_idx")
+      graft.functions.PhashIndex.delete(s, "graft_ph_del_idx",
+        phashOf(s, dir, col("doc_id") % 10 === 3))
+      val fresh = s.newSession()
+      graft.functions.PhashIndex.probe(fresh, "graft_ph_del_idx",
+        phashOf(fresh, dir, col("doc_id") % 10 === 7))
+    }),
+    // COMPACTION of the phash index's ingest delta (q252's storage
+    // fold for the multimodal family): after the fold the probe is a
+    // purely cp-pruned scan again, and the served pair set must be
+    // IDENTICAL to the LSM shape's (q260's oracle verbatim)
+    "q262_phash_index_compacted" -> ((s, dir) => {
+      graft.functions.PhashIndex.save(
+        phashOf(s, dir, col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 5),
+        "graft_ph_cpt_idx")
+      graft.streaming.StreamingOps.replayPhashIngest(
+        Tables.documents(s, dir).where(col("doc_id") % 10 === 5),
+        "graft_ph_cpt_idx")
+      graft.functions.PhashIndex.compact(s, "graft_ph_cpt_idx")
+      val fresh = s.newSession()
+      graft.functions.PhashIndex.probe(fresh, "graft_ph_cpt_idx",
+        phashOf(fresh, dir, col("doc_id") % 10 === 7))
+    }),
   )
+
+  /** Perceptual hashes of the deterministic image corpus restricted to
+    * `pred` — the q116 pipeline (real PNG decode → 8×8 NN resample →
+    * integer-mean aHash), shared by the phash-index lifecycle queries.
+    */
+  private def phashOf(s: SparkSession, dir: String,
+                      pred: org.apache.spark.sql.Column): DataFrame =
+    Multimodal.perceptualHashes(
+      Multimodal.syntheticImages(
+        Tables.documents(s, dir).where(pred)).toDF())
 
   /** Byte-level BPE fixture: the documents table with a deterministic
     * multibyte, NON-WHITESPACE-DELIMITED tail — a CJK phrase glued to a
@@ -3043,6 +3176,27 @@ object SparkEntry {
         "WHERE ROUND(inter * 1.0 / (ca.n_sh + cb.n_sh - inter), 6) >= 0.5"
     val dedupProbeSql = dedupProbeSqlFor("doc_id % 10 <> 7")
     val dedupProbeDelSql = dedupProbeSqlFor("doc_id % 10 NOT IN (7, 0)")
+    // phash-index probes (q259–q262): the q117 register-exact aHash
+    // replay, restricted to the cross-split (held-out queries × the
+    // index's corpus predicate). Banding is EXACT at Hamming ≤ 4, so
+    // the oracle is the plain popcount filter over the cross join
+    def phashProbeSqlFor(corpusPred: String): String =
+      ("WITH px AS (SELECT d.doc_id, p.i, " +
+        "CAST((d.doc_id * 31 + (2 * (p.i // 8)) * 16 + 2 * (p.i % 8)) % 256 AS BIGINT) AS g " +
+        "FROM documents d, range(64) p(i)), " +
+        "s AS (SELECT doc_id, SUM(g) AS sm FROM px GROUP BY doc_id), " +
+        "bits AS (SELECT px.doc_id, px.i, CASE WHEN 64 * px.g >= s.sm THEN 1 ELSE 0 END AS b " +
+        "FROM px JOIN s ON s.doc_id = px.doc_id), " +
+        "h AS (SELECT doc_id, " +
+        "CAST(SUM(CASE WHEN i < 32 THEN b * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS lo, " +
+        "CAST(SUM(CASE WHEN i >= 32 THEN b * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS hi " +
+        "FROM bits GROUP BY doc_id) " +
+        "SELECT x.doc_id AS query_id, y.doc_id AS corpus_id, " +
+        "CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming " +
+        s"FROM h x JOIN h y ON x.doc_id % 10 = 7 AND ($corpusPred) " +
+        "WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 4")
+    val phashProbeSql = phashProbeSqlFor("y.doc_id % 10 <> 7")
+    val phashProbeDelSql = phashProbeSqlFor("y.doc_id % 10 NOT IN (3, 7)")
     // the full near-dup pipeline: exact-verified pairs → 2-coloring-free
     // label propagation (same pattern as ccOracle) → every doc labeled by
     // its cluster's min doc_id (singletons label themselves)
@@ -3238,8 +3392,10 @@ object SparkEntry {
     // rank via length(bin(y)) with the y=0 guard), 3 element-wise
     // register-max rounds over 16 columns, then the raw HLL estimator
     // as floor division of exact integers
-    val (hyperballSql, hyperballHcSql, hyperballT1Sql, hyperballDistSql,
-         hyperballR2Sql) = {
+    // parameterized by the edge CTE — one definition serves the C10
+    // runs (q220/q224/q227/q233/q234) and the CDC-maintained ones
+    // (q255/q256, the NET edge set), the corenessSqlFor discipline
+    def hyperballSqlsFor(cSql: String) = {
       val regs = (0 until 16).map(j => s"r$j")
       val g0cols = (0 until 16).map(j =>
         s"CASE WHEN b = $j THEN rho ELSE 0 END AS r$j").mkString(", ")
@@ -3255,7 +3411,7 @@ object SparkEntry {
         s"SELECT id, CAST($t AS BIGINT) AS t, " +
           s"CAST(46246722929 // ($denom) AS BIGINT) AS est FROM g$t"
       val prefix =
-        s"WITH c AS MATERIALIZED ($copurchase10), " +
+        s"WITH c AS MATERIALIZED ($cSql), " +
           "sym AS MATERIALIZED (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
           "vv AS (SELECT DISTINCT u AS id FROM sym), " +
           "h0 AS (SELECT id, ((id % 2147483648) * 2654435761) % 2147483648 AS h FROM vv), " +
@@ -3310,6 +3466,8 @@ object SparkEntry {
       val r2 = prefix + " " + (1 to 2).map(emit).mkString(" UNION ALL ")
       (balls, hc, t1, dist, r2)
     }
+    val (hyperballSql, hyperballHcSql, hyperballT1Sql, hyperballDistSql,
+         hyperballR2Sql) = hyperballSqlsFor(copurchase10)
     // layout quality: both strategies' replication factors and edge
     // balance in exact integers over the SAME portable hash
     val partitionQualitySql = {
@@ -3896,6 +4054,25 @@ object SparkEntry {
       s"SELECT x, y FROM ($copurchase10) z WHERE " +
         "((((x % 2147483648) * 31 + y) % 2147483648) * 2654435761) % 2147483648 % 10 NOT IN (3, 4)"
     val densestCompMaintSql = densestCompSqlFor(netCopurchase10)
+    // maintained HyperBall (q255/q256/q257): the oracle replays the
+    // FULL register rounds over the net edge set — pass-through rows
+    // and recomputed rows must be indistinguishable from a cold run
+    val (hyperballMaintSql, hyperballHcMaintSql, _, hyperballDistMaintSql,
+         _) = hyperballSqlsFor(netCopurchase10)
+    // q58's composition parameterized by the edge CTE — one definition
+    // serves the full clustering (C10) and the CDC-maintained one
+    // (q258, the NET edge set)
+    def clusteringSqlFor(cSql: String): String =
+      (s"WITH c AS ($cSql), " +
+        "deg AS (SELECT id, COUNT(*) AS degree FROM " +
+        "(SELECT x AS id FROM c UNION ALL SELECT y FROM c) GROUP BY id), " +
+        "t AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c3 $TRIJOIN), " +
+        "tv AS (SELECT id, COUNT(*) AS tri FROM (SELECT a AS id FROM t " +
+        "UNION ALL SELECT b FROM t UNION ALL SELECT c3 FROM t) GROUP BY id) " +
+        "SELECT deg.id, deg.degree, COALESCE(tv.tri, 0) AS triangles, " +
+        "ROUND(2.0 * COALESCE(tv.tri, 0) / (deg.degree * (deg.degree - 1)), 6) AS coeff " +
+        "FROM deg LEFT JOIN tv ON tv.id = deg.id WHERE deg.degree >= 2")
+        .replace("$TRIJOIN", triangleJoin)
     // per-component bipartiteness (q247/q248): recursive min-label CC,
     // parity reachability seeded at each component's root (its min
     // vertex, parity 0), conflict = a vertex reachable at BOTH parities
@@ -5351,6 +5528,12 @@ object SparkEntry {
       "q232_cdc_maintained_coreness" -> corenessMaintSql,
       "q237_cdc_maintained_trussness" -> trussnessMaintSql,
       "q233_distance_distribution" -> hyperballDistSql,
+      // maintained HyperBall legs: full register replay over the NET
+      // edge set — the oracle never sees the changelog
+      "q255_cdc_maintained_hyperball" -> hyperballMaintSql,
+      "q256_cdc_maintained_distdist" -> hyperballDistMaintSql,
+      "q257_cdc_maintained_harmonic" -> hyperballHcMaintSql,
+      "q258_cdc_maintained_clustering" -> clusteringSqlFor(netCopurchase10),
       "q234_streaming_hyperball_r2" -> hyperballR2Sql,
       "q227_streaming_hyperball" -> hyperballT1Sql,
       "q228_corpus_overlap" -> corpusOverlapSql,
@@ -5761,6 +5944,12 @@ object SparkEntry {
       // shape served (q244's oracle verbatim)
       "q252_dedup_index_compacted" -> dedupProbeSql,
       "q245_dedup_index_deleted" -> dedupProbeDelSql,
+      // phash-index lifecycle: persisted + ingested + compacted serve
+      // the identical cross-split pair set; deleted serves the net one
+      "q259_phash_index_persisted" -> phashProbeSql,
+      "q260_phash_index_ingested" -> phashProbeSql,
+      "q262_phash_index_compacted" -> phashProbeSql,
+      "q261_phash_index_deleted" -> phashProbeDelSql,
       "q247_bipartiteness_by_component" -> bipCompSql,
       "q248_cdc_maintained_bipartiteness" -> bipCompMaintSql,
       // q181's oracle with the deterministic delete op and alive flag
@@ -6004,17 +6193,7 @@ object SparkEntry {
         ("WITH lt AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents) " +
           "SELECT lang, COUNT(DISTINCT token) AS n_exact, true AS within_tol " +
           "FROM lt WHERE token <> '' GROUP BY lang"),
-      "q58_clustering_coeff" ->
-        (s"WITH c AS ($copurchase10), " +
-          "deg AS (SELECT id, COUNT(*) AS degree FROM " +
-          "(SELECT x AS id FROM c UNION ALL SELECT y FROM c) GROUP BY id), " +
-          "t AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c3 $TRIJOIN), " +
-          "tv AS (SELECT id, COUNT(*) AS tri FROM (SELECT a AS id FROM t " +
-          "UNION ALL SELECT b FROM t UNION ALL SELECT c3 FROM t) GROUP BY id) " +
-          "SELECT deg.id, deg.degree, COALESCE(tv.tri, 0) AS triangles, " +
-          "ROUND(2.0 * COALESCE(tv.tri, 0) / (deg.degree * (deg.degree - 1)), 6) AS coeff " +
-          "FROM deg LEFT JOIN tv ON tv.id = deg.id WHERE deg.degree >= 2")
-          .replace("$TRIJOIN", triangleJoin),
+      "q58_clustering_coeff" -> clusteringSqlFor(copurchase10),
       // sliding windows: size = 2×slide ⇒ every edge is in exactly the two
       // epoch-aligned 30-day buckets (bkt, bkt-1) — expand and aggregate
       "q55_sliding_windows" ->

@@ -300,38 +300,12 @@ object DedupIndex {
     }
   }
 
-  /** Anti-join rewrite of `table` confined to the partitions in
-    * `affected` (None = all): survivors of the affected partitions are
-    * checkpointed, fully-emptied partitions DDL-dropped first, then
-    * dynamic partition overwrite lands the survivors. Unaffected
-    * partitions are never read or written.
+  /** The partition-confined anti-join rewrite — shared with the other
+    * partitioned index families as [[TableRewrite.rewritePartitioned]].
     */
   private def rewritePartitioned(spark: SparkSession, table: String,
                                  pcol: String, tombIds: DataFrame,
-                                 affected: Option[Array[Number]]): Unit = {
-    val full = spark.table(table)
-    val scoped = affected match {
-      case Some(vals) if vals.isEmpty => return
-      case Some(vals) => full.where(col(pcol).isin(vals.toIndexedSeq: _*))
-      case None => full
-    }
-    val before = scoped.select(col(pcol)).distinct().collect()
-      .map(_.getLong(0)).toSet
-    if (before.isEmpty) return
-    val kept = scoped.join(tombIds, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
-    val emptied = before --
-      kept.select(col(pcol)).distinct().collect().map(_.getLong(0)).toSet
-    emptied.foreach(v => spark.sql(
-      s"ALTER TABLE $table DROP IF EXISTS PARTITION ($pcol = $v)"))
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try kept.select(full.columns.map(col): _*)
-      .repartition(col(pcol))
-      .write.mode("overwrite").insertInto(table)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
+                                 affected: Option[Array[Number]]): Unit =
+    TableRewrite.rewritePartitioned(spark, table, pcol, "doc_id", tombIds,
+      affected)
 }

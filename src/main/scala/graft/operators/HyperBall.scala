@@ -123,6 +123,59 @@ object HyperBall {
     (zero ++ perRadius).reduce(_ unionByName _)
   }
 
+  /** CDC-MAINTAINED ball sizes — the maintenance-matrix leg for the
+    * neighborhood-function family (the q232/q237/q242 carve-out
+    * discipline applied to HyperBall): `oldBalls` is a stored
+    * [[ballSizes]] output computed on `oldEdges` with the SAME `k` and
+    * `includeZero`, and the result is BIT-EQUAL to a cold
+    * `ballSizes(net, k)` over net = (old ∪ inserts) ∖ deletes under
+    * tombstone-wins precedence.
+    *
+    * Soundness: B(v, t) never crosses a connected component, and the
+    * register state is a deterministic pure function of the ball's
+    * member ids (hash → bucket/rank → element-wise max — no
+    * randomness, no tie-breaks). A supergraph (old ∪ inserts)
+    * component containing no delta endpoint has an identical induced
+    * net edge set, hence identical balls, hence identical registers
+    * and identical (id, t, est) rows — they pass through VERBATIM.
+    * Affected components re-run the k register rounds over their
+    * induced net edges only (component-closed in the net graph: net
+    * components refine supergraph components, so one endpoint
+    * membership test classifies an edge). A vertex stripped of all
+    * its edges by the deletes drops out exactly as a cold run drops
+    * it; a vertex introduced by the inserts is in an affected
+    * component by definition.
+    *
+    * 100 TB shape: maintenance work is the carve joins plus k rounds
+    * over the AFFECTED slice's edges — ∝ affected |E|, not |E|. The
+    * all-affected regime (one giant component touched by every delta)
+    * degenerates to the recompute and is the honest certification
+    * case; the win lives where components are many and deltas sparse
+    * (the tier2coremaint block-graph regime).
+    *
+    * `labels`: the stored supergraph `(id, component)` decomposition
+    * when the deployment keeps one (production path); computed fresh
+    * when absent. `trace` records the affected-vertex count.
+    */
+  def ballSizesMaintain(oldBalls: DataFrame, oldEdges: DataFrame,
+                        inserts: DataFrame, deletes: DataFrame,
+                        k: Int = 3, includeZero: Boolean = false,
+                        labels: Option[DataFrame] = None,
+                        trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+    val (netC, affVerts) =
+      Maintenance.carve(oldEdges, inserts, deletes, labels, trace)
+    // unaffected components: identical induced edges ⇒ identical
+    // registers ⇒ identical rows — one anti-join on the vertex id
+    val passThrough = oldBalls.join(
+      affVerts.toDF("id"), Seq("id"), "left_anti")
+    // affected induced net subgraph is component-closed: one endpoint
+    // test suffices
+    val sub = netC.join(affVerts.toDF("u"), Seq("u"), "left_semi")
+    val recomputed = ballSizes(
+      sub.select(col("u").as("src"), col("v").as("dst")), k, includeZero)
+    passThrough.unionByName(recomputed)
+  }
+
   /** Approximate harmonic centrality — the application HyperBall exists
     * for (Boldi & Vigna 2013 compute exactly this on billion-edge
     * graphs): HC(v) ≈ Σ_{t=1..k} (|B(v,t)| − |B(v,t−1)|) / t, i.e. the
@@ -136,8 +189,17 @@ object HyperBall {
     *
     * Output: (id, hc_micro).
     */
-  def harmonicCentrality(edges: DataFrame, k: Int = 3): DataFrame = {
-    val balls = ballSizes(edges, k, includeZero = true)
+  def harmonicCentrality(edges: DataFrame, k: Int = 3): DataFrame =
+    harmonicCentralityFrom(ballSizes(edges, k, includeZero = true))
+
+  /** The harmonic-centrality difference/sum factored over an ALREADY
+    * COMPUTED [[ballSizes]] output (includeZero = true) — the
+    * [[distanceDistributionFrom]] discipline: a MAINTAINED register
+    * state feeds the centrality without re-running any round, and
+    * since maintained balls are bit-equal to a cold net-graph run, so
+    * is every hc_micro row.
+    */
+  def harmonicCentralityFrom(balls: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("t")
     balls.withColumn("prev", lag(col("est"), 1).over(w))
@@ -172,9 +234,20 @@ object HyperBall {
     * median_dist, eff_diam90_micro); all-zero metrics on an edgeless
     * input.
     */
-  def distanceDistribution(edges: DataFrame, k: Int = 3): DataFrame = {
+  def distanceDistribution(edges: DataFrame, k: Int = 3): DataFrame =
+    distanceDistributionFrom(ballSizes(edges, k, includeZero = true), k)
+
+  /** The distance-distribution aggregation factored over an ALREADY
+    * COMPUTED [[ballSizes]] output (same `k`, includeZero = true) — so
+    * a MAINTAINED register state ([[ballSizesMaintain]]) feeds the
+    * one-row corpus deliverable without re-running any round: the
+    * statistics are a pure aggregation of the per-vertex ball rows,
+    * and pass-through + recomputed rows sum exactly as a cold run's
+    * rows do.
+    */
+  def distanceDistributionFrom(balls: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= 16, s"hyperball k=$k out of the sane 1..16 range")
-    val sums = ballSizes(edges, k, includeZero = true)
+    val sums = balls
       .groupBy("t").agg(sum(col("est")).as("s"))
     val row = sums.agg(
       coalesce(max(when(col("t") === 0, col("s"))), lit(0L)).as("s0"),

@@ -331,7 +331,14 @@ object Multimodal {
     * value (e.g. all-zero bits from flat images) is the skew to watch —
     * AQE skew-join handles it, or raise `maxHamming` granularity.
     */
-  def phashPairsBanded(hashes: DataFrame, maxHamming: Int): DataFrame = {
+  /** The pigeonhole band/chunk rows of [[phashPairsBanded]] factored
+    * out — `(id, h_lo, h_hi, band, chunk)`, one row per hash per
+    * chunk — so the persisted image near-dup index
+    * ([[graft.functions.PhashIndex]]) encodes through the IDENTICAL
+    * chunking as the in-query pair enumeration (the
+    * Dedup.bandedFromShingles one-definition rule).
+    */
+  private[graft] def hashChunks(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64); got $maxHamming")
     val bands = maxHamming + 1
@@ -352,10 +359,14 @@ object Multimodal {
       struct(lit(i).as("band"),
         shiftrightunsigned(full, start).bitwiseAND(lit(mask)).as("chunk"))
     }
-    val banded = hashes.select(col("id"), col("h_lo"), col("h_hi"),
+    hashes.select(col("id"), col("h_lo"), col("h_hi"),
       explode(array(chunks: _*)).as("bk"))
       .select(col("id"), col("h_lo"), col("h_hi"),
         col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+  }
+
+  def phashPairsBanded(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = hashChunks(hashes, maxHamming)
     val a = banded.select(col("band"), col("chunk"), col("id").as("a"),
       col("h_lo").as("alo"), col("h_hi").as("ahi"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("b"),

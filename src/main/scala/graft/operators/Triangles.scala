@@ -725,6 +725,31 @@ object Triangles {
     nEdges.crossJoin(nRecip).crossJoin(cycles).crossJoin(ffl)
   }
 
+  /** CDC-MAINTAINED local clustering coefficients — the carve-out
+    * discipline ([[Traversals.densestMaintain]]) applied to the q58
+    * composition: degree and per-vertex triangle count are both pure
+    * functions of a vertex's component's induced edges (triangles
+    * never cross components, degrees are vertex-local), so an
+    * unaffected supergraph component's (id, degree, triangles, coeff)
+    * rows are identical on base and net and pass through VERBATIM;
+    * affected components recount over their induced net edges only.
+    * Bit-equal to a cold [[clusteringCoefficients]] over the net
+    * graph; work ∝ affected |E|. `oldClust` must come from
+    * [[clusteringCoefficients]] on `oldEdges` (canonical pairs).
+    */
+  def clusteringMaintain(oldClust: DataFrame, oldEdges: DataFrame,
+                         inserts: DataFrame, deletes: DataFrame,
+                         labels: Option[DataFrame] = None,
+                         trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+    val (netC, affVerts) =
+      Maintenance.carve(oldEdges, inserts, deletes, labels, trace)
+    val passThrough = oldClust.join(
+      affVerts.toDF("id"), Seq("id"), "left_anti")
+    val sub = netC.join(affVerts.toDF("u"), Seq("u"), "left_semi")
+    passThrough.unionByName(clusteringCoefficients(
+      sub.select(col("u").as("src"), col("v").as("dst"))))
+  }
+
   def clusteringCoefficients(c: DataFrame): DataFrame = {
     val cc = c.cutLineage()
     val deg = cc.select(explode(array(col("src"), col("dst"))).as("id"))

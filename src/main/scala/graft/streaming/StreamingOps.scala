@@ -1270,6 +1270,49 @@ object StreamingOps {
     } finally q.stop()
   }
 
+  /** Streaming ingest into the persisted perceptual-hash image index
+    * — [[replayDedupIngest]]'s exactly-once loop for the multimodal
+    * family: new image ids stream through in `nBatches` triggers; each
+    * trigger DECODES AND HASHES only its own batch's images through
+    * the index's persisted chunking (the payload bytes are touched
+    * exactly once, per-partition, never shuffled) and lands the chunk
+    * rows in its own `ingest_batch` partition via dynamic partition
+    * overwrite — a replayed trigger rewrites its own partition with
+    * identical rows, so the stored state is bit-identical however many
+    * times a trigger fires.
+    */
+  def replayPhashIngest(newDocs: DataFrame, name: String,
+                        nBatches: Int = 3): Unit = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val maxHamming = graft.functions.PhashIndex.params(spark, name)
+    val ids = newDocs.select(col("doc_id").cast("long")).as[Long].collect()
+    scala.util.Sorting.quickSort(ids)
+    graft.functions.PhashIndex.ensureIngestTable(spark, name)
+    val stream = pinnedShuffleSession(spark, 8)
+    implicit val ctx: org.apache.spark.sql.SQLContext = stream.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val ckpt = replayCkpt("graft-replay-phashingest")
+    val q = ms.toDF().toDF("doc_id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        // hashing is a per-batch BATCH computation over the batch's
+        // own images only — exactly the bulk build's pipeline
+        graft.functions.PhashIndex.ingestBatch(
+          graft.functions.PhashIndex.encode(
+            graft.operators.Multimodal.perceptualHashes(
+              graft.operators.Multimodal.syntheticImages(df).toDF()),
+            maxHamming),
+          name, batchId)
+      }
+      .start()
+    try {
+      val chunk = math.max(1, (ids.length + nBatches - 1) / nBatches)
+      ids.grouped(chunk).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+  }
+
   /** Streaming HLL++ distinct-count parity — the sketch-as-streaming-
     * state primitive: per-language `approx_count_distinct` maintained
     * across triggers in update mode. HLL registers merge by register-

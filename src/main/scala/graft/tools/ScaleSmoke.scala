@@ -1362,6 +1362,57 @@ object ScaleSmoke {
       }
     }
 
+    if (mode == "tier2hbmaint") {
+      // maintained HyperBall at the 10M-edge tier in the operator's
+      // ACTUAL regime (the tier2densmaint block-graph shape: ~1M small
+      // components, 0.1% delta, stored nightly labels). The
+      // giant-component degenerate case is documented on the operator.
+      val nBlocks = 1000000L
+      def blockEdges(salt: Int) = spark.range(nEdges).select(
+          (pmod(xxhash64(col("id"), lit(6)), lit(nBlocks)) * 10
+            + pmod(xxhash64(col("id"), lit(salt)), lit(10))).as("s0"),
+          (pmod(xxhash64(col("id"), lit(6)), lit(nBlocks)) * 10
+            + pmod(xxhash64(col("id"), lit(salt + 1)), lit(10))).as("d0"))
+        .select(least(col("s0"), col("d0")).as("src"),
+          greatest(col("s0"), col("d0")).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+      val base = blockEdges(4).localCheckpoint(true)
+      val tag = pmod(xxhash64(col("src"), col("dst"), lit(11)), lit(1000L))
+      val dels = base.where(tag === 3).select("src", "dst").localCheckpoint(true)
+      val ins = blockEdges(40)
+        .where(pmod(xxhash64(col("src"), col("dst"), lit(13)), lit(1000L)) === 7)
+        .join(base, Seq("src", "dst"), "left_anti")
+        .join(dels, Seq("src", "dst"), "left_anti").localCheckpoint(true)
+      println(s"[smoke] block graph: ${base.count()} base edges, " +
+        s"+${ins.count()} / -${dels.count()} delta")
+      val oldBalls = tm("nightly ballSizes k=3 (build)") {
+        graft.operators.HyperBall.ballSizes(base, 3).localCheckpoint(true)
+      }
+      val labels = tm("nightly supergraph labels (stored byproduct)") {
+        graft.operators.ConnectedComponents.iterative(
+          base.unionByName(ins)).localCheckpoint(true)
+      }
+      val trace = scala.collection.mutable.Buffer.empty[Long]
+      val maint = tm("ballSizesMaintain (0.1% delta, stored labels)") {
+        graft.operators.HyperBall.ballSizesMaintain(oldBalls, base, ins, dels,
+          3, labels = Some(labels), trace = Some(trace)).localCheckpoint(true)
+      }
+      println(s"[smoke] affected vertices: ${trace.head}")
+      val net = base.join(dels, Seq("src", "dst"), "left_anti")
+        .unionByName(ins).localCheckpoint(true)
+      val full = tm("full ballSizes over the net graph (the avoided recompute)") {
+        graft.operators.HyperBall.ballSizes(net, 3).localCheckpoint(true)
+      }
+      tm("bit-equality: maintained == full recompute") {
+        val bad = maint.toDF("id", "t", "a")
+          .join(full.toDF("id", "t", "b"), Seq("id", "t"), "full")
+          .where(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
+          .count()
+        println(s"[smoke] ball rows=${full.count()} mismatched=$bad")
+        require(bad == 0, s"maintained hyperball diverged on $bad rows")
+      }
+    }
+
     if (mode == "tier2grid") {
       // the 2D grid layout APPLIED (q222 measures layout quality; this
       // runs the iterative operators over each layout): write the

@@ -130,6 +130,83 @@ class HyperBallSpec extends SparkTestBase {
     assert(z.length == 1 && (1 to 6).forall(i => z.head.getLong(i) == 0L))
   }
 
+  test("maintained ball sizes are bit-equal to a cold net-graph run") {
+    import spark.implicits._
+    // comp A = 1-2-3 path, comp B = 4-5-6 path, comp C = 7-8,
+    // comp D = 20-21-22 path (C and D never touched by the delta)
+    val base = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L),
+      (7L, 8L), (20L, 21L), (21L, 22L))
+    // bridge A and B, introduce a NEW vertex 9 into A
+    val ins = Seq((3L, 4L), (9L, 1L))
+    // strip 6 of its only edge — it must drop out as a cold run drops it
+    val del = Seq((5L, 6L))
+    val net = (base ++ ins).filterNot(del.contains)
+    val trace = scala.collection.mutable.Buffer.empty[Long]
+    val got = HyperBall.ballSizesMaintain(
+      HyperBall.ballSizes(base.toDF("src", "dst"), 3),
+      base.toDF("src", "dst"), ins.toDF("src", "dst"),
+      del.toDF("src", "dst"), 3, trace = Some(trace)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = HyperBall.ballSizes(net.toDF("src", "dst"), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // the carve confined itself to the merged A∪B∪{9} supergraph
+    // component — C and D rode through on the anti-join
+    assert(trace == Seq(7L))
+    assert(Set(7L, 8L, 20L, 21L, 22L).subsetOf(got.map(_._1)))
+    assert(!got.map(_._1).contains(6L))
+  }
+
+  test("maintained ball sizes: empty delta is a verbatim pass-through") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (2L, 3L), (7L, 8L))
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val old = HyperBall.ballSizes(base.toDF("src", "dst"), 2)
+    val trace = scala.collection.mutable.Buffer.empty[Long]
+    val got = HyperBall.ballSizesMaintain(old, base.toDF("src", "dst"),
+      empty, empty, 2, trace = Some(trace)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = old.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && trace == Seq(0L))
+  }
+
+  test("maintained distance distribution equals the cold net-graph row") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (7L, 8L),
+      (20L, 21L), (21L, 22L))
+    val ins = Seq((3L, 4L))
+    val del = Seq((5L, 6L))
+    val net = (base ++ ins).filterNot(del.contains)
+    val k = 3
+    val got = HyperBall.distanceDistributionFrom(
+      HyperBall.ballSizesMaintain(
+        HyperBall.ballSizes(base.toDF("src", "dst"), k, includeZero = true),
+        base.toDF("src", "dst"), ins.toDF("src", "dst"),
+        del.toDF("src", "dst"), k, includeZero = true), k).collect()
+    val want = HyperBall.distanceDistribution(net.toDF("src", "dst"), k)
+      .collect()
+    assert(got.length == 1 && want.length == 1)
+    assert((0 to 6).forall(i => got.head.getLong(i) == want.head.getLong(i)))
+  }
+
+  test("maintained harmonic centrality equals the cold net-graph run") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (7L, 8L))
+    val ins = Seq((3L, 4L))
+    val del = Seq((5L, 6L))
+    val net = (base ++ ins).filterNot(del.contains)
+    val got = HyperBall.harmonicCentralityFrom(
+      HyperBall.ballSizesMaintain(
+        HyperBall.ballSizes(base.toDF("src", "dst"), 3, includeZero = true),
+        base.toDF("src", "dst"), ins.toDF("src", "dst"),
+        del.toDF("src", "dst"), 3, includeZero = true)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = HyperBall.harmonicCentrality(net.toDF("src", "dst"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("degenerate inputs: empty graph and self-loops-only") {
     import spark.implicits._
     assert(HyperBall.ballSizes(

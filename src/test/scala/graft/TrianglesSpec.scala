@@ -187,6 +187,37 @@ class TrianglesSpec extends SparkTestBase {
     assert(t2.head == 0L)
   }
 
+  test("clusteringMaintain: component carve-out equals the cold net-graph run") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    def cmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // A = 4-clique 1..4 with pendant 4-5, B = 5-clique 10..14
+    // (untouched — the pass-through probe), C = triangle 20-21-22
+    val compA = clique(Seq(1L, 2L, 3L, 4L)) :+ (4L, 5L)
+    val compB = clique(Seq(10L, 11L, 12L, 13L, 14L))
+    val compC = Seq((20L, 21L), (21L, 22L), (20L, 22L))
+    val base = (compA ++ compB ++ compC).toDF("src", "dst")
+    val oldC = Triangles.clusteringCoefficients(base)
+    // close the pendant into triangles; break C's triangle — 22 falls
+    // to degree 1 and must DROP from the output as a cold run drops it
+    val ins = Seq((1L, 5L), (2L, 5L)).toDF("src", "dst")
+    val del = Seq((22L, 21L)).toDF("src", "dst") // reversed: undirected identity
+    val net = (compA ++ compB ++ Seq((20L, 21L), (20L, 22L), (1L, 5L), (2L, 5L)))
+      .toDF("src", "dst")
+    val trace = scala.collection.mutable.Buffer.empty[Long]
+    val got = cmap(Triangles.clusteringMaintain(oldC, base, ins, del,
+      trace = Some(trace)))
+    assert(got == cmap(Triangles.clusteringCoefficients(net)), s"got $got")
+    assert(!got.contains(22L))
+    // confinement: affected verts = A's {1..5} ∪ C's {20,21,22} — B rode
+    // through on the anti-join
+    assert(trace == Seq(8L), s"affected verts $trace — B leaked in")
+    // empty delta: verbatim pass-through
+    val e = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(cmap(Triangles.clusteringMaintain(oldC, base, e, e)) == cmap(oldC))
+  }
+
   test("butterflies: exact 2x2 biclique count, side-invariant, zero on a star") {
     import spark.implicits._
     // K(2,3): left {1,2} x right {10,20,30} — butterflies = C(3,2) = 3
