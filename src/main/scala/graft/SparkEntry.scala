@@ -2978,6 +2978,23 @@ object SparkEntry {
         Triangles.clusteringCoefficients(base), base, inserts, deletes,
         labels = Some(c10SuperLabelsMemo(s, dir)))
     }),
+    // INSERT-DELTA HYPERBALL GROWTH — the systolic refinement (Boldi &
+    // Vigna 2013 §4: propagate only CHANGED registers) for exactly the
+    // regime where q255's carve-out degenerates: one giant component,
+    // small insert batch. The stored per-round register tables grow by
+    // delta propagation — per round, joins touch only edges incident
+    // to the changed wavefront plus the inserts, never the full |E| —
+    // and land BIT-EQUAL to the cold rounds over the grown graph
+    // (registers are monotone under inserts; every unchanged
+    // contribution is already inside the stored round). The oracle is
+    // the full register replay over the grown graph (= the whole C10)
+    "q263_hyperball_grown" -> ((s, dir) => {
+      val e = c10Fixture(s, dir).withColumn("tag", edgeTag).cutLineage()
+      val base = e.where(col("tag") =!= 8).select("src", "dst")
+      val inserts = e.where(col("tag") === 8).select("src", "dst")
+      graft.operators.HyperBall.ballSizesGrowFrom(
+        graft.operators.HyperBall.registerRounds(base, 3), base, inserts, 3)
+    }),
     // PERSISTED PERCEPTUAL-HASH IMAGE INDEX (the q243 dedup-index
     // lifecycle applied to the MULTIMODAL family): the corpus images
     // (doc_id % 10 != 7) decode + aHash ONCE into the cp-PARTITIONED
@@ -5534,6 +5551,9 @@ object SparkEntry {
       "q256_cdc_maintained_distdist" -> hyperballDistMaintSql,
       "q257_cdc_maintained_harmonic" -> hyperballHcMaintSql,
       "q258_cdc_maintained_clustering" -> clusteringSqlFor(netCopurchase10),
+      // grown registers ≡ the cold rounds over the WHOLE C10 (base ∪
+      // tag-8 inserts) — q220's oracle verbatim
+      "q263_hyperball_grown" -> hyperballSql,
       "q234_streaming_hyperball_r2" -> hyperballR2Sql,
       "q227_streaming_hyperball" -> hyperballT1Sql,
       "q228_corpus_overlap" -> corpusOverlapSql,

@@ -89,36 +89,142 @@ object HyperBall {
     */
   def ballSizes(edges: DataFrame, k: Int = 3,
                 includeZero: Boolean = false): DataFrame = {
-    require(k >= 1 && k <= 16, s"hyperball k=$k out of the sane 1..16 range")
+    // ONE definition of the rounds ([[registerRounds]] — the shared
+    // register contract with the q227 streaming parity, the q228
+    // overlap sketch, and the insert-delta growth), estimates read off
+    // each round's table
+    val rounds = registerRounds(edges, k)
+    val estCol: Column = estimator
+    val zero =
+      if (includeZero)
+        Seq(rounds.head.select(col("id"), lit(0L).as("t"), estCol.as("est")))
+      else Seq.empty
+    val perRadius = (1 to k).map(t =>
+      rounds(t).select(col("id"), lit(t.toLong).as("t"), estCol.as("est")))
+    (zero ++ perRadius).reduce(_ unionByName _)
+  }
+
+  /** The symmetrized, deduplicated, self-loop-free edge view every
+    * HyperBall entry point shares. */
+  private def symmetrize(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src").cast("long").as("u"),
       col("dst").cast("long").as("v"))
       .where(col("u") =!= col("v"))
-    val sym = e.union(e.select(col("v"), col("u"))).distinct()
-      .cutLineage()
+    e.union(e.select(col("v"), col("u"))).distinct().cutLineage()
+  }
 
-    // initial state = every vertex's single-element sketch — THE shared
-    // register contract ([[regColsOf]]/[[estimator]]), not an inline
-    // copy, so the q227 streaming parity and q228 overlap sketch can
-    // never drift from the batch rounds
-    var state = sym.select(col("u").as("id")).distinct()
+  /** The per-round register tables R_0..R_k of [[ballSizes]] —
+    * `(id, r0..r15)` each — exposed as the STORED STATE of the
+    * insert-delta growth ([[ballSizesGrowFrom]]): a deployment that
+    * persists these k+1 tables nightly (the q234 streaming legs
+    * already persist R_1 this way) can absorb an insert batch with
+    * work ∝ changed registers instead of re-running k full-|E| joins.
+    */
+  def registerRounds(edges: DataFrame, k: Int): Seq[DataFrame] = {
+    require(k >= 1 && k <= 16, s"hyperball k=$k out of the sane 1..16 range")
+    val sym = symmetrize(edges)
+    val r0 = sym.select(col("u").as("id")).distinct()
       .select(col("id") +: regColsOf(col("id")): _*)
       .cutLineage()
-
-    val estCol: Column = estimator
-
-    val zero =
-      if (includeZero)
-        Seq(state.select(col("id"), lit(0L).as("t"), estCol.as("est")))
-      else Seq.empty
-    val perRadius = (1 to k).map { t =>
+    (1 to k).scanLeft(r0) { (state, _) =>
       val pulled = sym.join(state, sym("v") === state("id"))
         .select(col("u").as("id") +: regCols.map(col): _*)
-      state = state.unionByName(pulled)
+      state.unionByName(pulled)
         .groupBy("id")
         .agg(max(col("r0")).as("r0"),
           regCols.tail.map(c => max(col(c)).as(c)): _*)
         .cutLineage()
-      state.select(col("id"), lit(t.toLong).as("t"), estCol.as("est"))
+    }
+  }
+
+  /** INSERT-DELTA REGISTER GROWTH — the systolic refinement of Boldi &
+    * Vigna 2013 §4 ("systolic computation": propagate only registers
+    * that CHANGED) applied to edge inserts, for the regime where the
+    * component carve-out ([[ballSizesMaintain]]) degenerates: one
+    * giant component, small insert batch. Registers are MONOTONE under
+    * inserts (balls only grow), so the grown fixpoint is reachable by
+    * delta propagation from the stored per-round state:
+    *
+    *   R'_0 = R_0 ∪ {singleton sketches of genuinely new vertices}
+    *   R'_t(v) = max( R_t(v),                    — stored, pass-through
+    *                  R'_{t-1}(v)   if v changed at t−1,
+    *                  R'_{t-1}(u)   over net edges (v,u) with u changed
+    *                                at t−1,
+    *                  R'_{t-1}(u)   over NEW edges (v,u) )
+    *
+    * Every other term of the cold round is ≤ R_t(v) (an unchanged
+    * old neighbor's state is its old state, already folded into
+    * R_t(v)), so the recursion reproduces the cold net-graph rounds
+    * BIT-FOR-BIT, and a register can only differ from the stored
+    * table where a contribution reached it — changed sets are exact,
+    * never conservative. Per round the joins touch only edges
+    * incident to the changed set plus the inserts; the changed
+    * wavefront damps fast in practice (a single new hash rarely
+    * raises any of 16 max-registers already fed by a whole
+    * neighborhood) — tier2hbgrow measures it.
+    *
+    * `oldRounds` = [[registerRounds]] of `oldEdges` with the same k
+    * (R_0..R_k — the stored nightly state; certification computes it
+    * in-query). Inserts already present in the old edge set are
+    * dropped (net no-ops). Output: the same (id, t, est) rows as a
+    * cold `ballSizes(old ∪ inserts, k)`. `trace` records the changed
+    * count after each round (adds one driver action per round).
+    */
+  def ballSizesGrowFrom(oldRounds: Seq[DataFrame], oldEdges: DataFrame,
+                        inserts: DataFrame, k: Int = 3,
+                        includeZero: Boolean = false,
+                        trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+    require(oldRounds.length == k + 1,
+      s"expected ${k + 1} stored register rounds (R_0..R_$k), got ${oldRounds.length}")
+    val symOld = symmetrize(oldEdges)
+    val symIns = symmetrize(inserts)
+      .join(symOld, Seq("u", "v"), "left_anti").cutLineage()
+    val symNet = symOld.unionByName(symIns)
+    val estCol: Column = estimator
+    val newVerts = symIns.select(col("u").as("id")).distinct()
+      .join(oldRounds.head, Seq("id"), "left_anti").cutLineage()
+    var cur = oldRounds.head
+      .unionByName(newVerts.select(col("id") +: regColsOf(col("id")): _*))
+      .cutLineage()
+    var changed = newVerts.select("id")
+    val zero =
+      if (includeZero) Seq(cur.select(col("id"), lit(0L).as("t"), estCol.as("est")))
+      else Seq.empty
+    val perRadius = (1 to k).map { t =>
+      val oldT = oldRounds(t)
+      // contributions: changed states over any net edge + any state
+      // over a new edge — everything else is already inside R_t
+      val contribEdges = symNet
+        .join(changed.toDF("v"), Seq("v"), "left_semi")
+        .unionByName(symIns).distinct()
+      val pulled = contribEdges.join(cur, contribEdges("v") === cur("id"))
+        .select(col("u").as("id") +: regCols.map(col): _*)
+      val cand = pulled
+        .unionByName(cur.join(changed, Seq("id"), "left_semi"))
+        .groupBy("id")
+        .agg(max(col("r0")).as("r0"),
+          regCols.tail.map(c => max(col(c)).as(c)): _*)
+      // fold the stored round in, then keep only rows that actually
+      // moved past it (or are new to it)
+      val merged = cand.unionByName(
+          oldT.join(cand.select("id"), Seq("id"), "left_semi"))
+        .groupBy("id")
+        .agg(max(col("r0")).as("r0"),
+          regCols.tail.map(c => max(col(c)).as(c)): _*)
+      val o = oldT.select(col("id") +:
+        regCols.map(c => col(c).as(s"o_$c")): _*)
+      val moved = regCols.map(c =>
+        col(c) =!= coalesce(col(s"o_$c"), lit(-1))).reduce(_ || _)
+      val changedRows = merged.join(o, Seq("id"), "left")
+        .where(moved)
+        .select(col("id") +: regCols.map(col): _*)
+        .cutLineage()
+      changed = changedRows.select("id")
+      trace.foreach(_ += changed.count())
+      cur = oldT.join(changed, Seq("id"), "left_anti")
+        .unionByName(changedRows)
+        .cutLineage()
+      cur.select(col("id"), lit(t.toLong).as("t"), estCol.as("est"))
     }
     (zero ++ perRadius).reduce(_ unionByName _)
   }

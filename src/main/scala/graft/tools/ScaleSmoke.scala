@@ -1413,6 +1413,39 @@ object ScaleSmoke {
       }
     }
 
+    if (mode == "tier2hbgrow") {
+      // insert-delta register growth in ITS regime — the one where the
+      // carve-out degenerates: the 10M-edge random graph is one giant
+      // component, and a 0.1% insert batch arrives. The stored
+      // per-round register tables (the nightly build) grow by systolic
+      // delta propagation; the cold arm re-runs every full-|E| round.
+      val tag = pmod(xxhash64(col("src"), col("dst"), lit(17)), lit(1000L))
+      val base = g.where(tag =!= 3).localCheckpoint(true)
+      val ins = g.where(tag === 3).localCheckpoint(true)
+      println(s"[smoke] giant component: ${base.count()} base edges, " +
+        s"+${ins.count()} inserts")
+      val rounds = tm("nightly registerRounds k=3 (build)") {
+        graft.operators.HyperBall.registerRounds(base, 3)
+      }
+      val trace = scala.collection.mutable.Buffer.empty[Long]
+      val grown = tm("ballSizesGrowFrom (0.1% inserts)") {
+        graft.operators.HyperBall.ballSizesGrowFrom(rounds, base, ins, 3,
+          trace = Some(trace)).localCheckpoint(true)
+      }
+      println(s"[smoke] changed wavefront per round: ${trace.mkString(", ")}")
+      val cold = tm("full ballSizes over the grown graph (the avoided recompute)") {
+        graft.operators.HyperBall.ballSizes(g, 3).localCheckpoint(true)
+      }
+      tm("bit-equality: grown == cold recompute") {
+        val bad = grown.toDF("id", "t", "a")
+          .join(cold.toDF("id", "t", "b"), Seq("id", "t"), "full")
+          .where(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
+          .count()
+        println(s"[smoke] ball rows=${cold.count()} mismatched=$bad")
+        require(bad == 0, s"grown hyperball diverged on $bad rows")
+      }
+    }
+
     if (mode == "tier2grid") {
       // the 2D grid layout APPLIED (q222 measures layout quality; this
       // runs the iterative operators over each layout): write the

@@ -207,6 +207,45 @@ class HyperBallSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("insert-delta growth is bit-equal to the cold grown-graph run") {
+    import spark.implicits._
+    // one long path (the wavefront probe) plus a separate pair
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (20L, 21L))
+    // a bridge to the pair, a genuinely NEW vertex, and a duplicate
+    // insert (present in base — must be a net no-op, reversed to boot)
+    val ins = Seq((6L, 20L), (9L, 1L), (3L, 2L))
+    val net = base ++ Seq((6L, 20L), (9L, 1L))
+    val trace = scala.collection.mutable.Buffer.empty[Long]
+    val got = HyperBall.ballSizesGrowFrom(
+      HyperBall.registerRounds(base.toDF("src", "dst"), 3),
+      base.toDF("src", "dst"), ins.toDF("src", "dst"), 3,
+      trace = Some(trace)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = HyperBall.ballSizes(net.toDF("src", "dst"), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // the wavefront is confined: at most the delta endpoints' growing
+    // neighborhoods ever recompute, never the whole vertex set
+    assert(trace.length == 3 && trace.forall(_ < 11), s"wavefront $trace")
+  }
+
+  test("insert-delta growth: empty delta reproduces the stored rounds") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (2L, 3L), (7L, 8L))
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val trace = scala.collection.mutable.Buffer.empty[Long]
+    val got = HyperBall.ballSizesGrowFrom(
+      HyperBall.registerRounds(base.toDF("src", "dst"), 2),
+      base.toDF("src", "dst"), empty, 2, includeZero = true,
+      trace = Some(trace)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = HyperBall.ballSizes(base.toDF("src", "dst"), 2,
+      includeZero = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && trace == Seq(0L, 0L))
+  }
+
   test("degenerate inputs: empty graph and self-loops-only") {
     import spark.implicits._
     assert(HyperBall.ballSizes(
