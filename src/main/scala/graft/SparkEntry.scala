@@ -240,14 +240,14 @@ object SparkEntry {
       .coalesce(s.sparkContext.defaultParallelism))
 
   // q211 + q215 + q232 + q237 + q238 + q239 + q242 + q248 + q253 +
-  // q254 + q255 + q256 + q257 + q258 (+1 slack per the sequencing
-  // contract): all resolve the IDENTICAL changelog over the tagged
-  // C10 edge set (cdcChangelog reads only src/dst/tag) — ONE
-  // 4-trigger keyed-state replay, fourteen maintenance consumers
+  // q254 + q255 + q256 + q257 + q258 + q264 (+1 slack per the
+  // sequencing contract): all resolve the IDENTICAL changelog over
+  // the tagged C10 edge set (cdcChangelog reads only src/dst/tag) —
+  // ONE 4-trigger keyed-state replay, fifteen maintenance consumers
   // (triangles, MSF, coreness, trussness, communities, landmarks,
   // densest, bipartiteness, warm PageRank, warm HITS, HyperBall,
-  // distance distribution, harmonic, clustering)
-  private val c10CdcMemo = new CrossQueryMemo(15, (s, dir) =>
+  // distance distribution, harmonic, clustering, assortativity)
+  private val c10CdcMemo = new CrossQueryMemo(16, (s, dir) =>
     graft.streaming.StreamingOps.replayEdgeCdc(cdcChangelog(
       c10Fixture(s, dir).withColumn("tag", edgeTag))))
 
@@ -2995,6 +2995,21 @@ object SparkEntry {
       graft.operators.HyperBall.ballSizesGrowFrom(
         graft.operators.HyperBall.registerRounds(base, 3), base, inserts, 3)
     }),
+    // ALGEBRAICALLY MAINTAINED ASSORTATIVITY — a third maintenance
+    // pattern beside the carve-out and the systolic growth: the
+    // statistic is a closed-form function of four exact-integer sums,
+    // and a delta perturbs only terms whose endpoint degrees changed —
+    // old incident terms subtract, net incident terms add, everything
+    // else cancels exactly. Work ∝ Σ degree over delta endpoints; no
+    // component discipline, no full edge scan. The oracle recomputes
+    // the whole statistic from the NET edge set
+    "q264_cdc_maintained_assortativity" -> ((s, dir) => {
+      val (base, inserts, deletes) = c10CdcSplits(s, dir)
+      graft.operators.DegreeMetrics.assortativityMaintain(
+        graft.operators.DegreeMetrics.undirectedDegrees(base),
+        graft.operators.DegreeMetrics.assortativity(base),
+        base, inserts, deletes)
+    }),
     // PERSISTED PERCEPTUAL-HASH IMAGE INDEX (the q243 dedup-index
     // lifecycle applied to the MULTIMODAL family): the corpus images
     // (doc_id % 10 != 7) decode + aHash ONCE into the cp-PARTITIONED
@@ -4420,8 +4435,10 @@ object SparkEntry {
         "wd AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM " +
         "(SELECT v, COUNT(*) AS d FROM (SELECT x AS v FROM c UNION ALL SELECT y FROM c) GROUP BY v)) " +
         "SELECT n_triangles, n_wedges, ROUND(3.0 * n_triangles / n_wedges, 6) AS transitivity FROM t, wd")
-    val assortativitySql =
-      (s"WITH c AS ($copurchase10), " +
+    // parameterized by the edge CTE — serves the full statistic (q63)
+    // and the algebraically maintained one (q264, the NET edge set)
+    def assortativitySqlFor(cSql: String): String =
+      (s"WITH c AS ($cSql), " +
         "sym AS (SELECT x AS u, y AS v FROM c UNION SELECT y, x FROM c), " +
         "deg AS (SELECT u AS id, COUNT(*) AS d FROM sym GROUP BY u), " +
         "mo AS (SELECT COUNT(*) AS m, CAST(SUM(j.d * k.d) AS BIGINT) AS s_jk, " +
@@ -4430,6 +4447,7 @@ object SparkEntry {
         "SELECT m, s_jk, s_j, s_j2, " +
         "ROUND(CAST(m * s_jk - s_j * s_j AS DOUBLE) / CAST(m * s_j2 - s_j * s_j AS DOUBLE), 6) " +
         "AS assortativity FROM mo")
+    val assortativitySql = assortativitySqlFor(copurchase10)
     // personalized PageRank: q54's unrolled pattern with the teleport
     // term masked to the single source vertex
     val pprSql = {
@@ -5554,6 +5572,9 @@ object SparkEntry {
       // grown registers ≡ the cold rounds over the WHOLE C10 (base ∪
       // tag-8 inserts) — q220's oracle verbatim
       "q263_hyperball_grown" -> hyperballSql,
+      // maintained moments ≡ the cold statistic over the net edge set
+      "q264_cdc_maintained_assortativity" ->
+        assortativitySqlFor(netCopurchase10),
       "q234_streaming_hyperball_r2" -> hyperballR2Sql,
       "q227_streaming_hyperball" -> hyperballT1Sql,
       "q228_corpus_overlap" -> corpusOverlapSql,

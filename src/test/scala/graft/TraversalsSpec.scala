@@ -79,6 +79,44 @@ class TraversalsSpec extends SparkTestBase {
     assert(math.abs(r2 + 1.0) < 1e-9)
   }
 
+  test("assortativityMaintain: algebraic delta equals the cold net statistic") {
+    def row(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    }
+    // a seeded random graph, then a mixed delta: genuine inserts, a
+    // duplicate insert (no-op), genuine deletes, an absent delete
+    // (no-op), and a tombstone-wins pair (same edge inserted+deleted)
+    val rnd = new scala.util.Random(7)
+    val base = (1 to 40).map { _ =>
+      val a = rnd.nextInt(15).toLong; var b = rnd.nextInt(15).toLong
+      if (a == b) b = (a + 1) % 15
+      (math.min(a, b), math.max(a, b))
+    }.distinct
+    val ins = Seq((20L, 21L), (1L, 20L), base.head, (30L, 31L))
+    val del = Seq(base(1), base(2), (40L, 41L), (30L, 31L))
+    val net = (base ++ ins).distinct.filterNot(del.contains)
+    val trace = scala.collection.mutable.Buffer.empty[Long]
+    val got = row(DegreeMetrics.assortativityMaintain(
+      DegreeMetrics.undirectedDegrees(edgeDf(base)),
+      DegreeMetrics.assortativity(edgeDf(base)),
+      edgeDf(base), edgeDf(ins), edgeDf(del), trace = Some(trace)))
+    val want = row(DegreeMetrics.assortativity(edgeDf(net)))
+    assert(got == want, s"got $got want $want")
+    // work confinement: only delta endpoints are touched, never the
+    // whole vertex set (no-op delta legs must not inflate it)
+    assert(trace.head <= 8, s"touched ${trace.head}")
+    // empty delta: zero touched, bit-equal pass-through of the moments
+    val e = edgeDf(Seq.empty[(Long, Long)])
+    val t2 = scala.collection.mutable.Buffer.empty[Long]
+    assert(row(DegreeMetrics.assortativityMaintain(
+      DegreeMetrics.undirectedDegrees(edgeDf(base)),
+      DegreeMetrics.assortativity(edgeDf(base)),
+      edgeDf(base), e, e, trace = Some(t2))) ==
+      row(DegreeMetrics.assortativity(edgeDf(base))))
+    assert(t2 == Seq(0L))
+  }
+
   test("maximalIndependentSet: independent, maximal, deterministic") {
     val rnd = new scala.util.Random(11)
     for (trial <- 1 to 5) {
