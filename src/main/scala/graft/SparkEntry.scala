@@ -240,14 +240,15 @@ object SparkEntry {
       .coalesce(s.sparkContext.defaultParallelism))
 
   // q211 + q215 + q232 + q237 + q238 + q239 + q242 + q248 + q253 +
-  // q254 + q255 + q256 + q257 + q258 + q264 (+1 slack per the
+  // q254 + q255 + q256 + q257 + q258 + q264 + q265 (+1 slack per the
   // sequencing contract): all resolve the IDENTICAL changelog over
   // the tagged C10 edge set (cdcChangelog reads only src/dst/tag) —
-  // ONE 4-trigger keyed-state replay, fifteen maintenance consumers
+  // ONE 4-trigger keyed-state replay, sixteen maintenance consumers
   // (triangles, MSF, coreness, trussness, communities, landmarks,
   // densest, bipartiteness, warm PageRank, warm HITS, HyperBall,
-  // distance distribution, harmonic, clustering, assortativity)
-  private val c10CdcMemo = new CrossQueryMemo(16, (s, dir) =>
+  // distance distribution, harmonic, clustering, assortativity,
+  // transitivity)
+  private val c10CdcMemo = new CrossQueryMemo(17, (s, dir) =>
     graft.streaming.StreamingOps.replayEdgeCdc(cdcChangelog(
       c10Fixture(s, dir).withColumn("tag", edgeTag))))
 
@@ -3010,6 +3011,19 @@ object SparkEntry {
         graft.operators.DegreeMetrics.assortativity(base),
         base, inserts, deletes)
     }),
+    // MAINTAINED TRANSITIVITY — two maintenance patterns COMPOSED in
+    // one statistic: the triangle count updated by the q211
+    // wedge-closing deltas (created − destroyed, certification
+    // recounts dropped), the wedge count by the q264 algebraic
+    // endpoint-degree patch; identical integers in, bit-equal readout
+    // out. The oracle recomputes both from the NET edge set
+    "q265_cdc_maintained_transitivity" -> ((s, dir) => {
+      val (base, inserts, deletes) = c10CdcSplits(s, dir)
+      Triangles.transitivityMaintain(
+        Triangles.transitivity(base),
+        graft.operators.DegreeMetrics.undirectedDegrees(base),
+        base, inserts, deletes)
+    }),
     // PERSISTED PERCEPTUAL-HASH IMAGE INDEX (the q243 dedup-index
     // lifecycle applied to the MULTIMODAL family): the corpus images
     // (doc_id % 10 != 7) decode + aHash ONCE into the cp-PARTITIONED
@@ -4427,14 +4441,17 @@ object SparkEntry {
         "OR (SELECT SUM(dist) FROM d17) <> (SELECT SUM(dist) FROM d18)"
     }
     // transitivity & assortativity: exact integer moments, one final division
-    val transitivitySql =
-      (s"WITH c AS ($copurchase10), " +
+    // parameterized by the edge CTE — serves the full statistic (q62)
+    // and the maintained composition (q265, the NET edge set)
+    def transitivitySqlFor(cSql: String): String =
+      (s"WITH c AS ($cSql), " +
         s"t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles $triangleJoin), " +
         // `//` (integer division; d*(d-1) is even) keeps the sum exact past
         // 2^53 wedges, matching the Spark side's `div`
         "wd AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM " +
         "(SELECT v, COUNT(*) AS d FROM (SELECT x AS v FROM c UNION ALL SELECT y FROM c) GROUP BY v)) " +
         "SELECT n_triangles, n_wedges, ROUND(3.0 * n_triangles / n_wedges, 6) AS transitivity FROM t, wd")
+    val transitivitySql = transitivitySqlFor(copurchase10)
     // parameterized by the edge CTE — serves the full statistic (q63)
     // and the algebraically maintained one (q264, the NET edge set)
     def assortativitySqlFor(cSql: String): String =
@@ -5575,6 +5592,8 @@ object SparkEntry {
       // maintained moments ≡ the cold statistic over the net edge set
       "q264_cdc_maintained_assortativity" ->
         assortativitySqlFor(netCopurchase10),
+      "q265_cdc_maintained_transitivity" ->
+        transitivitySqlFor(netCopurchase10),
       "q234_streaming_hyperball_r2" -> hyperballR2Sql,
       "q227_streaming_hyperball" -> hyperballT1Sql,
       "q228_corpus_overlap" -> corpusOverlapSql,

@@ -135,30 +135,41 @@ object Triangles {
     * with n_total = n_old + n_new ≡ the full graph's triangle count —
     * the identity the q187 oracle hash-checks from the full edge set.
     */
-  def deltaTriangles(oldEdges: DataFrame, delta: DataFrame): DataFrame = {
-    def canon(df: DataFrame) = df.select(
-        least(col("src"), col("dst")).cast("long").as("x"),
-        greatest(col("src"), col("dst")).cast("long").as("y"))
-      .where(col("x") =!= col("y")).distinct()
-    val o = canon(oldEdges).cutLineage()
-    val dNew = canon(delta).join(o, Seq("x", "y"), "left_anti").cutLineage()
-    val full = o.unionByName(dNew).cutLineage()
+  private def canonXY(df: DataFrame) = df.select(
+      least(col("src"), col("dst")).cast("long").as("x"),
+      greatest(col("src"), col("dst")).cast("long").as("y"))
+    .where(col("x") =!= col("y")).distinct()
+
+  /** ONE-ROW count of the distinct triangles of `full` (canonical
+    * (x, y) pairs) that contain at least one `targets` edge — the
+    * wedge-closing enumeration shared by [[deltaTriangles]],
+    * [[decrementalTriangles]] and [[transitivityMaintain]]: join each
+    * target edge's endpoints against the symmetrized adjacency, the
+    * candidates ARE the common neighbors (the deg(x)·deg(y) cross
+    * product never materializes), canonical-triple distinct collapses
+    * a triangle surfacing through 2–3 target edges to one row.
+    */
+  private def closedThrough(full: DataFrame, targets: DataFrame,
+                            out: String): DataFrame = {
     val sym = full.select(col("x").as("a"), col("y").as("b"))
       .unionByName(full.select(col("y").as("a"), col("x").as("b")))
-    // common neighbors of each new edge's endpoints: join keyed on the
-    // endpoint then on (other endpoint, w) — candidates ARE the common
-    // neighbors, the deg(x)·deg(y) cross product never materializes
-    val cands = dNew
+    targets
       .join(sym.toDF("x", "w"), Seq("x"))
       .join(sym.toDF("y", "w"), Seq("y", "w"))
-    val tri = cands
       .select(least(col("x"), col("y"), col("w")).as("ta"),
         (col("x") + col("y") + col("w")
           - least(col("x"), col("y"), col("w"))
           - greatest(col("x"), col("y"), col("w"))).as("tb"),
         greatest(col("x"), col("y"), col("w")).as("tc"))
       .distinct()
-    val nNew = tri.agg(count(lit(1)).as("n_new"))
+      .agg(count(lit(1)).as(out))
+  }
+
+  def deltaTriangles(oldEdges: DataFrame, delta: DataFrame): DataFrame = {
+    val o = canonXY(oldEdges).cutLineage()
+    val dNew = canonXY(delta).join(o, Seq("x", "y"), "left_anti").cutLineage()
+    val full = o.unionByName(dNew).cutLineage()
+    val nNew = closedThrough(full, dNew, "n_new")
     val nOld = globalCount(o.select(col("x").as("src"), col("y").as("dst")))
       .select(col("triangles").as("n_old"))
     nOld.crossJoin(nNew)
@@ -182,30 +193,81 @@ object Triangles {
     * oracle hash-checks by recounting both edge sets.
     */
   def decrementalTriangles(oldEdges: DataFrame, deleted: DataFrame): DataFrame = {
-    def canon(df: DataFrame) = df.select(
-        least(col("src"), col("dst")).cast("long").as("x"),
-        greatest(col("src"), col("dst")).cast("long").as("y"))
-      .where(col("x") =!= col("y")).distinct()
-    val o = canon(oldEdges).cutLineage()
-    val d = canon(deleted).join(o, Seq("x", "y"), "left_semi").cutLineage()
-    val sym = o.select(col("x").as("a"), col("y").as("b"))
-      .unionByName(o.select(col("y").as("a"), col("x").as("b")))
-    val cands = d
-      .join(sym.toDF("x", "w"), Seq("x"))
-      .join(sym.toDF("y", "w"), Seq("y", "w"))
-    val tri = cands
-      .select(least(col("x"), col("y"), col("w")).as("ta"),
-        (col("x") + col("y") + col("w")
-          - least(col("x"), col("y"), col("w"))
-          - greatest(col("x"), col("y"), col("w"))).as("tb"),
-        greatest(col("x"), col("y"), col("w")).as("tc"))
-      .distinct()
-    val nDel = tri.agg(count(lit(1)).as("n_destroyed"))
+    val o = canonXY(oldEdges).cutLineage()
+    val d = canonXY(deleted).join(o, Seq("x", "y"), "left_semi").cutLineage()
+    val nDel = closedThrough(o, d, "n_destroyed")
     val nOld = globalCount(o.select(col("x").as("src"), col("y").as("dst")))
       .select(col("triangles").as("n_old"))
     nOld.crossJoin(nDel)
       .select(col("n_old"), col("n_destroyed"),
         (col("n_old") - col("n_destroyed")).as("n_remaining"))
+  }
+
+  /** MAINTAINED TRANSITIVITY — the q62 global clustering ratio updated
+    * from the stored `(n_triangles, n_wedges, transitivity)` row and
+    * degree table by COMPOSING two maintenance patterns:
+    *
+    *   triangles — the wedge-closing deltas ([[deltaTriangles]] /
+    *     [[decrementalTriangles]] without their certification
+    *     recounts): created = grown-graph triangles containing an
+    *     actually-added edge, destroyed = grown-graph triangles
+    *     containing an actually-removed edge; a triangle both created
+    *     and destroyed cancels exactly, so
+    *     n_net = n_old + created − destroyed. Work ∝
+    *     Σ_delta (deg(x) + deg(y)).
+    *   wedges — the algebraic delta ([[DegreeMetrics
+    *     .assortativityMaintain]]'s pattern): Σ C(d, 2) changes only
+    *     at delta endpoints, so the stored sum is patched by
+    *     Σ_touched (C(d_net, 2) − C(d_old, 2)) in exact integers.
+    *
+    * Identical integers in ⇒ the readout double is bit-equal to a
+    * cold [[transitivity]] over the net graph. `oldDegrees` =
+    * [[DegreeMetrics.undirectedDegrees]] of `oldEdges` (the canonical
+    * endpoint count — the same degree [[transitivity]] derives);
+    * tombstone-wins, re-insert and absent-delete no-ops fall out of
+    * the set-difference resolution. `trace` records the
+    * touched-vertex count.
+    */
+  def transitivityMaintain(oldStats: DataFrame, oldDegrees: DataFrame,
+                           oldEdges: DataFrame, inserts: DataFrame,
+                           deletes: DataFrame,
+                           trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+    val o = canonXY(oldEdges).cutLineage()
+    val insEff = canonXY(inserts).join(o, Seq("x", "y"), "left_anti")
+      .cutLineage()
+    val grown = o.unionByName(insEff).cutLineage()
+    val delEff = canonXY(deletes).join(grown, Seq("x", "y"), "left_semi")
+      .cutLineage()
+    val created = closedThrough(grown, insEff, "n_created")
+    val destroyed = closedThrough(grown, delEff, "n_destroyed")
+    // the q264 endpoint-degree patch: added/removed vs the NET set, so
+    // an edge inserted and deleted in the same changelog touches no one
+    val net = grown.join(delEff, Seq("x", "y"), "left_anti").cutLineage()
+    val added = net.join(o, Seq("x", "y"), "left_anti")
+    val removed = o.join(net, Seq("x", "y"), "left_anti")
+    def ends(p: DataFrame) =
+      p.select(col("x").as("id")).unionByName(p.select(col("y").as("id")))
+    val touched = ends(added).unionByName(ends(removed)).distinct()
+      .cutLineage()
+    trace.foreach(_ += touched.count())
+    val dAdj = ends(added).groupBy("id").agg(count(lit(1)).as("plus"))
+      .join(ends(removed).groupBy("id").agg(count(lit(1)).as("minus")),
+        Seq("id"), "full")
+    val wedgeDelta = touched
+      .join(oldDegrees.toDF("id", "d0"), Seq("id"), "left")
+      .join(dAdj, Seq("id"), "left")
+      .select(coalesce(col("d0"), lit(0L)).as("d_old"),
+        (coalesce(col("d0"), lit(0L)) + coalesce(col("plus"), lit(0L))
+          - coalesce(col("minus"), lit(0L))).as("d_net"))
+      .agg(coalesce(sum(expr("d_net * (d_net - 1) div 2 - d_old * (d_old - 1) div 2")),
+        lit(0L)).as("w_delta"))
+    oldStats.select(col("n_triangles").as("t_0"), col("n_wedges").as("w_0"))
+      .crossJoin(created).crossJoin(destroyed).crossJoin(wedgeDelta)
+      .select((col("t_0") + col("n_created") - col("n_destroyed")).as("n_triangles"),
+        (col("w_0") + col("w_delta")).as("n_wedges"))
+      .select(col("n_triangles"), col("n_wedges"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("transitivity"))
   }
 
   /** Per-vertex triangle counts, vertices with ≥1 triangle. */

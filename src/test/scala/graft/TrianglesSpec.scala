@@ -218,6 +218,43 @@ class TrianglesSpec extends SparkTestBase {
     assert(cmap(Triangles.clusteringMaintain(oldC, base, e, e)) == cmap(oldC))
   }
 
+  test("transitivityMaintain: composed deltas equal the cold net statistic") {
+    import spark.implicits._
+    def row(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    def cold(es: Seq[(Long, Long)]) =
+      row(Triangles.transitivity(es.toDF("src", "dst")))
+    def maintained(base: Seq[(Long, Long)], ins: Seq[(Long, Long)],
+                   del: Seq[(Long, Long)],
+                   trace: Option[scala.collection.mutable.Buffer[Long]] = None) =
+      row(Triangles.transitivityMaintain(
+        Triangles.transitivity(base.toDF("src", "dst")),
+        graft.operators.DegreeMetrics.undirectedDegrees(base.toDF("src", "dst")),
+        base.toDF("src", "dst"), ins.toDF("src", "dst"),
+        del.toDF("src", "dst"), trace))
+    // base: K4 on 1..4 + a path 5-6-7; delta: close (5,7) into a
+    // triangle, break the K4 by deleting (1,2) (destroys 2 triangles),
+    // re-insert a present edge (no-op), delete an absent edge (no-op),
+    // and insert+delete the same edge (tombstone-wins no-op)
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val base = k4 ++ Seq((5L, 6L), (6L, 7L))
+    val ins = Seq((5L, 7L), (3L, 4L), (8L, 9L))
+    val del = Seq((1L, 2L), (20L, 21L), (8L, 9L))
+    val net = (base ++ Seq((5L, 7L))).filterNot(_ == (1L, 2L))
+    val trace = scala.collection.mutable.Buffer.empty[Long]
+    assert(maintained(base, ins, del, Some(trace)) == cold(net))
+    // touched = {1,2} ∪ {5,7} — the no-op legs never touch a vertex
+    assert(trace == Seq(4L), s"touched $trace")
+    // a triangle both created and destroyed in the same delta cancels:
+    // close (5,7) AND delete (6,7)
+    assert(maintained(base, Seq((5L, 7L)), Seq((6L, 7L))) ==
+      cold(base.filterNot(_ == (6L, 7L)) ++ Seq((5L, 7L))))
+    // empty delta: pure pass-through
+    assert(maintained(base, Seq.empty, Seq.empty) == cold(base))
+  }
+
   test("butterflies: exact 2x2 biclique count, side-invariant, zero on a star") {
     import spark.implicits._
     // K(2,3): left {1,2} x right {10,20,30} — butterflies = C(3,2) = 3
