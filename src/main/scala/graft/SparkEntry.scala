@@ -236,7 +236,7 @@ object SparkEntry {
   // stored-labels production path the operators' `labels` param
   // exists for, the q209 msfMemo discipline)
   private val c10SuperLabelsMemo = new CrossQueryMemo(11, (s, dir) =>
-    ConnectedComponents.iterative(c10Fixture(s, dir))
+    ConnectedComponents.auto(c10Fixture(s, dir))
       .coalesce(s.sparkContext.defaultParallelism))
 
   // q211 + q215 + q232 + q237 + q238 + q239 + q242 + q248 + q253 +
@@ -1972,7 +1972,7 @@ object SparkEntry {
     "q186_incremental_cc" -> ((s, dir) => {
       val e = GraphFixtures.edgeStream(s, dir).select("src", "dst")
       val tag = pmod(xxhash64(col("src"), col("dst")), lit(10L))
-      val labels = ConnectedComponents.iterative(e.where(tag =!= 7))
+      val labels = ConnectedComponents.auto(e.where(tag =!= 7))
       ConnectedComponents.incremental(labels, e.where(tag === 7))
     }),
     // incremental triangle maintenance: triangles CREATED by a 10% edge
@@ -1996,7 +1996,7 @@ object SparkEntry {
     "q188_msf_structure" -> ((s, dir) => {
       val e = c10Fixture(s, dir)
       val msf = msfMemo(s, dir)
-      val cc = ConnectedComponents.iterative(e)
+      val cc = ConnectedComponents.auto(e)
       val nv = cc.groupBy("component").agg(count("*").as("n_vertices"))
       val me = msf.join(cc, msf("u") === cc("id"))
         .groupBy("component").agg(count("*").as("e_cnt"))
@@ -2042,7 +2042,7 @@ object SparkEntry {
     "q191_decremental_cc" -> ((s, dir) => {
       val e = GraphFixtures.edgeStream(s, dir).select("src", "dst")
       val tag = edgeTag
-      val labels = ConnectedComponents.iterative(e)
+      val labels = ConnectedComponents.auto(e)
       ConnectedComponents.decremental(labels, e, e.where(tag === 3))
     }),
     // TRAINED quality classifier (the missing half of q182's stub
@@ -2232,7 +2232,7 @@ object SparkEntry {
       val inserts = fin.where(col("alive") === 1).select("src", "dst")
       val deletes = fin.where(col("alive") === 0).select("src", "dst")
       val base = te.where(col("tag") =!= 8).select("src", "dst")
-      val labels0 = ConnectedComponents.iterative(base)
+      val labels0 = ConnectedComponents.auto(base)
       val labels1 = ConnectedComponents.incremental(labels0, inserts)
       ConnectedComponents.decremental(labels1,
         base.unionByName(inserts), deletes)

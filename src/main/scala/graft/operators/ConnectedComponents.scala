@@ -31,6 +31,25 @@ object ConnectedComponents {
   def singlePass(edges: DataFrame): DataFrame =
     SummaryAggregations.connectedComponents(edges)
 
+  /** Scale-adaptive CC — the subroutine entry point: one count job
+    * decides between [[singlePass]] (per-task union-find buffer ∝
+    * vertices — the cheap path while the vertex set fits task memory;
+    * ≤ 2·edgeBar vertices by construction) and [[iterative]] (the
+    * shuffle-bound 100 TB path). Both paths share the exact (id,
+    * component = min member id) output contract (spec-pinned equal),
+    * so the choice is invisible to callers. The bar matches the
+    * louvainCompCore crossover (its 8.3M-vertex javaSer OOM is the
+    * measured ceiling; 2M vertices ≈ 1M edges of margin below it).
+    * Operators that ARE the iterative demonstration (q28) keep calling
+    * [[iterative]] directly.
+    */
+  def auto(edges: DataFrame, maxIter: Int = 50,
+           edgeBar: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).cutLineage()
+    if (e.count() <= edgeBar) singlePass(e) else iterative(e, maxIter)
+  }
+
   /** Scalable iterative CC. `edges`: (src, dst, …).
     *
     * Each round is hooking + shortcutting (the Shiloach–Vishkin 1982
@@ -124,7 +143,7 @@ object ConnectedComponents {
   def incremental(labels: DataFrame, delta: DataFrame, maxIter: Int = 50): DataFrame = {
     val stars = labels.select(col("id").cast("long").as("src"),
       col("component").cast("long").as("dst"))
-    iterative(stars.unionByName(delta.select(col("src").cast("long"),
+    auto(stars.unionByName(delta.select(col("src").cast("long"),
       col("dst").cast("long"))), maxIter)
   }
 
@@ -228,7 +247,7 @@ object ConnectedComponents {
                          subE: DataFrame, maxIter: Int): DataFrame = {
     val affVerts = lab.join(affected, Seq("component"), "left_semi")
       .select("id").cutLineage()
-    val recc = iterative(subE.select(col("a").as("src"), col("b").as("dst")),
+    val recc = auto(subE.select(col("a").as("src"), col("b").as("dst")),
       maxIter).toDF("id", "newc")
     val reassigned = affVerts.join(recc, Seq("id"), "left")
       .select(col("id"), coalesce(col("newc"), col("id")).as("component"))

@@ -48,7 +48,7 @@ private[operators] object Maintenance {
     val netC = oldC.unionByName(insC).distinct()
       .join(delC, Seq("u", "v"), "left_anti")
       .cutLineage()
-    val lbl = labels.getOrElse(ConnectedComponents.iterative(
+    val lbl = labels.getOrElse(ConnectedComponents.auto(
         oldC.unionByName(insC).distinct()
           .select(col("u").as("src"), col("v").as("dst"))))
       .select(col("id"), col("component"))

@@ -61,11 +61,64 @@ import org.apache.spark.sql.functions._
   */
 object SpanningForest {
 
+  /** Mergeable partial-MSF aggregation (local Kruskal then merge —
+    * MSF(A ∪ B) = MSF(MSF(A) ∪ MSF(B)), the red rule): the exact,
+    * deterministic collapse of [[boruvka]]'s remaining rounds once the
+    * inter-component edge set fits a task's memory. Input rows carry
+    * the CONTRACTED component keys (ca, cb) the union-find runs on and
+    * the original (u, v, w) the forest reports; both sides use the SAME
+    * (w, u, v) total order, so the result is the unique MSF of the
+    * contracted multigraph — bit-equal to what the remaining rounds
+    * would pick (MsfSpec pins boruvka ≡ in-JVM Kruskal).
+    */
+  private class KruskalAgg extends org.apache.spark.sql.expressions.Aggregator[
+      (Long, Long, Long, Long, Long), graft.summaries.KruskalForest, Seq[(Long, Long, Long)]] {
+    def zero = new graft.summaries.KruskalForest
+    def reduce(f: graft.summaries.KruskalForest,
+               e: (Long, Long, Long, Long, Long)): graft.summaries.KruskalForest = {
+      f.add(e._1, e._2, e._3, e._4, e._5); f
+    }
+    def merge(x: graft.summaries.KruskalForest,
+              y: graft.summaries.KruskalForest): graft.summaries.KruskalForest =
+      if (x.held >= y.held) x.mergeFrom(y) else y.mergeFrom(x)
+    def finish(f: graft.summaries.KruskalForest): Seq[(Long, Long, Long)] = f.forest
+    def bufferEncoder = graft.summaries.SummaryCodecs.kruskalForestEncoder
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long, Long)]]()
+  }
+
+  /** The unique MSF of a contracted multigraph via [[KruskalAgg]]:
+    * rows (cu, cv, u, v, w) → forest edges (u, v, w). One partial-agg
+    * pass, no rounds.
+    */
+  private def kruskalForest(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select(col("cu").cast("long"), col("cv").cast("long"),
+        col("u").cast("long"), col("v").cast("long"), col("w").cast("long"))
+      .as[(Long, Long, Long, Long, Long)]
+      .select(new KruskalAgg().toColumn.name("value"))
+      .select(explode(col("value")).as("e"))
+      .select(col("e._1").as("u"), col("e._2").as("v"), col("e._3").as("w"))
+  }
+
   /** Borůvka MSF. `edges`: (src, dst, weight) — direction ignored,
     * self-loops dropped, parallel edges collapsed to their min weight
     * (none of them can be in the MSF).
+    *
+    * `tailEdgeBar`: once the remaining inter-component edge set is at
+    * most this many rows, the remaining rounds collapse into ONE
+    * [[kruskalForest]] aggregation (MSF(G) = picked ∪ MSF(G/picked),
+    * and the contracted MSF is unique under the shared (w, u, v)
+    * order — bit-equal output, spec-pinned vs the round-only path).
+    * The distributed rounds remain the >bar path: a Kruskal buffer is
+    * per-task memory ∝ edges, the same 100 TB bound that gates the
+    * CC singlePass/iterative choice. The bar turns Borůvka's long
+    * latency-bound tail (rounds shrink geometrically, per-round job
+    * cost does not) into one partial-agg pass.
     */
-  def boruvka(edges: DataFrame, maxRounds: Int = 40): DataFrame = {
+  def boruvka(edges: DataFrame, maxRounds: Int = 40,
+              tailEdgeBar: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     // canonical dedup'd edges, each row carrying its endpoints' CURRENT
     // component labels (cu, cv) — initially the vertices themselves.
@@ -93,7 +146,7 @@ object SpanningForest {
 
     var round = 0
     var remaining = e.count()
-    while (remaining > 0 && round < maxRounds) {
+    while (remaining > tailEdgeBar && round < maxRounds) {
       // 1. min incident edge per component under total order (w,u,v)
       val out = e.select(col("cu").as("c"),
           struct(col("w"), col("u"), col("v"), col("cv").as("o")).as("cand"))
@@ -121,8 +174,11 @@ object SpanningForest {
       remaining = e.count()
       round += 1
     }
-    require(remaining == 0,
+    require(remaining <= tailEdgeBar,
       s"boruvka did not converge in $maxRounds rounds ($remaining inter-component edges left)")
+    // lazy: the tail aggregation executes once, when the caller consumes
+    // the forest (every call site checkpoints or sinks the result)
+    if (remaining > 0) picked += kruskalForest(e)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -228,7 +284,7 @@ object SpanningForest {
     val lab = labels
       .map(_.select(col("id").cast("long").as("id"),
         col("component").cast("long").as("component")))
-      .getOrElse(ConnectedComponents.iterative(
+      .getOrElse(ConnectedComponents.auto(
           f.select(col("u").as("src"), col("v").as("dst")))
         .toDF("id", "component"))
       .cutLineage()
@@ -373,7 +429,7 @@ object SpanningForest {
       .distinct()
     val cut = msf.where(col("w") <= tau)
       .select(col("u").as("src"), col("v").as("dst"))
-    val cc = ConnectedComponents.iterative(cut)
+    val cc = ConnectedComponents.auto(cut)
     verts.join(cc.toDF("id", "cluster"), Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }

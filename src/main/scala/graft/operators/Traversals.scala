@@ -678,7 +678,7 @@ object Traversals {
     val netSym = superSym
       .join(symmetrize(deletes), Seq("u", "v"), "left_anti")
       .cutLineage()
-    val lbl = labels.getOrElse(ConnectedComponents.iterative(
+    val lbl = labels.getOrElse(ConnectedComponents.auto(
         superSym.select(col("u").as("src"), col("v").as("dst"))))
       .select(col("id"), col("component"))
     val touched = inserts.select(col("src").cast("long").as("id"))
@@ -926,7 +926,7 @@ object Traversals {
     val emptySchema = Seq.empty[(Long, Long, Long, Long, Long, Long)]
       .toDF("component", "round", "n_vertices", "n_edges", "density_micro", "is_best")
     if (sym0.isEmpty) return emptySchema
-    val vcomp = labels.getOrElse(ConnectedComponents.iterative(
+    val vcomp = labels.getOrElse(ConnectedComponents.auto(
         sym0.select(col("u").as("src"), col("v").as("dst"))))
       .select(col("id"), col("component").as("cmp"))
     var sym = sym0.join(vcomp.toDF("u", "cmp"), Seq("u"))

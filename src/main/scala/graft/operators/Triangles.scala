@@ -562,7 +562,7 @@ object Triangles {
     val delE = canon(deletes)
     val superE = oldE.unionByName(insE).distinct().cutLineage()
     val netE = superE.join(delE, Seq("src", "dst"), "left_anti").cutLineage()
-    val lbl = labels.getOrElse(ConnectedComponents.iterative(superE))
+    val lbl = labels.getOrElse(ConnectedComponents.auto(superE))
       .select(col("id"), col("component"))
     val touched = insE.unionByName(delE)
       .select(col("src").as("id")).unionByName(

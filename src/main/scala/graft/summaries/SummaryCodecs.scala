@@ -43,6 +43,13 @@ object SummaryCodecs {
   /** Spanner adjacency as a canonical (src < dst) edge list. */
   final case class SpannerRows(k: Int, src: Array[Long], dst: Array[Long])
 
+  /** Partial MSF as parallel arrays: contracted keys (a, b) the
+    * union-find runs on plus the original (u, v, w) the forest reports.
+    * Compacted before encoding, so the wire format is ≤ forest-sized.
+    */
+  final case class ForestRows(a: Array[Long], b: Array[Long],
+      u: Array[Long], v: Array[Long], w: Array[Long])
+
   private def sortedKeys(m: scala.collection.mutable.LongMap[_]): Array[Long] = {
     val ids = new Array[Long](m.size)
     var i = 0
@@ -114,6 +121,31 @@ object SummaryCodecs {
     }
   }
 
+  class KruskalForestCodec extends Codec[KruskalForest, ForestRows] {
+    override def encode(f: KruskalForest): ForestRows = {
+      f.compact()
+      // result() consumes the builders — restore them so the buffer
+      // object stays usable if the runtime encodes mid-aggregation
+      val (aa, bb, uu, vv, ww) =
+        (f.a.result(), f.b.result(), f.u.result(), f.v.result(), f.w.result())
+      val restored = new KruskalForest
+      var i = 0
+      while (i < aa.length) {
+        restored.a += aa(i); restored.b += bb(i); restored.u += uu(i)
+        restored.v += vv(i); restored.w += ww(i); i += 1
+      }
+      f.a = restored.a; f.b = restored.b; f.u = restored.u
+      f.v = restored.v; f.w = restored.w
+      ForestRows(aa, bb, uu, vv, ww)
+    }
+    override def decode(r: ForestRows): KruskalForest = {
+      val f = new KruskalForest
+      var i = 0
+      while (i < r.a.length) { f.add(r.a(i), r.b(i), r.u(i), r.v(i), r.w(i)); i += 1 }
+      f
+    }
+  }
+
   private def transforming[B, S](codec: () => Codec[B, S])(
       implicit bt: scala.reflect.ClassTag[B], st: scala.reflect.runtime.universe.TypeTag[S]): Encoder[B] =
     ExpressionEncoder(
@@ -128,4 +160,8 @@ object SummaryCodecs {
 
   def adjacencyGraphEncoder: Encoder[AdjacencyGraph] =
     transforming[AdjacencyGraph, SpannerRows](() => new AdjacencyGraphCodec)
+
+  /** `KruskalForest` ⇔ struct of five packed long arrays. */
+  def kruskalForestEncoder: Encoder[KruskalForest] =
+    transforming[KruskalForest, ForestRows](() => new KruskalForestCodec)
 }

@@ -72,6 +72,25 @@ class MsfSpec extends SparkTestBase {
     assert(msf.nonEmpty)
   }
 
+  test("boruvka: tail-collapse A/B — rounds-only ≡ mid-collapse ≡ immediate collapse") {
+    // the r12 tail optimization (kruskalForest summary once the
+    // inter-component edge set is under tailEdgeBar) must be invisible:
+    // bar=0 forces the pure round path, the default bar collapses
+    // immediately at spec scale, bar=64 runs real rounds THEN collapses
+    // — all three must equal the in-JVM Kruskal edge set
+    val es = for {
+      i <- 0L until 400L
+      b = i % 2
+      u = b * 1000L + (i * 37L) % 60L
+      v = b * 1000L + (i * 61L + 13L) % 60L
+      w = (i * 2654435761L) % 16L
+    } yield (u, v, w)
+    val expect = kruskal(es)
+    assert(collectMsf(SpanningForest.boruvka(wEdgeDf(es), 40, tailEdgeBar = 0L)) == expect)
+    assert(collectMsf(SpanningForest.boruvka(wEdgeDf(es), 40, tailEdgeBar = 64L)) == expect)
+    assert(collectMsf(SpanningForest.boruvka(wEdgeDf(es))) == expect)
+  }
+
   test("singleLinkage: threshold identity against CC of filtered edges") {
     val es = for {
       i <- 0L until 200L

@@ -23,6 +23,25 @@ class SummarySpec extends SparkTestBase {
       (a, b)
     }
 
+  test("CC.auto: both sides of the size switch equal iterative and singlePass") {
+    // the r12 scale-adaptive subroutine entry point must be invisible:
+    // force each branch on the same multi-component graph and pin all
+    // four outputs equal
+    import spark.implicits._
+    val es = (for {
+      i <- 0L until 200L
+      b = i % 3
+    } yield (b * 500L + (i * 37L) % 40L, b * 500L + (i * 61L + 7L) % 40L))
+      .filter { case (a, b) => a != b }
+    val df = es.toDF("src", "dst")
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val it = m(ConnectedComponents.iterative(df))
+    assert(m(ConnectedComponents.singlePass(df)) == it)
+    assert(m(ConnectedComponents.auto(df)) == it) // small side: singlePass
+    assert(m(ConnectedComponents.auto(df, edgeBar = 0L)) == it) // forced iterative
+  }
+
   test("union-find result is invariant under edge order (100 seeded trials)") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 100) {
