@@ -77,7 +77,8 @@ object Communities {
     * (logarithmic on random priorities), fail-loud at `maxRounds`.
     */
   def greedyColoring(edges: DataFrame, maxRounds: Int = 100,
-                     trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+                     trace: Option[scala.collection.mutable.Buffer[Long]] = None,
+                     oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val spark = edges.sparkSession
     val sc = spark.sparkContext
     val before0 = sc.getPersistentRDDs.keySet
@@ -86,6 +87,14 @@ object Communities {
       .where(col("u") =!= col("v"))
       .distinct()
       .cutLineage()
+    // scale-adaptive: the parallel fixpoint EQUALS the sequential
+    // greedy in (prio31, id) order (the header's determinism contract),
+    // so under the one-task bar the sequential greedy computes the
+    // identical coloring in one job (spec-pinned A/B); the fused
+    // Jones–Plassmann rounds below remain the over-bar 100 TB path.
+    // `trace` callers (round-shape probes) always take the round path.
+    if (trace.isEmpty && sym.count() <= oneTaskBar)
+      return LocalGraph.coloringLocal(sym).select(col("id"), col("color"))
     def pr(c: org.apache.spark.sql.Column) =
       struct(graft.Portable.prio31(c).as("p"), c.as("i"))
     // dependency edges: u waits on its smaller-priority neighbors v —

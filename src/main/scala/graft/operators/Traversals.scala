@@ -50,6 +50,11 @@ object Traversals {
   private def bfsFromSym(sym: DataFrame, source: Long, maxIter: Int): DataFrame = {
     val spark = sym.sparkSession
     import spark.implicits._
+    // scale-adaptive: BFS levels are unique, so the one-task twin is
+    // bit-equal (incl. the silent maxIter truncation — failLoud=false)
+    if (sym.count() <= LocalGraph.SymRowBar)
+      return LocalGraph.multiBfsLocal(sym, Seq(source), maxIter,
+        "bfsDepths", failLoud = false).select(col("id"), col("dist"))
 
     // each frontier is materialized exactly ONCE; the settled set for the
     // anti-join is a lazy union over those cached levels, so the total
@@ -98,6 +103,12 @@ object Traversals {
     val lms = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("id").asc).limit(nLandmarks)
       .select(col("id").as("lm")).cutLineage()
+    // scale-adaptive: under the one-task bar the whole multi-source BFS
+    // is one job — distances are unique, the fail-loud ecc budget is
+    // mirrored, and the ≤nLandmarks collect is the audited scalar class
+    if (sym.count() <= LocalGraph.SymRowBar)
+      return LocalGraph.multiBfsLocal(sym,
+        lms.collect().map(_.getLong(0)).toSeq, maxIter, "landmarkDistances")
     var frontiers = List(
       lms.select(col("lm"), col("lm").as("id"), lit(0L).as("dist")).cutLineage())
     var depth = 0L
@@ -213,8 +224,18 @@ object Traversals {
     */
   def landmarkMaintainInserts(index: DataFrame, grownEdges: DataFrame,
                               inserts: DataFrame,
-                              maxIter: Int = 100): DataFrame = {
+                              maxIter: Int = 100,
+                              oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val sym = symmetrize(grownEdges).cutLineage()
+    // scale-adaptive: the maintained index is row-equal to a fresh BFS
+    // over the GROWN graph from the build-time landmarks (the q231/q239
+    // oracle identity), so under the one-task bar the multi-source BFS
+    // twin computes it in one job; the relaxation stays the 100 TB path
+    if (sym.count() <= oneTaskBar)
+      return LocalGraph.multiBfsLocal(sym,
+        index.select(col("lm").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq,
+        maxIter, "landmarkMaintainInserts")
     val dsym = symmetrize(inserts).cutLineage()
     val cur = index.select(col("lm").cast("long"), col("id").cast("long"),
       col("dist").cast("long")).cutLineage()
@@ -306,10 +327,21 @@ object Traversals {
     */
   def landmarkMaintainDeletes(index: DataFrame, oldEdges: DataFrame,
                               deletes: DataFrame,
-                              maxIter: Int = 100): DataFrame = {
+                              maxIter: Int = 100,
+                              oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val dsym = symmetrize(deletes).cutLineage()
     val symS = symmetrize(oldEdges).join(dsym, Seq("u", "v"), "left_anti")
       .cutLineage()
+    // scale-adaptive: the maintained index is row-equal to a fresh BFS
+    // over the SHRUNK graph from the build-time landmarks (the scaladoc
+    // contract the q236 oracle hash-checks), so under the one-task bar
+    // the BFS twin computes it in one job; cascade invalidation +
+    // boundary repair stay the 100 TB path
+    if (symS.count() <= oneTaskBar)
+      return LocalGraph.multiBfsLocal(symS,
+        index.select(col("lm").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq,
+        maxIter, "landmarkMaintainDeletes")
     var cur = index.select(col("lm").cast("long"), col("id").cast("long"),
       col("dist").cast("long")).cutLineage()
     // suspects: pairs whose dist rode a now-deleted edge
@@ -412,6 +444,10 @@ object Traversals {
       .groupBy("u", "v").agg(min("w").as("w"))
       .cutLineage()
 
+    // scale-adaptive: the one-task twin replays the identical
+    // round-synchronous frontier relaxation (same maxIter truncation)
+    if (sym.count() <= LocalGraph.SymRowBar)
+      return LocalGraph.ssspLocal(sym, source, maxIter)
     var dist = Seq((source, 0L)).toDF("id", "dist").cutLineage()
     // frontier = vertices whose distance improved last round. Only their
     // out-edges can improve anything next round, so each round relaxes
@@ -553,8 +589,16 @@ object Traversals {
     * budget is outlived; a silent one-sided truncation cannot happen.
     */
   def coreness(edges: DataFrame, maxRounds: Int = 200,
-               sortFree: Boolean = false): DataFrame = {
+               sortFree: Boolean = false,
+               oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val sym = symmetrize(edges).cutLineage()
+    // scale-adaptive: under the one-task bar the whole fixpoint is the
+    // Matula–Beck peel in a single job — the core decomposition is
+    // UNIQUE, so this is bit-equal to the round path (spec-pinned A/B);
+    // the distributed rounds below remain the over-bar 100 TB path
+    if (sym.count() <= oneTaskBar)
+      return LocalGraph.corenessLocal(sym)
+        .select(col("id"), col("coreness"))
     var c = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("h"))
       .cutLineage()
     // round 1 recomputes everyone (degrees are only the upper bound)
@@ -671,7 +715,8 @@ object Traversals {
                        labels: Option[DataFrame] = None,
                        maxRounds: Int = 200,
                        trace: Option[scala.collection.mutable.Buffer[Long]] = None,
-                       sortFree: Boolean = false): DataFrame = {
+                       sortFree: Boolean = false,
+                       oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val oldSym = symmetrize(oldEdges)
     val insSym = symmetrize(inserts)
     val superSym = oldSym.unionByName(insSym).distinct().cutLineage()
@@ -699,6 +744,14 @@ object Traversals {
     // test suffices
     val subSym = netSym.join(affVerts.toDF("u"), Seq("u"), "left_semi")
       .cutLineage()
+    // scale-adaptive: the capped-monotone iteration converges to the
+    // UNIQUE coreness of the affected induced subgraph from ANY upper
+    // bound (scaladoc proof), so under the one-task bar the Matula–Beck
+    // peel computes the identical values in one job — seeds and caps
+    // only speed the over-bar round path up, they never change it
+    if (subSym.count() <= oneTaskBar)
+      return passThrough.unionByName(
+        LocalGraph.corenessLocal(subSym).select(col("id"), col("coreness")))
     val bIns = insSym.where(col("u") < col("v")).count()
     val oldByIns = oldCore.select(col("id").cast("long").as("id"),
       (col("coreness").cast("long") + bIns).as("cap"))
@@ -1061,10 +1114,15 @@ object Traversals {
     */
   def temporalDeparture(tedges: DataFrame, target: Long, deadline: Long,
                         maxRounds: Int = 64,
-                        trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+                        trace: Option[scala.collection.mutable.Buffer[Long]] = None,
+                        oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val spark = tedges.sparkSession
     import spark.implicits._
-    val sym = symmetrizeTemporal(tedges)
+    val sym = symmetrizeTemporal(tedges).cutLineage()
+    // scale-adaptive: latest departures are the dual unique fixpoint —
+    // the one-task max-heap twin is bit-equal
+    if (trace.isEmpty && sym.count() <= oneTaskBar)
+      return LocalGraph.temporalDepartureLocal(sym, target, deadline)
     var lt = Seq((target, deadline)).toDF("id", "a").cutLineage()
     var changed = lt.select(col("id"))
     var moved = 1L
@@ -1114,10 +1172,16 @@ object Traversals {
     */
   def temporalBfs(tedges: DataFrame, source: Long, startT: Long = -1L,
                   maxRounds: Int = 64,
-                  trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+                  trace: Option[scala.collection.mutable.Buffer[Long]] = None,
+                  oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val spark = tedges.sparkSession
     import spark.implicits._
-    val sym = symmetrizeTemporal(tedges)
+    val sym = symmetrizeTemporal(tedges).cutLineage()
+    // scale-adaptive: earliest arrivals are a unique fixpoint — the
+    // one-task Dijkstra-by-arrival twin is bit-equal (trace callers
+    // probe round shape and always take the round path)
+    if (trace.isEmpty && sym.count() <= oneTaskBar)
+      return LocalGraph.temporalArrivalLocal(sym, source, startT)
     var arr = Seq((source, startT)).toDF("id", "a").cutLineage()
     var changed = arr.select(col("id"))
     var moved = 1L

@@ -505,13 +505,20 @@ object Triangles {
     * chain would pay (the k=3 enumeration repeated per level) happens
     * exactly ONCE, on the original graph.
     */
-  def trussness(c: DataFrame, kMax: Int = 6): DataFrame = {
+  def trussness(c: DataFrame, kMax: Int = 6,
+                oneTaskBar: Long = LocalGraph.SymRowBar / 2): DataFrame = {
     require(kMax >= 3, s"trussness: kMax must be >= 3, got $kMax")
     val edges = c.select(
         least(col("src"), col("dst")).cast("long").as("src"),
         greatest(col("src"), col("dst")).cast("long").as("dst"))
       .where(col("src") < col("dst")).distinct()
       .cutLineage()
+    // scale-adaptive: the k-truss is the unique maximal subgraph with
+    // support ≥ k−2, so under the one-task bar the in-JVM level peel
+    // yields the identical classes in one job (spec-pinned A/B); the
+    // distributed hybrid peel below remains the over-bar 100 TB path
+    if (edges.count() <= oneTaskBar)
+      return LocalGraph.trussnessLocal(edges, kMax)
     var sup = withSupport(edges)
     var parts = List.empty[DataFrame]
     for (k <- 3 to kMax) {

@@ -494,6 +494,12 @@ class TraversalsSpec extends SparkTestBase {
     val cSortFree = Traversals.coreness(c10, sortFree = true).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cSortFree == cAll)
+    // r12 scale-adaptive A/B: oneTaskBar = 0 forces the distributed
+    // h-index rounds; the default takes the one-task Matula–Beck peel —
+    // the core decomposition is unique, so both must be bit-equal
+    val cRounds = Traversals.coreness(c10, oneTaskBar = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cRounds == cAll)
   }
 
   test("corenessMaintain: delta-confined maintenance equals the full recompute") {
@@ -552,10 +558,17 @@ class TraversalsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got3 == Traversals.coreness(base).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap)
-    // fail-loud on an exhausted round budget
+    // r12 scale-adaptive A/B: forcing the distributed rounds
+    // (oneTaskBar = 0) must reproduce the one-task peel bit-for-bit
+    val gotRounds = Traversals.corenessMaintain(oldCore, base, inserts,
+        deletes, oneTaskBar = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotRounds == got)
+    // fail-loud on an exhausted round budget (a round-path contract —
+    // the one-task peel has no rounds to exhaust)
     intercept[IllegalArgumentException] {
       Traversals.corenessMaintain(oldCore, base, inserts, deletes,
-        maxRounds = 0)
+        maxRounds = 0, oneTaskBar = 0L)
     }
   }
 
@@ -598,7 +611,8 @@ class TraversalsSpec extends SparkTestBase {
     assert(got == Map(1L -> -1L, 2L -> 5L, 4L -> 7L, 5L -> 2L, 6L -> 6L,
       8L -> 1L, 9L -> 1L, 10L -> 2L), s"got $got")
     intercept[IllegalArgumentException] {
-      graft.operators.Traversals.temporalBfs(te, 1L, maxRounds = 1)
+      graft.operators.Traversals.temporalBfs(te, 1L, maxRounds = 1,
+        oneTaskBar = 0L)
     }
   }
 
@@ -617,7 +631,8 @@ class TraversalsSpec extends SparkTestBase {
     assert(got == Map(1L -> 100L, 2L -> 10L, 3L -> 9L, 4L -> 8L,
       5L -> 7L, 6L -> 2L, 7L -> 4L), s"got $got")
     intercept[IllegalArgumentException] {
-      graft.operators.Traversals.temporalDeparture(te, 1L, 100L, maxRounds = 1)
+      graft.operators.Traversals.temporalDeparture(te, 1L, 100L, maxRounds = 1,
+        oneTaskBar = 0L)
     }
   }
 
@@ -730,6 +745,13 @@ class TraversalsSpec extends SparkTestBase {
         idx, grown.toDF("src", "dst"), delta.toDF("src", "dst"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(maintained == bfsIndex(grown, lms))
+    // r12 scale-adaptive A/B: forcing the distributed relaxation
+    // (oneTaskBar = 0) must reproduce the one-task BFS twin bit-for-bit
+    val maintainedRounds = graft.operators.Traversals.landmarkMaintainInserts(
+        idx, grown.toDF("src", "dst"), delta.toDF("src", "dst"),
+        oneTaskBar = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(maintainedRounds == maintained)
     // a no-op delta (re-inserting existing edges) changes nothing
     val noop = graft.operators.Traversals.landmarkMaintainInserts(
         idx, edges, Seq((1L, 2L), (3L, 4L)).toDF("src", "dst"))
@@ -738,7 +760,8 @@ class TraversalsSpec extends SparkTestBase {
     // fail-loud when the relaxation budget is outlived mid-propagation
     intercept[IllegalArgumentException] {
       graft.operators.Traversals.landmarkMaintainInserts(
-        idx, grown.toDF("src", "dst"), delta.toDF("src", "dst"), maxIter = 1)
+        idx, grown.toDF("src", "dst"), delta.toDF("src", "dst"), maxIter = 1,
+        oneTaskBar = 0L)
     }
   }
 
@@ -778,10 +801,17 @@ class TraversalsSpec extends SparkTestBase {
     // multi-delete touching several landmarks' trees at once
     val multi = Seq((2L, 3L), (13L, 10L))
     assert(maintained(multi) == fresh(multi))
+    // r12 scale-adaptive A/B: the distributed cascade+repair path must
+    // reproduce the one-task BFS twin bit-for-bit
+    assert(graft.operators.Traversals.landmarkMaintainDeletes(
+        idx, edges, multi.toDF("src", "dst"), oneTaskBar = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      == maintained(multi))
     // fail-loud on an exhausted cascade/relaxation budget
     intercept[IllegalArgumentException] {
       graft.operators.Traversals.landmarkMaintainDeletes(
-        idx, edges, Seq((2L, 3L)).toDF("src", "dst"), maxIter = 1)
+        idx, edges, Seq((2L, 3L)).toDF("src", "dst"), maxIter = 1,
+        oneTaskBar = 0L)
     }
   }
 
