@@ -121,6 +121,14 @@ object Bench {
     }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"$keptField}"""
     println(line)
+    // the driver records only the last ~2 KB of stdout; at 265 queries
+    // the full line above is ~12 KB, so the driver's BENCH_rN.json has
+    // carried `parsed: null` since ~r09 (r12 verdict "what's wrong" #1).
+    // Emit a SECOND, compact, final line without the per-query map so
+    // the tail always contains a complete parseable summary; the full
+    // line and the sidecar keep the per-query record. Additions-only:
+    // the full line's format and the sidecar files are unchanged.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$fj,"sf":"$sfDir"$keptField}""")
     // a SPARK_GRAFT_ONLY dev run covers a PARTIAL query set: it must
     // never touch the canonical snapshot (the "changed query set
     // replaces" rule below would otherwise let a 3-query dev run

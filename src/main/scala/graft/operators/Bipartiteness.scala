@@ -80,7 +80,8 @@ object Bipartiteness {
     * working set while the others keep iterating. Returns
     * `(g, bipartite)` — verdict scalars, built driver-side.
     */
-  def iterativeByGroup(edges: DataFrame, maxIter: Int = 100): DataFrame = {
+  def iterativeByGroup(edges: DataFrame, maxIter: Int = 100,
+                       oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -90,6 +91,13 @@ object Bipartiteness {
         col("dst").cast("long"), col("src").cast("long")))
       .distinct()
       .cutLineage()
+
+    // scale-adaptive: per-group replay of the same 2-hop rounds,
+    // conflict checks and convergence defaults in one task — bit-equal
+    // verdicts by construction (spec A/B at oneTaskBar = 0); the fused
+    // keyed rounds remain the over-bar path.
+    if (sym.count() <= oneTaskBar)
+      return LocalCommunities.bipartiteByGroupLocal(sym, maxIter)
 
     var state = sym.select(col("g"), col("u").as("id")).distinct()
       .select(col("g"), col("id"), col("id").as("e"), lit(null).cast("long").as("o"))
@@ -179,15 +187,25 @@ object Bipartiteness {
     * key needs no separate CC pass; `labels` is accepted only for the
     * maintenance path's carve-out consistency and ignored here.
     */
-  def bipartitenessByComponent(edges: DataFrame, maxIter: Int = 100): DataFrame = {
+  def bipartitenessByComponent(edges: DataFrame, maxIter: Int = 100,
+                               oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val sym = edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
       .union(edges.select(col("dst").cast("long"), col("src").cast("long")))
       .distinct()
       .cutLineage()
-    if (sym.isEmpty)
+    val arcs = sym.count()
+    if (arcs == 0)
       return Seq.empty[(Long, Long)].toDF("component", "is_bipartite")
+    // scale-adaptive (the LocalGraph twin discipline): the parity-pair
+    // fixpoint is replayed round for round in one task (same monotone
+    // labels, same convergence detection, same maxIter budget), so the
+    // per-component verdicts are bit-equal by construction — spec A/B
+    // at oneTaskBar = 0; the propagation rounds remain the over-bar
+    // 100 TB path. One count replaces the isEmpty probe.
+    if (arcs <= oneTaskBar)
+      return LocalCommunities.bipartiteByComponentLocal(sym, maxIter)
     var state = sym.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("e"), lit(null).cast("long").as("o"))
       .cutLineage()
@@ -244,7 +262,8 @@ object Bipartiteness {
                             inserts: DataFrame, deletes: DataFrame,
                             maxIter: Int = 100,
                             labels: Option[DataFrame] = None,
-                            trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+                            trace: Option[scala.collection.mutable.Buffer[Long]] = None,
+                            oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val (netC, affVerts) =
       Maintenance.carve(oldEdges, inserts, deletes, labels, trace)
     // the component label is a vertex id inside the component — one
@@ -254,6 +273,6 @@ object Bipartiteness {
     // component-closed in the net graph: one endpoint test suffices
     val sub = netC.join(affVerts.toDF("u"), Seq("u"), "left_semi")
     passThrough.unionByName(bipartitenessByComponent(
-      sub.select(col("u").as("src"), col("v").as("dst")), maxIter))
+      sub.select(col("u").as("src"), col("v").as("dst")), maxIter, oneTaskBar))
   }
 }

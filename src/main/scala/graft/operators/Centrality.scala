@@ -73,9 +73,18 @@ object Centrality {
 
   /** (id, stress) for vertices with positive sampled stress. */
   def stressCentrality(edges: DataFrame, sources: Seq[Long],
-                       maxDepth: Int = 20): DataFrame = {
+                       maxDepth: Int = 20,
+                       oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     require(sources.nonEmpty, "stressCentrality: need at least one source")
     val sym = symmetrize(edges).cutLineage()
+    // scale-adaptive (the LocalGraph twin discipline): the forward σ
+    // layers and backward DAG path counts are exact integers from fixed
+    // sources, so the one-task replay is bit-equal by construction
+    // (spec A/B at oneTaskBar = 0); the layer rounds remain the
+    // over-bar 100 TB path. The maxDepth budget is mirrored exactly.
+    if (sym.count() <= oneTaskBar)
+      return LocalCentrality.centralityLocal(sym, sources, maxDepth, 0L,
+        LocalCentrality.Stress, "stressCentrality")
     val layers = forwardLayers(sym, sources, maxDepth, "stressCentrality")
 
     // backward: p = 0 on the deepest layer; one reverse join per layer.
@@ -122,9 +131,13 @@ object Centrality {
     * as the other sampled-centrality operators.
     */
   def harmonicCloseness(edges: DataFrame, sources: Seq[Long],
-                        maxDepth: Int = 20, scale: Long = 1000000L): DataFrame = {
+                        maxDepth: Int = 20, scale: Long = 1000000L,
+                        oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     require(sources.nonEmpty, "harmonicCloseness: need at least one source")
     val sym = symmetrize(edges).cutLineage()
+    if (sym.count() <= oneTaskBar)
+      return LocalCentrality.centralityLocal(sym, sources, maxDepth, scale,
+        LocalCentrality.Harmonic, "harmonicCloseness")
     val layers = forwardLayers(sym, sources, maxDepth, "harmonicCloseness")
     // layers is deepest-first: depth(layers(i)) = layers.length - 1 - i;
     // the depth-0 source layer contributes nothing (v == s there).
@@ -161,9 +174,13 @@ object Centrality {
     * stress products.
     */
   def betweennessCentrality(edges: DataFrame, sources: Seq[Long],
-                            maxDepth: Int = 20, scale: Long = 1000000L): DataFrame = {
+                            maxDepth: Int = 20, scale: Long = 1000000L,
+                            oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     require(sources.nonEmpty, "betweennessCentrality: need at least one source")
     val sym = symmetrize(edges).cutLineage()
+    if (sym.count() <= oneTaskBar)
+      return LocalCentrality.centralityLocal(sym, sources, maxDepth, scale,
+        LocalCentrality.Betweenness, "betweennessCentrality")
     val layers = forwardLayers(sym, sources, maxDepth, "betweennessCentrality")
 
     // backward: δµ = 0 on the deepest layer; each upper layer's vertices

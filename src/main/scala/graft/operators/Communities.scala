@@ -27,12 +27,20 @@ import org.apache.spark.sql.functions._
   */
 object Communities {
 
-  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int = 3,
+                       oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val sym = edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
       .union(edges.select(col("dst").cast("long"), col("src").cast("long")))
       .where(col("u") =!= col("v"))
       .distinct()
       .cutLineage()
+    // scale-adaptive (the greedyColoring discipline): the synchronous
+    // rounds are a pure function of the symmetric pair list, so under
+    // the one-task bar a single-task replay is bit-equal by
+    // construction (spec A/B at oneTaskBar = 0); the per-round
+    // join+agg+window rounds remain the over-bar 100 TB path.
+    if (sym.count() <= oneTaskBar)
+      return LocalCommunities.lpaLocal(sym, rounds)
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
       .cutLineage()
@@ -176,10 +184,17 @@ object Communities {
     * bounded top-1 window) plus two |C|-sized aggregates for the gate —
     * nothing touches more than one |E| join per term.
     */
-  def modularityRefine(edges: DataFrame, labels: DataFrame): DataFrame = {
+  def modularityRefine(edges: DataFrame, labels: DataFrame,
+                       oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val c = edges.select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
       .cutLineage()
     val m = c.count()
+    // one synchronous pass + gate = a pure function of (edge rows,
+    // labels); under the bar (sym rows ≤ 2m) the one-task replay is
+    // bit-equal by construction — spec A/B at oneTaskBar = 0
+    if (2 * m <= oneTaskBar)
+      return LocalCommunities.refineLocal(c,
+        labels.select(col("id"), col("label")))
     val sym = c.select(col("x").as("u"), col("y").as("v"))
       .union(c.select(col("y"), col("x")))
       .where(col("u") =!= col("v")).distinct()
@@ -244,16 +259,20 @@ object Communities {
     * [[modularityRefine]] shape; coarsening is one |E| relabel join +
     * keyed sum. Levels shrink geometrically, so level-2+ cost is noise.
     */
-  def louvain(edges: DataFrame, levels: Int = 2, movesPerLevel: Int = 2): DataFrame =
-    louvainDetail(edges, levels, movesPerLevel)._1
+  def louvain(edges: DataFrame, levels: Int = 2, movesPerLevel: Int = 2,
+              oneTaskBar: Long = LocalGraph.SymRowBar / 2): DataFrame =
+    louvainCore(unitGraph(edges), levels, movesPerLevel, leiden = false,
+      oneTaskBar)._1
 
   /** [[louvain]] plus the per-pass exact-integer modularity history
     * (4m²·Q per accepted pass, in pass order) — the spec's monotonicity
-    * probe.
+    * probe. Always the round path (the history is a per-pass driver
+    * record the one-task twin has no channel for).
     */
   private[graft] def louvainDetail(edges: DataFrame, levels: Int,
                                    movesPerLevel: Int): (DataFrame, Seq[Long]) =
-    louvainCore(unitGraph(edges), levels, movesPerLevel, leiden = false)
+    louvainCore(unitGraph(edges), levels, movesPerLevel, leiden = false,
+      oneTaskBar = 0L)
 
   /** [[louvain]] over a WEIGHTED edge list (src, dst, weight): parallel
     * edges sum their integer weights into the canonical graph, and the
@@ -263,16 +282,20 @@ object Communities {
     * weight < ~1.5e9 (the [[weightedModularity]] envelope).
     */
   def louvainWeighted(edges: DataFrame, levels: Int = 2,
-                      movesPerLevel: Int = 2): DataFrame =
-    louvainCore(weightedGraph(edges), levels, movesPerLevel, leiden = false)._1
+                      movesPerLevel: Int = 2,
+                      oneTaskBar: Long = LocalGraph.SymRowBar / 2): DataFrame =
+    louvainCore(weightedGraph(edges), levels, movesPerLevel, leiden = false,
+      oneTaskBar)._1
 
   /** [[louvainWeighted]] with the Leiden connectivity guarantee — the
     * full matrix point: weighted level-1 graph AND per-level component
     * splits, same exact-integer contracts as both parents.
     */
   def louvainLeidenWeighted(edges: DataFrame, levels: Int = 2,
-                            movesPerLevel: Int = 2): DataFrame =
-    louvainCore(weightedGraph(edges), levels, movesPerLevel, leiden = true)._1
+                            movesPerLevel: Int = 2,
+                            oneTaskBar: Long = LocalGraph.SymRowBar / 2): DataFrame =
+    louvainCore(weightedGraph(edges), levels, movesPerLevel, leiden = true,
+      oneTaskBar)._1
 
   /** Canonical unit-weight graph: u < v, distinct, w = 1. */
   private def unitGraph(edges: DataFrame): DataFrame =
@@ -299,7 +322,17 @@ object Communities {
     * coarsening. Takes the canonical weighted graph (u < v, integer w).
     */
   private def louvainCore(g0: DataFrame, levels: Int, movesPerLevel: Int,
-                          leiden: Boolean): (DataFrame, Seq[Long]) = {
+                          leiden: Boolean,
+                          oneTaskBar: Long = LocalGraph.SymRowBar / 2): (DataFrame, Seq[Long]) = {
+    // scale-adaptive: the fixed unroll (gated synchronous passes,
+    // optional Leiden refinement, coarsening) is a pure function of the
+    // canonical weighted graph, so under the bar (canonical rows ≈ half
+    // the symmetric-row bar) the one-task replay is bit-equal by
+    // construction (spec A/B at oneTaskBar = 0). The per-pass history
+    // is only produced by the round path (the Detail spec probes).
+    if (oneTaskBar > 0 && g0.count() <= oneTaskBar)
+      return (LocalCommunities.louvainLocal(g0, levels, movesPerLevel,
+        leiden, compLocal = false), Nil)
     var g = g0
     val m = g.agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
     var mapping = g.select(explode(array(col("u"), col("v"))).as("id")).distinct()
@@ -396,12 +429,15 @@ object Communities {
     * additionally records the post-refinement score per level, and the
     * refinement's never-decreases invariant is asserted fail-loud.
     */
-  def louvainLeiden(edges: DataFrame, levels: Int = 2, movesPerLevel: Int = 2): DataFrame =
-    louvainLeidenDetail(edges, levels, movesPerLevel)._1
+  def louvainLeiden(edges: DataFrame, levels: Int = 2, movesPerLevel: Int = 2,
+                    oneTaskBar: Long = LocalGraph.SymRowBar / 2): DataFrame =
+    louvainCore(unitGraph(edges), levels, movesPerLevel, leiden = true,
+      oneTaskBar)._1
 
   private[graft] def louvainLeidenDetail(edges: DataFrame, levels: Int,
                                          movesPerLevel: Int): (DataFrame, Seq[Long]) =
-    louvainCore(unitGraph(edges), levels, movesPerLevel, leiden = true)
+    louvainCore(unitGraph(edges), levels, movesPerLevel, leiden = true,
+      oneTaskBar = 0L)
 
   /** COMPONENT-LOCAL multi-level Louvain — [[louvain]]'s dynamics with
     * modularity evaluated PER CONNECTED COMPONENT (each component uses
@@ -433,8 +469,9 @@ object Communities {
     * the global version paid two scalar collects per pass.
     */
   def louvainByComponent(edges: DataFrame, levels: Int = 2,
-                         movesPerLevel: Int = 2): DataFrame =
-    louvainCompCore(unitGraph(edges), levels, movesPerLevel)
+                         movesPerLevel: Int = 2,
+                         oneTaskBar: Long = LocalGraph.SymRowBar / 2): DataFrame =
+    louvainCompCore(unitGraph(edges), levels, movesPerLevel, oneTaskBar)
 
   /** CDC-MAINTAINED communities — the maintenance-matrix leg for the
     * decomposition family's last member (coreness and trussness have
@@ -478,7 +515,8 @@ object Communities {
                       inserts: DataFrame, deletes: DataFrame,
                       levels: Int = 2, movesPerLevel: Int = 2,
                       labels: Option[DataFrame] = None,
-                      trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+                      trace: Option[scala.collection.mutable.Buffer[Long]] = None,
+                      oneTaskBar: Long = LocalGraph.SymRowBar / 2): DataFrame = {
     val (netC, affVerts) =
       Maintenance.carve(oldEdges, inserts, deletes, labels, trace)
     val passThrough = oldLabels
@@ -490,7 +528,7 @@ object Communities {
     val sub = netC.join(affVerts.toDF("u"), Seq("u"), "left_semi")
     val recomputed = louvainCompCore(
       sub.select(col("u"), col("v"), lit(1L).as("w")).cutLineage(),
-      levels, movesPerLevel)
+      levels, movesPerLevel, oneTaskBar)
     passThrough.unionByName(recomputed.toDF("id", "community"))
   }
 
@@ -502,7 +540,18 @@ object Communities {
     * vertex-id space.
     */
   private def louvainCompCore(g0: DataFrame, levels: Int,
-                              movesPerLevel: Int): DataFrame = {
+                              movesPerLevel: Int,
+                              oneTaskBar: Long = LocalGraph.SymRowBar / 2): DataFrame = {
+    // scale-adaptive: identical discipline to [[louvainCore]]'s gate —
+    // the component-local unroll is a pure function of the canonical
+    // weighted graph (components, per-component masses and gates are
+    // derived inside), so the one-task replay is bit-equal by
+    // construction; spec A/B at oneTaskBar = 0. The maintenance path's
+    // affected subgraphs stay under the bar and take the cheap leg,
+    // exactly as its carve-out scaladoc intends.
+    if (oneTaskBar > 0 && g0.count() <= oneTaskBar)
+      return LocalCommunities.louvainLocal(g0, levels, movesPerLevel,
+        leiden = false, compLocal = true)
     var g = g0.cutLineage()
     val ccEdges = g.where(col("u") =!= col("v"))
       .select(col("u").as("src"), col("v").as("dst"))

@@ -46,7 +46,12 @@ object ConnectedComponents {
   def auto(edges: DataFrame, maxIter: Int = 50,
            edgeBar: Long = 1000000L): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).cutLineage()
+      col("dst").cast("long").as("dst"))
+    // count the projection directly — no localCheckpoint copy of the
+    // full edge set just to decide the path (r12 advice: the over-bar
+    // leg paid an extra full materialization per call; [[iterative]]
+    // checkpoints its own symmetrized frame anyway, and the count's
+    // column pruning makes the probe a metadata-cheap scan)
     if (e.count() <= edgeBar) singlePass(e) else iterative(e, maxIter)
   }
 

@@ -52,9 +52,18 @@ object Hits {
     * auth_mu BIGINT) after `iters` rounds; vertices with no in-edges
     * carry auth_mu 0, vertices with no out-edges carry hub_mu 0.
     */
-  def fixedPoint(edges: DataFrame, iters: Int = 5): DataFrame = {
+  def fixedPoint(edges: DataFrame, iters: Int = 5,
+                 oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val e = edges
       .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+    // scale-adaptive (the LocalGraph twin discipline): the integer
+    // round map is a pure function of the arc multiset — under the
+    // one-task bar a single-task replay of the same rounds (same sparse
+    // row semantics, same truncating division) is bit-equal by
+    // construction (spec A/B at oneTaskBar = 0); the double-partitioned
+    // distributed rounds remain the over-bar 100 TB path.
+    if (e.count() <= oneTaskBar)
+      return LocalRank.hitsLocal(e, iters, None)
     // Static per-round join inputs, partitioned once per join key.
     // MEMORY BILL: the edge list is checkpointed TWICE (u-keyed and
     // v-keyed) — 2x edge-list storage, traded deliberately so every
@@ -129,9 +138,14 @@ object Hits {
     * production passes None and pays no per-round barrier).
     */
   def fixedPointFrom(edges: DataFrame, prev: DataFrame, iters: Int = 3,
-                     trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+                     trace: Option[scala.collection.mutable.Buffer[Long]] = None,
+                     oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val e = edges
       .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+    // `trace` callers (per-round Δ-sentinel probes) always take the
+    // round path — the twin has no per-round driver channel
+    if (trace.isEmpty && e.count() <= oneTaskBar)
+      return LocalRank.hitsLocal(e, iters, Some(prev))
     val eByU = e.repartition(col("u")).cutLineage()
     val eByV = e.repartition(col("v")).cutLineage()
     val verts = e.select(col("u").as("id")).union(e.select(col("v")))

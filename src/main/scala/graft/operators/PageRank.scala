@@ -36,9 +36,17 @@ object PageRank {
   /** `edges`: (src, dst, …) directed; returns (id BIGINT, rank BIGINT)
     * with rank in micro-units after `iters` rounds.
     */
-  def fixedPoint(edges: DataFrame, iters: Int = 10): DataFrame = {
+  def fixedPoint(edges: DataFrame, iters: Int = 10,
+                 oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val e = edges
       .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+    // scale-adaptive (the LocalGraph twin discipline): the integer round
+    // map is a pure function of the arc multiset, so under the one-task
+    // bar a single-task replay of the same rounds is bit-equal by
+    // construction (spec A/B at oneTaskBar = 0); the pre-partitioned
+    // distributed rounds remain the over-bar 100 TB path.
+    if (e.count() <= oneTaskBar)
+      return LocalRank.pageRankLocal(e, iters, None)
     val deg = e.groupBy("u").agg(count(lit(1)).as("outdeg"))
     // static per-round join input, partitioned once on the join key
     val eDeg = e.join(deg, "u").repartition(col("u")).cutLineage()
@@ -93,9 +101,14 @@ object PageRank {
     * only — production leaves it None and pays no per-round barrier).
     */
   def fixedPointFrom(edges: DataFrame, prev: DataFrame, iters: Int = 5,
-                     trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+                     trace: Option[scala.collection.mutable.Buffer[Long]] = None,
+                     oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val e = edges
       .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+    // `trace` callers (per-round Δ-sentinel probes) always take the
+    // round path — the twin has no per-round driver channel
+    if (trace.isEmpty && e.count() <= oneTaskBar)
+      return LocalRank.pageRankLocal(e, iters, Some(prev))
     val deg = e.groupBy("u").agg(count(lit(1)).as("outdeg"))
     val eDeg = e.join(deg, "u").repartition(col("u")).cutLineage()
     val verts = e.select(col("u").as("id")).union(e.select(col("v")))
@@ -140,9 +153,12 @@ object PageRank {
     * inbound sum is order-free. Same per-round plan as [[fixedPoint]];
     * the static edge list just carries (w, totw) columns.
     */
-  def weightedFixedPoint(edges: DataFrame, iters: Int = 10): DataFrame = {
+  def weightedFixedPoint(edges: DataFrame, iters: Int = 10,
+                         oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val e = edges.select(col("src").cast("long").as("u"),
       col("dst").cast("long").as("v"), col("value").cast("long").as("w"))
+    if (e.count() <= oneTaskBar)
+      return LocalRank.weightedPageRankLocal(e, iters)
     val tot = e.groupBy("u").agg(sum("w").as("totw"))
     val eW = e.join(tot, "u").where(col("totw") > 0)
       .repartition(col("u")).cutLineage()
@@ -175,9 +191,12 @@ object PageRank {
     *   r_{k+1}(v) = (15·SCALE div 100)·[v ∈ S]
     *              + (85 · Σ_{u→v} (r_k(u) div outdeg(u))) div 100
     */
-  def personalized(edges: DataFrame, sources: Seq[Long], iters: Int = 10): DataFrame = {
+  def personalized(edges: DataFrame, sources: Seq[Long], iters: Int = 10,
+                   oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val e = edges
       .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+    if (e.count() <= oneTaskBar)
+      return LocalRank.personalizedLocal(e, sources, iters)
     val deg = e.groupBy("u").agg(count(lit(1)).as("outdeg"))
     val eDeg = e.join(deg, "u").repartition(col("u")).cutLineage()
     val verts = e.select(col("u").as("id")).union(e.select(col("v")))

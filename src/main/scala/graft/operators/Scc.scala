@@ -48,7 +48,8 @@ object Scc {
     * singleton is an SCC with or without one). Returns (id, scc).
     */
   def stronglyConnectedComponents(edges: DataFrame, maxOuter: Int = 30,
-                                  maxInner: Int = 60): DataFrame = {
+                                  maxInner: Int = 60,
+                                  oneTaskBar: Long = LocalGraph.SymRowBar / 2): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -60,7 +61,7 @@ object Scc {
     // scale-adaptive: the SCC partition is unique and labels are min
     // member ids, so the one-task Tarjan twin is bit-equal; the
     // trim/fwd-bwd peel below stays the 100 TB path
-    if (e.count() <= LocalGraph.SymRowBar / 2)
+    if (e.count() <= oneTaskBar)
       return LocalGraph.sccLocal(e)
     var live = e.select(col("u").as("id")).union(e.select(col("v")))
       .distinct().cutLineage()

@@ -40,19 +40,21 @@ object Traversals {
     * of the source, each a constant number of shuffles — the standard
     * distributed-BFS cost model.
     */
-  def bfsDepths(edges: DataFrame, source: Long, maxIter: Int = 100): DataFrame =
-    bfsFromSym(symmetrize(edges).cutLineage(), source, maxIter)
+  def bfsDepths(edges: DataFrame, source: Long, maxIter: Int = 100,
+                oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame =
+    bfsFromSym(symmetrize(edges).cutLineage(), source, maxIter, oneTaskBar)
 
   /** BFS over an already-symmetrized, already-checkpointed `(u, v)` edge
     * set — lets multi-sweep compositions (diameter) pay the symmetrize
     * shuffle once.
     */
-  private def bfsFromSym(sym: DataFrame, source: Long, maxIter: Int): DataFrame = {
+  private def bfsFromSym(sym: DataFrame, source: Long, maxIter: Int,
+                         oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val spark = sym.sparkSession
     import spark.implicits._
     // scale-adaptive: BFS levels are unique, so the one-task twin is
     // bit-equal (incl. the silent maxIter truncation — failLoud=false)
-    if (sym.count() <= LocalGraph.SymRowBar)
+    if (sym.count() <= oneTaskBar)
       return LocalGraph.multiBfsLocal(sym, Seq(source), maxIter,
         "bfsDepths", failLoud = false).select(col("id"), col("dist"))
 
@@ -98,7 +100,8 @@ object Traversals {
     * pair.
     */
   def landmarkDistances(edges: DataFrame, nLandmarks: Int = 8,
-                        maxIter: Int = 100): DataFrame = {
+                        maxIter: Int = 100,
+                        oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val sym = symmetrize(edges).cutLineage()
     val lms = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("id").asc).limit(nLandmarks)
@@ -106,7 +109,7 @@ object Traversals {
     // scale-adaptive: under the one-task bar the whole multi-source BFS
     // is one job — distances are unique, the fail-loud ecc budget is
     // mirrored, and the ≤nLandmarks collect is the audited scalar class
-    if (sym.count() <= LocalGraph.SymRowBar)
+    if (sym.count() <= oneTaskBar)
       return LocalGraph.multiBfsLocal(sym,
         lms.collect().map(_.getLong(0)).toSeq, maxIter, "landmarkDistances")
     var frontiers = List(
@@ -408,12 +411,13 @@ object Traversals {
     * exactly two BFS runs. Output: one row
     * `(source, ecc_source, far_vertex, diameter_lb)`.
     */
-  def doubleSweepDiameter(edges: DataFrame, start: Long, maxIter: Int = 100): DataFrame = {
+  def doubleSweepDiameter(edges: DataFrame, start: Long, maxIter: Int = 100,
+                          oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val sym = symmetrize(edges).cutLineage()
-    val d1 = bfsFromSym(sym, start, maxIter)
+    val d1 = bfsFromSym(sym, start, maxIter, oneTaskBar)
     val farRow = d1.orderBy(col("dist").desc, col("id").asc).limit(1).head()
     val far = farRow.getLong(0)
-    val d2 = bfsFromSym(sym, far, maxIter)
+    val d2 = bfsFromSym(sym, far, maxIter, oneTaskBar)
     d2.agg(max(col("dist")).as("diameter_lb"))
       .select(lit(start).as("source"),
         lit(farRow.getLong(1)).as("ecc_source"),
@@ -434,7 +438,8 @@ object Traversals {
     * distance improved can improve anything). Convergence is the empty
     * frontier; the only driver action per round is that emptiness probe.
     */
-  def sssp(edges: DataFrame, source: Long, maxIter: Int = 60): DataFrame = {
+  def sssp(edges: DataFrame, source: Long, maxIter: Int = 60,
+           oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val half = edges.select(col("src").cast("long").as("u"),
@@ -446,7 +451,7 @@ object Traversals {
 
     // scale-adaptive: the one-task twin replays the identical
     // round-synchronous frontier relaxation (same maxIter truncation)
-    if (sym.count() <= LocalGraph.SymRowBar)
+    if (sym.count() <= oneTaskBar)
       return LocalGraph.ssspLocal(sym, source, maxIter)
     var dist = Seq((source, 0L)).toDF("id", "dist").cutLineage()
     // frontier = vertices whose distance improved last round. Only their
@@ -884,12 +889,20 @@ object Traversals {
     * truncated. Fails loud if edges remain after `maxRounds` (a
     * truncated peel could silently miss the best round).
     */
-  def densestSubgraph(edges: DataFrame, maxRounds: Int = 320): DataFrame = {
+  def densestSubgraph(edges: DataFrame, maxRounds: Int = 320,
+                      oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val spark = edges.sparkSession
     var sym = symmetrize(edges).cutLineage()
     val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     var r = 0L
     var msym = sym.count()
+    // scale-adaptive (the LocalGraph twin discipline): the peel is a
+    // deterministic pure function of the arc set, so the one-task
+    // replay is bit-equal by construction (spec A/B at oneTaskBar = 0);
+    // the semi-join rounds remain the over-bar 100 TB path. The gate
+    // reuses the loop-control count — no extra job.
+    if (msym <= oneTaskBar)
+      return LocalDensest.densestLocal(sym, maxRounds)
     while (msym > 0 && r < maxRounds) {
       val n = sym.select(col("u")).distinct().count()
       stats += ((r, n, msym))
@@ -972,13 +985,23 @@ object Traversals {
     * set if the deployment keeps one; computed fresh when absent.
     */
   def densestByComponent(edges: DataFrame, maxRounds: Int = 320,
-                         labels: Option[DataFrame] = None): DataFrame = {
+                         labels: Option[DataFrame] = None,
+                         oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val sym0 = symmetrize(edges).cutLineage()
     val emptySchema = Seq.empty[(Long, Long, Long, Long, Long, Long)]
       .toDF("component", "round", "n_vertices", "n_edges", "density_micro", "is_best")
-    if (sym0.isEmpty) return emptySchema
+    val arcs0 = sym0.count()
+    if (arcs0 == 0) return emptySchema
+    // scale-adaptive: the per-component peel is a pure function of the
+    // arc set; the twin derives the identical min-label decomposition
+    // internally (`labels`, when given, must be exactly that
+    // decomposition by its own contract), so the replay is bit-equal by
+    // construction — spec A/B at oneTaskBar = 0. One count replaces the
+    // isEmpty probe; the keyed rounds remain the over-bar 100 TB path.
+    if (arcs0 <= oneTaskBar)
+      return LocalDensest.densestByComponentLocal(sym0, maxRounds)
     val vcomp = labels.getOrElse(ConnectedComponents.auto(
         sym0.select(col("u").as("src"), col("v").as("dst"))))
       .select(col("id"), col("component").as("cmp"))
@@ -1070,7 +1093,8 @@ object Traversals {
                       inserts: DataFrame, deletes: DataFrame,
                       maxRounds: Int = 320,
                       labels: Option[DataFrame] = None,
-                      trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+                      trace: Option[scala.collection.mutable.Buffer[Long]] = None,
+                      oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val (netC, affVerts) =
       Maintenance.carve(oldEdges, inserts, deletes, labels, trace)
     // an unaffected component's label is a vertex id INSIDE it, so one
@@ -1081,7 +1105,8 @@ object Traversals {
     // graph (net ⊆ old ∪ inserts): one endpoint test suffices
     val sub = netC.join(affVerts.toDF("u"), Seq("u"), "left_semi")
     val recomputed = densestByComponent(
-      sub.select(col("u").as("src"), col("v").as("dst")), maxRounds)
+      sub.select(col("u").as("src"), col("v").as("dst")), maxRounds,
+      oneTaskBar = oneTaskBar)
     passThrough.unionByName(recomputed)
   }
 

@@ -643,19 +643,67 @@ object Triangles {
   def sparsifiedEstimateGate(c: DataFrame, p: Double = 0.5, seed: Long = 42L,
                              tol: Double = 0.2): DataFrame = {
     val cc = c.cutLineage()
-    val kept = cc.where(
-      pmod(xxhash64(col("src"), col("dst"), lit(seed)), lit(1000000L)) <
-        lit((p * 1e6).toLong))
-    val est = globalCount(kept)
-      .select((col("triangles") / lit(p * p * p)).as("est"))
-    globalCount(cc).withColumnRenamed("triangles", "n_exact")
-      .crossJoin(est)
+    // ONE adjacency build + ONE aggregation pass for BOTH counts
+    // (r13, guide §2.4 — the previous shape built a second full
+    // adjacency of the sparsified subgraph): a triangle of the kept
+    // subgraph is exactly a triangle of the full graph whose three
+    // edges all pass the hash test, and every triangle is enumerated
+    // exactly once under EITHER graph's degree orientation — so
+    // filtering the full orientation's edge rows and (sorted,
+    // sortedness-preserving) adjacency lists by the same per-edge hash
+    // yields the identical count, value-equal to globalCount(kept)
+    // (spec-pinned A/B). The hash is evaluated on the canonical
+    // (least, greatest) pair, which is the (src, dst) the old shape
+    // hashed.
+    sparsifiedCounts(cc, p, seed)
+      .select(col("n_exact"),
+        (col("kept_triangles") / lit(p * p * p)).as("est"))
       .select(col("n_exact"),
         // triangle-free graph: 0/0 would be NULL; an exact-zero estimate
         // is trivially within tolerance
         when(col("n_exact") === 0, col("est") === 0.0)
           .otherwise(abs(col("est") - col("n_exact")) / col("n_exact") <= tol)
           .as("rel_err_ok"))
+  }
+
+  /** The fused one-pass count pair behind [[sparsifiedEstimateGate]]:
+    * one row (n_exact, kept_triangles). Exposed for the spec's
+    * value-pin against the two-pass globalCount(kept) shape.
+    */
+  private[graft] def sparsifiedCounts(cc: DataFrame, p: Double,
+                                      seed: Long): DataFrame = {
+    def keptPair(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      pmod(xxhash64(least(a, b), greatest(a, b), lit(seed)), lit(1000000L)) <
+        lit((p * 1e6).toLong)
+    // one adjacency build carrying BOTH lists: the full sorted
+    // out-neighbors and the hash-kept subset (collect_list skips the
+    // when()'s nulls; a subset of a sorted distinct list is sorted
+    // distinct). The kept flag is evaluated once per oriented edge —
+    // never per list element.
+    val deg = cc.select(explode(array(col("src"), col("dst"))).as("v"))
+      .groupBy("v").agg(count("*").as("d"))
+    val oriented = cc
+      .join(deg.toDF("src", "sd"), Seq("src"))
+      .join(deg.toDF("dst", "dd"), Seq("dst"))
+      .select(
+        when(col("sd") < col("dd") || (col("sd") === col("dd")),
+          struct(col("src").as("lo"), col("dst").as("hi")))
+          .otherwise(struct(col("dst").as("lo"), col("src").as("hi"))).as("e"))
+      .select(col("e.lo").as("u"), col("e.hi").as("v"))
+      .cutLineage()
+    val adj = oriented.groupBy(col("u").as("w"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"),
+        sort_array(collect_list(
+          when(keptPair(col("u"), col("v")), col("v")))).as("knbrs"))
+    val sic = graft.expressions.VectorExpressions.sortedIntersectCount _
+    oriented
+      .join(adj.toDF("u", "au", "kau"), Seq("u"))
+      .join(adj.toDF("v", "av", "kav"), Seq("v"))
+      .agg(
+        coalesce(sum(sic(col("au"), col("av"))), lit(0L)).as("n_exact"),
+        coalesce(sum(when(keptPair(col("u"), col("v")),
+          sic(col("kau"), col("kav")))
+          .otherwise(lit(0L))), lit(0L)).as("kept_triangles"))
   }
 
   /** Global transitivity (global clustering coefficient):

@@ -61,9 +61,16 @@ object Walks {
       .agg(min(struct(stepHash(t).as("h"), col("v").as("n"))).as("m"))
       .select(col("start_id"), col("m.n").as("cur"))
 
-  def deterministicWalks(edges: DataFrame, len: Int): DataFrame = {
+  def deterministicWalks(edges: DataFrame, len: Int,
+                         oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     require(len >= 0, s"walk length must be non-negative, got $len")
     val sym = symOf(edges)
+    // scale-adaptive (the LocalGraph twin discipline): every step is a
+    // pure integer-hash argmin over the static adjacency, so the
+    // one-task replay is bit-equal by construction (spec A/B at
+    // oneTaskBar = 0); the per-step join rounds remain the 100 TB path.
+    if (sym.count() <= oneTaskBar)
+      return walksLocal(sym, len, biased = false, 0L, 0L, 0L)
     var cur = sym.select(col("u").as("start_id")).distinct()
       .withColumn("cur", col("start_id")).cutLineage()
     val frames = scala.collection.mutable.ArrayBuffer(
@@ -109,10 +116,13 @@ object Walks {
     */
   def biasedWalks(edges: DataFrame, len: Int,
                   fReturn: Long = 4L, fNear: Long = 1L,
-                  fFar: Long = 2L): DataFrame = {
+                  fFar: Long = 2L,
+                  oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     require(len >= 0, s"walk length must be non-negative, got $len")
     require(fReturn > 0 && fNear > 0 && fFar > 0, "bias factors must be positive")
     val sym = symOf(edges)
+    if (sym.count() <= oneTaskBar)
+      return walksLocal(sym, len, biased = true, fReturn, fNear, fFar)
     var cur = sym.select(col("u").as("start_id")).distinct()
       .withColumn("cur", col("start_id")).cutLineage()
     val frames = scala.collection.mutable.ArrayBuffer(
@@ -147,5 +157,66 @@ object Walks {
         col("cur").as("vertex"))
     }
     frames.reduce(_ unionByName _)
+  }
+
+  /** One-task replay of both walk variants: same step-keyed integer
+    * hash, same (priority, neighbor) lexicographic argmin, same
+    * return/near/far classification — bit-equal by construction. Input
+    * is the shared [[symOf]] view. Returns (start_id, step, vertex).
+    */
+  private def walksLocal(sym: DataFrame, len: Int, biased: Boolean,
+                         fReturn: Long, fNear: Long, fFar: Long): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val Two31 = 2147483648L
+    val Knuth = 2654435761L
+    sym.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val adj = new scala.collection.mutable.LongMap[scala.collection.mutable.LongMap[Unit]]()
+        it.foreach { case (u, v) =>
+          adj.getOrElseUpdate(u, new scala.collection.mutable.LongMap[Unit]())(v) = ()
+        }
+        // JVM twin of [[stepHash]]: pmod chain in pure Long arithmetic
+        // (`%` on non-negative ids matches Spark's remainder)
+        def h(cur: Long, t: Int, v: Long): Long = {
+          val a = Math.floorMod(cur % Two31 * 31L + t.toLong, Two31)
+          val b = Math.floorMod(a * 31L + v, Two31)
+          Math.floorMod(b * Knuth, Two31)
+        }
+        val starts = new Array[Long](adj.size)
+        var i = 0
+        adj.foreachKey { k => starts(i) = k; i += 1 }
+        starts.iterator.flatMap { start =>
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](len + 1)
+          out += ((start, 0L, start))
+          var prev = start
+          var cur = start
+          for (t <- 1 to len) {
+            var bestPri = Long.MaxValue
+            var bestV = Long.MaxValue
+            adj(cur).foreachKey { v =>
+              val pri =
+                if (!biased || t == 1) h(cur, t, v)
+                else {
+                  val f =
+                    if (v == prev) fReturn
+                    else if (adj.get(prev).exists(_.contains(v))) fNear
+                    else fFar
+                  h(cur, t, v) * f
+                }
+              if (pri < bestPri || (pri == bestPri && v < bestV)) {
+                bestPri = pri; bestV = v
+              }
+            }
+            prev = cur
+            cur = bestV
+            out += ((start, t.toLong, cur))
+          }
+          out.iterator
+        }
+      }
+      .toDF("start_id", "step", "vertex")
   }
 }

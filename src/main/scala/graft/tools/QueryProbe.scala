@@ -31,8 +31,12 @@ object QueryProbe {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";;").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      b.config(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => b.config(k, v)
+        case Array("") | Array() => () // empty segment (trailing ;;)
+        case bad => sys.error(
+          s"SPARK_GRAFT_CONF: malformed entry '${bad.mkString("=")}' — expected k=v")
+      }
     })
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -240,12 +240,22 @@ class TraversalsSpec extends SparkTestBase {
     // isolated source: no rows, no crash
     assert(run(Seq((1L, 2L)), Seq(9L)).isEmpty)
     // fail-loud: a frontier still live at maxDepth throws (mirrors the
-    // SQL unroll's (-1,-1) sentinel) instead of silently undercounting
+    // SQL unroll's (-1,-1) sentinel) instead of silently undercounting.
+    // Round path (oneTaskBar = 0): driver-side IllegalArgumentException;
+    // one-task leg: the same require fires inside the task, so the
+    // action surfaces it wrapped in a SparkException (documented
+    // divergence — the failure is equally loud, the type differs).
     intercept[IllegalArgumentException] {
+      Centrality.stressCentrality(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst"),
+        Seq(1L), maxDepth = 2, oneTaskBar = 0L).collect()
+    }
+    val exL = intercept[Exception] {
       Centrality.stressCentrality(
         Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst"),
         Seq(1L), maxDepth = 2).collect()
     }
+    assert(exL.getMessage.contains("raise maxDepth"))
     // fixture graph: deterministic, and the integer products stay far
     // from Long overflow (the documented caveat probed in anger)
     val c10 = graft.model.GraphFixtures.coPurchase10(spark, sf)
@@ -278,12 +288,19 @@ class TraversalsSpec extends SparkTestBase {
     // path 1-2-3-4: δ(3|s=1) = 1e6; δ(2|s=1) = (1·(1e6+1e6)) div 1 = 2e6
     assert(run(Seq((1L, 2L), (2L, 3L), (3L, 4L)), Seq(1L)) ==
       Map(2L -> 2000000L, 3L -> 1000000L))
-    // fail-loud at maxDepth, like stress
+    // fail-loud at maxDepth, like stress (round path driver-side IAE;
+    // one-task leg wraps the same require in the task failure)
     intercept[IllegalArgumentException] {
+      Centrality.betweennessCentrality(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst"),
+        Seq(1L), maxDepth = 2, oneTaskBar = 0L).collect()
+    }
+    val exL = intercept[Exception] {
       Centrality.betweennessCentrality(
         Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst"),
         Seq(1L), maxDepth = 2).collect()
     }
+    assert(exL.getMessage.contains("raise maxDepth"))
     // fixture graph: deterministic, products far from Long overflow
     val c10 = graft.model.GraphFixtures.coPurchase10(spark, sf)
     val srcs = c10.select(org.apache.spark.sql.functions.explode(
@@ -447,11 +464,18 @@ class TraversalsSpec extends SparkTestBase {
     // disconnected component contributes nothing (harmonic, not classic)
     assert(run(Seq((1L, 2L), (8L, 9L)), Seq(1L)) == Map(2L -> 1000000L))
     // fail-loud at maxDepth, like the other sampled-centrality ops
+    // (round path driver-side IAE; one-task leg wraps it in the task)
     intercept[IllegalArgumentException] {
+      Centrality.harmonicCloseness(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst"),
+        Seq(1L), maxDepth = 2, oneTaskBar = 0L).collect()
+    }
+    val exL = intercept[Exception] {
       Centrality.harmonicCloseness(
         Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst"),
         Seq(1L), maxDepth = 2).collect()
     }
+    assert(exL.getMessage.contains("raise maxDepth"))
     // fixture determinism
     val c10 = graft.model.GraphFixtures.coPurchase10(spark, sf)
     val srcs = c10.select(org.apache.spark.sql.functions.explode(
@@ -587,10 +611,18 @@ class TraversalsSpec extends SparkTestBase {
     assert(rows.toSeq == Seq(
       (0L, 7L, 12L, 12000000L / 7L, 0L),
       (1L, 5L, 10L, 2000000L, 1L)), s"got ${rows.toSeq}")
-    // fail-loud contract: a round budget too small to finish throws
+    // fail-loud contract: a round budget too small to finish throws —
+    // round path eagerly at call time (its loop runs driver-side);
+    // one-task leg at action time inside the task (documented
+    // divergence: equally loud at the sink, later and wrapped)
     intercept[IllegalArgumentException] {
-      graft.operators.Traversals.densestSubgraph(g, maxRounds = 1)
+      graft.operators.Traversals.densestSubgraph(g, maxRounds = 1,
+        oneTaskBar = 0L)
     }
+    val exL = intercept[Exception] {
+      graft.operators.Traversals.densestSubgraph(g, maxRounds = 1).collect()
+    }
+    assert(exL.getMessage.contains("raise maxRounds"))
   }
 
   test("temporalBfs respects time order and propagates improvements") {
@@ -877,10 +909,16 @@ class TraversalsSpec extends SparkTestBase {
     // edgeless input: empty result, not a crash
     assert(graft.operators.Traversals.densestByComponent(
       Seq.empty[(Long, Long)].toDF("src", "dst")).isEmpty)
-    // fail-loud on an exhausted round budget
+    // fail-loud on an exhausted round budget (round path eagerly at
+    // call; one-task leg at action, wrapped in the task failure)
     intercept[IllegalArgumentException] {
-      graft.operators.Traversals.densestByComponent(g1, maxRounds = 1)
+      graft.operators.Traversals.densestByComponent(g1, maxRounds = 1,
+        oneTaskBar = 0L)
     }
+    val exL = intercept[Exception] {
+      graft.operators.Traversals.densestByComponent(g1, maxRounds = 1).collect()
+    }
+    assert(exL.getMessage.contains("raise maxRounds"))
   }
 
   test("densestMaintain: pass-through + recompute ≡ fresh peel of the net graph") {
