@@ -203,9 +203,16 @@ object SparkEntry {
       .coalesce(s.sparkContext.defaultParallelism)
   })
 
+  // q14/q15 (through the adjacency memo's build) + q17 + q76 + q90:
+  // FOUR consumers of the one canonical full co-purchase pair set —
+  // the lineitem self-join + distinct was paid per consumer before
+  // (r13, guide §2.4: share the exchange, compute the upstream once)
+  private val coPurchasePairsMemo = new CrossQueryMemo(4,
+    (s, dir) => GraphFixtures.coPurchase(s, dir))
+
   // q14 + q15: two statistics over one oriented+adjacency relation
   private val c10AdjMemo = new CrossQueryMemo(2,
-    (s, dir) => Triangles.adjacency(GraphFixtures.coPurchase(s, dir)))
+    (s, dir) => Triangles.adjacency(coPurchasePairsMemo(s, dir)))
   // q163 + q164: the condensation re-reads q163's SCC decomposition.
   // The decomposition is a union of ~|outer rounds| per-round checkpoint
   // frames — coalesce before the memo's eager checkpoint so the pinned
@@ -574,7 +581,7 @@ object SparkEntry {
     "q13b_cc_c10" -> ((s, dir) =>
       SummaryAggregations.connectedComponents(c10Fixture(s, dir))),
     "q17_bipartite" -> ((s, dir) => {
-      val bC = SummaryAggregations.bipartiteness(GraphFixtures.coPurchase(s, dir))
+      val bC = SummaryAggregations.bipartiteness(coPurchasePairsMemo(s, dir))
         .withColumn("graph", lit("C"))
       val bE = SummaryAggregations.bipartiteness(GraphFixtures.edgeStream(s, dir))
         .withColumn("graph", lit("E"))
@@ -588,7 +595,7 @@ object SparkEntry {
     // half the driver actions; the fused form's real win is many small
     // graphs per call (see its SummarySpec test)
     "q90_bipartite_iterative" -> ((s, dir) => {
-      val tagged = GraphFixtures.coPurchase(s, dir)
+      val tagged = coPurchasePairsMemo(s, dir)
         .select(lit("C").as("g"), col("src"), col("dst"))
         .unionByName(GraphFixtures.edgeStream(s, dir)
           .select(lit("E").as("g"), col("src"), col("dst")))
@@ -1216,7 +1223,7 @@ object SparkEntry {
     // DOULION sparsified triangle estimate: deterministic hash-threshold
     // edge sampling at p=0.5, gated against the exact count (±20%)
     "q76_triangle_estimate" -> ((s, dir) =>
-      Triangles.sparsifiedEstimateGate(GraphFixtures.coPurchase(s, dir))),
+      Triangles.sparsifiedEstimateGate(coPurchasePairsMemo(s, dir))),
     // Newman degree assortativity from exact integer moments
     "q63_assortativity" -> ((s, dir) =>
       graft.operators.DegreeMetrics.assortativity(c10Fixture(s, dir))),

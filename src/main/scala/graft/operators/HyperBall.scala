@@ -88,12 +88,25 @@ object HyperBall {
     * quotient only rises.
     */
   def ballSizes(edges: DataFrame, k: Int = 3,
-                includeZero: Boolean = false): DataFrame = {
+                includeZero: Boolean = false,
+                oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
+    require(k >= 1 && k <= 16, s"hyperball k=$k out of the sane 1..16 range")
+    val sym = symmetrize(edges)
+    // scale-adaptive (the LocalGraph twin discipline): the register
+    // rounds are pure integer state (hash → bucket/rank → element-wise
+    // max) and the estimator is a floor division of exact integers, so
+    // the one-task replay is bit-equal by construction (spec A/B at
+    // oneTaskBar = 0); the per-round join+max rounds remain the
+    // over-bar 100 TB path. This also puts the maintenance carve-outs'
+    // affected-slice recomputes ([[ballSizesMaintain]]) on the cheap
+    // leg.
+    if (sym.count() <= oneTaskBar)
+      return ballSizesLocal(sym, k, includeZero)
     // ONE definition of the rounds ([[registerRounds]] — the shared
     // register contract with the q227 streaming parity, the q228
     // overlap sketch, and the insert-delta growth), estimates read off
     // each round's table
-    val rounds = registerRounds(edges, k)
+    val rounds = registerRoundsFromSym(sym, k)
     val estCol: Column = estimator
     val zero =
       if (includeZero)
@@ -102,6 +115,78 @@ object HyperBall {
     val perRadius = (1 to k).map(t =>
       rounds(t).select(col("id"), lit(t.toLong).as("t"), estCol.as("est")))
     (zero ++ perRadius).reduce(_ unionByName _)
+  }
+
+  /** One-task replay of the register rounds + estimator: registers as
+    * 16 bytes per vertex (ρ ≤ 28), rounds as element-wise max folds
+    * over the arc list against the frozen previous state — the exact
+    * synchronous round map of [[registerRounds]]. Returns (id, t, est).
+    */
+  private def ballSizesLocal(sym: DataFrame, k: Int,
+                             includeZero: Boolean): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    sym.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val arcs = it.toArray
+        val idx = new scala.collection.mutable.LongMap[Int]()
+        arcs.foreach { case (u, v) =>
+          if (!idx.contains(u)) idx(u) = idx.size
+          if (!idx.contains(v)) idx(v) = idx.size
+        }
+        val n = idx.size
+        val ids = new Array[Long](n)
+        idx.foreach { case (id, i) => ids(i) = id }
+        val arcIdx = arcs.map { case (u, v) => (idx(u), idx(v)) }
+        // initial singleton sketches — the JVM twin of [[regColsOf]]
+        var cur = new Array[Byte](n * M)
+        var i = 0
+        while (i < n) {
+          val v = ids(i)
+          val h = Math.floorMod(Math.floorMod(v, 2147483648L) * 2654435761L,
+            2147483648L)
+          val b = (h % M).toInt
+          val y = h >> 4
+          val rho =
+            if (y == 0L) 28
+            else 28 - (64 - java.lang.Long.numberOfLeadingZeros(y))
+          cur(i * M + b) = rho.toByte
+          i += 1
+        }
+        def estOf(state: Array[Byte], vi: Int): Long = {
+          var denom = 0L
+          var j = 0
+          while (j < M) {
+            denom += 1L << (28 - state(vi * M + j))
+            j += 1
+          }
+          AlphaScaled / denom
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](
+          n * (k + 1))
+        if (includeZero) {
+          var vi = 0
+          while (vi < n) { out += ((ids(vi), 0L, estOf(cur, vi))); vi += 1 }
+        }
+        for (t <- 1 to k) {
+          val next = cur.clone()
+          arcIdx.foreach { case (ui, vi) =>
+            var j = 0
+            while (j < M) {
+              val c = cur(vi * M + j)
+              if (c > next(ui * M + j)) next(ui * M + j) = c
+              j += 1
+            }
+          }
+          cur = next
+          var vi = 0
+          while (vi < n) { out += ((ids(vi), t.toLong, estOf(cur, vi))); vi += 1 }
+        }
+        out.iterator
+      }
+      .toDF("id", "t", "est")
   }
 
   /** The symmetrized, deduplicated, self-loop-free edge view every
@@ -122,7 +207,10 @@ object HyperBall {
     */
   def registerRounds(edges: DataFrame, k: Int): Seq[DataFrame] = {
     require(k >= 1 && k <= 16, s"hyperball k=$k out of the sane 1..16 range")
-    val sym = symmetrize(edges)
+    registerRoundsFromSym(symmetrize(edges), k)
+  }
+
+  private def registerRoundsFromSym(sym: DataFrame, k: Int): Seq[DataFrame] = {
     val r0 = sym.select(col("u").as("id")).distinct()
       .select(col("id") +: regColsOf(col("id")): _*)
       .cutLineage()
@@ -267,7 +355,8 @@ object HyperBall {
                         inserts: DataFrame, deletes: DataFrame,
                         k: Int = 3, includeZero: Boolean = false,
                         labels: Option[DataFrame] = None,
-                        trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+                        trace: Option[scala.collection.mutable.Buffer[Long]] = None,
+                        oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     val (netC, affVerts) =
       Maintenance.carve(oldEdges, inserts, deletes, labels, trace)
     // unaffected components: identical induced edges ⇒ identical
@@ -278,7 +367,8 @@ object HyperBall {
     // test suffices
     val sub = netC.join(affVerts.toDF("u"), Seq("u"), "left_semi")
     val recomputed = ballSizes(
-      sub.select(col("u").as("src"), col("v").as("dst")), k, includeZero)
+      sub.select(col("u").as("src"), col("v").as("dst")), k, includeZero,
+      oneTaskBar)
     passThrough.unionByName(recomputed)
   }
 

@@ -481,39 +481,67 @@ object LocalCommunities {
 
   /** Mutable (e, o) parity-label state with one synchronous hop per
     * call — e'(v) = min(e, min over neighbors of o), o'(v) = min(o, min
-    * of e); o = MinValue encodes the round path's NULL. `hop()` returns
-    * whether anything changed (labels are monotone non-increasing, so
-    * "no change" is exactly the round path's equal-aggregate
-    * fingerprint condition).
+    * of e); o = MaxValue encodes the round path's NULL internally
+    * (MinValue at the [[e]]/[[o]] accessors). `hop()` returns whether
+    * anything changed (labels are monotone non-increasing, so "no
+    * change" is exactly the round path's equal-aggregate fingerprint
+    * condition). Dense-index CSR layout: the hop is two flat array
+    * scans, not hash probes.
     */
   private final class ParityState(adj: Adj) {
-    private val NoO = Long.MinValue
-    var e = new LongMap[Long](adj.size * 2)
-    var o = new LongMap[Long](adj.size * 2)
-    adj.foreachKey { id => e(id) = id; o(id) = NoO }
-    def hop(): Boolean = {
-      val ne = new LongMap[Long](adj.size * 2)
-      val no = new LongMap[Long](adj.size * 2)
-      var changed = false
+    private val idx = new LongMap[Int](adj.size * 2)
+    adj.foreachKey { id => idx(id) = idx.size }
+    private val n = idx.size
+    private val ids = new Array[Long](n)
+    idx.foreach { case (id, i) => ids(i) = id }
+    // CSR adjacency over dense indices
+    private val off = new Array[Int](n + 1)
+    adj.foreach { case (u, nbrs) => off(idx(u) + 1) = nbrs.length }
+    locally { var i = 0; while (i < n) { off(i + 1) += off(i); i += 1 } }
+    private val tgt = new Array[Int](off(n))
+    locally {
+      val fill = java.util.Arrays.copyOf(off, n)
       adj.foreach { case (u, nbrs) =>
-        var be = e(u)
-        var bo = if (o(u) == NoO) Long.MaxValue else o(u)
-        nbrs.foreach { v =>
-          val vo = o(v); if (vo != NoO && vo < be) be = vo
-          val ve = e(v); if (ve < bo) bo = ve
-        }
-        val boOut = if (bo == Long.MaxValue) NoO else bo
-        if (be != e(u) || boOut != o(u)) changed = true
-        ne(u) = be; no(u) = boOut
+        val ui = idx(u)
+        nbrs.foreach { v => tgt(fill(ui)) = idx(v); fill(ui) += 1 }
       }
-      e = ne; o = no
+    }
+    private var eArr = ids.clone()
+    private var oArr = Array.fill(n)(Long.MaxValue)
+    def hop(): Boolean = {
+      val ne = new Array[Long](n)
+      val no = new Array[Long](n)
+      var changed = false
+      var ui = 0
+      while (ui < n) {
+        var be = eArr(ui)
+        var bo = oArr(ui)
+        var p = off(ui)
+        val end = off(ui + 1)
+        while (p < end) {
+          val vi = tgt(p)
+          val vo = oArr(vi); if (vo < be) be = vo
+          val ve = eArr(vi); if (ve < bo) bo = ve
+          p += 1
+        }
+        if (be != eArr(ui) || bo != oArr(ui)) changed = true
+        ne(ui) = be; no(ui) = bo
+        ui += 1
+      }
+      eArr = ne; oArr = no
       changed
     }
     def hasConflict: Boolean = {
-      var c = false
-      adj.foreachKey { id => if (o(id) != NoO && e(id) == o(id)) c = true }
-      c
+      var ui = 0
+      while (ui < n) {
+        if (oArr(ui) != Long.MaxValue && eArr(ui) == oArr(ui)) return true
+        ui += 1
+      }
+      false
     }
+    def e(id: Long): Long = eArr(idx(id))
+    def o(id: Long): Long =
+      { val x = oArr(idx(id)); if (x == Long.MaxValue) Long.MinValue else x }
   }
 
   /** Replay of [[Bipartiteness.iterativeByGroup]] for the one-task leg:

@@ -456,6 +456,76 @@ object LocalGraph {
       .toDF("id", "dist")
   }
 
+  /** One-task replay of the [[Traversals.kcore]] peel: synchronous
+    * rounds (all vertices with current degree < k drop together),
+    * edge-count-based convergence, and the same silent `maxIter`
+    * truncation semantics. Input: SYMMETRIC dedup'd self-loop-free
+    * pairs. Returns (id, core_degree) for surviving vertices with ≥ 1
+    * surviving arc.
+    */
+  def kcoreLocal(sym: DataFrame, k: Int, maxIter: Int): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    sym.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val arcs = it.toArray
+        val idx = new scala.collection.mutable.LongMap[Int]()
+        arcs.foreach { case (u, v) =>
+          if (!idx.contains(u)) idx(u) = idx.size
+          if (!idx.contains(v)) idx(v) = idx.size
+        }
+        val n = idx.size
+        val ids = new Array[Long](n)
+        idx.foreach { case (id, i) => ids(i) = id }
+        val off = new Array[Int](n + 1)
+        arcs.foreach { case (u, _) => off(idx(u) + 1) += 1 }
+        var i = 0
+        while (i < n) { off(i + 1) += off(i); i += 1 }
+        val tgt = new Array[Int](off(n))
+        val fill = java.util.Arrays.copyOf(off, n)
+        arcs.foreach { case (u, v) =>
+          val ui = idx(u); tgt(fill(ui)) = idx(v); fill(ui) += 1
+        }
+        val deg = new Array[Int](n)
+        i = 0; while (i < n) { deg(i) = off(i + 1) - off(i); i += 1 }
+        val alive = Array.fill(n)(true)
+        var m = arcs.length.toLong
+        var changed = m > 0
+        var iter = 0
+        val removals = new scala.collection.mutable.ArrayBuffer[Int]()
+        while (changed && iter < maxIter) {
+          removals.clear()
+          i = 0
+          while (i < n) { if (alive(i) && deg(i) < k) removals += i; i += 1 }
+          removals.foreach(alive(_) = false)
+          removals.foreach { u =>
+            var p = off(u)
+            while (p < off(u + 1)) {
+              val v = tgt(p)
+              if (alive(v)) deg(v) -= 1
+              p += 1
+            }
+          }
+          var m2 = 0L
+          i = 0
+          while (i < n) { if (alive(i)) m2 += deg(i); i += 1 }
+          changed = m2 != m
+          m = m2
+          iter += 1
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        i = 0
+        while (i < n) {
+          if (alive(i) && deg(i) > 0) out += ((ids(i), deg(i).toLong))
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("id", "core_degree")
+  }
+
   private val Two31 = 2147483648L
   private val Knuth = 2654435761L
   /** JVM twin of [[graft.Portable.prio31]] (non-negative ids). */

@@ -541,9 +541,17 @@ object Traversals {
     * the degeneracy ordering depth — typically tens even on huge
     * graphs.
     */
-  def kcore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
+  def kcore(edges: DataFrame, k: Int, maxIter: Int = 100,
+            oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     var sym = symmetrize(edges).cutLineage()
     var m = sym.count()
+    // scale-adaptive (the LocalGraph twin discipline): the peel is a
+    // pure function of the arc set — the twin replays the same
+    // synchronous rounds, edge-count convergence and silent maxIter
+    // truncation, so it is bit-equal by construction (spec A/B at
+    // oneTaskBar = 0); the gate reuses the loop-control count.
+    if (m <= oneTaskBar)
+      return LocalGraph.kcoreLocal(sym, k, maxIter)
     var changed = m > 0
     var iter = 0
     while (changed && iter < maxIter) {

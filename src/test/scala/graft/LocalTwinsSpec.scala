@@ -208,6 +208,43 @@ class LocalTwinsSpec extends SparkTestBase {
       "iterativeByGroup")
   }
 
+  test("kcore: one-task replay == round path (incl. maxIter truncation)") {
+    for (k <- Seq(2, 4, 6)) {
+      pinEqual(
+        Traversals.kcore(c10, k),
+        Traversals.kcore(c10, k, oneTaskBar = 0L),
+        s"kcore k=$k")
+    }
+    // truncation semantics: a 1-round budget leaves the partial peel —
+    // both legs must leave the SAME partial state
+    pinEqual(
+      Traversals.kcore(c10, 4, maxIter = 1),
+      Traversals.kcore(c10, 4, maxIter = 1, oneTaskBar = 0L),
+      "kcore truncated")
+  }
+
+  test("hyperball ballSizes: one-task replay == round path") {
+    pinEqual(
+      HyperBall.ballSizes(c10, 3),
+      HyperBall.ballSizes(c10, 3, oneTaskBar = 0L),
+      "hyperball.ballSizes")
+    pinEqual(
+      HyperBall.ballSizes(c10, 2, includeZero = true),
+      HyperBall.ballSizes(c10, 2, includeZero = true, oneTaskBar = 0L),
+      "hyperball.ballSizes includeZero")
+    import spark.implicits._
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L),
+      (20L, 21L)).toDF("src", "dst")
+    val inserts = Seq((3L, 4L), (12L, 10L)).toDF("src", "dst")
+    val deletes = Seq((20L, 21L)).toDF("src", "dst")
+    val oldBalls = HyperBall.ballSizes(base, 3)
+    pinEqual(
+      HyperBall.ballSizesMaintain(oldBalls, base, inserts, deletes, 3),
+      HyperBall.ballSizesMaintain(oldBalls, base, inserts, deletes, 3,
+        oneTaskBar = 0L),
+      "hyperball.ballSizesMaintain")
+  }
+
   test("walks: one-task replay == round path (uniform and node2vec-biased)") {
     pinEqual(
       Walks.deterministicWalks(c10, 5),
