@@ -91,7 +91,7 @@ object Bench {
     val sidecarPath = java.nio.file.Paths.get(
       benchOut.getOrElse("BENCH_SIDECAR.json"))
     val qNames = results.keySet
-    def parsePrev(p: java.nio.file.Path): Option[(Double, Set[String], String)] =
+    def parsePrev(p: java.nio.file.Path): Option[(Double, Set[String], String, Option[String])] =
       try {
         if (!java.nio.file.Files.exists(p)) None
         else {
@@ -100,14 +100,20 @@ object Bench {
           val names = """"queries":\{(.*?)\}""".r.findFirstMatchIn(s).map(m =>
             """"([^"]+)":""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSet)
           val sf = """"sf":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
-          for (vv <- v; nn <- names; ss <- sf) yield (vv, nn, ss)
+          val cp = """"cpus":([0-9]+)""".r.findFirstMatchIn(s).map(_.group(1))
+          for (vv <- v; nn <- names; ss <- sf) yield (vv, nn, ss, cp)
         }
       } catch { case _: Throwable => None }
     val prev = parsePrev(sidecarPath)
     val keepPrev = benchOut.isEmpty && only.isEmpty && prev.exists {
-      case (prevTotal, prevNames, prevSf) =>
+      case (prevTotal, prevNames, prevSf, prevCpus) =>
         prevNames == qNames && prevSf == sfDir &&
-          (failed.nonEmpty || prevTotal <= total)
+          // cross-core-count totals are not comparable (the suite is
+          // scheduler-latency-bound at small SF — an 8-thread run can
+          // beat the canonical 32-thread one): a same-set run at a
+          // DIFFERENT cpus never overwrites the snapshot (observed
+          // live in r13: a c8 run clobbered the c32 floor)
+          (prevCpus.exists(_ != cpus) || failed.nonEmpty || prevTotal <= total)
     }
     // when the best-of guard keeps a faster prior record, say so IN the
     // round artifact itself: a reader of BENCH_rN.json alone would
@@ -115,11 +121,13 @@ object Bench {
     // have to dig the sidecar/history for the canonical floor
     // (VERDICT r10 "what's wrong" #4)
     val keptField = prev match {
-      case Some((prevTotal, _, _)) if keepPrev =>
+      case Some((prevTotal, _, _, _)) if keepPrev =>
         s""","kept_floor":$prevTotal,"kept_floor_note":"canonical BENCH_SIDECAR.json keeps the faster same-set run""""
       case _ => ""
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"$keptField}"""
+    // cpus rides the line so the sidecar guard above can tell a c8 run
+    // from the canonical c32 record (additions-only field)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$qs,"failed":$fj,"sf":"$sfDir"$keptField}"""
     println(line)
     // the driver records only the last ~2 KB of stdout; at 265 queries
     // the full line above is ~12 KB, so the driver's BENCH_rN.json has
@@ -153,8 +161,9 @@ object Bench {
         .getOperatingSystemMXBean.getSystemLoadAverage
       // cpus is load-bearing for cross-run comparison: round-heavy
       // queries are scheduler-latency-bound, so an 8-thread dev run is
-      // not comparable to the canonical 32-thread one
-      val hist = s"""{"started":"$startedAt","load_start":$loadStart,"load_end":$loadEnd,"cpus":$cpus,""" +
+      // not comparable to the canonical 32-thread one (the field now
+      // rides `line` itself, so the prefix no longer repeats it)
+      val hist = s"""{"started":"$startedAt","load_start":$loadStart,"load_end":$loadEnd,""" +
         line.stripPrefix("{")
       // path relative to the working directory (overridable), not a
       // hard-coded absolute checkout location

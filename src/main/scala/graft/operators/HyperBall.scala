@@ -205,9 +205,83 @@ object HyperBall {
     * already persist R_1 this way) can absorb an insert batch with
     * work ∝ changed registers instead of re-running k full-|E| joins.
     */
-  def registerRounds(edges: DataFrame, k: Int): Seq[DataFrame] = {
+  def registerRounds(edges: DataFrame, k: Int,
+                     oneTaskBar: Long = LocalGraph.SymRowBar): Seq[DataFrame] = {
     require(k >= 1 && k <= 16, s"hyperball k=$k out of the sane 1..16 range")
-    registerRoundsFromSym(symmetrize(edges), k)
+    val sym = symmetrize(edges)
+    // scale-adaptive: all k+1 round tables from ONE task + ONE
+    // checkpoint (each returned table is a filter on the round column)
+    // — register values bit-equal to the per-round join+max tables by
+    // the same replay argument as [[ballSizesLocal]]; spec A/B at
+    // oneTaskBar = 0
+    if (sym.count() <= oneTaskBar) return registerRoundsLocal(sym, k)
+    registerRoundsFromSym(sym, k)
+  }
+
+  private def registerRoundsLocal(sym: DataFrame, k: Int): Seq[DataFrame] = {
+    import graft.Lineage.CutOps
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val all = sym.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val arcs = it.toArray
+        val idx = new scala.collection.mutable.LongMap[Int]()
+        arcs.foreach { case (u, v) =>
+          if (!idx.contains(u)) idx(u) = idx.size
+          if (!idx.contains(v)) idx(v) = idx.size
+        }
+        val n = idx.size
+        val ids = new Array[Long](n)
+        idx.foreach { case (id, i) => ids(i) = id }
+        val arcIdx = arcs.map { case (u, v) => (idx(u), idx(v)) }
+        var cur = new Array[Byte](n * M)
+        var i = 0
+        while (i < n) {
+          val v = ids(i)
+          val h = Math.floorMod(Math.floorMod(v, 2147483648L) * 2654435761L,
+            2147483648L)
+          val b = (h % M).toInt
+          val y = h >> 4
+          val rho =
+            if (y == 0L) 28
+            else 28 - (64 - java.lang.Long.numberOfLeadingZeros(y))
+          cur(i * M + b) = rho.toByte
+          i += 1
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Int, Seq[Int])](
+          n * (k + 1))
+        def emit(t: Int, state: Array[Byte]): Unit = {
+          var vi = 0
+          while (vi < n) {
+            out += ((ids(vi), t,
+              (0 until M).map(j => state(vi * M + j).toInt)))
+            vi += 1
+          }
+        }
+        emit(0, cur)
+        for (t <- 1 to k) {
+          val next = cur.clone()
+          arcIdx.foreach { case (ui, vi) =>
+            var j = 0
+            while (j < M) {
+              val c = cur(vi * M + j)
+              if (c > next(ui * M + j)) next(ui * M + j) = c
+              j += 1
+            }
+          }
+          cur = next
+          emit(t, cur)
+        }
+        out.iterator
+      }
+      .toDF("id", "t", "regs")
+      .cutLineage()
+    (0 to k).map(t =>
+      all.where(col("t") === t)
+        .select(col("id") +:
+          (0 until M).map(j => col("regs")(j).cast("int").as(s"r$j")): _*))
   }
 
   private def registerRoundsFromSym(sym: DataFrame, k: Int): Seq[DataFrame] = {
@@ -261,13 +335,23 @@ object HyperBall {
   def ballSizesGrowFrom(oldRounds: Seq[DataFrame], oldEdges: DataFrame,
                         inserts: DataFrame, k: Int = 3,
                         includeZero: Boolean = false,
-                        trace: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+                        trace: Option[scala.collection.mutable.Buffer[Long]] = None,
+                        oneTaskBar: Long = LocalGraph.SymRowBar): DataFrame = {
     require(oldRounds.length == k + 1,
       s"expected ${k + 1} stored register rounds (R_0..R_$k), got ${oldRounds.length}")
     val symOld = symmetrize(oldEdges)
     val symIns = symmetrize(inserts)
       .join(symOld, Seq("u", "v"), "left_anti").cutLineage()
     val symNet = symOld.unionByName(symIns)
+    // scale-adaptive: the growth recursion's OWN contract (scaladoc
+    // above, spec-pinned) is bit-equality to the cold rounds over the
+    // grown graph — the r12 landmark discipline (maintained ≡ fresh):
+    // under the bar the cold one-task replay computes the identical
+    // rows in one job; the systolic wavefront propagation remains the
+    // over-bar path (and the tier2hbgrow probe its scale evidence).
+    // `trace` callers (wavefront probes) always take the round path.
+    if (trace.isEmpty && symNet.count() <= oneTaskBar)
+      return ballSizesLocal(symNet, k, includeZero)
     val estCol: Column = estimator
     val newVerts = symIns.select(col("u").as("id")).distinct()
       .join(oldRounds.head, Seq("id"), "left_anti").cutLineage()

@@ -245,6 +245,33 @@ class LocalTwinsSpec extends SparkTestBase {
       "hyperball.ballSizesMaintain")
   }
 
+  test("hyperball registerRounds + growFrom: one-task legs == round paths") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (7L, 8L), (8L, 9L))
+      .toDF("src", "dst")
+    val localRounds = HyperBall.registerRounds(base, 3)
+    val roundRounds = HyperBall.registerRounds(base, 3, oneTaskBar = 0L)
+    localRounds.zip(roundRounds).zipWithIndex.foreach { case ((l, r), t) =>
+      pinEqual(l, r, s"registerRounds t=$t")
+    }
+    // growFrom: the one-task leg rides the operator's own
+    // maintained ≡ cold contract; both legs must produce identical rows
+    val ins = Seq((3L, 4L), (9L, 1L)).toDF("src", "dst")
+    pinEqual(
+      HyperBall.ballSizesGrowFrom(localRounds, base, ins, 3),
+      HyperBall.ballSizesGrowFrom(roundRounds, base, ins, 3, oneTaskBar = 0L),
+      "ballSizesGrowFrom")
+    // and c10-scale: grow the base by a deterministic insert slice
+    val srcs = c10.where(col("src") % 97 === 0)
+    pinEqual(
+      HyperBall.ballSizesGrowFrom(HyperBall.registerRounds(c10, 2), c10,
+        srcs, 2),
+      HyperBall.ballSizesGrowFrom(
+        HyperBall.registerRounds(c10, 2, oneTaskBar = 0L), c10,
+        srcs, 2, oneTaskBar = 0L),
+      "ballSizesGrowFrom c10")
+  }
+
   test("walks: one-task replay == round path (uniform and node2vec-biased)") {
     pinEqual(
       Walks.deterministicWalks(c10, 5),
